@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Training-data-pipeline operators (dedup, text analysis, similarity
+  * search) over `documents` / `embeddings` — the north-star extensions
+  * beyond the reference's own inventory (SURVEY.md §4.2 item 6).
+  *
+  * Everything is pure `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage friendly): occurrence counting via length/replace, vector
+  * math via zip_with/aggregate higher-order functions. Float-sensitive
+  * results are computed as LEFT-TO-RIGHT double folds so the DuckDB
+  * oracle (same fold order) is bit-identical.
+  */
+object PipelineQueries {
+
+  /** Non-overlapping occurrence count of literal `w` — identical
+    * semantics in Spark and DuckDB (replace is non-overlapping LTR).
+    */
+  private def occ(c: Column, w: String): Column =
+    ((length(c) - length(replace(c, lit(w), lit("")))) / lit(w.length))
+      .cast("long")
+
+  private def occSql(c: String, w: String): String =
+    s"(length($c) - length(replace($c, '$w', ''))) // ${w.length}"
+
+  /** dot(a,b) as a deterministic left-to-right double fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q15_dedup_exact",
+      "Exact dedup: hash-groupBy on md5(text); keeper = min doc_id. " +
+        "Single exchange on the digest; at 100TB the digest (16B) " +
+        "shuffles instead of the document bodies.",
+      Some("""
+SELECT md5(text) AS sig, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1"""),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(md5(col("text").cast("binary")).as("sig"), col("doc_id"))
+          .groupBy(col("sig"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))),
+
+    QueryDef(
+      "q16_token_stats",
+      "Token counting: whitespace tokens + char length per document — " +
+        "narrow map-only plan, no shuffle at all.",
+      Some("""
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+       length(text) AS text_len
+FROM documents"""),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("text_len"))),
+
+    QueryDef(
+      "q17_quality_score",
+      "Quality scoring: mean token length and stopword ratio as exact " +
+        "integer fixed-point (×1000) so the score is engine-independent; " +
+        "quality bucket by thresholds. Map-only.",
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_char,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         ${occSql("text", " the ")} AS n_stop
+  FROM documents)
+SELECT doc_id, n_tok,
+       ((n_char - (n_tok - 1)) * 1000) // n_tok AS tok_len_x1000,
+       (n_stop * 1000) // n_tok AS stop_x1000,
+       CASE WHEN n_tok >= 40 AND (n_stop * 1000) // n_tok >= 20 THEN 'high'
+            WHEN n_tok >= 15 THEN 'medium' ELSE 'low' END AS quality
+FROM t"""),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_char"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+            occ(col("text"), " the ").as("n_stop"))
+          .select(col("doc_id"), col("n_tok"),
+            expr("((n_char - (n_tok - 1)) * 1000) div n_tok").as("tok_len_x1000"),
+            expr("(n_stop * 1000) div n_tok").as("stop_x1000"),
+            when(col("n_tok") >= 40 &&
+                expr("(n_stop * 1000) div n_tok") >= 20, "high")
+              .when(col("n_tok") >= 15, "medium")
+              .otherwise("low").as("quality"))),
+
+    QueryDef(
+      "q18_lang_id",
+      "Language-ID heuristic: marker-token occurrence scores with a " +
+        "deterministic argmax (first-wins tie-break). Map-only; the " +
+        "marker table is a compile-time constant, not a join.",
+      Some({
+        val ms = Seq("en" -> " scan ", "es" -> " join ", "de" -> " filter ",
+          "zh" -> " window ", "fr" -> " group ")
+        val scores = ms.map { case (l, w) => s"${occSql("text", w)} AS s_$l" }
+          .mkString(", ")
+        val argmax = ms.map(_._1).map { l =>
+          val geq = ms.map(_._1).filterNot(_ == l)
+            .map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geq THEN '$l'"
+        }.dropRight(1).mkString(" ")
+        s"""
+WITH t AS (SELECT doc_id, lang, $scores FROM documents)
+SELECT doc_id, lang,
+       CASE $argmax ELSE 'fr' END AS pred_lang,
+       CASE WHEN (CASE $argmax ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS hit
+FROM t"""
+      }),
+      (s, dir) => {
+        val ms = Seq("en" -> " scan ", "es" -> " join ", "de" -> " filter ",
+          "zh" -> " window ", "fr" -> " group ")
+        val scored = ms.foldLeft(Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("text"))) {
+          case (df, (l, w)) => df.withColumn(s"s_$l", occ(col("text"), w))
+        }
+        val langs = ms.map(_._1)
+        val pred = langs.dropRight(1).foldLeft(
+            when(lit(false), "")) { (acc, l) =>
+          val geq = langs.filterNot(_ == l)
+            .map(o => col(s"s_$l") >= col(s"s_$o"))
+            .reduce(_ && _)
+          acc.when(geq, l)
+        }.otherwise(langs.last)
+        scored
+          .withColumn("pred_lang", pred)
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("hit"))
+      }),
+
+    QueryDef(
+      "q19_doc_fingerprint",
+      "Document fingerprinting: full-text digest + 64-char-prefix digest " +
+        "+ length bucket (cheap near-dup blocking keys). Map-only.",
+      Some("""
+SELECT doc_id, md5(text) AS sig,
+       md5(substring(text, 1, 64)) AS prefix_sig,
+       n_chars // 100 AS len_bucket
+FROM documents"""),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("sig"),
+            md5(substring(col("text"), 1, 64).cast("binary")).as("prefix_sig"),
+            expr("n_chars div 100").as("len_bucket"))),
+
+    QueryDef(
+      "q20_ann_cosine_topk",
+      "Similarity search baseline: brute-force cosine top-10 for a fixed " +
+        "query set (vec_id < 50) against all vectors. Query side is " +
+        "broadcast; rank is per-query. Dot products are left-to-right " +
+        "double folds == DuckDB list_dot_product, so sims are " +
+        "bit-identical. Scale path is the LSH/IVF variant (q25).",
+      Some("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+j AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+             list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS sim
+      FROM (SELECT * FROM n WHERE vec_id < 50) q, n b
+      WHERE b.vec_id <> q.vec_id)
+SELECT qid, nid,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+FROM j
+QUALIFY rn <= 10"""),
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        val q = base.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val n = base.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("nrm").as("nn"))
+        broadcast(q).join(n, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
+          .filter(col("rn") <= 10)
+          .select(col("qid"), col("nid"), col("rn"))
+      })
+  )
+}
