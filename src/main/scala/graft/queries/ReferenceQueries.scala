@@ -210,7 +210,7 @@ GROUP BY 1, 2, 3"""),
     QueryDef(
       "q08_login_fail_consecutive",
       "F1+J3 LoginFail: two consecutive failures (error events) per user " +
-        "within 120s (ref LoginFail.scala:51-105, LoginFailWithCep.scala:" +
+        "within 1h (ref LoginFail.scala:51-105, LoginFailWithCep.scala:" +
         "28-36). Batch form = lag() over user partition; streaming twin " +
         "uses flatMapGroupsWithState (graft.streaming).",
       Some("""
@@ -223,7 +223,7 @@ WITH f AS (
 SELECT user_id, prev_event AS first_event, event_id AS last_event,
        prev_us // 1000000 AS first_ts, us // 1000000 AS last_ts
 FROM f
-WHERE prev_us IS NOT NULL AND us - prev_us <= 120000000"""),
+WHERE prev_us IS NOT NULL AND us - prev_us <= 3600000000"""),
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("us").asc, col("event_id").asc)
@@ -233,7 +233,7 @@ WHERE prev_us IS NOT NULL AND us - prev_us <= 120000000"""),
           .withColumn("prev_event", lag(col("event_id"), 1).over(w))
           .withColumn("prev_us", lag(col("us"), 1).over(w))
           .filter(col("prev_us").isNotNull &&
-            col("us") - col("prev_us") <= 120000000L)
+            col("us") - col("prev_us") <= 3600000000L)
           .select(col("user_id"), col("prev_event").as("first_event"),
             col("event_id").as("last_event"),
             expr("prev_us div 1000000").as("first_ts"),
@@ -325,13 +325,13 @@ SELECT user_id, event_type AS ad_key, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day
        count(*) AS cnt
 FROM events
 GROUP BY 1, 2, 3
-HAVING count(*) >= 5"""),
+HAVING count(*) >= 3"""),
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy(col("user_id"), col("event_type").as("ad_key"),
             date_format(col("ts"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 5)),
+          .filter(col("cnt") >= 3)),
 
     // ----- joins ------------------------------------------------------------
 
