@@ -257,7 +257,7 @@ WITH a AS (
 SELECT user_id, s_us // 1000000 AS create_ts,
        CASE
          WHEN p_us IS NULL THEN 'order timeout'
-         WHEN p_us < s_us THEN 'payed but no create log'
+         WHEN s_us IS NULL OR p_us < s_us THEN 'payed but no create log'
          WHEN p_us - s_us <= 1800000000 THEN 'payed successfully'
          ELSE 'payed but already timeout'
        END AS result_msg
@@ -273,7 +273,8 @@ WHERE s_us IS NOT NULL OR p_us IS NOT NULL"""),
           .filter(col("s_us").isNotNull || col("p_us").isNotNull)
           .select(col("user_id"), expr("s_us div 1000000").as("create_ts"),
             when(col("p_us").isNull, "order timeout")
-              .when(col("p_us") < col("s_us"), "payed but no create log")
+              .when(col("s_us").isNull || col("p_us") < col("s_us"),
+                "payed but no create log")
               .when(col("p_us") - col("s_us") <= 1800000000L, "payed successfully")
               .otherwise("payed but already timeout").as("result_msg"))),
 

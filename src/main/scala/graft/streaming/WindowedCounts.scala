@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming twins of the windowed-aggregation queries (W1-W7 +
+  * R1/R2): watermarked event-time windows with incremental state, and
+  * the per-window top-N finisher.
+  */
+object WindowedCounts {
+
+  /** W1-analog: sliding event-time count per key. Append mode emits a
+    * (window, key, cnt) row once the watermark passes window end —
+    * the reference's window-close firing (HotItems.scala:53-55).
+    */
+  def slidingCount(events: DataFrame, tsCol: String, keyCol: String,
+      duration: String, slide: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), duration, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.end")).as("window_end"),
+        col(keyCol), col("cnt"))
+
+  /** R1/R2-analog: grouped top-N over closed windows. Streaming can't
+    * rank inside an append-mode agg, so the rank runs per micro-batch
+    * in foreachBatch — the Spark-idiomatic form of the reference's
+    * windowEnd-keyed TopN process function (HotItems.scala:111-155).
+    * Returns the rank transform to apply inside foreachBatch.
+    */
+  def topNPerWindow(n: Int, keyCol: String)(batch: DataFrame): DataFrame =
+    batch.withColumn("rn", row_number().over(
+        Window.partitionBy(col("window_end"))
+          .orderBy(col("cnt").desc, col(keyCol).asc)).cast("long"))
+      .filter(col("rn") <= n)
+
+  /** K2-analog side-output convention: split one tagged stream into
+    * per-tag sinks inside a single foreachBatch pass (SURVEY.md §4.2
+    * item 4). The batch is cached once so N sinks don't recompute the
+    * lineage N times.
+    */
+  def splitByTag[T](tags: Seq[String], tagCol: String)(
+      sink: (String, DataFrame) => Unit)(batch: DataFrame, id: Long): Unit = {
+    batch.persist()
+    try tags.foreach(t => sink(t, batch.filter(col(tagCol) === t)))
+    finally batch.unpersist()
+  }
+}

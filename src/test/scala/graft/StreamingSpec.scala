@@ -1,0 +1,158 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming._
+
+/** Streaming twins vs batch semantics: the stateful operators run over
+  * MemoryStream micro-batches and must agree with the batch catalog
+  * queries on the same data (order-insensitive compare — SURVEY.md §7.4
+  * item 7).
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  /** Pump a far-future sentinel through twice so the watermark passes
+    * every real event-time timer (watermark advances one batch behind).
+    */
+  private def flush[T](input: MemoryStream[StreamEvent],
+      q: org.apache.spark.sql.streaming.StreamingQuery, farMs: Long): Unit = {
+    input.addData(StreamEvent(-999L, -1L, "sentinel", ts(farMs)))
+    q.processAllAvailable()
+    input.addData(StreamEvent(-999L, -2L, "sentinel", ts(farMs + 3600 * 1000L)))
+    q.processAllAvailable()
+  }
+
+  test("SequenceMatch streaming == batch q08 on the same events") {
+    val fails = Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000000").as("ms"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), "fail",
+        ts(r.getLong(2))))
+
+    val input = MemoryStream[StreamEvent]
+    val out = SequenceMatch.consecutiveFails(input.toDS(), 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("seq_warn")
+      .outputMode("append").start()
+    try {
+      // two micro-batches to exercise cross-batch state
+      val (a, b) = fails.splitAt(fails.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("seq_warn").as[FailWarning].collect()
+      .map(w => (w.userId, w.firstEvent, w.lastEvent)).toSet
+    val want = SparkEntry.queries("q08_login_fail_consecutive")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_event"),
+        r.getAs[Long]("last_event"))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("OrderTimeoutMatcher streaming == batch q09 outcomes") {
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000000").as("ms"))
+      .collect()
+      .map { r =>
+        val t = if (r.getString(2) == "signup") "create" else "pay"
+        StreamEvent(r.getLong(0), r.getLong(1), t, ts(r.getLong(3)))
+      }
+
+    val input = MemoryStream[StreamEvent]
+    val out = OrderTimeoutMatcher.detect(
+      input.toDS().filter($"eventType" =!= "sentinel")
+        .withWatermark("ts", "0 seconds"), 1800 * 1000L)
+    val q = out.writeStream.format("memory").queryName("order_out")
+      .outputMode("append").start()
+    try {
+      input.addData(evs.toSeq); q.processAllAvailable()
+      flush(input, q, evs.map(_.tsMs).max + 24 * 3600 * 1000L)
+    } finally q.stop()
+
+    val got = spark.table("order_out").as[OrderOutcome].collect()
+      .map(o => (o.userId, o.resultMsg)).toSet
+    val want = SparkEntry.queries("q09_order_timeout")(spark, sf)
+      .select("user_id", "result_msg").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // streaming sees only signup/purchase users; batch q09 covers the same
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("TxReconcile: golden scenarios (match both orders, lone sides, overwrite)") {
+    val input = MemoryStream[TxEvent]
+    val out = TxReconcile.reconcile(
+      input.toDS().withWatermark("ts", "0 seconds"), 5000L)
+    val q = out.writeStream.format("memory").queryName("tx_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TxEvent("t1", 0, 10L, ts(1000)), TxEvent("t1", 1, 11L, ts(2000)), // pay→receipt
+        TxEvent("t2", 1, 20L, ts(1000)), TxEvent("t2", 0, 21L, ts(2000)), // receipt→pay
+        TxEvent("t3", 0, 30L, ts(1000)),                                  // lone pay
+        TxEvent("t4", 1, 40L, ts(1000)))                                  // lone receipt
+      q.processAllAvailable()
+      input.addData(TxEvent("flush", 0, -1L, ts(10 * 60 * 1000L)))
+      q.processAllAvailable()
+      input.addData(TxEvent("flush2", 1, -2L, ts(20 * 60 * 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("tx_out").as[TxResult].collect()
+      .map(r => (r.txKey, r.tag, r.payId, r.receiptId)).toSet
+    assert(got.contains(("t1", "matched", 10L, 11L)))
+    assert(got.contains(("t2", "matched", 21L, 20L)))
+    assert(got.contains(("t3", "unmatched_pay", 30L, -1L)))
+    assert(got.contains(("t4", "unmatched_receipt", -1L, 40L)))
+  }
+
+  test("streaming sliding window + foreachBatch rank == batch q02") {
+    val views = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("user_id"),
+        expr("ts_ns div 1000000").as("ms"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(1), r.getLong(0), "view",
+        ts(r.getLong(2))))
+    val maxMs = views.map(_.tsMs).max
+
+    val input = MemoryStream[StreamEvent]
+    val counts = WindowedCounts.slidingCount(
+      input.toDS().toDF().withColumnRenamed("userId", "item_id"),
+      "ts", "item_id", "60 minutes", "5 minutes", "0 seconds")
+    val q = counts.writeStream.format("memory").queryName("hot_counts")
+      .outputMode("append").start()
+    try {
+      input.addData(views.toSeq); q.processAllAvailable()
+      input.addData(StreamEvent(-1L, -1L, "sentinel", ts(maxMs + 48 * 3600 * 1000L)))
+      q.processAllAvailable()
+      input.addData(StreamEvent(-1L, -2L, "sentinel", ts(maxMs + 96 * 3600 * 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ranked = WindowedCounts.topNPerWindow(3, "item_id")(
+        spark.table("hot_counts").filter(col("item_id") >= 0))
+      .select("window_end", "item_id", "cnt", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("q02_hot_items_topn")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("window_end"), r.getAs[Long]("item_id"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("rn"))).toSet
+    assert(ranked == want)
+    assert(want.nonEmpty)
+  }
+}
