@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, ReferenceQueries}
+import graft.queries.{DedupQueries, PipelineQueries, ReferenceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{PipelineQueries, ReferenceQueries}
 object SparkEntry {
 
   val catalog: Seq[QueryDef] =
-    ReferenceQueries.all ++ PipelineQueries.all
+    ReferenceQueries.all ++ PipelineQueries.all ++ DedupQueries.all
 
   /** Flagship query (HotItems top-N) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque binary columns with
+  * typed decoded metadata + features.
+  *
+  * The Spark-side contract is real — binary payload column, typed
+  * output schema, per-partition batched decode (the shape a JNI/FFI
+  * image library needs: one context per partition, not per row). The
+  * decode itself is a DETERMINISTIC STUB (this container has no image/
+  * audio codecs): it derives fake dimensions and a fake feature vector
+  * from the bytes. Swap `decodeStub` for a real codec without touching
+  * the plumbing.
+  */
+object Multimodal {
+
+  /** Opaque media record: payload + source metadata. */
+  case class MediaRecord(docId: Long, mediaType: String, payload: Array[Byte])
+
+  /** Decoded output: typed metadata + fixed-width feature vector. */
+  case class DecodedMedia(
+      docId: Long,
+      mediaType: String,
+      nBytes: Long,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      features: Array[Float])
+
+  val FeatureDim = 8
+
+  /** STUB decoder — deterministic fake standing in for e.g. libjpeg +
+    * a vision model. Real implementation: decode payload, resize,
+    * run the feature extractor — same signature, one call per record,
+    * heavy init amortized per partition by [[decode]].
+    */
+  private[graft] def decodeStub(r: MediaRecord): DecodedMedia = {
+    val n = r.payload.length.toLong
+    val feats = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < FeatureDim) {
+      // byte-window checksum as the fake embedding dimension
+      val start = (i * math.max(1L, n / FeatureDim)).toInt
+      var acc = 0L
+      var j = start
+      while (j < math.min(n, start + 16).toInt) { acc = acc * 31 + (r.payload(j) & 0xff); j += 1 }
+      feats(i) = (acc % 1000L).toFloat / 1000f
+      i += 1
+    }
+    DecodedMedia(r.docId, r.mediaType, n,
+      (n % 64).toInt + 16, ((n / 64) % 64).toInt + 16, (n % 7).toInt + 1, feats)
+  }
+
+  /** Batched per-partition decode. mapPartitions (not map) so a real
+    * codec initializes once per partition and can process the iterator
+    * in vectorized batches.
+    */
+  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: val codec = Codec.acquire(); it.map(codec.decode)
+      it.map(decodeStub)
+    }
+  }
+
+  /** documents table → media records (text bytes standing in for image
+    * payloads; at 100TB this column is the raw bytes from the object
+    * store and everything downstream is unchanged).
+    */
+  def documentsAsMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("docId"), lit("image/fake").as("mediaType"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** End-to-end: decode + feature table ready for ANN/quality joins. */
+  def decodedTable(spark: SparkSession, dir: String): DataFrame =
+    decode(documentsAsMedia(spark, dir)).toDF()
+}

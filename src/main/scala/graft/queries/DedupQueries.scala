@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashing._
+import graft.{QueryDef, Tables}
+
+/** Near-duplicate detection + similarity-search operators — the
+  * scale-path components of a training-data pipeline. MinHash/SimHash
+  * use TextHashing (single source of truth for permutation constants in
+  * both the Spark plan and the DuckDB oracle).
+  */
+object DedupQueries {
+
+  /** Shared shingle pipeline: doc_id + distinct 3-shingle array. */
+  private def shingled(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    df.filter(size(split(col("text"), " ", -1)) >= 3)
+      .select(col("doc_id"), shingles3(toks).as("shs"))
+  }
+
+  private val shingledSql =
+    """SELECT doc_id,
+       list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shs
+FROM documents WHERE len(string_split(text,' ')) >= 3"""
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q21_dedup_minhash_lsh",
+      "MinHash+LSH near-dup detection: 3-token shingles → 60-bit md5 " +
+        "hashes → 16 minhash permutations → 4 bands of 4 → band-bucket " +
+        "self-join for candidates → exact shingle-Jaccard verification " +
+        "(>= 0.5). At 100TB only band keys (4×~32B/doc) shuffle and the " +
+        "join touches real near-dups instead of all O(n²) pairs; the " +
+        "verify re-reads shingles only for candidates.",
+      Some(s"""
+WITH s AS ($shingledSql),
+h AS (SELECT doc_id, shs,
+             list_transform(shs, sh -> ${hash60Sql("sh")} % $P) AS hs
+      FROM s),
+m AS (SELECT doc_id, shs, ${minhashSqlArray("hs")} AS mh FROM h),
+bands AS (
+  SELECT doc_id, shs, g.b AS band,
+         mh[4*g.b+1]::VARCHAR || ':' || mh[4*g.b+2]::VARCHAR || ':' ||
+         mh[4*g.b+3]::VARCHAR || ':' || mh[4*g.b+4]::VARCHAR AS bkey
+  FROM m CROSS JOIN generate_series(0, ${Bands - 1}) g(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id),
+v AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shs, sb.shs)) AS it,
+         len(list_distinct(list_concat(sa.shs, sb.shs))) AS un
+  FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, (it * 1000) // un AS jaccard_x1000
+FROM v WHERE (it * 1000) // un >= 500"""),
+      (s, dir) => {
+        val sh = shingled(Tables.documents(s, dir))
+        val withMh = sh
+          .withColumn("hs", transform(col("shs"), x => hash60(x) % P))
+          .withColumn("mh", minhash(col("hs")))
+        val bands = withMh.select(col("doc_id"), col("shs"),
+            posexplode(array((0 until Bands).map { b =>
+              concat_ws(":", (0 until RowsPerBand).map(r =>
+                element_at(col("mh"), b * RowsPerBand + r + 1)): _*)
+            }: _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bkey")
+        val left = bands.select(col("band"), col("bkey"),
+          col("doc_id").as("doc_a"), col("shs").as("shs_a"))
+        val right = bands.select(col("band"), col("bkey"),
+          col("doc_id").as("doc_b"), col("shs").as("shs_b"))
+        val cand = left.join(right, Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "shs_a", "shs_b")
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .withColumn("it", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+          .withColumn("un", size(array_distinct(concat(col("shs_a"), col("shs_b")))).cast("long"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("(it * 1000) div un").as("jaccard_x1000"))
+          .filter(col("jaccard_x1000") >= 500)
+      }),
+
+    QueryDef(
+      "q22_simhash_fingerprint",
+      "SimHash document fingerprinting: 60-bit majority-vote hash over " +
+        "distinct token hashes + a 12-bit blocking prefix. Map-only, " +
+        "codegen'd higher-order functions — no shuffle.",
+      Some(s"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        tok -> ${hash60Sql("tok")}) AS hs
+  FROM documents),
+f AS (SELECT doc_id, ${simhashSql("hs")} AS simhash FROM t)
+SELECT doc_id, simhash, simhash // ${1L << 48} AS block
+FROM f"""),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            transform(array_distinct(split(col("text"), " ", -1)),
+              t => hash60(t)).as("hs"))
+          .select(col("doc_id"), simhash(col("hs")).as("simhash"))
+          .withColumn("block", expr(s"simhash div ${1L << 48}"))),
+
+    QueryDef(
+      "q23_embedding_topk_pairs",
+      "Embedding-cosine near-dup: global top-20 most-similar vector " +
+        "pairs (brute force over the n² pair space — at scale the LSH/" +
+        "IVF variants below prune candidates first). Left-to-right " +
+        "double folds keep sims bit-identical to the oracle.",
+      Some("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      FROM n a, n b WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       row_number() OVER (ORDER BY sim DESC, vec_a ASC, vec_b ASC) AS rn
+FROM p
+QUALIFY rn <= 20"""),
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("nrm").as("na"))
+        val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nrm").as("nb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_a").asc,
+              col("vec_b").asc)).cast("long"))
+          .filter(col("rn") <= 20)
+          .select("vec_a", "vec_b", "rn")
+      }),
+
+    QueryDef(
+      "q24_ann_ivf",
+      "IVF-style ANN (the 100TB path): vectors are assigned to their " +
+        "nearest of 8 fixed centroids (vec_id < 8); queries " +
+        "(vec_id in [100,110)) probe ONLY their own cluster for top-5. " +
+        "The cluster assignment is the partition-pruning key — at scale " +
+        "each query scans 1/8th of the corpus instead of all of it.",
+      Some("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, v, nrm, cid,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC, cid ASC) AS cr
+  FROM n CROSS JOIN c QUALIFY cr = 1),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, cid AS qcid
+      FROM asg WHERE vec_id >= 100 AND vec_id < 110),
+srch AS (
+  SELECT qid, a.vec_id AS nid,
+         list_dot_product(qv, a.v) / (qn * a.nrm) AS sim
+  FROM q JOIN asg a ON a.cid = q.qcid AND a.vec_id <> q.qid)
+SELECT qid, nid,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+FROM srch
+QUALIFY rn <= 5"""),
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        val asg = base.crossJoin(broadcast(cents))
+          .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+          .withColumn("cr", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("csim").desc, col("cid").asc)))
+          .filter(col("cr") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+        val q = asg.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"), col("cid").as("qcid"))
+        broadcast(q).join(asg,
+            col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("qid", "nid", "rn")
+      }),
+
+    QueryDef(
+      "q25_uv_approx",
+      "A7 UvWithBloom-analog: bounded-memory approximate distinct users " +
+        "per day via HLL++ (constant state ~KBs per window vs the " +
+        "reference's 64MB Redis bitmap, UvWithBloom.scala:64). Sketches " +
+        "merge associatively → map-side partials at any scale. No SQL " +
+        "oracle (sketch internals are engine-specific); rows-only check.",
+      None,
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(approx_count_distinct(col("user_id")).as("uv_approx"))
+          .select(unix_timestamp(col("window.end")).as("window_end"),
+            col("uv_approx"))),
+
+    QueryDef(
+      "q26_multimodal_meta",
+      "Multimodal plumbing: documents as opaque binary payloads with " +
+        "typed decoded metadata (the decode itself is a deterministic " +
+        "stub — the real image/audio libs live behind the same column " +
+        "contract, see graft.operators.Multimodal). Map-only.",
+      Some("""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) % 64) + 16 AS width,
+       ((octet_length(encode(text)) // 64) % 64) + 16 AS height,
+       (octet_length(encode(text)) % 7) + 1 AS n_frames
+FROM documents"""),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .select(col("doc_id"),
+            octet_length(col("payload")).cast("long").as("n_bytes"))
+          .select(col("doc_id"), col("n_bytes"),
+            (col("n_bytes") % 64 + 16).as("width"),
+            expr("((n_bytes div 64) % 64) + 16").as("height"),
+            (col("n_bytes") % 7 + 1).as("n_frames")))
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Dedup / similarity / multimodal operator semantics at sf0.001. */
+class DedupSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q21 minhash: every reported pair really has jaccard >= 0.5") {
+    val rows = run("q21_dedup_minhash_lsh").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("jaccard_x1000") >= 500)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+    // no duplicate pairs out of the multi-band candidate join
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("q21 minhash recall: catches the known high-jaccard pairs") {
+    // brute-force shingle jaccard on a doc sample; every pair >= 0.8
+    // must be found by LSH (16 perms / 4 bands: P(miss) < 1e-3 at j=0.8)
+    val found = run("q21_dedup_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .select(col("doc_id"),
+        graft.functions.TextHashing.shingles3(col("t")).as("shs"))
+    val a = docs.select(col("doc_id").as("da"), col("shs").as("sa"))
+    val b = docs.select(col("doc_id").as("db"), col("shs").as("sb"))
+    val strong = a.join(b, col("da") < col("db"))
+      .withColumn("j", size(array_intersect(col("sa"), col("sb"))) * 1000
+        / size(array_distinct(concat(col("sa"), col("sb")))))
+      .filter(col("j") >= 800)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty, "corpus should contain strong near-dups")
+    assert(strong.subsetOf(found),
+      s"LSH missed strong pairs: ${strong.diff(found).take(5)}")
+  }
+
+  test("q22 simhash: near-identical docs get near-identical fingerprints") {
+    val fp = run("q22_simhash_fingerprint").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    // known near-dup pairs from minhash → hamming distance must be small
+    val pairs = run("q21_dedup_minhash_lsh")
+      .filter(col("jaccard_x1000") >= 900).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(fp(a) ^ fp(b))
+      assert(ham <= 12, s"simhash($a,$b) hamming=$ham too far for near-dups")
+    }
+  }
+
+  test("q24 ivf vs q20 brute force: same-cluster neighbors are found") {
+    // IVF is approximate; check structure: 5 neighbors per query, ranked
+    val rows = run("q24_ann_ivf").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (100L until 110L).toSet)
+    byQ.values.foreach { ns =>
+      assert(ns.length == 5)
+      assert(ns.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 5L))
+    }
+  }
+
+  test("multimodal decode: plumbing preserves ids, emits fixed-dim features") {
+    val out = Multimodal.decodedTable(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.length == total)
+    out.foreach { r =>
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 80)
+      assert(r.getAs[Int]("nFrames") >= 1 && r.getAs[Int]("nFrames") <= 7)
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length ==
+        Multimodal.FeatureDim)
+    }
+    // deterministic across runs
+    val again = Multimodal.decodedTable(spark, sf).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("q26 metadata agrees with the typed decode operator") {
+    val q = run("q26_multimodal_meta")
+      .select("doc_id", "width", "height", "n_frames").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("width"), r.getAs[Long]("height"),
+        r.getAs[Long]("n_frames"))).toSet
+    val op = Multimodal.decodedTable(spark, sf)
+      .select("docId", "width", "height", "nFrames").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getInt(3).toLong)).toSet
+    assert(q == op)
+  }
+}
