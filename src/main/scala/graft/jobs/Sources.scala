@@ -1,0 +1,84 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source builders (SURVEY.md §2.1). Batch and streaming variants share
+  * the same schema + projection so a pipeline can swap `read` for
+  * `readStream` without touching downstream code.
+  */
+object Sources {
+
+  /** S2: headerless CSV with explicit schema (ref readTextFile + manual
+    * split/trim parse, e.g. HotItems.scala:45-48). `ts` is the epoch-sec
+    * column promoted to TimestampType (the ×1000 at ref :49).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      tsCol: String): DataFrame =
+    spark.read.schema(schema)
+      .option("ignoreLeadingWhiteSpace", "true")
+      .csv(path)
+      .withColumn("ts", timestamp_seconds(col(tsCol)))
+
+  /** S2 streaming twin: file-source directory stream. */
+  def csvStream(spark: SparkSession, dir: String, schema: StructType,
+      tsCol: String): DataFrame =
+    spark.readStream.schema(schema)
+      .option("ignoreLeadingWhiteSpace", "true")
+      .csv(dir)
+      .withColumn("ts", timestamp_seconds(col(tsCol)))
+
+  /** P2: Apache access-log line parse (ref NetworkFlow.scala:33-39):
+    * `ip - userId dd/MM/yyyy:HH:mm:ss +0000 method url` space-split,
+    * fields 0,2,3,5,6; the SimpleDateFormat parse becomes to_timestamp.
+    */
+  def apacheLog(lines: DataFrame): DataFrame = {
+    val f = split(col("value"), " ")
+    lines.select(
+      element_at(f, 1).as("ip"),
+      element_at(f, 3).as("userId"),
+      to_timestamp(element_at(f, 4), "dd/MM/yyyy:HH:mm:ss").as("ts"),
+      element_at(f, 6).as("method"),
+      element_at(f, 7).as("url"))
+  }
+
+  /** S1: Kafka line source (ref FlinkKafkaConsumer, HotItems.scala:37-44).
+    * Not runnable in this container (no broker) — the builder is the
+    * contract: value-as-string lines, same downstream parse as csv.
+    */
+  def kafkaLines(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S3: seeded deterministic replacement for the reference's wall-clock
+    * random generator (AppMarketingByChannel.scala:44-74): `rate` rows
+    * are projected through pure hash expressions — reproducible, and
+    * identical logic works on a batch `range` for tests.
+    */
+  val behaviors = Seq("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL")
+  val channels = Seq("wechat", "weibo", "appstore", "huaweistore")
+
+  private def project(idCol: String): Seq[org.apache.spark.sql.Column] = Seq(
+    md5(concat(lit("u"), col(idCol).cast("string"))).as("userId"),
+    element_at(lit(behaviors.toArray),
+      (abs(hash(col(idCol) * 31)) % behaviors.size).cast("int") + 1).as("behavior"),
+    element_at(lit(channels.toArray),
+      (abs(hash(col(idCol) * 17)) % channels.size).cast("int") + 1).as("channel"))
+
+  def marketingStream(spark: SparkSession, rowsPerSec: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec.toString).load()
+      .select(project("value") :+ col("timestamp").as("ts"): _*)
+
+  /** Batch twin over spark.range — same projection, fixed event times. */
+  def marketingBatch(spark: SparkSession, n: Long, startEpochSec: Long,
+      stepSec: Long): DataFrame =
+    spark.range(n).toDF("value")
+      .select(project("value") :+
+        timestamp_seconds(lit(startEpochSec) + col("value") * stepSec).as("ts"): _*)
+}

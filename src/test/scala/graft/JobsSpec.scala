@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.jobs.{Jobs, Schemas, Sources}
+
+/** Golden tests for the 12 reference pipelines over synthesized fixtures
+  * mirroring the reference's bundled CSVs (FIXTURES.md §§1-7; the
+  * originals stay untouched in /root/reference).
+  */
+class JobsSpec extends SparkSpec {
+
+  private lazy val dir: Path = {
+    val d = Files.createTempDirectory("graft-fixtures")
+    def w(name: String, rows: String): Unit =
+      Files.writeString(d.resolve(name), rows.trim + "\n")
+    w("UserBehavior.csv", """
+1,100,10,pv,1511658000
+2,100,10,pv,1511658060
+3,200,10,pv,1511658120
+1,100,10,buy,1511658180
+4,300,10,pv,1511661600""")
+    w("apache.log", """
+1.1.1.1 - - 17/05/2015:10:05:03 +0000 GET /a
+1.1.1.2 - - 17/05/2015:10:05:04 +0000 GET /a
+1.1.1.3 - - 17/05/2015:10:05:05 +0000 GET /b
+1.1.1.3 - - 17/05/2015:10:05:06 +0000 POST /c""")
+    w("LoginLog.csv", """
+1,ip1,fail,1558430842
+1,ip1,fail,1558430843
+1,ip1,success,1558430845
+2,ip2,fail,1558430842
+2,ip2,fail,1558430846
+3,ip3,fail,1558430842""")
+    w("OrderLog.csv", """
+1,create,,1558430842
+1,pay,tx1,1558430844
+2,create,,1558430842
+3,create,,1558430842
+3,pay,tx3,1558432000
+4,pay,tx4,1558430850
+5,modify,zz,1558430845""")
+    w("ReceiptLog.csv", """
+tx1,wechat,1558430845
+tx9,alipay,1558430850""")
+    w("AdClickLog.csv", """
+1,10,beijing,beijing,1511658000
+1,10,beijing,beijing,1511658060
+1,10,beijing,beijing,1511658120
+2,20,shanghai,shanghai,1511658000""")
+    d
+  }
+
+  private def behavior: DataFrame =
+    Sources.csv(spark, s"$dir/UserBehavior.csv", Schemas.userBehavior, "timestamp")
+  private def logins: DataFrame =
+    Sources.csv(spark, s"$dir/LoginLog.csv", Schemas.loginEvent, "eventTime")
+  private def orders: DataFrame =
+    Sources.csv(spark, s"$dir/OrderLog.csv", Schemas.orderEvent, "eventTime")
+  private def receipts: DataFrame =
+    Sources.csv(spark, s"$dir/ReceiptLog.csv", Schemas.receiptEvent, "eventTime")
+  private def clicks: DataFrame =
+    Sources.csv(spark, s"$dir/AdClickLog.csv", Schemas.adClick, "timestamp")
+  private def accessLog: DataFrame =
+    Sources.apacheLog(spark.read.text(s"$dir/apache.log"))
+
+  test("hotItems: item 100 ranks first in the windows covering hour 1") {
+    val rows = Jobs.hotItems(behavior, 3)
+      .filter(org.apache.spark.sql.functions.col("windowEnd") === 1511661600L)
+      .collect().map(r => (r.getAs[Long]("itemId"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("rank")))
+    // window (1511658000, 1511661600]: pv items 100×2, 200×1
+    assert(rows.toSet == Set((100L, 2L, 1L), (200L, 1L, 2L)))
+  }
+
+  test("pageViews and uniqueVisitors per hour") {
+    val pv = Jobs.pageViews(behavior).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pv == Map(1511661600L -> 3L, 1511665200L -> 1L))
+    val uv = Jobs.uniqueVisitors(behavior).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(uv == Map(1511661600L -> 3L, 1511665200L -> 1L))
+  }
+
+  test("hotUrls: GET-only, /a above /b, POST excluded") {
+    // windowEnd 2015-05-17T10:05:10Z covers all three GET events
+    val full = Jobs.hotUrls(accessLog, 5)
+      .filter(org.apache.spark.sql.functions.col("windowEnd") === 1431857110L)
+      .collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("rank")))
+    assert(full.toSet == Set(("/a", 2L, 1L), ("/b", 1L, 2L)))
+    val urls = Jobs.hotUrls(accessLog, 5).select("url").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(urls == Set("/a", "/b"))
+  }
+
+  test("loginFailWarnings: only the <=2s consecutive-fail user warns") {
+    val rows = Jobs.loginFailWarnings(logins, 2).collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("firstFailTime"),
+        r.getAs[Long]("lastFailTime")))
+    assert(rows.toSet == Set((1L, 1558430842L, 1558430843L)))
+  }
+
+  test("orderTimeouts: all four outcome labels") {
+    val rows = Jobs.orderTimeouts(orders).collect()
+      .map(r => (r.getAs[Long]("orderId"), r.getAs[String]("resultMsg"))).toMap
+    assert(rows == Map(
+      1L -> "payed successfully",
+      2L -> "order timeout",
+      3L -> "payed but already timeout",
+      4L -> "already payed but not found create log"))
+  }
+
+  test("txMatch: matched + both unmatched sides") {
+    val rows = Jobs.txMatch(orders, receipts).collect()
+      .map(r => (r.getAs[String]("txId"), r.getAs[String]("tag"))).toMap
+    assert(rows == Map("tx1" -> "matched", "tx3" -> "unmatched_pay",
+      "tx4" -> "unmatched_pay", "tx9" -> "unmatched_receipt"))
+  }
+
+  test("txMatchByJoin: only the within-tolerance pair") {
+    val rows = Jobs.txMatchByJoin(orders, receipts, 5).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("txId") == "tx1")
+  }
+
+  test("adBlacklist + filterWithBlacklist") {
+    val bl = Jobs.adBlacklist(clicks, 3).collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("adId"),
+        r.getAs[Long]("clickCount")))
+    assert(bl.toSet == Set((1L, 10L, 3L)))
+    val kept = Jobs.filterWithBlacklist(clicks, 3).collect()
+    assert(kept.map(_.getAs[Long]("userId")).toSet == Set(2L))
+  }
+
+  test("adClicksByProvince counts sum to input size") {
+    import org.apache.spark.sql.functions._
+    // each click lands in 720 sliding windows (1h/5s)
+    val total = Jobs.adClicksByProvince(clicks).agg(sum("cnt")).head().getLong(0)
+    assert(total == 4L * 720)
+  }
+
+  test("marketing generator: deterministic, valid dictionaries, uninstalls filtered") {
+    val a = Sources.marketingBatch(spark, 200, 1600000000L, 1).collect()
+    val b = Sources.marketingBatch(spark, 200, 1600000000L, 1).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.map(_.getAs[String]("behavior")).toSet.subsetOf(Sources.behaviors.toSet))
+    assert(a.map(_.getAs[String]("channel")).toSet.subsetOf(Sources.channels.toSet))
+    val byChannel = Jobs.marketingByChannel(
+      Sources.marketingBatch(spark, 200, 1600000000L, 1))
+    assert(byChannel.filter(org.apache.spark.sql.functions
+      .col("behavior") === "UNINSTALL").count() == 0)
+    assert(byChannel.count() > 0)
+    assert(Jobs.marketingTotal(
+      Sources.marketingBatch(spark, 200, 1600000000L, 1)).count() > 0)
+  }
+
+  test("uniqueVisitorsApprox tracks exact uv within HLL error") {
+    val approx = Jobs.uniqueVisitorsApprox(behavior).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = Jobs.uniqueVisitors(behavior).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (w, a) =>
+      assert(math.abs(a - exact(w)) <= math.max(1L, (exact(w) * 0.1).toLong))
+    }
+  }
+
+  test("streaming twin: SequenceMatch over the login fixture == batch warnings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{SequenceMatch, StreamEvent}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[StreamEvent] =
+      org.apache.spark.sql.Encoders.product[StreamEvent]
+    val evs = logins.filter(org.apache.spark.sql.functions.col("eventType") === "fail")
+      .collect().zipWithIndex.map { case (r, i) =>
+        StreamEvent(r.getAs[Long]("userId"), i.toLong, "fail",
+          new java.sql.Timestamp(r.getAs[Long]("eventTime") * 1000L))
+      }
+    val in = MemoryStream[StreamEvent]
+    val q = SequenceMatch.consecutiveFails(in.toDS(), 2000L)
+      .writeStream.format("memory").queryName("login_warn")
+      .outputMode("append").start()
+    try { in.addData(evs.toSeq); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("login_warn").collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("firstTsMs") / 1000,
+        r.getAs[Long]("lastTsMs") / 1000)).toSet
+    assert(got == Set((1L, 1558430842L, 1558430843L)))
+  }
+}
