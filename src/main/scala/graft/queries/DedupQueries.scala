@@ -42,12 +42,12 @@ FROM documents WHERE len(string_split(text,' ')) >= 3"""
         "verify re-reads shingles only for candidates.",
       Some(s"""
 WITH s AS ($shingledSql),
-h AS (SELECT doc_id, shs,
-             list_transform(shs, sh -> ${hash60Sql("sh")} % $P) AS hs
+h AS (SELECT doc_id,
+             list_distinct(list_transform(shs, sh -> ${hash60Sql("sh")} % $P)) AS hs
       FROM s),
-m AS (SELECT doc_id, shs, ${minhashSqlArray("hs")} AS mh FROM h),
+m AS (SELECT doc_id, ${minhashSqlArray("hs")} AS mh FROM h),
 bands AS (
-  SELECT doc_id, shs, g.b AS band,
+  SELECT doc_id, g.b AS band,
          mh[4*g.b+1]::VARCHAR || ':' || mh[4*g.b+2]::VARCHAR || ':' ||
          mh[4*g.b+3]::VARCHAR || ':' || mh[4*g.b+4]::VARCHAR AS bkey
   FROM m CROSS JOIN generate_series(0, ${Bands - 1}) g(b)),
@@ -57,34 +57,38 @@ cand AS (
   WHERE a.doc_id < b.doc_id),
 v AS (
   SELECT doc_a, doc_b,
-         len(list_intersect(sa.shs, sb.shs)) AS it,
-         len(list_distinct(list_concat(sa.shs, sb.shs))) AS un
-  FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+         len(list_intersect(ha.hs, hb.hs)) AS it,
+         len(list_distinct(list_concat(ha.hs, hb.hs))) AS un
+  FROM cand JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
 SELECT doc_a, doc_b, (it * 1000) // un AS jaccard_x1000
 FROM v WHERE (it * 1000) // un >= 500"""),
       (s, dir) => {
-        val sh = shingled(Tables.documents(s, dir))
-        val withMh = sh
-          .withColumn("hs", transform(col("shs"), x => hash60(x) % P))
+        // Band join carries ONLY (band, key, id) — the shingle-hash sets
+        // rejoin just for surviving candidates, so shuffle volume is
+        // O(docs × 4 keys) + O(candidates × set), not O(docs × 4 × set).
+        val hashed = shingled(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            array_distinct(transform(col("shs"), x => hash60(x) % P)).as("hs"))
+        val bands = hashed
           .withColumn("mh", minhash(col("hs")))
-        val bands = withMh.select(col("doc_id"), col("shs"),
+          .select(col("doc_id"),
             posexplode(array((0 until Bands).map { b =>
               concat_ws(":", (0 until RowsPerBand).map(r =>
                 element_at(col("mh"), b * RowsPerBand + r + 1)): _*)
             }: _*)))
           .withColumnRenamed("pos", "band")
           .withColumnRenamed("col", "bkey")
-        val left = bands.select(col("band"), col("bkey"),
-          col("doc_id").as("doc_a"), col("shs").as("shs_a"))
-        val right = bands.select(col("band"), col("bkey"),
-          col("doc_id").as("doc_b"), col("shs").as("shs_b"))
-        val cand = left.join(right, Seq("band", "bkey"))
+        val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+          .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+            Seq("band", "bkey"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "shs_a", "shs_b")
+          .select("doc_a", "doc_b")
           .dropDuplicates("doc_a", "doc_b")
         cand
-          .withColumn("it", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-          .withColumn("un", size(array_distinct(concat(col("shs_a"), col("shs_b")))).cast("long"))
+          .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+          .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+          .withColumn("it", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .withColumn("un", size(array_distinct(concat(col("hs_a"), col("hs_b")))).cast("long"))
           .select(col("doc_a"), col("doc_b"),
             expr("(it * 1000) div un").as("jaccard_x1000"))
           .filter(col("jaccard_x1000") >= 500)
@@ -129,16 +133,17 @@ SELECT vec_a, vec_b,
 FROM p
 QUALIFY rn <= 20"""),
       (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
         val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"),
           col("nrm").as("na"))
         val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
           col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+            (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
           .withColumn("rn", row_number().over(
             Window.orderBy(col("sim").desc, col("vec_a").asc,
               col("vec_b").asc)).cast("long"))
@@ -173,13 +178,14 @@ SELECT qid, nid,
 FROM srch
 QUALIFY rn <= 5"""),
       (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
         val cents = base.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
         val asg = base.crossJoin(broadcast(cents))
-          .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+          .withColumn("csim", expr("dot_f(v, cv)") / (col("nrm") * col("cn")))
           .withColumn("cr", row_number().over(
             Window.partitionBy(col("vec_id"))
               .orderBy(col("csim").desc, col("cid").asc)))
@@ -191,7 +197,7 @@ QUALIFY rn <= 5"""),
         broadcast(q).join(asg,
             col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"),
-            (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+            (expr("dot_f(qv, v)") / (col("qn") * col("nrm"))).as("sim"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("qid"))
               .orderBy(col("sim").desc, col("nid").asc)).cast("long"))

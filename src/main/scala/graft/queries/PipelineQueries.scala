@@ -170,16 +170,17 @@ SELECT qid, nid,
 FROM j
 QUALIFY rn <= 10"""),
       (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
         val q = base.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
         val n = base.select(col("vec_id").as("nid"), col("v").as("nv"),
           col("nrm").as("nn"))
         broadcast(q).join(n, col("qid") =!= col("nid"))
           .select(col("qid"), col("nid"),
-            (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+            (expr("dot_f(qv, nv)") / (col("qn") * col("nn"))).as("sim"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("qid"))
               .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
