@@ -14,12 +14,17 @@ import graft.{QueryDef, Tables}
   */
 object DedupQueries {
 
-  /** Shared shingle pipeline: doc_id + distinct 3-shingle array. */
-  private def shingled(df: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ", -1)
-    df.filter(size(split(col("text"), " ", -1)) >= 3)
-      .select(col("doc_id"), shingles3(toks).as("shs"))
-  }
+  /** Shared shingle pipeline: doc_id + distinct 3-shingle array.
+    *
+    * Tokens are materialized into a column BEFORE the shingle transform:
+    * passing the raw `split(text)` expression into the lambda would
+    * re-split the text for every `element_at` call — O(shingles × 3)
+    * splits per row (~10× the whole stage's cost at sf0.1).
+    */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles3(col("toks")).as("shs"))
 
   private val shingledSql =
     """SELECT doc_id,
