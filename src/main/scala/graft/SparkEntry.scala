@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, PipelineQueries, ReferenceQueries}
+import graft.queries.{DedupQueries, PipelineQueries, ReferenceQueries, SketchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{DedupQueries, PipelineQueries, ReferenceQueries}
 object SparkEntry {
 
   val catalog: Seq[QueryDef] =
-    ReferenceQueries.all ++ PipelineQueries.all ++ DedupQueries.all
+    ReferenceQueries.all ++ PipelineQueries.all ++ DedupQueries.all ++
+      SketchQueries.all
 
   /** Flagship query (HotItems top-N) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

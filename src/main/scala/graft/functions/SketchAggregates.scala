@@ -1,0 +1,279 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom sketch/rank aggregates (SURVEY.md §4.2 must-build #2 and #3).
+  *
+  * Both are `TypedImperativeAggregate`s: the buffer is a plain JVM object
+  * held across all rows of a group (serialized only at shuffle edges), and
+  * both have associative-commutative `merge` — so Catalyst runs them as
+  * partial (map-side) + final aggregation, the property that makes them
+  * 100TB-safe: each map task ships at most k rows / one bitmap per group,
+  * never the raw rows.
+  */
+object SketchAggregates {
+
+  /** Idempotently register SQL surface: `topk_agg(k, cnt, key)` and
+    * `bloom_distinct(value, numBits)`.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_agg",
+      exprs => GroupedTopK(
+        exprs.head.eval().asInstanceOf[Number].intValue(), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_distinct",
+      exprs => BloomDistinct(
+        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+  }
+}
+
+/** Single-pass grouped top-k by (cnt DESC, key ASC) — the scale-path
+  * replacement for `row_number().over(Window.partitionBy(...))` ranking
+  * (reference semantics: TopNHotItems, HotItems.scala:111-155, and
+  * TopNHotUrls, NetworkFlow.scala:85-117).
+  *
+  * A WindowExec rank must co-locate AND sort every candidate row of a
+  * partition; this aggregate keeps a bounded k-buffer per group on the map
+  * side, so the exchange carries ≤ k entries per (group, mapper) no matter
+  * how many distinct keys exist. Output: array<struct<key,cnt,rn>> with
+  * rn 1..k (ties broken by key ascending — deterministic, §2.5 note).
+  *
+  * Key types: LONG, INT, or STRING (what the reference ranks: item ids /
+  * urls). cnt must be LONG.
+  */
+case class GroupedTopK(
+    k: Int,
+    cnt: Expression,
+    key: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[(Long, Any)]] {
+
+  require(k > 0, "topk_agg: k must be positive")
+
+  override def children: Seq[Expression] = Seq(cnt, key)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (cnt.dataType != LongType)
+      TypeCheckFailure(s"topk_agg: cnt must be BIGINT, got ${cnt.dataType.sql}")
+    else if (!Seq[DataType](LongType, IntegerType, StringType).contains(key.dataType))
+      TypeCheckFailure(
+        s"topk_agg: key must be BIGINT, INT or STRING, got ${key.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", key.dataType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("rn", LongType, nullable = false))))
+
+  // (cnt desc, key asc): a "beats" b when cnt bigger, or equal cnt and
+  // smaller key. Long/Integer/UTF8String are all Comparable.
+  private def beats(a: (Long, Any), b: (Long, Any)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 &&
+      a._2.asInstanceOf[Comparable[Any]].compareTo(b._2) < 0)
+
+  /** Keep at most 2k entries; compact to the strongest k on overflow —
+    * amortized O(1) per row, no heap churn for the common k≤10.
+    */
+  private def trim(buf: ArrayBuffer[(Long, Any)]): ArrayBuffer[(Long, Any)] =
+    if (buf.length <= 2 * k) buf
+    else {
+      val top = buf.sortWith(beats).take(k)
+      buf.clear()
+      buf ++= top
+    }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Any)] =
+    ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Long, Any)], input: InternalRow): ArrayBuffer[(Long, Any)] = {
+    val c = cnt.eval(input)
+    val kv = key.eval(input)
+    if (c == null || kv == null) buf
+    else trim(buf += ((c.asInstanceOf[Long], kv)))
+  }
+
+  override def merge(
+      a: ArrayBuffer[(Long, Any)], b: ArrayBuffer[(Long, Any)]): ArrayBuffer[(Long, Any)] =
+    trim(a ++= b)
+
+  override def eval(buf: ArrayBuffer[(Long, Any)]): Any = {
+    val top = buf.sortWith(beats).take(k)
+    new GenericArrayData(top.zipWithIndex.map { case ((c, kv), i) =>
+      InternalRow(kv, c, (i + 1).toLong)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(Long, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (c, kv) =>
+      out.writeLong(c)
+      key.dataType match {
+        case LongType    => out.writeLong(kv.asInstanceOf[Long])
+        case IntegerType => out.writeInt(kv.asInstanceOf[Int])
+        case StringType =>
+          val bytes = kv.asInstanceOf[UTF8String].getBytes
+          out.writeInt(bytes.length)
+          out.write(bytes)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"topk_agg: unsupported key type $other")
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Any)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = ArrayBuffer.empty[(Long, Any)]
+    var i = 0
+    while (i < n) {
+      val c = in.readLong()
+      val kv: Any = key.dataType match {
+        case LongType    => in.readLong()
+        case IntegerType => in.readInt()
+        case StringType =>
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          UTF8String.fromBytes(b)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"topk_agg: unsupported key type $other")
+      }
+      buf += ((c, kv))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(cnt = newChildren(0), key = newChildren(1))
+}
+
+/** Bounded-memory distinct count over a Bloom bitmap — the mergeable,
+  * state-store-native successor of the reference's Redis-backed Bloom UV
+  * counter (UvWithBloom.scala:62-103: 2^29-bit bitmap, getbit/setbit +
+  * running count).
+  *
+  * The reference counts "insertions that flipped a bit", which is
+  * sequential-only; to stay associative (partial agg / any merge order)
+  * this variant ORs bitmaps and estimates cardinality from final bit
+  * occupancy: n̂ = -(m/h)·ln(1 - X/m) for X of m bits set with h hash
+  * functions — the standard Bloom occupancy inversion. Memory is a fixed
+  * numBits/8 bytes per group regardless of stream size.
+  *
+  * Value types: LONG, INT, or STRING.
+  */
+case class BloomDistinct(
+    child: Expression,
+    numBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+    "bloom_distinct: numBits must be a power of two >= 64")
+
+  private val NumHashes = 4
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!Seq[DataType](LongType, IntegerType, StringType).contains(child.dataType))
+      TypeCheckFailure(
+        s"bloom_distinct: value must be BIGINT, INT or STRING, got ${child.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numBits / 64)
+
+  private def hash(v: Any, seed: Int): Int = v match {
+    case l: java.lang.Long    => Murmur3_x86_32.hashLong(l, seed)
+    case i: java.lang.Integer => Murmur3_x86_32.hashInt(i, seed)
+    case s: UTF8String =>
+      Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"bloom_distinct: unsupported value type ${other.getClass}")
+  }
+
+  override def update(bits: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      var i = 0
+      while (i < NumHashes) {
+        val idx = (hash(v, i) & 0x7fffffff) % numBits
+        bits(idx >> 6) |= 1L << (idx & 63)
+        i += 1
+      }
+    }
+    bits
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(bits: Array[Long]): Any = {
+    var set = 0L
+    var i = 0
+    while (i < bits.length) { set += java.lang.Long.bitCount(bits(i)); i += 1 }
+    if (set == numBits) Long.MaxValue // saturated — undersized bitmap
+    else math.round(-(numBits.toDouble / NumHashes) *
+      math.log1p(-set.toDouble / numBits))
+  }
+
+  override def serialize(bits: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bb.asLongBuffer().put(bits)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bits = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(bits)
+    bits
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

@@ -1,0 +1,54 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Sink builders (SURVEY.md §2.8). The reference's outputs are stdout
+  * prints, Redis writes, and a Kafka loader util; here every sink is a
+  * normal Spark writer so one pipeline can fan out to any of them.
+  */
+object Sinks {
+
+  /** S4/K-analog: Kafka producer (ref KafkaProducer.scala:13-27 reads a
+    * CSV and sends each line to a topic). Batch write: rows are rendered
+    * to a CSV-ish value string; `keyCol` (optional) becomes the Kafka key
+    * for partition affinity. Not runnable in this container (no broker) —
+    * the builder is the contract.
+    */
+  def toKafka(df: DataFrame, servers: String, topic: String,
+      keyCol: Option[String] = None): Unit = {
+    val value = concat_ws(",", df.columns.map(c => col(c).cast("string")): _*)
+    val projected = keyCol match {
+      case Some(k) => df.select(col(k).cast("string").as("key"), value.as("value"))
+      case None    => df.select(value.as("value"))
+    }
+    projected.write.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .save()
+  }
+
+  /** Streaming twin of [[toKafka]]. */
+  def toKafkaStream[T](ds: Dataset[T], servers: String, topic: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val df = ds.toDF()
+    val value = concat_ws(",", df.columns.map(c => col(c).cast("string")): _*)
+    df.select(value.as("value")).writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** K1 console sink (ref `.print()`): batch show or streaming console. */
+  def console(df: DataFrame, rows: Int = 20): Unit = df.show(rows, truncate = false)
+
+  /** Partitioned parquet sink — the batch materialization path; partition
+    * columns pick the downstream pruning key (e.g. window_end day).
+    */
+  def parquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+}

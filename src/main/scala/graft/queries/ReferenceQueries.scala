@@ -30,7 +30,7 @@ object ReferenceQueries {
   /** Sliding-window fan-out used by the DuckDB oracles: Spark's
     * window(ts, dur, slide) assigns each row to dur/slide aligned windows.
     */
-  private def slidingOracle(
+  private[queries] def slidingOracle(
       src: String, keyExpr: String, keyName: String,
       slideMin: Int, slides: Int, topN: Option[Int]): String = {
     val rank = topN.map { n =>

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchAggregates
+import graft.{QueryDef, Tables}
+
+/** Queries driving the custom TypedImperativeAggregates — the two
+  * SURVEY.md §4.2 must-build aggregation surfaces exercised end-to-end.
+  */
+object SketchQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q27_topk_agg",
+      "R1 via single-pass topk_agg aggregate (vs q02's WindowExec rank): " +
+        "per-(window,item) counts then ONE hash-aggregate per window keeping " +
+        "a bounded k-buffer — map-side partials ship <= k entries per " +
+        "(window, mapper), no per-partition sort. Same rows as q02, so the " +
+        "oracle doubles as an equivalence proof of the two formulations.",
+      Some(ReferenceQueries.slidingOracle(
+        "(SELECT ts, props FROM events WHERE event_type = 'view')",
+        "json_extract(props, '$.k')::BIGINT", "item_id", 5, 12, Some(3))),
+      (s, dir) => {
+        SketchAggregates.register(s)
+        val counts = Tables.events(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+          .groupBy(window(col("ts"), "60 minutes", "5 minutes"), col("item_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_timestamp(col("window.end")).as("window_end"),
+            col("item_id"), col("cnt"))
+        counts
+          .groupBy(col("window_end"))
+          .agg(expr("topk_agg(3, cnt, item_id)").as("top"))
+          .select(col("window_end"), explode(col("top")).as("e"))
+          .select(col("window_end"), col("e.key").as("item_id"),
+            col("e.cnt").as("cnt"), col("e.rn").as("rn"))
+      }),
+
+    QueryDef(
+      "q28_uv_bloom",
+      "A7 Bloom-bitmap UV (ref UvWithBloom.scala:62-103) as a mergeable " +
+        "aggregate: fixed 2^18-bit bitmap per day-window, OR-merge partials, " +
+        "occupancy-inversion estimate. No SQL oracle (sketch estimate is " +
+        "engine-specific) — rows-only check; accuracy asserted in the " +
+        "ScalaTest suite against exact count_distinct.",
+      None,
+      (s, dir) => {
+        SketchAggregates.register(s)
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(expr("bloom_distinct(user_id, 262144)").as("uv_bloom"))
+          .select(unix_timestamp(col("window.end")).as("window_end"),
+            col("uv_bloom"))
+      })
+  )
+}

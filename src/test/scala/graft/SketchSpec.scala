@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchAggregates
+
+/** Invariants for the custom TypedImperativeAggregates (topk_agg,
+  * bloom_distinct): correctness vs built-in formulations, merge behavior
+  * under repartitioning, tie-break determinism, accuracy bounds.
+  */
+class SketchSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q27 topk_agg produces exactly q02's rows (rank equivalence)") {
+    val a = run("q27_topk_agg").select("window_end", "item_id", "cnt", "rn")
+    val b = run("q02_hot_items_topn").select("window_end", "item_id", "cnt", "rn")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("topk_agg is partitioning-invariant (merge correctness)") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 7, (i % 13).toLong, i.toLong))
+      .toDF("g", "cnt", "key")
+    def topk(parts: Int) = df.repartition(parts)
+      .groupBy("g").agg(expr("topk_agg(5, cnt, key)").as("t"))
+      .select(col("g"), explode(col("t")).as("e"))
+      .select(col("g"), col("e.key"), col("e.cnt"), col("e.rn"))
+      .collect().map(_.toSeq).toSet
+    assert(topk(1) == topk(32))
+  }
+
+  test("topk_agg breaks count ties by key ascending") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    // all keys have cnt=1 → rank must follow key order
+    val out = Seq((1, 1L, 30L), (1, 1L, 10L), (1, 1L, 20L))
+      .toDF("g", "cnt", "key")
+      .groupBy("g").agg(expr("topk_agg(2, cnt, key)").as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.key"), col("e.rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(out.toSeq == Seq((10L, 1L), (20L, 2L)))
+  }
+
+  test("topk_agg supports string keys") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    val out = Seq(("a", 5L), ("b", 9L), ("c", 7L), ("d", 1L))
+      .toDF("key", "cnt").repartition(3)
+      .agg(expr("topk_agg(2, cnt, key)").as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.key")).collect().map(_.getString(0)).toSet
+    assert(out == Set("b", "c"))
+  }
+
+  test("bloom_distinct estimates within 5% of exact at sf0.001") {
+    val est = run("q28_uv_bloom").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+      .select(unix_timestamp(col("window.end")).as("we"), col("uv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (w, ex) =>
+      val e = est(w)
+      assert(math.abs(e - ex) <= math.max(2, 0.05 * ex),
+        s"window $w: bloom=$e exact=$ex")
+    }
+  }
+
+  test("bloom_distinct is partitioning-invariant (OR-merge)") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 3, (i % 997).toLong)).toDF("g", "v")
+    def est(parts: Int) = df.repartition(parts)
+      .groupBy("g").agg(expr("bloom_distinct(v, 65536)").as("d"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(est(1) == est(32))
+  }
+
+  test("bloom_distinct saturates to MaxValue instead of lying") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    // 64-bit bitmap with 4 hashes: ~40 distinct values saturate it
+    val out = (1L to 1000L).toDF("v")
+      .agg(expr("bloom_distinct(v, 64)")).collect()(0).getLong(0)
+    assert(out == Long.MaxValue)
+  }
+}
