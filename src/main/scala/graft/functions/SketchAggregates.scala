@@ -38,7 +38,83 @@ object SketchAggregates {
       exprs => BloomDistinct(
         exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "capped_list",
+      exprs => CappedList(
+        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
+}
+
+/** Bounded collect_list: keeps at most cap+1 values per group and
+  * evaluates to NULL once the cap is exceeded — the skew-safe inverted-
+  * index primitive. A plain `collect_list` on a posting list explodes on
+  * hot keys (a stop-word gram over 100TB collects millions of ids); this
+  * buffer never holds more than cap+1 entries per group no matter how
+  * skewed the key, and the NULL marks "too common, not a blocking key".
+  *
+  * Element order is partition-dependent, so only set-semantics consumers
+  * (pair generation + dedup) should read the result; groups at or under
+  * the cap always contain exactly their full value set.
+  */
+case class CappedList(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+
+  require(cap > 0, "capped_list: cap must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != LongType)
+      TypeCheckFailure(s"capped_list: value must be BIGINT, got ${child.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] = ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[Long], input: InternalRow): ArrayBuffer[Long] = {
+    val v = child.eval(input)
+    if (v != null && buf.length <= cap) buf += v.asInstanceOf[Long]
+    buf
+  }
+
+  override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    val room = cap + 1 - a.length
+    if (room > 0) a ++= b.take(room)
+    a
+  }
+
+  override def eval(buf: ArrayBuffer[Long]): Any =
+    if (buf.length > cap) null
+    else new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = ArrayBuffer.empty[Long]
+    while (bb.remaining() >= 8) buf += bb.getLong()
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
 }
 
 /** Single-pass grouped top-k by (cnt DESC, key ASC) — the scale-path

@@ -100,6 +100,64 @@ FROM v WHERE (it * 1000) // un >= 500"""),
       }),
 
     QueryDef(
+      "q29_ngram_jaccard",
+      "Exact n-gram Jaccard dedup via rare-gram inverted index: distinct " +
+        "token bigrams per doc → document-frequency per gram → candidate " +
+        "pairs only from grams with df <= 20 (the posting-list explosion " +
+        "cap) → exact bigram-Jaccard >= 0.3. At scale the df cap bounds " +
+        "the self-join to rare postings — common grams never generate " +
+        "pairs; the exact verify touches candidates only.",
+      Some("""
+WITH s AS (SELECT doc_id,
+  list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1),
+    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS gs
+  FROM documents WHERE len(string_split(text,' ')) >= 2),
+e AS (SELECT doc_id, unnest(gs) AS g FROM s),
+df AS (SELECT g, count(*) AS d FROM e GROUP BY 1),
+rare AS (SELECT g FROM df WHERE d <= 20),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM e a JOIN e b ON a.g = b.g JOIN rare r ON a.g = r.g
+  WHERE a.doc_id < b.doc_id),
+v AS (SELECT doc_a, doc_b,
+  len(list_intersect(sa.gs, sb.gs)) AS it,
+  len(list_distinct(list_concat(sa.gs, sb.gs))) AS un
+  FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, (it * 1000) // un AS jaccard_x1000
+FROM v WHERE (it * 1000) // un >= 300"""),
+      (s, dir) => {
+        graft.functions.SketchAggregates.register(s)
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))).as("gs"))
+        // Single-pass skew-safe inverted index: capped_list holds <= 21
+        // doc ids per gram (NULL = gram too common to block on), so hot
+        // grams never materialize their posting list and the whole
+        // df-filter + pair-generation is ONE aggregation over ONE scan —
+        // no df-count pass, no posting self-join recompute.
+        val inv = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+          .groupBy(col("g"))
+          .agg(expr("capped_list(doc_id, 20)").as("ds"))
+          .filter(col("ds").isNotNull)
+        val cand = inv
+          .select(col("ds"), explode(col("ds")).as("doc_a"))
+          .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .join(grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), Seq("doc_a"))
+          .join(grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), Seq("doc_b"))
+          .withColumn("it", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+          .withColumn("un", size(array_distinct(concat(col("gs_a"), col("gs_b")))).cast("long"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("(it * 1000) div un").as("jaccard_x1000"))
+          .filter(col("jaccard_x1000") >= 300)
+      }),
+
+    QueryDef(
       "q22_simhash_fingerprint",
       "SimHash document fingerprinting: 60-bit majority-vote hash over " +
         "distinct token hashes + a 12-bit blocking prefix. Map-only, " +
