@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Physical-plan regression guards: the properties that make the catalog
+  * 100TB-viable are asserted, not eyeballed — filter/column pushdown
+  * reaching the parquet scans, broadcasts on the small sides, bounded
+  * shuffle counts, codegen on the hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    // flatten through AQE boundaries — executedPlan hides subtrees
+    // behind AdaptiveSparkPlanExec until execution
+    p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other                    => Seq(other)
+    }.flatten
+  }
+
+  test("q02: behavior filter is pushed to the parquet scan") {
+    val s = planString("q02_hot_items_topn")
+    assert(s.contains("EqualTo(event_type,view)") && s.contains("PushedFilters"),
+      s"expected event_type pushdown in:\n$s")
+  }
+
+  test("q01: scan reads only the 4 needed lineitem columns") {
+    val s = planString("q01_pricing_summary")
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(readSchema.contains(c), s"missing $c in $readSchema"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"over-read: $readSchema")
+  }
+
+  test("q14: dimension join is a broadcast, not a shuffle join") {
+    val nodes = collectAll(plan("q14_top_brands_by_revenue"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "part should broadcast-join lineitem")
+  }
+
+  test("q24: centroids and queries broadcast; no shuffle of the corpus for assignment") {
+    val nodes = collectAll(plan("q24_ann_ivf"))
+    assert(nodes.count(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 2)
+  }
+
+  test("q01 aggregates with partial (map-side) aggregation") {
+    val s = planString("q01_pricing_summary")
+    // two HashAggregate nodes per agg: partial then final
+    assert(s.linesIterator.count(_.contains("HashAggregate")) >= 2, s)
+  }
+
+  test("q03: exactly one shuffle (the windowed aggregation exchange)") {
+    val shuffles = collectAll(plan("q03_page_views"))
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles")
+  }
+
+  test("hot paths stay inside WholeStageCodegen") {
+    Seq("q01_pricing_summary", "q02_hot_items_topn", "q16_token_stats",
+      "q22_simhash_fingerprint").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // executes THIS QueryExecution → AQE finalizes in place
+      // (count() would wrap a new plan and leave this one un-finalized)
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(s.contains("codegen id :"), s"$q has no codegen span:\n$s")
+    }
+  }
+
+  test("no catalog query exceeds 6 shuffles at sf0.001") {
+    SparkEntry.catalog.foreach { q =>
+      val shuffles = collectAll(
+        q.build(spark, sf).queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles <= 6, s"${q.name}: $shuffles shuffles")
+    }
+  }
+}
