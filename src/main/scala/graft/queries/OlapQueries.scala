@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Beyond-reference OLAP surface: sessionization (the reference has no
+  * session windows — SURVEY.md §2.4 — but any user-behavior engine needs
+  * them) and grouped subtotals.
+  */
+object OlapQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q31_sessionization",
+      "Gap-based sessionization via native session_window (30-min gap): " +
+        "per-user sessions with event count + duration. Exactly-at-gap " +
+        "events MERGE (verified empirically; oracle breaks on gap > " +
+        "30min to match). One exchange on user_id; at scale session " +
+        "assembly is a sort within partitions, no window-function " +
+        "fan-out. Streaming twin comes free (session_window + watermark).",
+      Some("""
+WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+g AS (SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+SELECT user_id, min(us) AS sess_start_us, max(us) - min(us) AS dur_us,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("sess_start_us"),
+            (unix_micros(col("session_window.end")) -
+              unix_micros(col("session_window.start")) -
+              lit(1800L * 1000000)).as("dur_us"),
+            col("n_events"))),
+
+    QueryDef(
+      "q32_rollup_revenue",
+      "ROLLUP subtotals over (returnflag, linestatus) revenue — grouping-" +
+        "sets surface. Catalyst expands to one Expand + hash aggregate " +
+        "(still partial+final, one exchange). grouping() markers rendered " +
+        "as '(all)' so both engines agree on subtotal rows without " +
+        "cross-engine NULL-ordering hazards.",
+      Some("""
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS rf,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS ls,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).as("g_rf"),
+            grouping(col("l_linestatus")).as("g_ls"))
+          .select(
+            when(col("g_rf") === 1, lit("(all)"))
+              .otherwise(col("l_returnflag")).as("rf"),
+            when(col("g_ls") === 1, lit("(all)"))
+              .otherwise(col("l_linestatus")).as("ls"),
+            col("sum_qty"), col("n")))
+  )
+}
