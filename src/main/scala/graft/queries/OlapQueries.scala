@@ -48,6 +48,42 @@ FROM g GROUP BY user_id, sid"""),
             col("n_events"))),
 
     QueryDef(
+      "q33_asof_join",
+      "As-of join (operators.AsOfJoin): each purchase matched to the " +
+        "most recent view by the same user at or before it. Spark-side " +
+        "is the single-sort union+window form — O(|L|+|R|) shuffle, no " +
+        "pair explosion; the oracle is the O(pairs) join+rank spelling " +
+        "of the same semantics (greatest view ts, then greatest view " +
+        "event_id).",
+      Some("""
+WITH v AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events WHERE event_type = 'purchase'),
+j AS (SELECT p.event_id AS purchase_id, p.user_id, p.us AS purchase_us,
+             v.us AS view_us, v.event_id AS view_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.us DESC, v.event_id DESC) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id AND v.us <= p.us)
+SELECT purchase_id, user_id, purchase_us, view_us, view_id
+FROM j WHERE rn = 1"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+            col("event_id"), col("event_type"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("us"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us"),
+            col("event_id").as("purchase_id"))
+        graft.operators.AsOfJoin.asOf(
+            purchases, views, keys = Seq("user_id"), tsCol = "us",
+            tieCol = "event_id", rightPayload = Seq("us", "event_id"))
+          .select(col("purchase_id"), col("user_id"),
+            col("us").as("purchase_us"),
+            col("right_us").as("view_us"),
+            col("right_event_id").as("view_id"))
+      }),
+
+    QueryDef(
       "q32_rollup_revenue",
       "ROLLUP subtotals over (returnflag, linestatus) revenue — grouping-" +
         "sets surface. Catalyst expands to one Expand + hash aggregate " +
