@@ -24,7 +24,17 @@ object MediaDemo {
       MediaRecord(1L, "image/fake", Array.emptyByteArray),
       MediaRecord(2L, "image/fake", Array[Byte](42)),
       MediaRecord(3L, "image/fake", Array.fill[Byte](100000)(7)))
-    Multimodal.decode(spark.createDataset(edge)).show(5, false)
+    val decodedEdge = Multimodal.decode(spark.createDataset(edge))
+    decodedEdge.show(5, false)
+
+    println("=== resize to 32x32 (corpus + edge) ===")
+    Multimodal.resize(decodedEdge, 32, 32).show(5, false)
+    Multimodal.resize(
+      Multimodal.decode(Multimodal.documentsAsMedia(spark, "/root/testdata/sf0.001")),
+      32, 32).show(3, false)
+
+    println("=== sampleFrames k=3 ===")
+    Multimodal.sampleFrames(decodedEdge, 3).show(10, false)
     spark.stop()
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import java.io.PrintWriter
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dumps executed (AQE-final) formatted plans for the flagship queries —
+  * the `.explain("formatted")` audit artifact (PLANS.md).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/plans.txt")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val names = Seq("q01_pricing_summary", "q02_hot_items_topn",
+      "q21_dedup_minhash_lsh", "q23_embedding_topk_pairs", "q27_topk_agg",
+      "q31_sessionization", "q33_asof_join")
+    val pw = new PrintWriter(out)
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect() // finalize AQE in place
+      pw.println(s"===== $n =====")
+      pw.println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      pw.println()
+    }
+    pw.close()
+    println(s"WROTE $out")
+    spark.stop()
+  }
+}

@@ -80,4 +80,35 @@ object Multimodal {
   /** End-to-end: decode + feature table ready for ANN/quality joins. */
   def decodedTable(spark: SparkSession, dir: String): DataFrame =
     decode(documentsAsMedia(spark, dir)).toDF()
+
+  // ---- post-decode transforms (map-only, partition-preserving) ---------
+
+  /** Resize metadata transform: clamps decoded dimensions to fit
+    * (maxW, maxH) preserving aspect ratio — the bookkeeping half of a
+    * real resize; a codec plugs into the same row contract. Map-only:
+    * no shuffle, stays in the decode stage's partitioning.
+    */
+  def resize(decoded: Dataset[DecodedMedia], maxW: Int, maxH: Int): Dataset[DecodedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+      d.copy(width = math.max(1, (d.width * scale).toInt),
+        height = math.max(1, (d.height * scale).toInt))
+    }
+  }
+
+  /** Frame sampling: pick every ceil(nFrames/k)-th frame index — the
+    * video-to-k-frames step of a training pipeline. Emits one row per
+    * sampled frame (docId, frameIdx, features); at scale this is the
+    * fan-out before per-frame feature extraction, still map-only.
+    */
+  def sampleFrames(decoded: Dataset[DecodedMedia], k: Int): DataFrame = {
+    require(k > 0)
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.flatMap { d =>
+      val step = math.max(1, math.ceil(d.nFrames.toDouble / k).toInt)
+      (0 until d.nFrames by step).map(f => (d.docId, f, d.features))
+    }.toDF("doc_id", "frame_idx", "features")
+  }
 }

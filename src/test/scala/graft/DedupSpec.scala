@@ -83,6 +83,27 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("multimodal resize clamps to bounds preserving aspect; sampleFrames bounded by k") {
+    import spark.implicits._
+    val decoded = Multimodal.decode(Multimodal.documentsAsMedia(spark, sf))
+    val resized = Multimodal.resize(decoded, 32, 32).collect()
+    resized.foreach { d =>
+      assert(d.width <= 32 && d.height <= 32 && d.width >= 1 && d.height >= 1)
+    }
+    // aspect ratio preserved within integer rounding for shrunk rows
+    val orig = decoded.collect().map(d => d.docId -> d).toMap
+    resized.filter(d => orig(d.docId).width > 32 || orig(d.docId).height > 32)
+      .foreach { d =>
+        val o = orig(d.docId)
+        val r1 = o.width.toDouble / o.height
+        val r2 = d.width.toDouble / d.height
+        assert(math.abs(r1 - r2) / r1 < 0.2, s"aspect drift: $o -> $d")
+      }
+    val frames = Multimodal.sampleFrames(decoded, 3)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    perDoc.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= 3))
+  }
+
   test("q26 metadata agrees with the typed decode operator") {
     val q = run("q26_multimodal_meta")
       .select("doc_id", "width", "height", "n_frames").collect()
