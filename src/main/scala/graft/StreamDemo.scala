@@ -83,6 +83,33 @@ object StreamDemo {
     println("=== SequenceMatch ===")
     spark.table("demo_seq").orderBy("firstEvent").show(20, false)
 
+    // ---- Cep: generic 3-step funnel view→cart→buy within 10min,
+    //      relaxed contiguity, timeout branch for abandoned carts ----
+    val cin = MemoryStream[StreamEvent]
+    val funnel = Pattern(Seq(
+      (e: StreamEvent) => e.eventType == "view",
+      (e: StreamEvent) => e.eventType == "cart",
+      (e: StreamEvent) => e.eventType == "buy"), 10 * 60000L, strict = false)
+    val cq = Cep.matchPattern(
+        cin.toDS().withWatermark("ts", "0 seconds"), funnel)
+      .writeStream.format("memory").queryName("demo_cep")
+      .outputMode("append").start()
+    cin.addData(
+      StreamEvent(1, 1, "view", ts(1000)),      // full funnel → matched
+      StreamEvent(1, 2, "other", ts(2000)),     // survives (relaxed)
+      StreamEvent(1, 3, "cart", ts(3000)),
+      StreamEvent(1, 4, "buy", ts(4000)),
+      StreamEvent(2, 5, "view", ts(1000)),      // abandons at cart → timeout
+      StreamEvent(2, 6, "cart", ts(2000)))
+    cq.processAllAvailable()
+    cin.addData(StreamEvent(-9, -1, "other", ts(3600000L)))
+    cq.processAllAvailable()
+    cin.addData(StreamEvent(-9, -2, "other", ts(7200000L)))
+    cq.processAllAvailable()
+    cq.stop()
+    println("=== Cep (view→cart→buy funnel) ===")
+    spark.table("demo_cep").orderBy("key").show(20, false)
+
     spark.stop()
   }
 }
