@@ -84,6 +84,55 @@ FROM j WHERE rn = 1"""),
       }),
 
     QueryDef(
+      "q34_value_percentiles",
+      "Exact interpolated percentiles (p50/p95/p99) of event value per " +
+        "type — Spark `percentile` and DuckDB `quantile_cont` share the " +
+        "interpolation formula (verified bit-identical at sf0.01). Sort-" +
+        "based aggregate, one exchange on 5 groups; the approx_percentile " +
+        "t-digest is the swap-in at 100TB if exactness is negotiable.",
+      Some("""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("p"))
+          .select(col("event_type"), element_at(col("p"), 1).as("p50"),
+            element_at(col("p"), 2).as("p95"),
+            element_at(col("p"), 3).as("p99"))),
+
+    QueryDef(
+      "q35_revenue_by_nation",
+      "4-way join customer ⋈ orders ⋈ lineitem ⋈ nation (TPC-H Q5 " +
+        "shape): lineitem⋈orders is the one big shuffle join (both sides " +
+        "large, equi on orderkey); customer and nation broadcast. " +
+        "Decimal-exact revenue per nation.",
+      Some("""
+SELECT n_name,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+              (lit(1) - col("l_discount").cast(dec)))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))),
+
+    QueryDef(
       "q32_rollup_revenue",
       "ROLLUP subtotals over (returnflag, linestatus) revenue — grouping-" +
         "sets surface. Catalyst expands to one Expand + hash aggregate " +

@@ -119,6 +119,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(("t4", "unmatched_receipt", -1L, 40L)))
   }
 
+  test("streaming session_window == batch q31 sessions") {
+    // microsecond-exact timestamps (batch q31 compares in integer us)
+    def tsUs(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), "e", tsUs(r.getLong(2))))
+    val maxMs = evs.map(_.tsMs).max
+
+    val input = MemoryStream[StreamEvent]
+    val sessions = input.toDS()
+      .withWatermark("ts", "0 seconds")
+      .filter($"eventType" === "e")
+      .groupBy($"userId", session_window($"ts", "30 minutes"))
+      .count()
+      .select($"userId".as("user_id"),
+        unix_micros($"session_window.start").as("start_us"),
+        (unix_micros($"session_window.end") -
+          unix_micros($"session_window.start") -
+          lit(1800L * 1000000)).as("dur_us"),
+        $"count".as("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // one batch: with a 0s watermark, a second batch containing any
+      // event older than the first batch's max would drop it as late
+      input.addData(evs.toSeq); q.processAllAvailable()
+      // flush sentinels must PASS the filter: rows that are filtered out
+      // before the session aggregate advance the watermark but do not
+      // trigger its state eviction
+      input.addData(StreamEvent(-1L, -1L, "e", ts(maxMs + 48 * 3600000L)))
+      q.processAllAvailable()
+      input.addData(StreamEvent(-1L, -2L, "e", ts(maxMs + 96 * 3600000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_out").filter($"user_id" >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("q31_sessionization")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us"),
+        r.getAs[Long]("dur_us"), r.getAs[Long]("n_events"))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming sliding window + foreachBatch rank == batch q02") {
     val views = Tables.events(spark, sf)
       .filter(col("event_type") === "view")
