@@ -133,6 +133,61 @@ GROUP BY n_name"""),
             count(lit(1)).as("n_items"))),
 
     QueryDef(
+      "q36_user_running_stats",
+      "Per-user running features (training-pipeline staple): cumulative " +
+        "event count, running value sum, and gap to the previous event — " +
+        "lag/cumsum window functions over (user_id, ts). One exchange on " +
+        "user_id, in-partition sort; value sums in DECIMAL for cross-" +
+        "engine exactness, time in integer microseconds.",
+      Some("""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_so_far,
+       (sum(value::DECIMAL(18,3)) OVER w)::DOUBLE AS value_sum,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").asc, col("event_id").asc)
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            expr("ts_ns div 1000").as("us"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(cum).as("n_so_far"),
+            sum(col("value").cast(DecimalType(18, 3))).over(cum)
+              .cast("double").as("value_sum"),
+            coalesce(col("us") - lag(col("us"), 1).over(ord), lit(-1L))
+              .as("gap_us"))
+      }),
+
+    QueryDef(
+      "q37_dedup_materialize",
+      "The dedup pipeline's OUTPUT: the corpus with near-duplicates " +
+        "removed — every doc that appears as the higher doc_id of a " +
+        "q21 MinHash-LSH pair (jaccard >= 0.5) is dropped, keeping the " +
+        "lowest-id representative per duplicate chain. This is what a " +
+        "training job actually consumes; the pair list is the " +
+        "intermediate. Left-anti join against the (small) pair side.",
+      DedupQueries.all.find(_.name == "q21_dedup_minhash_lsh").get.oracle
+        .map(pairSql => s"""
+WITH pairs AS ($pairSql),
+dup AS (SELECT DISTINCT doc_b FROM pairs)
+SELECT d.doc_id, length(d.text) AS text_len
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_b
+WHERE dup.doc_b IS NULL"""),
+      (s, dir) => {
+        val pairs = DedupQueries.all.find(_.name == "q21_dedup_minhash_lsh").get
+          .build(s, dir)
+        Tables.documents(s, dir)
+          .join(broadcast(pairs.select(col("doc_b").as("doc_id")).distinct()),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      }),
+
+    QueryDef(
       "q32_rollup_revenue",
       "ROLLUP subtotals over (returnflag, linestatus) revenue — grouping-" +
         "sets surface. Catalyst expands to one Expand + hash aggregate " +
