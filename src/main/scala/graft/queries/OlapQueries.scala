@@ -188,6 +188,27 @@ WHERE dup.doc_b IS NULL"""),
       }),
 
     QueryDef(
+      "q38_text_normalize",
+      "Text normalization (training-corpus cleaning): lowercase, strip " +
+        "non-alphanumerics, collapse whitespace — the canonical form fed " +
+        "to tokenizers/dedup. Simple character classes only, so Java " +
+        "regex (Spark) and RE2 (DuckDB) agree. Map-only, codegen'd.",
+      Some("""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                  ' +', ' ', 'g'))) AS norm_len
+FROM documents"""),
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), norm.as("norm_text"),
+            length(norm).cast("long").as("norm_len"))
+      }),
+
+    QueryDef(
       "q32_rollup_revenue",
       "ROLLUP subtotals over (returnflag, linestatus) revenue — grouping-" +
         "sets surface. Catalyst expands to one Expand + hash aggregate " +
