@@ -1,0 +1,111 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-native implementation of the shingle→hash60→mod→distinct chain.
+  *
+  * The declarative spelling — `array_distinct(transform(shingles,
+  * x => conv(substring(md5(x),1,15),16,10) % P))` — runs on Catalyst's
+  * interpreted higher-order-function path (HOFs are excluded from
+  * whole-stage codegen), allocating per-element expression evaluations
+  * and intermediate hex strings. This helper computes the identical
+  * values in one tight static call: md5 digest bytes → first 15 hex
+  * chars == (first 8 bytes big-endian) >>> 4 → mod P → insertion-order
+  * distinct. Bit-identical to the HOF chain and the DuckDB oracle
+  * fragment `('0x' || substr(md5(x),1,15))::BIGINT % P` (proven by the
+  * unchanged oracle hash-matches of q21/q29/q37).
+  */
+object TextHashUtil {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-prefix hash of UTF-8 bytes (== hash60Sql / hash60). */
+  def hash60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (digest(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+
+  /** tokens → distinct (hash60(n-gram) % mod), insertion order. */
+  def shingleHashes(tokens: ArrayData, n: Int, mod: Long): ArrayData = {
+    val cnt = tokens.numElements() - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(hash60(UTF8String.fromString(sb.toString)) % mod)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `shingle_hashes(tokens)` as a codegen-friendly expression: the
+  * generated code makes one static call, so the surrounding projection
+  * stays inside its WholeStageCodegen span.
+  */
+case class ShingleHashes(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+
+  require(n >= 1 && mod > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckSuccess
+      case other =>
+        TypeCheckFailure(s"shingle_hashes: needs ARRAY<STRING>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.shingleHashes(input.asInstanceOf[ArrayData], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashUtil.shingleHashes($c, $n, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashExpressions {
+  /** Idempotently registers `shingle_hashes(tokens, n, mod)` — use via
+    * `expr("shingle_hashes(toks, 3, 2147483647)")` (the registry path
+    * sidesteps Spark 4's Column-from-Expression churn, as with dot_f).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()),
+      "built-in")
+}

@@ -14,26 +14,14 @@ import graft.{QueryDef, Tables}
   */
 object DedupQueries {
 
-  /** Shared shingle pipeline: doc_id + distinct 3-shingle array.
-    *
-    * Tokens are materialized into a column BEFORE the shingle transform:
-    * passing the raw `split(text)` expression into the lambda would
-    * re-split the text for every `element_at` call — O(shingles × 3)
-    * splits per row (~10× the whole stage's cost at sf0.1).
-    */
-  private def shingled(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingles3(col("toks")).as("shs"))
-
+  // Spark-side shingling runs through the native ShingleHashes
+  // expression (TextHashExpressions); shingledSql below is the oracle's
+  // declarative spelling of the same values.
   private val shingledSql =
     """SELECT doc_id,
        list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shs
 FROM documents WHERE len(string_split(text,' ')) >= 3"""
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   val all: Seq[QueryDef] = Seq(
 
@@ -71,9 +59,13 @@ FROM v WHERE (it * 1000) // un >= 500"""),
         // Band join carries ONLY (band, key, id) — the shingle-hash sets
         // rejoin just for surviving candidates, so shuffle volume is
         // O(docs × 4 keys) + O(candidates × set), not O(docs × 4 × set).
-        val hashed = shingled(Tables.documents(s, dir))
-          .select(col("doc_id"),
-            array_distinct(transform(col("shs"), x => hash60(x) % P)).as("hs"))
+        // shingle_hashes is the native codegen path for the whole
+        // shingle→md5→mod→distinct chain (HOFs run interpreted).
+        graft.functions.TextHashExpressions.register(s)
+        val hashed = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), expr(s"shingle_hashes(toks, 3, $P)").as("hs"))
         val bands = hashed
           .withColumn("mh", minhash(col("hs")))
           .select(col("doc_id"),
@@ -107,10 +99,12 @@ FROM v WHERE (it * 1000) // un >= 500"""),
         "cap) → exact bigram-Jaccard >= 0.3. At scale the df cap bounds " +
         "the self-join to rare postings — common grams never generate " +
         "pairs; the exact verify touches candidates only.",
-      Some("""
+      Some(s"""
 WITH s AS (SELECT doc_id,
-  list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1),
-    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS gs
+  list_distinct(list_transform(
+    list_transform(generate_series(1, len(string_split(text,' '))-1),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]),
+    g -> ${hash60Sql("g")} % $P)) AS gs
   FROM documents WHERE len(string_split(text,' ')) >= 2),
 e AS (SELECT doc_id, unnest(gs) AS g FROM s),
 df AS (SELECT g, count(*) AS d FROM e GROUP BY 1),
@@ -126,13 +120,14 @@ SELECT doc_a, doc_b, (it * 1000) // un AS jaccard_x1000
 FROM v WHERE (it * 1000) // un >= 300"""),
       (s, dir) => {
         graft.functions.SketchAggregates.register(s)
+        graft.functions.TextHashExpressions.register(s)
+        // hashed bigrams as the blocking + verify unit (same pattern as
+        // q21's hs sets): native codegen chain, 8-byte posting keys
+        // instead of strings
         val grams = Tables.documents(s, dir)
           .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
           .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), array_distinct(transform(
-            sequence(lit(1), size(col("toks")) - 1),
-            i => concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1)))).as("gs"))
+          .select(col("doc_id"), expr(s"shingle_hashes(toks, 2, $P)").as("gs"))
         // Single-pass skew-safe inverted index: capped_list holds <= 21
         // doc ids per gram (NULL = gram too common to block on), so hot
         // grams never materialize their posting list and the whole
