@@ -14,6 +14,21 @@ import graft.{QueryDef, Tables}
   */
 object DedupQueries {
 
+  /** q39 hyperplanes: 16 planes × 64 dims, deterministic hash-derived
+    * values in [-1, 1). One generator feeds identical double literals
+    * (shortest-roundtrip toString) to the Spark plan and the oracle.
+    */
+  private val LshPlanes = 16
+  private val LshDims = 64
+  private def plane(j: Int): Seq[Double] =
+    (0 until LshDims).map { d =>
+      (((j * LshDims + d).toLong * 2654435761L) % 1000003L) / 1000003.0 * 2.0 - 1.0
+    }
+  private def planeSqlList(j: Int): String =
+    plane(j).mkString("[", ", ", "]")
+  private def planeSqlArray(j: Int): String =
+    plane(j).map(x => s"${x}D").mkString("array(", ", ", ")")
+
   // Spark-side shingling runs through the native ShingleHashes
   // expression (TextHashExpressions); shingledSql below is the oracle's
   // declarative spelling of the same values.
@@ -200,6 +215,54 @@ QUALIFY rn <= 20"""),
         val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
           col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_a").asc,
+              col("vec_b").asc)).cast("long"))
+          .filter(col("rn") <= 20)
+          .select("vec_a", "vec_b", "rn")
+      }),
+
+    QueryDef(
+      "q39_ann_lsh",
+      "Random-hyperplane LSH for embeddings (SimHash-for-vectors): 16 " +
+        "deterministic hyperplanes → 16-bit sign signature → bucket; " +
+        "top-20 most-similar pairs computed ONLY within buckets. At " +
+        "100TB the signature is a map-only projection and the pair scan " +
+        "touches ~n²/2^16 of the brute-force space (q23's full scan is " +
+        "the recall baseline). Hyperplane literals come from one Scala " +
+        "generator, embedded in both the plan and the oracle.",
+      Some(s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             (${(0 until LshPlanes).map(j =>
+               s"(CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+               .mkString(" + ")}) AS bucket
+      FROM e),
+cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       row_number() OVER (ORDER BY sim DESC, vec_a ASC, vec_b ASC) AS rn
+FROM cand
+QUALIFY rn <= 20"""),
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val bucket = (0 until LshPlanes).map { j =>
+          when(expr(s"dot_f(v, ${planeSqlArray(j)})") > 0, lit(1 << j))
+            .otherwise(lit(0))
+        }.reduce(_ + _)
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
+          .withColumn("bucket", bucket)
+        val a = base.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = base.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
             (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
           .withColumn("rn", row_number().over(

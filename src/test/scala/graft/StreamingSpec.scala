@@ -167,6 +167,40 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming approx UV per day == batch q25 (UvWithBloom analog)") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000000").as("ms"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), "e", ts(r.getLong(2))))
+    val maxMs = evs.map(_.tsMs).max
+
+    val input = MemoryStream[StreamEvent]
+    val uv = input.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 day"))
+      .agg(approx_count_distinct($"userId").as("uv_approx"))
+      .select(unix_timestamp($"window.end").as("window_end"), $"uv_approx")
+    val q = uv.writeStream.format("memory").queryName("uv_out")
+      .outputMode("append").start()
+    try {
+      input.addData(evs.toSeq); q.processAllAvailable()
+      input.addData(StreamEvent(-1L, -1L, "e", ts(maxMs + 72 * 3600000L)))
+      q.processAllAvailable()
+      input.addData(StreamEvent(-1L, -2L, "e", ts(maxMs + 144 * 3600000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("uv_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = SparkEntry.queries("q25_uv_approx")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sentinel days exist only in streaming output; real days must agree
+    want.foreach { case (w, v) =>
+      assert(got.get(w).contains(v), s"day $w: got=${got.get(w)} want=$v")
+    }
+    assert(want.nonEmpty)
+  }
+
   test("streaming sliding window + foreachBatch rank == batch q02") {
     val views = Tables.events(spark, sf)
       .filter(col("event_type") === "view")
