@@ -41,6 +41,41 @@ object SketchQueries {
       }),
 
     QueryDef(
+      "q40_hot_items_two_level",
+      "R1/W1 third formulation: tumbling 5-min pre-aggregation, then " +
+        "bucket-level expansion into the 12 overlapping hour windows, " +
+        "final sum + rank. The direct form (q02) expands EVENTS 12x " +
+        "before the aggregate; this expands post-aggregate BUCKETS 12x " +
+        "- shuffle volume drops from O(events-per-mapper x 12) partials " +
+        "to O(buckets x items) + O(buckets x 12), decisive when events " +
+        ">> buckets (100TB). Same oracle as q02 = equivalence proof.",
+      Some(ReferenceQueries.slidingOracle(
+        "(SELECT ts, props FROM events WHERE event_type = 'view')",
+        "json_extract(props, '$.k')::BIGINT", "item_id", 5, 12, Some(3))),
+      (s, dir) => {
+        val buckets = Tables.events(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("item_id"))
+          .groupBy(window(col("ts"), "5 minutes"), col("item_id"))
+          .agg(count(lit(1)).as("bcnt"))
+          .select(unix_timestamp(col("window.end")).as("bend"),
+            col("item_id"), col("bcnt"))
+        val counts = buckets
+          .select(col("item_id"), col("bcnt"),
+            explode(array((0 until 12).map(k =>
+              col("bend") + lit(k * 300L)): _*)).as("window_end"))
+          .groupBy(col("window_end"), col("item_id"))
+          .agg(sum(col("bcnt")).as("cnt"))
+        counts
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("window_end"))
+              .orderBy(col("cnt").desc, col("item_id").asc)).cast("long"))
+          .filter(col("rn") <= 3)
+      }),
+
+    QueryDef(
       "q28_uv_bloom",
       "A7 Bloom-bitmap UV (ref UvWithBloom.scala:62-103) as a mergeable " +
         "aggregate: fixed 2^18-bit bitmap per day-window, OR-merge partials, " +
