@@ -18,7 +18,7 @@ object Sinks {
     */
   def toKafka(df: DataFrame, servers: String, topic: String,
       keyCol: Option[String] = None): Unit = {
-    val value = concat_ws(",", df.columns.map(c => col(c).cast("string")): _*)
+    val value = concat_ws(",", df.columns.toIndexedSeq.map(c => col(c).cast("string")): _*)
     val projected = keyCol match {
       case Some(k) => df.select(col(k).cast("string").as("key"), value.as("value"))
       case None    => df.select(value.as("value"))
@@ -33,7 +33,7 @@ object Sinks {
   def toKafkaStream[T](ds: Dataset[T], servers: String, topic: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
     val df = ds.toDF()
-    val value = concat_ws(",", df.columns.map(c => col(c).cast("string")): _*)
+    val value = concat_ws(",", df.columns.toIndexedSeq.map(c => col(c).cast("string")): _*)
     df.select(value.as("value")).writeStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)

@@ -42,9 +42,9 @@ final case class Pattern(
 
 object Cep {
 
-  private implicit val stateEnc = Encoders.product[CepState]
-  private implicit val matchEnc = Encoders.product[CepMatch]
-  private implicit val longEnc = Encoders.scalaLong
+  private implicit val stateEnc: org.apache.spark.sql.Encoder[CepState] = Encoders.product[CepState]
+  private implicit val matchEnc: org.apache.spark.sql.Encoder[CepMatch] = Encoders.product[CepMatch]
+  private implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
 
   def matchPattern(events: Dataset[StreamEvent], pattern: Pattern)
       : Dataset[CepMatch] =

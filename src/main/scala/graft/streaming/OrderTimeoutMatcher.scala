@@ -25,9 +25,9 @@ case class Pending(createMs: Long, hasCreate: Boolean,
 
 object OrderTimeoutMatcher {
 
-  private implicit val pendingEnc = Encoders.product[Pending]
-  private implicit val outEnc = Encoders.product[OrderOutcome]
-  private implicit val longEnc = Encoders.scalaLong
+  private implicit val pendingEnc: org.apache.spark.sql.Encoder[Pending] = Encoders.product[Pending]
+  private implicit val outEnc: org.apache.spark.sql.Encoder[OrderOutcome] = Encoders.product[OrderOutcome]
+  private implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
 
   /** `creates`/`pays` discriminated by eventType ("create" / "pay"). */
   def detect(events: Dataset[StreamEvent], timeoutMs: Long)

@@ -22,9 +22,9 @@ case class LastFail(eventId: Long, tsMs: Long)
 
 object SequenceMatch {
 
-  private implicit val lastFailEnc = Encoders.product[LastFail]
-  private implicit val warnEnc = Encoders.product[FailWarning]
-  private implicit val longEnc = Encoders.scalaLong
+  private implicit val lastFailEnc: org.apache.spark.sql.Encoder[LastFail] = Encoders.product[LastFail]
+  private implicit val warnEnc: org.apache.spark.sql.Encoder[FailWarning] = Encoders.product[FailWarning]
+  private implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
 
   def consecutiveFails(fails: Dataset[StreamEvent], gapMs: Long)
       : Dataset[FailWarning] = {

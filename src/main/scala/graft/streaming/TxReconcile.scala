@@ -23,9 +23,9 @@ case class SideState(payId: Long, payMs: Long, hasPay: Boolean,
 
 object TxReconcile {
 
-  private implicit val sideEnc = Encoders.product[SideState]
-  private implicit val outEnc = Encoders.product[TxResult]
-  private implicit val strEnc = Encoders.STRING
+  private implicit val sideEnc: org.apache.spark.sql.Encoder[SideState] = Encoders.product[SideState]
+  private implicit val outEnc: org.apache.spark.sql.Encoder[TxResult] = Encoders.product[TxResult]
+  private implicit val strEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
 
   def reconcile(events: Dataset[TxEvent], toleranceMs: Long)
       : Dataset[TxResult] = {
