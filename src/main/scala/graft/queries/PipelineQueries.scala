@@ -186,6 +186,36 @@ QUALIFY rn <= 10"""),
               .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
           .filter(col("rn") <= 10)
           .select(col("qid"), col("nid"), col("rn"))
+      }),
+
+    QueryDef(
+      "q41_hash_split",
+      "Deterministic train/val/test assignment: bucket = md5-hash60 of " +
+        "the doc id string, mod 100 -> train <90, val <95, test rest. " +
+        "Hash splitting (not rand) is how real pipelines keep splits " +
+        "reproducible across runs/engines AND stable under corpus " +
+        "growth (a doc's split never changes when others are added). " +
+        "Per-split counts + token sums; map-side agg, one tiny exchange.",
+      Some(s"""
+WITH a AS (
+  SELECT doc_id,
+         ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")} % 100 AS b,
+         len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents),
+t AS (SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split, n_tok FROM a)
+SELECT split, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+FROM t GROUP BY split"""),
+      (s, dir) => {
+        val b = pmod(graft.functions.TextHashing.hash60(
+          col("doc_id").cast("string")), lit(100L))
+        Tables.documents(s, dir)
+          .select(
+            when(b < 90, "train").when(b < 95, "val").otherwise("test")
+              .as("split"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       })
   )
 }
