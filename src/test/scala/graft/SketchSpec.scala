@@ -55,6 +55,30 @@ class SketchSpec extends SparkSpec {
     assert(out == Set("b", "c"))
   }
 
+  test("custom aggregates run in streaming update mode") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, Long, Long)]
+    val agg = input.toDS().toDF("g", "cnt", "key")
+      .groupBy($"g")
+      .agg(expr("topk_agg(2, cnt, key)").as("top"),
+        expr("bloom_distinct(key, 4096)").as("nd"))
+    val q = agg.writeStream.format("memory").queryName("stream_topk")
+      .outputMode("complete").start()
+    try {
+      input.addData((1, 5L, 10L), (1, 9L, 20L))
+      q.processAllAvailable()
+      input.addData((1, 7L, 30L)) // displaces key 10 from the top-2
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = spark.table("stream_topk").collect()(0)
+    val keys = row.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    assert(keys == Seq(20L, 30L), s"got $keys")
+    assert(row.getLong(2) == 3L) // bloom sees all three distinct keys
+  }
+
   test("bloom_distinct estimates within 5% of exact at sf0.001") {
     val est = run("q28_uv_bloom").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
