@@ -31,18 +31,39 @@ object SketchAggregates {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_agg",
       exprs => GroupedTopK(
-        exprs.head.eval().asInstanceOf[Number].intValue(), exprs(1), exprs(2)),
+        FnArgs.litInt("topk_agg", "k", exprs.head), exprs(1), exprs(2)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_distinct",
       exprs => BloomDistinct(
-        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+        exprs.head, FnArgs.litInt("bloom_distinct", "numBits", exprs(1))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "capped_list",
       exprs => CappedList(
-        exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()),
+        exprs.head, FnArgs.litInt("capped_list", "cap", exprs(1))),
       "built-in")
+  }
+}
+
+/** Literal-argument extraction for registry-expanded functions: a column
+  * passed where a literal is required fails with a clear message at
+  * registration expansion instead of an NPE from `eval()` on an unbound
+  * attribute.
+  */
+private[functions] object FnArgs {
+  def litInt(fn: String, arg: String, e: Expression): Int = litNum(fn, arg, e).intValue()
+  def litLong(fn: String, arg: String, e: Expression): Long = litNum(fn, arg, e).longValue()
+
+  private def litNum(fn: String, arg: String, e: Expression): Number = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal integer, got non-foldable expression ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal integer, got $other")
+    }
   }
 }
 
@@ -184,7 +205,15 @@ case class GroupedTopK(
     val c = cnt.eval(input)
     val kv = key.eval(input)
     if (c == null || kv == null) buf
-    else trim(buf += ((c.asInstanceOf[Long], kv)))
+    else {
+      // A UTF8String from eval() aliases the input row's reused buffer —
+      // it must be copied before outliving this update() call.
+      val safeKey = kv match {
+        case s: UTF8String => s.clone()
+        case x             => x
+      }
+      trim(buf += ((c.asInstanceOf[Long], safeKey)))
+    }
   }
 
   override def merge(

@@ -105,7 +105,7 @@ object TextHashExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].longValue()),
+        FnArgs.litInt("shingle_hashes", "n", exprs(1)),
+        FnArgs.litLong("shingle_hashes", "mod", exprs(2))),
       "built-in")
 }

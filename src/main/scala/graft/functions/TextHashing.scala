@@ -36,12 +36,18 @@ object TextHashing {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Tokens → distinct 3-token shingles (word n-grams). */
+  /** Tokens → distinct 3-token shingles (word n-grams). Docs with fewer
+    * than 3 tokens yield an empty array — without the guard,
+    * `sequence(1, size-2)` would produce a DESCENDING sequence (default
+    * step -1) whose `element_at(tokens, 0)` errors under ANSI mode.
+    */
   def shingles3(tokens: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(tokens) - 2),
-      i => concat_ws(" ", element_at(tokens, i),
-        element_at(tokens, i + 1), element_at(tokens, i + 2))))
+    when(size(tokens) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(tokens) - 2),
+        i => concat_ws(" ", element_at(tokens, i),
+          element_at(tokens, i + 1), element_at(tokens, i + 2)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Shingle array → array of 16 minhash values. */
   def minhash(shingleHashes: Column): Column =

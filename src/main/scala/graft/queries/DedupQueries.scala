@@ -214,13 +214,18 @@ QUALIFY rn <= 20"""),
           col("nrm").as("na"))
         val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
           col("nrm").as("nb"))
+        // Global top-20 via orderBy+limit → TakeOrderedAndProject: each
+        // task keeps its local top-20 and only those merge — the n² pair
+        // stream is never funneled through one partition. The rank is
+        // then derived on the 20 surviving rows (constant partition key:
+        // TakeOrderedAndProject is already SinglePartition, no exchange).
+        val ord = Seq(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
         a.join(b, col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
             (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
+          .orderBy(ord: _*).limit(20)
           .withColumn("rn", row_number().over(
-            Window.orderBy(col("sim").desc, col("vec_a").asc,
-              col("vec_b").asc)).cast("long"))
-          .filter(col("rn") <= 20)
+            Window.partitionBy(spark_partition_id()).orderBy(ord: _*)).cast("long"))
           .select("vec_a", "vec_b", "rn")
       }),
 
@@ -261,14 +266,16 @@ QUALIFY rn <= 20"""),
           col("v").as("va"), col("nrm").as("na"))
         val b = base.select(col("bucket"), col("vec_id").as("vec_b"),
           col("v").as("vb"), col("nrm").as("nb"))
+        // same distributed top-k shape as q23: TakeOrderedAndProject over
+        // the in-bucket pair stream, rank derived on the 20 survivors
+        val ord = Seq(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
         a.join(b, Seq("bucket"))
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
             (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
+          .orderBy(ord: _*).limit(20)
           .withColumn("rn", row_number().over(
-            Window.orderBy(col("sim").desc, col("vec_a").asc,
-              col("vec_b").asc)).cast("long"))
-          .filter(col("rn") <= 20)
+            Window.partitionBy(spark_partition_id()).orderBy(ord: _*)).cast("long"))
           .select("vec_a", "vec_b", "rn")
       }),
 
@@ -303,15 +310,22 @@ QUALIFY rn <= 5"""),
         val base = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
+        // Centroid assignment is map-only: the 8 centroids collapse to a
+        // ONE-ROW array (coalesce(1) makes the agg exchange-free), the
+        // broadcast nest-loop join glues it onto every corpus row, and
+        // argmin-over-8 is an array_min of (-sim, cid) structs — struct
+        // ordering = sim DESC, cid ASC, exactly the old rank's order.
+        // The previous spelling (per-vec_id Window over the 8n expanded
+        // rows) hash-exchanged the whole corpus just to pick a max.
         val cents = base.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-        val asg = base.crossJoin(broadcast(cents))
-          .withColumn("csim", expr("dot_f(v, cv)") / (col("nrm") * col("cn")))
-          .withColumn("cr", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("csim").desc, col("cid").asc)))
-          .filter(col("cr") === 1)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+        val centArr = cents.coalesce(1)
+          .agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cents"))
+        val asg = base.crossJoin(broadcast(centArr))
+          .withColumn("best", expr(
+            "array_min(transform(cents, c -> " +
+              "struct(-(dot_f(v, c.cv) / (nrm * c.cn)) AS ns, c.cid AS cid)))"))
+          .select(col("vec_id"), col("v"), col("nrm"), col("best.cid").as("cid"))
         val q = asg.filter(col("vec_id") >= 100 && col("vec_id") < 110)
           .select(col("vec_id").as("qid"), col("v").as("qv"),
             col("nrm").as("qn"), col("cid").as("qcid"))

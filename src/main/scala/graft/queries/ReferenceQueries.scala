@@ -410,9 +410,12 @@ QUALIFY rn <= 10"""),
           .agg(sum(col("l_extendedprice").cast(dec) *
               (lit(1) - col("l_discount").cast(dec))).cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
-        rev.withColumn("rn", row_number().over(
-            Window.orderBy(col("revenue").desc, col("p_brand").asc)).cast("long"))
-          .filter(col("rn") <= 10)
+        // top-10 via TakeOrderedAndProject (distributed partial top-k),
+        // rank derived on the 10 survivors — no unpartitioned WindowExec
+        val ord = Seq(col("revenue").desc, col("p_brand").asc)
+        rev.orderBy(ord: _*).limit(10)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(spark_partition_id()).orderBy(ord: _*)).cast("long"))
       })
   )
 }

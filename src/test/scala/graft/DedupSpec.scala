@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
       s"LSH missed strong pairs: ${strong.diff(found).take(5)}")
   }
 
+  test("shingles3 returns empty array for docs under 3 tokens (ANSI-safe)") {
+    import spark.implicits._
+    val out = Seq("", "one", "one two", "one two three")
+      .toDF("text")
+      .select(graft.functions.TextHashing.shingles3(
+        split(col("text"), " ", -1)).as("sh"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out.toList == List(Nil, Nil, Nil, List("one two three")))
+  }
+
   test("q22 simhash: near-identical docs get near-identical fingerprints") {
     val fp = run("q22_simhash_fingerprint").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -56,6 +56,35 @@ class PlanSpec extends SparkSpec {
     val nodes = collectAll(plan("q24_ann_ivf"))
     assert(nodes.count(n => n.isInstanceOf[BroadcastHashJoinExec] ||
       n.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 2)
+    // the ONLY shuffle allowed is the final per-qid rank exchange — the
+    // corpus reaches centroid assignment and the probe join map-only
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 1, s"expected <=1 shuffle (final rank), got $shuffles")
+  }
+
+  test("global top-k queries use TakeOrderedAndProject, not a global sort") {
+    Seq("q14_top_brands_by_revenue", "q23_embedding_topk_pairs", "q39_ann_lsh")
+      .foreach { q =>
+        val nodes = collectAll(plan(q))
+        assert(nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+          s"$q: no TakeOrderedAndProject in\n${planString(q)}")
+      }
+  }
+
+  test("no catalog query contains an unpartitioned WindowExec") {
+    // an empty partitionSpec funnels ALL rows through one task — the
+    // named 100TB scale-killer; every window must be partitioned (a
+    // constant key over a SinglePartition input is fine: tiny post-limit
+    // rank derivation, no exchange, no warning)
+    SparkEntry.catalog.foreach { q =>
+      val offenders = collectAll(q.build(spark, sf).queryExecution.executedPlan)
+        .collect {
+          case w: org.apache.spark.sql.execution.window.WindowExecBase
+              if w.partitionSpec.isEmpty => w.nodeName
+        }
+      assert(offenders.isEmpty, s"${q.name}: unpartitioned windows $offenders")
+    }
   }
 
   test("q01 aggregates with partial (map-side) aggregation") {

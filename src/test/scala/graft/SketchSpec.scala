@@ -55,6 +55,42 @@ class SketchSpec extends SparkSpec {
     assert(out == Set("b", "c"))
   }
 
+  test("topk_agg copies string keys out of reused row buffers") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.types.{DataType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // UnsafeProjection reuses one row buffer across apply() calls, so the
+    // UTF8String the aggregate sees on row N aliases memory that row N+1
+    // overwrites — exactly what vectorized scan / codegen inputs do.
+    val agg = graft.functions.GroupedTopK(
+      3, BoundReference(0, LongType, nullable = true),
+      BoundReference(1, StringType, nullable = true))
+    val proj = UnsafeProjection.create(Array[DataType](LongType, StringType))
+    var buf = agg.createAggregationBuffer()
+    Seq(("alpha", 3L), ("bravo", 2L), ("cesar", 1L)).foreach { case (s, c) =>
+      buf = agg.update(buf, proj(InternalRow(c, UTF8String.fromString(s))))
+    }
+    val out = agg.eval(buf)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    val keys = (0 until out.numElements())
+      .map(i => out.getStruct(i, 3).getUTF8String(0).toString)
+    assert(keys == Seq("alpha", "bravo", "cesar"), s"got $keys")
+  }
+
+  test("literal-arg registry functions reject column arguments clearly") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    val df = Seq((1, 2L, 3L)).toDF("g", "cnt", "key")
+    val e = intercept[Exception] {
+      df.agg(expr("topk_agg(cnt, cnt, key)")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("must be a literal integer")),
+      s"got ${messages(e)}")
+  }
+
   test("custom aggregates run in streaming update mode") {
     SketchAggregates.register(spark)
     import spark.implicits._
