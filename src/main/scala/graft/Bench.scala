@@ -21,10 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink: every output row is fully computed and then discarded.
+    // count() would let Catalyst prune the projection, so map-only
+    // queries would time scan+count instead of their real work.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // JIT/codegen warmup on the smallest SF so per-query numbers measure
     // the plan, not first-call classloading.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try exec(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
     // min of two timed runs per query: JIT/GC jitter at this scale is
@@ -33,7 +38,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()
