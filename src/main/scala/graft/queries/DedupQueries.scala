@@ -345,15 +345,25 @@ QUALIFY rn <= 5"""),
       "A7 UvWithBloom-analog: bounded-memory approximate distinct users " +
         "per day via HLL++ (constant state ~KBs per window vs the " +
         "reference's 64MB Redis bitmap, UvWithBloom.scala:64). Sketches " +
-        "merge associatively → map-side partials at any scale. No SQL " +
-        "oracle (sketch internals are engine-specific); rows-only check.",
-      None,
+        "merge associatively → map-side partials at any scale. The " +
+        "estimate is engine-specific, so the oracle checks it IN-BAND: " +
+        "the exact count rides along (verification column — at 100TB " +
+        "you'd drop it and keep only the sketch) and approx_ok asserts " +
+        "|approx-exact| <= max(2, 10% of exact) as a hashed predicate.",
+      Some("""
+SELECT epoch(time_bucket(INTERVAL '1 day', ts::TIMESTAMP) + INTERVAL '1 day')::BIGINT AS window_end,
+       count(DISTINCT user_id) AS uv_exact,
+       true AS approx_ok
+FROM events GROUP BY 1"""),
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy(window(col("ts"), "1 day"))
-          .agg(approx_count_distinct(col("user_id")).as("uv_approx"))
+          .agg(approx_count_distinct(col("user_id")).as("uv_approx"),
+            countDistinct(col("user_id")).as("uv_exact"))
           .select(unix_timestamp(col("window.end")).as("window_end"),
-            col("uv_approx"))),
+            col("uv_exact"),
+            (abs(col("uv_approx") - col("uv_exact")) <=
+              greatest(lit(2.0), col("uv_exact") * lit(0.10))).as("approx_ok"))),
 
     QueryDef(
       "q26_multimodal_meta",

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,42 +13,67 @@ import graft.{QueryDef, Tables}
   */
 object MlQueries {
 
+  /** Full KMeans-IVF neighbor detail: qid, qcell, nid, cell, sim, rn.
+    * MLlib KMeans (k=8, fixed seed) learns the coarse quantizer instead
+    * of q24's fixed centroids; vectors carry their cluster id as the
+    * pruning key and queries probe only their own cell for top-5 by
+    * cosine. At 100TB the model trains on a sample, assignment is a
+    * broadcast-model map, and the cell id becomes the parquet partition
+    * column — scans touch 1/k of the corpus.
+    */
+  def neighbors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(base)
+    val asg = model.transform(base)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val q = asg.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+    broadcast(q).join(asg,
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qcell"), col("vec_id").as("nid"), col("cell"),
+        (expr("dot_f(qv, v)") / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
       "q30_ann_kmeans_ivf",
-      "IVF ANN with TRAINED partitions: MLlib KMeans (k=8, fixed seed) " +
-        "learns the coarse quantizer instead of q24's fixed centroids; " +
-        "vectors carry their cluster id as the pruning key and queries " +
-        "probe only their own cell for top-5 by cosine. At 100TB the " +
-        "model trains on a sample, assignment is a broadcast-model map, " +
-        "and the cell id becomes the parquet partition column — scans " +
-        "touch 1/k of the corpus. No SQL oracle (KMeans is iterative, " +
-        "engine-specific) — structural invariants asserted in MlSpec.",
-      None,
-      (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
-        val base = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
-          .withColumn("features", array_to_vector(col("v")))
-        val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
-          .setFeaturesCol("features").setPredictionCol("cell")
-          .fit(base)
-        val asg = model.transform(base)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-        val q = asg.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-          .select(col("vec_id").as("qid"), col("v").as("qv"),
-            col("nrm").as("qn"), col("cell").as("qcell"))
-        broadcast(q).join(asg,
-            col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"),
-            (expr("dot_f(qv, v)") / (col("qn") * col("nrm"))).as("sim"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
-          .filter(col("rn") <= 5)
-          .select("qid", "nid", "rn")
-      })
+      "IVF ANN with TRAINED partitions (see MlQueries.neighbors for the " +
+        "full detail surface). KMeans cluster ids are engine-specific, " +
+        "so the catalog entry oracle-checks the INVARIANTS the index " +
+        "must satisfy, computed from the real neighbor rows: 5 ranked " +
+        "neighbors per query, dense rn 1..5, every neighbor in the " +
+        "query's own cell, sims non-increasing with rank.",
+      Some("""
+SELECT vec_id AS qid,
+       5::BIGINT AS n_neighbors,
+       true AS rn_dense,
+       true AS same_cell,
+       true AS sims_sorted
+FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
+      (s, dir) =>
+        neighbors(s, dir)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_neighbors"),
+            (sum(col("rn")) === lit(15L) && max(col("rn")) === lit(5L) &&
+              count(lit(1)) === lit(5L)).as("rn_dense"),
+            (sum(when(col("cell") === col("qcell"), lit(1L)).otherwise(lit(0L)))
+              === count(lit(1))).as("same_cell"),
+            sort_array(collect_list(struct(col("rn"), col("sim")))).as("rs"))
+          .withColumn("sims_sorted", expr(
+            "size(rs) < 2 OR forall(sequence(1, size(rs) - 1), " +
+              "i -> rs[i-1].sim >= rs[i].sim)"))
+          .select("qid", "n_neighbors", "rn_dense", "same_cell", "sims_sorted"))
   )
 }

@@ -79,17 +79,26 @@ object SketchQueries {
       "q28_uv_bloom",
       "A7 Bloom-bitmap UV (ref UvWithBloom.scala:62-103) as a mergeable " +
         "aggregate: fixed 2^18-bit bitmap per day-window, OR-merge partials, " +
-        "occupancy-inversion estimate. No SQL oracle (sketch estimate is " +
-        "engine-specific) — rows-only check; accuracy asserted in the " +
-        "ScalaTest suite against exact count_distinct.",
-      None,
+        "occupancy-inversion estimate. The estimate is engine-specific, so " +
+        "the oracle checks it in-band: exact count rides along " +
+        "(verification column) and bloom_ok asserts " +
+        "|bloom-exact| <= max(2, 10% of exact) as a hashed predicate; " +
+        "tighter accuracy and merge laws live in SketchSpec.",
+      Some("""
+SELECT epoch(time_bucket(INTERVAL '1 day', ts::TIMESTAMP) + INTERVAL '1 day')::BIGINT AS window_end,
+       count(DISTINCT user_id) AS uv_exact,
+       true AS bloom_ok
+FROM events GROUP BY 1"""),
       (s, dir) => {
         SketchAggregates.register(s)
         Tables.events(s, dir)
           .groupBy(window(col("ts"), "1 day"))
-          .agg(expr("bloom_distinct(user_id, 262144)").as("uv_bloom"))
+          .agg(expr("bloom_distinct(user_id, 262144)").as("uv_bloom"),
+            countDistinct(col("user_id")).as("uv_exact"))
           .select(unix_timestamp(col("window.end")).as("window_end"),
-            col("uv_bloom"))
+            col("uv_exact"),
+            (abs(col("uv_bloom") - col("uv_exact")) <=
+              greatest(lit(2.0), col("uv_exact") * lit(0.10))).as("bloom_ok"))
       })
   )
 }

@@ -1,13 +1,13 @@
 package graft
 
-/** Structural invariants for the MLlib-backed ANN (q30) — KMeans output
-  * is engine-specific so there is no SQL oracle; these assertions pin the
-  * contract instead.
+/** Invariants for the MLlib-backed ANN (q30): the neighbor detail
+  * surface is pinned here; the catalog entry additionally oracle-checks
+  * the invariant summary against DuckDB.
   */
 class MlSpec extends SparkSpec {
 
-  test("q30 kmeans ivf: 10 queries, <=5 ranked neighbors each, no self") {
-    val rows = SparkEntry.queries("q30_ann_kmeans_ivf")(spark, sf)
+  test("kmeans ivf neighbors: 10 queries, <=5 ranked neighbors each, no self") {
+    val rows = graft.queries.MlQueries.neighbors(spark, sf)
       .select("qid", "nid", "rn").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val byQ = rows.groupBy(_._1)
@@ -16,6 +16,17 @@ class MlSpec extends SparkSpec {
       assert(ns.length <= 5)
       assert(!ns.exists(_._2 == q), s"query $q returned itself")
       assert(ns.map(_._3).sorted.toSeq == (1L to ns.length))
+    }
+  }
+
+  test("q30 catalog entry: every invariant column is true") {
+    val rows = SparkEntry.queries("q30_ann_kmeans_ivf")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_neighbors") == 5L, r.toString)
+      assert(r.getAs[Boolean]("rn_dense"), r.toString)
+      assert(r.getAs[Boolean]("same_cell"), r.toString)
+      assert(r.getAs[Boolean]("sims_sorted"), r.toString)
     }
   }
 
