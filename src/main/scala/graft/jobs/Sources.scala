@@ -43,6 +43,19 @@ object Sources {
       element_at(f, 7).as("url"))
   }
 
+  /** Shared value-line parse: raw CSV strings (Kafka `value`, socket,
+    * memory stream, `read.text`) through the SAME schema and ts
+    * promotion as the file source — the byte-stream and file pipelines
+    * are column-for-column identical (asserted in JobsSpec), so every
+    * Jobs.* pipeline accepts either interchangeably.
+    */
+  def csvLines(lines: DataFrame, schema: StructType, tsCol: String): DataFrame =
+    lines
+      .select(from_csv(col("value"), schema,
+        Map("ignoreLeadingWhiteSpace" -> "true")).as("r"))
+      .select(col("r.*"))
+      .withColumn("ts", timestamp_seconds(col(tsCol)))
+
   /** S1: Kafka line source (ref FlinkKafkaConsumer, HotItems.scala:37-44).
     * Not runnable in this container (no broker) — the builder is the
     * contract: value-as-string lines, same downstream parse as csv.
@@ -54,6 +67,15 @@ object Sources {
       .option("startingOffsets", "latest")
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S1 end-to-end: a Kafka topic of CSV lines parsed exactly like the
+    * file source (ref HotItems.scala:37-48 — the flagship's front door).
+    * The value-parse path itself is exercised broker-free in JobsSpec by
+    * feeding `csvLines` from a memory stream.
+    */
+  def kafkaCsv(spark: SparkSession, servers: String, topic: String,
+      schema: StructType, tsCol: String): DataFrame =
+    csvLines(kafkaLines(spark, servers, topic), schema, tsCol)
 
   /** S3: seeded deterministic replacement for the reference's wall-clock
     * random generator (AppMarketingByChannel.scala:44-74): `rate` rows

@@ -35,6 +35,31 @@ object WindowedCounts {
           .orderBy(col("cnt").desc, col(keyCol).asc)).cast("long"))
       .filter(col("rn") <= n)
 
+  /** R1 streaming-NATIVE top-N: ranked rows come out of the aggregate
+    * itself, not a per-micro-batch rank. Two chained event-time
+    * aggregations (count per (window,key), then a bounded topk_agg per
+    * window) — Spark's multiple-stateful-operator support emits the
+    * final ranked rows once the watermark closes the window, which IS
+    * the reference's windowEnd-timer firing (HotItems.scala:111-155).
+    * State per window is k entries in the final agg; partials ship <= k
+    * entries per mapper.
+    */
+  def topNStreaming(events: DataFrame, tsCol: String, keyCol: String,
+      duration: String, slide: String, watermarkDelay: String,
+      n: Int): DataFrame = {
+    graft.functions.SketchAggregates.register(events.sparkSession)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), duration, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("window"))
+      .agg(expr(s"topk_agg($n, cnt, $keyCol)").as("top"))
+      .select(unix_timestamp(col("window.end")).as("window_end"),
+        explode(col("top")).as("e"))
+      .select(col("window_end"), col("e.key").as(keyCol),
+        col("e.cnt").as("cnt"), col("e.rn").as("rn"))
+  }
+
   /** K2-analog side-output convention: split one tagged stream into
     * per-tag sinks inside a single foreachBatch pass (SURVEY.md §4.2
     * item 4). The batch is cached once so N sinks don't recompute the

@@ -169,6 +169,53 @@ tx9,alipay,1558430850""")
     }
   }
 
+  test("kafka value-line parse == file-source parse, column for column") {
+    // Sources.csvLines is the projection kafkaCsv applies to the Kafka
+    // `value` column; proving it identical to the file read means the
+    // broker path and the file path feed pipelines the same bytes.
+    val fromLines = Sources.csvLines(
+      spark.read.text(s"$dir/UserBehavior.csv"),
+      Schemas.userBehavior, "timestamp")
+    val fromFile = behavior
+    assert(fromLines.schema.map(f => (f.name, f.dataType)) ==
+      fromFile.schema.map(f => (f.name, f.dataType)))
+    assert(fromLines.collect().map(_.toString).sorted.sameElements(
+      fromFile.collect().map(_.toString).sorted))
+  }
+
+  test("byte-stream front door: raw lines -> csvLines -> flagship == file path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val lines = spark.read.text(s"$dir/UserBehavior.csv")
+      .collect().map(_.getString(0)).toSeq
+
+    val input = MemoryStream[String]
+    val parsed = Sources.csvLines(input.toDF(), Schemas.userBehavior, "timestamp")
+    val ranked = graft.streaming.WindowedCounts.topNStreaming(
+      parsed.filter(col("behavior") === "pv"), "ts", "itemId",
+      "60 minutes", "5 minutes", "0 seconds", n = 3)
+    val q = ranked.writeStream.format("memory").queryName("kafka_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(lines); q.processAllAvailable()
+      // flush sentinels (must pass the pv filter) to close every window
+      input.addData("900,-1,0,pv,1511900000"); q.processAllAvailable()
+      input.addData("901,-1,0,pv,1512000000"); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("kafka_parity").filter(col("itemId") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Jobs.hotItems(behavior, 3)
+      .select("windowEnd", "itemId", "cnt", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming twin: SequenceMatch over the login fixture == batch warnings") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{SequenceMatch, StreamEvent}

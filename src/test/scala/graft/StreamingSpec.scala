@@ -192,12 +192,59 @@ class StreamingSpec extends SparkSpec {
 
     val got = spark.table("uv_out").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = SparkEntry.queries("q25_uv_approx")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // q25's catalog output now carries (exact, bound-check); the batch
+    // twin of THIS stream is the raw HLL++ aggregate
+    val want = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id")).as("uv"))
+      .select(unix_timestamp(col("window.end")).as("we"), col("uv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // sentinel days exist only in streaming output; real days must agree
     want.foreach { case (w, v) =>
       assert(got.get(w).contains(v), s"day $w: got=${got.get(w)} want=$v")
     }
+    assert(want.nonEmpty)
+  }
+
+  test("streaming-native topk_agg ranks == batch q02 (no foreachBatch)") {
+    val views = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        expr("ts_ns div 1000000").as("ms"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(1), r.getLong(0), "view", ts(r.getLong(2))))
+    val maxMs = views.map(_.tsMs).max
+
+    val input = MemoryStream[StreamEvent]
+    val ranked = WindowedCounts.topNStreaming(
+      input.toDS().toDF().withColumnRenamed("userId", "item_id"),
+      "ts", "item_id", "60 minutes", "5 minutes", "0 seconds", n = 3)
+    val q = ranked.writeStream.format("memory").queryName("hot_ranked")
+      .outputMode("append").start()
+    try {
+      input.addData(views.toSeq); q.processAllAvailable()
+      input.addData(StreamEvent(-1L, -1L, "sentinel", ts(maxMs + 48 * 3600 * 1000L)))
+      q.processAllAvailable()
+      input.addData(StreamEvent(-1L, -2L, "sentinel", ts(maxMs + 96 * 3600 * 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("hot_ranked")
+      .filter(col("item_id") >= 0) // drop sentinel-only windows
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = SparkEntry.queries("q02_hot_items_topn")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("window_end"), r.getAs[Long]("item_id"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("rn"))).toSet
+    // sentinel items may displace rank-3 entries in the sliding windows
+    // that contain a sentinel ts; restrict to windows without sentinels
+    val sentinelWindows = spark.table("hot_ranked")
+      .filter(col("item_id") < 0).select("window_end")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filterNot(r => sentinelWindows(r._1)) ==
+      want.filterNot(r => sentinelWindows(r._1)))
     assert(want.nonEmpty)
   }
 
