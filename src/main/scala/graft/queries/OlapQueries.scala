@@ -37,14 +37,18 @@ SELECT user_id, min(us) AS sess_start_us, max(us) - min(us) AS dur_us,
        count(*) AS n_events
 FROM g GROUP BY user_id, sid"""),
       (s, dir) =>
+        // start/duration come from the events' own min/max timestamps,
+        // not from session_window bounds — window.end bakes in the gap
+        // constant, so deriving dur as end-start-gap would silently
+        // break if the gap parameter ever changes without a paired
+        // oracle edit. min/max aggregates are gap-independent.
         Tables.events(s, dir)
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(col("user_id"),
-            unix_micros(col("session_window.start")).as("sess_start_us"),
-            (unix_micros(col("session_window.end")) -
-              unix_micros(col("session_window.start")) -
-              lit(1800L * 1000000)).as("dur_us"),
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("sess_start_us"),
+            (max(unix_micros(col("ts"))) -
+              min(unix_micros(col("ts")))).as("dur_us"))
+          .select(col("user_id"), col("sess_start_us"), col("dur_us"),
             col("n_events"))),
 
     QueryDef(

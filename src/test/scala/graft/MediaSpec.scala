@@ -1,0 +1,76 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{DecodedMedia, MediaRecord}
+
+/** Real-codec path: generated PNG/BMP payloads must decode to their
+  * true dimensions and content-derived features through the same
+  * per-partition contract the stub uses.
+  */
+class MediaSpec extends SparkSpec {
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) im.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  private def bmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) im.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(im, "bmp", bos)
+    bos.toByteArray
+  }
+
+  test("PNG and BMP payloads decode to their true width/height") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, "image/png", png(37, 21, 0xffffff)),
+      MediaRecord(2L, "image/png", png(128, 5, 0x000000)),
+      MediaRecord(3L, "image/bmp", bmp(64, 48, 0x808080)))
+    val out = Multimodal.decode(recs.toDS()).collect().map(d => d.docId -> d).toMap
+    assert(out(1L).width == 37 && out(1L).height == 21)
+    assert(out(2L).width == 128 && out(2L).height == 5)
+    assert(out(3L).width == 64 && out(3L).height == 48)
+    out.values.foreach(d => assert(d.nFrames == 1))
+  }
+
+  test("features are real mean luminance, not byte checksums") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, "image/png", png(40, 40, 0xffffff)), // white -> ~1.0
+      MediaRecord(2L, "image/png", png(40, 40, 0x000000))) // black -> 0.0
+    val out = Multimodal.decode(recs.toDS()).collect().map(d => d.docId -> d).toMap
+    assert(out(1L).features.length == Multimodal.FeatureDim)
+    out(1L).features.foreach(f => assert(f > 0.99f && f <= 1.0f, f))
+    out(2L).features.foreach(f => assert(f == 0.0f, f))
+  }
+
+  test("unparseable image bytes fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = "this is not an image at all, just text bytes".getBytes("UTF-8")
+    val out = Multimodal.decode(
+      Seq(MediaRecord(9L, "image/fake", junk)).toDS()).collect()
+    val expected = Multimodal.decodeStub(MediaRecord(9L, "image/fake", junk))
+    assert(out.head == expected.copy(features = out.head.features))
+    assert(out.head.features.sameElements(expected.features))
+  }
+
+  test("decode is deterministic and resize honors real dimensions") {
+    import spark.implicits._
+    val ds = Seq(MediaRecord(1L, "image/png", png(100, 50, 0x123456))).toDS()
+    val a = Multimodal.decode(ds).collect().head
+    val b = Multimodal.decode(ds).collect().head
+    assert(a == b.copy(features = a.features) && a.features.sameElements(b.features))
+    val r = Multimodal.resize(Multimodal.decode(ds), 25, 25).collect().head
+    assert(r.width == 25 && r.height == 12) // aspect preserved from TRUE dims
+  }
+}
