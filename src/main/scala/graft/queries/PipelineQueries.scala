@@ -216,6 +216,164 @@ FROM t GROUP BY split"""),
             size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      }),
+
+    QueryDef(
+      "q42_decontamination",
+      "Benchmark decontamination: corpus documents sharing any hashed " +
+        "8-token gram with the benchmark set (docs with doc_id % 50 = 0 " +
+        "stand in for a held-out eval set) are flagged with their " +
+        "overlap count — the n-gram-overlap rule real LLM pipelines run " +
+        "before training. At 100TB the benchmark side is tiny and " +
+        "BROADCAST: the corpus is a map-only gram explode + broadcast " +
+        "semi-join + partial-agg count; corpus documents never shuffle.",
+      Some {
+        val gram8 = (0 until 8).map(j => s"string_split(text,' ')[i+$j]")
+          .mkString(" || ' ' || ")
+        val P = graft.functions.TextHashing.P
+        s"""
+WITH s AS (SELECT doc_id,
+  list_distinct(list_transform(
+    list_transform(generate_series(1, len(string_split(text,' '))-7), i -> $gram8),
+    g -> ${graft.functions.TextHashing.hash60Sql("g")} % $P)) AS gs
+  FROM documents WHERE len(string_split(text,' ')) >= 8),
+b AS (SELECT DISTINCT unnest(gs) AS g FROM s WHERE doc_id % 50 = 0),
+c AS (SELECT doc_id, unnest(gs) AS g FROM s WHERE doc_id % 50 <> 0)
+SELECT doc_id, count(*) AS n_shared_grams
+FROM c JOIN b USING (g)
+GROUP BY doc_id"""
+      },
+      (s, dir) => {
+        graft.functions.TextHashExpressions.register(s)
+        val P = graft.functions.TextHashing.P
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), expr(s"shingle_hashes(toks, 8, $P)").as("gs"))
+        val bench = grams.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("gs")).as("g")).distinct()
+        grams.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+          .join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id"))
+          // per-doc grams are already distinct (shingle_hashes dedups)
+          .agg(count(lit(1)).as("n_shared_grams"))
+      }),
+
+    QueryDef(
+      "q43_tfidf_topterms",
+      "TF-IDF top terms per document (integer fixed-point: score = " +
+        "tf * 1e6 div df — rank-equivalent to tf*N/df with N constant, " +
+        "and exactly reproducible cross-engine, no float log). Term " +
+        "frequencies and document frequencies are partial-aggregated; " +
+        "the tf<->df join hashes on term (both sides co-partitioned by " +
+        "the join key); the per-doc top-3 is a single-pass bounded " +
+        "topk_agg — <= 3 entries per (doc, mapper) shuffle, no window " +
+        "sort of the full posting matrix.",
+      Some("""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT doc_id, term, (tf * 1000000) // df AS score_x
+       FROM tf JOIN df USING (term)),
+r AS (SELECT doc_id, term, score_x,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_x DESC, term ASC) AS rn
+      FROM sc)
+SELECT doc_id, term, score_x, rn FROM r WHERE rn <= 3"""),
+      (s, dir) => {
+        graft.functions.SketchAggregates.register(s)
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        tf.join(df, Seq("term"))
+          .select(col("doc_id"), col("term"),
+            expr("(tf * 1000000) div df").as("score_x"))
+          .groupBy(col("doc_id"))
+          .agg(expr("topk_agg(3, score_x, term)").as("top"))
+          .select(col("doc_id"), explode(col("top")).as("e"))
+          .select(col("doc_id"), col("e.key").as("term"),
+            col("e.cnt").as("score_x"), col("e.rn").as("rn"))
+      }),
+
+    QueryDef(
+      "q44_repetition_filter",
+      "Within-document repetition filter (Gopher/C4-style quality rule): " +
+        "fraction of repeated 3-token grams as integer fixed-point; " +
+        "docs over 30% repetition are dropped. Map-only — the gram " +
+        "hashing runs in the native codegen expression, no shuffle.",
+      Some {
+        val gram3 = (0 until 3).map(j => s"string_split(text,' ')[i+$j]")
+          .mkString(" || ' ' || ")
+        val P = graft.functions.TextHashing.P
+        s"""
+WITH s AS (SELECT doc_id,
+  greatest(len(string_split(text,' ')) - 2, 0)::BIGINT AS total_grams,
+  CASE WHEN len(string_split(text,' ')) >= 3 THEN
+    len(list_distinct(list_transform(
+      list_transform(generate_series(1, len(string_split(text,' '))-2), i -> $gram3),
+      g -> ${graft.functions.TextHashing.hash60Sql("g")} % $P)))::BIGINT
+  ELSE 0 END AS nd
+  FROM documents),
+d AS (SELECT doc_id, total_grams,
+             CASE WHEN total_grams > 0
+                  THEN ((total_grams - nd) * 1000) // total_grams
+                  ELSE 0 END AS dup_x1000
+      FROM s)
+SELECT doc_id, total_grams, dup_x1000, dup_x1000 <= 300 AS keep
+FROM d"""
+      },
+      (s, dir) => {
+        graft.functions.TextHashExpressions.register(s)
+        val P = graft.functions.TextHashing.P
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+          .select(col("doc_id"),
+            greatest(size(col("toks")) - 2, lit(0)).cast("long").as("total_grams"),
+            // shingle_hashes is empty for < 3 tokens, so nd = 0 there
+            size(expr(s"shingle_hashes(toks, 3, $P)")).cast("long").as("nd"))
+          .select(col("doc_id"), col("total_grams"),
+            when(col("total_grams") > 0,
+              expr("((total_grams - nd) * 1000) div total_grams"))
+              .otherwise(0L).as("dup_x1000"))
+          .withColumn("keep", col("dup_x1000") <= 300)
+      }),
+
+    QueryDef(
+      "q45_stratified_sample",
+      "Deterministic stratified sampling for dataset mixing: documents " +
+        "bucketed by length stratum (short/medium/long), each stratum " +
+        "sampled at its own rate (10% / 50% / 100%) by md5-hash60 of " +
+        "the doc id — reproducible across runs and engines, stable " +
+        "under corpus growth (q41's hash-split guarantee, per stratum). " +
+        "Map-only: stratum, hash, and the keep decision are all " +
+        "projections; no shuffle, no rand().",
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+         ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")} % 1000 AS h
+  FROM documents),
+s AS (SELECT doc_id, h,
+             CASE WHEN n_tok < 40 THEN 'short'
+                  WHEN n_tok < 70 THEN 'medium' ELSE 'long' END AS stratum
+      FROM t)
+SELECT doc_id, stratum
+FROM s
+WHERE h < CASE stratum WHEN 'short' THEN 100 WHEN 'medium' THEN 500 ELSE 1000 END"""),
+      (s, dir) => {
+        val h = pmod(graft.functions.TextHashing.hash60(
+          col("doc_id").cast("string")), lit(1000L))
+        val nTok = size(split(col("text"), " ", -1)).cast("long")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(nTok < 40, "short").when(nTok < 70, "medium")
+              .otherwise("long").as("stratum"),
+            h.as("h"))
+          .filter(col("h") < when(col("stratum") === "short", 100)
+            .when(col("stratum") === "medium", 500).otherwise(1000))
+          .select(col("doc_id"), col("stratum"))
       })
   )
 }

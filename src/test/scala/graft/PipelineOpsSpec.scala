@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-2 pipeline operators (decontamination,
+  * TF-IDF, repetition filter, stratified sample) beyond the oracle
+  * hash-match.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q42: flagged docs are non-benchmark and genuinely share an 8-gram") {
+    val flagged = run("q42_decontamination").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    assert(flagged.nonEmpty, "fixture should contain contamination")
+    flagged.keys.foreach(id => assert(id % 50 != 0, s"benchmark doc $id flagged"))
+    flagged.values.foreach(n => assert(n > 0))
+    // brute-force confirm one flagged doc against the benchmark set
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).sliding(8).map(_.mkString(" ")).toSet)
+      .toMap
+    val benchGrams = docs.filter(_._1 % 50 == 0).values.flatten.toSet
+    val (id, n) = flagged.head
+    assert(docs(id).count(benchGrams.contains) == n,
+      s"doc $id: brute-force overlap != $n")
+  }
+
+  test("q43: rn dense per doc, scores non-increasing, terms from the doc") {
+    val rows = run("q43_tfidf_topterms").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("score_x"), r.getAs[Long]("rn")))
+    val total = Tables.documents(spark, sf).count()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == total) // every doc has top terms
+    byDoc.values.foreach { ts =>
+      val sorted = ts.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to ts.length))
+      assert(sorted.sliding(2).forall(w =>
+        w.length < 2 || w(0)._3 >= w(1)._3))
+    }
+    // spot-check membership: every reported term occurs in its document
+    val text = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet).toMap
+    rows.take(50).foreach { case (d, t, _, _) =>
+      assert(text(d).contains(t), s"term '$t' not in doc $d")
+    }
+  }
+
+  test("q44: fixed-point bounds, keep threshold, gram count arithmetic") {
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("q44_repetition_filter").collect()
+    assert(rows.length == nTok.size)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val dup = r.getAs[Long]("dup_x1000")
+      assert(r.getAs[Long]("total_grams") == math.max(0L, nTok(d) - 2))
+      assert(dup >= 0 && dup <= 1000)
+      assert(r.getAs[Boolean]("keep") == (dup <= 300))
+    }
+  }
+
+  test("q45: per-stratum rates respected, long stratum fully kept, deterministic") {
+    val sampled = run("q45_stratified_sample").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("stratum")))
+    val strata = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n")).collect()
+      .map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> (if (n < 40) "short" else if (n < 70) "medium" else "long")
+      }.toMap
+    sampled.foreach { case (d, st) => assert(strata(d) == st) }
+    val bySt = sampled.groupBy(_._2).view.mapValues(_.length).toMap
+    val popSt = strata.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySt("long") == popSt("long")) // 100% rate
+    // hash sampling at 10%/50% should land near the rate (binomial, loose)
+    assert(bySt("short") < popSt("short") * 0.3)
+    assert(bySt("medium") > popSt("medium") * 0.25 &&
+      bySt("medium") < popSt("medium") * 0.75)
+    val again = run("q45_stratified_sample").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("stratum")))
+    assert(sampled.sorted.sameElements(again.sorted))
+  }
+}

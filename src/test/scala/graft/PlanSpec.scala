@@ -62,6 +62,12 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected <=1 shuffle (final rank), got $shuffles")
   }
 
+  test("q42: benchmark gram set broadcasts; corpus side never shuffles pre-agg") {
+    val nodes = collectAll(plan("q42_decontamination"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "benchmark grams should broadcast-join the corpus gram stream")
+  }
+
   test("global top-k queries use TakeOrderedAndProject, not a global sort") {
     Seq("q14_top_brands_by_revenue", "q23_embedding_topk_pairs", "q39_ann_lsh")
       .foreach { q =>
