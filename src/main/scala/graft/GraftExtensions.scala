@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{BloomDistinct, CappedList, DotProduct, FnArgs, GroupedTopK, ShingleHashes}
+
+/** Library entry point for `spark.sql.extensions`: injects every graft
+  * SQL function at session build, so
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  * makes `topk_agg`, `bloom_distinct`, `capped_list`, `shingle_hashes`
+  * and `dot_f` available in EVERY session — pure-SQL users and
+  * thriftserver clients included — without any runtime `register` call.
+  * The per-query `register` helpers remain for ad-hoc sessions; both
+  * paths build the identical expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String,
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("topk_agg",
+      "topk_agg(k, cnt, key) - bounded single-pass grouped top-k by (cnt DESC, key ASC)",
+      exprs => GroupedTopK(
+        FnArgs.litInt("topk_agg", "k", exprs.head), exprs(1), exprs(2))))
+    ext.injectFunction(fn("bloom_distinct",
+      "bloom_distinct(value, numBits) - mergeable Bloom-bitmap distinct estimate",
+      exprs => BloomDistinct(
+        exprs.head, FnArgs.litInt("bloom_distinct", "numBits", exprs(1)))))
+    ext.injectFunction(fn("capped_list",
+      "capped_list(value, cap) - bounded collect_list, NULL past the cap",
+      exprs => CappedList(
+        exprs.head, FnArgs.litInt("capped_list", "cap", exprs(1)))))
+    ext.injectFunction(fn("shingle_hashes",
+      "shingle_hashes(tokens, n, mod) - distinct 60-bit md5 hashes of n-token grams",
+      exprs => ShingleHashes(exprs.head,
+        FnArgs.litInt("shingle_hashes", "n", exprs(1)),
+        FnArgs.litLong("shingle_hashes", "mod", exprs(2)))))
+    ext.injectFunction(fn("dot_f",
+      "dot_f(a, b) - codegen left-to-right double dot product",
+      exprs => DotProduct(exprs.head, exprs(1))))
+  }
+}

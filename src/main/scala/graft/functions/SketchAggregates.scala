@@ -51,7 +51,7 @@ object SketchAggregates {
   * registration expansion instead of an NPE from `eval()` on an unbound
   * attribute.
   */
-private[functions] object FnArgs {
+private[graft] object FnArgs {
   def litInt(fn: String, arg: String, e: Expression): Int = litNum(fn, arg, e).intValue()
   def litLong(fn: String, arg: String, e: Expression): Long = litNum(fn, arg, e).longValue()
 

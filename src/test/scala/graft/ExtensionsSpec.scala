@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
+
+/** The spark.sql.extensions entry point: a session built with
+  * `graft.GraftExtensions` has every graft SQL function available with
+  * no runtime register call.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("a session built with graft.GraftExtensions has all functions injected") {
+    spark // force the shared session (and its SparkContext) first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a STATIC conf — it only applies when the
+    // SparkContext is created, so the test (which reuses the suite's
+    // context) drives the same class through Builder.withExtensions;
+    // a fresh cluster would set the config string instead.
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(s2 ne spark, "expected a fresh session instance")
+      import s2.implicits._
+      val df = Seq((1, 5L, 10L), (1, 9L, 20L), (1, 7L, 30L))
+        .toDF("g", "cnt", "key")
+
+      val top = df.groupBy("g").agg(expr("topk_agg(2, cnt, key)").as("t"))
+        .selectExpr("transform(t, e -> e.key) AS ks").head.getSeq[Long](0)
+      assert(top == Seq(20L, 30L))
+
+      val nd = df.agg(expr("bloom_distinct(key, 4096)")).head.getLong(0)
+      assert(nd == 3L)
+
+      val capped = df.groupBy("g").agg(expr("capped_list(key, 2)").as("c"))
+        .head.isNullAt(1) // 3 values over cap 2 -> NULL marker
+      assert(capped)
+
+      val nShingles = Seq("a b c d").toDF("t")
+        .selectExpr("size(shingle_hashes(split(t, ' '), 3, 2147483647))")
+        .head.getInt(0)
+      assert(nShingles == 2)
+
+      val dot = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+        .selectExpr("dot_f(a, b)").head.getDouble(0)
+      assert(dot == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
