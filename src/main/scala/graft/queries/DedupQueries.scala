@@ -38,17 +38,10 @@ object DedupQueries {
          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shs
 FROM documents WHERE len(string_split(text,' ')) >= 3"""
 
-  val all: Seq[QueryDef] = Seq(
-
-    QueryDef(
-      "q21_dedup_minhash_lsh",
-      "MinHash+LSH near-dup detection: 3-token shingles → 60-bit md5 " +
-        "hashes → 16 minhash permutations → 4 bands of 4 → band-bucket " +
-        "self-join for candidates → exact shingle-Jaccard verification " +
-        "(>= 0.5). At 100TB only band keys (4×~32B/doc) shuffle and the " +
-        "join touches real near-dups instead of all O(n²) pairs; the " +
-        "verify re-reads shingles only for candidates.",
-      Some(s"""
+  /** q21's full oracle SQL — shared by q37 (materialization) and q46
+    * (transitive clustering), which build on the same pair list.
+    */
+  private[queries] lazy val q21OracleSql: String = s"""
 WITH s AS ($shingledSql),
 h AS (SELECT doc_id,
              list_distinct(list_transform(shs, sh -> ${hash60Sql("sh")} % $P)) AS hs
@@ -69,7 +62,19 @@ v AS (
          len(list_distinct(list_concat(ha.hs, hb.hs))) AS un
   FROM cand JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
 SELECT doc_a, doc_b, (it * 1000) // un AS jaccard_x1000
-FROM v WHERE (it * 1000) // un >= 500"""),
+FROM v WHERE (it * 1000) // un >= 500"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q21_dedup_minhash_lsh",
+      "MinHash+LSH near-dup detection: 3-token shingles → 60-bit md5 " +
+        "hashes → 16 minhash permutations → 4 bands of 4 → band-bucket " +
+        "self-join for candidates → exact shingle-Jaccard verification " +
+        "(>= 0.5). At 100TB only band keys (4×~32B/doc) shuffle and the " +
+        "join touches real near-dups instead of all O(n²) pairs; the " +
+        "verify re-reads shingles only for candidates.",
+      Some(q21OracleSql),
       (s, dir) => {
         // Band join carries ONLY (band, key, id) — the shingle-hash sets
         // rejoin just for surviving candidates, so shuffle volume is
@@ -338,6 +343,32 @@ QUALIFY rn <= 5"""),
               .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
           .filter(col("rn") <= 5)
           .select("qid", "nid", "rn")
+      }),
+
+    QueryDef(
+      "q46_dedup_clusters",
+      "Transitive near-dup clustering (operators.ConnectedComponents): " +
+        "q21's pairs are edges; iterative min-label propagation " +
+        "collapses chains {A~B, B~C} into ONE cluster per component " +
+        "(pair-wise dropping alone under-dedups chains). Each round is " +
+        "one vertex-keyed shuffle join + partial-agg min; rounds = " +
+        "component diameter (tiny for copy-chains). The oracle is the " +
+        "recursive-CTE transitive closure of the same pair SQL.",
+      Some(s"""
+WITH RECURSIVE p AS ($q21OracleSql),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(s, t) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+FROM reach GROUP BY s"""),
+      (s, dir) => {
+        val pairs = all.find(_.name == "q21_dedup_minhash_lsh").get.build(s, dir)
+        graft.operators.ConnectedComponents
+          .minLabel(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("cluster_id"))
       }),
 
     QueryDef(

@@ -48,6 +48,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q46: clusters == brute-force union-find over the q21 pairs") {
+    val pairs = run("q21_dedup_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = verts.map(v => v -> find(v)).toMap
+    val got = run("q46_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == want)
+    // at least one transitive chain should exist for the test to mean
+    // anything beyond pairs; if not, the corpus only has 2-cliques
+    val sizes = want.groupBy(_._2).map(_._2.size)
+    assert(sizes.forall(_ >= 2))
+  }
+
   test("q44: fixed-point bounds, keep threshold, gram count arithmetic") {
     val nTok = Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long"))
