@@ -10,20 +10,29 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object Sinks {
 
+  /** Render rows to the CSV value strings the Kafka/line sources parse
+    * — the EXACT inverse of `Sources.csvLines` (`to_csv` ↔ `from_csv`,
+    * quoting included), proven by round-trip in JobsSpec. This is the
+    * projection both Kafka producers below apply, so the produce side
+    * is testable without a broker just like the consume side.
+    */
+  def csvValue(df: DataFrame): DataFrame =
+    df.select(to_csv(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+
   /** S4/K-analog: Kafka producer (ref KafkaProducer.scala:13-27 reads a
     * CSV and sends each line to a topic). Batch write: rows are rendered
-    * to a CSV-ish value string; `keyCol` (optional) becomes the Kafka key
-    * for partition affinity. Not runnable in this container (no broker) —
-    * the builder is the contract.
+    * via [[csvValue]]; `keyCol` (optional) becomes the Kafka key for
+    * partition affinity. Not runnable in this container (no broker) —
+    * the builder is the contract; the value projection is tested.
     */
   def toKafka(df: DataFrame, servers: String, topic: String,
       keyCol: Option[String] = None): Unit = {
-    val value = concat_ws(",", df.columns.toIndexedSeq.map(c => col(c).cast("string")): _*)
-    val projected = keyCol match {
-      case Some(k) => df.select(col(k).cast("string").as("key"), value.as("value"))
-      case None    => df.select(value.as("value"))
+    val value = to_csv(struct(df.columns.toIndexedSeq.map(col): _*)).as("value")
+    val out = keyCol match {
+      case Some(k) => df.select(col(k).cast("string").as("key"), value)
+      case None    => df.select(value)
     }
-    projected.write.format("kafka")
+    out.write.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)
       .save()
@@ -32,9 +41,7 @@ object Sinks {
   /** Streaming twin of [[toKafka]]. */
   def toKafkaStream[T](ds: Dataset[T], servers: String, topic: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val df = ds.toDF()
-    val value = concat_ws(",", df.columns.toIndexedSeq.map(c => col(c).cast("string")): _*)
-    df.select(value.as("value")).writeStream.format("kafka")
+    csvValue(ds.toDF()).writeStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)

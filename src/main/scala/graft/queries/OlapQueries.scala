@@ -174,7 +174,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         "q21 MinHash-LSH pair (jaccard >= 0.5) is dropped, keeping the " +
         "lowest-id representative per duplicate chain. This is what a " +
         "training job actually consumes; the pair list is the " +
-        "intermediate. Left-anti join against the (small) pair side.",
+        "intermediate. Left-anti join against the (small) pair side. " +
+        "NOTE: pair-wise dropping can under-drop transitive chains " +
+        "whose middle link is absent (A~C, B~C but no A~B keeps both " +
+        "A and B) — q46's connected-components clustering is the " +
+        "chain-exact keeper selection.",
       DedupQueries.all.find(_.name == "q21_dedup_minhash_lsh").get.oracle
         .map(pairSql => s"""
 WITH pairs AS ($pairSql),

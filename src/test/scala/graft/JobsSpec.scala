@@ -183,6 +183,19 @@ tx9,alipay,1558430850""")
       fromFile.collect().map(_.toString).sorted))
   }
 
+  test("kafka producer value projection round-trips through the consumer parse") {
+    // Sinks.csvValue (what toKafka/toKafkaStream send) must be the
+    // exact inverse of Sources.csvLines (what kafkaCsv reads back)
+    val parsed = behavior
+    val raw = parsed.drop("ts")
+    val back = Sources.csvLines(
+      graft.jobs.Sinks.csvValue(raw), Schemas.userBehavior, "timestamp")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      parsed.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toString).sorted.sameElements(
+      parsed.collect().map(_.toString).sorted))
+  }
+
   test("byte-stream front door: raw lines -> csvLines -> flagship == file path") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col

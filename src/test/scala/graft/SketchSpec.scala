@@ -141,6 +141,25 @@ class SketchSpec extends SparkSpec {
     assert(est(1) == est(32))
   }
 
+  test("capped_list: under-cap groups are partitioning-invariant as sets") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    // 50 groups: ids 0..9 per group (under cap 20), plus one hot group
+    // with 100 ids (over cap -> NULL regardless of partitioning)
+    val df = ((1 to 50).flatMap(g => (0 until 10).map(i => (g, i.toLong))) ++
+      (0 until 100).map(i => (999, i.toLong))).toDF("g", "v")
+    def sets(parts: Int): Map[Int, Option[Set[Long]]] =
+      df.repartition(parts).groupBy("g")
+        .agg(expr("capped_list(v, 20)").as("c")).collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1).toSet))).toMap
+    val a = sets(1)
+    val b = sets(32)
+    assert(a == b)
+    assert(a(999).isEmpty) // hot key capped to NULL in both
+    assert(a(1).contains((0L until 10L).toSet))
+  }
+
   test("bloom_distinct saturates to MaxValue instead of lying") {
     SketchAggregates.register(spark)
     import spark.implicits._
