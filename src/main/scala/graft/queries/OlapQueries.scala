@@ -109,6 +109,73 @@ FROM events GROUP BY event_type"""),
             element_at(col("p"), 3).as("p99"))),
 
     QueryDef(
+      "q47_percentiles_approx",
+      "The q34 t-digest swap-in, delivered: approx_percentile (bounded " +
+        "memory, mergeable — the 100TB path) next to the exact " +
+        "percentile, with the estimate hash-checked in-band like " +
+        "q25/q28 — in RANK space, the metric the GK sketch actually " +
+        "bounds: each approx quantile must lie between the exact " +
+        "quantiles at ±0.01 rank (a value-space bound would flake on " +
+        "sparse tails, where adjacent order statistics are far apart). " +
+        "The oracle computes the exact columns and expects the " +
+        "predicate uniformly true.",
+      Some("""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       true AS approx_ok
+FROM events GROUP BY event_type"""),
+      (s, dir) => {
+        // ex holds exact quantiles at the targets AND at the ±0.01 rank
+        // guard positions: [.5,.95,.99, .49,.51, .94,.96, .98, 1.0]
+        def between(ap: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+          ap >= element_at(col("ex"), lo) && ap <= element_at(col("ex"), hi)
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(value, " +
+              "array(0.5, 0.95, 0.99, 0.49, 0.51, 0.94, 0.96, 0.98, 1.0))")
+              .as("ex"),
+            expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
+              .as("ap"))
+          .select(col("event_type"),
+            element_at(col("ex"), 1).as("p50"),
+            element_at(col("ex"), 2).as("p95"),
+            element_at(col("ex"), 3).as("p99"),
+            (between(element_at(col("ap"), 1), 4, 5) &&
+              between(element_at(col("ap"), 2), 6, 7) &&
+              between(element_at(col("ap"), 3), 8, 9)).as("approx_ok"))
+      }),
+
+    QueryDef(
+      "q48_rolling_7d_features",
+      "Time-RANGE rolling features (the other half of q36's ROWS " +
+        "frames): per user, count and decimal-exact value sum over the " +
+        "trailing 7 event-time days at every event. RANGE frames peer " +
+        "rows by the microsecond order key, so ties aggregate " +
+        "identically in both engines. One exchange on user_id, " +
+        "in-partition sort — same scale shape as q36.",
+      Some("""
+SELECT event_id, user_id, epoch_us(ts) AS us,
+       count(*) OVER w AS cnt_7d,
+       (sum(value::DECIMAL(18,3)) OVER w)::DOUBLE AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+          .rangeBetween(-604800000000L, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            expr("ts_ns div 1000").as("us"))
+          .select(col("event_id"), col("user_id"), col("us"),
+            count(lit(1)).over(w).as("cnt_7d"),
+            sum(col("value").cast(DecimalType(18, 3))).over(w)
+              .cast("double").as("sum_7d"))
+      }),
+
+    QueryDef(
       "q35_revenue_by_nation",
       "4-way join customer ⋈ orders ⋈ lineitem ⋈ nation (TPC-H Q5 " +
         "shape): lineitem⋈orders is the one big shuffle join (both sides " +

@@ -88,6 +88,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q47: approx quantiles inside the bound at sf0.001 too") {
+    val rows = run("q47_percentiles_approx").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"), r.toString)
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95"))
+      assert(r.getAs[Double]("p95") <= r.getAs[Double]("p99"))
+    }
+  }
+
+  test("q48: rolling 7d window matches a brute-force scan for sample users") {
+    val rows = run("q48_rolling_7d_features").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("cnt_7d"))).toSeq
+    val byUser = rows.groupBy(_._1)
+    val week = 604800000000L
+    byUser.take(5).foreach { case (_, evs) =>
+      evs.foreach { case (_, us, cnt) =>
+        val want = evs.count(e => e._2 >= us - week && e._2 <= us)
+        assert(cnt == want, s"at us=$us: cnt_7d=$cnt brute=$want")
+      }
+    }
+  }
+
   test("q45: per-stratum rates respected, long stratum fully kept, deterministic") {
     val sampled = run("q45_stratified_sample").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("stratum")))
