@@ -58,4 +58,21 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
   }
+
+  /** Write-OPTIMIZED layout: directory partitions for partition pruning
+    * plus range-clustered, sorted files within each partition so parquet
+    * row-group min/max statistics prune point and range reads. The
+    * range repartition spans (partitionCols ++ sortCols), so each task
+    * writes a contiguous slice: few files per directory, disjoint sort
+    * ranges across them. This is the layout step between a pipeline's
+    * last transform and its consumers at 100TB — without it, every
+    * downstream point-read scans every file.
+    */
+  def layout(df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCols: Seq[String], numFiles: Int): Unit = {
+    val keys = (partitionCols ++ sortCols).map(col)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

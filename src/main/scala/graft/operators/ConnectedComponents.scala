@@ -55,6 +55,11 @@ object ConnectedComponents {
       labels = updated.select(col("id"), col("nlbl").as("lbl"))
       round += 1
     }
+    // a silent non-converged result would be wrong labels — fail loudly
+    // (maxIter bounds rounds at component diameter; hitting it means the
+    // caller's graph needs large-star/small-star, not more iterations)
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds")
     // the loop's counts materialized the final label cache, which no
     // longer references the edge list — safe to release it here
     sym.unpersist()

@@ -263,6 +263,64 @@ WHERE dup.doc_b IS NULL"""),
       }),
 
     QueryDef(
+      "q49_data_quality_report",
+      "Data-quality report (Deequ-style constraint checking, the gate " +
+        "before any training run): row counts, null counts, domain " +
+        "violations, and referential-integrity orphan counts as one " +
+        "(metric, value) frame. Each check is a partial-aggregated " +
+        "scan or an anti-join on the FK — at 100TB the counts shuffle " +
+        "O(1) partials and the orphan checks are plain equi-joins, so " +
+        "the report costs one pass per table.",
+      Some("""
+SELECT 'lineitem_rows' AS metric, count(*)::BIGINT AS value FROM lineitem
+UNION ALL
+SELECT 'lineitem_null_orderkey', count(*) FILTER (WHERE l_orderkey IS NULL)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'lineitem_qty_out_of_domain', count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'lineitem_orphan_orders', count(*)::BIGINT
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'orders_rows', count(*)::BIGINT FROM orders
+UNION ALL
+SELECT 'orders_orphan_customer', count(*)::BIGINT
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL"""),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        // all per-table checks ride ONE aggregation per table (then
+        // unpivot via stack) — six separate global aggs would cost six
+        // exchanges for what one scan can count
+        val liStats = li.agg(
+            count(lit(1)).as("n"),
+            count(when(col("l_orderkey").isNull, 1)).as("nn"),
+            count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+              .as("nd"))
+          .selectExpr("stack(3, 'lineitem_rows', n, " +
+            "'lineitem_null_orderkey', nn, " +
+            "'lineitem_qty_out_of_domain', nd) AS (metric, value)")
+        val ordStats = ord.agg(count(lit(1)).as("n"))
+          .selectExpr("stack(1, 'orders_rows', n) AS (metric, value)")
+        def orphan(name: String, left: org.apache.spark.sql.DataFrame,
+            rightKey: org.apache.spark.sql.DataFrame,
+            cond: org.apache.spark.sql.Column) =
+          left.join(rightKey, cond, "left_anti")
+            .agg(count(lit(1)).as("value"))
+            .select(lit(name).as("metric"), col("value"))
+        liStats
+          .unionAll(orphan("lineitem_orphan_orders", li,
+            ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey")))
+          .unionAll(ordStats)
+          .unionAll(orphan("orders_orphan_customer", ord,
+            cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey")))
+      }),
+
+    QueryDef(
       "q38_text_normalize",
       "Text normalization (training-corpus cleaning): lowercase, strip " +
         "non-alphanumerics, collapse whitespace — the canonical form fed " +

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Sinks
+
+/** The write-layout operator: directory partitioning + in-file sort +
+  * disjoint ranges across files — the properties that make downstream
+  * reads pruneable.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("layout writes partition dirs with sorted, range-disjoint files") {
+    val dir = Files.createTempDirectory("graft_layout").toString + "/events"
+    val src = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    Sinks.layout(src, dir, Seq("event_type"), Seq("user_id"), numFiles = 8)
+
+    // 1. directory partitioning
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("event_type=")).toSet
+    val types = src.select("event_type").distinct()
+      .collect().map(r => s"event_type=${r.getString(0)}").toSet
+    assert(dirs == types, s"dirs=$dirs")
+
+    // 2. nothing lost
+    val back = spark.read.parquet(dir)
+    assert(back.count() == src.count())
+
+    // 3. within every file (read individually — the only way to observe
+    //    on-disk row order), rows are sorted by user_id; across files of
+    //    one partition dir, user_id ranges are strictly disjoint (range
+    //    repartitioning puts equal keys in the same task)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_type=")).foreach { td =>
+        val files = td.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.nonEmpty)
+        val ranges = files.toSeq.map { f =>
+          val vals = spark.read.parquet(f.getAbsolutePath)
+            .select("user_id").collect().map(_.getLong(0)).toSeq
+          assert(vals == vals.sorted, s"${f.getName} not sorted by user_id")
+          (vals.min, vals.max)
+        }
+        ranges.sortBy(_._1).sliding(2).foreach {
+          case Seq((_, hi1), (lo2, _)) =>
+            assert(hi1 < lo2, s"overlapping file ranges in ${td.getName}: $ranges")
+          case _ =>
+        }
+      }
+  }
+}
