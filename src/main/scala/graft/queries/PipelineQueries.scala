@@ -342,6 +342,55 @@ FROM d"""
       }),
 
     QueryDef(
+      "q50_sequence_packing",
+      "Sequence packing for training: documents are concatenated in a " +
+        "deterministic shuffled order (md5-hash key) and chunked into " +
+        "2048-token bins — each doc's bin is its start offset div " +
+        "budget, exactly the concat-then-chunk semantics of LLM data " +
+        "prep. The global running sum is computed as a TWO-PHASE " +
+        "prefix sum: per-bucket exclusive cumsum (partitioned window) " +
+        "+ tiny triangular-join bucket offsets — the naive single " +
+        "global-order window would funnel the whole corpus through " +
+        "one task, the exact scale-killer PlanSpec forbids.",
+      Some(s"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+                  ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")} AS h
+           FROM documents),
+o AS (SELECT doc_id,
+             COALESCE(sum(n_tok) OVER (ORDER BY h % 32, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_tok
+      FROM t)
+SELECT doc_id, start_tok, start_tok // 2048 AS bin FROM o"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+            graft.functions.TextHashing.hash60(col("doc_id").cast("string"))
+              .as("h"))
+          .withColumn("bucket", pmod(col("h"), lit(32L)))
+        // phase 1: exclusive prefix sum WITHIN each bucket (partitioned
+        // window — each bucket sorts independently)
+        val w = Window.partitionBy(col("bucket"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = docs.withColumn("local_cum",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        // phase 2: each bucket's global offset = sum of earlier buckets'
+        // totals — a triangular join over 32 aggregated rows, broadcast
+        val totals = docs.groupBy(col("bucket")).agg(sum(col("n_tok")).as("tot"))
+        val offsets = totals.join(
+            broadcast(totals.select(col("bucket").as("b2"), col("tot").as("t2"))),
+            col("b2") < col("bucket"), "left")
+          .groupBy(col("bucket"))
+          .agg(coalesce(sum(col("t2")), lit(0L)).as("bucket_off"))
+        local.join(broadcast(offsets), Seq("bucket"))
+          .select(col("doc_id"),
+            (col("bucket_off") + col("local_cum")).as("start_tok"),
+            expr("(bucket_off + local_cum) div 2048").as("bin"))
+      }),
+
+    QueryDef(
       "q45_stratified_sample",
       "Deterministic stratified sampling for dataset mixing: documents " +
         "bucketed by length stratum (short/medium/long), each stratum " +

@@ -88,6 +88,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q50: packing is a permutation prefix-sum — offsets contiguous, bins dense") {
+    val rows = run("q50_sequence_packing").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("bin")))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == nTok.size)
+    // sorted by start offset, each doc begins exactly where the previous
+    // ended — the two-phase prefix sum IS a single global concatenation
+    val ordered = rows.sortBy(_._2)
+    ordered.foldLeft(0L) { case (expected, (d, start, bin)) =>
+      assert(start == expected, s"doc $d starts at $start, expected $expected")
+      assert(bin == start / 2048)
+      expected + nTok(d)
+    }
+    val bins = ordered.map(_._3)
+    assert(bins.distinct.sorted.sameElements(bins.min to bins.max),
+      "bins must be dense")
+  }
+
   test("q47: approx quantiles inside the bound at sf0.001 too") {
     val rows = run("q47_percentiles_approx").collect()
     assert(rows.nonEmpty)
