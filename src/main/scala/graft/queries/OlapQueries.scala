@@ -321,6 +321,41 @@ WHERE c.c_custkey IS NULL"""),
       }),
 
     QueryDef(
+      "q51_range_band_join",
+      "Point-in-interval lookup (IP-geo / price-band shape) as a " +
+        "BUCKETIZED range join: each irregular [lo,hi) band explodes " +
+        "to its covering fixed-width buckets, the probe side computes " +
+        "its bucket map-only, and the join becomes a broadcast HASH " +
+        "equi-join on bucket + residual filter. The naive BETWEEN " +
+        "theta-join plans as BroadcastNestedLoop — every (row, band) " +
+        "pair scanned; PlanSpec asserts the rewrite really produces a " +
+        "hash join. Quadratic band edges i²·5 are exact in double.",
+      Some("""
+WITH bands AS (
+  SELECT i::BIGINT AS band_id, (i*i*5)::DOUBLE AS lo, ((i+1)*(i+1)*5)::DOUBLE AS hi
+  FROM generate_series(0, 9) t(i))
+SELECT band_id, lo, hi, count(*) AS cnt,
+       sum(value::DECIMAL(18,2))::DOUBLE AS value_sum
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id, lo, hi"""),
+      (s, dir) => {
+        import s.implicits._
+        val g = 32.0
+        val bands = (0 until 10).map(i =>
+          (i.toLong, i * i * 5.0, (i + 1) * (i + 1) * 5.0))
+          .toDF("band_id", "lo", "hi")
+        val expanded = bands.withColumn("bkt",
+          explode(sequence(floor(col("lo") / g), floor(col("hi") / g))))
+        Tables.events(s, dir)
+          .withColumn("bkt", floor(col("value") / g))
+          .join(broadcast(expanded), Seq("bkt"))
+          .filter(col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("band_id"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(dec)).cast("double").as("value_sum"))
+      }),
+
+    QueryDef(
       "q38_text_normalize",
       "Text normalization (training-corpus cleaning): lowercase, strip " +
         "non-alphanumerics, collapse whitespace — the canonical form fed " +

@@ -68,6 +68,14 @@ class PlanSpec extends SparkSpec {
       "benchmark grams should broadcast-join the corpus gram stream")
   }
 
+  test("q51: bucketized range join is a hash join, not a nested loop") {
+    val nodes = collectAll(plan("q51_range_band_join"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bucketization should yield an equi hash join")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the BETWEEN theta-join shape (nested loop) must not appear")
+  }
+
   test("global top-k queries use TakeOrderedAndProject, not a global sort") {
     Seq("q14_top_brands_by_revenue", "q23_embedding_topk_pairs", "q39_ann_lsh")
       .foreach { q =>
