@@ -25,7 +25,8 @@ object PlanDump {
       "q14_top_brands_by_revenue", "q21_dedup_minhash_lsh",
       "q23_embedding_topk_pairs", "q24_ann_ivf", "q27_topk_agg",
       "q31_sessionization", "q33_asof_join", "q39_ann_lsh",
-      "q42_decontamination", "q43_tfidf_topterms")
+      "q42_decontamination", "q43_tfidf_topterms",
+      "q50_sequence_packing", "q51_range_band_join")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -16,6 +16,14 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
   }
 
+  test("EVERY catalog query carries a DuckDB oracle (no rows-only checks)") {
+    // engine-specific outputs (sketches, trained models) verify via
+    // in-band exact columns / invariants — there is no excuse for a
+    // catalog entry the driver can't hash-check
+    val missing = SparkEntry.catalog.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

@@ -223,7 +223,13 @@ class StreamingSpec extends SparkSpec {
     val q = ranked.writeStream.format("memory").queryName("hot_ranked")
       .outputMode("append").start()
     try {
-      input.addData(views.toSeq); q.processAllAvailable()
+      // split into time-ordered batches so open windows span batches:
+      // the first agg must carry cross-batch state before the watermark
+      // closes each window and the topk stage sees it
+      val ordered = views.sortBy(_.tsMs)
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
       input.addData(StreamEvent(-1L, -1L, "sentinel", ts(maxMs + 48 * 3600 * 1000L)))
       q.processAllAvailable()
       input.addData(StreamEvent(-1L, -2L, "sentinel", ts(maxMs + 96 * 3600 * 1000L)))
