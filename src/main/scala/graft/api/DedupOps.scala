@@ -1,0 +1,88 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHashExpressions, TextHashing}
+import graft.operators.ConnectedComponents
+
+/** User-facing dedup API over caller-named columns. The catalog queries
+  * (q15, q21, q22, q37, q46) wrap these, keeping every path under the
+  * DuckDB oracle gate.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups by content digest. Output: sig, keeper_id,
+    * n_copies. Only the 16-byte digest shuffles.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol).cast("binary")).as("sig"), col(idCol))
+      .groupBy(col("sig"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-duplicate pairs with exact shingle-Jaccard
+    * verification. Output: doc_a, doc_b, jaccard_x1000 (>= threshold).
+    * Band keys shuffle id-only; shingle sets rejoin candidates only.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      jaccardX1000Threshold: Int = 500): DataFrame = {
+    import TextHashing._
+    TextHashExpressions.register(df.sparkSession)
+    val hashed = df
+      .select(col(idCol), split(col(textCol), " ", -1).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), expr(s"shingle_hashes(toks, 3, $P)").as("hs"))
+    val bands = hashed
+      .withColumn("mh", minhash(col("hs")))
+      .select(col(idCol),
+        posexplode(array((0 until Bands).map { b =>
+          concat_ws(":", (0 until RowsPerBand).map(r =>
+            element_at(col("mh"), b * RowsPerBand + r + 1)): _*)
+        }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    val cand = bands.select(col("band"), col("bkey"), col(idCol).as("doc_a"))
+      .join(bands.select(col("band"), col("bkey"), col(idCol).as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a")),
+        Seq("doc_a"))
+      .join(hashed.select(col(idCol).as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("it", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("un", size(array_distinct(concat(col("hs_a"), col("hs_b")))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(it * 1000) div un").as("jaccard_x1000"))
+      .filter(col("jaccard_x1000") >= jaccardX1000Threshold)
+  }
+
+  /** 60-bit SimHash + 12-bit blocking prefix. Output: idCol, simhash,
+    * block. Map-only, codegen'd.
+    */
+  def simhashFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        transform(array_distinct(split(col(textCol), " ", -1)),
+          t => TextHashing.hash60(t)).as("hs"))
+      .select(col(idCol), TextHashing.simhash(col("hs")).as("simhash"))
+      .withColumn("block", expr(s"simhash div ${1L << 48}"))
+
+  /** Transitive near-dup clusters over a pair frame. Output: doc_id,
+    * cluster_id (= component min). See ConnectedComponents for rounds.
+    */
+  def clusters(pairs: DataFrame, leftCol: String = "doc_a",
+      rightCol: String = "doc_b"): DataFrame =
+    ConnectedComponents.minLabel(pairs, leftCol, rightCol)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
+  /** The dedup pipeline's consumable output: the corpus minus every doc
+    * appearing as the higher id of a near-dup pair (pair-wise form; use
+    * [[clusters]] keepers for chain-exact dedup).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    df.join(broadcast(pairs.select(col("doc_b").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashing
+
+/** Dataset assembly API: reproducible splits, sampling, and sequence
+  * packing. Everything keys on md5-hash60 of the id — deterministic
+  * across runs/engines and stable under corpus growth — never rand().
+  */
+object SampleOps {
+
+  /** Deterministic id-hash bucket in [0, mod). */
+  def hashBucket(idCol: Column, mod: Long): Column =
+    pmod(TextHashing.hash60(idCol.cast("string")), lit(mod))
+
+  /** Train/val/test assignment column from the id hash: train < trainPct,
+    * val < trainPct+valPct, else test (percent of 100).
+    */
+  def splitColumn(idCol: Column, trainPct: Int, valPct: Int): Column = {
+    val b = hashBucket(idCol, 100L)
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Per-stratum hash-rate sampling: keeps rows whose id-hash (mod 1000)
+    * falls under their stratum's rate. Map-only, reproducible,
+    * growth-stable per stratum.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesX1000: Map[String, Int], defaultX1000: Int): DataFrame = {
+    val rate = ratesX1000.foldLeft(when(lit(false), defaultX1000)) {
+      case (acc, (stratum, r)) => acc.when(col(stratumCol) === stratum, r)
+    }.otherwise(defaultX1000)
+    df.filter(hashBucket(col(idCol), 1000L) < rate)
+  }
+
+  /** Sequence packing: concat-then-chunk bin assignment. Docs are
+    * ordered by (id-hash bucket, id-hash, id) and each doc's bin is its
+    * start offset div `budget` — the global running sum computed as a
+    * TWO-PHASE prefix sum (per-bucket exclusive cumsum + triangular
+    * bucket offsets) so no global-order window exists. Output: input
+    * id column, start_tok, bin.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+      budget: Long, buckets: Int = 32): DataFrame = {
+    val docs = df
+      .select(col(idCol), col(nTokCol).cast("long").as("n_tok"),
+        TextHashing.hash60(col(idCol).cast("string")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs.withColumn("local_cum",
+      coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    val totals = docs.groupBy(col("bucket")).agg(sum(col("n_tok")).as("tot"))
+    val offsets = totals.join(
+        broadcast(totals.select(col("bucket").as("b2"), col("tot").as("t2"))),
+        col("b2") < col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("t2")), lit(0L)).as("bucket_off"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .select(col(idCol),
+        (col("bucket_off") + col("local_cum")).as("start_tok"),
+        expr(s"(bucket_off + local_cum) div $budget").as("bin"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHashExpressions, TextHashing}
+
+/** User-facing text-pipeline API: every operator is a pure
+  * DataFrame → DataFrame function over caller-named columns, so any
+  * corpus — not just the bundled `documents` table — can run the
+  * pipeline. The catalog queries (q16–q19, q38, q44) are thin wrappers
+  * over these, which keeps them under the DuckDB oracle gate; all
+  * scale notes on those queries apply unchanged (each op here is
+  * map-only and whole-stage-codegen friendly).
+  */
+object TextOps {
+
+  /** Non-overlapping occurrence count of literal `w` (LTR, same as
+    * DuckDB replace-length arithmetic).
+    */
+  def occurrences(c: Column, w: String): Column =
+    ((length(c) - length(replace(c, lit(w), lit("")))) / lit(w.length))
+      .cast("long")
+
+  /** Whitespace token + char counts. Output: idCol, n_tokens, text_len. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"),
+      length(col(textCol)).cast("long").as("text_len"))
+
+  /** Integer fixed-point quality score + bucket. Output: idCol, n_tok,
+    * tok_len_x1000, stop_x1000, quality.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      stopword: String = " the "): DataFrame =
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_char"),
+        size(split(col(textCol), " ", -1)).cast("long").as("n_tok"),
+        occurrences(col(textCol), stopword).as("n_stop"))
+      .select(col(idCol), col("n_tok"),
+        expr("((n_char - (n_tok - 1)) * 1000) div n_tok").as("tok_len_x1000"),
+        expr("(n_stop * 1000) div n_tok").as("stop_x1000"),
+        when(col("n_tok") >= 40 &&
+            expr("(n_stop * 1000) div n_tok") >= 20, "high")
+          .when(col("n_tok") >= 15, "medium")
+          .otherwise("low").as("quality"))
+
+  /** Marker-token language ID with deterministic first-wins argmax.
+    * Adds column `pred_lang` to the input columns.
+    */
+  def langId(df: DataFrame, textCol: String,
+      markers: Seq[(String, String)]): DataFrame = {
+    val scored = markers.foldLeft(df) { case (d, (l, w)) =>
+      d.withColumn(s"s_$l", occurrences(col(textCol), w))
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.dropRight(1).foldLeft(when(lit(false), "")) { (acc, l) =>
+      val geq = langs.filterNot(_ == l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      acc.when(geq, l)
+    }.otherwise(langs.last)
+    scored.withColumn("pred_lang", pred)
+      .drop(langs.map(l => s"s_$l"): _*)
+  }
+
+  /** Blocking fingerprints. Output: idCol, sig, prefix_sig, len_bucket
+    * (needs a pre-computed char-length column `lenCol`).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+      lenCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("sig"),
+      md5(substring(col(textCol), 1, 64).cast("binary")).as("prefix_sig"),
+      expr(s"$lenCol div 100").as("len_bucket"))
+
+  /** Canonical text normalization (lowercase, strip non-alnum, collapse
+    * whitespace) — cross-engine-safe character classes only.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Within-doc duplicate-n-gram fraction (Gopher/C4 repetition rule).
+    * Output: idCol, total_grams, dup_x1000, keep.
+    */
+  def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
+      keepBelowX1000: Int = 300): DataFrame = {
+    TextHashExpressions.register(df.sparkSession)
+    df.select(col(idCol), split(col(textCol), " ", -1).as("toks"))
+      .select(col(idCol),
+        greatest(size(col("toks")) - 2, lit(0)).cast("long").as("total_grams"),
+        size(expr(s"shingle_hashes(toks, 3, ${TextHashing.P})")).cast("long")
+          .as("nd"))
+      .select(col(idCol), col("total_grams"),
+        when(col("total_grams") > 0,
+          expr("((total_grams - nd) * 1000) div total_grams"))
+          .otherwise(0L).as("dup_x1000"))
+      .withColumn("keep", col("dup_x1000") <= keepBelowX1000)
+  }
+
+  /** Per-doc top-k TF-IDF-proxy terms (integer fixed-point score).
+    * Output: idCol, term, score_x, rn.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    graft.functions.SketchAggregates.register(df.sparkSession)
+    val tf = df
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .select(col(idCol), col("term"),
+        expr("(tf * 1000000) div df").as("score_x"))
+      .groupBy(col(idCol))
+      .agg(expr(s"topk_agg($k, score_x, term)").as("top"))
+      .select(col(idCol), explode(col("top")).as("e"))
+      .select(col(idCol), col("e.key").as("term"),
+        col("e.cnt").as("score_x"), col("e.rn").as("rn"))
+  }
+
+  /** Corpus documents sharing >= 1 hashed n-token gram with a benchmark
+    * frame. Output: idCol, n_shared_grams (docs with zero overlap are
+    * absent). Benchmark side is broadcast — at scale it is tiny.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    TextHashExpressions.register(corpus.sparkSession)
+    def grams(d: DataFrame) = d
+      .select(col(idCol), split(col(textCol), " ", -1).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol),
+        expr(s"shingle_hashes(toks, $n, ${TextHashing.P})").as("gs"))
+    val bench = grams(benchmark).select(explode(col("gs")).as("g")).distinct()
+    grams(corpus)
+      .select(col(idCol), explode(col("gs")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+}

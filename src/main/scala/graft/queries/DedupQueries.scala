@@ -75,41 +75,13 @@ FROM v WHERE (it * 1000) // un >= 500"""
         "join touches real near-dups instead of all O(n²) pairs; the " +
         "verify re-reads shingles only for candidates.",
       Some(q21OracleSql),
-      (s, dir) => {
-        // Band join carries ONLY (band, key, id) — the shingle-hash sets
-        // rejoin just for surviving candidates, so shuffle volume is
-        // O(docs × 4 keys) + O(candidates × set), not O(docs × 4 × set).
-        // shingle_hashes is the native codegen path for the whole
-        // shingle→md5→mod→distinct chain (HOFs run interpreted).
-        graft.functions.TextHashExpressions.register(s)
-        val hashed = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), expr(s"shingle_hashes(toks, 3, $P)").as("hs"))
-        val bands = hashed
-          .withColumn("mh", minhash(col("hs")))
-          .select(col("doc_id"),
-            posexplode(array((0 until Bands).map { b =>
-              concat_ws(":", (0 until RowsPerBand).map(r =>
-                element_at(col("mh"), b * RowsPerBand + r + 1)): _*)
-            }: _*)))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "bkey")
-        val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-          .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
-            Seq("band", "bkey"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-          .dropDuplicates("doc_a", "doc_b")
-        cand
-          .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-          .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-          .withColumn("it", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
-          .withColumn("un", size(array_distinct(concat(col("hs_a"), col("hs_b")))).cast("long"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("(it * 1000) div un").as("jaccard_x1000"))
-          .filter(col("jaccard_x1000") >= 500)
-      }),
+      (s, dir) =>
+        // Band join carries ONLY (band, key, id); shingle-hash sets
+        // rejoin just for surviving candidates (see DedupOps.minhashPairs
+        // — shuffle volume O(docs × 4 keys) + O(candidates × set)).
+        graft.api.DedupOps.minhashPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          jaccardX1000Threshold = 500)),
 
     QueryDef(
       "q29_ngram_jaccard",
@@ -187,12 +159,8 @@ f AS (SELECT doc_id, ${simhashSql("hs")} AS simhash FROM t)
 SELECT doc_id, simhash, simhash // ${1L << 48} AS block
 FROM f"""),
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            transform(array_distinct(split(col("text"), " ", -1)),
-              t => hash60(t)).as("hs"))
-          .select(col("doc_id"), simhash(col("hs")).as("simhash"))
-          .withColumn("block", expr(s"simhash div ${1L << 48}"))),
+        graft.api.DedupOps.simhashFingerprint(
+          Tables.documents(s, dir), "doc_id", "text")),
 
     QueryDef(
       "q23_embedding_topk_pairs",
@@ -364,12 +332,9 @@ reach(s, t) AS (
   SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
 SELECT s AS doc_id, least(s, min(t)) AS cluster_id
 FROM reach GROUP BY s"""),
-      (s, dir) => {
-        val pairs = all.find(_.name == "q21_dedup_minhash_lsh").get.build(s, dir)
-        graft.operators.ConnectedComponents
-          .minLabel(pairs, "doc_a", "doc_b")
-          .select(col("id").as("doc_id"), col("cluster_id"))
-      }),
+      (s, dir) =>
+        graft.api.DedupOps.clusters(
+          all.find(_.name == "q21_dedup_minhash_lsh").get.build(s, dir))),
 
     QueryDef(
       "q25_uv_approx",

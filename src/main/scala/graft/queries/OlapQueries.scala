@@ -256,9 +256,8 @@ WHERE dup.doc_b IS NULL"""),
       (s, dir) => {
         val pairs = DedupQueries.all.find(_.name == "q21_dedup_minhash_lsh").get
           .build(s, dir)
-        Tables.documents(s, dir)
-          .join(broadcast(pairs.select(col("doc_b").as("doc_id")).distinct()),
-            Seq("doc_id"), "left_anti")
+        graft.api.DedupOps.dropNearDuplicates(
+            Tables.documents(s, dir), "doc_id", pairs)
           .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
       }),
 
@@ -369,8 +368,7 @@ SELECT doc_id,
                                   ' +', ' ', 'g'))) AS norm_len
 FROM documents"""),
       (s, dir) => {
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        val norm = graft.api.TextOps.normalize(col("text"))
         Tables.documents(s, dir)
           .select(col("doc_id"), norm.as("norm_text"),
             length(norm).cast("long").as("norm_len"))

@@ -44,10 +44,8 @@ SELECT md5(text) AS sig, min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents
 GROUP BY 1"""),
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(md5(col("text").cast("binary")).as("sig"), col("doc_id"))
-          .groupBy(col("sig"))
-          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))),
+        graft.api.DedupOps.exactDuplicates(
+          Tables.documents(s, dir), "doc_id", "text")),
 
     QueryDef(
       "q16_token_stats",
@@ -58,10 +56,7 @@ SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
        length(text) AS text_len
 FROM documents"""),
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
-            length(col("text")).cast("long").as("text_len"))),
+        graft.api.TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")),
 
     QueryDef(
       "q17_quality_score",
@@ -81,17 +76,8 @@ SELECT doc_id, n_tok,
             WHEN n_tok >= 15 THEN 'medium' ELSE 'low' END AS quality
 FROM t"""),
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), length(col("text")).cast("long").as("n_char"),
-            size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
-            occ(col("text"), " the ").as("n_stop"))
-          .select(col("doc_id"), col("n_tok"),
-            expr("((n_char - (n_tok - 1)) * 1000) div n_tok").as("tok_len_x1000"),
-            expr("(n_stop * 1000) div n_tok").as("stop_x1000"),
-            when(col("n_tok") >= 40 &&
-                expr("(n_stop * 1000) div n_tok") >= 20, "high")
-              .when(col("n_tok") >= 15, "medium")
-              .otherwise("low").as("quality"))),
+        graft.api.TextOps.qualityScore(
+          Tables.documents(s, dir), "doc_id", "text")),
 
     QueryDef(
       "q18_lang_id",
@@ -118,20 +104,9 @@ FROM t"""
       (s, dir) => {
         val ms = Seq("en" -> " scan ", "es" -> " join ", "de" -> " filter ",
           "zh" -> " window ", "fr" -> " group ")
-        val scored = ms.foldLeft(Tables.documents(s, dir)
-            .select(col("doc_id"), col("lang"), col("text"))) {
-          case (df, (l, w)) => df.withColumn(s"s_$l", occ(col("text"), w))
-        }
-        val langs = ms.map(_._1)
-        val pred = langs.dropRight(1).foldLeft(
-            when(lit(false), "")) { (acc, l) =>
-          val geq = langs.filterNot(_ == l)
-            .map(o => col(s"s_$l") >= col(s"s_$o"))
-            .reduce(_ && _)
-          acc.when(geq, l)
-        }.otherwise(langs.last)
-        scored
-          .withColumn("pred_lang", pred)
+        graft.api.TextOps.langId(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+              col("text")), "text", ms)
           .select(col("doc_id"), col("lang"), col("pred_lang"),
             when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("hit"))
       }),
@@ -146,10 +121,8 @@ SELECT doc_id, md5(text) AS sig,
        n_chars // 100 AS len_bucket
 FROM documents"""),
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("sig"),
-            md5(substring(col("text"), 1, 64).cast("binary")).as("prefix_sig"),
-            expr("n_chars div 100").as("len_bucket"))),
+        graft.api.TextOps.fingerprint(
+          Tables.documents(s, dir), "doc_id", "text", "n_chars")),
 
     QueryDef(
       "q20_ann_cosine_topk",
@@ -169,24 +142,10 @@ SELECT qid, nid,
        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
 FROM j
 QUALIFY rn <= 10"""),
-      (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
-        val base = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
-        val q = base.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        val n = base.select(col("vec_id").as("nid"), col("v").as("nv"),
-          col("nrm").as("nn"))
-        broadcast(q).join(n, col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            (expr("dot_f(qv, nv)") / (col("qn") * col("nn"))).as("sim"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
-          .filter(col("rn") <= 10)
-          .select(col("qid"), col("nid"), col("rn"))
-      }),
+      (s, dir) =>
+        graft.api.VectorOps.annBruteTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryPred = col("vec_id") < 50, k = 10)),
 
     QueryDef(
       "q41_hash_split",
@@ -206,17 +165,13 @@ t AS (SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
                   ELSE 'test' END AS split, n_tok FROM a)
 SELECT split, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
 FROM t GROUP BY split"""),
-      (s, dir) => {
-        val b = pmod(graft.functions.TextHashing.hash60(
-          col("doc_id").cast("string")), lit(100L))
+      (s, dir) =>
         Tables.documents(s, dir)
           .select(
-            when(b < 90, "train").when(b < 95, "val").otherwise("test")
-              .as("split"),
+            graft.api.SampleOps.splitColumn(col("doc_id"), 90, 5).as("split"),
             size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
           .groupBy(col("split"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      }),
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))),
 
     QueryDef(
       "q42_decontamination",
@@ -244,20 +199,11 @@ FROM c JOIN b USING (g)
 GROUP BY doc_id"""
       },
       (s, dir) => {
-        graft.functions.TextHashExpressions.register(s)
-        val P = graft.functions.TextHashing.P
-        val grams = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
-          .filter(size(col("toks")) >= 8)
-          .select(col("doc_id"), expr(s"shingle_hashes(toks, 8, $P)").as("gs"))
-        val bench = grams.filter(col("doc_id") % 50 === 0)
-          .select(explode(col("gs")).as("g")).distinct()
-        grams.filter(col("doc_id") % 50 =!= 0)
-          .select(col("doc_id"), explode(col("gs")).as("g"))
-          .join(broadcast(bench), Seq("g"))
-          .groupBy(col("doc_id"))
-          // per-doc grams are already distinct (shingle_hashes dedups)
-          .agg(count(lit(1)).as("n_shared_grams"))
+        val docs = Tables.documents(s, dir)
+        graft.api.TextOps.decontaminate(
+          corpus = docs.filter(col("doc_id") % 50 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8)
       }),
 
     QueryDef(
@@ -281,22 +227,9 @@ r AS (SELECT doc_id, term, score_x,
                                 ORDER BY score_x DESC, term ASC) AS rn
       FROM sc)
 SELECT doc_id, term, score_x, rn FROM r WHERE rn <= 3"""),
-      (s, dir) => {
-        graft.functions.SketchAggregates.register(s)
-        val tf = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        tf.join(df, Seq("term"))
-          .select(col("doc_id"), col("term"),
-            expr("(tf * 1000000) div df").as("score_x"))
-          .groupBy(col("doc_id"))
-          .agg(expr("topk_agg(3, score_x, term)").as("top"))
-          .select(col("doc_id"), explode(col("top")).as("e"))
-          .select(col("doc_id"), col("e.key").as("term"),
-            col("e.cnt").as("score_x"), col("e.rn").as("rn"))
-      }),
+      (s, dir) =>
+        graft.api.TextOps.tfidfTopTerms(
+          Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
     QueryDef(
       "q44_repetition_filter",
@@ -325,21 +258,9 @@ d AS (SELECT doc_id, total_grams,
 SELECT doc_id, total_grams, dup_x1000, dup_x1000 <= 300 AS keep
 FROM d"""
       },
-      (s, dir) => {
-        graft.functions.TextHashExpressions.register(s)
-        val P = graft.functions.TextHashing.P
-        Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
-          .select(col("doc_id"),
-            greatest(size(col("toks")) - 2, lit(0)).cast("long").as("total_grams"),
-            // shingle_hashes is empty for < 3 tokens, so nd = 0 there
-            size(expr(s"shingle_hashes(toks, 3, $P)")).cast("long").as("nd"))
-          .select(col("doc_id"), col("total_grams"),
-            when(col("total_grams") > 0,
-              expr("((total_grams - nd) * 1000) div total_grams"))
-              .otherwise(0L).as("dup_x1000"))
-          .withColumn("keep", col("dup_x1000") <= 300)
-      }),
+      (s, dir) =>
+        graft.api.TextOps.repetitionFilter(
+          Tables.documents(s, dir), "doc_id", "text")),
 
     QueryDef(
       "q50_sequence_packing",
@@ -362,33 +283,11 @@ o AS (SELECT doc_id,
                AS start_tok
       FROM t)
 SELECT doc_id, start_tok, start_tok // 2048 AS bin FROM o"""),
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
-            graft.functions.TextHashing.hash60(col("doc_id").cast("string"))
-              .as("h"))
-          .withColumn("bucket", pmod(col("h"), lit(32L)))
-        // phase 1: exclusive prefix sum WITHIN each bucket (partitioned
-        // window — each bucket sorts independently)
-        val w = Window.partitionBy(col("bucket"))
-          .orderBy(col("h").asc, col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val local = docs.withColumn("local_cum",
-          coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        // phase 2: each bucket's global offset = sum of earlier buckets'
-        // totals — a triangular join over 32 aggregated rows, broadcast
-        val totals = docs.groupBy(col("bucket")).agg(sum(col("n_tok")).as("tot"))
-        val offsets = totals.join(
-            broadcast(totals.select(col("bucket").as("b2"), col("tot").as("t2"))),
-            col("b2") < col("bucket"), "left")
-          .groupBy(col("bucket"))
-          .agg(coalesce(sum(col("t2")), lit(0L)).as("bucket_off"))
-        local.join(broadcast(offsets), Seq("bucket"))
-          .select(col("doc_id"),
-            (col("bucket_off") + col("local_cum")).as("start_tok"),
-            expr("(bucket_off + local_cum) div 2048").as("bin"))
-      }),
+      (s, dir) =>
+        graft.api.SampleOps.packSequences(
+          Tables.documents(s, dir).select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+          "doc_id", "n_tok", budget = 2048L)),
 
     QueryDef(
       "q45_stratified_sample",
