@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{DedupOps, SampleOps, TextOps, VectorOps}
+
+/** The api layer must work over ANY caller-named columns — these tests
+  * use a frame with none of the bundled tables' names, proving the
+  * operators aren't accidentally bound to doc_id/text/embedding.
+  */
+class ApiSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"),
+    (11L, "the quick brown fox jumps over the lazy cat"),
+    (12L, "pack my box with five dozen liquor jugs"),
+    (13L, "pack my box with five dozen liquor jugs"),
+    (14L, "sphinx of black quartz judge my vow"))
+    .toDF("row_key", "body")
+
+  test("TextOps over custom columns") {
+    val stats = TextOps.tokenStats(corpus, "row_key", "body").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats(10L) == 9L && stats(14L) == 7L)
+
+    val rep = TextOps.repetitionFilter(corpus, "row_key", "body").collect()
+    assert(rep.forall(_.getAs[Boolean]("keep"))) // no repeated 3-grams here
+
+    val qual = TextOps.qualityScore(corpus, "row_key", "body")
+    assert(qual.columns.head == "row_key")
+    assert(qual.count() == 5)
+  }
+
+  test("DedupOps over custom columns") {
+    val exact = DedupOps.exactDuplicates(corpus, "row_key", "body")
+      .filter(col("n_copies") > 1).collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("keeper_id") == 12L)
+
+    val pairs = DedupOps.minhashPairs(corpus, "row_key", "body")
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies 12/13 must pair; near-dups 10/11 share most shingles
+    assert(got.contains((12L, 13L)))
+    assert(got.contains((10L, 11L)))
+
+    val kept = DedupOps.dropNearDuplicates(corpus, "row_key", pairs)
+      .select("row_key").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L, 14L))
+
+    val cl = DedupOps.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(13L) == 12L && cl(11L) == 10L)
+  }
+
+  test("SampleOps over custom columns") {
+    val packed = SampleOps.packSequences(
+      TextOps.tokenStats(corpus, "row_key", "body")
+        .select(col("row_key"), col("n_tokens")),
+      "row_key", "n_tokens", budget = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // contiguous permutation of the 5 docs
+    val total = packed.map(_._1).map(k =>
+      corpus.filter(col("row_key") === k).head.getString(1)
+        .split(" ").length.toLong).sum
+    assert(packed.map(_._2).min == 0L)
+    assert(packed.forall(p => p._3 == p._2 / 10))
+    assert(packed.map(_._2).distinct.length == 5)
+
+    val split = corpus.select(
+      SampleOps.splitColumn(col("row_key"), 60, 20).as("s"))
+      .collect().map(_.getString(0))
+    assert(split.forall(Set("train", "val", "test")))
+    assert(total > 0)
+  }
+
+  test("VectorOps over custom columns") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vkey", "emb")
+    val nn = VectorOps.annBruteTopK(vecs, "vkey", "emb",
+      queryPred = col("vkey") === 1L, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(nn.toSeq.sortBy(_._2) == Seq((2L, 1L), (4L, 2L)))
+  }
+}
