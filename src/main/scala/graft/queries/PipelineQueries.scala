@@ -1,7 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -18,19 +16,9 @@ import graft.{QueryDef, Tables}
   */
 object PipelineQueries {
 
-  /** Non-overlapping occurrence count of literal `w` — identical
-    * semantics in Spark and DuckDB (replace is non-overlapping LTR).
-    */
-  private def occ(c: Column, w: String): Column =
-    ((length(c) - length(replace(c, lit(w), lit("")))) / lit(w.length))
-      .cast("long")
-
+  /** DuckDB spelling of TextOps.occurrences (oracle fragments). */
   private def occSql(c: String, w: String): String =
     s"(length($c) - length(replace($c, '$w', ''))) // ${w.length}"
-
-  /** dot(a,b) as a deterministic left-to-right double fold. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   val all: Seq[QueryDef] = Seq(
 
