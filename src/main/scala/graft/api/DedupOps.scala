@@ -59,6 +59,41 @@ object DedupOps {
       .filter(col("jaccard_x1000") >= jaccardX1000Threshold)
   }
 
+  /** Exact n-gram Jaccard pairs via a rare-gram inverted index: the
+    * single-pass capped_list index bounds hot-gram postings (NULL =
+    * too common to block on), so candidate generation never explodes
+    * on stop-word grams. Output: doc_a, doc_b, jaccard_x1000.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, maxDf: Int = 20, jaccardX1000Threshold: Int = 300): DataFrame = {
+    graft.functions.SketchAggregates.register(df.sparkSession)
+    TextHashExpressions.register(df.sparkSession)
+    val grams = df
+      .select(col(idCol), split(col(textCol), " ", -1).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol),
+        expr(s"shingle_hashes(toks, $n, ${TextHashing.P})").as("gs"))
+    val inv = grams.select(col(idCol), explode(col("gs")).as("g"))
+      .groupBy(col("g"))
+      .agg(expr(s"capped_list($idCol, $maxDf)").as("ds"))
+      .filter(col("ds").isNotNull)
+    val cand = inv
+      .select(col("ds"), explode(col("ds")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(grams.select(col(idCol).as("doc_a"), col("gs").as("gs_a")),
+        Seq("doc_a"))
+      .join(grams.select(col(idCol).as("doc_b"), col("gs").as("gs_b")),
+        Seq("doc_b"))
+      .withColumn("it", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn("un", size(array_distinct(concat(col("gs_a"), col("gs_b")))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(it * 1000) div un").as("jaccard_x1000"))
+      .filter(col("jaccard_x1000") >= jaccardX1000Threshold)
+  }
+
   /** 60-bit SimHash + 12-bit blocking prefix. Output: idCol, simhash,
     * block. Map-only, codegen'd.
     */

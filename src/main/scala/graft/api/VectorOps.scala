@@ -19,6 +19,56 @@ object VectorOps {
       .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
   }
 
+  /** Global top-k most-similar PAIRS, brute force over the n² pair
+    * space (recall baseline — [[lshTopKPairs]] is the scale path).
+    * Output: vec_a, vec_b, rn. Ends in TakeOrderedAndProject: each
+    * task keeps a local top-k, never a single-partition rank.
+    */
+  def cosineTopKPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val base = normalized(df, idCol, vecCol)
+    val a = base.select(col(idCol).as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = base.select(col(idCol).as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val ord = Seq(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(spark_partition_id()).orderBy(ord: _*)).cast("long"))
+      .select("vec_a", "vec_b", "rn")
+  }
+
+  /** Random-hyperplane LSH top-k pairs: sign-signature buckets (one bit
+    * per plane, map-only), similarity scored ONLY within buckets
+    * (~n²/2^planes of the brute space), global top-k via
+    * TakeOrderedAndProject. Output: vec_a, vec_b, rn.
+    */
+  def lshTopKPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    val base = normalized(df, idCol, vecCol)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(x => s"${x}D").mkString("array(", ", ", ")")
+      when(expr(s"dot_f(v, $arr)") > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val withB = base.withColumn("bucket", bucket)
+    val a = withB.select(col("bucket"), col(idCol).as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = withB.select(col("bucket"), col(idCol).as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val ord = Seq(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(spark_partition_id()).orderBy(ord: _*)).cast("long"))
+      .select("vec_a", "vec_b", "rn")
+  }
+
   /** Brute-force cosine top-k: rows matching `queryPred` are the query
     * set (broadcast), ranked per query with deterministic ties. Output:
     * qid, nid, rn. The recall baseline — LSH/IVF prune at scale.

@@ -110,39 +110,13 @@ v AS (SELECT doc_a, doc_b,
   FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
 SELECT doc_a, doc_b, (it * 1000) // un AS jaccard_x1000
 FROM v WHERE (it * 1000) // un >= 300"""),
-      (s, dir) => {
-        graft.functions.SketchAggregates.register(s)
-        graft.functions.TextHashExpressions.register(s)
-        // hashed bigrams as the blocking + verify unit (same pattern as
-        // q21's hs sets): native codegen chain, 8-byte posting keys
-        // instead of strings
-        val grams = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
-          .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), expr(s"shingle_hashes(toks, 2, $P)").as("gs"))
-        // Single-pass skew-safe inverted index: capped_list holds <= 21
-        // doc ids per gram (NULL = gram too common to block on), so hot
-        // grams never materialize their posting list and the whole
-        // df-filter + pair-generation is ONE aggregation over ONE scan —
-        // no df-count pass, no posting self-join recompute.
-        val inv = grams.select(col("doc_id"), explode(col("gs")).as("g"))
-          .groupBy(col("g"))
-          .agg(expr("capped_list(doc_id, 20)").as("ds"))
-          .filter(col("ds").isNotNull)
-        val cand = inv
-          .select(col("ds"), explode(col("ds")).as("doc_a"))
-          .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-          .filter(col("doc_a") < col("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        cand
-          .join(grams.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), Seq("doc_a"))
-          .join(grams.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), Seq("doc_b"))
-          .withColumn("it", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
-          .withColumn("un", size(array_distinct(concat(col("gs_a"), col("gs_b")))).cast("long"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("(it * 1000) div un").as("jaccard_x1000"))
-          .filter(col("jaccard_x1000") >= 300)
-      }),
+      (s, dir) =>
+        // single-pass skew-safe inverted index: capped_list bounds each
+        // gram's posting list (NULL = too common to block on), so the
+        // df-filter + pair-generation is one aggregation over one scan
+        graft.api.DedupOps.ngramJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          n = 2, maxDf = 20, jaccardX1000Threshold = 300)),
 
     QueryDef(
       "q22_simhash_fingerprint",
@@ -178,29 +152,12 @@ SELECT vec_a, vec_b,
        row_number() OVER (ORDER BY sim DESC, vec_a ASC, vec_b ASC) AS rn
 FROM p
 QUALIFY rn <= 20"""),
-      (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
-        val base = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
-        val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"),
-          col("nrm").as("na"))
-        val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-          col("nrm").as("nb"))
-        // Global top-20 via orderBy+limit → TakeOrderedAndProject: each
-        // task keeps its local top-20 and only those merge — the n² pair
-        // stream is never funneled through one partition. The rank is
-        // then derived on the 20 surviving rows (constant partition key:
-        // TakeOrderedAndProject is already SinglePartition, no exchange).
-        val ord = Seq(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
-        a.join(b, col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
-          .orderBy(ord: _*).limit(20)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(spark_partition_id()).orderBy(ord: _*)).cast("long"))
-          .select("vec_a", "vec_b", "rn")
-      }),
+      (s, dir) =>
+        // TakeOrderedAndProject top-k: each task keeps a local top-20,
+        // only those merge; rank derived on the survivors (see
+        // VectorOps.cosineTopKPairs)
+        graft.api.VectorOps.cosineTopKPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 20)),
 
     QueryDef(
       "q39_ann_lsh",
@@ -225,32 +182,10 @@ SELECT vec_a, vec_b,
        row_number() OVER (ORDER BY sim DESC, vec_a ASC, vec_b ASC) AS rn
 FROM cand
 QUALIFY rn <= 20"""),
-      (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
-        val bucket = (0 until LshPlanes).map { j =>
-          when(expr(s"dot_f(v, ${planeSqlArray(j)})") > 0, lit(1 << j))
-            .otherwise(lit(0))
-        }.reduce(_ + _)
-        val base = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(expr("dot_f(v, v)")))
-          .withColumn("bucket", bucket)
-        val a = base.select(col("bucket"), col("vec_id").as("vec_a"),
-          col("v").as("va"), col("nrm").as("na"))
-        val b = base.select(col("bucket"), col("vec_id").as("vec_b"),
-          col("v").as("vb"), col("nrm").as("nb"))
-        // same distributed top-k shape as q23: TakeOrderedAndProject over
-        // the in-bucket pair stream, rank derived on the 20 survivors
-        val ord = Seq(col("sim").desc, col("vec_a").asc, col("vec_b").asc)
-        a.join(b, Seq("bucket"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            (expr("dot_f(va, vb)") / (col("na") * col("nb"))).as("sim"))
-          .orderBy(ord: _*).limit(20)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(spark_partition_id()).orderBy(ord: _*)).cast("long"))
-          .select("vec_a", "vec_b", "rn")
-      }),
+      (s, dir) =>
+        graft.api.VectorOps.lshTopKPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          planes = (0 until LshPlanes).map(plane), k = 20)),
 
     QueryDef(
       "q24_ann_ivf",
