@@ -229,6 +229,41 @@ tx9,alipay,1558430850""")
     assert(want.nonEmpty)
   }
 
+  test("byte-stream front door: apache log lines -> streaming hotUrls == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val lines = spark.read.text(s"$dir/apache.log")
+      .collect().map(_.getString(0)).toSeq
+
+    val input = MemoryStream[String]
+    val parsed = Sources.apacheLog(input.toDF())
+    val ranked = graft.streaming.WindowedCounts.topNStreaming(
+      parsed.filter(col("method") === "GET"), "ts", "url",
+      "10 minutes", "5 seconds", "0 seconds", n = 5)
+    val q = ranked.writeStream.format("memory").queryName("url_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(lines); q.processAllAvailable()
+      // GET sentinels a day+ later close every fixture window
+      input.addData("9.9.9.9 - - 18/05/2015:10:05:03 +0000 GET /zz")
+      q.processAllAvailable()
+      input.addData("9.9.9.9 - - 19/05/2015:10:05:03 +0000 GET /zz")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("url_parity").filter(col("url") =!= "/zz")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Jobs.hotUrls(accessLog, 5)
+      .select("windowEnd", "url", "cnt", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming twin: SequenceMatch over the login fixture == batch warnings") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{SequenceMatch, StreamEvent}
