@@ -95,14 +95,16 @@ object DedupOps {
   }
 
   /** 60-bit SimHash + 12-bit blocking prefix. Output: idCol, simhash,
-    * block. Map-only, codegen'd.
+    * block. Map-only; the whole distinct→hash→majority pipeline is one
+    * native codegen'd `simhash60` call (functions.SimHash60), not the
+    * interpreted HOF chain it replaces.
     */
-  def simhashFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    TextHashExpressions.register(df.sparkSession)
     df.select(col(idCol),
-        transform(array_distinct(split(col(textCol), " ", -1)),
-          t => TextHashing.hash60(t)).as("hs"))
-      .select(col(idCol), TextHashing.simhash(col("hs")).as("simhash"))
-      .withColumn("block", expr(s"simhash div ${1L << 48}"))
+        call_function("simhash60", split(col(textCol), " ", -1)).as("simhash"))
+      .withColumn("block", shiftright(col("simhash"), 48).cast("long"))
+  }
 
   /** Transitive near-dup clusters over a pair frame. Output: doc_id,
     * cluster_id (= component min). See ConnectedComponents for rounds.

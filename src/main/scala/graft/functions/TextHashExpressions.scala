@@ -39,6 +39,44 @@ object TextHashUtil {
     acc >>> 4
   }
 
+  /** tokens → 60-bit majority-vote SimHash over the DISTINCT tokens:
+    * bit b of the result is set when more than half the distinct-token
+    * hash60 values have bit b set. One static call fuses what the
+    * declarative spelling ran as two interpreted HOF passes
+    * (`transform(array_distinct(toks), hash60)` + the 60-step
+    * `aggregate` majority fold) — bit-identical to DuckDB's
+    * `list_transform(list_distinct(...))` + majority `list_sum`
+    * (q22's oracle hash-match is the proof).
+    */
+  def simhash60(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val cnt = new Array[Int](60)
+    var total = 0
+    var seenNull = false
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) {
+        // a null token hashes to null: counted in the denominator,
+        // contributes no bits (matches the HOF/list_* null semantics)
+        if (!seenNull) { seenNull = true; total += 1 }
+      } else {
+        val t = tokens.getUTF8String(i)
+        if (seen.add(t)) {
+          total += 1
+          val h = hash60(t)
+          var b = 0
+          while (b < 60) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        }
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 60) { if (2 * cnt(b) > total) acc |= (1L << b); b += 1 }
+    acc
+  }
+
   /** tokens → distinct (hash60(n-gram) % mod), insertion order. */
   def shingleHashes(tokens: ArrayData, n: Int, mod: Long): ArrayData = {
     val cnt = tokens.numElements() - n + 1
@@ -96,16 +134,49 @@ case class ShingleHashes(child: Expression, n: Int, mod: Long)
     copy(child = newChild)
 }
 
+/** `simhash60(tokens)` as a codegen-friendly expression — the fused
+  * distinct→hash60→majority pipeline of [[TextHashUtil.simhash60]] in
+  * one static call, keeping the surrounding projection inside its
+  * WholeStageCodegen span (HOFs are excluded from codegen; this was
+  * the catalog's last interpreted hot text path).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckSuccess
+      case other =>
+        TypeCheckFailure(s"simhash60: needs ARRAY<STRING>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
-  /** Idempotently registers `shingle_hashes(tokens, n, mod)` — use via
-    * `expr("shingle_hashes(toks, 3, 2147483647)")` (the registry path
-    * sidesteps Spark 4's Column-from-Expression churn, as with dot_f).
+  /** Idempotently registers `shingle_hashes(tokens, n, mod)` and
+    * `simhash60(tokens)` — call via `call_function`/`expr` (the
+    * registry path sidesteps Spark 4's Column-from-Expression churn,
+    * as with dot_f).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashes(exprs.head,
         FnArgs.litInt("shingle_hashes", "n", exprs(1)),
         FnArgs.litLong("shingle_hashes", "mod", exprs(2))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs.head), "built-in")
+  }
 }

@@ -56,21 +56,9 @@ object TextHashing {
         h => (h * A(j) + B(j)) % P))
     }: _*)
 
-  /** 60-bit SimHash over a distinct token-hash array: bit b is set when
-    * more than half the tokens have bit b set.
-    */
-  def simhash(tokenHashes: Column): Column = {
-    val pow2 = lit(Pow2.toArray)
-    aggregate(
-      sequence(lit(0), lit(59)),
-      lit(0L),
-      (acc, b) => {
-        val p = element_at(pow2, b.cast("int") + 1)
-        acc + when(
-          size(filter(tokenHashes, h => h.bitwiseAND(p) > 0)) * 2 >
-            size(tokenHashes), p).otherwise(lit(0L))
-      })
-  }
+  // SimHash lives in functions.SimHash60 (native codegen expression);
+  // simhashSql below is the oracle's declarative spelling of the same
+  // majority-vote math.
 
   // ---- DuckDB-oracle fragments (same constants, same math) -------------
 

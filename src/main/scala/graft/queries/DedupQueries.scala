@@ -121,8 +121,11 @@ FROM v WHERE (it * 1000) // un >= 300"""),
     QueryDef(
       "q22_simhash_fingerprint",
       "SimHash document fingerprinting: 60-bit majority-vote hash over " +
-        "distinct token hashes + a 12-bit blocking prefix. Map-only, " +
-        "codegen'd higher-order functions — no shuffle.",
+        "distinct token hashes + a 12-bit blocking prefix. Map-only, no " +
+        "shuffle; the distinct→hash→majority pipeline is ONE native " +
+        "codegen'd expression (functions.SimHash60) — HOFs run " +
+        "interpreted, so the old transform+aggregate spelling was the " +
+        "catalog's slowest per-byte map job.",
       Some(s"""
 WITH t AS (
   SELECT doc_id,
