@@ -18,6 +18,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a whole-stage codegen compile failure must surface as a -1 in
+      // the bench JSON, not silently run interpreted
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
 /** The reference's 12 pipelines (SURVEY.md §0 table) over its own
   * schemas. Each is a pure DataFrame → DataFrame function: feed it a
   * batch CSV read (Sources.csv) or a streaming read (Sources.csvStream /
-  * kafkaLines) — the plan is identical, Catalyst inserts the streaming
-  * state operators when the input is unbounded.
+  * kafkaLines) — Catalyst inserts the streaming state operators when
+  * the input is unbounded. Exception: the fine-slide sliding counts
+  * (hotUrls, marketingByChannel/Total, adClicksByProvince) use the
+  * batch two-level shape (operators.SlidingCounts); their streaming
+  * twins live in streaming.WindowedCounts, where the per-window Expand
+  * is the correct incremental-state form.
   *
   * Outputs keep the reference's semantics but normalize presentation:
   * epoch-second window bounds, deterministic tie-breaks (SURVEY.md §7.4
@@ -38,18 +42,18 @@ object Jobs {
   /** Top-N hot URLs per sliding 10min/5s window
     * (ref NetworkFlow.scala:45-48,85-117). The MapState dedup of late
     * re-fires becomes last-write-wins upsert semantics in streaming
-    * update mode; batch needs no dedup.
+    * update mode; batch needs no dedup. Fine slide (120 windows/event)
+    * → two-level bucket count, not a 120x per-event Expand
+    * (operators.SlidingCounts).
     */
   def hotUrls(log: DataFrame, n: Int = 5): DataFrame = {
-    val counts = log
-      .filter(col("method") === "GET")
-      .groupBy(window(col("ts"), "10 minutes", "5 seconds"), col("url"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(winEnd.as("windowEnd"), col("url"), col("cnt"))
+    val counts = graft.operators.SlidingCounts.slidingCount(
+      log.filter(col("method") === "GET"), "ts", Seq("url"), 600L, 5L)
     counts.withColumn("rank", row_number().over(
         Window.partitionBy(col("windowEnd"))
           .orderBy(col("cnt").desc, col("url").asc)).cast("long"))
       .filter(col("rank") <= n)
+      .select("windowEnd", "url", "cnt", "rank")
   }
 
   /** Hourly page views (ref PageView.scala:24-28). */
@@ -80,29 +84,29 @@ object Jobs {
 
   /** Install/click counts by (channel, behavior) per sliding 1h/10s
     * window, uninstalls excluded (ref AppMarketingByChannel.scala:31-36).
+    * 360 windows/event → two-level bucket count (SlidingCounts).
     */
   def marketingByChannel(mkt: DataFrame): DataFrame =
-    mkt.filter(col("behavior") =!= "UNINSTALL")
-      .groupBy(window(col("ts"), "60 minutes", "10 seconds"),
-        col("channel"), col("behavior"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(winEnd.as("windowEnd"), col("channel"), col("behavior"), col("cnt"))
+    graft.operators.SlidingCounts.slidingCount(
+        mkt.filter(col("behavior") =!= "UNINSTALL"),
+        "ts", Seq("channel", "behavior"), 3600L, 10L)
+      .select("windowEnd", "channel", "behavior", "cnt")
 
   /** Channel-agnostic totals (ref AppMarketing.scala:22-28). */
   def marketingTotal(mkt: DataFrame): DataFrame =
-    mkt.filter(col("behavior") =!= "UNINSTALL")
-      .groupBy(window(col("ts"), "60 minutes", "10 seconds"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(winEnd.as("windowEnd"), col("cnt"))
+    graft.operators.SlidingCounts.slidingCount(
+        mkt.filter(col("behavior") =!= "UNINSTALL"),
+        "ts", Seq.empty, 3600L, 10L)
+      .select("windowEnd", "cnt")
 
   /** Ad clicks by province per sliding 1h/5s window
-    * (ref AdStatisticsByGeo.scala:41-54).
+    * (ref AdStatisticsByGeo.scala:41-54). 720 windows/event → two-level
+    * bucket count (SlidingCounts).
     */
   def adClicksByProvince(clicks: DataFrame): DataFrame =
-    clicks
-      .groupBy(window(col("ts"), "60 minutes", "5 seconds"), col("province"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(winEnd.as("windowEnd"), col("province"), col("cnt"))
+    graft.operators.SlidingCounts.slidingCount(
+        clicks, "ts", Seq("province"), 3600L, 5L)
+      .select("windowEnd", "province", "cnt")
 
   /** Click-fraud blacklist: (user, ad) pairs over `threshold` clicks in
     * one event-time day (ref AdStatisticsByGeo.scala:59-101; the

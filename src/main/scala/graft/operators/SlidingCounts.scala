@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-level sliding-window counting — the batch shape for fine-slide
+  * windows (duration/slide in the hundreds).
+  *
+  * `window(ts, duration, slide)` plans an Expand that copies EVERY
+  * event duration/slide times (720x for 1h/5s) before the aggregation
+  * — at 100TB that multiplies shuffle input by the window count, and
+  * its generated switch is large enough that whole-stage codegen fails
+  * to compile (Spark's split `expand_switchCaseCode_*` methods spill
+  * into a nested class the call site can't see) and silently falls
+  * back to interpreted execution.
+  *
+  * This operator instead aggregates per slide-sized tumbling bucket
+  * first (a plain projection — no Expand, full map-side combine), then
+  * explodes each BUCKET count into the duration/slide windows it
+  * belongs to (a Generate over O(buckets x keys) rows, not events) and
+  * sums. Identical output to the window() spelling — proven by q40 ==
+  * q02 and the JobsSpec goldens — with event-proportional work done
+  * exactly once.
+  *
+  * Streaming twins keep the window() spelling (streaming.WindowedCounts):
+  * incremental per-window state is the point there, and the streaming
+  * Expand feeds a stateful agg that dedups per (window, key) in state.
+  */
+object SlidingCounts {
+
+  /** Count per key per sliding window. Output: windowEndCol (epoch
+    * seconds), keyCols..., cnt. Windows are epoch-aligned, end-labeled,
+    * and only windows containing at least one input row appear —
+    * exactly `window(ts, duration, slide)` + count semantics.
+    */
+  def slidingCount(df: DataFrame, tsCol: String, keyCols: Seq[String],
+      durationSec: Long, slideSec: Long,
+      windowEndCol: String = "windowEnd"): DataFrame = {
+    require(durationSec > 0 && slideSec > 0 && durationSec % slideSec == 0,
+      s"duration ${durationSec}s must be a positive multiple of slide ${slideSec}s")
+    val nWin = durationSec / slideSec
+    val keys: Seq[Column] = keyCols.map(col)
+    val bucketed = df
+      .groupBy(window(col(tsCol), s"$slideSec seconds") +: keys: _*)
+      .agg(count(lit(1)).as("bcnt"))
+      .select(unix_timestamp(col("window.start")).as("_bstart") +:
+        (keys :+ col("bcnt")): _*)
+    bucketed
+      .withColumn("_i", explode(sequence(lit(1L), lit(nWin))))
+      .withColumn(windowEndCol, col("_bstart") + col("_i") * slideSec)
+      .groupBy(col(windowEndCol) +: keys: _*)
+      .agg(sum(col("bcnt")).as("cnt"))
+  }
+}

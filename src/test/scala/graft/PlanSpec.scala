@@ -135,6 +135,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fine-slide sliding jobs plan NO per-event Expand") {
+    // 120-720 windows/event: window()'s Expand multiplies shuffle input
+    // by the window count AND its generated switch hits the
+    // expand_switchCaseCode nested-class codegen bug (silent interpreted
+    // fallback — loud now via spark.sql.codegen.fallback=false). The
+    // two-level SlidingCounts shape must keep these plans Expand-free.
+    import graft.jobs.{Jobs, Schemas, Sources}
+    val clicks = spark.range(4).selectExpr("id AS userId", "id AS adId",
+      "'p' AS province", "'c' AS city",
+      "timestamp_seconds(1511658000 + id * 60) AS ts")
+    val mkt = spark.range(4).selectExpr("'u' AS userId", "'CLICK' AS behavior",
+      "'wechat' AS channel", "timestamp_seconds(1600000000 + id) AS ts")
+    val log = spark.range(4).selectExpr("'1.1.1.1' AS ip", "'GET' AS method",
+      "'/a' AS url", "timestamp_seconds(1431857103 + id) AS ts")
+    Seq(
+      "adClicksByProvince" -> Jobs.adClicksByProvince(clicks),
+      "marketingByChannel" -> Jobs.marketingByChannel(mkt),
+      "marketingTotal" -> Jobs.marketingTotal(mkt),
+      "hotUrls" -> Jobs.hotUrls(log)
+    ).foreach { case (name, df) =>
+      df.collect() // finalize AQE + prove the plan compiles (fallback off)
+      val expands = collectAll(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec])
+      assert(expands == 0, s"$name: $expands ExpandExec nodes")
+    }
+  }
+
   test("no catalog query exceeds 6 shuffles at sf0.001") {
     SparkEntry.catalog.foreach { q =>
       val shuffles = collectAll(

@@ -18,6 +18,11 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // whole-stage codegen compile failures THROW here instead of
+      // silently falling back to interpreted execution — any plan that
+      // regresses into e.g. the Expand switch-case split bug fails its
+      // suite loudly rather than just losing codegen
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
