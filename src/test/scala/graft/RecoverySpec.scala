@@ -44,7 +44,12 @@ class RecoverySpec extends SparkSpec {
     assert(ids == Seq(100L, 101L, 102L))
   }
 
-  test("flatMapGroupsWithState state survives a checkpointed restart") {
+  /** Checkpointed-restart round trip: one fail before the stop, the
+    * pairing fail after the restart — the warning only appears if the
+    * fMGWS state survived. Parameterized so the RocksDB variant reruns
+    * it against the off-heap store (whose checkpoint format differs).
+    */
+  private def assertStateSurvivesRestart(user: Long): Unit = {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val input = MemoryStream[StreamEvent]
     // memory sink cannot recover from a checkpoint; foreachBatch can
@@ -58,10 +63,10 @@ class RecoverySpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .start()
 
-    // batch 1: one fail for user 7, then STOP (state: lastFail=1)
+    // batch 1: one fail, then STOP (state: lastFail=1)
     val q1 = startQuery()
     try {
-      input.addData(StreamEvent(7, 1, "fail", ts(base + 1000)))
+      input.addData(StreamEvent(user, 1, "fail", ts(base + 1000)))
       q1.processAllAvailable()
     } finally q1.stop()
 
@@ -69,14 +74,24 @@ class RecoverySpec extends SparkSpec {
     // must pair with the PRE-RESTART state
     val q2 = startQuery()
     try {
-      input.addData(StreamEvent(7, 2, "fail", ts(base + 3000)))
+      input.addData(StreamEvent(user, 2, "fail", ts(base + 3000)))
       q2.processAllAvailable()
     } finally q2.stop()
 
     import scala.jdk.CollectionConverters._
     val warns = collected.asScala
       .map(w => (w.userId, w.firstEvent, w.lastEvent)).toSet
-    assert(warns == Set((7L, 1L, 2L)),
+    assert(warns == Set((user, 1L, 2L)),
       s"state lost across restart: $warns")
+  }
+
+  test("flatMapGroupsWithState state survives a checkpointed restart") {
+    assertStateSurvivesRestart(7L)
+  }
+
+  test("checkpointed restart also recovers under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertStateSurvivesRestart(8L)
+    }
   }
 }

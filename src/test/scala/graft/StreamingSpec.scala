@@ -206,7 +206,11 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
-  test("streaming-native topk_agg ranks == batch q02 (no foreachBatch)") {
+  /** Chained-agg top-N parity vs batch q02, parameterized by sink name
+    * so the RocksDB state-store variant can rerun it under a different
+    * provider (state layout differs; results must not).
+    */
+  private def assertTopNStreamingParity(sinkName: String): Unit = {
     val views = Tables.events(spark, sf)
       .filter(col("event_type") === "view")
       .select(col("event_id"),
@@ -220,7 +224,7 @@ class StreamingSpec extends SparkSpec {
     val ranked = WindowedCounts.topNStreaming(
       input.toDS().toDF().withColumnRenamed("userId", "item_id"),
       "ts", "item_id", "60 minutes", "5 minutes", "0 seconds", n = 3)
-    val q = ranked.writeStream.format("memory").queryName("hot_ranked")
+    val q = ranked.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
       // split into time-ordered batches so open windows span batches:
@@ -236,7 +240,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val got = spark.table("hot_ranked")
+    val got = spark.table(sinkName)
       .filter(col("item_id") >= 0) // drop sentinel-only windows
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -246,12 +250,78 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("cnt"), r.getAs[Long]("rn"))).toSet
     // sentinel items may displace rank-3 entries in the sliding windows
     // that contain a sentinel ts; restrict to windows without sentinels
-    val sentinelWindows = spark.table("hot_ranked")
+    val sentinelWindows = spark.table(sinkName)
       .filter(col("item_id") < 0).select("window_end")
       .collect().map(_.getLong(0)).toSet
     assert(got.filterNot(r => sentinelWindows(r._1)) ==
       want.filterNot(r => sentinelWindows(r._1)))
     assert(want.nonEmpty)
+  }
+
+  test("streaming-native topk_agg ranks == batch q02 (no foreachBatch)") {
+    assertTopNStreamingParity("hot_ranked")
+  }
+
+  test("chained top-N parity holds under the RocksDB state store") {
+    // the 100TB streaming path: state off-heap in RocksDB instead of
+    // the default HDFS-backed in-memory store — two chained stateful
+    // aggregations (windowed count -> topk_agg) must produce identical
+    // output under the different state layout
+    StateStoreVariants.withRocksDB(spark) {
+      assertTopNStreamingParity("hot_ranked_rocks")
+    }
+  }
+
+  test("J1 native: watermarked stream-stream interval join == batch txMatchByJoin") {
+    // synthetic pay/receipt traffic: receipts offset -6..+6s around the
+    // pay (some outside the ±5s tolerance), every 3rd tx receipt-less,
+    // every 5th order unpaid — covers match, out-of-band, and lone sides
+    val orders = (0 until 150).flatMap { i =>
+      val payTs = 1558430000L + i * 7
+      val create = (i.toLong, "create", "", ts((payTs - 10) * 1000))
+      if (i % 5 == 0) Seq(create)
+      else Seq(create, (i.toLong, "pay", s"tx$i", ts(payTs * 1000)))
+    }
+    val receipts = (0 until 150).flatMap { i =>
+      if (i % 3 == 0 || i % 5 == 0) Seq.empty
+      else {
+        val payTs = 1558430000L + i * 7
+        Seq((s"tx$i", Seq("wechat", "alipay", "card")(i % 3),
+          ts((payTs + (i % 13) - 6) * 1000)))
+      }
+    }
+
+    val oIn = MemoryStream[(Long, String, String, Timestamp)]
+    val rIn = MemoryStream[(String, String, Timestamp)]
+    val joined = TxIntervalJoin.txMatchByJoinStream(
+      oIn.toDF().toDF("orderId", "eventType", "txId", "ts"),
+      rIn.toDF().toDF("txId", "payChannel", "ts"), toleranceSec = 5L)
+    val q = joined.writeStream.format("memory").queryName("j1_join")
+      .outputMode("append").start()
+    try {
+      // two event-time-ordered batches: pays buffered in batch 1 must
+      // still match receipts arriving in batch 2 (cross-batch state)
+      val (o1, o2) = orders.sortBy(_._4.getTime).splitAt(orders.length / 2)
+      val (r1, r2) = receipts.sortBy(_._3.getTime).splitAt(receipts.length / 2)
+      oIn.addData(o1); rIn.addData(r1); q.processAllAvailable()
+      oIn.addData(o2); rIn.addData(r2); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("j1_join").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = jobs.Jobs.txMatchByJoin(
+        orders.map { case (id, et, tx, t) => (id, et, tx, t.getTime / 1000) }
+          .toDF("orderId", "eventType", "txId", "eventTime"),
+        receipts.map { case (tx, ch, t) => (tx, ch, t.getTime / 1000) }
+          .toDF("txId", "payChannel", "eventTime"), toleranceSec = 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the fixture must actually exercise the tolerance boundary
+    assert(want.size < receipts.size, "every receipt matched — no out-of-band cases")
   }
 
   test("streaming sliding window + foreachBatch rank == batch q02") {
