@@ -20,14 +20,30 @@ object DedupOps {
       .groupBy(col("sig"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Band buckets larger than this generate no candidate pairs (the
+    * skew cap). Mirrored in q21's oracle SQL — keep the two in sync.
+    */
+  val DefaultMaxBucket = 100
+
   /** MinHash+LSH near-duplicate pairs with exact shingle-Jaccard
     * verification. Output: doc_a, doc_b, jaccard_x1000 (>= threshold).
     * Band keys shuffle id-only; shingle sets rejoin candidates only.
+    *
+    * Skew safety: candidates come from a `capped_list` aggregation per
+    * (band, bucket) — a bucket with more than `maxBucket` ids evaluates
+    * to NULL and yields NO pairs, so one pathological band key (10k
+    * docs sharing a signature) costs O(cap²), never O(10k²). Giant
+    * buckets are mass-duplication, which the O(n) digest pass
+    * ([[exactDuplicates]]) catches without pair explosion — LSH's job
+    * is the near-dups. Requires a BIGINT id column (as do
+    * [[ngramJaccardPairs]] and [[clusters]]).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      jaccardX1000Threshold: Int = 500): DataFrame = {
+      jaccardX1000Threshold: Int = 500,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import TextHashing._
     TextHashExpressions.register(df.sparkSession)
+    graft.functions.SketchAggregates.register(df.sparkSession)
     val hashed = df
       .select(col(idCol), split(col(textCol), " ", -1).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -41,11 +57,17 @@ object DedupOps {
         }: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
-    val cand = bands.select(col("band"), col("bkey"), col(idCol).as("doc_a"))
-      .join(bands.select(col("band"), col("bkey"), col(idCol).as("doc_b")),
-        Seq("band", "bkey"))
+    // one bounded shuffle replaces the unbounded bucket self-join:
+    // partials carry <= cap+1 ids per bucket, pairs explode from the
+    // capped set only
+    val buckets = bands
+      .groupBy(col("band"), col("bkey"))
+      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+    val cand = buckets
+      .select(col("ds"), explode(col("ds")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     cand
       .join(hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a")),
@@ -75,7 +97,10 @@ object DedupOps {
         expr(s"shingle_hashes(toks, $n, ${TextHashing.P})").as("gs"))
     val inv = grams.select(col(idCol), explode(col("gs")).as("g"))
       .groupBy(col("g"))
-      .agg(expr(s"capped_list($idCol, $maxDf)").as("ds"))
+      // call_function (not an expr string) so caller id columns with
+      // spaces/dots/reserved words resolve — the api contract is
+      // arbitrary column names
+      .agg(call_function("capped_list", col(idCol), lit(maxDf)).as("ds"))
       .filter(col("ds").isNotNull)
     val cand = inv
       .select(col("ds"), explode(col("ds")).as("doc_a"))

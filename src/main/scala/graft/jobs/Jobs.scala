@@ -124,12 +124,20 @@ object Jobs {
         lit(" times today")))
 
   def filterWithBlacklist(clicks: DataFrame, threshold: Long = 100L): DataFrame = {
-    val bl = adBlacklist(clicks, threshold)
-      .select(col("userId").as("blUser"), col("adId").as("blAd"), col("day").as("blDay"))
-    clicks.join(bl,
-      col("userId") === col("blUser") && col("adId") === col("blAd") &&
-        date_format(col("ts"), "yyyy-MM-dd") === col("blDay"),
-      "left_anti")
+    // derive the day column once and join on it — not a date_format
+    // re-evaluated inside the join condition on every probe row
+    val withDay = clicks.withColumn("_day", date_format(col("ts"), "yyyy-MM-dd"))
+    val bl = withDay
+      .groupBy(col("userId").as("blUser"), col("adId").as("blAd"),
+        col("_day").as("blDay"))
+      .agg(count(lit(1)).as("clickCount"))
+      .filter(col("clickCount") >= threshold)
+      .select("blUser", "blAd", "blDay")
+    withDay.join(bl,
+        col("userId") === col("blUser") && col("adId") === col("blAd") &&
+          col("_day") === col("blDay"),
+        "left_anti")
+      .drop("_day")
   }
 
   // ---- LoginFailDetect (ref LoginFail.scala:51-105) -----------------------

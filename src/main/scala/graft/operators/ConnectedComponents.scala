@@ -32,6 +32,16 @@ object ConnectedComponents {
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .persist()
+    // the long cast turns non-numeric ids (strings, UUIDs) into NULLs,
+    // which would propagate to silently wrong clusters — fail loudly
+    // instead; this count also materializes the edge cache up front
+    // (both input columns appear as src in the symmetric union, so one
+    // column check covers both)
+    val nullIds = sym.filter(col("src").isNull || col("dst").isNull).count()
+    require(nullIds == 0,
+      s"connected components needs numeric ids: $nullIds edge endpoints " +
+        s"were NULL after casting ($srcCol, $dstCol) to long — map string " +
+        "ids to a dense/hashed long key first")
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var cached: DataFrame = null

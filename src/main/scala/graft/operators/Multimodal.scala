@@ -63,8 +63,12 @@ object Multimodal {
     */
   private[graft] def decodeImage(r: MediaRecord): Option[DecodedMedia] = {
     val img =
+      // NonFatal, not just IOException: ImageIO plugins throw runtime
+      // exceptions (IllegalArgumentException, CMMException, AIOOBE) on
+      // some corrupt/exotic payloads; one bad record must fall back to
+      // the stub, not crash the job
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val w = im.getWidth
       val h = im.getHeight

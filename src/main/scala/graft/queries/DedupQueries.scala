@@ -52,9 +52,15 @@ bands AS (
          mh[4*g.b+1]::VARCHAR || ':' || mh[4*g.b+2]::VARCHAR || ':' ||
          mh[4*g.b+3]::VARCHAR || ':' || mh[4*g.b+4]::VARCHAR AS bkey
   FROM m CROSS JOIN generate_series(0, ${Bands - 1}) g(b)),
+ok AS (
+  SELECT band, bkey FROM bands
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  FROM bands a
+  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
   WHERE a.doc_id < b.doc_id),
 v AS (
   SELECT doc_a, doc_b,
@@ -69,11 +75,13 @@ FROM v WHERE (it * 1000) // un >= 500"""
     QueryDef(
       "q21_dedup_minhash_lsh",
       "MinHash+LSH near-dup detection: 3-token shingles → 60-bit md5 " +
-        "hashes → 16 minhash permutations → 4 bands of 4 → band-bucket " +
-        "self-join for candidates → exact shingle-Jaccard verification " +
-        "(>= 0.5). At 100TB only band keys (4×~32B/doc) shuffle and the " +
-        "join touches real near-dups instead of all O(n²) pairs; the " +
-        "verify re-reads shingles only for candidates.",
+        "hashes → 16 minhash permutations → 4 bands of 4 → capped " +
+        "band-bucket aggregation for candidates → exact shingle-Jaccard " +
+        "verification (>= 0.5). At 100TB only band keys (4×~32B/doc) " +
+        "shuffle, buckets over " +
+        s"${graft.api.DedupOps.DefaultMaxBucket} ids are skipped (skew " +
+        "cap — mass duplication belongs to the O(n) exact-digest pass), " +
+        "and the verify re-reads shingles only for candidates.",
       Some(q21OracleSql),
       (s, dir) =>
         // Band join carries ONLY (band, key, id); shingle-hash sets

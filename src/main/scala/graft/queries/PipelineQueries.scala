@@ -299,17 +299,15 @@ SELECT doc_id, stratum
 FROM s
 WHERE h < CASE stratum WHEN 'short' THEN 100 WHEN 'medium' THEN 500 ELSE 1000 END"""),
       (s, dir) => {
-        val h = pmod(graft.functions.TextHashing.hash60(
-          col("doc_id").cast("string")), lit(1000L))
         val nTok = size(split(col("text"), " ", -1)).cast("long")
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            when(nTok < 40, "short").when(nTok < 70, "medium")
-              .otherwise("long").as("stratum"),
-            h.as("h"))
-          .filter(col("h") < when(col("stratum") === "short", 100)
-            .when(col("stratum") === "medium", 500).otherwise(1000))
-          .select(col("doc_id"), col("stratum"))
+        graft.api.SampleOps.stratifiedSample(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              when(nTok < 40, "short").when(nTok < 70, "medium")
+                .otherwise("long").as("stratum")),
+          "doc_id", "stratum",
+          ratesX1000 = Map("short" -> 100, "medium" -> 500),
+          defaultX1000 = 1000)
       })
   )
 }

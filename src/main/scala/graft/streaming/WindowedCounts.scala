@@ -53,7 +53,9 @@ object WindowedCounts {
       .groupBy(window(col(tsCol), duration, slide), col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("window"))
-      .agg(expr(s"topk_agg($n, cnt, $keyCol)").as("top"))
+      // call_function, not an expr string: caller key columns with
+      // spaces/dots/reserved words must resolve as identifiers
+      .agg(call_function("topk_agg", lit(n), col("cnt"), col(keyCol)).as("top"))
       .select(unix_timestamp(col("window.end")).as("window_end"),
         explode(col("top")).as("e"))
       .select(col("window_end"), col("e.key").as(keyCol),

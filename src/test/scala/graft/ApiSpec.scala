@@ -54,6 +54,22 @@ class ApiSpec extends SparkSpec {
     assert(cl(13L) == 12L && cl(11L) == 10L)
   }
 
+  test("identifier safety: reserved words and spaces in caller names") {
+    // "select" (reserved word) id column, "doc body" (space) text column:
+    // every interpolation into SQL text must quote or avoid identifiers
+    val hostile = corpus.select(col("row_key").as("select"),
+      col("body").as("doc body"))
+    val pairs = DedupOps.ngramJaccardPairs(hostile, "select", "doc body",
+        n = 2, maxDf = 20, jaccardX1000Threshold = 300).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((12L, 13L))) // exact copies must survive renaming
+
+    val sampled = SampleOps.stratifiedSample(
+      hostile.select(col("select"), lit("a").as("group")),
+      "select", "group", Map("a" -> 1000), defaultX1000 = 0)
+    assert(sampled.count() == 5)
+  }
+
   test("SampleOps over custom columns") {
     val packed = SampleOps.packSequences(
       TextOps.tokenStats(corpus, "row_key", "body")

@@ -43,6 +43,37 @@ class DedupSpec extends SparkSpec {
       s"LSH missed strong pairs: ${strong.diff(found).take(5)}")
   }
 
+  test("minhash band join survives a pathological hot bucket (skew cap)") {
+    import spark.implicits._
+    // 100 byte-identical docs: every band bucket they hash into holds
+    // all 100 ids — the uncapped pair space is C(100,2)=4950 per chain
+    val hot = (0L until 100L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    // plus one exact-copy pair in its own (cold) buckets
+    val cold = Seq(
+      (2000L, "one two three four five six seven"),
+      (2001L, "one two three four five six seven"))
+    val df = (hot ++ cold).toDF("id", "txt")
+
+    // cap engaged: the hot buckets generate NO candidates — only the
+    // cold pair survives, and the operator completes without the n²
+    // explosion (j=1.0 copies collide in all bands, so LSH can't miss)
+    val capped = graft.api.DedupOps
+      .minhashPairs(df, "id", "txt", jaccardX1000Threshold = 500,
+        maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2000L, 2001L)), s"capped run produced $capped")
+
+    // cap disengaged (bucket fits): the same input yields the full
+    // 4950-pair clique + the cold pair — proving the cap, not the LSH,
+    // is what bounded the explosion above
+    val uncapped = graft.api.DedupOps
+      .minhashPairs(df, "id", "txt", jaccardX1000Threshold = 500,
+        maxBucket = 100)
+      .count()
+    assert(uncapped == 4950L + 1L, s"uncapped run produced $uncapped pairs")
+  }
+
   test("shingles3 returns empty array for docs under 3 tokens (ANSI-safe)") {
     import spark.implicits._
     val out = Seq("", "one", "one two", "one two three")
