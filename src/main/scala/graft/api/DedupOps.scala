@@ -147,4 +147,35 @@ object DedupOps {
       pairs: DataFrame): DataFrame =
     df.join(broadcast(pairs.select(col("doc_b").as(idCol)).distinct()),
       Seq(idCol), "left_anti")
+
+  /** The three stages of the end-to-end dedup, all reading ONE
+    * materialized pair list (see [[pipeline]]).
+    */
+  case class DedupPipeline(pairs: DataFrame, clusters: DataFrame,
+      deduped: DataFrame)
+
+  /** End-to-end dedup with the pair list computed ONCE: the LSH pair
+    * scan ([[minhashPairs]]) is materialized to `pairsPath` as sorted
+    * parquet, and both consumers — transitive [[clusters]] and the
+    * [[dropNearDuplicates]] corpus — read the persisted list instead of
+    * re-deriving the whole LSH DAG (what running q37 and q46
+    * independently costs). At 100TB the pair list is tiny next to the
+    * corpus, so persisting it turns clusters+keepers into two cheap
+    * reads; the iterative clustering in particular re-reads its edges
+    * once per round, which must never mean one LSH pass per round. The
+    * in-file sort by (doc_a, doc_b) gives downstream point-reads
+    * row-group pruning, and the keeper anti-join's scan prunes to the
+    * single doc_b column (PlanSpec-style assertion in DedupSpec).
+    */
+  def pipeline(df: DataFrame, idCol: String, textCol: String,
+      pairsPath: String, jaccardX1000Threshold: Int = 500,
+      maxBucket: Int = DefaultMaxBucket, numFiles: Int = 8): DedupPipeline = {
+    graft.jobs.Sinks.layout(
+      minhashPairs(df, idCol, textCol, jaccardX1000Threshold, maxBucket),
+      pairsPath, partitionCols = Nil, sortCols = Seq("doc_a", "doc_b"),
+      numFiles = numFiles)
+    val persisted = df.sparkSession.read.parquet(pairsPath)
+    DedupPipeline(persisted, clusters(persisted),
+      dropNearDuplicates(df, idCol, persisted))
+  }
 }

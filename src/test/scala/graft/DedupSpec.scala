@@ -74,6 +74,45 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 4950L + 1L, s"uncapped run produced $uncapped pairs")
   }
 
+  test("dedup pipeline: one persisted pair list feeds clusters + keepers unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs")
+      .toString + "/pairs"
+    val pipe = graft.api.DedupOps.pipeline(
+      Tables.documents(spark, sf), "doc_id", "text", dir)
+
+    // identical results to the recompute-from-scratch catalog queries
+    val pairsFromScratch = run("q21_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pipe.pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_x1000"))).toSet == pairsFromScratch)
+    assert(pipe.clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      run("q46_dedup_clusters").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(pipe.deduped.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      run("q37_dedup_materialize").select("doc_id").collect()
+        .map(_.getLong(0)).toSet)
+
+    // the keeper anti-join must read ONLY doc_b from the persisted
+    // parquet — column pruning reaching the pair-list scan is what makes
+    // the materialized intermediate cheap to re-consume
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec    => Seq(f)
+      }.flatten
+    val pairScans = scans(pipe.deduped.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft_pairs")))
+    assert(pairScans.nonEmpty, "no parquet scan of the persisted pair list")
+    pairScans.foreach { f =>
+      assert(f.requiredSchema.fieldNames.toSeq == Seq("doc_b"),
+        s"pair scan over-reads: ${f.requiredSchema.fieldNames.toSeq}")
+    }
+  }
+
   test("shingles3 returns empty array for docs under 3 tokens (ANSI-safe)") {
     import spark.implicits._
     val out = Seq("", "one", "one two", "one two three")
