@@ -25,7 +25,8 @@ object PlanDump {
     val sf = "/root/testdata/sf0.001"
     val names = Seq("q01_pricing_summary", "q02_hot_items_topn",
       "q14_top_brands_by_revenue", "q21_dedup_minhash_lsh",
-      "q23_embedding_topk_pairs", "q24_ann_ivf", "q27_topk_agg",
+      "q22_simhash_fingerprint", "q23_embedding_topk_pairs",
+      "q24_ann_ivf", "q27_topk_agg",
       "q31_sessionization", "q33_asof_join", "q39_ann_lsh",
       "q42_decontamination", "q43_tfidf_topterms",
       "q50_sequence_packing", "q51_range_band_join")
