@@ -22,10 +22,23 @@ object TextOps {
     ((length(c) - length(replace(c, lit(w), lit("")))) / lit(w.length))
       .cast("long")
 
-  /** Whitespace token + char counts. Output: idCol, n_tokens, text_len. */
+  /** BPE-style pre-tokenizer pattern: letter runs, digit runs, and runs
+    * of other non-space symbols — the coarse segmentation a byte-pair
+    * tokenizer refines. Restricted to character classes RE2 (DuckDB)
+    * and java.util.regex (Spark) treat identically, so counts are
+    * engine-exact.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  /** Token + char counts: whitespace tokens, BPE-ish regex tokens
+    * ([[BpeTokenPattern]]), char length. Output: idCol, n_tokens,
+    * n_tokens_re, text_len. Map-only.
+    */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeTokenPattern), lit(0)))
+        .cast("long").as("n_tokens_re"),
       length(col(textCol)).cast("long").as("text_len"))
 
   /** Integer fixed-point quality score + bucket. Output: idCol, n_tok,
@@ -69,7 +82,9 @@ object TextOps {
       lenCol: String): DataFrame =
     df.select(col(idCol), md5(col(textCol).cast("binary")).as("sig"),
       md5(substring(col(textCol), 1, 64).cast("binary")).as("prefix_sig"),
-      expr(s"$lenCol div 100").as("len_bucket"))
+      // lengths are non-negative, so floor-div == integer div; Column
+      // API (not an expr string) keeps hostile lenCol names resolvable
+      floor(col(lenCol) / 100).cast("long").as("len_bucket"))
 
   /** Canonical text normalization (lowercase, strip non-alnum, collapse
     * whitespace) — cross-engine-safe character classes only.

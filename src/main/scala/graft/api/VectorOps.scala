@@ -69,6 +69,63 @@ object VectorOps {
       .select("vec_a", "vec_b", "rn")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS above a similarity
+    * threshold — the embedding analog of [[DedupOps.minhashPairs]],
+    * feeding the same downstream consumers ([[DedupOps.clusters]],
+    * keeper selection). Output: vec_a, vec_b, sim_x1000 (floor of
+    * cosine × 1000, engine-exact given the `dot_f` fold).
+    *
+    * Candidates come from BANDED sign-signature LSH: `planes` is split
+    * into bands of `rowsPerBand` hyperplanes; two vectors are
+    * candidates iff some band's sign bits all agree (near-dups at
+    * sim ≥ 0.95 disagree per plane with p ≈ 0.1, so 4 bands of 4 catch
+    * ≈ 98.6% — a single 16-bit signature would catch only ≈ 18%).
+    * Per-(band, signature) buckets aggregate through `capped_list`,
+    * so one degenerate signature (e.g. a mass-duplicated embedding)
+    * costs O(cap²), never O(n²) — same skew contract as minhashPairs,
+    * and like it requires a BIGINT id column. Exact cosine is computed
+    * for candidates only.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], simX1000Threshold: Int,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    require(planes.nonEmpty && planes.size % rowsPerBand == 0,
+      s"nearDupPairs: ${planes.size} planes not divisible into bands of $rowsPerBand")
+    graft.functions.SketchAggregates.register(df.sparkSession)
+    val base = normalized(df, idCol, vecCol)
+    val signBits = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(x => s"${x}D").mkString("array(", ", ", ")")
+      when(expr(s"dot_f(v, $arr)") > 0, lit(1 << (j % rowsPerBand)))
+        .otherwise(lit(0))
+    }
+    val bandKeys = signBits.grouped(rowsPerBand).map(_.reduce(_ + _)).toSeq
+    // only (id, band, key) reaches the bucket shuffle — the vectors
+    // stay behind and rejoin for surviving candidates
+    val bands = base
+      .select(col(idCol), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    val buckets = bands
+      .groupBy(col("band"), col("bkey"))
+      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+    val cand = buckets
+      .select(col("ds"), explode(col("ds")).as("vec_a"))
+      .select(col("vec_a"), explode(col("ds")).as("vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(base.select(col(idCol).as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(base.select(col(idCol).as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        floor(expr("dot_f(va, vb)") / (col("na") * col("nb")) * 1000)
+          .cast("long").as("sim_x1000"))
+      .filter(col("sim_x1000") >= simX1000Threshold)
+  }
+
   /** Brute-force cosine top-k: rows matching `queryPred` are the query
     * set (broadcast), ranked per query with deterministic ties. Output:
     * qid, nid, rn. The recall baseline — LSH/IVF prune at scale.

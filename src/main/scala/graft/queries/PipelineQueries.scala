@@ -37,10 +37,13 @@ GROUP BY 1"""),
 
     QueryDef(
       "q16_token_stats",
-      "Token counting: whitespace tokens + char length per document — " +
-        "narrow map-only plan, no shuffle at all.",
-      Some("""
+      "Token counting: whitespace tokens, BPE-ish regex tokens (letter/" +
+        "digit/symbol runs — the pre-tokenizer segmentation, cross-" +
+        "engine-exact regex), and char length per document — narrow " +
+        "map-only plan, no shuffle at all.",
+      Some(s"""
 SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '${graft.api.TextOps.BpeTokenPattern}', 0))::BIGINT AS n_tokens_re,
        length(text) AS text_len
 FROM documents"""),
       (s, dir) =>

@@ -25,6 +25,15 @@ class ApiSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stats(10L) == 9L && stats(14L) == 7L)
 
+    // BPE-ish regex counting diverges from whitespace splitting exactly
+    // where punctuation/digits attach to words
+    val bpe = TextOps.tokenStats(
+      Seq((1L, "it's 42 degrees... really?!")).toDF("row_key", "body"),
+      "row_key", "body").collect().head
+    assert(bpe.getAs[Long]("n_tokens") == 4L)
+    // it | ' | s | 42 | degrees | ... | really | ?!
+    assert(bpe.getAs[Long]("n_tokens_re") == 8L)
+
     val rep = TextOps.repetitionFilter(corpus, "row_key", "body").collect()
     assert(rep.forall(_.getAs[Boolean]("keep"))) // no repeated 3-grams here
 
@@ -89,6 +98,50 @@ class ApiSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(split.forall(Set("train", "val", "test")))
     assert(total > 0)
+  }
+
+  test("embedding near-dup dedup end-to-end: banded LSH pairs -> clusters") {
+    // three tight clusters of near-identical vectors + two loners, in
+    // 8 dims; deterministic hyperplanes from the same hash recipe the
+    // catalog's q39 uses
+    val planes = (0 until 16).map { j =>
+      (0 until 8).map { d =>
+        (((j * 8 + d).toLong * 2654435761L) % 1003L) / 1003.0 * 2.0 - 1.0
+      }.toSeq
+    }
+    def jitter(base: Array[Float], k: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + 0.001f * ((i + k) % 3) }
+    val c1 = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val c2 = Array(0f, -1f, 0f, 1f, 0f, 0f, 1f, 0f)
+    val c3 = Array(0f, 0f, 1f, 0f, 0f, -1f, 0f, 1f)
+    val vecs = (
+      (0 until 3).map(k => (100L + k, jitter(c1, k))) ++
+      (0 until 3).map(k => (200L + k, jitter(c2, k))) ++
+      (0 until 3).map(k => (300L + k, jitter(c3, k))) ++
+      Seq((400L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+          (401L, Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f)))
+    ).toDF("vkey", "emb")
+
+    val pairs = VectorOps.nearDupPairs(vecs, "vkey", "emb", planes,
+      simX1000Threshold = 990)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("sim_x1000")))
+    // every within-cluster pair, nothing else (loners and cross-cluster
+    // sims are far below threshold)
+    val expected = Seq(100L, 200L, 300L).flatMap { b =>
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }.toSet
+    assert(got.map(p => (p._1, p._2)).toSet == expected,
+      s"got ${got.toSeq}")
+    got.foreach(p => assert(p._3 >= 990L))
+
+    // the pair frame drops straight into the transitive-clustering
+    // consumer: one cluster per jitter family, labeled by its min id
+    val cl = DedupOps.clusters(pairs, "vec_a", "vec_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(100L -> 100L, 101L -> 100L, 102L -> 100L,
+      200L -> 200L, 201L -> 200L, 202L -> 200L,
+      300L -> 300L, 301L -> 300L, 302L -> 300L))
   }
 
   test("VectorOps over custom columns") {
