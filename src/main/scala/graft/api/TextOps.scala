@@ -131,6 +131,38 @@ object TextOps {
         col("e.cnt").as("score_x"), col("e.rn").as("rn"))
   }
 
+  /** PII patterns: emails, IPv4 addresses, phone-like digit runs.
+    * Character classes and quantifiers restricted to what RE2 (DuckDB)
+    * and java.util.regex treat identically, so redaction output is
+    * byte-identical across engines (leftmost-first semantics in both).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII scrub — the redaction pass of a training-data pipeline.
+    * Emails, then IPv4s, then phone-like runs are replaced with typed
+    * placeholders; applying them in sequence (each on the previous
+    * stage's output) keeps the classes disjoint — IP octets never
+    * double-count as phone digits. Output: idCol, n_emails, n_ips,
+    * n_phones, redacted. Map-only, codegen'd regex.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def nMatches(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    df.select(col(idCol), col(textCol).as("_t0"))
+      .withColumn("n_emails", nMatches(col("_t0"), EmailPattern))
+      .withColumn("_t1",
+        regexp_replace(col("_t0"), EmailPattern, "<EMAIL>"))
+      .withColumn("n_ips", nMatches(col("_t1"), Ipv4Pattern))
+      .withColumn("_t2", regexp_replace(col("_t1"), Ipv4Pattern, "<IP>"))
+      .withColumn("n_phones", nMatches(col("_t2"), PhonePattern))
+      .withColumn("redacted",
+        regexp_replace(col("_t2"), PhonePattern, "<PHONE>"))
+      .select(col(idCol), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("redacted"))
+  }
+
   /** Corpus documents sharing >= 1 hashed n-token gram with a benchmark
     * frame. Output: idCol, n_shared_grams (docs with zero overlap are
     * absent). Benchmark side is broadcast — at scale it is tiny.

@@ -311,6 +311,49 @@ WHERE h < CASE stratum WHEN 'short' THEN 100 WHEN 'medium' THEN 500 ELSE 1000 EN
           "doc_id", "stratum",
           ratesX1000 = Map("short" -> 100, "medium" -> 500),
           defaultX1000 = 1000)
+      }),
+
+    QueryDef(
+      "q52_pii_redaction",
+      "PII scrub (the redaction pass every training corpus goes " +
+        "through): emails → IPv4s → phone-like runs replaced with typed " +
+        "placeholders, sequentially so the classes stay disjoint. The " +
+        "corpus has no real PII, so both engines deterministically graft " +
+        "synthetic contact lines onto each doc first; the oracle then " +
+        "hash-compares md5(redacted) — byte-identical cross-engine " +
+        "redaction, not just equal counts. Map-only, codegen'd regex.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+         (doc_id % 256) || '.7 call +1 (555) 010-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t0
+  FROM documents),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(t0, '${graft.api.TextOps.EmailPattern}', 0))::BIGINT AS n_emails,
+         regexp_replace(t0, '${graft.api.TextOps.EmailPattern}', '<EMAIL>', 'g') AS t1
+       FROM p),
+s2 AS (SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '${graft.api.TextOps.Ipv4Pattern}', 0))::BIGINT AS n_ips,
+         regexp_replace(t1, '${graft.api.TextOps.Ipv4Pattern}', '<IP>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '${graft.api.TextOps.PhonePattern}', 0))::BIGINT AS n_phones,
+         regexp_replace(t2, '${graft.api.TextOps.PhonePattern}', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS red_sig
+FROM s3"""),
+      (s, dir) => {
+        val withPii = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 call +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+        graft.api.TextOps.redactPii(withPii, "doc_id", "text")
+          .select(col("doc_id"), col("n_emails"), col("n_ips"),
+            col("n_phones"), md5(col("redacted").cast("binary")).as("red_sig"))
       })
   )
 }

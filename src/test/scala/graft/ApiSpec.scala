@@ -63,6 +63,22 @@ class ApiSpec extends SparkSpec {
     assert(cl(13L) == 12L && cl(11L) == 10L)
   }
 
+  test("TextOps.redactPii: typed placeholders, classes stay disjoint") {
+    val df = Seq(
+      (1L, "mail a.b+c@foo.org and 192.168.0.1 then dial +44 20 7946 0958 ok"),
+      (2L, "no pii here at all"))
+      .toDF("row_key", "body")
+    val out = TextOps.redactPii(df, "row_key", "body").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_ips") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(1L).getAs[String]("redacted") ==
+      "mail <EMAIL> and <IP> then dial <PHONE> ok")
+    assert(out(2L).getAs[String]("redacted") == "no pii here at all")
+    assert(out(2L).getAs[Long]("n_emails") == 0L)
+  }
+
   test("identifier safety: reserved words and spaces in caller names") {
     // "select" (reserved word) id column, "doc body" (space) text column:
     // every interpolation into SQL text must quote or avoid identifiers

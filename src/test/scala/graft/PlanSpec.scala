@@ -104,7 +104,8 @@ class PlanSpec extends SparkSpec {
   test("map-only pipeline queries have ZERO shuffles") {
     Seq("q16_token_stats", "q17_quality_score", "q18_lang_id",
       "q19_doc_fingerprint", "q22_simhash_fingerprint", "q26_multimodal_meta",
-      "q38_text_normalize", "q44_repetition_filter", "q45_stratified_sample")
+      "q38_text_normalize", "q44_repetition_filter", "q45_stratified_sample",
+      "q52_pii_redaction")
       .foreach { q =>
         val shuffles = collectAll(plan(q)).count(_.isInstanceOf[ShuffleExchangeLike])
         assert(shuffles == 0, s"$q: expected map-only, got $shuffles shuffles")
