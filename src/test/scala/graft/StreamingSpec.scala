@@ -262,6 +262,44 @@ class StreamingSpec extends SparkSpec {
     assertTopNStreamingParity("hot_ranked")
   }
 
+  /** Streaming exact dedup: first arrival per key wins, same-batch and
+    * cross-batch copies within the watermark horizon are suppressed.
+    * Parameterized by sink name so the RocksDB variant can rerun it —
+    * per-key dedup state is exactly what outgrows the heap at 100TB.
+    */
+  private def assertStreamingDedup(sinkName: String): Unit = {
+    val input = MemoryStream[StreamEvent]
+    val out = Dedup.firstPerKey(input.toDS().toDF(), "ts",
+      Seq("userId"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(1L, 100L, "doc", ts(1000)),
+        StreamEvent(2L, 101L, "doc", ts(2000)),
+        StreamEvent(1L, 102L, "doc", ts(3000))) // same-batch dup of key 1
+      q.processAllAvailable()
+      input.addData(
+        StreamEvent(2L, 103L, "doc", ts(4000)), // cross-batch dup of key 2
+        StreamEvent(3L, 104L, "doc", ts(5000))) // genuinely new key
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sinkName).collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("eventId"))).toSet
+    // the FIRST eventId per key survives; every later copy is dropped
+    assert(got == Set((1L, 100L), (2L, 101L), (3L, 104L)))
+  }
+
+  test("streaming first-per-key dedup suppresses same- and cross-batch copies") {
+    assertStreamingDedup("dedup_stream")
+  }
+
+  test("streaming dedup parity holds under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertStreamingDedup("dedup_stream_rocks")
+    }
+  }
+
   test("chained top-N parity holds under the RocksDB state store") {
     // the 100TB streaming path: state off-heap in RocksDB instead of
     // the default HDFS-backed in-memory store — two chained stateful
