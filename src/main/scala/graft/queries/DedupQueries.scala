@@ -199,6 +199,51 @@ QUALIFY rn <= 20"""),
           planes = (0 until LshPlanes).map(plane), k = 20)),
 
     QueryDef(
+      "q53_embedding_near_dup",
+      "Embedding-cosine near-dup PAIRS above a similarity threshold " +
+        "(VectorOps.nearDupPairs): 16 deterministic hyperplanes in 4 " +
+        "bands of 4 — candidates iff some band's sign bits all agree " +
+        "(banded recall ≈98.6% at sim ≥ .95 where one 16-bit signature " +
+        "catches ~18%) — capped_list-bounded buckets (q21's skew " +
+        "contract), exact cosine on candidates only. The pair frame " +
+        "feeds the same clusters/keeper consumers as MinHash pairs.",
+      Some(s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT vec_id,
+${(0 until LshPlanes).map(j =>
+  s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
+  .mkString(",\n")}
+      FROM n),
+bands AS (
+${(0 until LshPlanes / 4).map(b =>
+  s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
+  .mkString("\n  UNION ALL\n")}),
+ok AS (
+  SELECT band, bkey FROM bands
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.vec_id < b.vec_id),
+v AS (
+  SELECT vec_a, vec_b,
+         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
+  FROM cand
+  JOIN n na ON na.vec_id = vec_a
+  JOIN n nb ON nb.vec_id = vec_b)
+SELECT vec_a, vec_b, floor(sim * 1000)::BIGINT AS sim_x1000
+FROM v WHERE floor(sim * 1000) >= 400"""),
+      (s, dir) =>
+        graft.api.VectorOps.nearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          planes = (0 until LshPlanes).map(plane),
+          simX1000Threshold = 400)),
+
+    QueryDef(
       "q24_ann_ivf",
       "IVF-style ANN (the 100TB path): vectors are assigned to their " +
         "nearest of 8 fixed centroids (vec_id < 8); queries " +
