@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomDistinct, CappedList, DotProduct, FnArgs, GroupedTopK, ShingleHashes}
+import graft.functions.{BloomDistinct, CappedList, DotProduct, FnArgs, GroupedTopK, ShingleHashes, SimHash60}
 
 /** Library entry point for `spark.sql.extensions`: injects every graft
   * SQL function at session build, so
@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleHashes(exprs.head,
         FnArgs.litInt("shingle_hashes", "n", exprs(1)),
         FnArgs.litLong("shingle_hashes", "mod", exprs(2)))))
+    ext.injectFunction(fn("simhash60",
+      "simhash60(tokens) - fused distinct-tokens -> hash60 -> 60-bit majority-vote fingerprint",
+      exprs => SimHash60(exprs.head)))
     ext.injectFunction(fn("dot_f",
       "dot_f(a, b) - codegen left-to-right double dot product",
       exprs => DotProduct(exprs.head, exprs(1))))

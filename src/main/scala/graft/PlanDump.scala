@@ -29,7 +29,8 @@ object PlanDump {
       "q24_ann_ivf", "q27_topk_agg",
       "q31_sessionization", "q33_asof_join", "q39_ann_lsh",
       "q42_decontamination", "q43_tfidf_topterms",
-      "q50_sequence_packing", "q51_range_band_join")
+      "q50_sequence_packing", "q51_range_band_join",
+      "q52_pii_redaction", "q53_embedding_near_dup")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

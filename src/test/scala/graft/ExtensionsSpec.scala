@@ -45,6 +45,15 @@ class ExtensionsSpec extends SparkSpec {
       val dot = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
         .selectExpr("dot_f(a, b)").head.getDouble(0)
       assert(dot == 11.0)
+
+      // same fingerprint as the registry path DedupOps uses (computed
+      // on the suite session via plain SQL to avoid implicit clashes)
+      val fp = Seq("a b c").toDF("t")
+        .selectExpr("simhash60(split(t, ' '))").head.getLong(0)
+      graft.functions.TextHashExpressions.register(spark)
+      val fpReg = spark.sql("SELECT simhash60(split('a b c', ' '))")
+        .head.getLong(0)
+      assert(fp == fpReg && fp != 0L)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
