@@ -94,4 +94,60 @@ class RecoverySpec extends SparkSpec {
       assertStateSurvivesRestart(8L)
     }
   }
+
+  /** The buffered-pay state of the J1 stream-stream interval join must
+    * survive a checkpointed restart: the pay arrives before the stop,
+    * its matching receipt only after the restart — the joined row
+    * exists iff the join buffer was recovered from the checkpoint.
+    */
+  private def assertJoinStateSurvivesRestart(txId: String): Unit = {
+    val ckpt = Files.createTempDirectory("graft_j1_ckpt").toString
+    val oIn = MemoryStream[(Long, String, String, Timestamp)]
+    val rIn = MemoryStream[(String, String, Timestamp)]
+    val collected =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    def startQuery() = TxIntervalJoin.txMatchByJoinStream(
+        oIn.toDF().toDF("orderId", "eventType", "txId", "ts"),
+        rIn.toDF().toDF("txId", "payChannel", "ts"), toleranceSec = 5L)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batch.collect().foreach(r =>
+            collected.add((r.getString(0), r.getLong(1), r.getString(2))))
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // query 1: lone pay buffers in join state (receipt side silent, so
+    // the global watermark cannot evict it), then STOP
+    val q1 = startQuery()
+    try {
+      oIn.addData((1L, "pay", txId, ts(base + 1000)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the checkpoint: the receipt (2s after the pay, well
+    // inside ±5s) must join against the PRE-RESTART buffered pay
+    val q2 = startQuery()
+    try {
+      rIn.addData((txId, "card", ts(base + 3000)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    assert(collected.asScala.toSet == Set((txId, 1L, "card")),
+      s"join state lost across restart: ${collected.asScala.toSet}")
+  }
+
+  test("stream-stream join state survives a checkpointed restart") {
+    assertJoinStateSurvivesRestart("txA")
+  }
+
+  test("stream-stream join restart also recovers under RocksDB") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertJoinStateSurvivesRestart("txB")
+    }
+  }
 }
