@@ -73,4 +73,32 @@ class MediaSpec extends SparkSpec {
     val r = Multimodal.resize(Multimodal.decode(ds), 25, 25).collect().head
     assert(r.width == 25 && r.height == 12) // aspect preserved from TRUE dims
   }
+
+  test("decoded features flow into the vector dedup path (decode -> ANN)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // duplicate payloads -> identical feature vectors -> a near-dup
+    // pair at sim 1.0; distinct content stays below the threshold.
+    // This is the multimodal dedup chain: decode -> features ->
+    // banded-LSH near-dup -> clusters/keepers, no media-specific code
+    // after the decode.
+    val media = Seq(
+      MediaRecord(1L, "application/x", "identical payload bytes".getBytes("UTF-8")),
+      MediaRecord(2L, "application/x", "identical payload bytes".getBytes("UTF-8")),
+      MediaRecord(3L, "application/x", png(40, 40, 0x00ff00))).toDS()
+    val feats = Multimodal.decode(media).toDF()
+      .select(col("docId"), col("features"))
+    val planes = (0 until 16).map { j =>
+      (0 until Multimodal.FeatureDim).map { d =>
+        (((j * Multimodal.FeatureDim + d).toLong * 2654435761L) % 1003L) /
+          1003.0 * 2.0 - 1.0
+      }.toSeq
+    }
+    val pairs = graft.api.VectorOps.nearDupPairs(
+        feats, "docId", "features", planes, simX1000Threshold = 999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"got ${pairs.toSeq}")
+    assert(pairs.head._3 == 1000L) // identical vectors -> cosine exactly 1
+  }
 }
