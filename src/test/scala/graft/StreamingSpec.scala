@@ -294,6 +294,33 @@ class StreamingSpec extends SparkSpec {
     assertStreamingDedup("dedup_stream")
   }
 
+  test("text api ops are stateless-streaming-safe: stream output == batch output") {
+    // the api layer's map-only contract must hold on unbounded frames:
+    // any batch-only construct (sort, collect, window-without-watermark)
+    // sneaking into these ops would fail here at plan time
+    val docs = Seq(
+      (1L, "email me at a@b.co from 10.1.2.3"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "numbers 42 and 7 punctuation!"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.api.TextOps.tokenStats(
+        graft.api.TextOps.redactPii(df, "doc_id", "text"),
+        "doc_id", "redacted")
+    val input = MemoryStream[(Long, String)]
+    val q = pipeline(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("text_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tokens_re"),
+        r.getAs[Long]("text_len"))
+    val got = spark.table("text_stream").collect().map(key).toSet
+    val want = pipeline(docs.toDF("doc_id", "text")).collect().map(key).toSet
+    assert(got == want && want.size == 3)
+  }
+
   test("streaming dedup parity holds under the RocksDB state store") {
     StateStoreVariants.withRocksDB(spark) {
       assertStreamingDedup("dedup_stream_rocks")
