@@ -46,7 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FnArgs.litLong("shingle_hashes", "mod", exprs(2)))))
     ext.injectFunction(fn("simhash60",
       "simhash60(tokens) - fused distinct-tokens -> hash60 -> 60-bit majority-vote fingerprint",
-      exprs => SimHash60(exprs.head)))
+      exprs => {
+        // extra args must fail loudly, not be silently dropped
+        require(exprs.size == 1,
+          s"simhash60 takes exactly 1 argument, got ${exprs.size}")
+        SimHash60(exprs.head)
+      }))
     ext.injectFunction(fn("dot_f",
       "dot_f(a, b) - codegen left-to-right double dot product",
       exprs => DotProduct(exprs.head, exprs(1))))

@@ -148,6 +148,14 @@ object TextOps {
     * n_phones, redacted. Map-only, codegen'd regex.
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the OUTPUT schema fixes these names, so an id column that shadows
+    // one would be silently replaced by a count — fail fast instead
+    // (the rest of the api's arbitrary-name contract still holds)
+    val reserved = Set("n_emails", "n_ips", "n_phones", "redacted",
+      "_t0", "_t1", "_t2")
+    require(!reserved.contains(idCol),
+      s"redactPii: id column '$idCol' collides with an output/working " +
+        s"column (${reserved.mkString(", ")}) — rename it first")
     def nMatches(c: Column, pat: String): Column =
       size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
     df.select(col(idCol), col(textCol).as("_t0"))

@@ -177,6 +177,11 @@ object TextHashExpressions {
         FnArgs.litLong("shingle_hashes", "mod", exprs(2))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash60", exprs => SimHash60(exprs.head), "built-in")
+      "simhash60", exprs => {
+        // extra args must fail loudly, not be silently dropped
+        require(exprs.size == 1,
+          s"simhash60 takes exactly 1 argument, got ${exprs.size}")
+        SimHash60(exprs.head)
+      }, "built-in")
   }
 }

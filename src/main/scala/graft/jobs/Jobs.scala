@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * the input is unbounded. Exception: the fine-slide sliding counts
   * (hotUrls, marketingByChannel/Total, adClicksByProvince) use the
   * batch two-level shape (operators.SlidingCounts); their streaming
-  * twins live in streaming.WindowedCounts, where the per-window Expand
-  * is the correct incremental-state form.
+  * twins are streaming.WindowedCounts.slidingCountKeys (any key arity,
+  * parity-tested in StreamingSpec), where the per-window Expand is the
+  * correct incremental-state form.
   *
   * Outputs keep the reference's semantics but normalize presentation:
   * epoch-second window bounds, deterministic tie-breaks (SURVEY.md §7.4
@@ -124,15 +125,13 @@ object Jobs {
         lit(" times today")))
 
   def filterWithBlacklist(clicks: DataFrame, threshold: Long = 100L): DataFrame = {
-    // derive the day column once and join on it — not a date_format
-    // re-evaluated inside the join condition on every probe row
+    // ONE definition of the blacklist rule (adBlacklist); the probe side
+    // derives its day column once and joins on it rather than
+    // re-evaluating date_format inside the join condition per row
     val withDay = clicks.withColumn("_day", date_format(col("ts"), "yyyy-MM-dd"))
-    val bl = withDay
-      .groupBy(col("userId").as("blUser"), col("adId").as("blAd"),
-        col("_day").as("blDay"))
-      .agg(count(lit(1)).as("clickCount"))
-      .filter(col("clickCount") >= threshold)
-      .select("blUser", "blAd", "blDay")
+    val bl = adBlacklist(clicks, threshold)
+      .select(col("userId").as("blUser"), col("adId").as("blAd"),
+        col("day").as("blDay"))
     withDay.join(bl,
         col("userId") === col("blUser") && col("adId") === col("blAd") &&
           col("_day") === col("blDay"),

@@ -38,10 +38,13 @@ object ConnectedComponents {
     // (both input columns appear as src in the symmetric union, so one
     // column check covers both)
     val nullIds = sym.filter(col("src").isNull || col("dst").isNull).count()
-    require(nullIds == 0,
-      s"connected components needs numeric ids: $nullIds edge endpoints " +
-        s"were NULL after casting ($srcCol, $dstCol) to long — map string " +
-        "ids to a dense/hashed long key first")
+    if (nullIds > 0) {
+      sym.unpersist() // don't leak the edge cache on the failure path
+      throw new IllegalArgumentException(
+        s"connected components needs numeric ids: $nullIds edge endpoints " +
+          s"were NULL after casting ($srcCol, $dstCol) to long — map string " +
+          "ids to a dense/hashed long key first")
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var cached: DataFrame = null

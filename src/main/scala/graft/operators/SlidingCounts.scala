@@ -38,17 +38,23 @@ object SlidingCounts {
       windowEndCol: String = "windowEnd"): DataFrame = {
     require(durationSec > 0 && slideSec > 0 && durationSec % slideSec == 0,
       s"duration ${durationSec}s must be a positive multiple of slide ${slideSec}s")
+    // internal working columns carry a __sc_ prefix (and the window
+    // struct is explicitly aliased) so caller keys named "window",
+    // "cnt"-adjacent, etc. neither collide nor go ambiguous; the output
+    // name is the only one the caller controls
+    require(!keyCols.contains(windowEndCol) && keyCols.forall(!_.startsWith("__sc_")),
+      s"slidingCount: key columns $keyCols may not include $windowEndCol or __sc_* names")
     val nWin = durationSec / slideSec
     val keys: Seq[Column] = keyCols.map(col)
     val bucketed = df
-      .groupBy(window(col(tsCol), s"$slideSec seconds") +: keys: _*)
-      .agg(count(lit(1)).as("bcnt"))
-      .select(unix_timestamp(col("window.start")).as("_bstart") +:
-        (keys :+ col("bcnt")): _*)
+      .groupBy(window(col(tsCol), s"$slideSec seconds").as("__sc_w") +: keys: _*)
+      .agg(count(lit(1)).as("__sc_bcnt"))
+      .select(unix_timestamp(col("__sc_w.start")).as("__sc_bstart") +:
+        (keys :+ col("__sc_bcnt")): _*)
     bucketed
-      .withColumn("_i", explode(sequence(lit(1L), lit(nWin))))
-      .withColumn(windowEndCol, col("_bstart") + col("_i") * slideSec)
+      .withColumn("__sc_i", explode(sequence(lit(1L), lit(nWin))))
+      .withColumn(windowEndCol, col("__sc_bstart") + col("__sc_i") * slideSec)
       .groupBy(col(windowEndCol) +: keys: _*)
-      .agg(sum(col("bcnt")).as("cnt"))
+      .agg(sum(col("__sc_bcnt")).as("cnt"))
   }
 }

@@ -16,12 +16,27 @@ object WindowedCounts {
     */
   def slidingCount(events: DataFrame, tsCol: String, keyCol: String,
       duration: String, slide: String, watermarkDelay: String): DataFrame =
+    slidingCountKeys(events, tsCol, Seq(keyCol), duration, slide,
+      watermarkDelay)
+
+  /** [[slidingCount]] for any number of key columns — including zero
+    * (global counts) and composite keys: the streaming twins of
+    * Jobs.marketingByChannel (channel, behavior), Jobs.marketingTotal
+    * (no key), and Jobs.adClicksByProvince. The batch side uses the
+    * two-level SlidingCounts shape; here the per-window Expand is the
+    * correct form — it feeds incremental per-(window, keys) state.
+    * Output: window_end (epoch sec), keyCols..., cnt.
+    */
+  def slidingCountKeys(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], duration: String, slide: String,
+      watermarkDelay: String): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), duration, slide), col(keyCol))
+      .groupBy(window(col(tsCol), duration, slide).as("__wc_w") +:
+        keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-      .select(unix_timestamp(col("window.end")).as("window_end"),
-        col(keyCol), col("cnt"))
+      .select(unix_timestamp(col("__wc_w.end")).as("window_end") +:
+        (keyCols.map(col) :+ col("cnt")): _*)
 
   /** R1/R2-analog: grouped top-N over closed windows. Streaming can't
     * rank inside an append-mode agg, so the rank runs per micro-batch

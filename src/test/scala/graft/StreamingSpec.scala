@@ -294,6 +294,52 @@ class StreamingSpec extends SparkSpec {
     assertStreamingDedup("dedup_stream")
   }
 
+  test("streaming slidingCountKeys == batch SlidingCounts (composite and zero keys)") {
+    // the marketing jobs' streaming twins: the window() streaming form
+    // and the batch two-level bucket form must agree on the same events
+    // — both for a composite (channel, behavior) key and for the
+    // global no-key count
+    val evs = (0 until 60).map { i =>
+      (s"ch${i % 3}", if (i % 7 == 0) "INSTALL" else "CLICK",
+        ts(1600000000000L + i * 977L))
+    }
+    val maxMs = evs.map(_._3.getTime).max
+
+    def run(keys: Seq[String], sink: String): Set[Seq[Any]] = {
+      val input = MemoryStream[(String, String, Timestamp)]
+      val q = WindowedCounts.slidingCountKeys(
+          input.toDF().toDF("channel", "behavior", "ts"),
+          "ts", keys, "600 seconds", "60 seconds", "0 seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val (a, b) = evs.splitAt(evs.length / 2)
+        input.addData(a: _*); q.processAllAvailable()
+        input.addData(b: _*); q.processAllAvailable()
+        input.addData(("zz", "SENTINEL", ts(maxMs + 48 * 3600 * 1000L)))
+        q.processAllAvailable()
+        input.addData(("zz", "SENTINEL", ts(maxMs + 96 * 3600 * 1000L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // sentinel windows sit 48h+ out; real windows end within 600s
+      spark.table(sink)
+        .filter(col("window_end") <= maxMs / 1000 + 600)
+        .collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    }
+
+    val batchDf = evs.toDF("channel", "behavior", "ts")
+    def batch(keys: Seq[String]): Set[Seq[Any]] =
+      graft.operators.SlidingCounts.slidingCount(
+          batchDf, "ts", keys, 600L, 60L, windowEndCol = "window_end")
+        .collect().map(_.toSeq.toVector: Seq[Any]).toSet
+
+    assert(run(Seq("channel", "behavior"), "mkt_keys") ==
+      batch(Seq("channel", "behavior")))
+    val global = run(Seq.empty, "mkt_global")
+    assert(global == batch(Seq.empty))
+    assert(global.nonEmpty)
+  }
+
   test("text api ops are stateless-streaming-safe: stream output == batch output") {
     // the api layer's map-only contract must hold on unbounded frames:
     // any batch-only construct (sort, collect, window-without-watermark)
