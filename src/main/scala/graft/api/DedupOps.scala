@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextHashExpressions, TextHashing}
@@ -129,6 +129,55 @@ object DedupOps {
     df.select(col(idCol),
         call_function("simhash60", split(col(textCol), " ", -1)).as("simhash"))
       .withColumn("block", shiftright(col("simhash"), 48).cast("long"))
+  }
+
+  /** SimHash near-duplicate PAIRS with GUARANTEED recall at the
+    * hamming threshold: the 60-bit fingerprint splits into
+    * `hammingMax + 1` disjoint blocks, and by pigeonhole any pair
+    * within `hammingMax` bit flips agrees EXACTLY on at least one
+    * block — so blocking on exact block values is lossless, unlike the
+    * probabilistic MinHash/hyperplane bands. Candidates come from the
+    * same capped bucket aggregation as [[minhashPairs]] (same skew
+    * contract, BIGINT ids); the exact `bit_count(xor)` verify touches
+    * candidates only. Output: doc_a, doc_b, hamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      hammingMax: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(hammingMax >= 0 && hammingMax <= 14,
+      s"simhashPairs: hammingMax $hammingMax outside [0, 14] (blocks need >= 4 bits)")
+    graft.functions.SketchAggregates.register(df.sparkSession)
+    val nBlocks = hammingMax + 1
+    val w = 60 / nBlocks
+    val fps = simhashFingerprint(df, idCol, textCol)
+      .select(col(idCol), col("simhash"))
+    val blockCols: Seq[Column] = (0 until nBlocks).map { b =>
+      // last block absorbs the remainder bits when nBlocks doesn't
+      // divide 60 — any disjoint partition preserves the pigeonhole
+      val bits = if (b == nBlocks - 1) 60 - w * (nBlocks - 1) else w
+      shiftright(col("simhash"), w * b).bitwiseAND(lit((1L << bits) - 1L))
+    }
+    val bands = fps
+      .select(col(idCol), posexplode(array(blockCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+    val buckets = bands
+      .groupBy(col("band"), col("bkey"))
+      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+    val cand = buckets
+      .select(col("ds"), explode(col("ds")).as("doc_a"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(fps.select(col(idCol).as("doc_a"), col("simhash").as("sh_a")),
+        Seq("doc_a"))
+      .join(fps.select(col(idCol).as("doc_b"), col("simhash").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= hammingMax)
   }
 
   /** Transitive near-dup clusters over a pair frame. Output: doc_id,

@@ -148,6 +148,47 @@ FROM f"""),
           Tables.documents(s, dir), "doc_id", "text")),
 
     QueryDef(
+      "q54_simhash_pairs",
+      "SimHash near-dup PAIRS with a pigeonhole recall GUARANTEE " +
+        "(DedupOps.simhashPairs): the 60-bit fingerprint splits into 4 " +
+        "disjoint 15-bit blocks; any pair within hamming <= 3 agrees " +
+        "exactly on >= 1 block, so exact-block blocking is LOSSLESS — " +
+        "unlike the probabilistic MinHash/hyperplane bands. Candidates " +
+        "from capped block buckets (q21's skew contract), verified by " +
+        "exact bit_count(xor). The third pair-generating dedup modality " +
+        "next to shingle-Jaccard (q21/q29) and embedding-cosine (q53).",
+      Some(s"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        tok -> ${hash60Sql("tok")}) AS hs
+  FROM documents),
+f AS (SELECT doc_id, ${simhashSql("hs")} AS simhash FROM t),
+blocks AS (
+  SELECT doc_id, g.b AS band,
+         (simhash >> (15 * g.b)) & 32767 AS bkey
+  FROM f CROSS JOIN generate_series(0, 3) g(b)),
+ok AS (
+  SELECT band, bkey FROM blocks
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+  JOIN blocks b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       bit_count(xor(fa.simhash, fb.simhash))::BIGINT AS hamming
+FROM cand
+JOIN f fa ON fa.doc_id = doc_a
+JOIN f fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3"""),
+      (s, dir) =>
+        graft.api.DedupOps.simhashPairs(
+          Tables.documents(s, dir), "doc_id", "text", hammingMax = 3)),
+
+    QueryDef(
       "q23_embedding_topk_pairs",
       "Embedding-cosine near-dup: global top-20 most-similar vector " +
         "pairs (brute force over the n² pair space — at scale the LSH/" +

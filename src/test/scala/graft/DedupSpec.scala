@@ -137,6 +137,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q54 simhash pairs: pigeonhole blocking lossless uncapped, sound capped") {
+    val fp = run("q22_simhash_fingerprint").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (a, sa) <- fp; (b, sb) <- fp
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture should contain hamming<=3 near-dups")
+
+    // buckets allowed to hold the whole corpus -> the 4x15-bit blocking
+    // is EXACTLY brute force: every hamming<=3 pair collides in some
+    // block (pigeonhole) and the bit_count verify admits nothing else
+    val uncapped = graft.api.DedupOps.simhashPairs(
+        Tables.documents(spark, sf), "doc_id", "text",
+        hammingMax = 3, maxBucket = fp.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == brute,
+      s"blocking missed ${brute.diff(uncapped).take(5)} / extra ${uncapped.diff(brute).take(5)}")
+
+    // the catalog default keeps the q21 skew cap: on this shared-vocab
+    // corpus simhash block values cluster heavily, so hot buckets are
+    // skipped — recall trades against the bounded-candidate guarantee,
+    // but soundness (every reported pair really within hamming<=3)
+    // cannot: capped output must be a subset of brute force
+    val capped = run("q54_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(brute), s"unsound pairs: ${capped.diff(brute).take(5)}")
+  }
+
   test("q24 ivf vs q20 brute force: same-cluster neighbors are found") {
     // IVF is approximate; check structure: 5 neighbors per query, ranked
     val rows = run("q24_ann_ivf").collect()
