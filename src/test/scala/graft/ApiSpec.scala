@@ -61,6 +61,11 @@ class ApiSpec extends SparkSpec {
     val cl = DedupOps.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl(13L) == 12L && cl(11L) == 10L)
+
+    // identical docs fingerprint identically -> a hamming-0 simhash pair
+    val sh = DedupOps.simhashPairs(corpus, "row_key", "body").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(sh.exists(p => p._1 == 12L && p._2 == 13L && p._3 == 0L))
   }
 
   test("TextOps.redactPii: typed placeholders, classes stay disjoint") {
