@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomDistinct, CappedList, DotProduct, FnArgs, GroupedTopK, ShingleHashes, SimHash60}
+import graft.functions.{BloomDistinct, CappedList, DotProduct, FnArgs, GroupedTopK, ShingleHashes}
 
 /** Library entry point for `spark.sql.extensions`: injects every graft
   * SQL function at session build, so
@@ -46,12 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FnArgs.litLong("shingle_hashes", "mod", exprs(2)))))
     ext.injectFunction(fn("simhash60",
       "simhash60(tokens) - fused distinct-tokens -> hash60 -> 60-bit majority-vote fingerprint",
-      exprs => {
-        // extra args must fail loudly, not be silently dropped
-        require(exprs.size == 1,
-          s"simhash60 takes exactly 1 argument, got ${exprs.size}")
-        SimHash60(exprs.head)
-      }))
+      graft.functions.TextHashExpressions.simhash60Builder))
     ext.injectFunction(fn("dot_f",
       "dot_f(a, b) - codegen left-to-right double dot product",
       exprs => DotProduct(exprs.head, exprs(1))))

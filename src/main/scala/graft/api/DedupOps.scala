@@ -25,6 +25,26 @@ object DedupOps {
     */
   val DefaultMaxBucket = 100
 
+  /** THE skew-cap contract, defined once for every pair generator
+    * (minhash, n-gram, simhash, embedding-LSH): group by the blocking
+    * key(s), aggregate ids through `capped_list` (NULL = bucket too hot
+    * to block on — skipped, bounded partials), explode the capped sets
+    * into ordered distinct pairs. A change to the cap semantics here is
+    * the only place it can happen — the mirrored oracle SQL CTEs must
+    * follow.
+    */
+  private[api] def cappedCandidatePairs(df: DataFrame, groupCols: Seq[Column],
+      idCol: String, maxBucket: Int, aCol: String, bCol: String): DataFrame = {
+    graft.functions.SketchAggregates.register(df.sparkSession)
+    df.groupBy(groupCols: _*)
+      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("__ds"))
+      .filter(col("__ds").isNotNull && size(col("__ds")) >= 2)
+      .select(col("__ds"), explode(col("__ds")).as(aCol))
+      .select(col(aCol), explode(col("__ds")).as(bCol))
+      .filter(col(aCol) < col(bCol))
+      .dropDuplicates(aCol, bCol)
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact shingle-Jaccard
     * verification. Output: doc_a, doc_b, jaccard_x1000 (>= threshold).
     * Band keys shuffle id-only; shingle sets rejoin candidates only.
@@ -60,15 +80,8 @@ object DedupOps {
     // one bounded shuffle replaces the unbounded bucket self-join:
     // partials carry <= cap+1 ids per bucket, pairs explode from the
     // capped set only
-    val buckets = bands
-      .groupBy(col("band"), col("bkey"))
-      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("ds"))
-      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
-    val cand = buckets
-      .select(col("ds"), explode(col("ds")).as("doc_a"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = cappedCandidatePairs(bands, Seq(col("band"), col("bkey")),
+      idCol, maxBucket, "doc_a", "doc_b")
     cand
       .join(hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a")),
         Seq("doc_a"))
@@ -95,18 +108,11 @@ object DedupOps {
       .filter(size(col("toks")) >= n)
       .select(col(idCol),
         expr(s"shingle_hashes(toks, $n, ${TextHashing.P})").as("gs"))
-    val inv = grams.select(col(idCol), explode(col("gs")).as("g"))
-      .groupBy(col("g"))
-      // call_function (not an expr string) so caller id columns with
-      // spaces/dots/reserved words resolve — the api contract is
-      // arbitrary column names
-      .agg(call_function("capped_list", col(idCol), lit(maxDf)).as("ds"))
-      .filter(col("ds").isNotNull)
-    val cand = inv
-      .select(col("ds"), explode(col("ds")).as("doc_a"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // df cap == bucket cap: a gram posting list over maxDf yields no
+    // candidates (rare-gram inverted index)
+    val cand = cappedCandidatePairs(
+      grams.select(col(idCol), explode(col("gs")).as("g")),
+      Seq(col("g")), idCol, maxDf, "doc_a", "doc_b")
     cand
       .join(grams.select(col(idCol).as("doc_a"), col("gs").as("gs_a")),
         Seq("doc_a"))
@@ -142,14 +148,31 @@ object DedupOps {
     * candidates only. Output: doc_a, doc_b, hamming.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      hammingMax: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    simhashPairsFromFingerprints(
+      simhashFingerprint(df, idCol, textCol).select(col(idCol), col("simhash")),
+      idCol, hammingMax, maxBucket)
+
+  /** [[simhashPairs]] over a pre-computed fingerprint frame
+    * (idCol, simhash). The pair generation reads the fingerprints three
+    * times (band explode + both verify sides) — at scale, persist or
+    * materialize the frame (2 longs/doc) and call this directly rather
+    * than paying three full-corpus simhash60 scans through
+    * [[simhashPairs]]'s lazy lineage.
+    */
+  def simhashPairsFromFingerprints(fps: DataFrame, idCol: String,
       hammingMax: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(hammingMax >= 0 && hammingMax <= 14,
       s"simhashPairs: hammingMax $hammingMax outside [0, 14] (blocks need >= 4 bits)")
-    graft.functions.SketchAggregates.register(df.sparkSession)
+    // the OUTPUT and working names are fixed; an id column shadowing one
+    // would go ambiguous deep in the plan — fail fast instead
+    val reserved = Set("simhash", "band", "bkey", "pos", "col",
+      "doc_a", "doc_b", "sh_a", "sh_b", "hamming")
+    require(!reserved.contains(idCol),
+      s"simhashPairs: id column '$idCol' collides with an output/working " +
+        s"column (${reserved.mkString(", ")}) — rename it first")
     val nBlocks = hammingMax + 1
     val w = 60 / nBlocks
-    val fps = simhashFingerprint(df, idCol, textCol)
-      .select(col(idCol), col("simhash"))
     val blockCols: Seq[Column] = (0 until nBlocks).map { b =>
       // last block absorbs the remainder bits when nBlocks doesn't
       // divide 60 — any disjoint partition preserves the pigeonhole
@@ -160,16 +183,8 @@ object DedupOps {
       .select(col(idCol), posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
-    val buckets = bands
-      .groupBy(col("band"), col("bkey"))
-      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("ds"))
-      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
-    val cand = buckets
-      .select(col("ds"), explode(col("ds")).as("doc_a"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
+    cappedCandidatePairs(bands, Seq(col("band"), col("bkey")),
+        idCol, maxBucket, "doc_a", "doc_b")
       .join(fps.select(col(idCol).as("doc_a"), col("simhash").as("sh_a")),
         Seq("doc_a"))
       .join(fps.select(col(idCol).as("doc_b"), col("simhash").as("sh_b")),

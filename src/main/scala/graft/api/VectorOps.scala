@@ -106,15 +106,8 @@ object VectorOps {
       .select(col(idCol), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
-    val buckets = bands
-      .groupBy(col("band"), col("bkey"))
-      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("ds"))
-      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
-    val cand = buckets
-      .select(col("ds"), explode(col("ds")).as("vec_a"))
-      .select(col("vec_a"), explode(col("ds")).as("vec_b"))
-      .filter(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+    val cand = DedupOps.cappedCandidatePairs(bands,
+      Seq(col("band"), col("bkey")), idCol, maxBucket, "vec_a", "vec_b")
     cand
       .join(base.select(col(idCol).as("vec_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("vec_a"))

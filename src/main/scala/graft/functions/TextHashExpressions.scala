@@ -164,6 +164,19 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 }
 
 object TextHashExpressions {
+
+  /** ONE builder for both registration paths (temp-function registry
+    * here and GraftExtensions injection): extra args must fail loudly,
+    * not be silently dropped, and the two paths must not drift.
+    */
+  private[graft] val simhash60Builder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+    require(exprs.size == 1,
+      s"simhash60 takes exactly 1 argument, got ${exprs.size}")
+    SimHash60(exprs.head)
+  }
+
   /** Idempotently registers `shingle_hashes(tokens, n, mod)` and
     * `simhash60(tokens)` — call via `call_function`/`expr` (the
     * registry path sidesteps Spark 4's Column-from-Expression churn,
@@ -177,11 +190,6 @@ object TextHashExpressions {
         FnArgs.litLong("shingle_hashes", "mod", exprs(2))),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash60", exprs => {
-        // extra args must fail loudly, not be silently dropped
-        require(exprs.size == 1,
-          s"simhash60 takes exactly 1 argument, got ${exprs.size}")
-        SimHash60(exprs.head)
-      }, "built-in")
+      "simhash60", simhash60Builder, "built-in")
   }
 }

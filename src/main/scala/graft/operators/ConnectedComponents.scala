@@ -70,9 +70,16 @@ object ConnectedComponents {
     }
     // a silent non-converged result would be wrong labels — fail loudly
     // (maxIter bounds rounds at component diameter; hitting it means the
-    // caller's graph needs large-star/small-star, not more iterations)
-    require(changed == 0,
-      s"connected components did not converge in $maxIter rounds")
+    // caller's graph needs large-star/small-star, not more iterations).
+    // Release both caches first: a caller catching this to retry must
+    // not inherit orphaned cached frames (same contract as the null-id
+    // failure path above)
+    if (changed != 0) {
+      sym.unpersist()
+      if (cached != null) cached.unpersist()
+      throw new IllegalArgumentException(
+        s"connected components did not converge in $maxIter rounds")
+    }
     // the loop's counts materialized the final label cache, which no
     // longer references the edge list — safe to release it here
     sym.unpersist()

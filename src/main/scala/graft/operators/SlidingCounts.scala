@@ -39,11 +39,17 @@ object SlidingCounts {
     require(durationSec > 0 && slideSec > 0 && durationSec % slideSec == 0,
       s"duration ${durationSec}s must be a positive multiple of slide ${slideSec}s")
     // internal working columns carry a __sc_ prefix (and the window
-    // struct is explicitly aliased) so caller keys named "window",
-    // "cnt"-adjacent, etc. neither collide nor go ambiguous; the output
-    // name is the only one the caller controls
-    require(!keyCols.contains(windowEndCol) && keyCols.forall(!_.startsWith("__sc_")),
-      s"slidingCount: key columns $keyCols may not include $windowEndCol or __sc_* names")
+    // struct is explicitly aliased) so caller keys named "window" etc.
+    // neither collide nor go ambiguous; "cnt" is the fixed OUTPUT name
+    // and __sc_* are the working names, so neither may appear among the
+    // caller-controlled names — fail fast, not an ambiguous-reference
+    // error (or silent corruption) downstream
+    val callerNames = keyCols :+ windowEndCol
+    require(keyCols.size == keyCols.distinct.size &&
+        !keyCols.contains(windowEndCol) &&
+        callerNames.forall(n => n != "cnt" && !n.startsWith("__sc_")),
+      s"slidingCount: caller columns $callerNames must be distinct and may " +
+        "not use the reserved names cnt or __sc_*")
     val nWin = durationSec / slideSec
     val keys: Seq[Column] = keyCols.map(col)
     val bucketed = df

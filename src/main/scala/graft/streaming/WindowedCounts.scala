@@ -29,7 +29,15 @@ object WindowedCounts {
     */
   def slidingCountKeys(events: DataFrame, tsCol: String,
       keyCols: Seq[String], duration: String, slide: String,
-      watermarkDelay: String): DataFrame =
+      watermarkDelay: String): DataFrame = {
+    // same caller-name contract as the batch twin (SlidingCounts):
+    // window_end and cnt are the fixed output names, __wc_w the
+    // working alias — collide loudly here, not ambiguously downstream
+    require(keyCols.size == keyCols.distinct.size &&
+        keyCols.forall(n =>
+          n != "window_end" && n != "cnt" && !n.startsWith("__wc_")),
+      s"slidingCountKeys: key columns $keyCols must be distinct and may " +
+        "not use the reserved names window_end, cnt, or __wc_*")
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), duration, slide).as("__wc_w") +:
@@ -37,6 +45,7 @@ object WindowedCounts {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_timestamp(col("__wc_w.end")).as("window_end") +:
         (keyCols.map(col) :+ col("cnt")): _*)
+  }
 
   /** R1/R2-analog: grouped top-N over closed windows. Streaming can't
     * rank inside an append-mode agg, so the rank runs per micro-batch
