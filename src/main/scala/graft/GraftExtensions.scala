@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash60",
       "simhash60(tokens) - fused distinct-tokens -> hash60 -> 60-bit majority-vote fingerprint",
       graft.functions.TextHashExpressions.simhash60Builder))
+    ext.injectFunction(fn("heavy_hitters",
+      "heavy_hitters(capacity, key) - bounded Misra-Gries frequent-items summary",
+      exprs => graft.functions.HeavyHitters(
+        FnArgs.litInt("heavy_hitters", "capacity", exprs.head), exprs(1))))
     ext.injectFunction(fn("dot_f",
       "dot_f(a, b) - codegen left-to-right double dot product",
       exprs => DotProduct(exprs.head, exprs(1))))

@@ -203,6 +203,25 @@ object DedupOps {
     ConnectedComponents.minLabel(pairs, leftCol, rightCol)
       .select(col("id").as("doc_id"), col("cluster_id"))
 
+  /** Quality-aware keeper selection: one row per cluster, keeping the
+    * member with the highest score (ties → smallest id), plus the
+    * member count. Replaces min-id keeper choice when a quality signal
+    * exists (keep the longest/cleanest copy, not the lexically first).
+    * One hash-aggregate over the (tiny) cluster assignment — `max_by`
+    * on a (score, -id) struct, so no per-cluster sort or window.
+    *
+    * @param scored (id, cluster, score) rows — typically [[clusters]]
+    *               joined to a quality column.
+    */
+  def keepersByScore(scored: DataFrame, idCol: String, clusterCol: String,
+      scoreCol: String): DataFrame =
+    scored.groupBy(col(clusterCol))
+      .agg(
+        max_by(col(idCol),
+          struct(col(scoreCol), -col(idCol))).as("keeper_id"),
+        count(lit(1)).as("n_members"),
+        max(col(scoreCol)).as("keeper_score"))
+
   /** The dedup pipeline's consumable output: the corpus minus every doc
     * appearing as the higher id of a near-dup pair (pair-wise form; use
     * [[clusters]] keepers for chain-exact dedup).

@@ -25,6 +25,19 @@ object SampleOps {
       .otherwise("test")
   }
 
+  /** Deterministic uniform k-sample: the k rows with the smallest id
+    * hash (ties broken by id). Equivalent to a uniform random sample
+    * under the md5 hash, but reproducible across runs/engines and
+    * incrementally stable — adding rows to the corpus can only swap
+    * members in/out at the hash boundary, never reshuffle the whole
+    * sample the way rand() does. Physically a TakeOrderedAndProject:
+    * each partition keeps its local top-k, the driver merges k rows
+    * per partition — no global sort at any scale.
+    */
+  def prioritySample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(TextHashing.hash60(col(idCol).cast("string")).asc,
+      col(idCol).asc).limit(k)
+
   /** Per-stratum hash-rate sampling: keeps rows whose id-hash (mod 1000)
     * falls under their stratum's rate. Map-only, reproducible,
     * growth-stable per stratum.

@@ -43,6 +43,11 @@ object SketchAggregates {
       exprs => CappedList(
         exprs.head, FnArgs.litInt("capped_list", "cap", exprs(1))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters",
+      exprs => HeavyHitters(
+        FnArgs.litInt("heavy_hitters", "capacity", exprs.head), exprs(1)),
+      "built-in")
   }
 }
 
@@ -381,4 +386,144 @@ case class BloomDistinct(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
+}
+
+/** Misra–Gries heavy hitters: the bounded-memory frequent-items summary
+  * (the sketch complement of `topk_agg`, which needs pre-aggregated
+  * counts — this one eats RAW rows). Keeps at most `capacity` counters
+  * per group; any key whose true frequency exceeds the summary's `delta`
+  * is guaranteed present, and every estimate is an UNDER-count by at
+  * most `delta`.
+  *
+  * `merge` is the mergeable-summaries form (Agarwal et al., PODS'12):
+  * add counters, then if over capacity subtract the (capacity+1)-th
+  * largest count from all and drop the non-positives, folding the
+  * subtraction into `delta`. The invariant maintained through any
+  * update/merge tree is
+  *
+  *   sum(est) + delta * (capacity + 1) <= N    (N = rows aggregated)
+  *
+  * hence delta <= N/(capacity+1) no matter how rows are partitioned —
+  * the q56 in-band oracle asserts exactly the theorem set (under-count,
+  * delta-bounded error, recall above delta, delta bound), so the check
+  * can never flake on partitioning. Memory is O(capacity) per group;
+  * partials ship <= capacity counters per (group, mapper) — the
+  * 100TB-safe way to find hot keys without a per-key shuffle.
+  *
+  * Output: struct(delta BIGINT, items ARRAY<STRUCT<key BIGINT,
+  * est BIGINT>>), items sorted (est DESC, key ASC). Key must be BIGINT.
+  */
+case class HeavyHitters(
+    capacity: Int,
+    key: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
+
+  require(capacity > 0, "heavy_hitters: capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(key)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (key.dataType != LongType)
+      TypeCheckFailure(s"heavy_hitters: key must be BIGINT, got ${key.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("delta", LongType, nullable = false),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("est", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  // The map doubles as the delta carrier under the reserved key
+  // Long.MinValue (never a data key: hash60/ids are non-negative;
+  // guarded in update()).
+  private val DeltaKey = Long.MinValue
+
+  override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] = {
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    m(DeltaKey) = 0L
+    m
+  }
+
+  override def update(
+      buf: scala.collection.mutable.LongMap[Long],
+      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
+    val v = key.eval(input)
+    if (v == null) return buf
+    val k = v.asInstanceOf[Long]
+    require(k != DeltaKey, "heavy_hitters: key value Long.MinValue is reserved")
+    val cur = buf.getOrElse(k, 0L) // counters are >= 1, so 0 = absent
+    if (cur > 0L) { buf(k) = cur + 1L; return buf }
+    if (buf.size - 1 < capacity) { buf(k) = 1L; return buf }
+    // full and new key: classic MG — decrement every counter (and the
+    // arriving key's implicit 1), dropping zeros; delta absorbs the
+    // subtraction. O(capacity) per eviction, bounded by construction.
+    val dead = ArrayBuffer.empty[Long]
+    buf.foreachEntry { (kk, c) =>
+      if (kk != DeltaKey) { if (c == 1L) dead += kk else buf(kk) = c - 1L }
+    }
+    dead.foreach(buf.remove)
+    buf(DeltaKey) = buf(DeltaKey) + 1L
+    buf
+  }
+
+  override def merge(
+      a: scala.collection.mutable.LongMap[Long],
+      b: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
+    b.foreachEntry { (k, c) =>
+      if (k != DeltaKey) a(k) = a.getOrElse(k, 0L) + c
+    }
+    a(DeltaKey) = a(DeltaKey) + b(DeltaKey)
+    if (a.size - 1 > capacity) {
+      // subtract the (capacity+1)-th largest count from everything:
+      // at least capacity+1 counters shrink by m, delta grows by m,
+      // so sum(est) + delta*(capacity+1) never increases.
+      val counts = ArrayBuffer.empty[Long]
+      a.foreachEntry { (k, c) => if (k != DeltaKey) counts += c }
+      val sorted = counts.sortInPlace()(Ordering.Long.reverse)
+      val m = sorted(capacity)
+      val dead = ArrayBuffer.empty[Long]
+      a.foreachEntry { (k, c) =>
+        if (k != DeltaKey) { if (c <= m) dead += k else a(k) = c - m }
+      }
+      dead.foreach(a.remove)
+      a(DeltaKey) = a(DeltaKey) + m
+    }
+    a
+  }
+
+  override def eval(buf: scala.collection.mutable.LongMap[Long]): Any = {
+    val items = ArrayBuffer.empty[(Long, Long)]
+    buf.foreachEntry { (k, c) => if (k != DeltaKey) items += ((k, c)) }
+    val sorted = items.sortBy { case (k, c) => (-c, k) }
+    InternalRow(buf(DeltaKey), new GenericArrayData(
+      sorted.map { case (k, c) => InternalRow(k, c) }.toArray[Any]))
+  }
+
+  override def serialize(buf: scala.collection.mutable.LongMap[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+    buf.foreachEntry { (k, c) => bb.putLong(k); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.LongMap[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    while (bb.remaining() >= 16) m(bb.getLong()) = bb.getLong()
+    if (!m.contains(DeltaKey)) m(DeltaKey) = 0L
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0))
 }

@@ -369,6 +369,45 @@ FROM reach GROUP BY s"""),
           all.find(_.name == "q21_dedup_minhash_lsh").get.build(s, dir))),
 
     QueryDef(
+      "q58_keeper_by_quality",
+      "Quality-aware keeper selection (DedupOps.keepersByScore): q46's " +
+        "clusters joined to a per-doc quality signal (token count); the " +
+        "kept copy per cluster is the HIGHEST-quality member (ties -> " +
+        "min id), not the lexically-first one. One hash-aggregate via " +
+        "max_by on a (score, -id) struct - no per-cluster window sort; " +
+        "the cluster assignment is tiny next to the corpus, so the " +
+        "score join shuffles only (id, cluster, score).",
+      Some(s"""
+WITH RECURSIVE p AS ($q21OracleSql),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(s, t) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+c AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+      FROM reach GROUP BY s),
+m AS (SELECT c.cluster_id, c.doc_id,
+             len(string_split(d.text, ' '))::BIGINT AS n_tok
+      FROM c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
+  SELECT cluster_id, doc_id, n_tok AS keeper_score,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tok DESC, doc_id ASC) AS rn
+  FROM m) WHERE rn = 1"""),
+      (s, dir) => {
+        val clusters = graft.api.DedupOps.clusters(
+          all.find(_.name == "q21_dedup_minhash_lsh").get.build(s, dir))
+        val scored = clusters.join(
+          Tables.documents(s, dir).select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+          Seq("doc_id"))
+        graft.api.DedupOps.keepersByScore(
+          scored, "doc_id", "cluster_id", "n_tok")
+      }),
+
+    QueryDef(
       "q25_uv_approx",
       "A7 UvWithBloom-analog: bounded-memory approximate distinct users " +
         "per day via HLL++ (constant state ~KBs per window vs the " +

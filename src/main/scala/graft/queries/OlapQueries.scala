@@ -400,6 +400,36 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
               .otherwise(col("l_returnflag")).as("rf"),
             when(col("g_ls") === 1, lit("(all)"))
               .otherwise(col("l_linestatus")).as("ls"),
-            col("sum_qty"), col("n")))
+            col("sum_qty"), col("n"))),
+
+    QueryDef(
+      "q57_json_extract",
+      "Semi-structured columns: events.props is a JSON string; " +
+        "from_json parses it ONCE into a typed struct (schema-on-read - " +
+        "malformed rows become NULL, never a crash), then per-item " +
+        "grouped stats. At 100TB parse-once beats N get_json_object " +
+        "re-parses of the same blob, the projection prunes to the " +
+        "parsed fields, and all aggregates are exact integers.",
+      Some("""
+SELECT json_extract(props, '$.k')::BIGINT AS item,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM events GROUP BY 1"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType))))
+              .getField("k").as("item"),
+            col("user_id"), col("event_id"))
+          .groupBy(col("item"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event")))
   )
 }

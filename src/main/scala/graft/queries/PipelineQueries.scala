@@ -354,6 +354,24 @@ FROM s3"""),
         graft.api.TextOps.redactPii(withPii, "doc_id", "text")
           .select(col("doc_id"), col("n_emails"), col("n_ips"),
             col("n_phones"), md5(col("redacted").cast("binary")).as("red_sig"))
-      })
+      }),
+
+    QueryDef(
+      "q55_priority_sample",
+      "Deterministic uniform k-sample (SampleOps.prioritySample): the " +
+        "100 docs with the smallest md5-hash60(doc_id), ties by id. " +
+        "Reproducible across runs/engines (no rand()) and incrementally " +
+        "stable under corpus growth. Physically TakeOrderedAndProject " +
+        "(PlanSpec-asserted): per-partition local top-k then a k-row " +
+        "driver merge — no global sort exists at any scale.",
+      Some(s"""
+SELECT doc_id, source
+FROM documents
+ORDER BY ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")}, doc_id
+LIMIT 100"""),
+      (s, dir) =>
+        graft.api.SampleOps.prioritySample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", 100))
   )
 }

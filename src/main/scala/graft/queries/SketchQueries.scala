@@ -108,6 +108,56 @@ FROM events GROUP BY 1"""),
             col("uv_exact"),
             (abs(col("uv_bloom") - col("uv_exact")) <=
               greatest(lit(2.0), col("uv_exact") * lit(0.10))).as("bloom_ok"))
+      }),
+
+    QueryDef(
+      "q56_heavy_hitters",
+      "Misra-Gries frequent-items summary (heavy_hitters aggregate): " +
+        "bounded 48-counter sketch of item frequency per event_type over " +
+        "RAW rows - partials ship <= 48 counters per (group, mapper), " +
+        "never per-key rows; the 100TB hot-key finder. The sketch " +
+        "content is partition-dependent, so the oracle checks the " +
+        "THEOREM set in-band (mg_ok): every estimate under-counts by at " +
+        "most delta, every key above delta is present, and " +
+        "delta*(capacity+1) <= N - invariants of the merge algebra " +
+        "(Agarwal et al., PODS'12), so the check holds under ANY " +
+        "partitioning. Exact per-group row/key counts ride along as the " +
+        "deterministic output.",
+      Some("""
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT json_extract(props, '$.k')::BIGINT) AS n_keys,
+       true AS mg_ok
+FROM events GROUP BY event_type"""),
+      (s, dir) => {
+        SketchAggregates.register(s)
+        val cap = 48
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val exact = ev.groupBy(col("event_type"), col("k"))
+          .agg(count(lit(1)).as("cnt"))
+        val sk = ev.groupBy(col("event_type"))
+          .agg(expr(s"heavy_hitters($cap, k)").as("hh"),
+            count(lit(1)).as("n_events"))
+          .select(col("event_type"), col("n_events"),
+            col("hh.delta").as("delta"), col("hh.items").as("items"))
+        val est = sk.select(col("event_type"),
+            explode(col("items")).as("it"))
+          .select(col("event_type"), col("it.key").as("k"),
+            col("it.est").as("est"))
+        // MG only under-counts, so sketch keys are a subset of exact
+        // keys: a left join from exact covers both directions.
+        exact.join(est, Seq("event_type", "k"), "left")
+          .join(broadcast(sk.select(col("event_type"), col("n_events"),
+            col("delta"))), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n_events")).as("n_events"),
+            count(lit(1)).as("n_keys"),
+            (every(when(col("est").isNull, col("cnt") <= col("delta"))
+              .otherwise(col("est") <= col("cnt") &&
+                col("cnt") - col("est") <= col("delta"))) &&
+              max(col("delta") * (cap + 1)) <= max(col("n_events")))
+              .as("mg_ok"))
       })
   )
 }

@@ -100,6 +100,35 @@ class ApiSpec extends SparkSpec {
     assert(sampled.count() == 5)
   }
 
+  test("SampleOps.prioritySample: deterministic, incrementally stable") {
+    val s3 = SampleOps.prioritySample(corpus, "row_key", 3).collect()
+      .map(_.getLong(0)).toSet
+    assert(s3.size == 3)
+    // same sample on every run
+    assert(SampleOps.prioritySample(corpus, "row_key", 3).collect()
+      .map(_.getLong(0)).toSet == s3)
+    // growth stability: adding a row changes the sample by at most one
+    // member (the hash order of existing rows never changes)
+    val grown = corpus.union(Seq((99L, "extra doc")).toDF("row_key", "body"))
+    val g3 = SampleOps.prioritySample(grown, "row_key", 3).collect()
+      .map(_.getLong(0)).toSet
+    assert((s3 & g3).size >= 2)
+    // k >= n returns everything
+    assert(SampleOps.prioritySample(corpus, "row_key", 99).count() == 5)
+  }
+
+  test("DedupOps.keepersByScore picks the highest-score member per cluster") {
+    val scored = Seq(
+      (1L, 100L, 5L), (2L, 100L, 9L), (3L, 100L, 9L), // tie on 9 -> min id 2
+      (7L, 200L, 1L))
+      .toDF("member", "grp", "score")
+    val keepers = DedupOps.keepersByScore(scored, "member", "grp", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(keepers(100L) == ((2L, 3L, 9L))) // keeper 2, 3 members, score 9
+    assert(keepers(200L) == ((7L, 1L, 1L)))
+  }
+
   test("SampleOps over custom columns") {
     val packed = SampleOps.packSequences(
       TextOps.tokenStats(corpus, "row_key", "body")

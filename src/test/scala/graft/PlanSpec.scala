@@ -77,7 +77,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("global top-k queries use TakeOrderedAndProject, not a global sort") {
-    Seq("q14_top_brands_by_revenue", "q23_embedding_topk_pairs", "q39_ann_lsh")
+    Seq("q14_top_brands_by_revenue", "q23_embedding_topk_pairs", "q39_ann_lsh",
+      "q55_priority_sample")
       .foreach { q =>
         val nodes = collectAll(plan(q))
         assert(nodes.exists(

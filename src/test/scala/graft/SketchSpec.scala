@@ -168,4 +168,70 @@ class SketchSpec extends SparkSpec {
       .agg(expr("bloom_distinct(v, 64)")).collect()(0).getLong(0)
     assert(out == Long.MaxValue)
   }
+
+  /** True heavy hitter: key 7 at 40% of a 1000-row stream, noise keys
+    * uniform. capacity=4 → delta ≤ 1000/5 = 200 < 400 → MG must keep it.
+    */
+  private def mgSkewDf = {
+    import spark.implicits._
+    ((1 to 400).map(_ => 7L) ++ (1 to 600).map(i => 100L + i % 50))
+      .toDF("k")
+  }
+
+  private def mgRun(parts: Int) = {
+    SketchAggregates.register(spark)
+    val r = mgSkewDf.repartition(parts)
+      .agg(expr("heavy_hitters(4, k)").as("hh"))
+      .select(col("hh.delta"), col("hh.items")).collect()(0)
+    (r.getLong(0),
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap)
+  }
+
+  test("heavy_hitters: guaranteed recall of keys above delta, any partitioning") {
+    for (parts <- Seq(1, 7, 32)) {
+      val (delta, items) = mgRun(parts)
+      assert(delta <= 200, s"delta bound N/(c+1) violated at parts=$parts")
+      assert(items.contains(7L), s"true heavy hitter evicted at parts=$parts")
+      val est = items(7L)
+      // MG under-counts by at most delta
+      assert(est <= 400 && 400 - est <= delta)
+      assert(items.size <= 4)
+    }
+  }
+
+  test("heavy_hitters: sequential (single-partition) path is exact MG") {
+    val (delta, items) = mgRun(1)
+    // single partition: classic MG; key 7's estimate ≥ true - delta
+    assert(items(7L) >= 400 - delta)
+    // noise keys, if present, never over-count their true freq (12)
+    items.foreach { case (k, est) if k != 7L =>
+      assert(est <= 12, s"over-count on noise key $k: $est")
+    case _ => ()
+    }
+  }
+
+  test("heavy_hitters: distinct keys under capacity is exact, delta 0") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    val df = (1 to 900).map(i => (i % 3).toLong).toDF("k").repartition(8)
+    val r = df.agg(expr("heavy_hitters(8, k)").as("hh"))
+      .select(col("hh.delta"), col("hh.items")).collect()(0)
+    assert(r.getLong(0) == 0L)
+    val items = r.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(items == Map(0L -> 300L, 1L -> 300L, 2L -> 300L))
+  }
+
+  test("heavy_hitters output is sorted (est desc, key asc)") {
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    val df = ((1 to 10).map(_ => 5L) ++ (1 to 10).map(_ => 3L) ++
+      (1 to 4).map(_ => 9L)).toDF("k")
+    val items = df.agg(expr("heavy_hitters(8, k)").as("hh"))
+      .select(col("hh.items")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(items == Seq((3L, 10L), (5L, 10L), (9L, 4L)))
+  }
 }
