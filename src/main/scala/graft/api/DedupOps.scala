@@ -58,9 +58,13 @@ object DedupOps {
     * is the near-dups. Requires a BIGINT id column (as do
     * [[ngramJaccardPairs]] and [[clusters]]).
     */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      jaccardX1000Threshold: Int = 500,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** Shared MinHash front end: (hashed = id + distinct shingle hashes,
+    * bands = id + LSH band keys). Factored so self-join dedup
+    * ([[minhashPairs]]) and incremental new-vs-corpus dedup
+    * ([[minhashPairsAgainst]]) block on identical signatures.
+    */
+  private def shingleBands(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     import TextHashing._
     TextHashExpressions.register(df.sparkSession)
     graft.functions.SketchAggregates.register(df.sparkSession)
@@ -77,21 +81,67 @@ object DedupOps {
         }: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
+    (hashed, bands)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * sets of each side (shared by the self-join and two-corpus paths).
+    */
+  private def verifyJaccard(cand: DataFrame, leftHashed: DataFrame,
+      rightHashed: DataFrame, idCol: String, aCol: String, bCol: String,
+      jaccardX1000Threshold: Int): DataFrame =
+    cand
+      .join(leftHashed.select(col(idCol).as(aCol), col("hs").as("hs_a")),
+        Seq(aCol))
+      .join(rightHashed.select(col(idCol).as(bCol), col("hs").as("hs_b")),
+        Seq(bCol))
+      .withColumn("it", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("un", size(array_distinct(concat(col("hs_a"), col("hs_b")))).cast("long"))
+      .select(col(aCol), col(bCol),
+        expr("(it * 1000) div un").as("jaccard_x1000"))
+      .filter(col("jaccard_x1000") >= jaccardX1000Threshold)
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      jaccardX1000Threshold: Int = 500,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (hashed, bands) = shingleBands(df, idCol, textCol)
     // one bounded shuffle replaces the unbounded bucket self-join:
     // partials carry <= cap+1 ids per bucket, pairs explode from the
     // capped set only
     val cand = cappedCandidatePairs(bands, Seq(col("band"), col("bkey")),
       idCol, maxBucket, "doc_a", "doc_b")
-    cand
-      .join(hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a")),
-        Seq("doc_a"))
-      .join(hashed.select(col(idCol).as("doc_b"), col("hs").as("hs_b")),
-        Seq("doc_b"))
-      .withColumn("it", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
-      .withColumn("un", size(array_distinct(concat(col("hs_a"), col("hs_b")))).cast("long"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("(it * 1000) div un").as("jaccard_x1000"))
-      .filter(col("jaccard_x1000") >= jaccardX1000Threshold)
+    verifyJaccard(cand, hashed, hashed, idCol, "doc_a", "doc_b",
+      jaccardX1000Threshold)
+  }
+
+  /** Incremental dedup: near-dup pairs between a NEW batch and the
+    * EXISTING corpus (the daily-ingestion path — never re-pair the
+    * corpus against itself, only the delta against the index). Corpus
+    * band buckets aggregate to capped id-lists (the [[DefaultMaxBucket]]
+    * skew contract: an over-hot corpus bucket blocks nothing), then the
+    * new batch's band keys probe them — a join whose build side is
+    * O(corpus buckets), carrying <= cap ids each, and whose probe side
+    * is only the delta. Exact-Jaccard verify joins candidates only.
+    * At 100TB the corpus bucket index is the thing you materialize
+    * once and re-probe per batch. Output: doc_new, doc_old,
+    * jaccard_x1000 (>= threshold).
+    */
+  def minhashPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String,
+      jaccardX1000Threshold: Int = 500,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (hashedNew, bandsNew) = shingleBands(newDf, idCol, textCol)
+    val (hashedOld, bandsOld) = shingleBands(corpusDf, idCol, textCol)
+    val buckets = bandsOld
+      .groupBy(col("band"), col("bkey"))
+      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("__cs"))
+      .filter(col("__cs").isNotNull)
+    val cand = bandsNew
+      .join(buckets, Seq("band", "bkey"))
+      .select(col(idCol).as("doc_new"), explode(col("__cs")).as("doc_old"))
+      .dropDuplicates("doc_new", "doc_old")
+    verifyJaccard(cand, hashedNew, hashedOld, idCol, "doc_new", "doc_old",
+      jaccardX1000Threshold)
   }
 
   /** Exact n-gram Jaccard pairs via a rare-gram inverted index: the

@@ -408,6 +408,54 @@ SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
       }),
 
     QueryDef(
+      "q59_incremental_dedup",
+      "Incremental new-vs-corpus dedup (DedupOps.minhashPairsAgainst): " +
+        "the daily-ingestion path - a 20% NEW batch (doc_id % 5 = 0) " +
+        "probes the 80% corpus's banded LSH bucket index; the corpus is " +
+        "never re-paired against itself. Corpus buckets carry capped " +
+        "id-lists (same skew contract as q21), the probe side is only " +
+        "the delta, and exact-Jaccard verify joins candidates only. At " +
+        "100TB the bucket index is materialized once and re-probed per " +
+        "batch.",
+      Some(s"""
+WITH s AS ($shingledSql),
+h AS (SELECT doc_id,
+             list_distinct(list_transform(shs, sh -> ${hash60Sql("sh")} % $P)) AS hs
+      FROM s),
+m AS (SELECT doc_id, ${minhashSqlArray("hs")} AS mh FROM h),
+bands AS (
+  SELECT doc_id, g.b AS band,
+         mh[4*g.b+1]::VARCHAR || ':' || mh[4*g.b+2]::VARCHAR || ':' ||
+         mh[4*g.b+3]::VARCHAR || ':' || mh[4*g.b+4]::VARCHAR AS bkey
+  FROM m CROSS JOIN generate_series(0, ${Bands - 1}) g(b)),
+cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+ok AS (
+  SELECT band, bkey FROM cb
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_old
+  FROM nb n
+  JOIN ok o ON n.band = o.band AND n.bkey = o.bkey
+  JOIN cb c ON c.band = o.band AND c.bkey = o.bkey),
+v AS (
+  SELECT doc_new, doc_old,
+         len(list_intersect(hn.hs, ho.hs)) AS it,
+         len(list_distinct(list_concat(hn.hs, ho.hs))) AS un
+  FROM cand JOIN h hn ON hn.doc_id = doc_new
+            JOIN h ho ON ho.doc_id = doc_old)
+SELECT doc_new, doc_old, (it * 1000) // un AS jaccard_x1000
+FROM v WHERE (it * 1000) // un >= 500"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.DedupOps.minhashPairsAgainst(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+      }),
+
+    QueryDef(
       "q25_uv_approx",
       "A7 UvWithBloom-analog: bounded-memory approximate distinct users " +
         "per day via HLL++ (constant state ~KBs per window vs the " +

@@ -117,6 +117,22 @@ class ApiSpec extends SparkSpec {
     assert(SampleOps.prioritySample(corpus, "row_key", 99).count() == 5)
   }
 
+  test("DedupOps.minhashPairsAgainst: only new-vs-corpus pairs, never corpus-internal") {
+    val newBatch = corpus.filter(col("row_key") === 13L)
+    val old = corpus.filter(col("row_key") =!= 13L)
+    val pairs = DedupOps.minhashPairsAgainst(newBatch, old, "row_key", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 13 is an exact copy of corpus doc 12 -> must be found
+    assert(pairs == Set((13L, 12L)))
+    // 10/11 are near-dups INSIDE the corpus: not this operator's job —
+    // asserted by the exact-equality above (no (10,11) pair emitted)
+
+    // an all-new batch with no corpus twin finds nothing
+    val vow = corpus.filter(col("row_key") === 14L)
+    assert(DedupOps.minhashPairsAgainst(vow, old.filter(col("row_key") < 14L),
+      "row_key", "body").isEmpty)
+  }
+
   test("DedupOps.keepersByScore picks the highest-score member per cluster") {
     val scored = Seq(
       (1L, 100L, 5L), (2L, 100L, 9L), (3L, 100L, 9L), // tie on 9 -> min id 2
