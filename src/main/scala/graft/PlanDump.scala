@@ -30,7 +30,9 @@ object PlanDump {
       "q31_sessionization", "q33_asof_join", "q39_ann_lsh",
       "q42_decontamination", "q43_tfidf_topterms",
       "q50_sequence_packing", "q51_range_band_join",
-      "q52_pii_redaction", "q53_embedding_near_dup")
+      "q52_pii_redaction", "q53_embedding_near_dup",
+      "q60_mixture_resample", "q61_funnel_conversion",
+      "q62_retention_cohorts", "q63_event_transitions")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -50,6 +50,35 @@ object SampleOps {
     df.filter(hashBucket(col(idCol), 1000L) < rate)
   }
 
+  /** Mixture resampling toward target proportions (the data-mixing
+    * pass that rebalances a corpus to per-source weights before
+    * training): given a per-stratum target weight expression, keep the
+    * LARGEST subsample whose stratum sizes are proportional to the
+    * weights, selected by id-hash (reproducible, growth-stable).
+    *
+    * k1000 = min over strata of floor(1000·count/weight); each
+    * stratum's keep-rate is then floor(k1000·weight/count) per mille —
+    * the binding stratum samples at ~100%, everything else downsamples
+    * to match. Integer arithmetic end-to-end, so the kept set is
+    * engine-exact.
+    *
+    * Physically: one tiny count-by-stratum aggregate, a 1-row global
+    * min (broadcast), and a broadcast rate join back onto the corpus —
+    * the corpus itself never shuffles.
+    */
+  def mixtureResample(df: DataFrame, idCol: String, stratumCol: String,
+      weightX: Column): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_c"))
+      .withColumn("_w", weightX.cast("long"))
+    val k = counts.agg(min(expr("_c * 1000 div _w")).as("_k1000"))
+    val rates = counts.crossJoin(broadcast(k))
+      .select(col(stratumCol),
+        expr("_k1000 * _w div _c").as("_rate_x1000"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashBucket(col(idCol), 1000L) < col("_rate_x1000"))
+      .select(col(idCol), col(stratumCol))
+  }
+
   /** Sequence packing: concat-then-chunk bin assignment. Docs are
     * ordered by (id-hash bucket, id-hash, id) and each doc's bin is its
     * start offset div `budget` — the global running sum computed as a

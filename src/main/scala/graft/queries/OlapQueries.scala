@@ -430,6 +430,68 @@ FROM events GROUP BY 1"""),
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"),
             min(col("event_id")).as("first_event"),
-            max(col("event_id")).as("last_event")))
+            max(col("event_id")).as("last_event"))),
+
+    QueryDef(
+      "q61_funnel_conversion",
+      "Strict ordered funnel (EventOps.funnel): users reaching " +
+        "view -> click -> purchase, each stage at-or-after the user's " +
+        "previous-stage first-reach time. Per-stage co-partitioned " +
+        "join + min-agg on user_id (one shuffle domain); each stage's " +
+        "type filter pushes to the parquet scan; output is 3 rows.",
+      Some("""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+s0 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us >= s0.t GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us >= s1.t GROUP BY 1)
+SELECT 0 AS step, 'view' AS stage, count(*) AS n_users FROM s0
+UNION ALL SELECT 1, 'click', count(*) FROM s1
+UNION ALL SELECT 2, 'purchase', count(*) FROM s2"""),
+      (s, dir) =>
+        graft.api.EventOps.funnel(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))),
+
+    QueryDef(
+      "q62_retention_cohorts",
+      "Cohort retention (EventOps.retention): users cohorted by first " +
+        "active day; n_users active at each day offset per cohort. Two " +
+        "exchanges, both on user_id (distinct active days, per-user " +
+        "min), then a partial-agg rollup to cohort x offset rows.",
+      Some("""
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2"""),
+      (s, dir) =>
+        graft.api.EventOps.retention(
+          Tables.events(s, dir)
+            .select(col("user_id"),
+              expr("ts_ns div 1000 div 86400000000").as("day")),
+          "user_id", "day")),
+
+    QueryDef(
+      "q63_event_transitions",
+      "First-order behavior transitions (EventOps.transitions): counts " +
+        "of consecutive (prev, next) event-type pairs per user, ordered " +
+        "by (event time, event_id). The lag window is PARTITIONED BY " +
+        "user_id — never a global window — and the pair count collapses " +
+        "to |types|^2 rows with map-side partial aggregation.",
+      Some("""
+WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+l AS (SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS prev_type
+      FROM o)
+SELECT prev_type, next_type, count(*) AS n_pairs
+FROM l WHERE prev_type IS NOT NULL
+GROUP BY 1, 2"""),
+      (s, dir) =>
+        graft.api.EventOps.transitions(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          "event_type"))
   )
 }

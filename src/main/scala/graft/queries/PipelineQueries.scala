@@ -357,6 +357,31 @@ FROM s3"""),
       }),
 
     QueryDef(
+      "q60_mixture_resample",
+      "Data mixing to target proportions (SampleOps.mixtureResample): " +
+        "rebalance the corpus so per-source sizes follow target weights " +
+        "(weight = source-number mod 3 + 1), keeping the largest " +
+        "id-hash-selected subsample that satisfies the mixture — the " +
+        "binding stratum keeps ~everything, the rest downsample to " +
+        "match. Integer per-mille rates end-to-end, so the kept set is " +
+        "engine-exact. Physically: tiny count-by-source agg, 1-row " +
+        "global min, broadcast rate join — the corpus never shuffles.",
+      Some(s"""
+WITH c AS (SELECT source, count(*) AS c,
+                  (replace(source, 'src', '')::BIGINT % 3) + 1 AS w
+           FROM documents GROUP BY 1),
+k AS (SELECT min(c * 1000 // w) AS k1000 FROM c),
+r AS (SELECT source, (k1000 * w) // c AS rate FROM c, k)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ${graft.functions.TextHashing.hash60Sql("d.doc_id::VARCHAR")} % 1000 < rate"""),
+      (s, dir) =>
+        graft.api.SampleOps.mixtureResample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          expr("cast(replace(source, 'src', '') as bigint) % 3 + 1"))),
+
+    QueryDef(
       "q55_priority_sample",
       "Deterministic uniform k-sample (SampleOps.prioritySample): the " +
         "100 docs with the smallest md5-hash60(doc_id), ties by id. " +

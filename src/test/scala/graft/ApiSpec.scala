@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.api.{DedupOps, SampleOps, TextOps, VectorOps}
+import graft.api.{DedupOps, EventOps, SampleOps, TextOps, VectorOps}
 
 /** The api layer must work over ANY caller-named columns — these tests
   * use a frame with none of the bundled tables' names, proving the
@@ -219,5 +219,66 @@ class ApiSpec extends SparkSpec {
       queryPred = col("vkey") === 1L, k = 2).collect()
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(nn.toSeq.sortBy(_._2) == Seq((2L, 1L), (4L, 2L)))
+  }
+
+  test("EventOps.funnel: strict ordering, custom columns") {
+    // user 1 completes a->b->c in order; user 2 has b BEFORE its first
+    // a and never re-does b, so it stalls at stage a; user 3 only a->b
+    val log = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 5L, "b"), (2L, 10L, "a"), (2L, 40L, "c"),
+      (3L, 10L, "a"), (3L, 15L, "b"))
+      .toDF("who", "at", "act")
+    val got = EventOps.funnel(log, "who", "at", "act", Seq("a", "b", "c"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // same-timestamp events count: stage time is AT-or-after
+    val tie = Seq((9L, 7L, "a"), (9L, 7L, "b")).toDF("who", "at", "act")
+    val g2 = EventOps.funnel(tie, "who", "at", "act", Seq("a", "b"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(g2 == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("EventOps.retention: cohort by first day, offsets counted once") {
+    val log = Seq(
+      (1L, 100L), (1L, 100L), (1L, 101L), (1L, 107L),
+      (2L, 101L), (2L, 102L),
+      (3L, 100L)).toDF("who", "d")
+    val got = EventOps.retention(log, "who", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (100L, 0L) -> 2L, (100L, 1L) -> 1L, (100L, 7L) -> 1L,
+      (101L, 0L) -> 1L, (101L, 1L) -> 1L))
+  }
+
+  test("EventOps.transitions: per-user lag, deterministic tie order") {
+    val log = Seq(
+      (1L, 10L, 1L, "x"), (1L, 20L, 2L, "y"), (1L, 20L, 3L, "x"),
+      (2L, 5L, 4L, "y"), (2L, 6L, 5L, "y"))
+      .toDF("who", "at", "seq", "act")
+    val got = EventOps.transitions(log, "who", "at", "seq", "act")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // user 1: x->y (ts order), y->x (tie broken by seq 2<3); user 2: y->y
+    assert(got == Map(("x", "y") -> 1L, ("y", "x") -> 1L, ("y", "y") -> 1L))
+  }
+
+  test("SampleOps.mixtureResample: proportions follow weights, exact subset") {
+    val rows = (0L until 300L).map(i =>
+      (i, if (i < 100) "p" else if (i < 200) "q" else "r"))
+      .toDF("k", "grp")
+    // weights p:1 q:2 r:1 over equal counts -> q keeps ~all (binding),
+    // p and r keep ~half
+    val kept = SampleOps.mixtureResample(rows, "k", "grp",
+      when(col("grp") === "q", 2L).otherwise(1L)).collect()
+      .map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length)
+    // rate_x1000: k1000 = min(100*1000/1, 100*1000/2) = 50000;
+    // p/r rate = 50000*1/100 = 500; q rate = 50000*2/100 = 1000
+    assert(kept("q") == 100)
+    assert(math.abs(kept("p") - 50) < 25 && math.abs(kept("r") - 50) < 25)
+    // deterministic: second run identical
+    val again = SampleOps.mixtureResample(rows, "k", "grp",
+      when(col("grp") === "q", 2L).otherwise(1L)).count()
+    assert(again == kept.values.sum)
   }
 }
