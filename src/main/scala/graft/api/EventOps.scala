@@ -92,4 +92,150 @@ object EventOps {
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Latest-state compaction (CDC "latest wins" upsert): one row per
+    * key, carrying the order and value columns of that key's greatest
+    * `orderCols` tuple. The CDC-merge primitive — a change log becomes
+    * current state.
+    *
+    * Deliberately max_by over a struct, NOT a rank window: the window
+    * form sorts every partition's full history; max_by keeps one row
+    * per key per task (map-side partial agg), so only |keys| candidate
+    * rows cross the one shuffle — at 100 TB the change log streams
+    * through without ever being sorted. `orderCols` must be a total
+    * order (include a unique tiebreaker) for a deterministic result.
+    */
+  def latestState(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "latestState needs at least one order column")
+    val carried = (orderCols ++ valueCols).distinct
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(carried.map(col): _*),
+        struct(orderCols.map(col): _*)).as("_last"))
+      .select(col(keyCol) +: carried.map(c => col(s"_last.`$c`").as(c)): _*)
+  }
+
+  /** Keyed diff of two snapshots: full-outer join on `keyCol`, each
+    * compare column exposed as `old_<c>` / `new_<c>`, plus a `status`
+    * of added / removed / changed / unchanged (null-safe compare).
+    * Presence is tracked with marker columns, not null-ness of payload
+    * columns, so legitimately-null values never misclassify a row.
+    *
+    * One shuffle per side on the same key (co-partitioned full-outer
+    * hash join); at 100 TB both snapshots stream — nothing is
+    * collected or broadcast.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      cmpCols: Seq[String]): DataFrame = {
+    require(cmpCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldDf.select(
+      col(keyCol) +: cmpCols.map(c => col(c).as(s"old_$c")): _*)
+      .withColumn("_in_old", lit(true))
+    val n = newDf.select(
+      col(keyCol) +: cmpCols.map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("_in_new", lit(true))
+    val changed = cmpCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("_in_old", "_in_new")
+  }
+
+  /** Half-life-decayed activity counts: per key, `n_events` and
+    * `decayed_x1m` = Σ 1048576 >> min(age_halflives, 20), where
+    * age_halflives = (max(ts) − ts) / halfLife, in whole half-lives.
+    * "Hotness" that an old burst can't dominate.
+    *
+    * The decay weight is a right-shifted integer — not exp()/pow() —
+    * so the sum is exact int64 arithmetic: identical across engines,
+    * partitionings, and re-runs (a float Σexp(−λΔt) is none of those).
+    * The reference clock is the one-row global max, broadcast back;
+    * the weighted count then partial-aggregates map-side into the
+    * single |keys|-row shuffle.
+    */
+  def decayedCounts(df: DataFrame, keyCol: String, tsUsCol: String,
+      halfLifeDays: Int = 1, maxHalfLives: Int = 20): DataFrame = {
+    require(halfLifeDays >= 1 && maxHalfLives >= 0 && maxHalfLives <= 62)
+    val us = col(tsUsCol)
+    val now = df.agg(max(us).as("_now"))
+    val hlUs = 86400000000L * halfLifeDays
+    df.select(col(keyCol), us.as("_us"))
+      .crossJoin(broadcast(now))
+      .withColumn("_hl",
+        least(expr(s"(_now - _us) div ${hlUs}L"), lit(maxHalfLives.toLong)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("shiftright(1048576L, cast(_hl AS int))")).as("decayed_x1m"))
+  }
+
+  /** Per-user inter-arrival statistics + a bot heuristic: gap stats
+    * over consecutive event times (ordered by `tsUsCol`, ties by
+    * `tieCol`) and `suspected_bot` = at least `minEvents` events whose
+    * gaps all fall within `toleranceUs` of each other (machine-regular
+    * cadence). Single-event users get null gap stats and a false flag.
+    *
+    * One exchange total: the lag window partitions by user, and the
+    * per-user aggregate reuses that hash partitioning (no second
+    * shuffle — same key domain).
+    */
+  def interArrival(df: DataFrame, userCol: String, tsUsCol: String,
+      tieCol: String, minEvents: Int, toleranceUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_us").asc, col("_tie").asc)
+    df.select(col(userCol), col(tsUsCol).as("_us"), col(tieCol).as("_tie"))
+      .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("_gap")).as("min_gap_us"),
+        max(col("_gap")).as("max_gap_us"),
+        sum(col("_gap")).as("_sum_gap"),
+        count(col("_gap")).as("_n_gap"))
+      .withColumn("avg_gap_us",
+        when(col("_n_gap") > 0, expr("_sum_gap div _n_gap")))
+      .withColumn("suspected_bot",
+        col("n_events") >= minEvents &&
+          col("max_gap_us") - col("min_gap_us") <= toleranceUs)
+      .drop("_sum_gap", "_n_gap")
+  }
+
+  /** Robust per-key outlier report over a double column, in exact
+    * integer arithmetic: values become micro-units (round(v·10⁶), a
+    * per-row deterministic double op), then mean and mean-absolute-
+    * deviation are integer divisions and an outlier is
+    * |v − mean| > k·MAD. No float aggregation anywhere, so the result
+    * is independent of partitioning and engine — stddev-based z-scores
+    * are not. Output: key, n, mean_micro, mad_micro, n_outliers.
+    *
+    * Three passes over the (pruned) key+value columns, each collapsing
+    * map-side to |keys| rows; the tiny stats frames broadcast back.
+    */
+  def robustOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 4): DataFrame = {
+    val base = df.select(col(keyCol).as("_k"),
+      round(col(valueCol) * lit(1000000d)).cast("long").as("_vm"))
+    val stats = base.groupBy(col("_k"))
+      .agg(sum(col("_vm")).as("_s"), count(lit(1)).as("_n"))
+      .select(col("_k"), expr("_s div _n").as("mean_micro"))
+    val dev = base.join(broadcast(stats), "_k")
+      .withColumn("_ad", abs(col("_vm") - col("mean_micro")))
+    val mad = dev.groupBy(col("_k"))
+      .agg(expr("sum(_ad) div count(1)").as("mad_micro"))
+    // the final aggregate carries EVERYTHING (mean/mad are constant per
+    // key → max), so no |keys|-row assembly joins re-inline the stats
+    // subtree — the static plan stays at the three aggregation shuffles
+    dev.join(broadcast(mad), "_k")
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("n"),
+        max(col("mean_micro")).as("mean_micro"),
+        max(col("mad_micro")).as("mad_micro"),
+        sum(when(col("_ad") > lit(k.toLong) * col("mad_micro"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("_k").as(keyCol), col("n"), col("mean_micro"),
+        col("mad_micro"), col("n_outliers"))
+  }
 }

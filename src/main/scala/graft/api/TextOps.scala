@@ -190,4 +190,42 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Cross-document boilerplate measure: fraction of each doc's
+    * DISTINCT n-token grams that appear in >= `commonDocFreq` docs
+    * corpus-wide (the C4 boilerplate signal — navigation chrome,
+    * licenses, templates repeat across pages; no newline structure
+    * required). Output: idCol, n_grams, n_common, common_x1000.
+    *
+    * Shape at 100 TB: grams are 60-bit hashes (never gram text) via
+    * the codegen `shingle_hashes`; the document-frequency aggregate
+    * and the postings∩common semi-join both shuffle only (id, hash)
+    * longs and are co-partitioned on the gram hash; the per-doc
+    * rollup collapses map-side. Docs with zero common grams are kept
+    * (left join, 0-filled) — the whole corpus gets a score.
+    */
+  def commonGramRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, commonDocFreq: Int = 5): DataFrame = {
+    TextHashExpressions.register(df.sparkSession)
+    // shingle_hashes dedupes (distinct grams, insertion order), so
+    // size(_gs) is the per-doc distinct-gram count and each doc votes
+    // once per gram in the document-frequency aggregate
+    val grams = df
+      .select(col(idCol), split(col(textCol), " ", -1).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol),
+        expr(s"shingle_hashes(_toks, $n, ${TextHashing.P})").as("_gs"))
+    val posting = grams.select(col(idCol), explode(col("_gs")).as("_g"))
+    val common = posting.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= commonDocFreq)
+      .select(col("_g"))
+    val commonPerDoc = posting.join(common, Seq("_g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nc"))
+    grams.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"))
+      .join(commonPerDoc, Seq(idCol), "left")
+      .withColumn("n_common", coalesce(col("_nc"), lit(0L)))
+      .withColumn("common_x1000", expr("(n_common * 1000) div n_grams"))
+      .select(col(idCol), col("n_grams"), col("n_common"), col("common_x1000"))
+  }
 }

@@ -139,4 +139,27 @@ object VectorOps {
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("rn"))
   }
+
+  /** Int8 scalar-quantization report per vector: dimension count,
+    * min/max in exact micro fixed-point, and the summed quantization
+    * codes Σ floor((v−min)·255/(max−min)) — the pre-flight statistic
+    * for a quantized ANN index (range sanity + code-energy check,
+    * and a cheap change-detector for re-quantization).
+    * Output: idCol, n_dims, mn_x1m, mx_x1m, code_sum.
+    *
+    * Map-only, zero shuffles; the code loop is the native codegen'd
+    * `quant_code_sum` expression, not an interpreted HOF chain. The
+    * float→double promotions and op order match the DuckDB oracle
+    * bit-for-bit.
+    */
+  def quantizeStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+      size(col(vecCol)).cast("long").as("n_dims"),
+      round(array_min(col(vecCol)).cast("double") * lit(1000000d))
+        .cast("long").as("mn_x1m"),
+      round(array_max(col(vecCol)).cast("double") * lit(1000000d))
+        .cast("long").as("mx_x1m"),
+      expr(s"quant_code_sum(`$vecCol`)").as("code_sum"))
+  }
 }

@@ -51,12 +51,83 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object VectorExpressions {
-  /** Idempotently registers `dot_f(a, b)` on the session so plans can
-    * use it via expr("dot_f(...)") — the registry path sidesteps the
-    * Column-from-Expression constructor churn in Spark 4.
+/** Static kernel for [[QuantCodeSum]] — one call site shared by
+  * interpreted eval and generated code (the ShingleHashes pattern), so
+  * the surrounding projection keeps its WholeStageCodegen span.
+  */
+object VectorQuantUtil {
+  /** Σ of the int8 scalar-quantization codes of a float vector:
+    * code_i = floor((v_i − min) · 255 / (max − min)), all arithmetic in
+    * double with this exact op order — bit-identical to the DuckDB
+    * `floor((v::DOUBLE − mn) * 255.0 / (mx − mn))` oracle (IEEE doubles,
+    * left-to-right, no FMA). Degenerate constant vectors quantize to 0.
     */
-  def register(spark: SparkSession): Unit =
+  def quantCodeSum(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    var mn = java.lang.Double.MAX_VALUE
+    var mx = -java.lang.Double.MAX_VALUE
+    var i = 0
+    while (i < n) {
+      val v = arr.getFloat(i).toDouble
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx == mn) return 0L
+    val range = mx - mn
+    var s = 0L
+    i = 0
+    while (i < n) {
+      s += math.floor((arr.getFloat(i).toDouble - mn) * 255.0 / range).toLong
+      i += 1
+    }
+    s
+  }
+}
+
+/** `quant_code_sum(vec)`: the summed int8 quantization codes of an
+  * ARRAY<FLOAT> embedding — the cheap integrity/energy statistic of a
+  * scalar-quantized vector, as a single codegen'd static call (a
+  * higher-order `aggregate(transform(...))` chain would run
+  * interpreted — the q22 lesson).
+  */
+case class QuantCodeSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => TypeCheckSuccess
+      case other =>
+        TypeCheckFailure(s"quant_code_sum: needs ARRAY<FLOAT>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorQuantUtil.quantCodeSum(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorQuantUtil.quantCodeSum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  /** Idempotently registers `dot_f(a, b)` and `quant_code_sum(v)` on
+    * the session so plans can use them via expr(...) — the registry
+    * path sidesteps the Column-from-Expression constructor churn in
+    * Spark 4.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant_code_sum", exprs => QuantCodeSum(exprs.head), "built-in")
+  }
 }

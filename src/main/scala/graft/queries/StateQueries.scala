@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.api.{EventOps, TextOps, VectorOps}
+import graft.functions.TextHashing
+
+/** State-of-the-world + data-health operators a 100 TB training-data
+  * pipeline runs between ingestion and training: CDC latest-state
+  * compaction, snapshot diffing, decayed activity scoring, cadence-based
+  * bot detection, robust outlier reporting, embedding quantization
+  * pre-flight, and cross-document boilerplate measurement. All exact
+  * integer/decimal arithmetic — no float aggregation — so every one is
+  * hash-oracled against DuckDB.
+  */
+object StateQueries {
+
+  /** Shared events CTE: micro-second epoch + the payload columns. */
+  private val evSql =
+    "SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value FROM events"
+
+  /** Snapshot cut for q65 — inside the events table's time range. */
+  private val CutUs = 1705400000000000L
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q64_latest_state",
+      "CDC latest-state compaction (EventOps.latestState): one row per " +
+        "user — the payload of their greatest (us, event_id). max_by " +
+        "over a struct, NOT a rank window: partial agg keeps one row " +
+        "per key per task, so only |users| candidates cross the single " +
+        "shuffle and the change log is never sorted.",
+      Some(s"""
+WITH e AS ($evSql)
+SELECT user_id, us, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+WHERE rn = 1"""),
+      (s, dir) =>
+        EventOps.latestState(
+          Tables.events(s, dir)
+            .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+              col("event_id"), col("event_type"), col("value")),
+          "user_id", Seq("us", "event_id"), Seq("event_type", "value"))),
+
+    QueryDef(
+      "q65_snapshot_diff",
+      "Keyed snapshot diff (EventOps.snapshotDiff): latest state at a " +
+        "cutoff vs latest state now, full-outer joined on user_id with " +
+        "added/removed/changed/unchanged status (marker columns, not " +
+        "payload null-ness). Both sides aggregate to |users| rows " +
+        "before the join; everything keys on user_id (one shuffle " +
+        "domain, co-partitioned full-outer hash join).",
+      Some(s"""
+WITH e AS ($evSql),
+o AS (SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM e WHERE us <= $CutUs) WHERE rn = 1),
+n AS (SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       o.event_type AS old_event_type, o.value AS old_value,
+       n.event_type AS new_event_type, n.value AS new_value,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.event_type IS DISTINCT FROM n.event_type
+              OR o.value IS DISTINCT FROM n.value THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL JOIN n ON o.user_id = n.user_id"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+            col("event_id"), col("event_type"), col("value"))
+        def latest(d: org.apache.spark.sql.DataFrame) =
+          EventOps.latestState(d, "user_id", Seq("us", "event_id"),
+            Seq("event_type", "value"))
+            .select("user_id", "event_type", "value")
+        EventOps.snapshotDiff(
+          latest(ev.filter(col("us") <= CutUs)), latest(ev),
+          "user_id", Seq("event_type", "value"))
+      }),
+
+    QueryDef(
+      "q66_decayed_hotness",
+      "Half-life-decayed activity per event type (EventOps." +
+        "decayedCounts): weight = 1048576 >> min(age_days, 20) — " +
+        "right-shifted integers, NOT exp(), so the sum is exact int64 " +
+        "and partitioning-independent. Reference clock = one-row " +
+        "global max, broadcast back; weighted count partial-aggregates " +
+        "map-side into a |types|-row shuffle.",
+      Some(s"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+m AS (SELECT max(us) AS now FROM e)
+SELECT event_type, count(*) AS n_events,
+       sum(1048576 >> least((now - us) // 86400000000, 20))::BIGINT
+         AS decayed_x1m
+FROM e, m GROUP BY 1"""),
+      (s, dir) =>
+        EventOps.decayedCounts(
+          Tables.events(s, dir)
+            .select(col("event_type"), expr("ts_ns div 1000").as("us")),
+          "event_type", "us", halfLifeDays = 1, maxHalfLives = 20)),
+
+    QueryDef(
+      "q67_interarrival_bots",
+      "Per-user inter-arrival stats + bot heuristic (EventOps." +
+        "interArrival): gap min/max/avg over (us, event_id)-ordered " +
+        "events; suspected_bot = >=10 events with all gaps within 6h " +
+        "of each other (machine-regular cadence). ONE exchange: the " +
+        "lag window partitions by user_id and the per-user aggregate " +
+        "reuses that partitioning.",
+      Some(s"""
+WITH e AS ($evSql),
+l AS (SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap
+      FROM e)
+SELECT user_id, count(*) AS n_events,
+       min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+       CASE WHEN count(gap) > 0
+            THEN (sum(gap) // count(gap))::BIGINT END AS avg_gap_us,
+       count(*) >= 10 AND max(gap) - min(gap) <= 21600000000
+         AS suspected_bot
+FROM l GROUP BY 1"""),
+      (s, dir) =>
+        EventOps.interArrival(
+          Tables.events(s, dir)
+            .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+              col("event_id")),
+          "user_id", "us", "event_id",
+          minEvents = 10, toleranceUs = 21600000000L)),
+
+    QueryDef(
+      "q68_value_outliers",
+      "Robust per-type outlier report (EventOps.robustOutliers): " +
+        "values in micro fixed-point, mean and mean-absolute-deviation " +
+        "as integer divisions, outlier = |v - mean| > 4*MAD. Zero " +
+        "float aggregation -> partitioning- and engine-independent " +
+        "(stddev z-scores are neither). Three passes over two pruned " +
+        "columns, each collapsing map-side to |types| rows; tiny " +
+        "stats frames broadcast back.",
+      Some("""
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+s AS (SELECT event_type, count(*) AS n,
+             (sum(vm) // count(*))::BIGINT AS mean_micro FROM e GROUP BY 1),
+d AS (SELECT e.event_type, abs(vm - mean_micro) AS ad
+      FROM e JOIN s USING (event_type)),
+m AS (SELECT event_type, (sum(ad) // count(*))::BIGINT AS mad_micro
+      FROM d GROUP BY 1),
+o AS (SELECT d.event_type,
+             sum(CASE WHEN ad > 4 * mad_micro THEN 1 ELSE 0 END)::BIGINT
+               AS n_outliers
+      FROM d JOIN m USING (event_type) GROUP BY 1)
+SELECT s.event_type, s.n, s.mean_micro, m.mad_micro, o.n_outliers
+FROM s JOIN m USING (event_type) JOIN o USING (event_type)"""),
+      (s, dir) =>
+        EventOps.robustOutliers(Tables.events(s, dir), "event_type",
+          "value", k = 4)),
+
+    QueryDef(
+      "q69_vec_quantize",
+      "Int8 scalar-quantization pre-flight per embedding (VectorOps." +
+        "quantizeStats): dims, min/max in micro fixed-point, summed " +
+        "quantization codes. Map-only, zero shuffles; the code loop is " +
+        "the native codegen'd quant_code_sum expression (HOF chains " +
+        "run interpreted — the q22 lesson). Double promotion and op " +
+        "order match DuckDB bit-for-bit.",
+      Some("""
+WITH b AS (SELECT vec_id, embedding,
+                  list_aggregate(embedding, 'min')::DOUBLE AS mn,
+                  list_aggregate(embedding, 'max')::DOUBLE AS mx
+           FROM embeddings)
+SELECT vec_id, len(embedding)::BIGINT AS n_dims,
+       CAST(round(mn * 1000000) AS BIGINT) AS mn_x1m,
+       CAST(round(mx * 1000000) AS BIGINT) AS mx_x1m,
+       CASE WHEN mx = mn THEN 0
+            ELSE list_sum(list_transform(embedding,
+              v -> floor((v::DOUBLE - mn) * 255.0 / (mx - mn))::BIGINT))
+       END::BIGINT AS code_sum
+FROM b"""),
+      (s, dir) =>
+        VectorOps.quantizeStats(Tables.embeddings(s, dir), "vec_id",
+          "embedding")),
+
+    QueryDef(
+      "q70_common_grams",
+      "Cross-document boilerplate ratio (TextOps.commonGramRatio): " +
+        "fraction of each doc's distinct trigrams appearing in >= 5 " +
+        "docs corpus-wide (the C4 boilerplate signal). Grams travel as " +
+        "60-bit hashes via codegen shingle_hashes; document-frequency " +
+        "agg and the postings semi-join are co-partitioned on the " +
+        "gram hash; zero-overlap docs kept via left join.",
+      Some(s"""
+WITH s AS (SELECT doc_id,
+  list_distinct(list_transform(
+    list_transform(generate_series(1, len(string_split(text,' '))-2),
+      i -> string_split(text,' ')[i] || ' ' ||
+           string_split(text,' ')[i+1] || ' ' ||
+           string_split(text,' ')[i+2]),
+    g -> ${TextHashing.hash60Sql("g")} % ${TextHashing.P})) AS gs
+  FROM documents WHERE len(string_split(text,' ')) >= 3),
+e AS (SELECT doc_id, unnest(gs) AS g FROM s),
+c AS (SELECT g FROM (SELECT g, count(*) AS d FROM e GROUP BY 1)
+      WHERE d >= 5),
+cc AS (SELECT doc_id, count(*) AS n_common
+       FROM e JOIN c USING (g) GROUP BY 1)
+SELECT s.doc_id, len(gs)::BIGINT AS n_grams,
+       coalesce(cc.n_common, 0)::BIGINT AS n_common,
+       (coalesce(cc.n_common, 0) * 1000) // len(gs) AS common_x1000
+FROM s LEFT JOIN cc ON s.doc_id = cc.doc_id"""),
+      (s, dir) =>
+        TextOps.commonGramRatio(Tables.documents(s, dir), "doc_id",
+          "text", n = 3, commonDocFreq = 5))
+  )
+}

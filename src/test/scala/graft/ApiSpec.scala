@@ -263,6 +263,100 @@ class ApiSpec extends SparkSpec {
     assert(got == Map(("x", "y") -> 1L, ("y", "x") -> 1L, ("y", "y") -> 1L))
   }
 
+  test("EventOps.latestState: max_by compaction, tie broken by full order tuple") {
+    val log = Seq(
+      (1L, 10L, 1L, "a", 1.0), (1L, 20L, 2L, "b", 2.0),
+      (2L, 5L, 3L, "c", 3.0),
+      (3L, 7L, 9L, "d", 4.0), (3L, 7L, 10L, "e", 5.0)) // ts tie -> seq wins
+      .toDF("who", "at", "seq", "st", "amt")
+    val got = EventOps.latestState(log, "who", Seq("at", "seq"),
+      Seq("st", "amt")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      1L -> ((20L, 2L, "b", 2.0)),
+      2L -> ((5L, 3L, "c", 3.0)),
+      3L -> ((7L, 10L, "e", 5.0))))
+  }
+
+  test("EventOps.snapshotDiff: added/removed/changed/unchanged, null-safe") {
+    val old = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0))
+      .toDF("who", "st", "amt")
+    val neu = Seq((2L, "y", 2.0), (3L, "z", 9.0), (4L, "w", 4.0))
+      .toDF("who", "st", "amt")
+    val got = EventOps.snapshotDiff(old, neu, "who", Seq("st", "amt"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("EventOps.decayedCounts: exact right-shift weights from the data max") {
+    val day = 86400000000L
+    val log = Seq(("a", 0L), ("a", day), ("a", 2 * day), ("b", 2 * day))
+      .toDF("grp", "when_us")
+    val got = EventOps.decayedCounts(log, "grp", "when_us").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // now = 2*day; ages (days): a -> 2,1,0; b -> 0
+    assert(got == Map(
+      "a" -> ((3L, 262144L + 524288L + 1048576L)),
+      "b" -> ((1L, 1048576L))))
+  }
+
+  test("EventOps.interArrival: gap stats, bot flag, single-event nulls") {
+    val log = Seq(
+      (1L, 0L, 1L), (1L, 100L, 2L), (1L, 200L, 3L), (1L, 300L, 4L),
+      (2L, 0L, 5L), (2L, 500L, 6L),
+      (3L, 42L, 7L))
+      .toDF("who", "when_us", "seq")
+    val got = EventOps.interArrival(log, "who", "when_us", "seq",
+      minEvents = 4, toleranceUs = 50L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_events") == 4L)
+    assert(got(1L).getAs[Long]("avg_gap_us") == 100L)
+    assert(got(1L).getAs[Boolean]("suspected_bot"))
+    assert(!got(2L).getAs[Boolean]("suspected_bot"))
+    assert(got(3L).isNullAt(got(3L).fieldIndex("min_gap_us")))
+    assert(!got(3L).getAs[Boolean]("suspected_bot"))
+  }
+
+  test("EventOps.robustOutliers: integer MAD arithmetic, k*MAD cut") {
+    val vals = Seq.fill(9)(1.0) :+ 100.0
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "i", "amt")
+    val r = EventOps.robustOutliers(df, "grp", "amt", k = 4).collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("mean_micro") == 10900000L) // (9e6+1e8)/10
+    assert(r.getAs[Long]("mad_micro") == 17820000L)  // 178200000/10
+    assert(r.getAs[Long]("n_outliers") == 1L)        // only the 100.0
+  }
+
+  test("VectorOps.quantizeStats: codes span 0..255, constant vector -> 0") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f)),
+      (2L, Array(2.0f, 2.0f)))
+      .toDF("vkey", "emb")
+    val got = VectorOps.quantizeStats(vecs, "vkey", "emb").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // floor(0)=0, floor(255)=255, floor(127.5)=127
+    assert(got(1L) == ((3L, 0L, 1000000L, 382L)))
+    assert(got(2L) == ((2L, 2000000L, 2000000L, 0L)))
+  }
+
+  test("TextOps.commonGramRatio: cross-doc grams flagged, zero-overlap kept") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("row_key", "body")
+    val got = TextOps.commonGramRatio(docs, "row_key", "body",
+      n = 2, commonDocFreq = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // "a b" appears in docs 1 and 2 -> common; doc 3 shares nothing
+    assert(got == Map(
+      1L -> ((2L, 1L, 500L)),
+      2L -> ((2L, 1L, 500L)),
+      3L -> ((2L, 0L, 0L))))
+  }
+
   test("SampleOps.mixtureResample: proportions follow weights, exact subset") {
     val rows = (0L until 300L).map(i =>
       (i, if (i < 100) "p" else if (i < 200) "q" else "r"))

@@ -106,11 +106,31 @@ class PlanSpec extends SparkSpec {
     Seq("q16_token_stats", "q17_quality_score", "q18_lang_id",
       "q19_doc_fingerprint", "q22_simhash_fingerprint", "q26_multimodal_meta",
       "q38_text_normalize", "q44_repetition_filter", "q45_stratified_sample",
-      "q52_pii_redaction")
+      "q52_pii_redaction", "q69_vec_quantize")
       .foreach { q =>
         val shuffles = collectAll(plan(q)).count(_.isInstanceOf[ShuffleExchangeLike])
         assert(shuffles == 0, s"$q: expected map-only, got $shuffles shuffles")
       }
+  }
+
+  test("q64 latest-state is one shuffle of partial-agg survivors, no sort") {
+    // the max_by formulation's whole point: no rank window (which would
+    // sort every key's full history); one exchange of |keys| partials
+    val nodes = collectAll(plan("q64_latest_state"))
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
+      planString("q64_latest_state"))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExecBase]),
+      s"q64 must not plan a window:\n${planString("q64_latest_state")}")
+  }
+
+  test("q67 per-user aggregate reuses the lag window's partitioning") {
+    // window exchange on user_id, then groupBy(user_id) must NOT add a
+    // second exchange — same key domain
+    val shuffles = collectAll(plan("q67_interarrival_bots"))
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles == 1,
+      s"expected 1 shuffle, got $shuffles:\n${planString("q67_interarrival_bots")}")
   }
 
   test("q01 aggregates with partial (map-side) aggregation") {
