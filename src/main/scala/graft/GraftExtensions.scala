@@ -54,5 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_f",
       "dot_f(a, b) - codegen left-to-right double dot product",
       exprs => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction(fn("quant_code_sum",
+      "quant_code_sum(vec) - summed int8 scalar-quantization codes of a float vector",
+      exprs => graft.functions.QuantCodeSum(exprs.head)))
+    ext.injectFunction(fn("latest_by",
+      "latest_by(payload, ord) - payload of the greatest ord (hash-aggregable argmax)",
+      exprs => graft.functions.LatestBy(exprs.head, exprs(1))))
   }
 }

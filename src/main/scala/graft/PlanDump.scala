@@ -32,7 +32,9 @@ object PlanDump {
       "q50_sequence_packing", "q51_range_band_join",
       "q52_pii_redaction", "q53_embedding_near_dup",
       "q60_mixture_resample", "q61_funnel_conversion",
-      "q62_retention_cohorts", "q63_event_transitions")
+      "q62_retention_cohorts", "q63_event_transitions",
+      "q64_latest_state", "q66_decayed_hotness", "q68_value_outliers",
+      "q70_common_grams", "q71_distribution_drift")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -257,20 +257,24 @@ object DedupOps {
     * member with the highest score (ties → smallest id), plus the
     * member count. Replaces min-id keeper choice when a quality signal
     * exists (keep the longest/cleanest copy, not the lexically first).
-    * One hash-aggregate over the (tiny) cluster assignment — `max_by`
-    * on a (score, -id) struct, so no per-cluster sort or window.
+    * One hash-aggregate over the (tiny) cluster assignment — the
+    * custom `latest_by` argmax on a (score, -id) struct, so no
+    * per-cluster sort or window (built-in max_by's struct buffer would
+    * demote the whole aggregation to SortAggregate).
     *
     * @param scored (id, cluster, score) rows — typically [[clusters]]
     *               joined to a quality column.
     */
   def keepersByScore(scored: DataFrame, idCol: String, clusterCol: String,
-      scoreCol: String): DataFrame =
+      scoreCol: String): DataFrame = {
+    graft.functions.SketchAggregates.register(scored.sparkSession)
     scored.groupBy(col(clusterCol))
       .agg(
-        max_by(col(idCol),
+        call_function("latest_by", col(idCol),
           struct(col(scoreCol), -col(idCol))).as("keeper_id"),
         count(lit(1)).as("n_members"),
         max(col(scoreCol)).as("keeper_score"))
+  }
 
   /** The dedup pipeline's consumable output: the corpus minus every doc
     * appearing as the higher id of a near-dup pair (pair-wise form; use

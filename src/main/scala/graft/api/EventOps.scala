@@ -98,21 +98,26 @@ object EventOps {
     * `orderCols` tuple. The CDC-merge primitive — a change log becomes
     * current state.
     *
-    * Deliberately max_by over a struct, NOT a rank window: the window
-    * form sorts every partition's full history; max_by keeps one row
-    * per key per task (map-side partial agg), so only |keys| candidate
-    * rows cross the one shuffle — at 100 TB the change log streams
-    * through without ever being sorted. `orderCols` must be a total
+    * Deliberately an argmax aggregation, NOT a rank window: the window
+    * form sorts every partition's full history; the aggregate keeps one
+    * row per key per task (map-side partial agg), so only |keys|
+    * candidate rows cross the one shuffle — at 100 TB the change log
+    * streams through without ever being sorted. The argmax is the
+    * custom `latest_by` (TypedImperativeAggregate → ObjectHashAggregate)
+    * rather than built-in `max_by`, whose struct-typed declarative
+    * buffer would force the whole aggregation into SortAggregate — a
+    * per-task sort of the full change log. `orderCols` must be a total
     * order (include a unique tiebreaker) for a deterministic result.
     */
   def latestState(df: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "latestState needs at least one order column")
+    graft.functions.SketchAggregates.register(df.sparkSession)
     val carried = (orderCols ++ valueCols).distinct
     df.groupBy(col(keyCol))
-      .agg(max_by(struct(carried.map(col): _*),
+      .agg(call_function("latest_by", struct(carried.map(col): _*),
         struct(orderCols.map(col): _*)).as("_last"))
-      .select(col(keyCol) +: carried.map(c => col(s"_last.`$c`").as(c)): _*)
+      .select(col(keyCol) +: carried.map(c => col("_last").getField(c).as(c)): _*)
   }
 
   /** Keyed diff of two snapshots: full-outer join on `keyCol`, each
@@ -201,6 +206,46 @@ object EventOps {
         col("n_events") >= minEvents &&
           col("max_gap_us") - col("min_gap_us") <= toleranceUs)
       .drop("_sum_gap", "_n_gap")
+  }
+
+  /** Distribution-drift report between two frames of the same numeric
+    * column (reference vs current — yesterday vs today, train vs
+    * serve): fixed-width histogram buckets, per-bucket counts and
+    * per-million proportions, and a `drifted` flag where the
+    * proportion moved more than `driftPpm`. The PSI-style pipeline
+    * health check, minus the log term — proportions and deltas stay
+    * exact integers, so the report is engine- and partitioning-
+    * independent (and hash-oracle-able, which a float PSI is not).
+    *
+    * Bucket = min(floor(v / bucketWidth), maxBucket) — with a
+    * power-of-two width the division is exact IEEE, identical across
+    * engines. Buckets empty on one side surface with count 0 (full
+    * outer), so "new mass appeared where there was none" is visible.
+    *
+    * Each side collapses map-side to ≤ maxBucket+1 rows before its
+    * single shuffle; totals ride along as one-row broadcasts.
+    */
+  def distributionDrift(refDf: DataFrame, curDf: DataFrame,
+      valueCol: String, bucketWidth: Double, maxBucket: Int,
+      driftPpm: Long = 50000L): DataFrame = {
+    require(bucketWidth > 0 && maxBucket >= 0)
+    def counts(d: DataFrame, as: String) = d
+      .select(least(floor(col(valueCol) / bucketWidth), lit(maxBucket))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val ref = counts(refDf, "n_ref")
+    val cur = counts(curDf, "n_cur")
+    val refTot = ref.agg(sum(col("n_ref")).as("_tr"))
+    val curTot = cur.agg(sum(col("n_cur")).as("_tc"))
+    ref.join(cur, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(refTot))
+      .crossJoin(broadcast(curTot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr("(n_ref * 1000000) div _tr").as("p_ref_ppm"),
+        expr("(n_cur * 1000000) div _tc").as("p_cur_ppm"))
+      .withColumn("drifted",
+        abs(col("p_cur_ppm") - col("p_ref_ppm")) > driftPpm)
   }
 
   /** Robust per-key outlier report over a double column, in exact

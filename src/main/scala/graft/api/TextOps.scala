@@ -191,6 +191,36 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Fixed-window token chunking with stride — the training-data
+    * windowing step (context-length packing's upstream: long documents
+    * become overlapping model-sized pieces). Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens); chunks start while offset <
+    * n_tokens, so the tail chunk may be short but text is never
+    * dropped. Output: idCol, chunk_idx, n_tok, chunk_text.
+    *
+    * Map-only with controlled fan-out: the Generate explodes each doc
+    * into ⌈n/stride⌉ rows — no shuffle, no window, codegen-friendly
+    * builtins only (sequence → posexplode → slice → concat_ws). At
+    * 100 TB the fan-out factor is len/stride, set by the caller; rows
+    * stay within their input partition.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need 1 <= stride <= chunkTokens")
+    df.select(col(idCol), split(col(textCol), " ", -1).as("_toks"))
+      .select(col(idCol),
+        posexplode(expr(s"sequence(0L, (size(_toks) - 1) div $stride)"))
+          .as(Seq("chunk_idx", "_off")),
+        col("_toks"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"slice(_toks, chunk_idx * $stride + 1, $chunkTokens)")
+          .as("_c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_c")).cast("long").as("n_tok"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
+
   /** Cross-document boilerplate measure: fraction of each doc's
     * DISTINCT n-token grams that appear in >= `commonDocFreq` docs
     * corpus-wide (the C4 boilerplate signal — navigation chrome,

@@ -48,6 +48,10 @@ object SketchAggregates {
       exprs => HeavyHitters(
         FnArgs.litInt("heavy_hitters", "capacity", exprs.head), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "latest_by",
+      exprs => LatestBy(exprs.head, exprs(1)),
+      "built-in")
   }
 }
 
@@ -526,4 +530,137 @@ case class HeavyHitters(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(key = newChildren(0))
+}
+
+/** Mutable buffer for [[LatestBy]]: `ord == null` means "no rows seen". */
+private[graft] final class LatestBuf(var ord: Any, var value: Any)
+
+/** `latest_by(payload, ord)` — keep the payload of the greatest `ord`
+  * seen (null `ord` rows are ignored; callers include a unique
+  * tiebreaker in `ord` for determinism, the latestState contract).
+  *
+  * Exists because the built-in declarative `max_by` puts a struct in
+  * its aggregation buffer, which is not hash-bufferable — Catalyst
+  * plans the WHOLE aggregation as SortAggregate, i.e. every map task
+  * sorts its full slice of the change log by key before collapsing.
+  * A TypedImperativeAggregate is ObjectHashAggregate-eligible: hash
+  * partial aggregation, one (ord, payload) pair per group per task,
+  * no sort anywhere. Same answer, no per-task sort at 100 TB.
+  *
+  * Supported `ord` types: BIGINT/INT/DOUBLE/STRING/TIMESTAMP/DATE or a
+  * STRUCT of them (lexicographic). Payload: anything UnsafeProjection
+  * can encode (atomic or struct).
+  */
+case class LatestBy(
+    payload: Expression,
+    ord: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LatestBuf] {
+
+  override def children: Seq[Expression] = Seq(payload, ord)
+  override def nullable: Boolean = true
+  override def dataType: DataType = payload.dataType
+
+  private def orderable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType |
+        TimestampType | DateType => true
+    case st: StructType => st.fields.forall(f => orderable(f.dataType))
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!orderable(ord.dataType))
+      TypeCheckFailure(
+        s"latest_by: ord must be an atomic orderable or a struct of them, got ${ord.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  // lexicographic interpreted compare — runs once per row on values
+  // already extracted from the input row (nulls inside struct ords sort
+  // first, matching Spark's NULLS FIRST default)
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case _ if a == null && b == null => 0
+    case _ if a == null => -1
+    case _ if b == null => 1
+    case st: StructType =>
+      val ra = a.asInstanceOf[InternalRow]
+      val rb = b.asInstanceOf[InternalRow]
+      var i = 0
+      while (i < st.length) {
+        val f = st(i).dataType
+        val c = cmp(f,
+          if (ra.isNullAt(i)) null else ra.get(i, f),
+          if (rb.isNullAt(i)) null else rb.get(i, f))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    case LongType | TimestampType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other =>
+      throw new UnsupportedOperationException(s"latest_by: ord type $other")
+  }
+
+  // eval() results may alias the operator's reused row buffer — copy
+  // anything with backing storage before it outlives this call
+  private def own(v: Any): Any = v match {
+    case r: InternalRow => r.copy()
+    case s: UTF8String  => s.clone()
+    case x              => x
+  }
+
+  override def createAggregationBuffer(): LatestBuf = new LatestBuf(null, null)
+
+  override def update(buf: LatestBuf, input: InternalRow): LatestBuf = {
+    val o = ord.eval(input)
+    if (o != null && (buf.ord == null || cmp(ord.dataType, o, buf.ord) > 0)) {
+      buf.ord = own(o)
+      buf.value = own(payload.eval(input))
+    }
+    buf
+  }
+
+  override def merge(a: LatestBuf, b: LatestBuf): LatestBuf = {
+    if (b.ord != null && (a.ord == null || cmp(ord.dataType, b.ord, a.ord) > 0)) {
+      a.ord = b.ord
+      a.value = b.value
+    }
+    a
+  }
+
+  override def eval(buf: LatestBuf): Any = buf.value
+
+  @transient private lazy val ser =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      Array(payload.dataType, ord.dataType))
+
+  override def serialize(buf: LatestBuf): Array[Byte] =
+    if (buf.ord == null) Array.emptyByteArray
+    else ser(InternalRow(buf.value, buf.ord)).getBytes
+
+  override def deserialize(bytes: Array[Byte]): LatestBuf =
+    if (bytes.isEmpty) new LatestBuf(null, null)
+    else {
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(2)
+      row.pointTo(bytes, bytes.length)
+      new LatestBuf(
+        own(if (row.isNullAt(1)) null else row.get(1, ord.dataType)),
+        own(if (row.isNullAt(0)) null else row.get(0, payload.dataType)))
+    }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(payload = newChildren(0), ord = newChildren(1))
 }

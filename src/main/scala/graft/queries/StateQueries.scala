@@ -28,10 +28,12 @@ object StateQueries {
     QueryDef(
       "q64_latest_state",
       "CDC latest-state compaction (EventOps.latestState): one row per " +
-        "user — the payload of their greatest (us, event_id). max_by " +
-        "over a struct, NOT a rank window: partial agg keeps one row " +
-        "per key per task, so only |users| candidates cross the single " +
-        "shuffle and the change log is never sorted.",
+        "user — the payload of their greatest (us, event_id). The " +
+        "custom latest_by argmax aggregate (ObjectHashAggregate), NOT " +
+        "a rank window or built-in max_by (whose struct buffer demotes " +
+        "to SortAggregate): partial agg keeps one row per key per " +
+        "task, so only |users| candidates cross the single shuffle and " +
+        "the change log is never sorted — not even per-task.",
       Some(s"""
 WITH e AS ($evSql)
 SELECT user_id, us, event_id, event_type, value
@@ -216,6 +218,63 @@ SELECT s.doc_id, len(gs)::BIGINT AS n_grams,
 FROM s LEFT JOIN cc ON s.doc_id = cc.doc_id"""),
       (s, dir) =>
         TextOps.commonGramRatio(Tables.documents(s, dir), "doc_id",
-          "text", n = 3, commonDocFreq = 5))
+          "text", n = 3, commonDocFreq = 5)),
+
+    QueryDef(
+      "q71_distribution_drift",
+      "Distribution-drift report (EventOps.distributionDrift): value " +
+        "histogram before vs after the q65 cutoff, per-bucket counts " +
+        "and per-million proportions, drifted where the proportion " +
+        "moved > 5%. PSI minus the log term - exact integers only, so " +
+        "the report is engine- and partitioning-independent. Each side " +
+        "collapses map-side to <=11 rows before its single shuffle; " +
+        "totals ride along as one-row broadcasts. Power-of-two bucket " +
+        "width keeps the double division exact IEEE cross-engine.",
+      Some(s"""
+WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+r AS (SELECT least(floor(value / 32.0), 10)::BIGINT AS bucket,
+             count(*) AS n_ref FROM e WHERE us <= $CutUs GROUP BY 1),
+c AS (SELECT least(floor(value / 32.0), 10)::BIGINT AS bucket,
+             count(*) AS n_cur FROM e WHERE us > $CutUs GROUP BY 1),
+t AS (SELECT (SELECT sum(n_ref) FROM r)::BIGINT AS tr,
+             (SELECT sum(n_cur) FROM c)::BIGINT AS tc)
+SELECT coalesce(r.bucket, c.bucket) AS bucket,
+       coalesce(n_ref, 0)::BIGINT AS n_ref,
+       coalesce(n_cur, 0)::BIGINT AS n_cur,
+       ((coalesce(n_ref, 0) * 1000000) // tr)::BIGINT AS p_ref_ppm,
+       ((coalesce(n_cur, 0) * 1000000) // tc)::BIGINT AS p_cur_ppm,
+       abs((coalesce(n_cur, 0) * 1000000) // tc
+         - (coalesce(n_ref, 0) * 1000000) // tr) > 50000 AS drifted
+FROM r FULL JOIN c ON r.bucket = c.bucket, t"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(expr("ts_ns div 1000").as("us"), col("value"))
+        EventOps.distributionDrift(
+          ev.filter(col("us") <= CutUs), ev.filter(col("us") > CutUs),
+          "value", bucketWidth = 32.0, maxBucket = 10)
+      }),
+
+    QueryDef(
+      "q72_chunking",
+      "Fixed-window token chunking with stride (TextOps.chunk): every " +
+        "doc becomes overlapping 16-token windows at stride 8 - the " +
+        "training-data windowing step upstream of sequence packing " +
+        "(q50). Map-only Generate fan-out of ceil(len/stride) rows per " +
+        "doc, no shuffle, builtins only (sequence -> posexplode -> " +
+        "slice -> concat_ws) so the whole pipeline codegens.",
+      Some("""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (SELECT doc_id, toks,
+             unnest(generate_series(0, (len(toks) - 1) // 8)) AS chunk_idx
+      FROM t)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       len(list_slice(toks, chunk_idx * 8 + 1, chunk_idx * 8 + 16))::BIGINT
+         AS n_tok,
+       array_to_string(list_slice(toks, chunk_idx * 8 + 1, chunk_idx * 8 + 16),
+         ' ') AS chunk_text
+FROM x"""),
+      (s, dir) =>
+        TextOps.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 16, stride = 8))
   )
 }

@@ -117,4 +117,30 @@ class AggLawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("LatestBy: split + serialize round-trip equals single-pass argmax") {
+    // payload = key column (slot 1), ord = cnt column (slot 0): the
+    // aggregate must return the key of the max (cnt, then... ord here is
+    // the scalar cnt, ties keep the FIRST seen — so generate unique ords)
+    val agg = graft.functions.LatestBy(keyRef, cntRef)
+    check(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 999L), Gen.chooseNum(0L, 9L)))
+      .map(_.distinctBy(_._1))) { vs =>
+      val rs = rows(vs)
+      val single = rs.foldLeft(agg.createAggregationBuffer())(agg.update)
+      (0 to rs.length).foreach { cut =>
+        val (l, r) = rs.splitAt(cut)
+        val a = l.foldLeft(agg.createAggregationBuffer())(agg.update)
+        val b = r.foldLeft(agg.createAggregationBuffer())(agg.update)
+        // shuffle edge: both partials must survive serialization
+        val merged = agg.merge(
+          agg.deserialize(agg.serialize(a)),
+          agg.deserialize(agg.serialize(b)))
+        assert(agg.eval(merged) == agg.eval(single))
+      }
+      if (vs.nonEmpty) {
+        val want = vs.maxBy(_._1)._2
+        assert(agg.eval(single) == want)
+      } else assert(agg.eval(single) == null)
+    }
+  }
 }

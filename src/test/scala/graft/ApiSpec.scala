@@ -98,6 +98,16 @@ class ApiSpec extends SparkSpec {
       hostile.select(col("select"), lit("a").as("group")),
       "select", "group", Map("a" -> 1000), defaultX1000 = 0)
     assert(sampled.count() == 5)
+
+    // latest_by path: reserved word key, spaced order/value columns
+    val hostileLog = Seq((1L, 10L, "x"), (1L, 20L, "y"))
+      .toDF("select", "event ts", "the state")
+    val latest = EventOps.latestState(hostileLog, "select",
+      Seq("event ts"), Seq("the state")).collect().head
+    assert(latest.getAs[String]("the state") == "y")
+
+    val chunked = TextOps.chunk(hostile, "select", "doc body", 4, 4)
+    assert(chunked.count() >= 5)
   }
 
   test("SampleOps.prioritySample: deterministic, incrementally stable") {
@@ -330,6 +340,23 @@ class ApiSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1L)        // only the 100.0
   }
 
+  test("EventOps.distributionDrift: ppm proportions, one-sided buckets kept") {
+    val ref = Seq(10.0, 40.0, 40.0, 100.0).map(("r", _)).toDF("tag", "amt")
+    val cur = Seq(10.0, 350.0, 40.0).map(("c", _)).toDF("tag", "amt")
+    val got = EventOps.distributionDrift(ref, cur, "amt",
+      bucketWidth = 32.0, maxBucket = 10, driftPpm = 100000L).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("p_ref_ppm"), r.getAs[Long]("p_cur_ppm"),
+          r.getAs[Boolean]("drifted")))).toMap
+    // ref buckets {0:1, 1:2, 3:1}/4; cur buckets {0:1, 1:1, 10:1}/3
+    assert(got == Map(
+      0L -> ((1L, 1L, 250000L, 333333L, false)), // 83333 <= 100000
+      1L -> ((2L, 1L, 500000L, 333333L, true)),
+      3L -> ((1L, 0L, 250000L, 0L, true)),       // mass vanished
+      10L -> ((0L, 1L, 0L, 333333L, true))))     // new mass (350 capped)
+  }
+
   test("VectorOps.quantizeStats: codes span 0..255, constant vector -> 0") {
     val vecs = Seq(
       (1L, Array(0.0f, 1.0f, 0.5f)),
@@ -341,6 +368,20 @@ class ApiSpec extends SparkSpec {
     // floor(0)=0, floor(255)=255, floor(127.5)=127
     assert(got(1L) == ((3L, 0L, 1000000L, 382L)))
     assert(got(2L) == ((2L, 2000000L, 2000000L, 0L)))
+  }
+
+  test("TextOps.chunk: stride windows cover all tokens, short tail kept") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4"), (2L, "x")).toDF("row_key", "body")
+    val got = TextOps.chunk(docs, "row_key", "body",
+      chunkTokens = 3, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // doc 1 (5 tokens): offsets 0,2,4 -> [t0..t2], [t2..t4], [t4]
+    assert(got == Map(
+      (1L, 0L) -> ((3L, "t0 t1 t2")),
+      (1L, 1L) -> ((3L, "t2 t3 t4")),
+      (1L, 2L) -> ((1L, "t4")),
+      (2L, 0L) -> ((1L, "x"))))
   }
 
   test("TextOps.commonGramRatio: cross-doc grams flagged, zero-overlap kept") {

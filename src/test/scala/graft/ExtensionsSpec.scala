@@ -46,6 +46,10 @@ class ExtensionsSpec extends SparkSpec {
         .selectExpr("dot_f(a, b)").head.getDouble(0)
       assert(dot == 11.0)
 
+      val qcs = Seq(Array(0.0f, 1.0f, 0.5f)).toDF("v")
+        .selectExpr("quant_code_sum(v)").head.getLong(0)
+      assert(qcs == 382L) // 0 + 255 + floor(127.5)
+
       // same fingerprint as the registry path DedupOps uses (computed
       // on the suite session via plain SQL to avoid implicit clashes)
       val fp = Seq("a b c").toDF("t")

@@ -24,10 +24,13 @@ class PlanSpec extends SparkSpec {
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     // flatten through AQE boundaries — executedPlan hides subtrees
-    // behind AdaptiveSparkPlanExec until execution
+    // behind AdaptiveSparkPlanExec until execution, and behind LEAF
+    // QueryStageExec wrappers (Result/Shuffle/Broadcast) after it
     p.collect {
       case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
-      case other                    => Seq(other)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: collectAll(q.plan)
+      case other => Seq(other)
     }.flatten
   }
 
@@ -114,14 +117,36 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q64 latest-state is one shuffle of partial-agg survivors, no sort") {
-    // the max_by formulation's whole point: no rank window (which would
-    // sort every key's full history); one exchange of |keys| partials
+    // the latest_by formulation's whole point: no rank window (which
+    // would sort every key's full history) AND no SortAggregate (which
+    // built-in max_by's struct buffer forces — a per-task sort of the
+    // change log); one hash exchange of |keys| partials
     val nodes = collectAll(plan("q64_latest_state"))
     assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
       planString("q64_latest_state"))
     assert(!nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExecBase]),
       s"q64 must not plan a window:\n${planString("q64_latest_state")}")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+      s"q64 must hash-aggregate, not sort:\n${planString("q64_latest_state")}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+      s"q64 should use ObjectHashAggregate:\n${planString("q64_latest_state")}")
+  }
+
+  test("q64 shuffle carries partial-agg survivors, not the change log") {
+    // runtime proof of the map-side collapse: the exchange's write
+    // metric must be far below the event count (bounded by
+    // |keys| x tasks), or latestState is shuffling the full history
+    val df = SparkEntry.queries("q64_latest_state")(spark, sf)
+    df.collect()
+    val written = collectAll(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+      .map(_.metrics("shuffleRecordsWritten").value).sum
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(written > 0 && written < events / 2,
+      s"shuffle carried $written of $events change-log rows")
   }
 
   test("q67 per-user aggregate reuses the lag window's partitioning") {

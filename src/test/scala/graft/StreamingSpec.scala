@@ -267,6 +267,50 @@ class StreamingSpec extends SparkSpec {
     * Parameterized by sink name so the RocksDB variant can rerun it —
     * per-key dedup state is exactly what outgrows the heap at 100TB.
     */
+  test("streaming latest-state (complete mode) == batch EventOps.latestState") {
+    // latestState is a pure DataFrame fn — the streaming twin IS the
+    // batch code: an unbounded max_by aggregation whose state is one
+    // struct per key (no watermark needed; state size = |keys|).
+    // Complete mode makes the memory table the full current state, so
+    // cross-batch out-of-order updates must converge to the batch answer.
+    val input = MemoryStream[StreamEvent]
+    val frame = input.toDS().toDF()
+      .select(col("userId"), col("eventId"), col("eventType"),
+        unix_millis(col("ts")).as("at"))
+    val out = graft.api.EventOps.latestState(frame, "userId",
+      Seq("at", "eventId"), Seq("eventType"))
+    val q = out.writeStream.format("memory").queryName("latest_stream")
+      .outputMode("complete").start()
+    val batch = try {
+      input.addData(
+        StreamEvent(1L, 100L, "a", ts(1000)),
+        StreamEvent(1L, 101L, "b", ts(3000)),
+        StreamEvent(2L, 102L, "c", ts(2000)))
+      q.processAllAvailable()
+      input.addData(
+        StreamEvent(1L, 103L, "stale", ts(2000)), // late: must NOT win
+        StreamEvent(2L, 104L, "d", ts(5000)),
+        StreamEvent(3L, 105L, "e", ts(1000)))
+      q.processAllAvailable()
+      Seq((1L, 100L, "a", 1000L), (1L, 101L, "b", 3000L),
+        (2L, 102L, "c", 2000L), (1L, 103L, "stale", 2000L),
+        (2L, 104L, "d", 5000L), (3L, 105L, "e", 1000L))
+        .toDF("userId", "eventId", "eventType", "at_ms")
+    } finally q.stop()
+    val got = spark.table("latest_stream").collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("at"),
+        r.getAs[Long]("eventId"), r.getAs[String]("eventType"))).toSet
+    val want = graft.api.EventOps.latestState(
+      batch.select(col("userId"), col("eventId"), col("eventType"),
+        col("at_ms").as("at")),
+      "userId", Seq("at", "eventId"), Seq("eventType")).collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("at"),
+        r.getAs[Long]("eventId"), r.getAs[String]("eventType"))).toSet
+    assert(got == want)
+    assert(want == Set((1L, 3000L, 101L, "b"), (2L, 5000L, 104L, "d"),
+      (3L, 1000L, 105L, "e")))
+  }
+
   private def assertStreamingDedup(sinkName: String): Unit = {
     val input = MemoryStream[StreamEvent]
     val out = Dedup.firstPerKey(input.toDS().toDF(), "ts",
