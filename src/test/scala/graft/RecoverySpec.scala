@@ -150,4 +150,61 @@ class RecoverySpec extends SparkSpec {
       assertJoinStateSurvivesRestart("txB")
     }
   }
+
+  /** The latest_by aggregation buffers (TypedImperativeAggregate state,
+    * serialized through the state store) must survive a checkpointed
+    * restart: after the restart an OLDER update for a pre-restart key
+    * must lose — which can only happen if the pre-restart argmax state
+    * was recovered, not rebuilt from the post-restart batch alone.
+    */
+  private def assertLatestStateSurvivesRestart(tag: String): Unit = {
+    val ckpt = Files.createTempDirectory("graft_latest_ckpt").toString
+    val input = MemoryStream[StreamEvent]
+    @volatile var last: Array[(Long, Long, String)] = Array.empty
+    def startQuery() = graft.api.EventOps.latestState(
+        input.toDS().toDF()
+          .select(col("userId"), col("eventId"), col("eventType"),
+            unix_millis(col("ts")).as("at")),
+        "userId", Seq("at", "eventId"), Seq("eventType"))
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          last = batch.collect().map(r => (r.getAs[Long]("userId"),
+            r.getAs[Long]("eventId"), r.getAs[String]("eventType")))
+      }
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = startQuery()
+    try {
+      input.addData(StreamEvent(1L, 100L, s"live-$tag", ts(base + 5000)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: a STALE update for key 1 (older event time) and a fresh
+    // key — key 1 must still report the pre-restart payload
+    val q2 = startQuery()
+    try {
+      input.addData(
+        StreamEvent(1L, 103L, "stale", ts(base + 1000)),
+        StreamEvent(2L, 104L, s"new-$tag", ts(base + 2000)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(last.toSet == Set(
+      (1L, 100L, s"live-$tag"), (2L, 104L, s"new-$tag")),
+      s"argmax state lost across restart: ${last.toSet}")
+  }
+
+  test("streaming latest-state argmax survives a checkpointed restart") {
+    assertLatestStateSurvivesRestart("a")
+  }
+
+  test("latest-state restart also recovers under RocksDB") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertLatestStateSurvivesRestart("b")
+    }
+  }
 }
