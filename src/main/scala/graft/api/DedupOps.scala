@@ -276,6 +276,27 @@ object DedupOps {
         max(col(scoreCol)).as("keeper_score"))
   }
 
+  /** Incremental crawl merge with source precedence:
+    * preferred ∪ (secondary ∖ content-digests(preferred)) — when the
+    * same content exists in both corpora, the preferred copy wins and
+    * the secondary copy never enters. The union step of a re-crawl /
+    * multi-source ingest, upstream of near-dup passes.
+    *
+    * Content identity is the md5 digest of the text column, so the
+    * anti-join shuffles 16-byte digests plus the secondary payload,
+    * co-partitioned on the digest — the preferred corpus contributes
+    * only its digest column to the join.
+    */
+  def unionWithPrecedence(preferred: DataFrame, secondary: DataFrame,
+      textCol: String): DataFrame = {
+    val pd = preferred.select(md5(col(textCol).cast("binary")).as("_dg"))
+      .distinct()
+    preferred.unionByName(
+      secondary.withColumn("_dg", md5(col(textCol).cast("binary")))
+        .join(pd, Seq("_dg"), "left_anti")
+        .drop("_dg"))
+  }
+
   /** The dedup pipeline's consumable output: the corpus minus every doc
     * appearing as the higher id of a near-dup pair (pair-wise form; use
     * [[clusters]] keepers for chain-exact dedup).

@@ -38,6 +38,28 @@ object SampleOps {
     df.orderBy(TextHashing.hash60(col(idCol).cast("string")).asc,
       col(idCol).asc).limit(k)
 
+  /** Weighted deterministic k-sample: top-k by hash60(id) div weight
+    * ascending — a row with weight w is selected roughly w× as often
+    * as a weight-1 row (the integer-arithmetic analogue of
+    * exponential-rank weighted reservoir sampling), but the selection
+    * is a pure function of (id, weight): reproducible across engines
+    * and runs, incrementally stable under corpus growth, and
+    * hash-oracle-able (float -ln(u)/w priorities are none of these).
+    * The quality-weighted data-selection pass: weight = doc quality /
+    * length / source trust. Weights must be >= 1.
+    *
+    * Physically TakeOrderedAndProject, like [[prioritySample]]: local
+    * top-k per partition, k-row driver merge, no global sort.
+    */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame =
+    df.withColumn("_h", TextHashing.hash60(col(idCol).cast("string")))
+      .withColumn("_w", col(weightCol).cast("long"))
+      .withColumn("_prio", expr("_h div _w")) // integer div — exact at 2^60
+      .orderBy(col("_prio").asc, col(idCol).asc)
+      .limit(k)
+      .drop("_h", "_w", "_prio")
+
   /** Per-stratum hash-rate sampling: keeps rows whose id-hash (mod 1000)
     * falls under their stratum's rate. Map-only, reproducible,
     * growth-stable per stratum.

@@ -275,6 +275,55 @@ SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
 FROM x"""),
       (s, dir) =>
         TextOps.chunk(Tables.documents(s, dir), "doc_id", "text",
-          chunkTokens = 16, stride = 8))
+          chunkTokens = 16, stride = 8)),
+
+    QueryDef(
+      "q73_weighted_sample",
+      "Weighted deterministic k-sample (SampleOps." +
+        "weightedPrioritySample): top-100 docs by hash60(id) div " +
+        "weight, weight = n_chars/100 + 1 - longer docs selected " +
+        "proportionally more often, but the selection is a pure " +
+        "function of (id, weight): reproducible, growth-stable, " +
+        "hash-oracled (a float -ln(u)/w priority is none of these). " +
+        "Physically TakeOrderedAndProject: per-partition local top-k, " +
+        "k-row driver merge, no global sort.",
+      Some(s"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")}
+           // (n_chars // 100 + 1),
+         doc_id
+LIMIT 100"""),
+      (s, dir) =>
+        graft.api.SampleOps.weightedPrioritySample(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              expr("n_chars div 100 + 1").as("_wt")),
+          "doc_id", "_wt", k = 100)
+          .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    QueryDef(
+      "q74_union_precedence",
+      "Incremental crawl merge (DedupOps.unionWithPrecedence): even-id " +
+        "half is the preferred corpus, odd-id half the secondary; a " +
+        "secondary doc enters only if its exact content digest is " +
+        "absent from the preferred side. Anti-join co-partitioned on " +
+        "the 16-byte md5 digest; the preferred corpus contributes only " +
+        "its digest column to the join.",
+      Some("""
+SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents p
+                  WHERE p.doc_id % 2 = 0 AND p.text = d.text)"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"), col("text"))
+        graft.api.DedupOps.unionWithPrecedence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text")
+          .select(col("doc_id"), col("n_chars"))
+      })
   )
 }

@@ -398,6 +398,30 @@ class ApiSpec extends SparkSpec {
       3L -> ((2L, 0L, 0L))))
   }
 
+  test("SampleOps.weightedPrioritySample: weight steers selection, still deterministic") {
+    val rows = (0L until 200L).map(i => (i, if (i < 100) 1L else 50L))
+      .toDF("k", "w")
+    val kept = SampleOps.weightedPrioritySample(rows, "k", "w", 40)
+      .collect().map(_.getLong(0))
+    // weight-50 ids (100..199) should dominate a 40-of-200 selection
+    val heavy = kept.count(_ >= 100L)
+    assert(heavy > 30, s"expected heavy ids to dominate, got $heavy/40")
+    // pure function of (id, weight): identical on re-run
+    val again = SampleOps.weightedPrioritySample(rows, "k", "w", 40)
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq == again.toSeq)
+  }
+
+  test("DedupOps.unionWithPrecedence: preferred copy wins on digest collision") {
+    val pref = Seq((1L, "shared text"), (2L, "only in pref"))
+      .toDF("row_key", "body")
+    val sec = Seq((10L, "shared text"), (11L, "only in sec"))
+      .toDF("row_key", "body")
+    val got = DedupOps.unionWithPrecedence(pref, sec, "body")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 11L)) // 10 loses to 1's identical content
+  }
+
   test("SampleOps.mixtureResample: proportions follow weights, exact subset") {
     val rows = (0L until 300L).map(i =>
       (i, if (i < 100) "p" else if (i < 200) "q" else "r"))
