@@ -60,5 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("latest_by",
       "latest_by(payload, ord) - payload of the greatest ord (hash-aggregable argmax)",
       exprs => graft.functions.LatestBy(exprs.head, exprs(1))))
+    ext.injectFunction(fn("cms_sketch",
+      "cms_sketch(width, depth, key) - mergeable Count-Min frequency sketch grid",
+      exprs => graft.functions.CmsSketch(
+        FnArgs.litInt("cms_sketch", "width", exprs.head),
+        FnArgs.litInt("cms_sketch", "depth", exprs(1)), exprs(2))))
+    ext.injectFunction(fn("cms_est",
+      "cms_est(sketch, key, width, depth) - Count-Min point frequency estimate",
+      exprs => graft.functions.CmsEstimate(exprs.head, exprs(1),
+        FnArgs.litInt("cms_est", "width", exprs(2)),
+        FnArgs.litInt("cms_est", "depth", exprs(3)))))
   }
 }

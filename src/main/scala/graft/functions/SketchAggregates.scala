@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -51,6 +51,18 @@ object SketchAggregates {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "latest_by",
       exprs => LatestBy(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_sketch",
+      exprs => CmsSketch(
+        FnArgs.litInt("cms_sketch", "width", exprs.head),
+        FnArgs.litInt("cms_sketch", "depth", exprs(1)), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_est",
+      exprs => CmsEstimate(exprs.head, exprs(1),
+        FnArgs.litInt("cms_est", "width", exprs(2)),
+        FnArgs.litInt("cms_est", "depth", exprs(3))),
       "built-in")
   }
 }
@@ -663,4 +675,161 @@ case class LatestBy(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(payload = newChildren(0), ord = newChildren(1))
+}
+
+/** Shared Count-Min kernel: hashing + point estimate, one definition
+  * for the aggregate, the probe expression, and the law tests.
+  */
+private[graft] object CmsUtil {
+  def hash(v: Any, seed: Int): Int = v match {
+    case l: java.lang.Long    => Murmur3_x86_32.hashLong(l, seed)
+    case i: java.lang.Integer => Murmur3_x86_32.hashInt(i, seed)
+    case s: UTF8String =>
+      Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"cms: unsupported key type ${other.getClass}")
+  }
+
+  def bucket(v: Any, row: Int, width: Int): Int = {
+    val h = hash(v, row) % width
+    if (h < 0) h + width else h
+  }
+
+  /** Point estimate = min over depth rows of the key's counter. */
+  def estimate(counters: ArrayData, key: Any, width: Int, depth: Int): Long = {
+    var est = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = counters.getLong(i * width + bucket(key, i, width))
+      if (c < est) est = c
+      i += 1
+    }
+    est
+  }
+}
+
+/** `cms_sketch(width, depth, key)` — mergeable Count-Min frequency
+  * sketch: a depth×width counter grid; every row increments one counter
+  * per grid row. Fixed width·depth·8 bytes per group regardless of
+  * stream size; merge is element-wise addition (associative and
+  * commutative, so Catalyst partial aggregation and any AQE merge order
+  * give the identical grid — deterministic, no randomness anywhere).
+  * Point lookups via [[CmsEstimate]]: est ≥ true count always
+  * (one-sided error), est ≤ true + collision mass w.h.p.
+  *
+  * Completes the bounded-memory sketch family next to Bloom (set
+  * membership / distinct), HLL++ (distinct), Misra-Gries (heavy
+  * hitters) and t-digest (quantiles): CMS answers per-key frequency.
+  */
+case class CmsSketch(
+    width: Int,
+    depth: Int,
+    key: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(width >= 16 && depth >= 1 && depth <= 16,
+    "cms_sketch: need width >= 16, 1 <= depth <= 16")
+
+  override def children: Seq[Expression] = Seq(key)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!Seq[DataType](LongType, IntegerType, StringType).contains(key.dataType))
+      TypeCheckFailure(
+        s"cms_sketch: key must be BIGINT, INT or STRING, got ${key.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](width * depth)
+
+  override def update(grid: Array[Long], input: InternalRow): Array[Long] = {
+    val v = key.eval(input)
+    if (v != null) {
+      var i = 0
+      while (i < depth) {
+        grid(i * width + CmsUtil.bucket(v, i, width)) += 1L
+        i += 1
+      }
+    }
+    grid
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(grid: Array[Long]): Any =
+    new GenericArrayData(grid.map(x => x: Any))
+
+  override def serialize(grid: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(grid.length * 8)
+    grid.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val grid = new Array[Long](width * depth)
+    var i = 0
+    while (i < grid.length) { grid(i) = bb.getLong(); i += 1 }
+    grid
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0))
+}
+
+/** `cms_est(sketch, key, width, depth)` — Count-Min point estimate over
+  * a [[CmsSketch]] grid (min over the key's depth counters), as a
+  * codegen'd static call.
+  */
+case class CmsEstimate(
+    sketch: Expression,
+    key: Expression,
+    width: Int,
+    depth: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = sketch
+  override def right: Expression = key
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    sketch.dataType match {
+      case ArrayType(LongType, _) =>
+        if (Seq[DataType](LongType, IntegerType, StringType).contains(key.dataType))
+          TypeCheckSuccess
+        else TypeCheckFailure(
+          s"cms_est: key must be BIGINT, INT or STRING, got ${key.dataType.sql}")
+      case other =>
+        TypeCheckFailure(s"cms_est: sketch must be ARRAY<BIGINT>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(s: Any, k: Any): Any =
+    CmsUtil.estimate(s.asInstanceOf[ArrayData], k, width, depth)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (s, k) =>
+      s"graft.functions.CmsUtil.estimate($s, $k, $width, $depth)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(sketch = newLeft, key = newRight)
 }

@@ -158,6 +158,39 @@ FROM events GROUP BY event_type"""),
                 col("cnt") - col("est") <= col("delta"))) &&
               max(col("delta") * (cap + 1)) <= max(col("n_events")))
               .as("mg_ok"))
+      }),
+
+    QueryDef(
+      "q75_cms_freq",
+      "Count-Min point-frequency sketch (cms_sketch aggregate + cms_est " +
+        "probe): one 4x1024 counter grid over ALL item keys - fixed " +
+        "32KB state, partials merge by element-wise add, so the grid is " +
+        "identical under ANY partitioning (no randomness). The top-10 " +
+        "hottest items (deterministic tie-break) probe the sketch; " +
+        "cms_ok asserts the one-sided guarantee est >= exact and the " +
+        "collision bound est - exact <= max(16, N/64) in-band, exact " +
+        "counts ride along as the hashed output. Completes the sketch " +
+        "family: Bloom/HLL (distinct), MG (heavy keys), t-digest " +
+        "(quantiles), CMS (per-key frequency).",
+      Some("""
+WITH e AS (SELECT json_extract(props, '$.k')::BIGINT AS item FROM events),
+x AS (SELECT item, count(*) AS n_exact FROM e GROUP BY 1)
+SELECT item, n_exact, true AS cms_ok
+FROM x ORDER BY n_exact DESC, item LIMIT 10"""),
+      (s, dir) => {
+        SketchAggregates.register(s)
+        val keyed = Tables.events(s, dir)
+          .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+        val sketch = keyed.agg(expr("cms_sketch(1024, 4, item)").as("sk"),
+          count(lit(1)).as("n_total"))
+        val probes = keyed.groupBy(col("item"))
+          .agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("item").asc).limit(10)
+        probes.crossJoin(broadcast(sketch))
+          .select(col("item"), col("n_exact"),
+            (expr("cms_est(sk, item, 1024, 4)") >= col("n_exact") &&
+              expr("cms_est(sk, item, 1024, 4)") - col("n_exact") <=
+                greatest(lit(16L), expr("n_total div 64"))).as("cms_ok"))
       })
   )
 }

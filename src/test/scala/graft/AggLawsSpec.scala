@@ -118,6 +118,29 @@ class AggLawsSpec extends SparkSpec {
     }
   }
 
+  test("CmsSketch: split-invariant grid, estimates one-sided and bounded") {
+    val agg = graft.functions.CmsSketch(64, 4, keyRef)
+    check(Gen.listOf(Gen.zip(Gen.const(0L), Gen.chooseNum(0L, 30L)))) { vs =>
+      val rs = rows(vs)
+      val single = rs.foldLeft(agg.createAggregationBuffer())(agg.update)
+      (0 to rs.length by math.max(1, rs.length / 3)).foreach { cut =>
+        val (l, r) = rs.splitAt(cut)
+        val a = l.foldLeft(agg.createAggregationBuffer())(agg.update)
+        val b = r.foldLeft(agg.createAggregationBuffer())(agg.update)
+        val merged = agg.merge(
+          agg.deserialize(agg.serialize(a)),
+          agg.deserialize(agg.serialize(b)))
+        assert(merged.toSeq == single.toSeq) // grid identical under any split
+      }
+      // one-sided error: est >= true count, and est <= N (trivial cap)
+      val grid = new GenericArrayData(single.map(x => x: Any))
+      vs.groupBy(_._2).foreach { case (k, group) =>
+        val est = graft.functions.CmsUtil.estimate(grid, k: java.lang.Long, 64, 4)
+        assert(est >= group.length && est <= vs.length)
+      }
+    }
+  }
+
   test("LatestBy: split + serialize round-trip equals single-pass argmax") {
     // payload = key column (slot 1), ord = cnt column (slot 0): the
     // aggregate must return the key of the max (cnt, then... ord here is
