@@ -60,6 +60,32 @@ object SampleOps {
       .limit(k)
       .drop("_h", "_w", "_prio")
 
+  /** Top-p (nucleus) selection by mass: per stratum, keep the smallest
+    * prefix of rows — ordered by (mass desc, id asc) — whose cumulative
+    * mass reaches pX1000‰ of the stratum total. The "keep the best docs
+    * covering 80% of the quality mass per source" selection pass;
+    * unlike a fixed top-k it adapts to how concentrated each stratum's
+    * mass is. A row enters while the EXCLUSIVE prefix mass is still
+    * below the target, so the prefix overshoots by at most one row and
+    * is never empty (for pX1000 > 0). Integer arithmetic only —
+    * engine-exact.
+    *
+    * Both windows partition by the stratum (never global — the PlanSpec
+    * scale-killer) and share one exchange; the unique (mass, id) order
+    * makes RANGE and ROWS frames agree across engines.
+    */
+  def topPByMass(df: DataFrame, idCol: String, stratumCol: String,
+      massCol: String, pX1000: Int): DataFrame = {
+    require(pX1000 >= 0 && pX1000 <= 1000, "pX1000 must be 0..1000")
+    val ordered = Window.partitionBy(col(stratumCol))
+      .orderBy(col(massCol).desc, col(idCol).asc)
+    val whole = Window.partitionBy(col(stratumCol))
+    df.withColumn("_cum", sum(col(massCol).cast("long")).over(ordered))
+      .withColumn("_tot", sum(col(massCol).cast("long")).over(whole))
+      .filter((col("_cum") - col(massCol)) * 1000 < lit(pX1000.toLong) * col("_tot"))
+      .drop("_cum", "_tot")
+  }
+
   /** Per-stratum hash-rate sampling: keeps rows whose id-hash (mod 1000)
     * falls under their stratum's rate. Map-only, reproducible,
     * growth-stable per stratum.

@@ -75,4 +75,17 @@ object Sinks {
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** JSONL export — the training-data interchange format (one JSON
+    * object per line; trainers and dataset tooling consume this
+    * directly). Same partition-directory contract as [[parquet]]; each
+    * task writes its own file, so the export parallelizes like any
+    * other action. Column types follow Spark's JSON encoding (UTC
+    * timestamps, base64 binary).
+    */
+  def jsonl(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(path)
+  }
 }

@@ -324,6 +324,29 @@ WHERE d.doc_id % 2 = 1
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "text")
           .select(col("doc_id"), col("n_chars"))
-      })
+      }),
+
+    QueryDef(
+      "q76_top_p_selection",
+      "Top-p (nucleus) selection by mass (SampleOps.topPByMass): per " +
+        "source, keep the smallest (n_chars desc, doc_id) prefix of " +
+        "docs covering 80% of that source's total character mass - " +
+        "adapts to mass concentration, unlike a fixed top-k. Both " +
+        "windows PARTITION BY source (never global) and share one " +
+        "exchange; unique order keys make RANGE and ROWS frames agree " +
+        "cross-engine; integer-only predicate.",
+      Some("""
+WITH t AS (SELECT source, doc_id, n_chars,
+    sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS cum,
+    sum(n_chars) OVER (PARTITION BY source) AS tot
+  FROM documents)
+SELECT source, doc_id, n_chars
+FROM t WHERE (cum - n_chars) * 1000 < 800 * tot"""),
+      (s, dir) =>
+        graft.api.SampleOps.topPByMass(
+          Tables.documents(s, dir)
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          "doc_id", "source", "n_chars", pX1000 = 800))
   )
 }

@@ -422,6 +422,21 @@ class ApiSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 11L)) // 10 loses to 1's identical content
   }
 
+  test("SampleOps.topPByMass: smallest prefix covering p of stratum mass") {
+    val rows = Seq(
+      ("s1", 1L, 50L), ("s1", 2L, 30L), ("s1", 3L, 15L), ("s1", 4L, 5L),
+      ("s2", 5L, 10L), ("s2", 6L, 10L))
+      .toDF("grp", "k", "m")
+    val kept = SampleOps.topPByMass(rows, "k", "grp", "m", pX1000 = 800)
+      .collect().map(_.getLong(1)).toSet
+    // s1 total 100: prefix 50(+30=80, exclusive 50<80)(+15: exclusive 80 !< 80)
+    //   -> keep 1, 2; s2 total 20: 10 (excl 0<16), 10 (excl 10<16) -> both
+    assert(kept == Set(1L, 2L, 5L, 6L))
+    // p=0 keeps nothing; p=1000 keeps everything
+    assert(SampleOps.topPByMass(rows, "k", "grp", "m", 0).count() == 0)
+    assert(SampleOps.topPByMass(rows, "k", "grp", "m", 1000).count() == 6)
+  }
+
   test("SampleOps.mixtureResample: proportions follow weights, exact subset") {
     val rows = (0L until 300L).map(i =>
       (i, if (i < 100) "p" else if (i < 200) "q" else "r"))
