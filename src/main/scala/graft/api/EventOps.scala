@@ -248,6 +248,39 @@ object EventOps {
         abs(col("p_cur_ppm") - col("p_ref_ppm")) > driftPpm)
   }
 
+  /** Per-key winsorized statistics: values are capped at the key's
+    * exact p-quantile and summed — the standard tail-taming transform
+    * before averaging heavy-tailed metrics (one pathological row can't
+    * move the aggregate). Output: key, n, cap_micro, n_clipped,
+    * sum_winsorized_micro.
+    *
+    * Values go through micro fixed-point; the quantile is the one
+    * float step (Spark `percentile` and DuckDB `quantile_cont` share
+    * the interpolation formula bit-for-bit — the q34 precedent), then
+    * floor()ed back to an exact integer cap so the clip and sum are
+    * pure int64 — partitioning- and engine-independent. The per-key
+    * cap frame is tiny and broadcasts back; both aggregations collapse
+    * map-side. At 100 TB swap the exact percentile for
+    * approx_percentile (q47's rank-space-bounded t-digest) if the sort
+    * cost bites.
+    */
+  def winsorizedStats(df: DataFrame, keyCol: String, valueCol: String,
+      p: Double = 0.95): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val base = df.select(col(keyCol).as("_k"),
+      round(col(valueCol) * lit(1000000d)).cast("long").as("_vm"))
+    val caps = base.groupBy(col("_k"))
+      .agg(floor(expr(s"percentile(_vm, ${p}d)")).cast("long").as("cap_micro"))
+    base.join(broadcast(caps), "_k")
+      .groupBy(col("_k"), col("cap_micro"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_vm") > col("cap_micro"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(least(col("_vm"), col("cap_micro"))).as("sum_winsorized_micro"))
+      .select(col("_k").as(keyCol), col("n"), col("cap_micro"),
+        col("n_clipped"), col("sum_winsorized_micro"))
+  }
+
   /** Robust per-key outlier report over a double column, in exact
     * integer arithmetic: values become micro-units (round(v·10⁶), a
     * per-row deterministic double op), then mean and mean-absolute-

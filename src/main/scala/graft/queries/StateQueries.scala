@@ -347,6 +347,28 @@ FROM t WHERE (cum - n_chars) * 1000 < 800 * tot"""),
         graft.api.SampleOps.topPByMass(
           Tables.documents(s, dir)
             .select(col("source"), col("doc_id"), col("n_chars")),
-          "doc_id", "source", "n_chars", pX1000 = 800))
+          "doc_id", "source", "n_chars", pX1000 = 800)),
+
+    QueryDef(
+      "q77_winsorized_stats",
+      "Per-type winsorized value stats (EventOps.winsorizedStats): " +
+        "values capped at the type's exact p95 and summed - the " +
+        "tail-taming transform before averaging heavy-tailed metrics. " +
+        "One float step (percentile == quantile_cont bit-for-bit, the " +
+        "q34 precedent) floor()ed to an integer cap; clip and sum are " +
+        "pure int64. Tiny cap frame broadcasts back; both aggregations " +
+        "collapse map-side.",
+      Some("""
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 1000000) AS BIGINT) AS vm FROM events),
+c AS (SELECT event_type, floor(quantile_cont(vm, 0.95))::BIGINT AS cap_micro
+      FROM e GROUP BY 1)
+SELECT e.event_type, count(*) AS n, c.cap_micro,
+       sum(CASE WHEN vm > cap_micro THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+       sum(least(vm, cap_micro))::BIGINT AS sum_winsorized_micro
+FROM e JOIN c USING (event_type) GROUP BY 1, 3"""),
+      (s, dir) =>
+        EventOps.winsorizedStats(Tables.events(s, dir), "event_type",
+          "value", p = 0.95))
   )
 }

@@ -329,6 +329,21 @@ class ApiSpec extends SparkSpec {
     assert(!got(3L).getAs[Boolean]("suspected_bot"))
   }
 
+  test("EventOps.winsorizedStats: exact-quantile cap, int64 clip and sum") {
+    // 10 values 1..9 plus a 1000.0 outlier; p=0.5 → cap = median
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "i", "amt")
+    val r = EventOps.winsorizedStats(df, "grp", "amt", p = 0.5)
+      .collect().head
+    // percentile(vm, 0.5) over 10 sorted values interpolates 5e6..6e6 → 5.5e6
+    assert(r.getAs[Long]("cap_micro") == 5500000L)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_clipped") == 5L) // 6,7,8,9,1000 exceed 5.5
+    // 1+2+3+4+5 (micro) + 5 clipped at 5.5e6
+    assert(r.getAs[Long]("sum_winsorized_micro") ==
+      15000000L + 5L * 5500000L)
+  }
+
   test("EventOps.robustOutliers: integer MAD arithmetic, k*MAD cut") {
     val vals = Seq.fill(9)(1.0) :+ 100.0
     val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
