@@ -501,6 +501,40 @@ FROM documents"""),
           .select(col("doc_id"), col("n_bytes"),
             (col("n_bytes") % 64 + 16).as("width"),
             expr("((n_bytes div 64) % 64) + 16").as("height"),
-            (col("n_bytes") % 7 + 1).as("n_frames")))
+            (col("n_bytes") % 7 + 1).as("n_frames"))),
+
+    QueryDef(
+      "q78_cross_source_dups",
+      "Cross-source duplication report: q21's near-dup pairs joined to " +
+        "each doc's source, rolled up to (src_a, src_b) pair counts " +
+        "with the pair lexically ordered so (a,b) and (b,a) collapse. " +
+        "The which-feeds-duplicate-which diagnostic that decides crawl " +
+        "priorities. The doc->source map is a broadcast dimension; the " +
+        "pair list is tiny post-LSH, so the rollup collapses to " +
+        "|sources|^2 rows map-side.",
+      Some(s"""
+WITH p AS ($q21OracleSql),
+s AS (SELECT doc_id, source FROM documents),
+j AS (SELECT least(sa.source, sb.source) AS src_a,
+             greatest(sa.source, sb.source) AS src_b
+      FROM p JOIN s sa ON sa.doc_id = p.doc_a
+             JOIN s sb ON sb.doc_id = p.doc_b)
+SELECT src_a, src_b, count(*) AS n_pairs
+FROM j GROUP BY 1, 2"""),
+      (s, dir) => {
+        val pairs = all.find(_.name == "q21_dedup_minhash_lsh").get
+          .build(s, dir)
+        val srcs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"))
+        pairs
+          .join(broadcast(srcs.select(col("doc_id").as("doc_a"),
+            col("source").as("_sa"))), Seq("doc_a"))
+          .join(broadcast(srcs.select(col("doc_id").as("doc_b"),
+            col("source").as("_sb"))), Seq("doc_b"))
+          .select(least(col("_sa"), col("_sb")).as("src_a"),
+            greatest(col("_sa"), col("_sb")).as("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      })
   )
 }
