@@ -208,6 +208,30 @@ object EventOps {
       .drop("_sum_gap", "_n_gap")
   }
 
+  /** Dense daily activity series: per-key counts with every missing day
+    * between the key's first and last active day filled with an
+    * explicit 0 row — the regularization step before any time-series
+    * model or day-over-day comparison (a missing row and a zero row
+    * mean different things downstream). `dayCol` is any integral day
+    * index. Output: keyCol, day, n_events.
+    *
+    * The day grid explodes from the TINY per-key (min, max) span frame
+    * — |keys| rows in, |keys|·span out — never from the event log; the
+    * counts join is co-partitioned on (key, day) with the grid side
+    * broadcast when small. Nothing event-sized is ever exploded.
+    */
+  def gapFill(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val days = df.select(col(keyCol).as("_k"), col(dayCol).cast("long").as("_d"))
+    val counts = days.groupBy(col("_k"), col("_d"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = days.groupBy(col("_k"))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+      .select(col("_k"), explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+    grid.join(counts, Seq("_k", "_d"), "left")
+      .select(col("_k").as(keyCol), col("_d").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   /** Distribution-drift report between two frames of the same numeric
     * column (reference vs current — yesterday vs today, train vs
     * serve): fixed-width histogram buckets, per-bucket counts and

@@ -369,6 +369,31 @@ SELECT e.event_type, count(*) AS n, c.cap_micro,
 FROM e JOIN c USING (event_type) GROUP BY 1, 3"""),
       (s, dir) =>
         EventOps.winsorizedStats(Tables.events(s, dir), "event_type",
-          "value", p = 0.95))
+          "value", p = 0.95)),
+
+    QueryDef(
+      "q79_gap_fill",
+      "Dense daily series (EventOps.gapFill): per-type daily counts " +
+        "with every missing day between the type's first and last " +
+        "active day as an explicit 0 row - the regularization step " +
+        "before time-series models (a missing row and a zero row mean " +
+        "different things). The day grid explodes from the TINY " +
+        "per-key span frame, never the event log; the counts join is " +
+        "co-partitioned on (key, day).",
+      Some("""
+WITH d AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT event_type, day, count(*) AS n FROM d GROUP BY 1, 2),
+s AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      FROM d GROUP BY 1),
+f AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM s)
+SELECT f.event_type, f.day, coalesce(c.n, 0)::BIGINT AS n_events
+FROM f LEFT JOIN c USING (event_type, day)"""),
+      (s, dir) =>
+        EventOps.gapFill(
+          Tables.events(s, dir)
+            .select(col("event_type"),
+              expr("ts_ns div 1000 div 86400000000").as("day")),
+          "event_type", "day"))
   )
 }

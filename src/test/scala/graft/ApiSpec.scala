@@ -355,6 +355,16 @@ class ApiSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1L)        // only the 100.0
   }
 
+  test("EventOps.gapFill: missing days become explicit zeros, span per key") {
+    val log = Seq(("a", 10L), ("a", 10L), ("a", 13L), ("b", 5L))
+      .toDF("grp", "d")
+    val got = EventOps.gapFill(log, "grp", "d").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", 10L) -> 2L, ("a", 11L) -> 0L, ("a", 12L) -> 0L,
+      ("a", 13L) -> 1L, ("b", 5L) -> 1L))
+  }
+
   test("EventOps.distributionDrift: ppm proportions, one-sided buckets kept") {
     val ref = Seq(10.0, 40.0, 40.0, 100.0).map(("r", _)).toDF("tag", "amt")
     val cur = Seq(10.0, 350.0, 40.0).map(("c", _)).toDF("tag", "amt")
