@@ -203,8 +203,12 @@ object EventOps {
       .withColumn("avg_gap_us",
         when(col("_n_gap") > 0, expr("_sum_gap div _n_gap")))
       .withColumn("suspected_bot",
-        col("n_events") >= minEvents &&
-          col("max_gap_us") - col("min_gap_us") <= toleranceUs)
+        // coalesce: with minEvents <= 1 a single-event user's gap terms
+        // are null and `true && null` is null — the contract is a
+        // non-nullable false flag
+        coalesce(col("n_events") >= minEvents &&
+          col("max_gap_us") - col("min_gap_us") <= toleranceUs,
+          lit(false)))
       .drop("_sum_gap", "_n_gap")
   }
 
@@ -241,10 +245,12 @@ object EventOps {
     * exact integers, so the report is engine- and partitioning-
     * independent (and hash-oracle-able, which a float PSI is not).
     *
-    * Bucket = min(floor(v / bucketWidth), maxBucket) — with a
+    * Bucket = clamp(floor(v / bucketWidth), 0, maxBucket) — with a
     * power-of-two width the division is exact IEEE, identical across
-    * engines. Buckets empty on one side surface with count 0 (full
-    * outer), so "new mass appeared where there was none" is visible.
+    * engines; the lower clamp keeps negative values from minting
+    * unbounded distinct buckets (the ≤ maxBucket+1-row contract).
+    * Buckets empty on one side surface with count 0 (full outer), so
+    * "new mass appeared where there was none" is visible.
     *
     * Each side collapses map-side to ≤ maxBucket+1 rows before its
     * single shuffle; totals ride along as one-row broadcasts.
@@ -254,7 +260,8 @@ object EventOps {
       driftPpm: Long = 50000L): DataFrame = {
     require(bucketWidth > 0 && maxBucket >= 0)
     def counts(d: DataFrame, as: String) = d
-      .select(least(floor(col(valueCol) / bucketWidth), lit(maxBucket))
+      .select(greatest(
+        least(floor(col(valueCol) / bucketWidth), lit(maxBucket)), lit(0))
         .cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as(as))
     val ref = counts(refDf, "n_ref")

@@ -46,7 +46,10 @@ object SampleOps {
     * and runs, incrementally stable under corpus growth, and
     * hash-oracle-able (float -ln(u)/w priorities are none of these).
     * The quality-weighted data-selection pass: weight = doc quality /
-    * length / source trust. Weights must be >= 1.
+    * length / source trust. Rows with weight < 1 are NEVER selected
+    * (filtered before ranking) — without the guard a zero weight is a
+    * division by zero and a negative weight would sort first, the
+    * opposite of intent.
     *
     * Physically TakeOrderedAndProject, like [[prioritySample]]: local
     * top-k per partition, k-row driver merge, no global sort.
@@ -55,6 +58,7 @@ object SampleOps {
       weightCol: String, k: Int): DataFrame =
     df.withColumn("_h", TextHashing.hash60(col(idCol).cast("string")))
       .withColumn("_w", col(weightCol).cast("long"))
+      .filter(col("_w") >= 1L)
       .withColumn("_prio", expr("_h div _w")) // integer div — exact at 2^60
       .orderBy(col("_prio").asc, col(idCol).asc)
       .limit(k)

@@ -232,7 +232,10 @@ object TextOps {
     * and the postings∩common semi-join both shuffle only (id, hash)
     * longs and are co-partitioned on the gram hash; the per-doc
     * rollup collapses map-side. Docs with zero common grams are kept
-    * (left join, 0-filled) — the whole corpus gets a score.
+    * (left join, 0-filled); docs with fewer than n tokens have no
+    * grams at all and are ABSENT from the output — callers scoring a
+    * corpus with sub-n-token rows should treat absence as "no signal",
+    * not join-drop them silently.
     */
   def commonGramRatio(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, commonDocFreq: Int = 5): DataFrame = {

@@ -625,6 +625,8 @@ case class LatestBy(
   // anything with backing storage before it outlives this call
   private def own(v: Any): Any = v match {
     case r: InternalRow => r.copy()
+    case a: ArrayData   => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
     case s: UTF8String  => s.clone()
     case x              => x
   }
@@ -696,8 +698,16 @@ private[graft] object CmsUtil {
     if (h < 0) h + width else h
   }
 
-  /** Point estimate = min over depth rows of the key's counter. */
+  /** Point estimate = min over depth rows of the key's counter. The
+    * grid length must match (width, depth) — a mismatched probe would
+    * either crash or, worse, silently read wrong offsets and break the
+    * one-sided est >= true guarantee.
+    */
   def estimate(counters: ArrayData, key: Any, width: Int, depth: Int): Long = {
+    require(counters.numElements() == width * depth,
+      s"cms_est: sketch has ${counters.numElements()} counters, " +
+        s"expected width*depth = ${width * depth} — probe params must " +
+        "match the cms_sketch that built it")
     var est = Long.MaxValue
     var i = 0
     while (i < depth) {
@@ -730,16 +740,19 @@ case class CmsSketch(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  require(width >= 16 && depth >= 1 && depth <= 16,
-    "cms_sketch: need width >= 16, 1 <= depth <= 16")
-
   override def children: Seq[Expression] = Seq(key)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (!Seq[DataType](LongType, IntegerType, StringType).contains(key.dataType))
+    // bounds checked here (not a constructor require) so bad SQL
+    // arguments surface as a positioned AnalysisException like every
+    // other argument error in this file
+    if (width < 16 || depth < 1 || depth > 16)
+      TypeCheckFailure(
+        s"cms_sketch: need width >= 16 and 1 <= depth <= 16, got ($width, $depth)")
+    else if (!Seq[DataType](LongType, IntegerType, StringType).contains(key.dataType))
       TypeCheckFailure(
         s"cms_sketch: key must be BIGINT, INT or STRING, got ${key.dataType.sql}")
     else TypeCheckSuccess

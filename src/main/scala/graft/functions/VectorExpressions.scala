@@ -65,21 +65,30 @@ object VectorQuantUtil {
   def quantCodeSum(arr: ArrayData): Long = {
     val n = arr.numElements()
     if (n == 0) return 0L
+    // null elements are SKIPPED, matching the DuckDB oracle (its
+    // list_aggregate min/max ignore nulls, list_transform maps
+    // null→null, list_sum skips nulls) — getFloat on a null slot would
+    // silently read 0.0 and corrupt both min and the code sum
     var mn = java.lang.Double.MAX_VALUE
     var mx = -java.lang.Double.MAX_VALUE
+    var seen = false
     var i = 0
     while (i < n) {
-      val v = arr.getFloat(i).toDouble
-      if (v < mn) mn = v
-      if (v > mx) mx = v
+      if (!arr.isNullAt(i)) {
+        val v = arr.getFloat(i).toDouble
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        seen = true
+      }
       i += 1
     }
-    if (mx == mn) return 0L
+    if (!seen || mx == mn) return 0L
     val range = mx - mn
     var s = 0L
     i = 0
     while (i < n) {
-      s += math.floor((arr.getFloat(i).toDouble - mn) * 255.0 / range).toLong
+      if (!arr.isNullAt(i))
+        s += math.floor((arr.getFloat(i).toDouble - mn) * 255.0 / range).toLong
       i += 1
     }
     s

@@ -232,9 +232,9 @@ FROM s LEFT JOIN cc ON s.doc_id = cc.doc_id"""),
         "width keeps the double division exact IEEE cross-engine.",
       Some(s"""
 WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
-r AS (SELECT least(floor(value / 32.0), 10)::BIGINT AS bucket,
+r AS (SELECT greatest(least(floor(value / 32.0), 10), 0)::BIGINT AS bucket,
              count(*) AS n_ref FROM e WHERE us <= $CutUs GROUP BY 1),
-c AS (SELECT least(floor(value / 32.0), 10)::BIGINT AS bucket,
+c AS (SELECT greatest(least(floor(value / 32.0), 10), 0)::BIGINT AS bucket,
              count(*) AS n_cur FROM e WHERE us > $CutUs GROUP BY 1),
 t AS (SELECT (SELECT sum(n_ref) FROM r)::BIGINT AS tr,
              (SELECT sum(n_cur) FROM c)::BIGINT AS tc)

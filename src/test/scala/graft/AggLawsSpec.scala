@@ -141,6 +141,18 @@ class AggLawsSpec extends SparkSpec {
     }
   }
 
+  test("CmsUtil.estimate rejects a grid whose length mismatches (width, depth)") {
+    val grid = new GenericArrayData(new Array[Long](64 * 4).map(x => x: Any))
+    intercept[IllegalArgumentException] {
+      graft.functions.CmsUtil.estimate(grid, 1L: java.lang.Long, 128, 4)
+    }
+    // a mismatched-but-in-bounds probe must fail too, not silently read
+    // wrong offsets (it would break the one-sided est >= true guarantee)
+    intercept[IllegalArgumentException] {
+      graft.functions.CmsUtil.estimate(grid, 1L: java.lang.Long, 32, 4)
+    }
+  }
+
   test("LatestBy: split + serialize round-trip equals single-pass argmax") {
     // payload = key column (slot 1), ord = cnt column (slot 0): the
     // aggregate must return the key of the max (cnt, then... ord here is

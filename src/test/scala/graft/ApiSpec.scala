@@ -365,6 +365,54 @@ class ApiSpec extends SparkSpec {
       ("a", 13L) -> 1L, ("b", 5L) -> 1L))
   }
 
+  test("EventOps.latestState: array payloads survive buffer reuse (no aliasing)") {
+    // the winning row arrives FIRST; if the aggregate buffer aliased the
+    // operator's reused input row, later losing rows would overwrite
+    // the held array in place and corrupt the result
+    val log = spark.sql("""
+      SELECT * FROM VALUES
+        (1L, 5L, array(5L, 50L)), (1L, 1L, array(1L, 10L)),
+        (1L, 2L, array(2L, 20L)), (2L, 1L, array(7L, 70L))
+      AS t(who, at, payload)""")
+    val got = EventOps.latestState(log, "who", Seq("at"), Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    assert(got == Map(1L -> List(5L, 50L), 2L -> List(7L, 70L)))
+  }
+
+  test("SampleOps.weightedPrioritySample: sub-1 weights are never selected") {
+    val rows = Seq((1L, 0L), (2L, -5L), (3L, 1L), (4L, 1L))
+      .toDF("k", "w")
+    val kept = SampleOps.weightedPrioritySample(rows, "k", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L)) // 0 and negative weights excluded, no crash
+  }
+
+  test("VectorOps.quantizeStats: null elements skipped, matching the oracle") {
+    val vecs = spark.sql(
+      "SELECT 1L AS vkey, array(cast(null AS float), 2.0f, 4.0f) AS emb")
+    val r = VectorOps.quantizeStats(vecs, "vkey", "emb").collect().head
+    assert(r.getAs[Long]("n_dims") == 3L)      // size counts null slots
+    assert(r.getAs[Long]("mn_x1m") == 2000000L) // min skips the null
+    assert(r.getAs[Long]("code_sum") == 255L)   // 0 + 255, null skipped
+  }
+
+  test("EventOps.interArrival: single-event flag is false even at minEvents=1") {
+    val log = Seq((9L, 42L, 1L)).toDF("who", "when_us", "seq")
+    val r = EventOps.interArrival(log, "who", "when_us", "seq",
+      minEvents = 1, toleranceUs = 50L).collect().head
+    assert(!r.getAs[Boolean]("suspected_bot")) // null gaps must not yield null
+  }
+
+  test("EventOps.distributionDrift: negative values clamp into bucket 0") {
+    val ref = Seq(-100.0, -1.0, 10.0).map(("r", _)).toDF("tag", "amt")
+    val cur = Seq(-50.0, 40.0).map(("c", _)).toDF("tag", "amt")
+    val got = EventOps.distributionDrift(ref, cur, "amt", 32.0, 10)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur")))).toMap
+    // all negatives land in bucket 0 — the row count stays bounded
+    assert(got == Map(0L -> ((3L, 1L)), 1L -> ((0L, 1L))))
+  }
+
   test("EventOps.distributionDrift: ppm proportions, one-sided buckets kept") {
     val ref = Seq(10.0, 40.0, 40.0, 100.0).map(("r", _)).toDF("tag", "amt")
     val cur = Seq(10.0, 350.0, 40.0).map(("c", _)).toDF("tag", "amt")
