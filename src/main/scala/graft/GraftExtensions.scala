@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash60",
       "simhash60(tokens) - fused distinct-tokens -> hash60 -> 60-bit majority-vote fingerprint",
       graft.functions.TextHashExpressions.simhash60Builder))
+    ext.injectFunction(fn("minhash16",
+      "minhash16(shingleHashes) - all 16 MinHash permutation minima in one pass",
+      exprs => graft.functions.MinHash16(exprs.head)))
     ext.injectFunction(fn("heavy_hitters",
       "heavy_hitters(capacity, key) - bounded Misra-Gries frequent-items summary",
       exprs => graft.functions.HeavyHitters(

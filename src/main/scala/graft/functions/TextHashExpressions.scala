@@ -77,6 +77,34 @@ object TextHashUtil {
     acc
   }
 
+  private val MinHashA: Array[Long] = TextHashing.A.toArray
+  private val MinHashB: Array[Long] = TextHashing.B.toArray
+
+  /** All 16 permutation minima in one pass: out(j) = min over h of
+    * (h·A(j) + B(j)) mod P. Products stay far under Long.MaxValue
+    * (h < 2³¹, max A = 269). Empty input → 16 nulls, exactly like
+    * `array_min(transform(empty, ...))`.
+    */
+  def minhash16(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    val perms = MinHashA.length
+    if (n == 0)
+      return new GenericArrayData(Array.fill[Any](perms)(null))
+    val out = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < perms) {
+        val v = (h * MinHashA(j) + MinHashB(j)) % TextHashing.P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
   /** tokens → distinct (hash60(n-gram) % mod), insertion order. */
   def shingleHashes(tokens: ArrayData, n: Int, mod: Long): ArrayData = {
     val cnt = tokens.numElements() - n + 1
@@ -163,6 +191,39 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `minhash16(shingleHashes)` — all 16 universal-hash permutation
+  * minima in ONE pass over the shingle array, as a codegen'd static
+  * call. Replaces 16 interpreted `array_min(transform(...))` chains
+  * (each allocating an intermediate array per row — the q22 lesson,
+  * applied to the q21/q53/q59 MinHash front end). Same math, same
+  * output: out(j) = min over h of (h·A(j) + B(j)) mod P; an empty
+  * input yields 16 nulls exactly like array_min over an empty
+  * transform.
+  */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case other =>
+        TypeCheckFailure(s"minhash16: needs ARRAY<BIGINT>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.minhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.minhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
 
   /** ONE builder for both registration paths (temp-function registry
@@ -191,5 +252,7 @@ object TextHashExpressions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", simhash60Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash16", exprs => MinHash16(exprs.head), "built-in")
   }
 }

@@ -49,12 +49,13 @@ object TextHashing {
           element_at(tokens, i + 1), element_at(tokens, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Shingle array → array of 16 minhash values. */
+  /** Shingle array → array of 16 minhash values — the native one-pass
+    * `minhash16` expression (functions.MinHash16), not 16 interpreted
+    * `array_min(transform(...))` chains; callers must have
+    * `TextHashExpressions.register`ed the session (all do).
+    */
   def minhash(shingleHashes: Column): Column =
-    array((0 until NumPerms).map { j =>
-      array_min(transform(shingleHashes,
-        h => (h * A(j) + B(j)) % P))
-    }: _*)
+    call_function("minhash16", shingleHashes)
 
   // SimHash lives in functions.SimHash60 (native codegen expression);
   // simhashSql below is the oracle's declarative spelling of the same
