@@ -535,6 +535,29 @@ FROM j GROUP BY 1, 2"""),
             greatest(col("_sa"), col("_sb")).as("src_b"))
           .groupBy(col("src_a"), col("src_b"))
           .agg(count(lit(1)).as("n_pairs"))
+      }),
+
+    QueryDef(
+      "q80_dup_graph_degrees",
+      "Near-dup graph degree histogram: per-doc pair degree from the " +
+        "q21 pair list, rolled up to (degree, n_docs). The dup-graph " +
+        "health check - a fat tail means hub documents (boilerplate " +
+        "near-duplicating half the corpus) that make transitive " +
+        "clustering degenerate and deserve removal BEFORE clustering. " +
+        "Both aggregations collapse map-side; the pair list is tiny " +
+        "post-LSH.",
+      Some(s"""
+WITH p AS ($q21OracleSql),
+d AS (SELECT doc_a AS doc FROM p UNION ALL SELECT doc_b FROM p),
+deg AS (SELECT doc, count(*) AS degree FROM d GROUP BY 1)
+SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1"""),
+      (s, dir) => {
+        val pairs = all.find(_.name == "q21_dedup_minhash_lsh").get
+          .build(s, dir)
+        pairs.select(col("doc_a").as("doc"))
+          .unionAll(pairs.select(col("doc_b").as("doc")))
+          .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
       })
   )
 }

@@ -510,6 +510,49 @@ class ApiSpec extends SparkSpec {
     assert(SampleOps.topPByMass(rows, "k", "grp", "m", 1000).count() == 6)
   }
 
+  test("end-to-end training-data pipeline: score -> filter -> chunk -> dedup -> sample -> jsonl") {
+    // the full api surface chained the way a user would run it over the
+    // bundled corpus: boilerplate scoring gates the corpus, survivors
+    // chunk into windows, chunks dedup exactly, the keepers get a
+    // deterministic weighted sample, and the result exports as JSONL
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+
+    val scored = TextOps.commonGramRatio(docs, "doc_id", "text",
+      n = 3, commonDocFreq = 5)
+    val kept = docs.join(
+      scored.filter(col("common_x1000") < 900).select("doc_id"), "doc_id")
+    assert(kept.count() > 0 && kept.count() <= docs.count())
+
+    val chunks = TextOps.chunk(kept, "doc_id", "text",
+      chunkTokens = 32, stride = 32)
+      .withColumn("chunk_id",
+        col("doc_id") * 10000 + col("chunk_idx"))
+    assert(chunks.count() >= kept.count())
+
+    val uniq = DedupOps.exactDuplicates(chunks, "chunk_id", "chunk_text")
+    assert(uniq.count() <= chunks.count())
+
+    val sampled = SampleOps.weightedPrioritySample(
+      uniq.join(chunks.select(col("chunk_id").as("keeper_id"),
+        col("n_tok"), col("chunk_text")), "keeper_id"),
+      "keeper_id", "n_tok", k = 50)
+    assert(sampled.count() == 50)
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipeline").toString + "/export"
+    graft.jobs.Sinks.jsonl(sampled.select("keeper_id", "chunk_text"), out)
+    val back = spark.read.json(out)
+    assert(back.count() == 50)
+    // the whole chain is deterministic: a second run exports the same set
+    val again = SampleOps.weightedPrioritySample(
+      uniq.join(chunks.select(col("chunk_id").as("keeper_id"),
+        col("n_tok"), col("chunk_text")), "keeper_id"),
+      "keeper_id", "n_tok", k = 50)
+      .select("keeper_id").collect().map(_.getLong(0)).toSet
+    assert(back.select("keeper_id").collect().map(_.getLong(0)).toSet == again)
+  }
+
   test("SampleOps.mixtureResample: proportions follow weights, exact subset") {
     val rows = (0L until 300L).map(i =>
       (i, if (i < 100) "p" else if (i < 200) "q" else "r"))
