@@ -394,6 +394,50 @@ FROM f LEFT JOIN c USING (event_type, day)"""),
           Tables.events(s, dir)
             .select(col("event_type"),
               expr("ts_ns div 1000 div 86400000000").as("day")),
-          "event_type", "day"))
+          "event_type", "day")),
+
+    QueryDef(
+      "q81_source_profile",
+      "Per-source corpus profile: TextOps.qualityScore composed per " +
+        "source - doc counts, token mass, integer mean tokens, " +
+        "quality-bucket shares, distinct languages. The decide-the-mix " +
+        "report a pipeline runs before weighting sources (q60's " +
+        "mixture weights come FROM a report like this). Map-only " +
+        "scoring then one |sources|-row rollup with partial aggs; all " +
+        "integer arithmetic.",
+      Some("""
+WITH t AS (
+  SELECT source, lang, len(string_split(text, ' '))::BIGINT AS n_tok,
+         ((length(text) - length(replace(text, ' the ', ''))) / 5)::BIGINT
+           AS n_stop
+  FROM documents),
+q AS (SELECT source, lang, n_tok,
+             CASE WHEN n_tok >= 40 AND (n_stop * 1000) // n_tok >= 20
+                    THEN 'high'
+                  WHEN n_tok >= 15 THEN 'medium' ELSE 'low' END AS quality
+      FROM t)
+SELECT source, count(*) AS n_docs,
+       sum(n_tok)::BIGINT AS total_tok,
+       (sum(n_tok) // count(*))::BIGINT AS mean_tok,
+       sum(CASE WHEN quality = 'high' THEN 1 ELSE 0 END)::BIGINT AS n_high,
+       sum(CASE WHEN quality = 'medium' THEN 1 ELSE 0 END)::BIGINT AS n_medium,
+       sum(CASE WHEN quality = 'low' THEN 1 ELSE 0 END)::BIGINT AS n_low,
+       count(DISTINCT lang) AS n_langs
+FROM q GROUP BY 1"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = graft.api.TextOps.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tok"), col("quality"))
+        docs.select(col("doc_id"), col("source"), col("lang"))
+          .join(scored, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tok"),
+            expr("sum(n_tok) div count(1)").as("mean_tok"),
+            sum(when(col("quality") === "high", 1L).otherwise(0L)).as("n_high"),
+            sum(when(col("quality") === "medium", 1L).otherwise(0L)).as("n_medium"),
+            sum(when(col("quality") === "low", 1L).otherwise(0L)).as("n_low"),
+            countDistinct(col("lang")).as("n_langs"))
+      })
   )
 }
