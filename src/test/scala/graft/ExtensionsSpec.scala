@@ -50,6 +50,21 @@ class ExtensionsSpec extends SparkSpec {
         .selectExpr("quant_code_sum(v)").head.getLong(0)
       assert(qcs == 382L) // 0 + 255 + floor(127.5)
 
+      val lb = Seq((1L, 10L, "x"), (1L, 20L, "y")).toDF("g", "o", "p")
+        .groupBy("g").agg(expr("latest_by(p, o)").as("l"))
+        .head.getString(1)
+      assert(lb == "y")
+
+      val cms = Seq(0L, 0L, 1L).toDF("k")
+        .agg(expr("cms_sketch(64, 4, k)").as("sk"))
+        .selectExpr("cms_est(sk, 0L, 64, 4)").head.getLong(0)
+      assert(cms >= 2L) // one-sided: est >= true count
+
+      val mh = Seq(Array(5L, 9L)).toDF("hs")
+        .selectExpr("minhash16(hs)").head.getSeq[Long](0)
+      // perm 0 is identity (a=1, b=0): min(5, 9) = 5
+      assert(mh.length == 16 && mh.head == 5L)
+
       // same fingerprint as the registry path DedupOps uses (computed
       // on the suite session via plain SQL to avoid implicit clashes)
       val fp = Seq("a b c").toDF("t")
