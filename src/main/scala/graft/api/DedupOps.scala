@@ -282,17 +282,19 @@ object DedupOps {
     * the secondary copy never enters. The union step of a re-crawl /
     * multi-source ingest, upstream of near-dup passes.
     *
-    * Content identity is the md5 digest of the text column, so the
-    * anti-join shuffles 16-byte digests plus the secondary payload,
-    * co-partitioned on the digest — the preferred corpus contributes
-    * only its digest column to the join.
+    * Content identity is the md5 digest of the text column — unhex'd
+    * to its raw 16 BYTES (Spark's md5() returns a 32-char hex string;
+    * joining on that would shuffle and compare 32+ bytes per row) —
+    * so the anti-join shuffles 16-byte binary digests plus the
+    * secondary payload, co-partitioned on the digest; the preferred
+    * corpus contributes only its digest column to the join.
     */
   def unionWithPrecedence(preferred: DataFrame, secondary: DataFrame,
       textCol: String): DataFrame = {
-    val pd = preferred.select(md5(col(textCol).cast("binary")).as("_dg"))
-      .distinct()
+    def dg = unhex(md5(col(textCol).cast("binary")))
+    val pd = preferred.select(dg.as("_dg")).distinct()
     preferred.unionByName(
-      secondary.withColumn("_dg", md5(col(textCol).cast("binary")))
+      secondary.withColumn("_dg", dg)
         .join(pd, Seq("_dg"), "left_anti")
         .drop("_dg"))
   }

@@ -752,6 +752,18 @@ case class CmsSketch(
     if (width < 16 || depth < 1 || depth > 16)
       TypeCheckFailure(
         s"cms_sketch: need width >= 16 and 1 <= depth <= 16, got ($width, $depth)")
+    // Long arithmetic: a huge literal width (e.g. 2^28 × depth 16)
+    // would overflow Int in width*depth and surface as a
+    // NegativeArraySizeException at EXECUTION; and even non-overflowing
+    // grids are per-GROUP state — bound them here so bad sizes fail as
+    // positioned analysis errors. 2^22 counters = 32 MB/group, already
+    // far beyond any useful CMS (ε = e/width needs width ~ 1e5 for
+    // 0.003% error).
+    else if (width.toLong * depth > (1L << 22))
+      TypeCheckFailure(
+        s"cms_sketch: width*depth = ${width.toLong * depth} counters " +
+          s"exceeds the 2^22 per-group state cap (${8L << 22} bytes) — " +
+          "shrink width or depth")
     else if (!Seq[DataType](LongType, IntegerType, StringType).contains(key.dataType))
       TypeCheckFailure(
         s"cms_sketch: key must be BIGINT, INT or STRING, got ${key.dataType.sql}")
@@ -808,6 +820,15 @@ case class CmsSketch(
 /** `cms_est(sketch, key, width, depth)` — Count-Min point estimate over
   * a [[CmsSketch]] grid (min over the key's depth counters), as a
   * codegen'd static call.
+  *
+  * KEY-TYPE CONTRACT: the probe key's type must match the type the
+  * sketch was BUILT on — an INT-keyed sketch probed with a BIGINT key
+  * (or vice versa) hashes through a different Murmur3 kernel
+  * (hashInt vs hashLong) and silently breaks the one-sided
+  * est >= true guarantee. The grid itself is a bare ARRAY<BIGINT>, so
+  * this cannot be validated at analysis time (only width*depth is,
+  * via [[CmsUtil.estimate]]'s length check) — cast the probe key to
+  * the build key's type explicitly when they differ.
   */
 case class CmsEstimate(
     sketch: Expression,
@@ -827,7 +848,9 @@ case class CmsEstimate(
         if (Seq[DataType](LongType, IntegerType, StringType).contains(key.dataType))
           TypeCheckSuccess
         else TypeCheckFailure(
-          s"cms_est: key must be BIGINT, INT or STRING, got ${key.dataType.sql}")
+          s"cms_est: key must be BIGINT, INT or STRING, got ${key.dataType.sql} " +
+            "(and must match the type cms_sketch was built on — INT and " +
+            "BIGINT hash differently)")
       case other =>
         TypeCheckFailure(s"cms_est: sketch must be ARRAY<BIGINT>, got ${other.sql}")
     }

@@ -208,7 +208,16 @@ case class MinHash16(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckSuccess
+      // containsNull must be FALSE: the one-pass kernel reads slots via
+      // getLong, which would silently treat a null element as hash 0 —
+      // diverging from array_min(transform(...)) semantics (null
+      // elements ignored). shingle_hashes emits containsNull=false;
+      // any other producer must array_compact first.
+      case ArrayType(LongType, false) => TypeCheckSuccess
+      case ArrayType(LongType, true) =>
+        TypeCheckFailure("minhash16: needs ARRAY<BIGINT> WITHOUT null " +
+          "elements (containsNull=false) — a null slot would silently " +
+          "hash as 0; array_compact the input first")
       case other =>
         TypeCheckFailure(s"minhash16: needs ARRAY<BIGINT>, got ${other.sql}")
     }

@@ -60,11 +60,15 @@ object VectorQuantUtil {
     * code_i = floor((v_i − min) · 255 / (max − min)), all arithmetic in
     * double with this exact op order — bit-identical to the DuckDB
     * `floor((v::DOUBLE − mn) * 255.0 / (mx − mn))` oracle (IEEE doubles,
-    * left-to-right, no FMA). Degenerate constant vectors quantize to 0.
+    * left-to-right, no FMA). Degenerate constant vectors quantize to 0
+    * (the oracle's CASE WHEN mx = mn guard); empty or all-null vectors
+    * yield NULL — exactly what the oracle's NULL mn/mx propagate to
+    * (list_sum over an empty/all-null transform), so the bit-identical
+    * claim holds on the edge too.
     */
-  def quantCodeSum(arr: ArrayData): Long = {
+  def quantCodeSum(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
-    if (n == 0) return 0L
+    if (n == 0) return null
     // null elements are SKIPPED, matching the DuckDB oracle (its
     // list_aggregate min/max ignore nulls, list_transform maps
     // null→null, list_sum skips nulls) — getFloat on a null slot would
@@ -82,7 +86,8 @@ object VectorQuantUtil {
       }
       i += 1
     }
-    if (!seen || mx == mn) return 0L
+    if (!seen) return null
+    if (mx == mn) return 0L
     val range = mx - mn
     var s = 0L
     i = 0
@@ -106,6 +111,10 @@ case class QuantCodeSum(child: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
+  // null for a null INPUT (UnaryExpression default) and ALSO for an
+  // empty/all-null array — the kernel's NULL edge (oracle parity)
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     child.dataType match {
@@ -120,8 +129,14 @@ case class QuantCodeSum(child: Expression)
     VectorQuantUtil.quantCodeSum(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorQuantUtil.quantCodeSum($c)")
+    nullSafeCodeGen(ctx, ev, { c =>
+      val r = ctx.freshName("quantSum")
+      s"""
+         |java.lang.Long $r = graft.functions.VectorQuantUtil.quantCodeSum($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

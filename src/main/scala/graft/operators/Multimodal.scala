@@ -8,18 +8,26 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract is real — binary payload column, typed
   * output schema, per-partition batched decode (the shape a JNI/FFI
-  * image library needs: one context per partition, not per row). The
-  * decode itself is a DETERMINISTIC STUB (this container has no image/
-  * audio codecs): it derives fake dimensions and a fake feature vector
-  * from the bytes. Swap `decodeStub` for a real codec without touching
-  * the plumbing.
+  * image library needs: one context per partition, not per row).
+  * Images decode for REAL via javax.imageio (PNG/BMP/GIF/JPEG) and
+  * audio via javax.sound.sampled (WAV/AIFF/AU PCM + ULAW/ALAW) — both
+  * JDK-built-in, zero external deps. Only VIDEO remains a
+  * DETERMINISTIC STUB (no container-less JDK video codec exists);
+  * swap `decodeStub` for a real codec without touching the plumbing.
   */
 object Multimodal {
 
   /** Opaque media record: payload + source metadata. */
   case class MediaRecord(docId: Long, mediaType: String, payload: Array[Byte])
 
-  /** Decoded output: typed metadata + fixed-width feature vector. */
+  /** Decoded output: typed metadata + fixed-width feature vector.
+    * Visual media fill (width, height); audio fills (sampleRateHz,
+    * channels, bitDepth, durationMs) and counts PCM frames in
+    * `nFrames`; either modality leaves the other's fields at 0. The
+    * feature vector is mean band luminance for images, per-window RMS
+    * for audio — same shape, so everything downstream (ANN, dedup,
+    * quality joins) is modality-agnostic.
+    */
   case class DecodedMedia(
       docId: Long,
       mediaType: String,
@@ -27,7 +35,11 @@ object Multimodal {
       width: Int,
       height: Int,
       nFrames: Int,
-      features: Array[Float])
+      features: Array[Float],
+      sampleRateHz: Int = 0,
+      channels: Int = 0,
+      bitDepth: Int = 0,
+      durationMs: Long = 0L)
 
   val FeatureDim = 8
 
@@ -98,13 +110,80 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the JDK's javax.sound.sampled (java.desktop
+    * module, same zero-dependency pattern as [[decodeImage]]): parses
+    * WAV/AIFF/AU containers, converting any supported encoding (8/16/
+    * 24/32-bit PCM, ULAW, ALAW) to signed 16-bit PCM for analysis.
+    * Reports the TRUE sample rate, channel count, container bit depth,
+    * PCM frame count, and duration; features are root-mean-square
+    * amplitude over FeatureDim consecutive frame windows (all channels
+    * pooled), normalized to [0,1] — the audio analog of the image
+    * path's band luminance. Returns None when no registered reader
+    * parses the bytes (caller falls back to the stub).
+    */
+  private[graft] def decodeAudio(r: MediaRecord): Option[DecodedMedia] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(ais).flatMap { in =>
+      try {
+        val src = in.getFormat
+        // normalize to signed 16-bit little-endian PCM at the source
+        // rate/channels — one sample-extraction path for every input
+        // encoding the JDK can convert
+        val target = new javax.sound.sampled.AudioFormat(
+          src.getSampleRate, 16, src.getChannels, true, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val ch = target.getChannels
+        val frameSize = 2 * ch
+        val nFrames = bytes.length / frameSize
+        if (nFrames == 0) None
+        else {
+          val feats = new Array[Float](FeatureDim)
+          var w = 0
+          while (w < FeatureDim) {
+            val f0 = (w.toLong * nFrames / FeatureDim).toInt
+            val f1 = math.max(f0 + 1, ((w + 1).toLong * nFrames / FeatureDim).toInt)
+            var sumSq = 0.0
+            var n = 0
+            var f = f0
+            while (f < math.min(f1, nFrames)) {
+              var c = 0
+              while (c < ch) {
+                val i = f * frameSize + 2 * c
+                val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toInt
+                sumSq += s.toDouble * s
+                n += 1
+                c += 1
+              }
+              f += 1
+            }
+            feats(w) = if (n == 0) 0f else (math.sqrt(sumSq / n) / 32768.0).toFloat
+            w += 1
+          }
+          val rate = math.round(src.getSampleRate)
+          // container bit depth; ULAW/ALAW report 8, PCM its true width
+          val bits = if (src.getSampleSizeInBits > 0) src.getSampleSizeInBits else 16
+          Some(DecodedMedia(r.docId, r.mediaType, r.payload.length.toLong,
+            0, 0, nFrames, feats, sampleRateHz = rate, channels = ch,
+            bitDepth = bits,
+            durationMs = nFrames.toLong * 1000L / math.max(1L, rate.toLong)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally in.close()
+    }
+  }
+
   /** Per-record dispatch: payloads typed `image/...` go through the
-    * real JDK decode, anything else (and unparseable image bytes)
-    * through the deterministic stub — audio/video codecs are not in
-    * this container.
+    * real JDK image decode, `audio/...` through the real JDK audio
+    * decode; video and unparseable bytes fall back to the
+    * deterministic stub (video codecs genuinely aren't in the JDK).
     */
   private[graft] def decodeRecord(r: MediaRecord): DecodedMedia =
     if (r.mediaType.startsWith("image/")) decodeImage(r).getOrElse(decodeStub(r))
+    else if (r.mediaType.startsWith("audio/")) decodeAudio(r).getOrElse(decodeStub(r))
     else decodeStub(r)
 
   /** Batched per-partition decode. mapPartitions (not map) so a real

@@ -353,7 +353,9 @@ QUALIFY rn <= 5"""),
         "(pair-wise dropping alone under-dedups chains). Each round is " +
         "one vertex-keyed shuffle join + partial-agg min; rounds = " +
         "component diameter (tiny for copy-chains). The oracle is the " +
-        "recursive-CTE transitive closure of the same pair SQL.",
+        "recursive-CTE transitive closure of the same pair SQL. Reads " +
+        "the SHARED materialized pair stage (SharedStages) — the edges " +
+        "are a persisted parquet list, never a per-query LSH re-derive.",
       Some(s"""
 WITH RECURSIVE p AS ($q21OracleSql),
 e AS (SELECT doc_a AS s, doc_b AS t FROM p
@@ -364,9 +366,7 @@ reach(s, t) AS (
   SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
 SELECT s AS doc_id, least(s, min(t)) AS cluster_id
 FROM reach GROUP BY s"""),
-      (s, dir) =>
-        graft.api.DedupOps.clusters(
-          all.find(_.name == "q21_dedup_minhash_lsh").get.build(s, dir))),
+      (s, dir) => SharedStages.clusters(s, dir)),
 
     QueryDef(
       "q58_keeper_by_quality",
@@ -374,9 +374,12 @@ FROM reach GROUP BY s"""),
         "clusters joined to a per-doc quality signal (token count); the " +
         "kept copy per cluster is the HIGHEST-quality member (ties -> " +
         "min id), not the lexically-first one. One hash-aggregate via " +
-        "max_by on a (score, -id) struct - no per-cluster window sort; " +
-        "the cluster assignment is tiny next to the corpus, so the " +
-        "score join shuffles only (id, cluster, score).",
+        "the custom latest_by argmax on a (score, -id) struct - no " +
+        "per-cluster window sort, and no built-in max_by (whose struct " +
+        "buffer demotes the whole aggregation to SortAggregate); the " +
+        "cluster assignment is tiny next to the corpus (and read from " +
+        "the SHARED materialized cluster stage), so the score join " +
+        "shuffles only (id, cluster, score).",
       Some(s"""
 WITH RECURSIVE p AS ($q21OracleSql),
 e AS (SELECT doc_a AS s, doc_b AS t FROM p
@@ -397,8 +400,7 @@ SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
                             ORDER BY n_tok DESC, doc_id ASC) AS rn
   FROM m) WHERE rn = 1"""),
       (s, dir) => {
-        val clusters = graft.api.DedupOps.clusters(
-          all.find(_.name == "q21_dedup_minhash_lsh").get.build(s, dir))
+        val clusters = SharedStages.clusters(s, dir)
         val scored = clusters.join(
           Tables.documents(s, dir).select(col("doc_id"),
             size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
@@ -510,7 +512,8 @@ FROM documents"""),
         "with the pair lexically ordered so (a,b) and (b,a) collapse. " +
         "The which-feeds-duplicate-which diagnostic that decides crawl " +
         "priorities. The doc->source map is a broadcast dimension; the " +
-        "pair list is tiny post-LSH, so the rollup collapses to " +
+        "pair list is tiny post-LSH (and read from the SHARED " +
+        "materialized pair stage), so the rollup collapses to " +
         "|sources|^2 rows map-side.",
       Some(s"""
 WITH p AS ($q21OracleSql),
@@ -522,8 +525,7 @@ j AS (SELECT least(sa.source, sb.source) AS src_a,
 SELECT src_a, src_b, count(*) AS n_pairs
 FROM j GROUP BY 1, 2"""),
       (s, dir) => {
-        val pairs = all.find(_.name == "q21_dedup_minhash_lsh").get
-          .build(s, dir)
+        val pairs = SharedStages.minhashPairs(s, dir)
         val srcs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"))
         pairs
@@ -545,15 +547,14 @@ FROM j GROUP BY 1, 2"""),
         "near-duplicating half the corpus) that make transitive " +
         "clustering degenerate and deserve removal BEFORE clustering. " +
         "Both aggregations collapse map-side; the pair list is tiny " +
-        "post-LSH.",
+        "post-LSH and read from the SHARED materialized pair stage.",
       Some(s"""
 WITH p AS ($q21OracleSql),
 d AS (SELECT doc_a AS doc FROM p UNION ALL SELECT doc_b FROM p),
 deg AS (SELECT doc, count(*) AS degree FROM d GROUP BY 1)
 SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1"""),
       (s, dir) => {
-        val pairs = all.find(_.name == "q21_dedup_minhash_lsh").get
-          .build(s, dir)
+        val pairs = SharedStages.minhashPairs(s, dir)
         pairs.select(col("doc_a").as("doc"))
           .unionAll(pairs.select(col("doc_b").as("doc")))
           .groupBy(col("doc")).agg(count(lit(1)).as("degree"))

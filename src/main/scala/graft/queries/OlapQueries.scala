@@ -241,7 +241,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         "q21 MinHash-LSH pair (jaccard >= 0.5) is dropped, keeping the " +
         "lowest-id representative per duplicate chain. This is what a " +
         "training job actually consumes; the pair list is the " +
-        "intermediate. Left-anti join against the (small) pair side. " +
+        "intermediate (read from the SHARED materialized pair stage). " +
+        "Left-anti join against the (small) pair side. " +
         "NOTE: pair-wise dropping can under-drop transitive chains " +
         "whose middle link is absent (A~C, B~C but no A~B keeps both " +
         "A and B) — q46's connected-components clustering is the " +
@@ -254,8 +255,7 @@ SELECT d.doc_id, length(d.text) AS text_len
 FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_b
 WHERE dup.doc_b IS NULL"""),
       (s, dir) => {
-        val pairs = DedupQueries.all.find(_.name == "q21_dedup_minhash_lsh").get
-          .build(s, dir)
+        val pairs = SharedStages.minhashPairs(s, dir)
         graft.api.DedupOps.dropNearDuplicates(
             Tables.documents(s, dir), "doc_id", pairs)
           .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))

@@ -74,6 +74,66 @@ class MediaSpec extends SparkSpec {
     assert(r.width == 25 && r.height == 12) // aspect preserved from TRUE dims
   }
 
+  /** In-memory PCM WAV: frames of 16-bit signed samples -> WAVE bytes
+    * via the same JDK encoder whose reader the decode path uses.
+    */
+  private def wav16(rateHz: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rateHz.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("PCM WAV decodes byte-exactly: rate, channels, depth, frames, duration") {
+    import spark.implicits._
+    // 1 second of mono 8kHz square wave at amplitude 16384 -> RMS is
+    // EXACTLY 0.5 in every window (|sample| constant), duration 1000ms
+    val mono = wav16(8000, 1,
+      Array.tabulate(8000)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort))
+    // 0.25s of stereo 16kHz at amplitude 8192 -> RMS exactly 0.25
+    val stereo = wav16(16000, 2,
+      Array.fill(8000)(8192.toShort))
+    val out = Multimodal.decode(Seq(
+        MediaRecord(1L, "audio/wav", mono),
+        MediaRecord(2L, "audio/wav", stereo)).toDS())
+      .collect().map(d => d.docId -> d).toMap
+    val m = out(1L)
+    assert(m.sampleRateHz == 8000 && m.channels == 1 && m.bitDepth == 16)
+    assert(m.nFrames == 8000 && m.durationMs == 1000)
+    assert(m.width == 0 && m.height == 0) // visual fields stay empty
+    m.features.foreach(f => assert(math.abs(f - 0.5f) < 1e-4f, f))
+    val st = out(2L)
+    assert(st.sampleRateHz == 16000 && st.channels == 2 && st.bitDepth == 16)
+    assert(st.nFrames == 4000 && st.durationMs == 250)
+    st.features.foreach(f => assert(math.abs(f - 0.25f) < 1e-4f, f))
+  }
+
+  test("silent vs loud audio separate in the feature vector; junk falls back to stub") {
+    import spark.implicits._
+    val silent = wav16(8000, 1, Array.fill(800)(0.toShort))
+    val loud = wav16(8000, 1, Array.fill(800)(32767.toShort))
+    val junk = "definitely not RIFF".getBytes("UTF-8")
+    val out = Multimodal.decode(Seq(
+        MediaRecord(1L, "audio/wav", silent),
+        MediaRecord(2L, "audio/wav", loud),
+        MediaRecord(3L, "audio/wav", junk)).toDS())
+      .collect().map(d => d.docId -> d).toMap
+    out(1L).features.foreach(f => assert(f == 0.0f))
+    out(2L).features.foreach(f => assert(f > 0.99f))
+    val expected = Multimodal.decodeStub(MediaRecord(3L, "audio/wav", junk))
+    assert(out(3L) == expected.copy(features = out(3L).features))
+    assert(out(3L).features.sameElements(expected.features))
+  }
+
   test("decoded features flow into the vector dedup path (decode -> ANN)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

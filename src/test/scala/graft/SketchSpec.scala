@@ -234,4 +234,44 @@ class SketchSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(items == Seq((3L, 10L), (5L, 10L), (9L, 4L)))
   }
+
+  test("cms_sketch rejects oversized grids at analysis, not execution") {
+    // width 2^28 x depth 16 overflows Int in width*depth — without the
+    // Long-arithmetic bound this was a NegativeArraySizeException mid-job
+    SketchAggregates.register(spark)
+    import spark.implicits._
+    val df = Seq(1L).toDF("k")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(expr(s"cms_sketch(${1 << 28}, 16, k)")).collect()
+    }
+    assert(e.getMessage.contains("per-group state cap"), e.getMessage)
+    // non-overflowing but unbounded per-group state is equally rejected
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(expr(s"cms_sketch(${1 << 21}, 4, k)")).collect()
+    }
+    assert(e2.getMessage.contains("per-group state cap"), e2.getMessage)
+  }
+
+  test("quant_code_sum: NULL for empty/all-null vectors, 0 for constant (oracle parity)") {
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT quant_code_sum(cast(array() AS array<float>)) AS a,
+        |       quant_code_sum(cast(array(NULL, NULL) AS array<float>)) AS b,
+        |       quant_code_sum(cast(array(1.0, 1.0) AS array<float>)) AS c,
+        |       quant_code_sum(cast(NULL AS array<float>)) AS d""".stripMargin)
+      .head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(3))
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("minhash16 rejects arrays that may contain null elements") {
+    // getLong on a null slot silently reads 0 — diverging from
+    // array_min(transform(...)) semantics where nulls are ignored; the
+    // type check must refuse containsNull=true inputs outright
+    graft.functions.TextHashExpressions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash16(array(1L, cast(NULL AS bigint)))").collect()
+    }
+    assert(e.getMessage.contains("array_compact"), e.getMessage)
+  }
 }
