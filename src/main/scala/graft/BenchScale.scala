@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: proves the heavy plans grow ~LINEARLY in the
+  * corpus, not just that they pass at sf0.1. Generates a one-off
+  * k×-scaled copy of exactly the tables the heaviest catalog queries
+  * read, times each query at base and scaled SF (min of two runs, noop
+  * sink — Bench's methodology), and prints one JSON line of per-query
+  * ratios. A plan that flips super-linear at scale (band-bucket
+  * explosion, a broadcast that stops fitting, a sort that spills)
+  * surfaces as ratio >> k; the committed run lives in SCALE.md.
+  *
+  * Scaling is NOT naive duplication:
+  * - documents: per-copy doc_id offset AND a bijective per-copy token
+  *   rename (`tok` → `tok_c<i>`), so within-copy near-dup structure is
+  *   IDENTICAL to the base corpus while cross-copy shingle/gram hashes
+  *   share nothing — naive copies would make every doc an exact dup of
+  *   its k−1 twins and grow the pair workload O(k²) by construction,
+  *   measuring an artifact instead of the engine.
+  * - lineitem/orders/customer: keys offset per copy (FK-consistent),
+  *   so joins grow k× on both sides with the same key selectivity.
+  * - embeddings: vec_id offset per copy; q30's query set (vec_id in
+  *   [100,110)) stays fixed while the indexed corpus grows k×.
+  * - nation/region: dimension tables, copied as-is.
+  *
+  * q21 runs FIRST: four derived queries (q46/q58/q78/q80) read the
+  * SharedStages pair materialization, so the LSH build cost lands in
+  * q21's number (its honest cost) and the derived queries measure
+  * their own marginal work — same attribution as the driver bench.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_SCALE_K
+  * (default 10 → ~sf1), SPARK_GRAFT_SCALE_DIR (default: fresh temp).
+  */
+object BenchScale {
+
+  /** The heaviest catalog queries (round-3 bench ranking) + q21 as the
+    * shared-stage owner.
+    */
+  val Heavy: Seq[String] = Seq(
+    "q21_dedup_minhash_lsh", "q58_keeper_by_quality", "q70_common_grams",
+    "q46_dedup_clusters", "q35_revenue_by_nation", "q80_dup_graph_degrees",
+    "q78_cross_source_dups", "q01_pricing_summary", "q30_ann_kmeans_ivf")
+
+  private def load(spark: SparkSession, dir: String, t: String): DataFrame =
+    spark.read.parquet(s"$dir/$t.parquet")
+
+  /** One scaled table = union of k key-shifted (and, for text,
+    * token-renamed) copies. Offsets are 1e9 per copy — far above any
+    * base key.
+    */
+  def scaleTables(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int): Unit = {
+    val Off = 1000000000L
+    def off(i: Int, c: String) = (col(c) + lit(i * Off)).as(c)
+
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    val docs = load(spark, baseDir, "documents")
+    write((0 until k).map { i =>
+      val text =
+        if (i == 0) col("text")
+        else array_join(transform(split(col("text"), " ", -1),
+          t => concat(t, lit(s"_c$i"))), " ")
+      docs.select(off(i, "doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _), "documents")
+
+    val emb = load(spark, baseDir, "embeddings")
+    write((0 until k).map(i =>
+      emb.select(off(i, "vec_id"), col("embedding"), col("label")))
+      .reduce(_ unionByName _), "embeddings")
+
+    val li = load(spark, baseDir, "lineitem")
+    write((0 until k).map(i =>
+      li.select((off(i, "l_orderkey") +: li.columns.filter(_ != "l_orderkey")
+        .map(col).toSeq): _*)).reduce(_ unionByName _), "lineitem")
+
+    val ord = load(spark, baseDir, "orders")
+    write((0 until k).map(i =>
+      ord.select(off(i, "o_orderkey"), off(i, "o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))).reduce(_ unionByName _), "orders")
+
+    val cust = load(spark, baseDir, "customer")
+    write((0 until k).map(i =>
+      cust.select((off(i, "c_custkey") +: cust.columns.filter(_ != "c_custkey")
+        .map(col).toSeq): _*)).reduce(_ unionByName _), "customer")
+
+    Seq("nation", "region").foreach(t => write(load(spark, baseDir, t), t))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      Files.createTempDirectory("graft-scale-").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scaleTables(spark, baseDir, outDir, k)
+
+    def exec(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // JIT/codegen warmup on the smallest SF (Bench's methodology)
+    Heavy.foreach { q =>
+      try exec(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
+    }
+    def minOf2(q: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try exec(SparkEntry.queries(q)(spark, dir))
+        catch { case _: Throwable => return -1.0 }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once(); val b = once()
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
+
+    val rows = Heavy.map { q =>
+      val base = minOf2(q, baseDir)
+      val scaled = minOf2(q, outDir)
+      // floor tiny bases: a 0.08s query is fixed-overhead-dominated and
+      // its ratio measures the JVM, not the plan
+      val ratio =
+        if (base <= 0 || scaled <= 0) -1.0
+        else scaled / math.max(base, 0.15)
+      (q, base, scaled, ratio)
+    }
+    val worst = rows.map(_._4).max
+    val qs = rows.map { case (q, b, s, r) =>
+      f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    // linear_ok: every ratio within 2x of proportional growth (the
+    // driver-verdict bound for a super-linear flag)
+    val ok = rows.forall(r => r._4 > 0 && r._4 <= 2.0 * k)
+    println(s"""{"metric":"scale_worst_ratio","value":$worst,"unit":"x","k":$k,"base":"$baseDir","linear_ok":$ok,"queries":$qs}""")
+    spark.stop()
+  }
+}

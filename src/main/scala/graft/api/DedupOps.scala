@@ -58,6 +58,55 @@ object DedupOps {
     * is the near-dups. Requires a BIGINT id column (as do
     * [[ngramJaccardPairs]] and [[clusters]]).
     */
+  /** doc → (idCol, carry..., hs): the shared shingle→hash front end.
+    * `private[graft]` so the streaming ingest probe
+    * (streaming.NearDupIngest) derives its hashes through the EXACT
+    * same shingle config as the batch pair generators — LSH blocking
+    * only works if both sides band identically. `carry` threads extra
+    * columns (a stream's event-time) through untouched.
+    */
+  private[graft] def shingleHashed(df: DataFrame, idCol: String,
+      textCol: String, carry: Seq[String] = Nil): DataFrame = {
+    import TextHashing._
+    TextHashExpressions.register(df.sparkSession)
+    graft.functions.SketchAggregates.register(df.sparkSession)
+    val cs = carry.map(col)
+    df.select((col(idCol) +: cs :+ split(col(textCol), " ", -1).as("toks")): _*)
+      .filter(size(col("toks")) >= 3)
+      .select((col(idCol) +: cs :+ expr(s"shingle_hashes(toks, 3, $P)").as("hs")): _*)
+  }
+
+  /** hashed (…, hs) → + (band, bkey): 16 minhash permutations → Bands
+    * band keys, one output row per (input row, band); every input
+    * column is preserved. Batch pair generators project down to
+    * (id, band, bkey) so payloads never ride the band shuffle; the
+    * streaming probe instead carries (ts, hs) because a stream cannot
+    * self-join back for the verify step.
+    */
+  private[graft] def withBandKeys(hashed: DataFrame): DataFrame = {
+    import TextHashing._
+    val keep = hashed.columns.map(col).toSeq
+    hashed
+      .withColumn("__mh", minhash(col("hs")))
+      .select((keep :+ posexplode(array((0 until Bands).map { b =>
+        concat_ws(":", (0 until RowsPerBand).map(r =>
+          element_at(col("__mh"), b * RowsPerBand + r + 1)): _*)
+      }: _*))): _*)
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+  }
+
+  /** Corpus band rows → the capped (band, bkey, __cs) bucket index —
+    * the [[DefaultMaxBucket]] skew contract applied to an index that a
+    * delta (batch or stream) probes: an over-hot corpus bucket
+    * aggregates to NULL and blocks nothing.
+    */
+  private[graft] def bandBuckets(bands: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame =
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("__cs"))
+      .filter(col("__cs").isNotNull)
+
   /** Shared MinHash front end: (hashed = id + distinct shingle hashes,
     * bands = id + LSH band keys). Factored so self-join dedup
     * ([[minhashPairs]]) and incremental new-vs-corpus dedup
@@ -65,23 +114,8 @@ object DedupOps {
     */
   private def shingleBands(df: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
-    import TextHashing._
-    TextHashExpressions.register(df.sparkSession)
-    graft.functions.SketchAggregates.register(df.sparkSession)
-    val hashed = df
-      .select(col(idCol), split(col(textCol), " ", -1).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col(idCol), expr(s"shingle_hashes(toks, 3, $P)").as("hs"))
-    val bands = hashed
-      .withColumn("mh", minhash(col("hs")))
-      .select(col(idCol),
-        posexplode(array((0 until Bands).map { b =>
-          concat_ws(":", (0 until RowsPerBand).map(r =>
-            element_at(col("mh"), b * RowsPerBand + r + 1)): _*)
-        }: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
-    (hashed, bands)
+    val hashed = shingleHashed(df, idCol, textCol)
+    (hashed, withBandKeys(hashed).select(col(idCol), col("band"), col("bkey")))
   }
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
@@ -132,10 +166,7 @@ object DedupOps {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val (hashedNew, bandsNew) = shingleBands(newDf, idCol, textCol)
     val (hashedOld, bandsOld) = shingleBands(corpusDf, idCol, textCol)
-    val buckets = bandsOld
-      .groupBy(col("band"), col("bkey"))
-      .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("__cs"))
-      .filter(col("__cs").isNotNull)
+    val buckets = bandBuckets(bandsOld, idCol, maxBucket)
     val cand = bandsNew
       .join(buckets, Seq("band", "bkey"))
       .select(col(idCol).as("doc_new"), explode(col("__cs")).as("doc_old"))

@@ -312,6 +312,33 @@ object EventOps {
         col("n_clipped"), col("sum_winsorized_micro"))
   }
 
+  /** [[winsorizedStats]] with the cap from `approx_percentile` (the GK
+    * sketch) instead of the exact sort-based percentile — the 100 TB
+    * path: bounded-memory, mergeable, map-side-partial quantiles; rank
+    * error <= 1/accuracy. Same output columns; cap_micro is the
+    * approx cap, clip and sum stay pure int64 against it. The catalog
+    * (q82) verifies the approx cap AND the derived clip/sum stats
+    * in-band against exact ±0.01-rank envelopes (q47's rank-space
+    * precedent: a value-space bound would flake on sparse tails).
+    */
+  def winsorizedStatsApprox(df: DataFrame, keyCol: String, valueCol: String,
+      p: Double = 0.95, accuracy: Int = 10000): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val base = df.select(col(keyCol).as("_k"),
+      round(col(valueCol) * lit(1000000d)).cast("long").as("_vm"))
+    val caps = base.groupBy(col("_k"))
+      .agg(floor(expr(s"approx_percentile(_vm, ${p}d, $accuracy)"))
+        .cast("long").as("cap_micro"))
+    base.join(broadcast(caps), "_k")
+      .groupBy(col("_k"), col("cap_micro"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_vm") > col("cap_micro"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(least(col("_vm"), col("cap_micro"))).as("sum_winsorized_micro"))
+      .select(col("_k").as(keyCol), col("n"), col("cap_micro"),
+        col("n_clipped"), col("sum_winsorized_micro"))
+  }
+
   /** Robust per-key outlier report over a double column, in exact
     * integer arithmetic: values become micro-units (round(v·10⁶), a
     * per-row deterministic double op), then mean and mean-absolute-

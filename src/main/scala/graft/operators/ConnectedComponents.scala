@@ -10,21 +10,45 @@ import org.apache.spark.sql.functions._
   *
   * Each round every vertex takes the min label among itself and its
   * neighbors: one shuffle join keyed by vertex + one partial-aggregated
-  * min per round, converging in O(component diameter) rounds. Near-dup
-  * graphs are chains/cliques of copies with tiny diameter, so 3–5
-  * rounds in practice; for adversarial diameters the large-star/
-  * small-star variant halves rounds but the per-round plan is the same.
+  * min per round. Near-dup graphs are chains/cliques of copies with
+  * tiny diameter, so plain propagation converges in 3–5 rounds; for
+  * long chains (boilerplate hubs, re-crawl chains) the round count is
+  * the DIAMETER — a 1000-link chain would blow any iteration budget.
+  * So after [[ShortcutAfter]] plain rounds without convergence the loop
+  * adds a SHORTCUT step (pointer doubling, Shiloach–Vishkin style —
+  * the same label-path-halving that alternating large-star/small-star
+  * rounds achieve by rewriting edges): each vertex also adopts the
+  * label OF its candidate label, so label paths halve every round and
+  * convergence drops to O(log diameter). Labels stay the only iterated
+  * state (the edge set is never rewritten), each round stays
+  * join + partial-agg min, and the fixpoint is unchanged: every vertex
+  * labeled with its component's minimum id.
+  *
   * The driver reads only the per-round CHANGE COUNT (a scalar) to test
   * convergence — data never leaves the cluster. At 100TB, checkpoint
   * labels every few rounds to truncate lineage.
   */
 object ConnectedComponents {
 
+  /** Plain rounds before the pointer-doubling shortcut joins in: the
+    * common tiny-diameter dup graph converges before this and never
+    * pays the extra per-round join; anything still unconverged is a
+    * long-chain graph that needs the O(log d) path.
+    */
+  val ShortcutAfter = 3
+
   /** @return (id, cluster_id) for every vertex in `edges`, where
     *         cluster_id is the component's minimum vertex id.
     */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    minLabelWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[minLabel]] plus the number of rounds it took — exposed so tests
+    * can pin the O(log d) convergence of the shortcut path.
+    */
+  private[graft] def minLabelWithRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 20): (DataFrame, Int) = {
     // every round joins the edge list — persist it once, or each round
     // re-evaluates the (possibly expensive) upstream pair computation
     val sym = edges
@@ -47,7 +71,6 @@ object ConnectedComponents {
     }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    var cached: DataFrame = null
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
@@ -55,35 +78,47 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nmin"))
         .withColumnRenamed("dst", "id")
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      // cand = this round's plain propagation result
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
-        .persist()
-      // the count() both tests convergence and materializes the cache,
-      // so each round's plan reads the previous round's cached labels,
-      // not the whole recursive lineage
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("cand"))
+      val next =
+        if (round < ShortcutAfter) stepped.withColumnRenamed("cand", "nlbl")
+        else
+          // shortcut: also adopt the label OF the candidate label
+          // (label values are always vertex ids, so the join key
+          // domain is labels' own id column); lbl(x) <= x, so the
+          // least() only ever tightens — label paths halve per round
+          stepped.join(
+              labels.select(col("id").as("cand"), col("lbl").as("_jl")),
+              Seq("cand"), "left")
+            .select(col("id"), col("lbl"),
+              least(col("cand"), coalesce(col("_jl"), col("cand"))).as("nlbl"))
+      // eager localCheckpoint: materializes the round AND truncates the
+      // logical lineage — persist alone short-circuits execution but the
+      // analyzed plan still nests every prior round, which at O(log d)
+      // round counts blows plan compilation (quadratic explain strings,
+      // OOM), the iterative-algorithm trap the scaladoc warns about.
+      // Superseded checkpoint blocks are freed by the ContextCleaner.
+      val updated = next.localCheckpoint()
       changed = updated.filter(col("nlbl") =!= col("lbl")).count()
-      if (cached != null) cached.unpersist()
-      cached = updated
       labels = updated.select(col("id"), col("nlbl").as("lbl"))
       round += 1
     }
     // a silent non-converged result would be wrong labels — fail loudly
-    // (maxIter bounds rounds at component diameter; hitting it means the
-    // caller's graph needs large-star/small-star, not more iterations).
-    // Release both caches first: a caller catching this to retry must
-    // not inherit orphaned cached frames (same contract as the null-id
-    // failure path above)
+    // (with the shortcut, maxIter=20 covers diameters beyond 2^16 —
+    // hitting it means a genuinely pathological graph, not a tuning
+    // knob). Release the edge cache first: a caller catching this to
+    // retry must not inherit an orphaned cached frame (same contract as
+    // the null-id failure path above)
     if (changed != 0) {
       sym.unpersist()
-      if (cached != null) cached.unpersist()
       throw new IllegalArgumentException(
         s"connected components did not converge in $maxIter rounds")
     }
-    // the loop's counts materialized the final label cache, which no
-    // longer references the edge list — safe to release it here
+    // the loop's checkpoints materialized the final labels, which no
+    // longer reference the edge list — safe to release it here
     sym.unpersist()
-    // the final round's cache stays alive — the returned frame reads it
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    (labels.select(col("id"), col("lbl").as("cluster_id")), round)
   }
 }

@@ -64,8 +64,16 @@ object SharedStages {
     * pair list — the iterative label propagation reads the persisted
     * edges, never the LSH DAG, and its own output is persisted for q58.
     */
-  def clusters(s: SparkSession, dir: String): DataFrame =
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    // resolve the pair stage BEFORE entering this stage's
+    // computeIfAbsent: nesting computeIfAbsent calls on one
+    // ConcurrentHashMap is undefined behavior (recursive-update
+    // IllegalStateException when the keys land in the same bin —
+    // exactly how run orders that hit clusters before any pair
+    // consumer failed)
+    val pairs = minhashPairs(s, dir)
     materialized(s, dir, "clusters", Seq("cluster_id", "doc_id")) {
-      graft.api.DedupOps.clusters(minhashPairs(s, dir))
+      graft.api.DedupOps.clusters(pairs)
     }
+  }
 }

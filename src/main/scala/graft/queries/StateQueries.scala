@@ -372,6 +372,55 @@ FROM e JOIN c USING (event_type) GROUP BY 1, 3"""),
           "value", p = 0.95)),
 
     QueryDef(
+      "q82_winsorized_approx",
+      "q77's 100TB path, oracled: winsorized stats with the cap from " +
+        "approx_percentile (EventOps.winsorizedStatsApprox - GK " +
+        "sketch, bounded memory, mergeable partials; no per-key sort). " +
+        "The sketch output is engine-specific, so the check is IN-BAND " +
+        "(q47's rank-space precedent): the approx cap must lie between " +
+        "the exact p +/- 0.01-rank quantiles, and the derived clip " +
+        "count / winsorized sum must lie inside the envelopes those " +
+        "guard caps imply (clip count anti-monotone, sum monotone in " +
+        "the cap). The oracle computes n exactly and expects every " +
+        "predicate uniformly true.",
+      Some("""
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 1000000) AS BIGINT) AS vm FROM events)
+SELECT event_type, count(*) AS n,
+       true AS approx_cap_ok, true AS approx_clip_ok, true AS approx_sum_ok
+FROM e GROUP BY 1"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val approx = EventOps.winsorizedStatsApprox(
+          ev, "event_type", "value", p = 0.95)
+        // exact rank-space guard caps at p +/- 0.01, then the exact
+        // clip/sum envelopes they imply (both need the caps first, so
+        // guard derivation is two-phase like the stats themselves)
+        val base = ev.select(col("event_type").as("_k"),
+          round(col("value") * lit(1000000d)).cast("long").as("_vm"))
+        val g0 = base.groupBy(col("_k"))
+          .agg(floor(element_at(expr("percentile(_vm, array(0.94d, 0.96d))"), 1))
+              .cast("long").as("_lo"),
+            floor(element_at(expr("percentile(_vm, array(0.94d, 0.96d))"), 2))
+              .cast("long").as("_hi"))
+        val guards = base.join(broadcast(g0), "_k")
+          .groupBy(col("_k"), col("_lo"), col("_hi"))
+          .agg(
+            sum(when(col("_vm") > col("_lo"), 1L).otherwise(0L)).as("_ngl"),
+            sum(when(col("_vm") > col("_hi"), 1L).otherwise(0L)).as("_ngh"),
+            sum(least(col("_vm"), col("_lo"))).as("_sl"),
+            sum(least(col("_vm"), col("_hi"))).as("_sh"))
+        approx.join(broadcast(guards), col("event_type") === col("_k"))
+          .select(col("event_type"), col("n"),
+            (col("cap_micro") >= col("_lo") && col("cap_micro") <= col("_hi"))
+              .as("approx_cap_ok"),
+            (col("n_clipped") <= col("_ngl") && col("n_clipped") >= col("_ngh"))
+              .as("approx_clip_ok"),
+            (col("sum_winsorized_micro") >= col("_sl") &&
+              col("sum_winsorized_micro") <= col("_sh")).as("approx_sum_ok"))
+      }),
+
+    QueryDef(
       "q79_gap_fill",
       "Dense daily series (EventOps.gapFill): per-type daily counts " +
         "with every missing day between the type's first and last " +

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.DedupOps
+
+/** Streaming incremental near-dup ingest — the unbounded twin of q59
+  * (DedupOps.minhashPairsAgainst): a stream of NEW documents probes a
+  * STATIC corpus's LSH bucket index and emits the verified near-dup
+  * pairs in append mode. This is the production shape of continuous
+  * corpus ingestion: the corpus index is materialized once (at 100TB:
+  * persisted parquet, reloaded per deploy), every micro-batch of newly
+  * crawled docs bands map-only and stream-static-joins the index —
+  * the corpus is never re-paired against itself, and the probe cost is
+  * proportional to the delta, exactly like the batch path.
+  *
+  * A doc_new appearing in the output IS the drop decision: the ingest
+  * sink keeps first-arrivals (no emitted pair) and drops/queues
+  * near-dups (>= 1 emitted pair names the corpus doc it duplicates).
+  *
+  * Skew + state bounds: corpus buckets carry capped id-lists
+  * ([[DedupOps.DefaultMaxBucket]] — a hot bucket blocks nothing, q21's
+  * contract), so one stream row fans out to at most Bands × cap
+  * candidates; the only streaming state is the within-watermark
+  * (doc_new, doc_old) dedup, purged as event time advances.
+  */
+object NearDupIngest {
+
+  /** The corpus-side static state: `buckets` = capped LSH bucket index
+    * (band, bkey, __cs ids), `hashed` = (doc_old, hs_old) shingle sets
+    * for the exact-Jaccard verify. Both tiny relative to the corpus
+    * (ids + hash sets, no text).
+    */
+  case class CorpusIndex(buckets: DataFrame, hashed: DataFrame)
+
+  /** Build the index from a static corpus frame — same shingle/minhash
+    * /band derivation as every batch pair generator (shared
+    * DedupOps front end), so stream and corpus band identically.
+    */
+  def index(corpus: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): CorpusIndex = {
+    val hashed = DedupOps.shingleHashed(corpus, idCol, textCol)
+    val buckets = DedupOps.bandBuckets(
+      DedupOps.withBandKeys(hashed).select(col(idCol), col("band"), col("bkey")),
+      idCol, maxBucket)
+    CorpusIndex(buckets,
+      hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")))
+  }
+
+  /** newDocs: a STREAMING frame with (idCol, textCol, tsCol). Emits
+    * (doc_new, doc_old, jaccard_x1000) pairs verified at >= threshold,
+    * append mode. Semantics == batch
+    * [[DedupOps.minhashPairsAgainst]] on the same delta/corpus split
+    * (StreamingSpec asserts parity under both state stores): band
+    * map-only → stream-static join on (band, bkey) → candidate
+    * explode → within-watermark pair dedup (a doc's band rows all land
+    * in its arrival batch, so the horizon only needs to cover one
+    * batch's skew) → exact-Jaccard verify against the static hash
+    * sets.
+    */
+  def pairs(newDocs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String, corpus: CorpusIndex,
+      jaccardX1000Threshold: Int = 500): DataFrame = {
+    val probe = DedupOps.withBandKeys(
+        DedupOps.shingleHashed(newDocs, idCol, textCol, carry = Seq(tsCol)))
+      .withWatermark(tsCol, delay)
+    probe
+      .join(corpus.buckets, Seq("band", "bkey"))
+      .select(col(idCol).as("doc_new"), col(tsCol), col("hs").as("hs_new"),
+        explode(col("__cs")).as("doc_old"))
+      .dropDuplicatesWithinWatermark("doc_new", "doc_old")
+      .join(corpus.hashed, Seq("doc_old"))
+      .withColumn("it", size(array_intersect(col("hs_new"), col("hs_old"))).cast("long"))
+      .withColumn("un", size(array_distinct(concat(col("hs_new"), col("hs_old")))).cast("long"))
+      .select(col("doc_new"), col("doc_old"),
+        expr("(it * 1000) div un").as("jaccard_x1000"))
+      .filter(col("jaccard_x1000") >= jaccardX1000Threshold)
+  }
+}

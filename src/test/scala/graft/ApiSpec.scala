@@ -471,6 +471,68 @@ class ApiSpec extends SparkSpec {
       3L -> ((2L, 0L, 0L))))
   }
 
+  test("commonGramRatio: boilerplate-heavy corpus degrades to a bounded shuffle semi-join") {
+    // the q70 hot-gram hardening: when the common-gram set exceeds the
+    // broadcast threshold (simulated by disabling broadcast outright),
+    // the postings ∩ common join must take the co-partitioned SHUFFLE
+    // semi-join path — and total shuffle work stays O(postings) even
+    // when 50% of docs share a gram, because q70 has no pair stage to
+    // explode (a hot gram multiplies nothing, unlike an uncapped q29)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flat(q.plan)
+      case other => Seq(other)
+    }.flatten
+    // 100 docs share one boilerplate sentence (its 2 interior trigrams
+    // hit df=100 >= 5 -> common); 100 docs are all-unique
+    val docs = ((0 until 100).map(i =>
+        (i.toLong, s"alpha beta gamma delta u${i}x u${i}y u${i}z")) ++
+      (100 until 200).map(i =>
+        (i.toLong, s"v${i}a v${i}b v${i}c v${i}d"))).toDF("doc_id", "text")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = TextOps.commonGramRatio(docs, "doc_id", "text",
+        n = 3, commonDocFreq = 5)
+      val got = out.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // boilerplate doc: 5 distinct trigrams, 2 common (the boundary
+      // trigrams mix unique tokens) -> 400; unique doc: 2 trigrams, 0
+      (0 until 100).foreach(i =>
+        assert(got(i.toLong) == ((5L, 2L, 400L)), s"doc $i: ${got(i.toLong)}"))
+      (100 until 200).foreach(i =>
+        assert(got(i.toLong) == ((2L, 0L, 0L)), s"doc $i: ${got(i.toLong)}"))
+      val nodes = flat(out.queryExecution.executedPlan)
+      assert(!nodes.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "broadcast disabled — no broadcast join may appear")
+      assert(nodes.exists {
+        case j: SortMergeJoinExec => j.joinType.sql == "LEFT SEMI"
+        case j: ShuffledHashJoinExec => j.joinType.sql == "LEFT SEMI"
+        case _ => false
+      }, s"expected a shuffle LEFT SEMI join in:\n${out.queryExecution}")
+      // bounded candidate work: every shuffle together carries a small
+      // multiple of the ~700 posting rows — a pair-explosion through
+      // the 100-doc hot gram would be >= C(100,2) = 4950 on its own
+      val written = nodes.collect { case s: ShuffleExchangeLike => s }
+        .map(_.metrics("shuffleRecordsWritten").value).sum
+      assert(written > 0 && written < 4000,
+        s"shuffles carried $written records — super-linear in postings")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("SampleOps.weightedPrioritySample: weight steers selection, still deterministic") {
     val rows = (0L until 200L).map(i => (i, if (i < 100) 1L else 50L))
       .toDF("k", "w")

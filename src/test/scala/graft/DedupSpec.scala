@@ -74,6 +74,31 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 4950L + 1L, s"uncapped run produced $uncapped pairs")
   }
 
+  test("connected components: 1000-link chain converges in O(log d), not O(d), rounds") {
+    import spark.implicits._
+    // diameter 1000 — plain min-label propagation needs 1000 rounds and
+    // would blow the maxIter=20 budget; the pointer-doubling shortcut
+    // (engaged after ShortcutAfter plain rounds) must halve label paths
+    // every round: 3 plain + ~9 doubling + 1 convergence check
+    val n = 1000
+    val chain = (0 until n).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val (labels, rounds) = graft.operators.ConnectedComponents
+      .minLabelWithRounds(chain, "a", "b")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n + 1 && got.forall(_._2 == 0L),
+      s"chain must collapse to one component labeled 0")
+    assert(rounds <= 14, s"expected O(log d) convergence, took $rounds rounds")
+
+    // disjoint chains keep their own minima (the shortcut never jumps
+    // across components — label values are always component members)
+    val two = ((0 until 50).map(i => (i.toLong, i + 1L)) ++
+      (100 until 150).map(i => (i.toLong, i + 1L))).toDF("a", "b")
+    val lbl2 = graft.operators.ConnectedComponents.minLabel(two, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0 to 50).forall(i => lbl2(i.toLong) == 0L))
+    assert((100 to 150).forall(i => lbl2(i.toLong) == 100L))
+  }
+
   test("dedup pipeline: one persisted pair list feeds clusters + keepers unchanged") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -207,4 +207,65 @@ class RecoverySpec extends SparkSpec {
       assertLatestStateSurvivesRestart("b")
     }
   }
+
+  /** The near-dup ingest's within-watermark pair-dedup state must
+    * survive a checkpointed restart: a doc whose pair emitted before
+    * the stop is REPLAYED after the restart (at-least-once source) and
+    * must NOT re-emit — only possible if the dedup state was recovered.
+    */
+  private def assertIngestDedupSurvivesRestart(): Unit = {
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val corpus = Seq((10L, "a b c d e f g")).toDF("doc_id", "text")
+    val idx = NearDupIngest.index(corpus, "doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val collected =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def startQuery() = NearDupIngest.pairs(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", "1 hour", idx)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batch.collect().foreach(r =>
+            collected.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // query 1: an exact copy of the corpus doc → pair (1, 10, 1000)
+    val q1 = startQuery()
+    try {
+      input.addData((1L, "a b c d e f g", ts(base + 1000)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: REPLAY doc 1 (must stay suppressed by recovered state)
+    // plus a fresh copy under a new id — identical text ⇒ identical
+    // minhash signature ⇒ guaranteed band match (a merely-similar text
+    // could legitimately miss all 4 probabilistic bands)
+    val q2 = startQuery()
+    try {
+      input.addData(
+        (1L, "a b c d e f g", ts(base + 1000)),
+        (2L, "a b c d e f g", ts(base + 2000)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    assert(collected.asScala.toSet ==
+      Set((1L, 10L, 1000L), (2L, 10L, 1000L)),
+      s"ingest dedup state lost across restart: ${collected.asScala.toSet}")
+  }
+
+  test("near-dup ingest pair-dedup state survives a checkpointed restart") {
+    assertIngestDedupSurvivesRestart()
+  }
+
+  test("near-dup ingest restart also recovers under RocksDB") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertIngestDedupSurvivesRestart()
+    }
+  }
 }

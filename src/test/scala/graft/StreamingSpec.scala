@@ -338,6 +338,52 @@ class StreamingSpec extends SparkSpec {
     assertStreamingDedup("dedup_stream")
   }
 
+  /** Streaming near-dup ingest (NearDupIngest) must emit exactly the
+    * batch q59 pair set on the same delta/corpus split — the 20% NEW
+    * docs arrive as a two-batch stream probing the 80% corpus's static
+    * LSH index, with cross-batch within-watermark pair dedup state.
+    */
+  private def assertNearDupIngestParity(sinkName: String): Unit = {
+    val docs = Tables.documents(spark, sf)
+    val idx = NearDupIngest.index(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = NearDupIngest.pairs(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", "1 hour", idx)
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val recs = newDocs.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(1558430000000L + i * 1000L))
+      }
+      val (a, b) = recs.splitAt(recs.length / 2)
+      input.addData(a.toSeq: _*); q.processAllAvailable()
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sinkName).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("q59_incremental_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "q59 found no pairs at this SF — test is vacuous")
+    assert(got == want, s"stream=${got.size} batch=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("streaming near-dup ingest == batch q59 incremental dedup") {
+    assertNearDupIngestParity("neardup_stream")
+  }
+
+  test("near-dup ingest parity holds under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertNearDupIngestParity("neardup_stream_rocks")
+    }
+  }
+
   test("streaming slidingCountKeys == batch SlidingCounts (composite and zero keys)") {
     // the marketing jobs' streaming twins: the window() streaming form
     // and the batch two-level bucket form must agree on the same events
