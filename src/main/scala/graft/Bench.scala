@@ -1,54 +1,19 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract → BENCH_r{N}.json).
-  *
-  * Configured the way a real cluster job would be: AQE on, shuffle
-  * partitions sized to the executor core count (32 locally, not 200).
+  * Methodology (session config, noop sink, warmup, min-of-two) lives in
+  * [[BenchHarness]], shared with [[BenchScale]].
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // a whole-stage codegen compile failure must surface as a -1 in
-      // the bench JSON, not silently run interpreted
-      .config("spark.sql.codegen.fallback", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // noop sink: every output row is fully computed and then discarded.
-    // count() would let Catalyst prune the projection, so map-only
-    // queries would time scan+count instead of their real work.
-    def exec(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    // JIT/codegen warmup on the smallest SF so per-query numbers measure
-    // the plan, not first-call classloading.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try exec(fn(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
+    val spark = BenchHarness.session()
+    BenchHarness.warmup(spark, SparkEntry.queries.keys)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      name -> BenchHarness.minOf2(spark, name, sfDir)
     }
-    // min of two timed runs per query: JIT/GC jitter at this scale is
-    // larger than most plan differences; the min is the steady-state
-    // cost of the plan itself.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val a = once()
-      val b = once()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE benchmark methodology, shared by [[Bench]] (per-round driver
+  * bench) and [[BenchScale]] (10× scale-stress): same session config,
+  * same noop sink, same warmup, same min-of-two timing. SCALE.md's
+  * comparability claim ("Bench's methodology") is true by construction
+  * because both mains call these.
+  */
+object BenchHarness {
+
+  /** Cluster-job-shaped local session: AQE on, shuffle partitions =
+    * core count (not 200), codegen compile failures THROW (a silent
+    * interpreted fallback would invalidate every number).
+    */
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** noop sink: every output row is fully computed and then discarded.
+    * count() would let Catalyst prune the projection, so map-only
+    * queries would time scan+count instead of their real work.
+    */
+  def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** JIT/codegen warmup on the smallest SF so per-query numbers measure
+    * the plan, not first-call classloading.
+    */
+  def warmup(spark: SparkSession, names: Iterable[String],
+      warmDir: String = "/root/testdata/sf0.001"): Unit =
+    names.foreach { q =>
+      try exec(SparkEntry.queries(q)(spark, warmDir))
+      catch { case _: Throwable => () }
+    }
+
+  /** min of two timed runs: JIT/GC jitter at local scale is larger than
+    * most plan differences; the min is the steady-state cost of the
+    * plan itself. -1.0 marks a failed query.
+    */
+  def minOf2(spark: SparkSession, name: String, dir: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      try exec(SparkEntry.queries(name)(spark, dir))
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val a = once(); val b = once()
+    if (a < 0 || b < 0) -1.0 else math.min(a, b)
+  }
+
+  /** Locale-safe fixed-ish decimal rendering for the JSON contract
+    * lines: Double.toString never uses the JVM default locale, while
+    * an f-interpolator `%.3f` under a comma-decimal locale would emit
+    * invalid JSON.
+    */
+  def num(x: Double): String = (math.rint(x * 1000) / 1000).toString
+}

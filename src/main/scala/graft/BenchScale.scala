@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   *   [100,110)) stays fixed while the indexed corpus grows k×.
   * - nation/region: dimension tables, copied as-is.
   *
-  * q21 runs FIRST: four derived queries (q46/q58/q78/q80) read the
-  * SharedStages pair materialization, so the LSH build cost lands in
-  * q21's number (its honest cost) and the derived queries measure
-  * their own marginal work — same attribution as the driver bench.
+  * Stage attribution: the SharedStages pair+cluster materialization
+  * (which q46/q58/q78/q80 read) is timed EXPLICITLY as its own
+  * `shared_stage_build` row per SF, before any query runs — it is a
+  * one-shot cost that min-of-two would otherwise discard into whatever
+  * query happened to trigger it first. q21 separately measures the
+  * inline LSH pipeline (it never reads the cache), and the derived
+  * queries measure their marginal work over the persisted stage.
   *
   * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_SCALE_K
   * (default 10 → ~sf1), SPARK_GRAFT_SCALE_DIR (default: fresh temp).
@@ -99,41 +102,32 @@ object BenchScale {
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       Files.createTempDirectory("graft-scale-").toString)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.fallback", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchHarness.session()
 
     scaleTables(spark, baseDir, outDir, k)
 
-    def exec(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    // JIT/codegen warmup on the smallest SF (Bench's methodology)
-    Heavy.foreach { q =>
-      try exec(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
-      catch { case _: Throwable => () }
+    BenchHarness.warmup(spark, Heavy)
+
+    // one-shot shared-stage build per SF (pairs parquet + clusters
+    // parquet), timed before any consumer query can trigger it — this
+    // is the cost min-of-two would silently discard
+    def stageBuild(dir: String): Double = {
+      val t0 = System.nanoTime()
+      try graft.queries.SharedStages.clusters(spark, dir).count()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    def minOf2(q: String, dir: String): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try exec(SparkEntry.queries(q)(spark, dir))
-        catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val a = once(); val b = once()
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    val stageRow = {
+      val base = stageBuild(baseDir)
+      val scaled = stageBuild(outDir)
+      val ratio = if (base <= 0 || scaled <= 0) -1.0
+        else scaled / math.max(base, 0.15)
+      ("shared_stage_build", base, scaled, ratio)
     }
 
-    val rows = Heavy.map { q =>
-      val base = minOf2(q, baseDir)
-      val scaled = minOf2(q, outDir)
+    val rows = stageRow +: Heavy.map { q =>
+      val base = BenchHarness.minOf2(spark, q, baseDir)
+      val scaled = BenchHarness.minOf2(spark, q, outDir)
       // floor tiny bases: a 0.08s query is fixed-overhead-dominated and
       // its ratio measures the JVM, not the plan
       val ratio =
@@ -142,8 +136,9 @@ object BenchScale {
       (q, base, scaled, ratio)
     }
     val worst = rows.map(_._4).max
+    import BenchHarness.num
     val qs = rows.map { case (q, b, s, r) =>
-      f""""$q":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
+      s""""$q":{"base":${num(b)},"scaled":${num(s)},"ratio":${num(r)}}"""
     }.mkString("{", ",", "}")
     // linear_ok: every ratio within 2x of proportional growth (the
     // driver-verdict bound for a super-linear flag)

@@ -298,18 +298,8 @@ object EventOps {
   def winsorizedStats(df: DataFrame, keyCol: String, valueCol: String,
       p: Double = 0.95): DataFrame = {
     require(p > 0 && p < 1, "p must be in (0, 1)")
-    val base = df.select(col(keyCol).as("_k"),
-      round(col(valueCol) * lit(1000000d)).cast("long").as("_vm"))
-    val caps = base.groupBy(col("_k"))
-      .agg(floor(expr(s"percentile(_vm, ${p}d)")).cast("long").as("cap_micro"))
-    base.join(broadcast(caps), "_k")
-      .groupBy(col("_k"), col("cap_micro"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("_vm") > col("cap_micro"), 1L).otherwise(0L))
-          .as("n_clipped"),
-        sum(least(col("_vm"), col("cap_micro"))).as("sum_winsorized_micro"))
-      .select(col("_k").as(keyCol), col("n"), col("cap_micro"),
-        col("n_clipped"), col("sum_winsorized_micro"))
+    winsorizedWithCap(df, keyCol, valueCol,
+      floor(expr(s"percentile(_vm, ${p}d)")).cast("long"))
   }
 
   /** [[winsorizedStats]] with the cap from `approx_percentile` (the GK
@@ -324,11 +314,22 @@ object EventOps {
   def winsorizedStatsApprox(df: DataFrame, keyCol: String, valueCol: String,
       p: Double = 0.95, accuracy: Int = 10000): DataFrame = {
     require(p > 0 && p < 1, "p must be in (0, 1)")
+    winsorizedWithCap(df, keyCol, valueCol,
+      floor(expr(s"approx_percentile(_vm, ${p}d, $accuracy)")).cast("long"))
+  }
+
+  /** Shared winsorize body: ONE definition of the micro fixed-point
+    * projection, the broadcast cap join, and the int64 clip/sum — the
+    * exact and approx paths differ only in the cap aggregate, and
+    * q82's envelope check assumes their clip/sum semantics are
+    * identical, which this sharing makes true by construction.
+    * `capAgg` aggregates the `_vm` micro-unit column to the int64 cap.
+    */
+  private def winsorizedWithCap(df: DataFrame, keyCol: String,
+      valueCol: String, capAgg: Column): DataFrame = {
     val base = df.select(col(keyCol).as("_k"),
       round(col(valueCol) * lit(1000000d)).cast("long").as("_vm"))
-    val caps = base.groupBy(col("_k"))
-      .agg(floor(expr(s"approx_percentile(_vm, ${p}d, $accuracy)"))
-        .cast("long").as("cap_micro"))
+    val caps = base.groupBy(col("_k")).agg(capAgg.as("cap_micro"))
     base.join(broadcast(caps), "_k")
       .groupBy(col("_k"), col("cap_micro"))
       .agg(count(lit(1)).as("n"),

@@ -94,13 +94,15 @@ object ConnectedComponents {
               Seq("cand"), "left")
             .select(col("id"), col("lbl"),
               least(col("cand"), coalesce(col("_jl"), col("cand"))).as("nlbl"))
-      // eager localCheckpoint: materializes the round AND truncates the
-      // logical lineage — persist alone short-circuits execution but the
-      // analyzed plan still nests every prior round, which at O(log d)
-      // round counts blows plan compilation (quadratic explain strings,
-      // OOM), the iterative-algorithm trap the scaladoc warns about.
-      // Superseded checkpoint blocks are freed by the ContextCleaner.
-      val updated = next.localCheckpoint()
+      // LAZY localCheckpoint + the convergence count as its action: one
+      // job per round (eager would run a second pass just to store the
+      // blocks). The checkpoint truncates the logical lineage — persist
+      // alone short-circuits execution but the analyzed plan still
+      // nests every prior round, which at O(log d) round counts blows
+      // plan compilation (quadratic explain strings, OOM), the
+      // iterative-algorithm trap the scaladoc warns about. Superseded
+      // checkpoint blocks are freed by the ContextCleaner.
+      val updated = next.localCheckpoint(eager = false)
       changed = updated.filter(col("nlbl") =!= col("lbl")).count()
       labels = updated.select(col("id"), col("nlbl").as("lbl"))
       round += 1

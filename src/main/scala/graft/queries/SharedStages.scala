@@ -28,20 +28,41 @@ import graft.Tables
   * The transitive-cluster stage (q46 = q58's input) is shared the same
   * way, derived from the persisted pairs rather than the raw corpus.
   *
-  * Keyed by (session, SF dir): tests, Verify, and Bench warmup/timed
-  * runs each get their own materialization; a re-used session never
-  * crosses SF boundaries. Thread-safe via computeIfAbsent.
+  * Keyed by (SF dir, stage): the materialized parquet is a pure
+  * function of the input directory and the derivation, so every
+  * session in the JVM shares it (and no session object is ever pinned
+  * in the cache); Bench warmup vs timed runs differ by dir and never
+  * collide. Temp dirs are deleted by a JVM shutdown hook. Thread-safe
+  * via computeIfAbsent; stage dependencies resolve BEFORE entering it.
   */
 object SharedStages {
 
-  private val cache = new ConcurrentHashMap[(SparkSession, String, String), String]
+  // keyed by (SF dir, stage) only: the materialized parquet is a pure
+  // function of the input directory and the stage derivation, so any
+  // session in this JVM can reuse it — and holding SparkSession keys
+  // would pin stopped test sessions in the map for the JVM lifetime
+  private val cache = new ConcurrentHashMap[(String, String), String]
+
+  // every materialized temp dir is deleted on JVM exit (one hook, the
+  // stage parquet is tiny — pairs/clusters, never corpus data)
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    created.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(java.nio.file.Paths.get(d)).iterator().asScala.toSeq
+          .reverse.foreach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }))
 
   private def materialized(s: SparkSession, dir: String, stage: String,
       sortCols: Seq[String])(build: => DataFrame): DataFrame = {
-    val path = cache.computeIfAbsent((s, dir, stage),
-      new JFunction[(SparkSession, String, String), String] {
-        def apply(k: (SparkSession, String, String)): String = {
+    val path = cache.computeIfAbsent((dir, stage),
+      new JFunction[(String, String), String] {
+        def apply(k: (String, String)): String = {
           val tmp = Files.createTempDirectory(s"graft-$stage-").toString
+          created.add(tmp)
           graft.jobs.Sinks.layout(build, tmp, partitionCols = Nil,
             sortCols = sortCols, numFiles = 1)
           tmp

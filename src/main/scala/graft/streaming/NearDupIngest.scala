@@ -37,6 +37,13 @@ object NearDupIngest {
   /** Build the index from a static corpus frame — same shingle/minhash
     * /band derivation as every batch pair generator (shared
     * DedupOps front end), so stream and corpus band identically.
+    *
+    * Both frames are PERSISTED here: the static side of a stream-static
+    * join is re-evaluated every micro-batch, so an unpersisted index
+    * would re-run the full corpus shingle→minhash→bucket derivation per
+    * batch — O(corpus) per batch instead of the O(delta) this operator
+    * promises. The first batch materializes the cache; callers retiring
+    * an index (corpus rebuild) should unpersist both frames.
     */
   def index(corpus: DataFrame, idCol: String, textCol: String,
       maxBucket: Int = DedupOps.DefaultMaxBucket): CorpusIndex = {
@@ -44,8 +51,8 @@ object NearDupIngest {
     val buckets = DedupOps.bandBuckets(
       DedupOps.withBandKeys(hashed).select(col(idCol), col("band"), col("bkey")),
       idCol, maxBucket)
-    CorpusIndex(buckets,
-      hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")))
+    CorpusIndex(buckets.persist(),
+      hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")).persist())
   }
 
   /** newDocs: a STREAMING frame with (idCol, textCol, tsCol). Emits

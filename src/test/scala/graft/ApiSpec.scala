@@ -344,6 +344,27 @@ class ApiSpec extends SparkSpec {
       15000000L + 5L * 5500000L)
   }
 
+  test("EventOps.winsorizedStatsApprox: approx cap within rank bound, identical clip semantics") {
+    // same data as the exact test; at n=10 with accuracy=10000 the GK
+    // sketch is exact-rank, returning an ELEMENT (5e6 — no
+    // interpolation, unlike percentile's 5.5e6)
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "i", "amt")
+    val r = EventOps.winsorizedStatsApprox(df, "grp", "amt", p = 0.5)
+      .collect().head
+    val cap = r.getAs[Long]("cap_micro")
+    assert(cap == 5000000L, s"GK median of 1..9,1000 should be 5e6, got $cap")
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_clipped") == 5L)
+    assert(r.getAs[Long]("sum_winsorized_micro") ==
+      15000000L + 5L * 5000000L)
+    // foreign/hostile column names flow through the internal renames
+    val hostileR = EventOps.winsorizedStatsApprox(
+      df.select(col("grp").as("select"), col("amt").as("the amount")),
+      "select", "the amount", p = 0.5).collect().head
+    assert(hostileR.getAs[Long]("cap_micro") == cap)
+  }
+
   test("EventOps.robustOutliers: integer MAD arithmetic, k*MAD cut") {
     val vals = Seq.fill(9)(1.0) :+ 100.0
     val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
@@ -478,16 +499,9 @@ class ApiSpec extends SparkSpec {
     // semi-join path — and total shuffle work stays O(postings) even
     // when 50% of docs share a gram, because q70 has no pair stage to
     // explode (a hot gram multiplies nothing, unlike an uncapped q29)
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
-    def flat(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        q +: flat(q.plan)
-      case other => Seq(other)
-    }.flatten
+    val flat = SparkSpec.collectAll _
     // 100 docs share one boilerplate sentence (its 2 interior trigrams
     // hit df=100 >= 5 -> common); 100 docs are all-unique
     val docs = ((0 until 100).map(i =>

@@ -22,17 +22,10 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    // flatten through AQE boundaries — executedPlan hides subtrees
-    // behind AdaptiveSparkPlanExec until execution, and behind LEAF
-    // QueryStageExec wrappers (Result/Shuffle/Broadcast) after it
-    p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        q +: collectAll(q.plan)
-      case other => Seq(other)
-    }.flatten
-  }
+  // AQE-boundary flattening is shared suite infrastructure — one
+  // definition in SparkSpec.collectAll
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    SparkSpec.collectAll(p)
 
   test("q02: behavior filter is pushed to the parquet scan") {
     val s = planString("q02_hot_items_topn")

@@ -254,9 +254,12 @@ class RecoverySpec extends SparkSpec {
     } finally q2.stop()
 
     import scala.jdk.CollectionConverters._
-    assert(collected.asScala.toSet ==
-      Set((1L, 10L, 1000L), (2L, 10L, 1000L)),
-      s"ingest dedup state lost across restart: ${collected.asScala.toSet}")
+    // MULTISET compare (sorted seq, not toSet): a lost-state re-emission
+    // of doc 1's pair is a DUPLICATE element — a set compare would
+    // collapse it and pass the exact regression this test exists for
+    assert(collected.asScala.toSeq.sorted ==
+      Seq((1L, 10L, 1000L), (2L, 10L, 1000L)),
+      s"ingest dedup state lost across restart: ${collected.asScala.toSeq.sorted}")
   }
 
   test("near-dup ingest pair-dedup state survives a checkpointed restart") {

@@ -10,6 +10,23 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+
+  /** Flattens a physical plan through AQE boundaries — executedPlan
+    * hides subtrees behind AdaptiveSparkPlanExec until execution, and
+    * behind LEAF QueryStageExec wrappers (Result/Shuffle/Broadcast)
+    * after it. The ONE definition of this traversal for every suite
+    * that inspects plan nodes (PlanSpec, ApiSpec).
+    */
+  def collectAll(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: collectAll(q.plan)
+      case other => Seq(other)
+    }.flatten
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
