@@ -38,6 +38,29 @@ object SampleOps {
     df.orderBy(TextHashing.hash60(col(idCol).cast("string")).asc,
       col(idCol).asc).limit(k)
 
+  /** Per-key cap: keep at most `cap` rows per key, selected by the
+    * deterministic id-hash priority ([[prioritySample]]'s order applied
+    * WITHIN each key) — the domain-balancing pass of a crawl pipeline
+    * ("no single domain/source contributes more than N documents"),
+    * run after dedup and before mixing. Reproducible across engines
+    * and incrementally stable (a new crawl can only swap members at
+    * the hash boundary), never rand(). One window PARTITIONED by the
+    * key (never global — the PlanSpec contract); Spark's rank-limit
+    * pushdown (WindowGroupLimit) prunes every partition to its local
+    * top-cap before the exchange, so the shuffle carries
+    * O(keys × cap), not the corpus.
+    */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"capPerKey: cap must be positive, got $cap")
+    df.withColumn("_h", TextHashing.hash60(col(idCol).cast("string")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("_h").asc, col(idCol).asc)))
+      .filter(col("_rn") <= cap)
+      .drop("_h", "_rn")
+  }
+
   /** Weighted deterministic k-sample: top-k by hash60(id) div weight
     * ascending — a row with weight w is selected roughly w× as often
     * as a weight-1 row (the integer-arithmetic analogue of

@@ -94,18 +94,7 @@ object VectorOps {
       s"nearDupPairs: ${planes.size} planes not divisible into bands of $rowsPerBand")
     graft.functions.SketchAggregates.register(df.sparkSession)
     val base = normalized(df, idCol, vecCol)
-    val signBits = planes.zipWithIndex.map { case (p, j) =>
-      val arr = p.map(x => s"${x}D").mkString("array(", ", ", ")")
-      when(expr(s"dot_f(v, $arr)") > 0, lit(1 << (j % rowsPerBand)))
-        .otherwise(lit(0))
-    }
-    val bandKeys = signBits.grouped(rowsPerBand).map(_.reduce(_ + _)).toSeq
-    // only (id, band, key) reaches the bucket shuffle — the vectors
-    // stay behind and rejoin for surviving candidates
-    val bands = base
-      .select(col(idCol), posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
+    val bands = signBands(base, idCol, planes, rowsPerBand)
     val cand = DedupOps.cappedCandidatePairs(bands,
       Seq(col("band"), col("bkey")), idCol, maxBucket, "vec_a", "vec_b")
     cand
@@ -115,6 +104,64 @@ object VectorOps {
         col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         floor(expr("dot_f(va, vb)") / (col("na") * col("nb")) * 1000)
+          .cast("long").as("sim_x1000"))
+      .filter(col("sim_x1000") >= simX1000Threshold)
+  }
+
+  /** Banded sign-signature rows: (idCol, band, bkey) — the ONE
+    * definition of the hyperplane banding, shared by the self-join
+    * ([[nearDupPairs]]) and incremental ([[nearDupPairsAgainst]])
+    * paths so delta and corpus band identically (the vector analog of
+    * DedupOps.shingleHashed/withBandKeys). Only (id, band, key)
+    * reaches any downstream shuffle — vectors stay behind and rejoin
+    * for surviving candidates.
+    */
+  private def signBands(base: DataFrame, idCol: String,
+      planes: Seq[Seq[Double]], rowsPerBand: Int): DataFrame = {
+    val signBits = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(x => s"${x}D").mkString("array(", ", ", ")")
+      when(expr(s"dot_f(v, $arr)") > 0, lit(1 << (j % rowsPerBand)))
+        .otherwise(lit(0))
+    }
+    val bandKeys = signBits.grouped(rowsPerBand).map(_.reduce(_ + _)).toSeq
+    base
+      .select(col(idCol), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+  }
+
+  /** Incremental embedding dedup: near-dup pairs between a NEW batch
+    * and the EXISTING corpus — the vector-space twin of
+    * [[DedupOps.minhashPairsAgainst]] (q59's shape, for embedding
+    * columns). Corpus band buckets aggregate to capped id-lists (an
+    * over-hot signature blocks nothing — the q21 skew contract), the
+    * new batch's band keys probe them, and exact cosine verifies
+    * candidates only. The corpus is never re-paired against itself; at
+    * 100TB the bucket index is materialized once and re-probed per
+    * ingest batch. Output: vec_new, vec_old, sim_x1000.
+    */
+  def nearDupPairsAgainst(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, vecCol: String, planes: Seq[Seq[Double]],
+      simX1000Threshold: Int, rowsPerBand: Int = 4,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): DataFrame = {
+    require(planes.nonEmpty && planes.size % rowsPerBand == 0,
+      s"nearDupPairsAgainst: ${planes.size} planes not divisible into bands of $rowsPerBand")
+    graft.functions.SketchAggregates.register(newDf.sparkSession)
+    val bNew = normalized(newDf, idCol, vecCol)
+    val bOld = normalized(corpusDf, idCol, vecCol)
+    val buckets = DedupOps.bandBuckets(
+      signBands(bOld, idCol, planes, rowsPerBand), idCol, maxBucket)
+    val cand = signBands(bNew, idCol, planes, rowsPerBand)
+      .join(buckets, Seq("band", "bkey"))
+      .select(col(idCol).as("vec_new"), explode(col("__cs")).as("vec_old"))
+      .dropDuplicates("vec_new", "vec_old")
+    cand
+      .join(bNew.select(col(idCol).as("vec_new"), col("v").as("vn"),
+        col("nrm").as("nn")), Seq("vec_new"))
+      .join(bOld.select(col(idCol).as("vec_old"), col("v").as("vo"),
+        col("nrm").as("no")), Seq("vec_old"))
+      .select(col("vec_new"), col("vec_old"),
+        floor(expr("dot_f(vn, vo)") / (col("nn") * col("no")) * 1000)
           .cast("long").as("sim_x1000"))
       .filter(col("sim_x1000") >= simX1000Threshold)
   }

@@ -285,6 +285,58 @@ FROM v WHERE floor(sim * 1000) >= 400"""),
           simX1000Threshold = 400)),
 
     QueryDef(
+      "q83_embedding_incremental_dedup",
+      "Incremental EMBEDDING dedup (VectorOps.nearDupPairsAgainst): " +
+        "q59's daily-ingestion shape in vector space - a 20% NEW batch " +
+        "(vec_id % 5 = 0) probes the 80% corpus's banded sign-signature " +
+        "LSH bucket index; the corpus is never re-paired against " +
+        "itself. Corpus buckets carry capped id-lists (q21's skew " +
+        "contract), the probe side is only the delta, and exact cosine " +
+        "verifies candidates only. Same hyperplane generator as q39/" +
+        "q53, so batch self-join and incremental paths band " +
+        "identically.",
+      Some(s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT vec_id,
+${(0 until LshPlanes).map(j =>
+  s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
+  .mkString(",\n")}
+      FROM n),
+bands AS (
+${(0 until LshPlanes / 4).map(b =>
+  s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
+  .mkString("\n  UNION ALL\n")}),
+corpb AS (SELECT * FROM bands WHERE vec_id % 5 <> 0),
+newb AS (SELECT * FROM bands WHERE vec_id % 5 = 0),
+ok AS (
+  SELECT band, bkey FROM corpb
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT nw.vec_id AS vec_new, c.vec_id AS vec_old
+  FROM newb nw
+  JOIN ok o ON nw.band = o.band AND nw.bkey = o.bkey
+  JOIN corpb c ON c.band = o.band AND c.bkey = o.bkey),
+v AS (
+  SELECT vec_new, vec_old,
+         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
+  FROM cand
+  JOIN n na ON na.vec_id = vec_new
+  JOIN n nb ON nb.vec_id = vec_old)
+SELECT vec_new, vec_old, floor(sim * 1000)::BIGINT AS sim_x1000
+FROM v WHERE floor(sim * 1000) >= 400"""),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.api.VectorOps.nearDupPairsAgainst(
+          emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding",
+          planes = (0 until LshPlanes).map(plane),
+          simX1000Threshold = 400)
+      }),
+
+    QueryDef(
       "q24_ann_ivf",
       "IVF-style ANN (the 100TB path): vectors are assigned to their " +
         "nearest of 8 fixed centroids (vec_id < 8); queries " +

@@ -397,6 +397,28 @@ LIMIT 100"""),
       (s, dir) =>
         graft.api.SampleOps.prioritySample(
           Tables.documents(s, dir).select(col("doc_id"), col("source")),
-          "doc_id", 100))
+          "doc_id", 100)),
+
+    QueryDef(
+      "q84_per_source_cap",
+      "Per-source document cap (SampleOps.capPerKey): keep at most 10 " +
+        "docs per source, selected by the deterministic id-hash " +
+        "priority within each source - the domain-balancing pass of a " +
+        "crawl pipeline (no single domain dominates the mix), run " +
+        "after dedup and before q60's mixture weighting. Reproducible " +
+        "and incrementally stable, never rand(). ONE window " +
+        "PARTITIONED by source; WindowGroupLimit prunes each task to " +
+        "its local top-10 before the exchange, so the shuffle carries " +
+        "O(sources x cap), not the corpus.",
+      Some(s"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")}, doc_id) AS rn
+  FROM documents) WHERE rn <= 10"""),
+      (s, dir) =>
+        graft.api.SampleOps.capPerKey(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source", cap = 10))
   )
 }

@@ -547,6 +547,47 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("SampleOps.capPerKey: per-key bound, determinism, hostile names") {
+    val rows = (0L until 100L).map(i => (i, s"src${i % 4}"))
+      .toDF("row_key", "origin")
+    val kept = SampleOps.capPerKey(rows, "row_key", "origin", cap = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.length == 28)
+    kept.groupBy(_._2).foreach { case (_, g) => assert(g.length == 7) }
+    // pure function of (id, key): identical on re-run
+    val again = SampleOps.capPerKey(rows, "row_key", "origin", cap = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+    // a cap above the group size keeps everything
+    assert(SampleOps.capPerKey(rows, "row_key", "origin", 50).count() == 100)
+    // hostile column names flow through internal renames
+    val hostile = SampleOps.capPerKey(
+      rows.select(col("row_key").as("select"), col("origin").as("the source")),
+      "select", "the source", cap = 7).count()
+    assert(hostile == 28)
+  }
+
+  test("VectorOps.nearDupPairsAgainst: delta-vs-corpus pairs match the self-join restricted") {
+    // 3 identical vectors (two in the corpus, one new) + orthogonal
+    // noise: the new vector must pair with BOTH corpus copies, and the
+    // corpus copies must NOT pair with each other (never self-paired)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), // corpus copy a
+      (2L, Array(1f, 0f, 0f, 0f)), // corpus copy b
+      (5L, Array(1f, 0f, 0f, 0f)), // NEW copy
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f))).toDF("vid", "emb")
+    val planes = (0 until 8).map { j =>
+      (0 until 4).map(d =>
+        (((j * 4 + d).toLong * 2654435761L) % 1003L) / 1003.0 * 2.0 - 1.0)
+    }
+    val got = VectorOps.nearDupPairsAgainst(
+        vecs.filter(col("vid") === 5L), vecs.filter(col("vid") =!= 5L),
+        "vid", "emb", planes, simX1000Threshold = 900, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 1L, 1000L), (5L, 2L, 1000L)), s"got $got")
+  }
+
   test("SampleOps.weightedPrioritySample: weight steers selection, still deterministic") {
     val rows = (0L until 200L).map(i => (i, if (i < 100) 1L else 50L))
       .toDF("k", "w")

@@ -99,6 +99,34 @@ class DedupSpec extends SparkSpec {
     assert((100 to 150).forall(i => lbl2(i.toLong) == 100L))
   }
 
+  test("connected components == union-find on seeded random graphs (shortcut engaged)") {
+    import spark.implicits._
+    // sparse random graphs have long chains (diameter > ShortcutAfter),
+    // so the pointer-doubling path runs; the brute-force union-find is
+    // the ground truth for arbitrary topologies — hubs, chains, cycles
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 3).foreach { trial =>
+      val n = 120
+      val edges = Seq.fill(110)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = verts.map(v => v -> find(v)).toMap
+      val got = graft.operators.ConnectedComponents
+        .minLabel(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: components diverge from union-find")
+    }
+  }
+
   test("dedup pipeline: one persisted pair list feeds clusters + keepers unchanged") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

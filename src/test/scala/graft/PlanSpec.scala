@@ -202,6 +202,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q84: rank-limit pushdown prunes per-source groups before the exchange") {
+    // the scale property capPerKey's doc claims: WindowGroupLimit keeps
+    // each task's local top-cap per key, so the window exchange carries
+    // O(sources x cap) — without the pushdown it would carry the corpus
+    val nodes = collectAll(plan("q84_per_source_cap"))
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      s"no WindowGroupLimit in:\n${planString("q84_per_source_cap")}")
+  }
+
   test("no catalog query exceeds 6 shuffles at sf0.001") {
     SparkEntry.catalog.foreach { q =>
       val shuffles = collectAll(
