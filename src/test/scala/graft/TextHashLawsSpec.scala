@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashExpressions
+import graft.functions.TextHashing._
+
+/** Native-expression ⇔ declarative-spelling equivalence laws for the
+  * text-hash layer: the codegen'd one-pass kernels (`shingle_hashes`,
+  * `minhash16`, `simhash60`) must agree with the built-in HOF spellings
+  * they replaced on ARBITRARY inputs — the oracle SQL is the DuckDB
+  * transcription of those spellings, so these laws are what keeps the
+  * fast path hash-oracle-exact. Random docs cover the shapes the corpus
+  * doesn't: empty docs, <n tokens, heavy token repetition, unicode.
+  */
+class TextHashLawsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // small vocabulary forces shingle collisions and repeated tokens;
+  // unicode + punctuation exercise the byte-level md5 path
+  private val vocab = Vector("a", "b", "c", "dog", "cat", "the", "x1",
+    "yy", "zzz", "Ümläut", "-", "7")
+
+  private def randomDocs(n: Int): Seq[(Long, Seq[String])] = {
+    val rnd = new scala.util.Random(20260813L)
+    (0 until n).map { i =>
+      val len = rnd.nextInt(12) // includes 0-, 1-, 2-token edge docs
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))))
+    }
+  }
+
+  private lazy val docs = {
+    TextHashExpressions.register(spark)
+    randomDocs(400).toDF("id", "toks")
+  }
+
+  test("shingle_hashes == array_distinct(transform(shingles3, hash60 % P))") {
+    val decl = when(size(col("toks")) >= 3,
+      array_distinct(transform(shingles3(col("toks")),
+        s => pmod(hash60(s), lit(P)))))
+      .otherwise(array().cast("array<long>"))
+    val bad = docs
+      .withColumn("native", expr(s"shingle_hashes(toks, 3, $P)"))
+      .withColumn("decl", decl)
+      .filter(to_json(struct(col("native").as("v"))) =!= to_json(struct(col("decl").as("v"))))
+    assert(bad.count() == 0,
+      s"diverging rows: ${bad.select("id", "toks").collect().take(3).toSeq}")
+  }
+
+  test("minhash16 == 16 array_min(transform) permutations (incl. empty -> 16 nulls)") {
+    val hs = expr(s"shingle_hashes(toks, 3, $P)")
+    val decl = array((0 until NumPerms).map { j =>
+      array_min(transform(col("hs"), h => (h * lit(A(j)) + lit(B(j))) % lit(P)))
+    }: _*)
+    val bad = docs
+      .withColumn("hs", hs)
+      .withColumn("native", minhash(col("hs")))
+      .withColumn("decl", decl)
+      .filter(to_json(struct(col("native").as("v"))) =!= to_json(struct(col("decl").as("v"))))
+    assert(bad.count() == 0,
+      s"diverging rows: ${bad.select("id", "toks").collect().take(3).toSeq}")
+  }
+
+  test("simhash60 == declarative majority vote over distinct-token hash bits") {
+    val bits = (0 until 60).map { b =>
+      when(lit(2) * size(filter(col("hs"),
+          h => h.bitwiseAND(lit(Pow2(b))) > 0)) > size(col("hs")),
+        lit(Pow2(b))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bad = docs
+      .withColumn("hs", transform(array_distinct(col("toks")), t => hash60(t)))
+      .withColumn("native", call_function("simhash60", col("toks")))
+      .withColumn("decl", bits)
+      .filter(col("native") =!= col("decl"))
+    assert(bad.count() == 0,
+      s"diverging rows: ${bad.select("id", "toks", "native", "decl")
+        .collect().take(3).toSeq}")
+  }
+}
