@@ -53,12 +53,19 @@ object SampleOps {
   def capPerKey(df: DataFrame, idCol: String, keyCol: String,
       cap: Int): DataFrame = {
     require(cap > 0, s"capPerKey: cap must be positive, got $cap")
-    df.withColumn("_h", TextHashing.hash60(col(idCol).cast("string")))
-      .withColumn("_rn", row_number().over(
+    // the hash priority is inlined into the window order (no temp
+    // column to clobber); the one working column is the rank, and a
+    // caller column with that name would be silently overwritten and
+    // dropped — fail fast instead (the simhashPairs reserved-name
+    // contract)
+    require(!df.columns.contains("_rn"),
+      "capPerKey: input already has a '_rn' column — rename it first")
+    df.withColumn("_rn", row_number().over(
         Window.partitionBy(col(keyCol))
-          .orderBy(col("_h").asc, col(idCol).asc)))
+          .orderBy(TextHashing.hash60(col(idCol).cast("string")).asc,
+            col(idCol).asc)))
       .filter(col("_rn") <= cap)
-      .drop("_h", "_rn")
+      .drop("_rn")
   }
 
   /** Weighted deterministic k-sample: top-k by hash60(id) div weight

@@ -38,6 +38,24 @@ object DedupQueries {
          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shs
 FROM documents WHERE len(string_split(text,' ')) >= 3"""
 
+  /** Shared oracle prefix for the hyperplane-LSH embedding queries
+    * (q53 self-join, q83 incremental): normalized vectors, per-plane
+    * sign bits, banded keys — ONE generator (the q21OracleSql pattern)
+    * so both oracles band identically; a banding change that reached
+    * one but not the other would drift silently otherwise.
+    */
+  private lazy val lshBandsCte: String = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT vec_id,
+${(0 until LshPlanes).map(j =>
+    s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
+    .mkString(",\n")}
+      FROM n),
+bands AS (
+${(0 until LshPlanes / 4).map(b =>
+    s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
+    .mkString("\n  UNION ALL\n")})"""
+
   /** q21's full oracle SQL — shared by q37 (materialization) and q46
     * (transitive clustering), which build on the same pair list.
     */
@@ -249,17 +267,7 @@ QUALIFY rn <= 20"""),
         "contract), exact cosine on candidates only. The pair frame " +
         "feeds the same clusters/keeper consumers as MinHash pairs.",
       Some(s"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-s AS (SELECT vec_id,
-${(0 until LshPlanes).map(j =>
-  s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
-  .mkString(",\n")}
-      FROM n),
-bands AS (
-${(0 until LshPlanes / 4).map(b =>
-  s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
-  .mkString("\n  UNION ALL\n")}),
+WITH $lshBandsCte,
 ok AS (
   SELECT band, bkey FROM bands
   GROUP BY band, bkey
@@ -296,17 +304,7 @@ FROM v WHERE floor(sim * 1000) >= 400"""),
         "q53, so batch self-join and incremental paths band " +
         "identically.",
       Some(s"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-s AS (SELECT vec_id,
-${(0 until LshPlanes).map(j =>
-  s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
-  .mkString(",\n")}
-      FROM n),
-bands AS (
-${(0 until LshPlanes / 4).map(b =>
-  s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
-  .mkString("\n  UNION ALL\n")}),
+WITH $lshBandsCte,
 corpb AS (SELECT * FROM bands WHERE vec_id % 5 <> 0),
 newb AS (SELECT * FROM bands WHERE vec_id % 5 = 0),
 ok AS (
