@@ -77,6 +77,49 @@ object Sources {
       schema: StructType, tsCol: String): DataFrame =
     csvLines(kafkaLines(spark, servers, topic), schema, tsCol)
 
+  /** JSONL source — the read side of [[Sinks.jsonl]]'s training-data
+    * interchange (one JSON object per line). Schema is EXPLICIT: at
+    * 100TB an inference pass is a second full scan, and a drifting
+    * inferred type (long → double on one bad row) silently corrupts
+    * downstream arithmetic. Malformed lines → null row fields
+    * (PERMISSIVE), never a crash.
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL streaming twin: directory stream, same explicit schema. */
+  def jsonlStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+
+  /** WARC-style crawl-record source: the raw-crawl front door of a
+    * training-data pipeline. Files are split into records at I/O time
+    * by the multi-byte `lineSep` record marker ("WARC/1.0") — the text
+    * source's Hadoop delimited reader keeps uncompressed files
+    * SPLITTABLE, so a 100TB crawl shards across executors without any
+    * whole-file parsing. Header fields (target URI, record type,
+    * declared content length) extract declaratively per record; the
+    * payload is everything after the first blank line. Map-only,
+    * codegen'd, zero shuffles.
+    *
+    * Output: url, warc_type, content_length, payload.
+    */
+  def warc(spark: SparkSession, path: String): DataFrame = {
+    val rec = spark.read.option("lineSep", "WARC/1.0").text(path)
+      .filter(length(trim(col("value"))) > 0)
+    val blank = instr(col("value"), "\r\n\r\n")
+    rec.select(
+      regexp_extract(col("value"), "(?m)^WARC-Target-URI:\\s*(\\S+)", 1)
+        .as("url"),
+      regexp_extract(col("value"), "(?m)^WARC-Type:\\s*(\\S+)", 1)
+        .as("warc_type"),
+      regexp_extract(col("value"), "(?m)^Content-Length:\\s*(\\d+)", 1)
+        .cast("long").as("content_length"),
+      when(blank > 0,
+        regexp_replace(col("value").substr(blank + lit(4), length(col("value"))),
+          "(\\r\\n)+$", ""))
+        .otherwise(lit("")).as("payload"))
+  }
+
   /** S3: seeded deterministic replacement for the reference's wall-clock
     * random generator (AppMarketingByChannel.scala:44-74): `rate` rows
     * are projected through pure hash expressions — reproducible, and

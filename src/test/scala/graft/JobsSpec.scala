@@ -264,6 +264,61 @@ tx9,alipay,1558430850""")
     assert(want.nonEmpty)
   }
 
+  test("jsonl source round-trips the jsonl sink with an explicit schema") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/x"
+    val df = spark.range(20).selectExpr("id AS doc_id",
+      "concat('text ', id) AS body", "cast(id * 1.5 AS double) AS score")
+    graft.jobs.Sinks.jsonl(df, dir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("body", StringType), StructField("score", DoubleType)))
+    val back = Sources.jsonl(spark, dir, schema)
+    assert(back.schema == schema) // explicit, not inferred
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq ==
+      (0L until 20L).map(i => (i, s"text $i", i * 1.5)))
+    // malformed line -> PERMISSIVE null fields, never a crash
+    val badDir = java.nio.file.Files.createTempDirectory("graft_badjsonl")
+    java.nio.file.Files.writeString(badDir.resolve("a.json"),
+      "{\"doc_id\": 1, \"body\": \"ok\", \"score\": 2.0}\nnot json at all\n")
+    val lenient = Sources.jsonl(spark, badDir.toString, schema).collect()
+    assert(lenient.length == 2)
+    assert(lenient.count(_.isNullAt(0)) == 1)
+  }
+
+  test("warc source: record split on the marker, headers + payload extracted") {
+    val crlf = "\r\n"
+    def record(tpe: String, uri: String, body: String): String =
+      s"WARC/1.0${crlf}WARC-Type: $tpe${crlf}WARC-Target-URI: $uri$crlf" +
+        s"Content-Length: ${body.length}$crlf$crlf$body$crlf$crlf"
+    val warcText =
+      record("response", "http://example.com/a", "<html>page A</html>") +
+        record("request", "http://example.com/a", "GET /a HTTP/1.1") +
+        record("response", "http://example.org/b", "payload B\r\nline two")
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    java.nio.file.Files.writeString(dir.resolve("crawl.warc"), warcText)
+    val got = Sources.warc(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 3)
+    val byUrl = got.groupBy(r => (r._1, r._2)).view.mapValues(_.head).toMap
+    val a = byUrl(("http://example.com/a", "response"))
+    assert(a._3 == 19L && a._4 == "<html>page A</html>")
+    val req = byUrl(("http://example.com/a", "request"))
+    assert(req._4 == "GET /a HTTP/1.1")
+    val b = byUrl(("http://example.org/b", "response"))
+    // interior CRLF survives; only the record-trailing CRLFs strip
+    assert(b._4 == "payload B\r\nline two")
+    // the response payloads flow straight into the text pipeline ops
+    import spark.implicits._
+    val stats = graft.api.TextOps.tokenStats(
+      Sources.warc(spark, dir.toString)
+        .filter(org.apache.spark.sql.functions.col("warc_type") === "response")
+        .selectExpr("url AS k", "payload AS txt"),
+      "k", "txt").collect()
+    assert(stats.length == 2)
+  }
+
   test("streaming twin: SequenceMatch over the login fixture == batch warnings") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{SequenceMatch, StreamEvent}
