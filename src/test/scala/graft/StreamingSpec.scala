@@ -378,6 +378,57 @@ class StreamingSpec extends SparkSpec {
     assertNearDupIngestParity("neardup_stream")
   }
 
+  test("file-based ingest loop: jsonl directory stream -> near-dup probe == batch q59") {
+    // the production wiring end-to-end: new docs arrive as JSONL files
+    // in a drop directory (Sources.jsonlStream, the crawler's handoff
+    // format), stream through the corpus LSH probe, and must emit
+    // exactly the batch q59 pair set — same check as the MemoryStream
+    // parity test but through the real file source and schema path
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sf)
+    val idx = NearDupIngest.index(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_drop")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("at", TimestampType)))
+    // each arrival batch exports through the jsonl SINK (hand-written
+    // JSON risks escaping bugs; this also round-trips our own format)
+    val batches = newDocs.zipWithIndex
+      .map { case ((id, t), i) => (id, t,
+        new java.sql.Timestamp(1558430000000L + i * 1000L)) }
+      .grouped(math.max(1, (newDocs.length + 1) / 2)).toSeq
+    val out = NearDupIngest.pairs(
+      graft.jobs.Sources.jsonlStream(spark, dropDir.toString, schema)
+        .select(col("doc_id"), col("text"), col("at").as("ts")),
+      "doc_id", "text", "ts", "1 hour", idx)
+    val q = out.writeStream.format("memory").queryName("neardup_files")
+      .outputMode("append").start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        graft.jobs.Sinks.jsonl(
+          b.toSeq.toDF("doc_id", "text", "at"), s"$dropDir/batch$i")
+        // the file source watches the top directory; move the part
+        // files up so the new batch is discovered
+        val src = new java.io.File(s"$dropDir/batch$i")
+        src.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            dropDir.resolve(s"b$i-${f.getName}"))
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("neardup_files").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("q59_incremental_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream=${got.size} batch=${want.size}")
+  }
+
   test("near-dup ingest parity holds under the RocksDB state store") {
     StateStoreVariants.withRocksDB(spark) {
       assertNearDupIngestParity("neardup_stream_rocks")
