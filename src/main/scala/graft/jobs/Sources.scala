@@ -93,31 +93,49 @@ object Sources {
 
   /** WARC-style crawl-record source: the raw-crawl front door of a
     * training-data pipeline. Files are split into records at I/O time
-    * by the multi-byte `lineSep` record marker ("WARC/1.0") — the text
-    * source's Hadoop delimited reader keeps uncompressed files
-    * SPLITTABLE, so a 100TB crawl shards across executors without any
-    * whole-file parsing. Header fields (target URI, record type,
-    * declared content length) extract declaratively per record; the
-    * payload is everything after the first blank line. Map-only,
-    * codegen'd, zero shuffles.
+    * by the multi-byte record-BOUNDARY separator "\r\nWARC/1.0\r\n" —
+    * anchored on the full boundary byte sequence, so a payload merely
+    * CONTAINING the string "WARC/1.0" (a page about the WARC format)
+    * cannot split a record — and the text source's Hadoop delimited
+    * reader keeps uncompressed files SPLITTABLE, so a 100TB crawl
+    * shards across executors without any whole-file parsing.
+    *
+    * Header fields (target URI, record type, declared content length)
+    * extract from the HEADER BLOCK ONLY (before the first blank line)
+    * — matching against the whole record would let an HTTP
+    * `Content-Length:` inside the payload masquerade as the WARC
+    * header on malformed records. The payload is the declared
+    * Content-Length prefix of the post-blank-line text (exact —
+    * payload-owned trailing newlines survive); records without a
+    * parseable length fall back to stripping the record-separator
+    * CRLFs. Character-indexed, so byte-exact for single-byte
+    * encodings; a multi-byte-payload crawl needs a byte-level reader.
+    * Map-only, codegen'd + regex, zero shuffles.
     *
     * Output: url, warc_type, content_length, payload.
     */
   def warc(spark: SparkSession, path: String): DataFrame = {
-    val rec = spark.read.option("lineSep", "WARC/1.0").text(path)
+    val rec = spark.read.option("lineSep", "\r\nWARC/1.0\r\n").text(path)
       .filter(length(trim(col("value"))) > 0)
-    val blank = instr(col("value"), "\r\n\r\n")
+      // the file-leading record keeps its version line (no preceding
+      // boundary to consume it) — strip it so every chunk is
+      // headers + blank line + payload
+      .select(regexp_replace(col("value"), "^WARC/1\\.0\\r\\n", "").as("v"))
+    val blank = instr(col("v"), "\r\n\r\n")
+    val hdr = when(blank > 0, col("v").substr(lit(1), blank - 1))
+      .otherwise(col("v"))
+    val after = when(blank > 0,
+      col("v").substr(blank + lit(4), length(col("v")))).otherwise(lit(""))
+    val len = when(
+      regexp_extract(hdr, "(?m)^Content-Length:\\s*(\\d+)", 1) =!= "",
+      regexp_extract(hdr, "(?m)^Content-Length:\\s*(\\d+)", 1).cast("long"))
     rec.select(
-      regexp_extract(col("value"), "(?m)^WARC-Target-URI:\\s*(\\S+)", 1)
-        .as("url"),
-      regexp_extract(col("value"), "(?m)^WARC-Type:\\s*(\\S+)", 1)
-        .as("warc_type"),
-      regexp_extract(col("value"), "(?m)^Content-Length:\\s*(\\d+)", 1)
-        .cast("long").as("content_length"),
-      when(blank > 0,
-        regexp_replace(col("value").substr(blank + lit(4), length(col("value"))),
-          "(\\r\\n)+$", ""))
-        .otherwise(lit("")).as("payload"))
+      regexp_extract(hdr, "(?m)^WARC-Target-URI:\\s*(\\S+)", 1).as("url"),
+      regexp_extract(hdr, "(?m)^WARC-Type:\\s*(\\S+)", 1).as("warc_type"),
+      len.as("content_length"),
+      when(len.isNotNull, after.substr(lit(1), len.cast("int")))
+        .otherwise(regexp_replace(after, "(\\r\\n){1,2}$", ""))
+        .as("payload"))
   }
 
   /** S3: seeded deterministic replacement for the reference's wall-clock

@@ -47,12 +47,16 @@ object NearDupIngest {
     */
   def index(corpus: DataFrame, idCol: String, textCol: String,
       maxBucket: Int = DedupOps.DefaultMaxBucket): CorpusIndex = {
-    val hashed = DedupOps.shingleHashed(corpus, idCol, textCol)
+    // the shared base is persisted FIRST so both derivations (bucket
+    // aggregation and verify projection) read ONE cached corpus
+    // tokenize+shingle pass — two independent persists would each
+    // materialize their own full-corpus scan
+    val hashed = DedupOps.shingleHashed(corpus, idCol, textCol).persist()
     val buckets = DedupOps.bandBuckets(
       DedupOps.withBandKeys(hashed).select(col(idCol), col("band"), col("bkey")),
       idCol, maxBucket)
     CorpusIndex(buckets.persist(),
-      hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")).persist())
+      hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")))
   }
 
   /** newDocs: a STREAMING frame with (idCol, textCol, tsCol). Emits
@@ -69,6 +73,15 @@ object NearDupIngest {
   def pairs(newDocs: DataFrame, idCol: String, textCol: String,
       tsCol: String, delay: String, corpus: CorpusIndex,
       jaccardX1000Threshold: Int = 500): DataFrame = {
+    // working/output names of the banding + probe pipeline — a caller
+    // column shadowing one would go ambiguous deep in the streaming
+    // plan or be silently clobbered; fail fast instead (the
+    // simhashPairs reserved-name contract)
+    val reserved = Set("hs", "band", "bkey", "pos", "col", "__mh",
+      "__cs", "toks", "doc_new", "doc_old", "hs_new", "hs_old")
+    Seq(idCol, tsCol).foreach(c => require(!reserved.contains(c),
+      s"NearDupIngest.pairs: column '$c' collides with a working " +
+        s"column (${reserved.mkString(", ")}) — rename it first"))
     val probe = DedupOps.withBandKeys(
         DedupOps.shingleHashed(newDocs, idCol, textCol, carry = Seq(tsCol)))
       .withWatermark(tsCol, delay)

@@ -287,28 +287,41 @@ tx9,alipay,1558430850""")
     assert(lenient.count(_.isNullAt(0)) == 1)
   }
 
-  test("warc source: record split on the marker, headers + payload extracted") {
+  test("warc source: boundary split, header-block extraction, exact payloads") {
     val crlf = "\r\n"
     def record(tpe: String, uri: String, body: String): String =
       s"WARC/1.0${crlf}WARC-Type: $tpe${crlf}WARC-Target-URI: $uri$crlf" +
         s"Content-Length: ${body.length}$crlf$crlf$body$crlf$crlf"
+    // adversarial payloads: one CONTAINS the record marker string (must
+    // not split — the separator anchors on the full CRLF boundary), one
+    // carries an embedded HTTP Content-Length header (must not leak
+    // into the WARC field — extraction is header-block-only), one ends
+    // with a payload-owned newline (must survive — the declared length
+    // bounds the payload exactly)
+    val markerBody = "the WARC/1.0 format spec mentions WARC/1.0 twice"
+    val httpBody = s"HTTP/1.1 200 OK${crlf}Content-Length: 99999$crlf$crlf<body/>"
+    val nlBody = s"ends with newline$crlf"
     val warcText =
       record("response", "http://example.com/a", "<html>page A</html>") +
         record("request", "http://example.com/a", "GET /a HTTP/1.1") +
-        record("response", "http://example.org/b", "payload B\r\nline two")
+        record("response", "http://example.org/marker", markerBody) +
+        record("response", "http://example.org/http", httpBody) +
+        record("response", "http://example.org/nl", nlBody)
     val dir = java.nio.file.Files.createTempDirectory("graft_warc")
     java.nio.file.Files.writeString(dir.resolve("crawl.warc"), warcText)
     val got = Sources.warc(spark, dir.toString).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
-    assert(got.length == 3)
+    assert(got.length == 5, s"record count: ${got.length}")
     val byUrl = got.groupBy(r => (r._1, r._2)).view.mapValues(_.head).toMap
     val a = byUrl(("http://example.com/a", "response"))
     assert(a._3 == 19L && a._4 == "<html>page A</html>")
-    val req = byUrl(("http://example.com/a", "request"))
-    assert(req._4 == "GET /a HTTP/1.1")
-    val b = byUrl(("http://example.org/b", "response"))
-    // interior CRLF survives; only the record-trailing CRLFs strip
-    assert(b._4 == "payload B\r\nline two")
+    assert(byUrl(("http://example.com/a", "request"))._4 == "GET /a HTTP/1.1")
+    assert(byUrl(("http://example.org/marker", "response"))._4 == markerBody)
+    val http = byUrl(("http://example.org/http", "response"))
+    assert(http._3 == httpBody.length.toLong, // WARC length, not HTTP's 99999
+      s"content_length leaked from the payload: ${http._3}")
+    assert(http._4 == httpBody)
+    assert(byUrl(("http://example.org/nl", "response"))._4 == nlBody)
     // the response payloads flow straight into the text pipeline ops
     import spark.implicits._
     val stats = graft.api.TextOps.tokenStats(
@@ -316,7 +329,7 @@ tx9,alipay,1558430850""")
         .filter(org.apache.spark.sql.functions.col("warc_type") === "response")
         .selectExpr("url AS k", "payload AS txt"),
       "k", "txt").collect()
-    assert(stats.length == 2)
+    assert(stats.length == 4)
   }
 
   test("streaming twin: SequenceMatch over the login fixture == batch warnings") {
