@@ -46,7 +46,8 @@ object BenchScale {
   val Heavy: Seq[String] = Seq(
     "q21_dedup_minhash_lsh", "q58_keeper_by_quality", "q70_common_grams",
     "q46_dedup_clusters", "q35_revenue_by_nation", "q80_dup_graph_degrees",
-    "q78_cross_source_dups", "q01_pricing_summary", "q30_ann_kmeans_ivf")
+    "q78_cross_source_dups", "q01_pricing_summary", "q30_ann_kmeans_ivf",
+    "q83_embedding_incremental_dedup")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
