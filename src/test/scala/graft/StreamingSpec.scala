@@ -374,6 +374,43 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  /** First-N-arrivals quota: cross-batch counter state, exhausted keys
+    * stay exhausted, under-quota keys keep admitting.
+    */
+  private def assertQuotaCap(sinkName: String): Unit = {
+    val input = MemoryStream[KeyedDoc]
+    val out = QuotaCap.firstNPerKey(input.toDS(), cap = 3)
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      // batch 1: key a sends 2 (under), key b sends 4 (1 over)
+      input.addData(
+        KeyedDoc("a", 1L, "p", ts(1000)), KeyedDoc("a", 2L, "p", ts(2000)),
+        KeyedDoc("b", 10L, "p", ts(1000)), KeyedDoc("b", 11L, "p", ts(2000)),
+        KeyedDoc("b", 12L, "p", ts(3000)), KeyedDoc("b", 13L, "p", ts(4000)))
+      q.processAllAvailable()
+      // batch 2: a's third admits, a's fourth and ALL of b drop
+      input.addData(
+        KeyedDoc("a", 3L, "p", ts(5000)), KeyedDoc("a", 4L, "p", ts(6000)),
+        KeyedDoc("b", 14L, "p", ts(5000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sinkName).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("docId"))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 11L), ("b", 12L)), s"got $got")
+  }
+
+  test("streaming per-key quota admits first N arrivals across batches") {
+    assertQuotaCap("quota_stream")
+  }
+
+  test("per-key quota state holds under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertQuotaCap("quota_stream_rocks")
+    }
+  }
+
   test("streaming near-dup ingest == batch q59 incremental dedup") {
     assertNearDupIngestParity("neardup_stream")
   }
