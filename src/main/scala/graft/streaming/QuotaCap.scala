@@ -19,9 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale: state is ONE counter (a long) per key, never the admitted
   * rows; the single shuffle is the groupByKey exchange. Counters for
-  * retired keys persist for the stream's lifetime — a bounded-horizon
-  * variant would add an event-time timeout, trading lifetime quotas
-  * for purgeable state.
+  * retired keys persist for the stream's lifetime in [[firstNPerKey]];
+  * [[firstNPerKeyWithinHorizon]] is the bounded-state variant — the
+  * counter purges once a key goes idle past the event-time horizon, so
+  * state size is bounded by the ACTIVE key set (the property that
+  * keeps a 100TB ingest's state store finite), at the price of the
+  * quota resetting for keys that fall silent.
   */
 case class KeyedDoc(key: String, docId: Long, payload: String,
     ts: java.sql.Timestamp)
@@ -55,6 +58,42 @@ object QuotaCap {
         .take(cap - n.toInt)
       n += admitted.length
       state.update(n)
+      admitted.iterator
+    }
+  }
+
+  /** [[firstNPerKey]] with a purge horizon: the counter evicts via
+    * event-time timeout once the key has been idle for `delay` past
+    * the watermark — bounded state, quota-per-activity-burst
+    * semantics. `docs` must carry the event-time in `ts`.
+    */
+  def firstNPerKeyWithinHorizon(docs: Dataset[KeyedDoc], cap: Int,
+      delay: String): Dataset[KeyedDoc] = {
+    require(cap > 0, s"firstNPerKeyWithinHorizon: cap must be positive, got $cap")
+    docs.withWatermark("ts", delay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(admitWithTimeout(cap, delay) _)
+  }
+
+  private def admitWithTimeout(cap: Int, horizon: String)(key: String,
+      batch: Iterator[KeyedDoc], state: GroupState[Long]): Iterator[KeyedDoc] = {
+    if (state.hasTimedOut) {
+      // idle past the horizon: purge the counter — the next burst from
+      // this key starts a fresh quota
+      state.remove()
+      Iterator.empty
+    } else {
+      val rows = batch.toSeq.sortBy(d => (d.ts.getTime, d.docId))
+      val n = state.getOption.getOrElse(0L)
+      val admitted = if (n >= cap) Seq.empty else rows.take(cap - n.toInt)
+      state.update(n + admitted.length)
+      // re-arm the purge timer at (latest activity + horizon); the
+      // base must sit above the current watermark — a late burst whose
+      // event times already fell behind it re-arms from the watermark
+      val base = math.max(rows.map(_.ts.getTime).max,
+        state.getCurrentWatermarkMs() + 1)
+      state.setTimeoutTimestamp(base, horizon)
       admitted.iterator
     }
   }

@@ -411,6 +411,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("horizon quota: counter purges after idleness, quota resets per burst") {
+    val input = MemoryStream[KeyedDoc]
+    val out = QuotaCap.firstNPerKeyWithinHorizon(input.toDS(), cap = 2,
+      delay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("quota_horizon")
+      .outputMode("append").start()
+    try {
+      // burst 1: 3 docs for key a -> 2 admitted, quota exhausted
+      input.addData(
+        KeyedDoc("a", 1L, "p", ts(1000)), KeyedDoc("a", 2L, "p", ts(2000)),
+        KeyedDoc("a", 3L, "p", ts(3000)))
+      q.processAllAvailable()
+      // still inside the horizon: dropped
+      input.addData(KeyedDoc("a", 4L, "p", ts(5000)))
+      q.processAllAvailable()
+      // another key's far-future events advance the watermark past
+      // a's horizon (watermark trails one batch — pump twice), firing
+      // a's purge timer
+      input.addData(KeyedDoc("z", 90L, "p", ts(100000)))
+      q.processAllAvailable()
+      input.addData(KeyedDoc("z", 91L, "p", ts(200000)))
+      q.processAllAvailable()
+      // burst 2 for key a (event times beyond the watermark): the
+      // purged counter admits a fresh quota
+      input.addData(
+        KeyedDoc("a", 5L, "p", ts(300000)), KeyedDoc("a", 6L, "p", ts(301000)),
+        KeyedDoc("a", 7L, "p", ts(302000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quota_horizon").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("docId"))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("z", 90L), ("z", 91L),
+      ("a", 5L), ("a", 6L)), s"got $got")
+  }
+
   test("streaming near-dup ingest == batch q59 incremental dedup") {
     assertNearDupIngestParity("neardup_stream")
   }
