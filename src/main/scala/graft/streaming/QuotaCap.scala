@@ -62,10 +62,26 @@ object QuotaCap {
     }
   }
 
+  /** Horizon-quota state: admitted count + latest activity seen, so
+    * the purge timer is MONOTONE (an out-of-order batch must never
+    * move it backward). Public: Catalyst codegen instantiates it.
+    */
+  case class QuotaState(n: Long, lastMs: Long)
+
+  private implicit val qsEnc: org.apache.spark.sql.Encoder[QuotaState] =
+    Encoders.product[QuotaState]
+
   /** [[firstNPerKey]] with a purge horizon: the counter evicts via
     * event-time timeout once the key has been idle for `delay` past
     * the watermark — bounded state, quota-per-activity-burst
     * semantics. `docs` must carry the event-time in `ts`.
+    *
+    * Semantics delta vs [[firstNPerKey]]: under EventTimeTimeout,
+    * Spark drops rows at or behind the current watermark BEFORE the
+    * state function runs, so LATE data is neither admitted nor counted
+    * here (the unbounded variant, which declares no watermark, admits
+    * it) — the usual bounded-state trade, same as
+    * `dropDuplicatesWithinWatermark`.
     */
   def firstNPerKeyWithinHorizon(docs: Dataset[KeyedDoc], cap: Int,
       delay: String): Dataset[KeyedDoc] = {
@@ -77,23 +93,36 @@ object QuotaCap {
   }
 
   private def admitWithTimeout(cap: Int, horizon: String)(key: String,
-      batch: Iterator[KeyedDoc], state: GroupState[Long]): Iterator[KeyedDoc] = {
+      batch: Iterator[KeyedDoc], state: GroupState[QuotaState]): Iterator[KeyedDoc] = {
     if (state.hasTimedOut) {
       // idle past the horizon: purge the counter — the next burst from
       // this key starts a fresh quota
       state.remove()
       Iterator.empty
     } else {
-      val rows = batch.toSeq.sortBy(d => (d.ts.getTime, d.docId))
-      val n = state.getOption.getOrElse(0L)
-      val admitted = if (n >= cap) Seq.empty else rows.take(cap - n.toInt)
-      state.update(n + admitted.length)
-      // re-arm the purge timer at (latest activity + horizon); the
-      // base must sit above the current watermark — a late burst whose
-      // event times already fell behind it re-arms from the watermark
-      val base = math.max(rows.map(_.ts.getTime).max,
-        state.getCurrentWatermarkMs() + 1)
-      state.setTimeoutTimestamp(base, horizon)
+      val prev = state.getOption.getOrElse(QuotaState(0L, Long.MinValue))
+      var batchMax = Long.MinValue
+      val admitted =
+        if (prev.n >= cap) {
+          // exhausted: single streaming pass for the activity max —
+          // no buffering, no sort (the sibling admit()'s discipline)
+          batch.foreach(d => batchMax = math.max(batchMax, d.ts.getTime))
+          Seq.empty
+        } else {
+          // under quota: the sort (arrival order = event time, the
+          // unordered-micro-batch discipline) buffers the key's batch;
+          // the activity max covers EVERY row, admitted or dropped
+          val rows = batch.toSeq.sortBy(d => (d.ts.getTime, d.docId))
+          rows.foreach(d => batchMax = math.max(batchMax, d.ts.getTime))
+          rows.take(cap - prev.n.toInt)
+        }
+      // monotone re-arm: latest activity EVER, not just this batch's —
+      // an out-of-order batch must not pull the purge timer backward
+      // and reset the quota early. (Rows reaching this function are
+      // already > watermark, so the timer always lands ahead of it.)
+      val lastMs = math.max(prev.lastMs, batchMax)
+      state.update(QuotaState(prev.n + admitted.length, lastMs))
+      state.setTimeoutTimestamp(lastMs, horizon)
       admitted.iterator
     }
   }

@@ -411,11 +411,11 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("horizon quota: counter purges after idleness, quota resets per burst") {
+  private def assertHorizonQuota(sinkName: String): Unit = {
     val input = MemoryStream[KeyedDoc]
     val out = QuotaCap.firstNPerKeyWithinHorizon(input.toDS(), cap = 2,
       delay = "10 seconds")
-    val q = out.writeStream.format("memory").queryName("quota_horizon")
+    val q = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
       // burst 1: 3 docs for key a -> 2 admitted, quota exhausted
@@ -440,10 +440,21 @@ class StreamingSpec extends SparkSpec {
         KeyedDoc("a", 7L, "p", ts(302000)))
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("quota_horizon").collect()
+    val got = spark.table(sinkName).collect()
       .map(r => (r.getAs[String]("key"), r.getAs[Long]("docId"))).toSet
     assert(got == Set(("a", 1L), ("a", 2L), ("z", 90L), ("z", 91L),
       ("a", 5L), ("a", 6L)), s"got $got")
+  }
+
+  test("horizon quota: counter purges after idleness, quota resets per burst") {
+    assertHorizonQuota("quota_horizon")
+  }
+
+  test("horizon quota purge-and-reset holds under the RocksDB state store") {
+    // the timeout + remove() path is the state-store-sensitive half
+    StateStoreVariants.withRocksDB(spark) {
+      assertHorizonQuota("quota_horizon_rocks")
+    }
   }
 
   test("streaming near-dup ingest == batch q59 incremental dedup") {
