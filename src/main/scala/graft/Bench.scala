@@ -4,19 +4,44 @@ package graft
   * prints one JSON line (driver contract → BENCH_r{N}.json).
   * Methodology (session config, noop sink, warmup, min-of-two) lives in
   * [[BenchHarness]], shared with [[BenchScale]].
+  *
+  * The one-shot SharedStages pair+cluster materialization for the
+  * timed SF dir is timed EXPLICITLY as its own `shared_stage_build`
+  * entry before the query loop (the BenchScale discipline): warmup
+  * runs at sf0.001, so without this the build would land inside the
+  * first timed consumer's run 1 and min-of-two would discard it — the
+  * per-query numbers would be steady-state but the total would
+  * silently exclude ~2s of real cold-start work.
+  *
+  * The JSON line is ALSO written to `bench_out.json` in the working
+  * directory: the driver captures stdout with a bounded tail, which
+  * has truncated past rounds' artifacts mid-JSON — the file copy is
+  * never lossy.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = BenchHarness.session()
     BenchHarness.warmup(spark, SparkEntry.queries.keys)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-      name -> BenchHarness.minOf2(spark, name, sfDir)
+    val stageBuild = {
+      val t0 = System.nanoTime()
+      try queries.SharedStages.clusters(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    val results = ("shared_stage_build" -> stageBuild) +:
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+        name -> BenchHarness.minOf2(spark, name, sfDir)
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

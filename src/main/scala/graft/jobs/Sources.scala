@@ -133,7 +133,11 @@ object Sources {
       regexp_extract(hdr, "(?m)^WARC-Target-URI:\\s*(\\S+)", 1).as("url"),
       regexp_extract(hdr, "(?m)^WARC-Type:\\s*(\\S+)", 1).as("warc_type"),
       len.as("content_length"),
-      when(len.isNotNull, after.substr(lit(1), len.cast("int")))
+      // clamp before the int cast: a declared length above Int.MaxValue
+      // would wrap negative and truncate the payload to empty instead
+      // of taking at-most-the-available text
+      when(len.isNotNull,
+          after.substr(lit(1), least(len, length(after).cast("long")).cast("int")))
         .otherwise(regexp_replace(after, "(\\r\\n){1,2}$", ""))
         .as("payload"))
   }

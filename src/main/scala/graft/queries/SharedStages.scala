@@ -34,6 +34,16 @@ import graft.Tables
   * in the cache); Bench warmup vs timed runs differ by dir and never
   * collide. Temp dirs are deleted by a JVM shutdown hook. Thread-safe
   * via computeIfAbsent; stage dependencies resolve BEFORE entering it.
+  *
+  * CONTRACT: the input directory is IMMUTABLE for the JVM lifetime.
+  * The cache holds stages by path string with no content fingerprint
+  * or invalidation — regenerating the same path with different data in
+  * one JVM would silently serve stale pairs/clusters to q37/q46/q58/
+  * q78/q80. That matches how every harness here uses it (the driver's
+  * SF dirs and BenchScale's one-shot scaled temp dirs are
+  * write-once); a long-lived service re-deriving a mutated corpus
+  * must restart the JVM or use `DedupOps.pipeline` with an explicit
+  * output path instead.
   */
 object SharedStages {
 

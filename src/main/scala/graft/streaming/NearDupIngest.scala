@@ -30,9 +30,23 @@ object NearDupIngest {
   /** The corpus-side static state: `buckets` = capped LSH bucket index
     * (band, bkey, __cs ids), `hashed` = (doc_old, hs_old) shingle sets
     * for the exact-Jaccard verify. Both tiny relative to the corpus
-    * (ids + hash sets, no text).
+    * (ids + hash sets, no text). `base` is the frame actually pinned in
+    * the block manager — `hashed` is a PROJECTION of it, and
+    * unpersisting a non-sameResult projection is a no-op, so retiring
+    * an index must go through [[CorpusIndex.unpersist]] (a long-lived
+    * ingest app that rebuilds its corpus would otherwise leak one
+    * full-corpus shingle cache per rebuild).
     */
-  case class CorpusIndex(buckets: DataFrame, hashed: DataFrame)
+  case class CorpusIndex(buckets: DataFrame, hashed: DataFrame,
+      private[streaming] val base: DataFrame) {
+    /** Release the cached corpus state (the persisted shingle base and
+      * the persisted bucket index) when this index is retired.
+      */
+    def unpersist(): Unit = {
+      base.unpersist()
+      buckets.unpersist()
+    }
+  }
 
   /** Build the index from a static corpus frame — same shingle/minhash
     * /band derivation as every batch pair generator (shared
@@ -43,7 +57,9 @@ object NearDupIngest {
     * would re-run the full corpus shingle→minhash→bucket derivation per
     * batch — O(corpus) per batch instead of the O(delta) this operator
     * promises. The first batch materializes the cache; callers retiring
-    * an index (corpus rebuild) should unpersist both frames.
+    * an index (corpus rebuild) call [[CorpusIndex.unpersist]], which
+    * releases the ACTUAL persisted frames (the shingle base and the
+    * buckets — `hashed` is only a projection of the base).
     */
   def index(corpus: DataFrame, idCol: String, textCol: String,
       maxBucket: Int = DedupOps.DefaultMaxBucket): CorpusIndex = {
@@ -56,7 +72,8 @@ object NearDupIngest {
       DedupOps.withBandKeys(hashed).select(col(idCol), col("band"), col("bkey")),
       idCol, maxBucket)
     CorpusIndex(buckets.persist(),
-      hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")))
+      hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
+      base = hashed)
   }
 
   /** newDocs: a STREAMING frame with (idCol, textCol, tsCol). Emits
