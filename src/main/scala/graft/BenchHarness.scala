@@ -50,10 +50,16 @@ object BenchHarness {
     * most plan differences; the min is the steady-state cost of the
     * plan itself. -1.0 marks a failed query.
     */
-  def minOf2(spark: SparkSession, name: String, dir: String): Double = {
+  def minOf2(spark: SparkSession, name: String, dir: String): Double =
+    minOf2Of(() => SparkEntry.queries(name)(spark, dir))
+
+  /** [[minOf2]] for any plan thunk (BenchScale's const-delta probes
+    * time API calls that are not catalog entries).
+    */
+  def minOf2Of(build: () => DataFrame): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      try exec(SparkEntry.queries(name)(spark, dir))
+      try exec(build())
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }

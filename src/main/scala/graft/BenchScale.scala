@@ -136,15 +136,78 @@ object BenchScale {
         else scaled / math.max(base, 0.15)
       (q, base, scaled, ratio)
     }
-    val worst = rows.map(_._4).max
+
+    // ---- constant-delta probe: the O(delta) incremental-dedup claim --
+    // The q59/q83 rows above scale the DELTA with the corpus (both are
+    // doc_id-mod slices of one growing table), so they measure total
+    // growth, not the contract "a fixed ingest batch costs the same
+    // against a 10x corpus". Here the probe batch is FIXED (the base
+    // dir's mod-5 slice), the corpus index is materialized per corpus
+    // version (writeMinhashIndex / writeSignIndex — timed as the
+    // *_index_build rows, expected ~linear), and the probe is timed
+    // against each persisted index. probe ratios must stay ~flat
+    // (const_delta_ok: <= 2.0 at ANY k), the direct evidence for the
+    // O(delta) probe contract.
+    import graft.api.{DedupOps, VectorOps}
+    val idxDir = Files.createTempDirectory("graft-scale-idx-").toString
+    def timedUnit(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try f catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cRatio(base: Double, scaled: Double): Double =
+      if (base <= 0 || scaled <= 0) -1.0 else scaled / math.max(base, 0.15)
+
+    def corpusDocs(dir: String) =
+      load(spark, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+    val deltaDocs = load(spark, baseDir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+    val tIdxB = timedUnit(DedupOps.writeMinhashIndex(
+      corpusDocs(baseDir), "doc_id", "text", s"$idxDir/text_base"))
+    val tIdxS = timedUnit(DedupOps.writeMinhashIndex(
+      corpusDocs(outDir), "doc_id", "text", s"$idxDir/text_scaled"))
+    val tPrbB = BenchHarness.minOf2Of(() => DedupOps.minhashPairsAgainstIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/text_base"))
+    val tPrbS = BenchHarness.minOf2Of(() => DedupOps.minhashPairsAgainstIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/text_scaled"))
+
+    val planes = graft.queries.DedupQueries.lshPlanes
+    def corpusVecs(dir: String) =
+      load(spark, dir, "embeddings").filter(col("vec_id") % 5 =!= 0)
+    val deltaVecs = load(spark, baseDir, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+    val vIdxB = timedUnit(VectorOps.writeSignIndex(
+      corpusVecs(baseDir), "vec_id", "embedding", planes, s"$idxDir/vec_base"))
+    val vIdxS = timedUnit(VectorOps.writeSignIndex(
+      corpusVecs(outDir), "vec_id", "embedding", planes, s"$idxDir/vec_scaled"))
+    val vPrbB = BenchHarness.minOf2Of(() => VectorOps.probeSignIndex(
+      deltaVecs, "vec_id", "embedding", planes, s"$idxDir/vec_base",
+      simX1000Threshold = 400))
+    val vPrbS = BenchHarness.minOf2Of(() => VectorOps.probeSignIndex(
+      deltaVecs, "vec_id", "embedding", planes, s"$idxDir/vec_scaled",
+      simX1000Threshold = 400))
+
+    // index builds are one-shot full-corpus scans: they join the
+    // ~linear rows (<= 2k bound); probes join the flat rows (<= 2.0)
+    val buildRows = Seq(
+      ("q59_index_build", tIdxB, tIdxS, cRatio(tIdxB, tIdxS)),
+      ("q83_index_build", vIdxB, vIdxS, cRatio(vIdxB, vIdxS)))
+    val probeRows = Seq(
+      ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
+      ("q83_probe_const_delta", vPrbB, vPrbS, cRatio(vPrbB, vPrbS)))
+
+    val linearRows = rows ++ buildRows
+    val worst = linearRows.map(_._4).max
     import BenchHarness.num
-    val qs = rows.map { case (q, b, s, r) =>
+    val qs = (linearRows ++ probeRows).map { case (q, b, s, r) =>
       s""""$q":{"base":${num(b)},"scaled":${num(s)},"ratio":${num(r)}}"""
     }.mkString("{", ",", "}")
     // linear_ok: every ratio within 2x of proportional growth (the
-    // driver-verdict bound for a super-linear flag)
-    val ok = rows.forall(r => r._4 > 0 && r._4 <= 2.0 * k)
-    println(s"""{"metric":"scale_worst_ratio","value":$worst,"unit":"x","k":$k,"base":"$baseDir","linear_ok":$ok,"queries":$qs}""")
+    // driver-verdict bound for a super-linear flag); const_delta_ok:
+    // fixed-delta probes stay flat REGARDLESS of k
+    val ok = linearRows.forall(r => r._4 > 0 && r._4 <= 2.0 * k)
+    val constOk = probeRows.forall(r => r._4 > 0 && r._4 <= 2.0)
+    println(s"""{"metric":"scale_worst_ratio","value":$worst,"unit":"x","k":$k,"base":"$baseDir","linear_ok":$ok,"const_delta_ok":$constOk,"queries":$qs}""")
     spark.stop()
   }
 }

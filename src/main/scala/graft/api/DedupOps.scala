@@ -175,6 +175,127 @@ object DedupOps {
       jaccardX1000Threshold)
   }
 
+  /** Materialize the corpus side of [[minhashPairsAgainstIndex]] to
+    * parquet: `$path/buckets` = the capped (band, bkey, __cs) LSH
+    * bucket index sorted by (band, bkey), `$path/hashed` = (doc_old,
+    * hs_old) shingle sets sorted by id for the verify join. This is
+    * the "build once, probe per ingest batch" contract made literal —
+    * at 100TB the index build is the one full-corpus LSH scan per
+    * corpus version ([[minhashPairsAgainst]] re-derives it per CALL,
+    * NearDupIngest.index per SESSION), and every daily delta pays only
+    * the probe. Both frames are tiny next to the corpus: ids + 60-bit
+    * hash sets, never text.
+    */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, maxBucket: Int = DefaultMaxBucket): Unit = {
+    // one persisted shingle pass feeds both outputs (the
+    // NearDupIngest.index single-scan discipline)
+    val hashed = shingleHashed(corpus, idCol, textCol).persist()
+    try {
+      graft.jobs.Sinks.layout(
+        bandBuckets(withBandKeys(hashed)
+          .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket),
+        s"$path/buckets", partitionCols = Nil,
+        sortCols = Seq("band", "bkey"), numFiles = 8)
+      graft.jobs.Sinks.layout(
+        hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
+        s"$path/hashed", partitionCols = Nil,
+        sortCols = Seq("doc_old"), numFiles = 8)
+    } finally hashed.unpersist()
+  }
+
+  /** [[minhashPairsAgainst]] probing a PERSISTED index
+    * ([[writeMinhashIndex]]) instead of re-deriving the corpus side:
+    * the delta bands map-only, joins the bucket parquet, and verifies
+    * against the hashed parquet — identical output to the inline path
+    * on the same split (parity-tested), but the per-batch cost is
+    * O(delta work + index scan) with NO corpus shingle/minhash
+    * re-derivation. BenchScale's `probe_const_delta` rows measure
+    * exactly this: a fixed delta's probe time stays ~flat while the
+    * corpus behind the index grows 10×. At 100TB the remaining
+    * index-scan term is engineered down by partitioning the bucket
+    * parquet on a band-hash prefix and pruning with the delta's key
+    * set; the sorted layout here already gives row-group min/max
+    * pruning to any pushed band filter. Output: doc_new, doc_old,
+    * jaccard_x1000.
+    */
+  def minhashPairsAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, indexPath: String,
+      jaccardX1000Threshold: Int = 500): DataFrame = {
+    val reserved = Set("hs", "band", "bkey", "pos", "col", "__mh",
+      "__cs", "toks", "doc_new", "doc_old", "hs_new", "hs_old")
+    require(!reserved.contains(idCol),
+      s"minhashPairsAgainstIndex: id column '$idCol' collides with a " +
+        s"working column (${reserved.mkString(", ")}) — rename it first")
+    val s = newDf.sparkSession
+    val buckets = s.read.parquet(s"$indexPath/buckets")
+    val hashedOld = s.read.parquet(s"$indexPath/hashed")
+    withBandKeys(shingleHashed(newDf, idCol, textCol))
+      .join(buckets, Seq("band", "bkey"))
+      .select(col(idCol).as("doc_new"), col("hs").as("hs_new"),
+        explode(col("__cs")).as("doc_old"))
+      .dropDuplicates("doc_new", "doc_old")
+      .join(hashedOld, Seq("doc_old"))
+      .withColumn("it", size(array_intersect(col("hs_new"), col("hs_old"))).cast("long"))
+      .withColumn("un", size(array_distinct(concat(col("hs_new"), col("hs_old")))).cast("long"))
+      .select(col("doc_new"), col("doc_old"),
+        expr("(it * 1000) div un").as("jaccard_x1000"))
+      .filter(col("jaccard_x1000") >= jaccardX1000Threshold)
+  }
+
+  /** Passage-level (sub-document) near-dup spans — duplicate
+    * PARAGRAPHS across documents (license blocks, boilerplate
+    * passages, syndicated fragments) that doc-level [[minhashPairs]]
+    * cannot see when the surrounding documents differ. Composition of
+    * existing primitives: fixed-window non-overlapping chunks
+    * ([[graft.api.TextOps.chunk]] with stride = chunkTokens) → each
+    * chunk becomes a pseudo-document with the synthetic BIGINT id
+    * `doc_id * maxChunksPerDoc + chunk_idx` → the standard capped
+    * MinHash-LSH pair generation + exact shingle-Jaccard verify at
+    * CHUNK granularity → ids decode back to (doc, chunk) spans, and
+    * same-doc pairs are dropped (within-doc repetition is
+    * [[graft.api.TextOps.repetitionFilter]]'s job). Output: doc_a,
+    * chunk_a, doc_b, chunk_b, jaccard_x1000 with doc_a < doc_b.
+    *
+    * Scale shape: identical to [[minhashPairs]] with the corpus row
+    * count multiplied by ~tokens/chunkTokens — the chunk explode is
+    * map-only (rows never leave their input partition), band keys
+    * shuffle id-only, and the same [[DefaultMaxBucket]] skew contract
+    * bounds hot buckets (a license block shared by 10k docs is exactly
+    * such a bucket: it blocks nothing here and belongs to the common-
+    * gram / boilerplate pass, TextOps.commonGramRatio).
+    *
+    * Id encoding contract: requires non-negative doc ids (div/mod
+    * decode; negative ids would also disagree with a floor-div oracle)
+    * and fewer than `maxChunksPerDoc` chunks per document (default
+    * 100k chunks ≈ 4M tokens per doc at the default chunk size —
+    * beyond it, ids would collide silently; raise it for book-length
+    * corpora, the headroom to Long overflow is ~9e13 docs).
+    */
+  def passagePairs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 40, maxChunksPerDoc: Long = 100000L,
+      jaccardX1000Threshold: Int = 500,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(chunkTokens >= 3,
+      s"passagePairs: chunks of $chunkTokens tokens cannot carry a 3-token shingle")
+    require(maxChunksPerDoc >= 2, "passagePairs: maxChunksPerDoc must be >= 2")
+    val chunks = TextOps.chunk(df, idCol, textCol, chunkTokens,
+        stride = chunkTokens)
+      .select((col(idCol) * maxChunksPerDoc + col("chunk_idx")).as("__cid"),
+        col("chunk_text"))
+    minhashPairs(chunks, "__cid", "chunk_text", jaccardX1000Threshold,
+        maxBucket)
+      .select(
+        expr(s"doc_a div ${maxChunksPerDoc}L").as("da"),
+        (col("doc_a") % maxChunksPerDoc).as("chunk_a"),
+        expr(s"doc_b div ${maxChunksPerDoc}L").as("db"),
+        (col("doc_b") % maxChunksPerDoc).as("chunk_b"),
+        col("jaccard_x1000"))
+      .filter(col("da") =!= col("db"))
+      .select(col("da").as("doc_a"), col("chunk_a"),
+        col("db").as("doc_b"), col("chunk_b"), col("jaccard_x1000"))
+  }
+
   /** Exact n-gram Jaccard pairs via a rare-gram inverted index: the
     * single-pass capped_list index bounds hot-gram postings (NULL =
     * too common to block on), so candidate generation never explodes

@@ -191,6 +191,78 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** URL canonicalization — the crawl front door UPSTREAM of text
+    * dedup: the same page is crawled as `HTTP://Site.com:80/a/?utm_…`,
+    * `http://site.com/a` and `http://user@site.com/a#frag`, and
+    * canonicalizing BEFORE fetching/deduping collapses them without
+    * touching a byte of body text. Steps (each a codegen'd built-in
+    * regex, no UDF):
+    *
+    *  1. scheme + host lowercase (case-insensitive per RFC 3986);
+    *  2. userinfo (`user:pw@`) stripped — never identity-bearing for
+    *     a crawler and a credential-leak hazard in logs;
+    *  3. default ports dropped (`:80` for http, `:443` for https);
+    *     other ports kept verbatim;
+    *  4. fragment stripped (client-side only, never sent on the wire);
+    *  5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`),
+    *     with delimiters repaired (`?utm=…&id=1` → `?id=1`); an
+    *     all-tracking query drops its `?` entirely;
+    *  6. trailing path slashes trimmed (`/a/` → `/a`), empty path →
+    *     `/`.
+    *
+    * Deliberately NOT done: %-escape decoding (reserved-character
+    * escapes are semantic — decoding `%2F` would change the path) and
+    * query-param reordering (order can be semantic for some servers);
+    * both preserved byte-exact. IDN hosts pass through as-is —
+    * punycode conversion needs a lookup table, not a regex; documents
+    * carrying raw unicode hosts canonicalize consistently (lowercase
+    * applies) but won't match their punycoded twins. Strings without a
+    * `scheme://` are returned UNCHANGED (not a URL — mangling beats
+    * silently inventing one). Single-line strings only.
+    *
+    * Pure Column → Column, so it composes with any frame; the exact
+    * regex steps are mirrored in q86's DuckDB oracle.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    // userinfo ends at the first @ BEFORE any path/query/fragment
+    // delimiter — an @ later in the URL (mailto in a query) is payload
+    val rest1 = regexp_replace(rest, "^[^/@?#]*@", "")
+    val hostport = regexp_extract(rest1, "^([^/?#]*)", 1)
+    val pathq = regexp_replace(rest1, "^[^/?#]*", "")
+    val host = lower(regexp_replace(hostport, ":[0-9]*$", ""))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val pf = regexp_replace(pathq, "#.*", "")
+    val path0 = regexp_extract(pf, "^([^?]*)", 1)
+    val query0 = regexp_extract(pf, "\\?(.*)", 1)
+    // tracking params drop with their leading delimiter preserved via
+    // $1, then double-& runs collapse and stray edge &s trim — the
+    // three-step repair keeps ?a=1&utm=x&b=2 → ?a=1&b=2 exact
+    val query1 = regexp_replace(regexp_replace(regexp_replace(query0,
+      "(^|&)(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*", "$1"),
+      "&&+", "&"), "^&+|&+$", "")
+    val path1 = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.+?)/+$", "$1"))
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), host, portPart, path1,
+        when(query1 === "", lit("")).otherwise(concat(lit("?"), query1))))
+  }
+
+  /** Exact URL-level dedup by canonical form ([[canonicalUrl]]) — the
+    * digest-groupBy shape of DedupOps.exactDuplicates applied to the
+    * crawl frontier. Output: canonical_url, keeper_id, n_copies. Only
+    * (canonical, id) shuffles; canonicalization is map-only.
+    */
+  def urlDuplicates(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(canonicalUrl(col(urlCol)).as("canonical_url"), col(idCol))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** Fixed-window token chunking with stride — the training-data
     * windowing step (context-length packing's upstream: long documents
     * become overlapping model-sized pieces). Chunk i covers tokens

@@ -166,6 +166,65 @@ object VectorOps {
       .filter(col("sim_x1000") >= simX1000Threshold)
   }
 
+  /** Materialize the corpus side of [[probeSignIndex]] to parquet:
+    * `$path/buckets` = capped (band, bkey, __cs) sign-signature bucket
+    * index sorted by (band, bkey), `$path/vectors` = (vec_old, vo, no)
+    * normalized vectors for the exact-cosine verify. The vector twin
+    * of DedupOps.writeMinhashIndex — one normalize pass feeds both
+    * outputs; build once per corpus version, probe per ingest batch.
+    */
+  def writeSignIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], path: String, rowsPerBand: Int = 4,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): Unit = {
+    require(planes.nonEmpty && planes.size % rowsPerBand == 0,
+      s"writeSignIndex: ${planes.size} planes not divisible into bands of $rowsPerBand")
+    graft.functions.SketchAggregates.register(corpus.sparkSession)
+    val base = normalized(corpus, idCol, vecCol).persist()
+    try {
+      graft.jobs.Sinks.layout(
+        DedupOps.bandBuckets(signBands(base, idCol, planes, rowsPerBand),
+          idCol, maxBucket),
+        s"$path/buckets", partitionCols = Nil,
+        sortCols = Seq("band", "bkey"), numFiles = 8)
+      graft.jobs.Sinks.layout(
+        base.select(col(idCol).as("vec_old"), col("v").as("vo"),
+          col("nrm").as("no")),
+        s"$path/vectors", partitionCols = Nil,
+        sortCols = Seq("vec_old"), numFiles = 8)
+    } finally base.unpersist()
+  }
+
+  /** [[nearDupPairsAgainst]] probing a PERSISTED index
+    * ([[writeSignIndex]]): delta vectors band map-only, join the
+    * bucket parquet, verify exact cosine against the stored normalized
+    * vectors — identical output to the inline path on the same split
+    * (parity-tested), with no corpus re-normalization or re-banding
+    * per batch. `planes`/`rowsPerBand` must match the index build
+    * (same banding on both sides is the LSH contract). Output:
+    * vec_new, vec_old, sim_x1000.
+    */
+  def probeSignIndex(newDf: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], indexPath: String,
+      simX1000Threshold: Int, rowsPerBand: Int = 4): DataFrame = {
+    require(planes.nonEmpty && planes.size % rowsPerBand == 0,
+      s"probeSignIndex: ${planes.size} planes not divisible into bands of $rowsPerBand")
+    val s = newDf.sparkSession
+    val buckets = s.read.parquet(s"$indexPath/buckets")
+    val vecs = s.read.parquet(s"$indexPath/vectors")
+    val bNew = normalized(newDf, idCol, vecCol)
+    signBands(bNew, idCol, planes, rowsPerBand)
+      .join(buckets, Seq("band", "bkey"))
+      .select(col(idCol).as("vec_new"), explode(col("__cs")).as("vec_old"))
+      .dropDuplicates("vec_new", "vec_old")
+      .join(bNew.select(col(idCol).as("vec_new"), col("v").as("vn"),
+        col("nrm").as("nn")), Seq("vec_new"))
+      .join(vecs, Seq("vec_old"))
+      .select(col("vec_new"), col("vec_old"),
+        floor(expr("dot_f(vn, vo)") / (col("nn") * col("no")) * 1000)
+          .cast("long").as("sim_x1000"))
+      .filter(col("sim_x1000") >= simX1000Threshold)
+  }
+
   /** Brute-force cosine top-k: rows matching `queryPred` are the query
     * set (broadcast), ranked per query with deterministic ties. Output:
     * qid, nid, rn. The recall baseline — LSH/IVF prune at scale.

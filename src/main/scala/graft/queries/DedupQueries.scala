@@ -26,6 +26,12 @@ object DedupQueries {
     }
   private def planeSqlList(j: Int): String =
     plane(j).mkString("[", ", ", "]")
+
+  /** The full q39/q53/q83 hyperplane set — exposed so BenchScale's
+    * const-delta probe bands EXACTLY like the catalog queries.
+    */
+  private[graft] def lshPlanes: Seq[Seq[Double]] =
+    (0 until LshPlanes).map(plane)
   private def planeSqlArray(j: Int): String =
     plane(j).map(x => s"${x}D").mkString("array(", ", ", ")")
 
@@ -107,6 +113,69 @@ FROM v WHERE (it * 1000) // un >= 500"""
         // — shuffle volume O(docs × 4 keys) + O(candidates × set)).
         graft.api.DedupOps.minhashPairs(
           Tables.documents(s, dir), "doc_id", "text",
+          jaccardX1000Threshold = 500)),
+
+    QueryDef(
+      "q85_passage_dedup",
+      "Passage-level (sub-document) dedup (DedupOps.passagePairs): " +
+        "duplicate SPANS across documents — license blocks, " +
+        "boilerplate paragraphs, syndicated fragments — that doc-level " +
+        "q15/q21 cannot see when the surrounding documents differ. " +
+        "Non-overlapping 25-token chunks (TextOps.chunk) become " +
+        "pseudo-docs with id = doc_id*100000 + chunk_idx, run through " +
+        "the SAME capped MinHash-LSH pair pipeline as q21 (identical " +
+        "skew contract), then decode back to (doc, chunk) spans; " +
+        "same-doc pairs drop (within-doc repetition is q44's job). " +
+        "The chunk explode is map-only — rows never leave their input " +
+        "partition — so the scale shape is exactly q21's with " +
+        "~tokens/25 more rows.",
+      Some(s"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ix AS (SELECT doc_id, tk,
+              unnest(generate_series(0, (len(tk)-1)//25)) AS i
+       FROM toks),
+chunks AS (
+  SELECT doc_id * 100000 + i AS cid,
+         array_to_string(tk[(i*25+1):(i*25+25)], ' ') AS ctext
+  FROM ix),
+s AS (SELECT cid,
+       list_distinct(list_transform(generate_series(1, len(string_split(ctext,' '))-2),
+         i -> string_split(ctext,' ')[i] || ' ' || string_split(ctext,' ')[i+1] || ' ' || string_split(ctext,' ')[i+2])) AS shs
+      FROM chunks WHERE len(string_split(ctext,' ')) >= 3),
+h AS (SELECT cid,
+             list_distinct(list_transform(shs, sh -> ${hash60Sql("sh")} % $P)) AS hs
+      FROM s),
+m AS (SELECT cid, ${minhashSqlArray("hs")} AS mh FROM h),
+bands AS (
+  SELECT cid, g.b AS band,
+         mh[4*g.b+1]::VARCHAR || ':' || mh[4*g.b+2]::VARCHAR || ':' ||
+         mh[4*g.b+3]::VARCHAR || ':' || mh[4*g.b+4]::VARCHAR AS bkey
+  FROM m CROSS JOIN generate_series(0, ${Bands - 1}) g(b)),
+ok AS (
+  SELECT band, bkey FROM bands
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT a.cid AS ca, b.cid AS cb
+  FROM bands a
+  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.cid < b.cid),
+v AS (
+  SELECT ca, cb,
+         len(list_intersect(ha.hs, hb.hs)) AS it,
+         len(list_distinct(list_concat(ha.hs, hb.hs))) AS un
+  FROM cand JOIN h ha ON ha.cid = ca JOIN h hb ON hb.cid = cb),
+p AS (
+  SELECT ca, cb, (it * 1000) // un AS jaccard_x1000
+  FROM v WHERE (it * 1000) // un >= 500)
+SELECT ca // 100000 AS doc_a, ca % 100000 AS chunk_a,
+       cb // 100000 AS doc_b, cb % 100000 AS chunk_b, jaccard_x1000
+FROM p WHERE ca // 100000 <> cb // 100000"""),
+      (s, dir) =>
+        graft.api.DedupOps.passagePairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 25, maxChunksPerDoc = 100000L,
           jaccardX1000Threshold = 500)),
 
     QueryDef(

@@ -20,6 +20,38 @@ object PipelineQueries {
   private def occSql(c: String, w: String): String =
     s"(length($c) - length(replace($c, '$w', ''))) // ${w.length}"
 
+  /** q86's URL fixture: the documents table carries no URL column, so
+    * ONE deterministic URL-per-doc generator is emitted into BOTH
+    * engines (`castT` = string/varchar, `div` = div|`//` — the only
+    * dialect deltas). Canonical identity is a function of
+    * g = doc_id div 3; the junk a canonicalizer must strip (scheme/
+    * host case, userinfo, default ports, tracking params, fragments,
+    * trailing slash) varies per doc_id — so each 3-doc group yields 3
+    * DIFFERENT raw URLs that canonicalize to ONE. doc_id >= 0, so div
+    * == floor-div across engines.
+    */
+  private def urlFixtureSql(castT: String, div: String): String = {
+    def c(e: String) = s"cast(($e) as $castT)"
+    val g = s"(doc_id $div 3)"
+    s"""(CASE WHEN $g % 2 = 0
+        THEN (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END)
+        ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) END)
+ || '://'
+ || (CASE WHEN doc_id % 6 = 0 THEN 'crawler:secret@' ELSE '' END)
+ || (CASE WHEN doc_id % 3 = 0 THEN 'H' ELSE 'h' END)
+ || ${c(s"$g % 50")} || '.Example.com'
+ || (CASE WHEN $g % 7 = 0 THEN ':8080'
+          WHEN doc_id % 4 = 0 THEN (CASE WHEN $g % 2 = 0 THEN ':80' ELSE ':443' END)
+          ELSE '' END)
+ || '/p/' || ${c(g)}
+ || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+ || (CASE WHEN $g % 11 = 0 THEN '?fbclid=' || ${c("doc_id")}
+          WHEN doc_id % 3 = 0 THEN '?utm_campaign=c' || ${c("doc_id")} || '&id=' || ${c(g)}
+          WHEN doc_id % 3 = 1 THEN '?id=' || ${c(g)} || '&utm_source=feed'
+          ELSE '?id=' || ${c(g)} END)
+ || (CASE WHEN doc_id % 3 = 1 THEN '#sec' || ${c("doc_id")} ELSE '' END)"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -419,6 +451,64 @@ SELECT doc_id, source FROM (
       (s, dir) =>
         graft.api.SampleOps.capPerKey(
           Tables.documents(s, dir).select(col("doc_id"), col("source")),
-          "doc_id", "source", cap = 10))
+          "doc_id", "source", cap = 10)),
+
+    QueryDef(
+      "q86_url_canonical_dedup",
+      "URL canonicalization + URL-level dedup (TextOps.canonicalUrl / " +
+        "urlDuplicates): the crawl front door UPSTREAM of text dedup - " +
+        "scheme/host lowercase, userinfo strip, default-port drop, " +
+        "fragment strip, tracking-param removal (utm_*/fbclid/gclid, " +
+        "delimiters repaired), trailing-slash trim - then exact dedup " +
+        "by canonical form. The documents table carries no URL column, " +
+        "so the fixture derives one deterministic URL per doc from " +
+        "doc_id via ONE SQL generator emitted into BOTH engines " +
+        "(case/port/userinfo/tracking/fragment variants by doc_id, " +
+        "canonical identity by doc_id div 3 - every 3-doc group " +
+        "collapses to one canonical URL). Map-only canonicalization " +
+        "(codegen'd regex chain, no UDF); only (canonical, id) " +
+        "shuffles - the q15 digest-groupBy shape on the frontier.",
+      Some(s"""
+WITH u AS (SELECT doc_id, ${urlFixtureSql("varchar", "//")} AS url FROM documents),
+c0 AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM u),
+c1 AS (SELECT *, regexp_replace(rest, '^[^/@?#]*@', '') AS rest1 FROM c0),
+c2 AS (SELECT *,
+  regexp_extract(rest1, '^([^/?#]*)', 1) AS hostport,
+  regexp_replace(rest1, '^[^/?#]*', '') AS pathq FROM c1),
+c3 AS (SELECT *,
+  lower(regexp_replace(hostport, ':[0-9]*$$', '')) AS host,
+  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM c2),
+c4 AS (SELECT *, regexp_replace(pathq, '#.*', '') AS pf FROM c3),
+c5 AS (SELECT *,
+  regexp_extract(pf, '^([^?]*)', 1) AS path0,
+  regexp_extract(pf, '\\?(.*)', 1) AS query0 FROM c4),
+c6 AS (SELECT *,
+  regexp_replace(regexp_replace(regexp_replace(query0,
+    '(^|&)(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\\1', 'g'),
+    '&&+', '&', 'g'), '^&+|&+$$', '', 'g') AS query1,
+  CASE WHEN path0 = '' THEN '/'
+       ELSE regexp_replace(path0, '(.+?)/+$$', '\\1') END AS path1
+  FROM c5),
+canon AS (SELECT doc_id,
+  CASE WHEN scheme = '' THEN url
+       ELSE scheme || '://' || host ||
+            (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END) ||
+            path1 ||
+            (CASE WHEN query1 = '' THEN '' ELSE '?' || query1 END)
+  END AS canonical_url
+  FROM c6)
+SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM canon GROUP BY 1"""),
+      (s, dir) =>
+        graft.api.TextOps.urlDuplicates(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              expr(urlFixtureSql("string", "div")).as("url")),
+          "doc_id", "url"))
   )
 }

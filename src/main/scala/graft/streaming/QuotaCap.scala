@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming per-key quota — the unbounded twin of the q84 capability
   * (SampleOps.capPerKey): admit at most `cap` records per key over the
@@ -43,6 +44,34 @@ object QuotaCap {
         GroupStateTimeout.NoTimeout)(admit(cap) _)
   }
 
+  /** Arrival order within a micro-batch: event time, then id —
+    * micro-batches hand rows over unordered, and this matches the
+    * reference's parallelism-1 total-order discipline.
+    */
+  private val arrivalOrd: Ordering[KeyedDoc] =
+    Ordering.by((d: KeyedDoc) => (d.ts.getTime, d.docId))
+
+  /** Single streaming pass over a key's batch: the first `k` rows in
+    * arrival order (ascending) AND the max event time over EVERY row.
+    * A bounded max-heap of size k replaces sort-the-whole-batch, so
+    * per-key memory is O(cap) even when one pathological key owns the
+    * entire micro-batch; k = 0 degrades to a pure activity-max drain.
+    */
+  private def takeFirstK(batch: Iterator[KeyedDoc],
+      k: Int): (Seq[KeyedDoc], Long) = {
+    var maxTs = Long.MinValue
+    val heap = scala.collection.mutable.PriorityQueue.empty[KeyedDoc](arrivalOrd)
+    batch.foreach { d =>
+      maxTs = math.max(maxTs, d.ts.getTime)
+      if (k > 0) {
+        if (heap.size < k) heap.enqueue(d)
+        else if (arrivalOrd.lt(d, heap.head)) { heap.dequeue(); heap.enqueue(d) }
+      }
+    }
+    // max-heap dequeues largest-first; reverse restores arrival order
+    (heap.dequeueAll.reverse.toSeq, maxTs)
+  }
+
   private def admit(cap: Int)(key: String, batch: Iterator[KeyedDoc],
       state: GroupState[Long]): Iterator[KeyedDoc] = {
     var n = state.getOption.getOrElse(0L)
@@ -50,15 +79,59 @@ object QuotaCap {
       // quota already exhausted — drain without buffering
       Iterator.empty
     } else {
-      // micro-batches arrive unordered; event time (then id) is the
-      // arrival order, matching the reference's parallelism-1 total
-      // order discipline
-      val admitted = batch.toSeq
-        .sortBy(d => (d.ts.getTime, d.docId))
-        .take(cap - n.toInt)
+      val admitted = takeFirstK(batch, cap - n.toInt)._1
       n += admitted.length
       state.update(n)
       admitted.iterator
+    }
+  }
+
+  /** [[firstNPerKey]] re-expressed on Spark 4's `transformWithState`
+    * (the arbitrary-stateful successor to `flatMapGroupsWithState`:
+    * named state variables, richer timers, TTL) — the PILOT migration
+    * that de-risks the streaming layer against fMGWS stagnation. Same
+    * contract, same bounded admission; StreamingSpec asserts output
+    * parity against [[firstNPerKey]] on identical input.
+    *
+    * Operational delta: `transformWithState` REQUIRES the RocksDB
+    * state store provider (Spark rejects the default HDFS-backed store
+    * at query start), so the fMGWS path remains the default-store
+    * implementation and this one is opt-in. State layout here is a
+    * named ValueState[Long] counter per key — one state var now, but
+    * the API holds N of them (where fMGWS would force one product
+    * type), which is what the richer ops (a future horizon variant
+    * with separate counter + activity vars) buy.
+    */
+  def firstNPerKeyTws(docs: Dataset[KeyedDoc], cap: Int): Dataset[KeyedDoc] = {
+    require(cap > 0, s"firstNPerKeyTws: cap must be positive, got $cap")
+    docs.groupByKey(_.key)
+      .transformWithState(new QuotaProcessor(cap), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The [[firstNPerKeyTws]] state machine: admitted-count ValueState +
+    * the shared bounded [[takeFirstK]] admission. No timers
+    * (TimeMode.None — the unbounded-quota contract); TTLConfig.NONE
+    * keeps counters for the stream's lifetime, exactly like
+    * [[firstNPerKey]]'s NoTimeout.
+    */
+  private class QuotaProcessor(cap: Int)
+      extends StatefulProcessor[String, KeyedDoc, KeyedDoc] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedDoc],
+        timerValues: TimerValues): Iterator[KeyedDoc] = {
+      val n = if (count.exists()) count.get() else 0L
+      if (n >= cap) Iterator.empty
+      else {
+        val admitted = takeFirstK(rows, (cap - n).toInt)._1
+        count.update(n + admitted.length)
+        admitted.iterator
+      }
     }
   }
 
@@ -101,21 +174,11 @@ object QuotaCap {
       Iterator.empty
     } else {
       val prev = state.getOption.getOrElse(QuotaState(0L, Long.MinValue))
-      var batchMax = Long.MinValue
-      val admitted =
-        if (prev.n >= cap) {
-          // exhausted: single streaming pass for the activity max —
-          // no buffering, no sort (the sibling admit()'s discipline)
-          batch.foreach(d => batchMax = math.max(batchMax, d.ts.getTime))
-          Seq.empty
-        } else {
-          // under quota: the sort (arrival order = event time, the
-          // unordered-micro-batch discipline) buffers the key's batch;
-          // the activity max covers EVERY row, admitted or dropped
-          val rows = batch.toSeq.sortBy(d => (d.ts.getTime, d.docId))
-          rows.foreach(d => batchMax = math.max(batchMax, d.ts.getTime))
-          rows.take(cap - prev.n.toInt)
-        }
+      // one bounded pass whether exhausted (k = 0: pure activity-max
+      // drain) or under quota: the heap holds at most cap - n rows and
+      // the activity max covers EVERY row, admitted or dropped
+      val k = math.max(0L, cap - prev.n).toInt
+      val (admitted, batchMax) = takeFirstK(batch, k)
       // monotone re-arm: latest activity EVER, not just this batch's —
       // an out-of-order batch must not pull the purge timer backward
       // and reset the quota early. (Rows reaching this function are

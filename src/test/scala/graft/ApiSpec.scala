@@ -68,6 +68,86 @@ class ApiSpec extends SparkSpec {
     assert(sh.exists(p => p._1 == 12L && p._2 == 13L && p._3 == 0L))
   }
 
+  test("DedupOps.passagePairs: only the shared paragraph pairs") {
+    // two long docs share EXACTLY one paragraph (tokens 26-50 of each,
+    // = chunk index 1 at chunkTokens=25); every other chunk is token-
+    // disjoint, so the only emitted span is (docA ch1, docB ch1) with
+    // jaccard 1000 — doc-level minhashPairs sees NO pair here (the
+    // docs are ~1/3 similar, below every band's reach at j≈0.31)
+    def para(p: String): String = (0 until 25).map(i => s"$p$i").mkString(" ")
+    val shared = para("s")
+    val docs = Seq(
+      (100L, s"${para("a")} $shared ${para("c")}"),
+      (200L, s"${para("x")} $shared ${para("z")}"))
+      .toDF("row_key", "body")
+    val spans = DedupOps.passagePairs(docs, "row_key", "body",
+      chunkTokens = 25).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("chunk_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("chunk_b"),
+        r.getAs[Long]("jaccard_x1000")))
+    assert(spans.toSeq == Seq((100L, 1L, 200L, 1L, 1000L)))
+
+    // same-doc chunk pairs never emit, even for exact within-doc copies
+    val rep = Seq((5L, s"$shared $shared")).toDF("row_key", "body")
+    assert(DedupOps.passagePairs(rep, "row_key", "body",
+      chunkTokens = 25).isEmpty)
+
+    // caller-named columns + a sub-chunk-size doc (single short chunk)
+    // flow through untouched
+    val hostile = docs.select(col("row_key").as("select"),
+      col("body").as("doc body"))
+    assert(DedupOps.passagePairs(hostile, "select", "doc body",
+      chunkTokens = 25).count() == 1L)
+  }
+
+  test("TextOps.canonicalUrl: adversarial URLs") {
+    val cases = Seq(
+      // scheme+host case, default port, fragment, trailing slash
+      ("HTTP://User:Pw@WWW.Example.COM:80/A/B/?x=1#frag",
+        "http://www.example.com/A/B?x=1"),
+      // https default port; path case preserved (paths are case-sensitive)
+      ("https://Site.org:443/Path", "https://site.org/Path"),
+      // non-default port kept; tracking-only query drops its '?'
+      ("http://h.io:8080/p?utm_source=a&utm_medium=b&fbclid=xyz",
+        "http://h.io:8080/p"),
+      // tracking params interleaved with real ones — delimiters repaired
+      ("http://h.io/p?a=1&utm_campaign=c&b=2&gclid=g",
+        "http://h.io/p?a=1&b=2"),
+      ("http://h.io/p?utm_term=t&keep=v", "http://h.io/p?keep=v"),
+      // %-encoding preserved byte-exact (never decoded: %2F is semantic)
+      ("http://h.io/a%2Fb?q=x%20y", "http://h.io/a%2Fb?q=x%20y"),
+      // empty path -> '/'; query survives
+      ("http://h.io?a=1", "http://h.io/?a=1"),
+      // userinfo with @ only before the path; later @ is payload
+      ("http://u@h.io/mail?to=a@b.c", "http://h.io/mail?to=a@b.c"),
+      // a param NAMED xutm_source is NOT tracking (anchor check)
+      ("http://h.io/p?xutm_source=keep", "http://h.io/p?xutm_source=keep"),
+      // no scheme: not a URL, returned unchanged
+      ("not a url at all", "not a url at all"),
+      // root slash survives; multiple trailing slashes collapse
+      ("http://h.io///", "http://h.io/"),
+      ("http://h.io/a///", "http://h.io/a"))
+    val out = cases.zipWithIndex
+      .map { case ((raw, want), i) => (i.toLong, raw, want) }
+      .toDF("row_key", "raw url", "want")
+      .withColumn("got", TextOps.canonicalUrl(col("raw url")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("got") == r.getAs[String]("want"),
+        s"canonicalUrl(${r.getAs[String]("raw url")})")
+    }
+
+    val dups = TextOps.urlDuplicates(
+      Seq((1L, "HTTP://A.io:80/x/"), (2L, "http://a.io/x"),
+        (3L, "http://a.io/x#f"), (4L, "http://b.io/y"))
+        .toDF("row_key", "the url"),
+      "row_key", "the url").collect()
+      .map(r => r.getAs[String]("canonical_url") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"))).toMap
+    assert(dups("http://a.io/x") == (1L, 3L))
+    assert(dups("http://b.io/y") == (4L, 1L))
+  }
+
   test("TextOps.redactPii: typed placeholders, classes stay disjoint") {
     val df = Seq(
       (1L, "mail a.b+c@foo.org and 192.168.0.1 then dial +44 20 7946 0958 ok"),
@@ -141,6 +221,43 @@ class ApiSpec extends SparkSpec {
     val vow = corpus.filter(col("row_key") === 14L)
     assert(DedupOps.minhashPairsAgainst(vow, old.filter(col("row_key") < 14L),
       "row_key", "body").isEmpty)
+  }
+
+  test("persisted-index probes == inline incremental dedup (text + vector)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-").toString
+    val newBatch = corpus.filter(col("row_key") === 13L)
+    val old = corpus.filter(col("row_key") =!= 13L)
+    DedupOps.writeMinhashIndex(old, "row_key", "body", s"$dir/text")
+    val viaIdx = DedupOps.minhashPairsAgainstIndex(
+        newBatch, "row_key", "body", s"$dir/text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = DedupOps.minhashPairsAgainst(newBatch, old, "row_key", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIdx.nonEmpty && viaIdx == inline,
+      s"text probe: idx=$viaIdx inline=$inline")
+
+    // vector twin — the nearDupPairsAgainst fixture through a
+    // persisted sign-signature index
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (5L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vid", "emb")
+    val planes = (0 until 8).map { j =>
+      (0 until 4).map(d =>
+        (((j * 4 + d).toLong * 2654435761L) % 1003L) / 1003.0 * 2.0 - 1.0)
+    }
+    VectorOps.writeSignIndex(vecs.filter(col("vid") =!= 5L), "vid", "emb",
+      planes, s"$dir/vec")
+    val vIdx = VectorOps.probeSignIndex(vecs.filter(col("vid") === 5L),
+        "vid", "emb", planes, s"$dir/vec", simX1000Threshold = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val vInline = VectorOps.nearDupPairsAgainst(
+        vecs.filter(col("vid") === 5L), vecs.filter(col("vid") =!= 5L),
+        "vid", "emb", planes, simX1000Threshold = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(vIdx.nonEmpty && vIdx == vInline,
+      s"vector probe: idx=$vIdx inline=$vInline")
   }
 
   test("DedupOps.keepersByScore picks the highest-score member per cluster") {

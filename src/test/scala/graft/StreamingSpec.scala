@@ -411,6 +411,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("quota admission is the exact arrival-order prefix under a hot-key batch") {
+    // one pathological key owns an entire 10k-row micro-batch (the
+    // case the bounded heap exists for: selection state is O(cap), not
+    // O(batch)); admitted rows must still be EXACTLY the first
+    // cap-by-(ts, id) rows — including the equal-ts tie broken by id —
+    // in ascending arrival order
+    val input = MemoryStream[KeyedDoc]
+    val out = QuotaCap.firstNPerKey(input.toDS(), cap = 3)
+    val q = out.writeStream.format("memory").queryName("quota_hotkey")
+      .outputMode("append").start()
+    try {
+      // docIds 1 and 10000 TIE at ts=0 (id must break it); every other
+      // row i carries ts = i*100
+      val rows = new scala.util.Random(7).shuffle(
+        KeyedDoc("hot", 10000L, "p", ts(0)) +:
+          KeyedDoc("hot", 1L, "p", ts(0)) +:
+          (2 until 10000).map(i =>
+            KeyedDoc("hot", i.toLong, "p", ts(i.toLong * 100))))
+      input.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quota_hotkey").collect()
+      .map(r => r.getAs[Long]("docId")).toSeq.sorted
+    // first 3 by (ts, id): (0,1), (0,10000), (200,2)
+    assert(got == Seq(1L, 2L, 10000L), s"got $got")
+  }
+
+  test("transformWithState quota == flatMapGroupsWithState quota (pilot migration)") {
+    // the Spark-4 successor API must reproduce firstNPerKey exactly on
+    // the same batched input — admitted set AND cross-batch exhaustion.
+    // transformWithState requires the RocksDB state store provider
+    // (query start rejects the default HDFS-backed store), which is why
+    // the fMGWS path stays the default implementation.
+    StateStoreVariants.withRocksDB(spark) {
+      val input = MemoryStream[KeyedDoc]
+      val out = QuotaCap.firstNPerKeyTws(input.toDS(), cap = 3)
+      val q = out.writeStream.format("memory").queryName("quota_tws")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          KeyedDoc("a", 1L, "p", ts(1000)), KeyedDoc("a", 2L, "p", ts(2000)),
+          KeyedDoc("b", 10L, "p", ts(1000)), KeyedDoc("b", 11L, "p", ts(2000)),
+          KeyedDoc("b", 12L, "p", ts(3000)), KeyedDoc("b", 13L, "p", ts(4000)))
+        q.processAllAvailable()
+        input.addData(
+          KeyedDoc("a", 3L, "p", ts(5000)), KeyedDoc("a", 4L, "p", ts(6000)),
+          KeyedDoc("b", 14L, "p", ts(5000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("quota_tws").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("docId"))).toSet
+      // identical to assertQuotaCap's expectation — the fMGWS contract
+      assert(got == Set(("a", 1L), ("a", 2L), ("a", 3L),
+        ("b", 10L), ("b", 11L), ("b", 12L)), s"got $got")
+    }
+  }
+
   private def assertHorizonQuota(sinkName: String): Unit = {
     val input = MemoryStream[KeyedDoc]
     val out = QuotaCap.firstNPerKeyWithinHorizon(input.toDS(), cap = 2,
