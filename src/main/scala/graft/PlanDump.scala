@@ -37,7 +37,8 @@ object PlanDump {
       "q70_common_grams", "q71_distribution_drift", "q72_chunking",
       "q75_cms_freq", "q76_top_p_selection", "q77_winsorized_stats",
       "q46_dedup_clusters", "q58_keeper_by_quality", "q82_winsorized_approx",
-      "q83_embedding_incremental_dedup", "q84_per_source_cap")
+      "q83_embedding_incremental_dedup", "q84_per_source_cap",
+      "q85_passage_dedup", "q86_url_canonical_dedup")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Streaming per-key quota — the unbounded twin of the q84 capability
   * (SampleOps.capPerKey): admit at most `cap` records per key over the
@@ -97,10 +98,11 @@ object QuotaCap {
     * state store provider (Spark rejects the default HDFS-backed store
     * at query start), so the fMGWS path remains the default-store
     * implementation and this one is opt-in. State layout here is a
-    * named ValueState[Long] counter per key — one state var now, but
-    * the API holds N of them (where fMGWS would force one product
-    * type), which is what the richer ops (a future horizon variant
-    * with separate counter + activity vars) buy.
+    * named ValueState[Long] counter per key; the richer surface (real
+    * timers, output event-time declaration) is what
+    * [[firstNPerKeyWithinHorizonTws]] builds on — and the output
+    * event-time column is the capability that makes the COMPOSED
+    * ingest graph (streaming.IngestPipeline) possible at all.
     */
   def firstNPerKeyTws(docs: Dataset[KeyedDoc], cap: Int): Dataset[KeyedDoc] = {
     require(cap > 0, s"firstNPerKeyTws: cap must be positive, got $cap")
@@ -163,6 +165,84 @@ object QuotaCap {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(admitWithTimeout(cap, delay) _)
+  }
+
+  /** The horizon quota on `transformWithState` — the COMPOSABLE
+    * variant. A fMGWS output carries no event-time column, so NOTHING
+    * stateful can run after [[firstNPerKeyWithinHorizon]] in one query
+    * graph; this one declares `ts` as its output event-time column
+    * (the API fMGWS never had), so the upstream watermark propagates
+    * and downstream dedup/join states chain legally —
+    * streaming.IngestPipeline is the consumer. Same contract as the
+    * fMGWS variant: first-N per activity burst, counter purged once
+    * the key idles past `delay` (an event-time timer re-armed to
+    * latest-activity + horizon; stale timers from earlier re-arms are
+    * ignored by the staleness guard, the monotone-timer discipline).
+    *
+    * Requirements inherited from `transformWithState`: the RocksDB
+    * state store provider, and a watermark DECLARED UPSTREAM by the
+    * caller (this stage must not re-declare — one declaration per
+    * chain). Spark validates emitted rows against the watermark at
+    * runtime (UpdateEventTimeWatermarkColumn), which this operator
+    * satisfies by construction: it emits only current-batch rows.
+    */
+  def firstNPerKeyWithinHorizonTws(docs: Dataset[KeyedDoc], cap: Int,
+      delay: String): Dataset[KeyedDoc] = {
+    require(cap > 0, s"firstNPerKeyWithinHorizonTws: cap must be positive, got $cap")
+    // timers take absolute millis, so the horizon string ("2 hours")
+    // parses once here — day/time intervals only (a calendar month is
+    // not a fixed duration)
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0,
+      s"firstNPerKeyWithinHorizonTws: '$delay' uses calendar months")
+    val ms = iv.days * 86400000L + iv.microseconds / 1000L
+    docs.groupByKey(_.key)
+      .transformWithState(new HorizonQuotaProcessor(cap, ms), "ts",
+        OutputMode.Append())
+  }
+
+  /** [[firstNPerKeyWithinHorizonTws]]'s state machine: QuotaState in a
+    * named ValueState + a real event-time timer per key (vs fMGWS's
+    * single implicit timeout slot). Re-arm = delete the previous
+    * timer, register at latest-activity + horizon; the expiry handler
+    * re-checks staleness before purging so an undeleted older timer
+    * can never reset an active key's quota early.
+    */
+  private class HorizonQuotaProcessor(cap: Int, horizonMs: Long)
+      extends StatefulProcessor[String, KeyedDoc, KeyedDoc] {
+    @transient private var st: ValueState[QuotaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[QuotaState]("quota", qsEnc, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedDoc],
+        timerValues: TimerValues): Iterator[KeyedDoc] = {
+      val prev = if (st.exists()) st.get() else QuotaState(0L, Long.MinValue)
+      val k = math.max(0L, cap - prev.n).toInt
+      val (admitted, batchMax) = takeFirstK(rows, k)
+      // monotone re-arm (the fMGWS variant's discipline): latest
+      // activity EVER, never backward
+      val lastMs = math.max(prev.lastMs, batchMax)
+      st.update(QuotaState(prev.n + admitted.length, lastMs))
+      if (prev.lastMs != Long.MinValue && prev.lastMs != lastMs) {
+        getHandle.deleteTimer(prev.lastMs + horizonMs)
+      }
+      if (lastMs != Long.MinValue) getHandle.registerTimer(lastMs + horizonMs)
+      admitted.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[KeyedDoc] = {
+      // staleness guard: purge only if this timer reflects the LATEST
+      // activity (an older, undeleted timer must not clear a key that
+      // has been active since)
+      if (st.exists() &&
+          expiredTimerInfo.getExpiryTimeInMs() >= st.get().lastMs + horizonMs) {
+        st.clear()
+      }
+      Iterator.empty
+    }
   }
 
   private def admitWithTimeout(cap: Int, horizon: String)(key: String,
