@@ -363,23 +363,49 @@ object DedupOps {
     * [[simhashPairs]]'s lazy lineage.
     */
   def simhashPairsFromFingerprints(fps: DataFrame, idCol: String,
-      hammingMax: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(hammingMax >= 0 && hammingMax <= 14,
-      s"simhashPairs: hammingMax $hammingMax outside [0, 14] (blocks need >= 4 bits)")
+      hammingMax: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    fingerprintPairs(fps, idCol, "simhash", bits = 60,
+      hammingMax = hammingMax, maxBucket = maxBucket)
+
+  /** Pigeonhole-exact hamming pairs over ANY fixed-width bit
+    * fingerprint column — the [[simhashPairsFromFingerprints]] block
+    * machinery generalized to `bits` in [8, 64] so 64-bit perceptual
+    * image hashes (operators.Multimodal aHash/dHash) reuse the SAME
+    * lossless-recall blocking and capped-bucket skew contract as the
+    * 60-bit text simhash. The fingerprint splits into `hammingMax + 1`
+    * disjoint blocks; any pair within `hammingMax` bit flips agrees
+    * exactly on >= 1 block. Unsigned shifts throughout: a 64-bit hash
+    * with the sign bit set must not smear 1s into the high block.
+    * Output: doc_a, doc_b, hamming.
+    */
+  def fingerprintPairs(fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, hammingMax: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bits >= 8 && bits <= 64,
+      s"fingerprintPairs: bits $bits outside [8, 64]")
+    require(hammingMax >= 0 && bits / (hammingMax + 1) >= 4,
+      s"fingerprintPairs: hammingMax $hammingMax leaves blocks under 4 " +
+        s"bits at width $bits — blocking would degenerate to hot buckets")
     // the OUTPUT and working names are fixed; an id column shadowing one
     // would go ambiguous deep in the plan — fail fast instead
-    val reserved = Set("simhash", "band", "bkey", "pos", "col",
+    val reserved = Set(fpCol, "band", "bkey", "pos", "col",
       "doc_a", "doc_b", "sh_a", "sh_b", "hamming")
     require(!reserved.contains(idCol),
-      s"simhashPairs: id column '$idCol' collides with an output/working " +
-        s"column (${reserved.mkString(", ")}) — rename it first")
+      s"fingerprintPairs: id column '$idCol' collides with an output/" +
+        s"working column (${reserved.mkString(", ")}) — rename it first")
     val nBlocks = hammingMax + 1
-    val w = 60 / nBlocks
+    val w = bits / nBlocks
     val blockCols: Seq[Column] = (0 until nBlocks).map { b =>
       // last block absorbs the remainder bits when nBlocks doesn't
-      // divide 60 — any disjoint partition preserves the pigeonhole
-      val bits = if (b == nBlocks - 1) 60 - w * (nBlocks - 1) else w
-      shiftright(col("simhash"), w * b).bitwiseAND(lit((1L << bits) - 1L))
+      // divide `bits` — any disjoint partition preserves the pigeonhole
+      val lo = w * b
+      val width = if (b == nBlocks - 1) bits - lo else w
+      val shifted =
+        if (lo == 0) col(fpCol) else shiftrightunsigned(col(fpCol), lo)
+      // a full-top block needs no mask (and (1L << 64) - 1 would wrap
+      // to 0); unsigned shift already zeroed everything above it
+      if (lo + width >= 64) shifted
+      else shifted.bitwiseAND(lit((1L << width) - 1L))
     }
     val bands = fps
       .select(col(idCol), posexplode(array(blockCols: _*)))
@@ -387,14 +413,81 @@ object DedupOps {
       .withColumnRenamed("col", "bkey")
     cappedCandidatePairs(bands, Seq(col("band"), col("bkey")),
         idCol, maxBucket, "doc_a", "doc_b")
-      .join(fps.select(col(idCol).as("doc_a"), col("simhash").as("sh_a")),
+      .join(fps.select(col(idCol).as("doc_a"), col(fpCol).as("sh_a")),
         Seq("doc_a"))
-      .join(fps.select(col(idCol).as("doc_b"), col("simhash").as("sh_b")),
+      .join(fps.select(col(idCol).as("doc_b"), col(fpCol).as("sh_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= hammingMax)
+  }
+
+  /** Exact-substring duplicate SPANS (the ExactSubstr dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, re-expressed for Spark): every maximal
+    * token interval of a document covered by `gramTokens`-token runs
+    * that also appear VERBATIM in at least `minDocs` distinct
+    * documents. Complements q85's passage near-dup: passages are
+    * fixed 25-token chunks matched approximately; this finds exact
+    * repeats at ARBITRARY offsets (license blocks, syndicated
+    * sentences) at gram resolution. Grams repeated only WITHIN one doc
+    * don't count (within-doc repetition is q44's job).
+    *
+    * Scale shape — the hash analog of the paper's suffix array, which
+    * would need a global sort of every token position at 100 TB:
+    *   1. gram explode + hash60 is MAP-ONLY (one row per token), and
+    *      runs ONCE: the explicit repartition on the gram hash is the
+    *      single exchange both consumers sit on — the distinct +
+    *      count >= minDocs aggregate AND the probe side of the
+    *      existence join are hash(__gh)-clustered already, so Spark
+    *      reuses the one shuffle (ReusedExchange) instead of
+    *      re-exploding and re-hashing the corpus per branch;
+    *   2. shared positions come back via a LEFT SEMI join — pure
+    *      existence, NEVER a positions x positions pair join, so a
+    *      boilerplate gram in a million docs costs postings (linear),
+    *      not pairs (quadratic);
+    *   3. the interval merge windows only the SHARED positions per
+    *      doc — output-sized, not corpus-sized.
+    * Two shuffles total: the gram-hash repartition and the per-doc
+    * island merge. Output: doc_id, span_start, span_end (token
+    * offsets, end exclusive), span_tokens.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      gramTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(gramTokens >= 2, s"exactSubstringSpans: gramTokens $gramTokens < 2")
+    require(minDocs >= 2, s"exactSubstringSpans: minDocs $minDocs < 2")
+    val grams = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("__tk"))
+      .filter(size(col("__tk")) >= gramTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("__tk")) - gramTokens)).as("__p"),
+        col("__tk"))
+      .select(col("doc_id"), col("__p").cast("long").as("pos"),
+        TextHashing.hash60(concat_ws(" ",
+          slice(col("__tk"), col("__p") + 1, lit(gramTokens))))
+          .as("__gh"))
+      .repartition(col("__gh"))
+    val shared = grams.select(col("__gh"), col("doc_id")).distinct()
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // intervals [p, p+k) sorted by start merge iff next - prev <= k
+    // (overlap or exact adjacency = contiguous duplicated coverage)
+    grams.join(shared, Seq("__gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") - lag(col("pos"), 1).over(w) > gramTokens, 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + gramTokens).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
   /** Transitive near-dup clusters over a pair frame. Output: doc_id,

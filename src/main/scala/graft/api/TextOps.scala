@@ -333,4 +333,70 @@ object TextOps {
       .withColumn("common_x1000", expr("(n_common * 1000) div n_grams"))
       .select(col(idCol), col("n_grams"), col("n_common"), col("common_x1000"))
   }
+
+  /** Quantized bigram language-model quality score — the CCNet/KenLM
+    * perplexity filter (Wenzek et al. 2020, "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data") re-expressed
+    * with EXACT integer arithmetic so the score is bit-identical
+    * cross-engine (float log-prob sums are order-dependent and would
+    * break the hash oracle). The LM is trained on the scored corpus
+    * itself, as CCNet trains on a reference crawl:
+    *
+    *   q(w1,w2) = floor(log2(c2(w1,w2) + 1)) - floor(log2(c1(w1) + V))
+    *
+    * — an add-V-smoothed bigram log-probability quantized to whole
+    * bits, where c2 = corpus bigram count, c1 = corpus count of w1 as
+    * a bigram head, V = corpus vocabulary size; floor(log2(n)) is
+    * length(bin(n)) - 1, pure integer in Spark and DuckDB alike. A
+    * doc's score sums q over its bigram OCCURRENCES; `keep` holds
+    * when the average quantized log-prob clears `keepAvgQx1000`
+    * (e.g. -9000 = quantized perplexity under ~2^9), compared by
+    * cross-multiplication — no division, no floats anywhere.
+    *
+    * Shape at 100 TB: the doc-level bigram rollup partial-aggregates
+    * map-side; the c2/c1 model joins are co-partitioned on the bigram
+    * / head token; V is a one-row broadcast. Model tables are
+    * vocabulary-sized, not corpus-sized. Output: idCol, n_bigrams,
+    * sum_q2, keep — docs under 2 tokens keep with 0 bigrams.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      keepAvgQx1000: Long = -9000L): DataFrame = {
+    val toks = df.select(col(idCol),
+      split(col(textCol), " ", -1).as("_toks"))
+    val docBi = toks
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("_toks")) - 1)).as("_i"),
+        col("_toks"))
+      .select(col(idCol),
+        element_at(col("_toks"), col("_i")).as("_w1"),
+        element_at(col("_toks"), col("_i") + 1).as("_w2"))
+      .groupBy(col(idCol), col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_n"))
+    val c2 = docBi.groupBy(col("_w1"), col("_w2"))
+      .agg(sum(col("_n")).as("_c2"))
+    val c1 = docBi.groupBy(col("_w1"))
+      .agg(sum(col("_n")).as("_c1"))
+    val vocab = toks.select(explode(col("_toks")).as("_w"))
+      .agg(count_distinct(col("_w")).as("_v"))
+    def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val perDoc = docBi
+      .join(c2, Seq("_w1", "_w2"))
+      .join(c1, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (col("_n") * (fl2(col("_c2") + 1) - fl2(col("_c1") + col("_v"))))
+          .as("_q"),
+        col("_n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_q")).as("sum_q2"), sum(col("_n")).as("n_bigrams"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_q2"), lit(0L)).as("sum_q2"))
+      .withColumn("keep",
+        col("n_bigrams") === 0 ||
+          col("sum_q2") * 1000 >= lit(keepAvgQx1000) * col("n_bigrams"))
+  }
 }

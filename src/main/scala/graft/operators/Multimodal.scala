@@ -199,6 +199,109 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual image hashing (real decode path) ---------------------
+
+  /** Block-mean grayscale downsample to a (gw x gh) grid over the TRUE
+    * pixels — integer block bounds, no `getScaledInstance` (whose
+    * filtering is platform/implementation-dependent; hashes must be
+    * deterministic). Luminance is the same 299/587/114 integer-weight
+    * formula as [[decodeImage]]'s band features.
+    */
+  private def grayGrid(im: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Array[Double] = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val g = new Array[Double](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh
+      val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / gh))
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / gw))
+        var sum = 0.0
+        var cnt = 0
+        var x = x0
+        while (x < x1) {
+          var y = y0
+          while (y < y1) {
+            val rgb = im.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000.0
+            cnt += 1
+            y += 1
+          }
+          x += 1
+        }
+        g(cy * gw + cx) = if (cnt == 0) 0.0 else sum / cnt
+        cx += 1
+      }
+      cy += 1
+    }
+    g
+  }
+
+  /** 64-bit perceptual hashes of an image payload via the REAL JDK
+    * decode: aHash (bit = 8x8 block mean above the global mean — both
+    * shift equally under uniform brightness change, so the hash is
+    * brightness-invariant) and dHash (bit = horizontal gradient sign
+    * on a 9x8 grid — invariant to any monotone per-pixel tone map).
+    * None when no registered reader parses the bytes.
+    */
+  private[graft] def perceptualHash(r: MediaRecord): Option[(Long, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map { im =>
+      val a8 = grayGrid(im, 8, 8)
+      val mean = a8.sum / 64.0
+      var aHash = 0L
+      var i = 0
+      while (i < 64) {
+        if (a8(i) > mean) aHash |= 1L << i
+        i += 1
+      }
+      val d9 = grayGrid(im, 9, 8)
+      var dHash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (d9(y * 9 + x) < d9(y * 9 + x + 1)) dHash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      (aHash, dHash)
+    }
+  }
+
+  /** Perceptual hash table: doc_id, ahash64, dhash64 — one row per
+    * DECODABLE image (unparseable payloads drop; callers needing them
+    * left-join back). Per-partition batched like [[decode]]; map-only.
+    */
+  def imageHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(r => perceptualHash(r).map(h => (r.docId, h._1, h._2)))
+    }.toDF("doc_id", "ahash64", "dhash64")
+  }
+
+  /** Near-duplicate image pairs: dHash-64 hamming distance with the
+    * SAME pigeonhole-lossless blocking + capped-bucket skew contract
+    * as the text simhash (api.DedupOps.fingerprintPairs, bits = 64).
+    * dHash over aHash for the pair key: gradient signs survive global
+    * tone/brightness edits that move aHash's mean threshold on
+    * near-uniform images. Output: doc_a, doc_b, hamming.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
+      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
+    graft.api.DedupOps.fingerprintPairs(
+      imageHashes(media).select(col("doc_id"), col("dhash64")),
+      "doc_id", "dhash64", bits = 64,
+      hammingMax = hammingMax, maxBucket = maxBucket)
+
   /** documents table → media records (text bytes standing in for image
     * payloads; at 100TB this column is the raw bytes from the object
     * store and everything downstream is unchanged).

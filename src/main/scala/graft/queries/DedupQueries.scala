@@ -179,6 +179,45 @@ FROM p WHERE ca // 100000 <> cb // 100000"""),
           jaccardX1000Threshold = 500)),
 
     QueryDef(
+      "q87_exact_substring_spans",
+      "Exact-substring duplicate spans (DedupOps.exactSubstringSpans; " +
+        "Lee et al. 2022's ExactSubstr dedup): maximal token intervals " +
+        "covered by 8-token runs appearing VERBATIM in >= 2 distinct " +
+        "docs — exact repeats at arbitrary offsets that q85's fixed " +
+        "25-token approximate chunks round away. The hash analog of " +
+        "the paper's suffix array (a global token-position sort at " +
+        "100 TB): map-only gram explode, ONE partial-agg'd exchange on " +
+        "the 60-bit gram hash, a co-partitioned LEFT SEMI back-join " +
+        "(existence only — a boilerplate gram in a million docs costs " +
+        "postings, never pairs), and an island-merge window over just " +
+        "the shared positions.",
+      Some(s"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ix AS (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 8)) AS pos
+       FROM toks WHERE len(tk) >= 8),
+g AS (SELECT doc_id, pos,
+             ${hash60Sql("array_to_string(tk[pos+1:pos+8], ' ')")} AS gh
+      FROM ix),
+sh AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+       GROUP BY gh HAVING count(*) >= 2),
+p AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM sh)),
+b AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM p),
+i AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+       max(pos) + 8 - min(pos) AS span_tokens
+FROM i GROUP BY doc_id, grp"""),
+      (s, dir) =>
+        graft.api.DedupOps.exactSubstringSpans(
+          Tables.documents(s, dir), "doc_id", "text",
+          gramTokens = 8, minDocs = 2)),
+
+    QueryDef(
       "q29_ngram_jaccard",
       "Exact n-gram Jaccard dedup via rare-gram inverted index: distinct " +
         "token bigrams per doc → document-frequency per gram → candidate " +

@@ -509,6 +509,48 @@ FROM canon GROUP BY 1"""),
           Tables.documents(s, dir)
             .select(col("doc_id"),
               expr(urlFixtureSql("string", "div")).as("url")),
-          "doc_id", "url"))
+          "doc_id", "url")),
+
+    QueryDef(
+      "q88_bigram_lm_quality",
+      "Quantized bigram LM quality filter (TextOps.bigramLmScore; the " +
+        "CCNet/KenLM perplexity filter with exact integer arithmetic): " +
+        "an add-V-smoothed bigram LM trained on the corpus itself " +
+        "scores each doc by sum over its bigram occurrences of " +
+        "floor(log2(c2+1)) - floor(log2(c1+V)) — whole-bit log-probs " +
+        "via length(bin(n))-1, so the score hashes identically " +
+        "cross-engine where float log sums would not. keep = avg " +
+        "quantized log-prob >= -4.6 (tuned to the corpus's score " +
+        "band; drops the ~11% least-predictable docs), compared " +
+        "by cross-multiplication. Doc bigram rollups partial-agg " +
+        "map-side; the c2/c1 model joins are co-partitioned on the " +
+        "bigram/head; V is a one-row broadcast — model tables are " +
+        "vocabulary-sized, never corpus-sized.",
+      Some("""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       FROM (SELECT doc_id, tk,
+                    unnest(generate_series(1, len(tk) - 1)) AS i
+             FROM toks WHERE len(tk) >= 2)),
+db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, sum(n) AS c2 FROM db GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n) AS c1 FROM db GROUP BY 1),
+vv AS (SELECT count(DISTINCT w) AS v
+       FROM (SELECT unnest(tk) AS w FROM toks)),
+sc AS (SELECT doc_id,
+              sum(n * ((len(bin(c2 + 1)) - 1) - (len(bin(c1 + v)) - 1)))::BIGINT AS sum_q2,
+              sum(n)::BIGINT AS n_bigrams
+       FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sc.sum_q2, 0)::BIGINT AS sum_q2,
+       (coalesce(sc.n_bigrams, 0) = 0 OR
+        coalesce(sc.sum_q2, 0) * 1000 >= -4600 * coalesce(sc.n_bigrams, 0)) AS keep
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""),
+      (s, dir) =>
+        graft.api.TextOps.bigramLmScore(
+          Tables.documents(s, dir), "doc_id", "text",
+          keepAvgQx1000 = -4600L))
   )
 }

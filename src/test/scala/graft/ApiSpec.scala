@@ -805,4 +805,76 @@ class ApiSpec extends SparkSpec {
       when(col("grp") === "q", 2L).otherwise(1L)).count()
     assert(again == kept.values.sum)
   }
+
+  test("DedupOps.exactSubstringSpans: shared run found at its true offsets, " +
+    "within-doc repeats excluded") {
+    // a 5-token license block shared VERBATIM by docs 1 and 2 at
+    // DIFFERENT offsets; doc 3 repeats a run only within itself
+    val license = "released under the example license"
+    val d1 = s"alpha beta gamma $license delta epsilon zeta eta theta"
+    val d2 = s"$license one two three four five six seven eight nine"
+    val d3 = "ping pong ping pong ping pong ping pong ping pong ping pong"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("row_key", "body")
+    val spans = DedupOps.exactSubstringSpans(docs, "row_key", "body",
+      gramTokens = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // d1: tokens 3..7 inclusive -> span [3, 8); d2: [0, 5); d3: nothing
+    assert(spans == Set((1L, 3L, 8L), (2L, 0L, 5L)))
+  }
+
+  test("DedupOps.exactSubstringSpans: overlapping + adjacent grams merge " +
+    "into one maximal span") {
+    // docs share a 12-token run -> grams at offsets 0..7 (k=5) all
+    // shared -> ONE span of 12 tokens, not 8 gram-sized fragments
+    val run = "a b c d e f g h i j k l"
+    val docs = Seq(
+      (1L, s"$run x1 y1 z1"),
+      (2L, s"x2 y2 z2 $run")).toDF("row_key", "body")
+    val spans = DedupOps.exactSubstringSpans(docs, "row_key", "body",
+      gramTokens = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(spans == Set((1L, 0L, 12L), (2L, 3L, 12L)))
+  }
+
+  test("TextOps.bigramLmScore: hand-computed quantized log-probs, " +
+    "short docs keep with zero bigrams") {
+    val docs = Seq(
+      (1L, "go go go go"),
+      (2L, "go stop"),
+      (3L, "x")).toDF("row_key", "body")
+    val out = TextOps.bigramLmScore(docs, "row_key", "body",
+      keepAvgQx1000 = -3000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // corpus: bigrams (go,go) x3, (go,stop) x1; V = 3 (go, stop, x)
+    // c1(go) = 4 (bigram heads); fl2 = floor(log2)
+    // q(go,go)   = fl2(3+1) - fl2(4+3) = 2 - 2 = 0
+    // q(go,stop) = fl2(1+1) - fl2(4+3) = 1 - 2 = -1
+    assert(out(1L) == ((3L, 0L, true)))   // 3 bigrams, sum 0, avg 0
+    assert(out(2L) == ((1L, -1L, true)))  // avg -1000 >= -3000
+    assert(out(3L) == ((0L, 0L, true)))   // no bigrams -> keep
+    // tighter threshold flips doc 2 only
+    val strict = TextOps.bigramLmScore(docs, "row_key", "body",
+      keepAvgQx1000 = -500L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(strict == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("DedupOps.fingerprintPairs: 64-bit hashes with the sign bit set " +
+    "pair correctly (unsigned block shifts)") {
+    // two fingerprints differing in exactly 2 bits, both with bit 63
+    // set — arithmetic shifts would smear 1s into every high block and
+    // can merge/split buckets wrongly
+    val a = 0x8000F00F00FF0F0FL
+    val b = a ^ (1L << 62) ^ 1L
+    val far = 0x7123456789ABCDEFL
+    val fps = Seq((1L, a), (2L, b), (3L, far)).toDF("row_key", "fp")
+    val pairs = DedupOps.fingerprintPairs(fps, "row_key", "fp",
+      bits = 64, hammingMax = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 2L)))
+    // hammingMax below the true distance -> no pair
+    assert(DedupOps.fingerprintPairs(fps, "row_key", "fp",
+      bits = 64, hammingMax = 1).isEmpty)
+  }
 }

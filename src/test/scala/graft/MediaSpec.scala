@@ -161,4 +161,66 @@ class MediaSpec extends SparkSpec {
       s"got ${pairs.toSeq}")
     assert(pairs.head._3 == 1000L) // identical vectors -> cosine exactly 1
   }
+
+  /** Horizontal-gradient PNG with a per-pixel brightness offset —
+    * structured content whose aHash/dHash are half-ones, unlike flat
+    * fills (all-below-mean degenerates).
+    */
+  private def gradientPng(w: Int, h: Int, brighten: Int): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      // mid-range ramp so +brighten never clips at 255
+      val v = 40 + (x * 160 / w) + brighten
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  private def noisePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    for (x <- 0 until w; y <- 0 until h) {
+      s = s * 6364136223846793005L + 1442695040888963407L // deterministic LCG
+      val v = ((s >>> 33) & 0xff).toInt
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual hashes: brightness-invariant, content-sensitive, " +
+    "undecodable payloads drop") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, "image/png", gradientPng(64, 48, 0)),
+      MediaRecord(2L, "image/png", gradientPng(64, 48, 8)), // +8 brightness
+      MediaRecord(3L, "image/png", noisePng(64, 48, 7L)),
+      MediaRecord(4L, "image/png", "not an image".getBytes("UTF-8")))
+    val hs = Multimodal.imageHashes(recs.toDS()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L)) // junk dropped, not nulled
+    // uniform +8 shifts every block mean AND the global mean equally
+    // (aHash), and preserves every gradient sign (dHash) — both exact
+    assert(hs(1L) == hs(2L))
+    // the gradient's dHash is all-ascending = all 64 bits set; noise is
+    // far from it in hamming
+    assert(java.lang.Long.bitCount(hs(1L)._2 ^ hs(3L)._2) > 16,
+      s"noise too close: ${java.lang.Long.bitCount(hs(1L)._2 ^ hs(3L)._2)}")
+  }
+
+  test("imageNearDupPairs: the brightened twin pairs, noise does not") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, "image/png", gradientPng(64, 48, 0)),
+      MediaRecord(2L, "image/png", gradientPng(64, 48, 8)),
+      MediaRecord(3L, "image/png", noisePng(64, 48, 7L))).toDS()
+    val pairs = Multimodal.imageNearDupPairs(recs, hammingMax = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"got ${pairs.toSeq}")
+    assert(pairs.head._3 == 0L) // exact dHash match under brightness shift
+  }
 }
