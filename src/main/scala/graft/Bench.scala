@@ -2,8 +2,9 @@ package graft
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract → BENCH_r{N}.json).
-  * Methodology (session config, noop sink, warmup, min-of-two) lives in
-  * [[BenchHarness]], shared with [[BenchScale]].
+  * Methodology (session config, noop sink, warmup, min-of-three with
+  * raw per-run arrays) lives in [[BenchHarness]], shared with
+  * [[BenchScale]].
   *
   * The one-shot SharedStages pair+cluster materialization for the
   * timed SF dir is timed EXPLICITLY as its own `shared_stage_build`
@@ -29,15 +30,24 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = ("shared_stage_build" -> stageBuild) +:
+    // three timed runs per query; "queries" reports the min (the
+    // steady-state plan cost), "runs" the raw per-run arrays so a
+    // driver-load outlier is visible as [0.3, 6.1, 0.3], not as a
+    // phantom regression
+    val raw = ("shared_stage_build" -> Seq(stageBuild)) +:
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-        name -> BenchHarness.minOf2(spark, name, sfDir)
+        name -> BenchHarness.timedRuns(3,
+          () => SparkEntry.queries(name)(spark, sfDir))
       }
+    val results = raw.map { case (k, rs) => k -> BenchHarness.minOfRuns(rs) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runs = raw.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(BenchHarness.num).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The ONE benchmark methodology, shared by [[Bench]] (per-round driver
   * bench) and [[BenchScale]] (10× scale-stress): same session config,
-  * same noop sink, same warmup, same min-of-two timing. SCALE.md's
+  * same noop sink, same warmup, same timing discipline. SCALE.md's
   * comparability claim ("Bench's methodology") is true by construction
   * because both mains call these.
   */
@@ -46,9 +46,34 @@ object BenchHarness {
       catch { case _: Throwable => () }
     }
 
-  /** min of two timed runs: JIT/GC jitter at local scale is larger than
+  /** `n` timed runs of a plan thunk, raw times in order. A failed run
+    * short-circuits to a single -1.0. The raw array is part of the
+    * bench artifact (bench_out.json `runs`): a one-off 6× outlier
+    * under driver load is then self-diagnosing instead of reading as
+    * a regression.
+    */
+  def timedRuns(n: Int, build: () => DataFrame): Seq[Double] = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      try exec(build())
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < n && (out.isEmpty || out.last >= 0)) { out += once(); i += 1 }
+    out.toSeq
+  }
+
+  /** min over raw runs: JIT/GC jitter at local scale is larger than
     * most plan differences; the min is the steady-state cost of the
     * plan itself. -1.0 marks a failed query.
+    */
+  def minOfRuns(rs: Seq[Double]): Double =
+    if (rs.isEmpty || rs.exists(_ < 0)) -1.0 else rs.min
+
+  /** min of two timed runs (BenchScale's per-SF rows; Bench proper
+    * uses three runs and reports the raw array too).
     */
   def minOf2(spark: SparkSession, name: String, dir: String): Double =
     minOf2Of(() => SparkEntry.queries(name)(spark, dir))
@@ -56,16 +81,8 @@ object BenchHarness {
   /** [[minOf2]] for any plan thunk (BenchScale's const-delta probes
     * time API calls that are not catalog entries).
     */
-  def minOf2Of(build: () => DataFrame): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      try exec(build())
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val a = once(); val b = once()
-    if (a < 0 || b < 0) -1.0 else math.min(a, b)
-  }
+  def minOf2Of(build: () => DataFrame): Double =
+    minOfRuns(timedRuns(2, build))
 
   /** Locale-safe fixed-ish decimal rendering for the JSON contract
     * lines: Double.toString never uses the JVM default locale, while

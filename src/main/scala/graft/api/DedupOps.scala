@@ -177,30 +177,46 @@ object DedupOps {
 
   /** Materialize the corpus side of [[minhashPairsAgainstIndex]] to
     * parquet: `$path/buckets` = the capped (band, bkey, __cs) LSH
-    * bucket index sorted by (band, bkey), `$path/hashed` = (doc_old,
-    * hs_old) shingle sets sorted by id for the verify join. This is
-    * the "build once, probe per ingest batch" contract made literal —
-    * at 100TB the index build is the one full-corpus LSH scan per
-    * corpus version ([[minhashPairsAgainst]] re-derives it per CALL,
-    * NearDupIngest.index per SESSION), and every daily delta pays only
-    * the probe. Both frames are tiny next to the corpus: ids + 60-bit
-    * hash sets, never text.
+    * bucket index PARTITIONED by `__bp` (a band-hash prefix:
+    * `xxhash64(band, bkey) mod prefixPartitions`) and sorted by
+    * (band, bkey) within partitions, `$path/hashed` = (doc_old,
+    * hs_old) shingle sets sorted by id for the verify join,
+    * `$path/meta` = one row recording `prefix_partitions` so probes
+    * derive the SAME prefix without a caller-side knob to keep in
+    * sync. This is the "build once, probe per ingest batch" contract
+    * made literal — at 100TB the index build is the one full-corpus
+    * LSH scan per corpus version ([[minhashPairsAgainst]] re-derives
+    * it per CALL, NearDupIngest.index per SESSION), and every daily
+    * delta pays only the probe. The `__bp` layout is what makes the
+    * probe's index-scan term sub-linear in the INDEX: a delta touching
+    * k of the prefixes reads k/prefixPartitions of the bucket files
+    * (directory-level partition pruning), and the (band, bkey) sort
+    * gives row-group min/max pruning within each file. Both frames are
+    * tiny next to the corpus: ids + 60-bit hash sets, never text.
     */
   def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
-      path: String, maxBucket: Int = DefaultMaxBucket): Unit = {
+      path: String, maxBucket: Int = DefaultMaxBucket,
+      prefixPartitions: Int = 64): Unit = {
+    require(prefixPartitions >= 1,
+      s"writeMinhashIndex: prefixPartitions $prefixPartitions < 1")
     // one persisted shingle pass feeds both outputs (the
     // NearDupIngest.index single-scan discipline)
     val hashed = shingleHashed(corpus, idCol, textCol).persist()
     try {
       graft.jobs.Sinks.layout(
         bandBuckets(withBandKeys(hashed)
-          .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket),
-        s"$path/buckets", partitionCols = Nil,
+          .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
+          .withColumn("__bp",
+            pmod(xxhash64(col("band"), col("bkey")), lit(prefixPartitions.toLong))),
+        s"$path/buckets", partitionCols = Seq("__bp"),
         sortCols = Seq("band", "bkey"), numFiles = 8)
       graft.jobs.Sinks.layout(
         hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
         s"$path/hashed", partitionCols = Nil,
         sortCols = Seq("doc_old"), numFiles = 8)
+      corpus.sparkSession.range(1)
+        .select(lit(prefixPartitions).as("prefix_partitions"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally hashed.unpersist()
   }
 
@@ -212,25 +228,46 @@ object DedupOps {
     * O(delta work + index scan) with NO corpus shingle/minhash
     * re-derivation. BenchScale's `probe_const_delta` rows measure
     * exactly this: a fixed delta's probe time stays ~flat while the
-    * corpus behind the index grows 10×. At 100TB the remaining
-    * index-scan term is engineered down by partitioning the bucket
-    * parquet on a band-hash prefix and pruning with the delta's key
-    * set; the sorted layout here already gives row-group min/max
-    * pruning to any pushed band filter. Output: doc_new, doc_old,
-    * jaccard_x1000.
+    * corpus behind the index grows 10×. The index-scan term itself is
+    * PRUNED, not just bounded: the delta's distinct `__bp` prefixes
+    * (at most `prefix_partitions` ints — a partition-pruning list
+    * collected driver-side, the same role as a pushed-down IN filter,
+    * never data) filter the `__bp`-partitioned bucket parquet, so the
+    * probe reads only the directories its keys can hit, and the
+    * (band, bkey) sort prunes row groups within them. Pre-`__bp`
+    * indexes (no meta/partition column) probe unpruned, unchanged.
+    * Output: doc_new, doc_old, jaccard_x1000.
     */
   def minhashPairsAgainstIndex(newDf: DataFrame, idCol: String,
       textCol: String, indexPath: String,
       jaccardX1000Threshold: Int = 500): DataFrame = {
     val reserved = Set("hs", "band", "bkey", "pos", "col", "__mh",
-      "__cs", "toks", "doc_new", "doc_old", "hs_new", "hs_old")
+      "__cs", "toks", "doc_new", "doc_old", "hs_new", "hs_old", "__bp")
     require(!reserved.contains(idCol),
       s"minhashPairsAgainstIndex: id column '$idCol' collides with a " +
         s"working column (${reserved.mkString(", ")}) — rename it first")
     val s = newDf.sparkSession
-    val buckets = s.read.parquet(s"$indexPath/buckets")
+    val bucketsRaw = s.read.parquet(s"$indexPath/buckets")
     val hashedOld = s.read.parquet(s"$indexPath/hashed")
-    withBandKeys(shingleHashed(newDf, idCol, textCol))
+    val deltaBands = withBandKeys(shingleHashed(newDf, idCol, textCol))
+    val buckets =
+      if (bucketsRaw.columns.contains("__bp")) {
+        val p = s.read.parquet(s"$indexPath/meta")
+          .head().getAs[Int]("prefix_partitions")
+        // the delta re-derives its band keys for this list (map-only
+        // over the delta — cheap by the delta-size contract); the
+        // returned plan recomputes them for the join itself
+        val prefixes = deltaBands
+          .select(pmod(xxhash64(col("band"), col("bkey")), lit(p.toLong))
+            .as("__bp"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        // Int literals: the read-back partition column infers as int,
+        // and a cast on the partition side would defeat directory
+        // pruning — the whole point of the layout
+        bucketsRaw.filter(col("__bp").isin(prefixes.map(_.toInt): _*))
+          .drop("__bp")
+      } else bucketsRaw
+    deltaBands
       .join(buckets, Seq("band", "bkey"))
       .select(col(idCol).as("doc_new"), col("hs").as("hs_new"),
         explode(col("__cs")).as("doc_old"))
@@ -393,6 +430,12 @@ object DedupOps {
     require(!reserved.contains(idCol),
       s"fingerprintPairs: id column '$idCol' collides with an output/" +
         s"working column (${reserved.mkString(", ")}) — rename it first")
+    val fpReserved = Set(idCol, "band", "bkey", "pos", "col",
+      "doc_a", "doc_b", "sh_a", "sh_b", "hamming")
+    require(!fpReserved.contains(fpCol),
+      s"fingerprintPairs: fingerprint column '$fpCol' collides with an " +
+        s"output/working column (${fpReserved.mkString(", ")}) — rename " +
+        "it first")
     val nBlocks = hammingMax + 1
     val w = bits / nBlocks
     val blockCols: Seq[Column] = (0 until nBlocks).map { b =>
@@ -447,16 +490,32 @@ object DedupOps {
     *      existence, NEVER a positions x positions pair join, so a
     *      boilerplate gram in a million docs costs postings (linear),
     *      not pairs (quadratic);
-    *   3. the interval merge windows only the SHARED positions per
+    *   3. grams in MORE than `maxDocsPerGram` distinct docs are
+    *      dropped from the shared set (the q21/q29 capped-bucket
+    *      contract): a license block present in 10⁶ docs would
+    *      otherwise ship every occurrence's positions into the
+    *      island-merge window. Recall contract: over-cap grams are
+    *      corpus-wide boilerplate, which the common-grams pass (q70)
+    *      identifies and strips at O(n) — this operator's job is the
+    *      mid-frequency exact repeats;
+    *   4. the interval merge windows only the SHARED positions per
     *      doc — output-sized, not corpus-sized.
     * Two shuffles total: the gram-hash repartition and the per-doc
-    * island merge. Output: doc_id, span_start, span_end (token
-    * offsets, end exclusive), span_tokens.
+    * island merge. Tokenization contract: single-space split keeping
+    * empty tokens (repo-wide; mirrored by DuckDB's string_split), so
+    * runs of consecutive spaces form empty-token grams that can merge
+    * spans across them — callers wanting whitespace-insensitive spans
+    * should normalize first ([[TextOps]] normalize). Output: doc_id,
+    * span_start, span_end (token offsets, end exclusive), span_tokens.
     */
   def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
-      gramTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+      gramTokens: Int = 8, minDocs: Int = 2,
+      maxDocsPerGram: Int = 1000): DataFrame = {
     require(gramTokens >= 2, s"exactSubstringSpans: gramTokens $gramTokens < 2")
     require(minDocs >= 2, s"exactSubstringSpans: minDocs $minDocs < 2")
+    require(maxDocsPerGram >= minDocs,
+      s"exactSubstringSpans: maxDocsPerGram $maxDocsPerGram < minDocs " +
+        s"$minDocs — the cap would reject every shared gram")
     val grams = df
       .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("__tk"))
       .filter(size(col("__tk")) >= gramTokens)
@@ -470,7 +529,7 @@ object DedupOps {
       .repartition(col("__gh"))
     val shared = grams.select(col("__gh"), col("doc_id")).distinct()
       .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
+      .filter(col("__nd") >= minDocs && col("__nd") <= maxDocsPerGram)
       .select(col("__gh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")

@@ -353,17 +353,22 @@ object TextOps {
     * (e.g. -9000 = quantized perplexity under ~2^9), compared by
     * cross-multiplication — no division, no floats anywhere.
     *
-    * Shape at 100 TB: the doc-level bigram rollup partial-aggregates
-    * map-side; the c2/c1 model joins are co-partitioned on the bigram
-    * / head token; V is a one-row broadcast. Model tables are
-    * vocabulary-sized, not corpus-sized. Output: idCol, n_bigrams,
-    * sum_q2, keep — docs under 2 tokens keep with 0 bigrams.
+    * Shape at 100 TB: the exploded bigram stream is hashed on
+    * (w1,w2) exactly once — the per-doc rollup groups by a superset
+    * of that key and the c2 model rollup by the key itself, so both
+    * reuse the exchange; head counts c1 come from a window over the
+    * vocabulary-sized c2 frame (no second corpus-side exchange, no
+    * separate c1 join); V is a one-row broadcast; docs under 2
+    * tokens are unioned in rather than left-joining the whole corpus
+    * back. Model tables are vocabulary-sized, not corpus-sized.
+    * Output: idCol, n_bigrams, sum_q2, keep — docs under 2 tokens
+    * keep with 0 bigrams.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       keepAvgQx1000: Long = -9000L): DataFrame = {
     val toks = df.select(col(idCol),
       split(col(textCol), " ", -1).as("_toks"))
-    val docBi = toks
+    val biOcc = toks
       .filter(size(col("_toks")) >= 2)
       .select(col(idCol),
         explode(sequence(lit(1), size(col("_toks")) - 1)).as("_i"),
@@ -371,18 +376,19 @@ object TextOps {
       .select(col(idCol),
         element_at(col("_toks"), col("_i")).as("_w1"),
         element_at(col("_toks"), col("_i") + 1).as("_w2"))
-      .groupBy(col(idCol), col("_w1"), col("_w2"))
+      .repartition(col("_w1"), col("_w2"))
+    val docBi = biOcc.groupBy(col(idCol), col("_w1"), col("_w2"))
       .agg(count(lit(1)).as("_n"))
     val c2 = docBi.groupBy(col("_w1"), col("_w2"))
       .agg(sum(col("_n")).as("_c2"))
-    val c1 = docBi.groupBy(col("_w1"))
-      .agg(sum(col("_n")).as("_c1"))
+    val model = c2.withColumn("_c1",
+      sum(col("_c2")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_w1"))))
     val vocab = toks.select(explode(col("_toks")).as("_w"))
       .agg(count_distinct(col("_w")).as("_v"))
     def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val perDoc = docBi
-      .join(c2, Seq("_w1", "_w2"))
-      .join(c1, Seq("_w1"))
+      .join(model, Seq("_w1", "_w2"))
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         (col("_n") * (fl2(col("_c2") + 1) - fl2(col("_c1") + col("_v"))))
@@ -390,11 +396,10 @@ object TextOps {
         col("_n"))
       .groupBy(col(idCol))
       .agg(sum(col("_q")).as("sum_q2"), sum(col("_n")).as("n_bigrams"))
-    df.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("sum_q2"), lit(0L)).as("sum_q2"))
+    val short = toks.filter(size(col("_toks")) < 2)
+      .select(col(idCol), lit(0L).as("n_bigrams"), lit(0L).as("sum_q2"))
+    perDoc.select(col(idCol), col("n_bigrams"), col("sum_q2"))
+      .unionByName(short)
       .withColumn("keep",
         col("n_bigrams") === 0 ||
           col("sum_q2") * 1000 >= lit(keepAvgQx1000) * col("n_bigrams"))

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * image library needs: one context per partition, not per row).
   * Images decode for REAL via javax.imageio (PNG/BMP/GIF/JPEG) and
   * audio via javax.sound.sampled (WAV/AIFF/AU PCM + ULAW/ALAW) — both
-  * JDK-built-in, zero external deps. Only VIDEO remains a
-  * DETERMINISTIC STUB (no container-less JDK video codec exists);
-  * swap `decodeStub` for a real codec without touching the plumbing.
+  * JDK-built-in, zero external deps. Video CONTAINER metadata is also
+  * real: a codec-free MP4 (ISO BMFF) box walk and AVI RIFF header
+  * parse recover true width/height/frame-count/duration. Only the
+  * video FRAME PAYLOAD decode remains a DETERMINISTIC STUB (no JDK
+  * video codec exists — the feature vector is the stub's byte
+  * checksum); swap it for a real codec without touching the plumbing.
   */
 object Multimodal {
 
@@ -176,14 +179,179 @@ object Multimodal {
     }
   }
 
+  /** Container-level video metadata — everything a training pipeline's
+    * bookkeeping (dedup keys, resolution filters, duration quotas,
+    * frame-sampling plans) needs, recovered WITHOUT a codec.
+    */
+  private[graft] case class VideoMeta(width: Int, height: Int,
+      nFrames: Int, durationMs: Long)
+
+  // big-endian readers over the payload (MP4 is big-endian); unsigned
+  // 32-bit values come back as Long so a >2GiB box size cannot go
+  // negative
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  // little-endian (AVI / RIFF)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** MP4 / ISO BMFF box walk (ISO 14496-12 box grammar): size(4) +
+    * type(4) headers, size==1 → 64-bit largesize, size==0 → to end of
+    * enclosing box; `moov/mvhd` yields the movie timescale + duration,
+    * each `trak`'s `tkhd` its 16.16-fixed width/height, and the VIDEO
+    * trak's (the one with nonzero dimensions) `stbl/stts` entries sum
+    * to the frame count. Unknown boxes skip by size — the format's own
+    * forward-compat rule — and any malformed size aborts the walk with
+    * whatever was recovered so far. None unless the payload leads with
+    * a well-formed known top-level box (ftyp/styp/moov/...), so junk
+    * bytes fall to the caller's stub path.
+    */
+  private[graft] def parseMp4Meta(b: Array[Byte]): Option[VideoMeta] = {
+    val n = b.length
+    if (n < 8) return None
+    val lead = fourcc(b, 4)
+    if (!Set("ftyp", "styp", "moov", "mdat", "free", "skip", "wide",
+        "pdin", "sidx", "moof").contains(lead)) return None
+    var timescale = 0L
+    var durationTicks = 0L
+    var width = 0
+    var height = 0
+    var frames = 0
+    // walk [start, end) as a sequence of boxes, recursing into the
+    // container types on the moov → trak → mdia → minf → stbl spine
+    def walk(start: Long, end: Long, inVideoTrak: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = be32(b, off.toInt)
+        val typ = fourcc(b, off.toInt + 4)
+        var hdr = 8L
+        if (size == 1L) {
+          if (off + 16 > end) return
+          size = be64(b, off.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = end - off
+        if (size < hdr || off + size > end) return
+        val body = (off + hdr).toInt
+        val bodyEnd = off + size
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            walk(off + hdr, bodyEnd, inVideoTrak)
+          case "trak" =>
+            // two passes: tkhd decides whether this trak is the video
+            // one; only then do its stts samples count as frames
+            val saveW = width; val saveH = height
+            width = 0; height = 0
+            walk(off + hdr, bodyEnd, inVideoTrak = false) // tkhd only
+            val isVideo = width > 0 && height > 0
+            if (!isVideo) { width = saveW; height = saveH }
+            else walk(off + hdr, bodyEnd, inVideoTrak = true) // stts pass
+          case "mvhd" if bodyEnd - body >= 20 =>
+            val v = b(body) & 0xff
+            if (v == 1 && bodyEnd - body >= 32) {
+              timescale = be32(b, body + 20)
+              durationTicks = be64(b, body + 24)
+            } else {
+              timescale = be32(b, body + 12)
+              durationTicks = be32(b, body + 16)
+            }
+          case "tkhd" =>
+            val v = b(body) & 0xff
+            val wOff = if (v == 1) body + 88 else body + 76
+            if (wOff + 8 <= bodyEnd) {
+              // 16.16 fixed point; fractional halves round up
+              width = ((be32(b, wOff) + 0x8000L) >> 16).toInt
+              height = ((be32(b, wOff + 4) + 0x8000L) >> 16).toInt
+            }
+          case "stts" if inVideoTrak && bodyEnd - body >= 8 =>
+            val entries = be32(b, body + 4)
+            var i = 0L
+            var p = body + 8L
+            var acc = 0L
+            while (i < entries && p + 8 <= bodyEnd) {
+              acc += be32(b, p.toInt)
+              i += 1; p += 8
+            }
+            frames = math.min(acc, Int.MaxValue.toLong).toInt
+          case _ => () // skip by size
+        }
+        off += size
+      }
+    }
+    walk(0L, n.toLong, inVideoTrak = false)
+    if (timescale <= 0 && width == 0 && height == 0) None
+    else Some(VideoMeta(width, height, frames,
+      if (timescale > 0) durationTicks * 1000L / timescale else 0L))
+  }
+
+  /** AVI RIFF header parse: `RIFF<size>AVI ` then even-padded
+    * `<fourcc><le32 size>` chunks; the `hdrl` LIST's `avih`
+    * (MainAVIHeader) carries dwMicroSecPerFrame, dwTotalFrames,
+    * dwWidth, dwHeight — all little-endian. None unless the RIFF/AVI
+    * magic matches.
+    */
+  private[graft] def parseAviMeta(b: Array[Byte]): Option[VideoMeta] = {
+    val n = b.length
+    if (n < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    var out: Option[VideoMeta] = None
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end && out.isEmpty) {
+        val fcc = fourcc(b, off.toInt)
+        val size = le32(b, off.toInt + 4)
+        val body = off + 8
+        if (body + size > end) return
+        if (fcc == "LIST" && size >= 4) {
+          // LIST payload = 4cc list type + children
+          walk(body + 4, body + size)
+        } else if (fcc == "avih" && size >= 40) {
+          val o = body.toInt
+          val usPerFrame = le32(b, o)
+          val totalFrames = le32(b, o + 16)
+          val w = le32(b, o + 32).toInt
+          val h = le32(b, o + 36).toInt
+          out = Some(VideoMeta(w, h,
+            math.min(totalFrames, Int.MaxValue.toLong).toInt,
+            totalFrames * usPerFrame / 1000L))
+        }
+        off = body + size + (size & 1L) // chunks pad to even
+      }
+    }
+    walk(12L, n.toLong)
+    out
+  }
+
+  /** REAL video container metadata (MP4 box walk, then AVI RIFF):
+    * true width/height/frame-count/duration into the typed schema.
+    * The feature vector stays the deterministic stub's — decoding
+    * FRAMES needs a codec the JDK doesn't have; that half remains the
+    * documented stub seam. None when neither container grammar
+    * matches.
+    */
+  private[graft] def decodeVideo(r: MediaRecord): Option[DecodedMedia] =
+    (try parseMp4Meta(r.payload).orElse(parseAviMeta(r.payload))
+     catch { case scala.util.control.NonFatal(_) => None }).map { m =>
+      DecodedMedia(r.docId, r.mediaType, r.payload.length.toLong,
+        m.width, m.height, m.nFrames, decodeStub(r).features,
+        durationMs = m.durationMs)
+    }
+
   /** Per-record dispatch: payloads typed `image/...` go through the
     * real JDK image decode, `audio/...` through the real JDK audio
-    * decode; video and unparseable bytes fall back to the
-    * deterministic stub (video codecs genuinely aren't in the JDK).
+    * decode, `video/...` through the codec-free container-metadata
+    * parse (MP4/AVI); unparseable bytes fall back to the
+    * deterministic stub.
     */
   private[graft] def decodeRecord(r: MediaRecord): DecodedMedia =
     if (r.mediaType.startsWith("image/")) decodeImage(r).getOrElse(decodeStub(r))
     else if (r.mediaType.startsWith("audio/")) decodeAudio(r).getOrElse(decodeStub(r))
+    else if (r.mediaType.startsWith("video/")) decodeVideo(r).getOrElse(decodeStub(r))
     else decodeStub(r)
 
   /** Batched per-partition decode. mapPartitions (not map) so a real

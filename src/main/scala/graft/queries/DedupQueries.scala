@@ -37,12 +37,15 @@ object DedupQueries {
 
   // Spark-side shingling runs through the native ShingleHashes
   // expression (TextHashExpressions); shingledSql below is the oracle's
-  // declarative spelling of the same values.
-  private val shingledSql =
-    """SELECT doc_id,
+  // declarative spelling of the same values. Parameterized by source
+  // table so the composed curation pipeline (CurationQueries) re-runs
+  // the SAME stage SQL over its survivor CTEs — one generator, no
+  // drift.
+  private def shingledSql(table: String) =
+    s"""SELECT doc_id,
        list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS shs
-FROM documents WHERE len(string_split(text,' ')) >= 3"""
+FROM $table WHERE len(string_split(text,' ')) >= 3"""
 
   /** Shared oracle prefix for the hyperplane-LSH embedding queries
     * (q53 self-join, q83 incremental): normalized vectors, per-plane
@@ -62,11 +65,13 @@ ${(0 until LshPlanes / 4).map(b =>
     s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
     .mkString("\n  UNION ALL\n")})"""
 
-  /** q21's full oracle SQL — shared by q37 (materialization) and q46
-    * (transitive clustering), which build on the same pair list.
+  /** q21's pair SQL over any doc table — shared by q37/q46/q58 (via
+    * [[q21OracleSql]]) and re-run over the curation pipeline's
+    * survivor set (bucket caps are a function of the INPUT set, so the
+    * composed stage must re-derive, not reuse, the full-corpus pairs).
     */
-  private[queries] lazy val q21OracleSql: String = s"""
-WITH s AS ($shingledSql),
+  private[queries] def minhashPairsSql(table: String): String = s"""
+WITH s AS (${shingledSql(table)}),
 h AS (SELECT doc_id,
              list_distinct(list_transform(shs, sh -> ${hash60Sql("sh")} % $P)) AS hs
       FROM s),
@@ -94,43 +99,16 @@ v AS (
 SELECT doc_a, doc_b, (it * 1000) // un AS jaccard_x1000
 FROM v WHERE (it * 1000) // un >= 500"""
 
-  val all: Seq[QueryDef] = Seq(
+  /** q21's full oracle SQL — shared by q37 (materialization) and q46
+    * (transitive clustering), which build on the same pair list.
+    */
+  private[queries] lazy val q21OracleSql: String = minhashPairsSql("documents")
 
-    QueryDef(
-      "q21_dedup_minhash_lsh",
-      "MinHash+LSH near-dup detection: 3-token shingles → 60-bit md5 " +
-        "hashes → 16 minhash permutations → 4 bands of 4 → capped " +
-        "band-bucket aggregation for candidates → exact shingle-Jaccard " +
-        "verification (>= 0.5). At 100TB only band keys (4×~32B/doc) " +
-        "shuffle, buckets over " +
-        s"${graft.api.DedupOps.DefaultMaxBucket} ids are skipped (skew " +
-        "cap — mass duplication belongs to the O(n) exact-digest pass), " +
-        "and the verify re-reads shingles only for candidates.",
-      Some(q21OracleSql),
-      (s, dir) =>
-        // Band join carries ONLY (band, key, id); shingle-hash sets
-        // rejoin just for surviving candidates (see DedupOps.minhashPairs
-        // — shuffle volume O(docs × 4 keys) + O(candidates × set)).
-        graft.api.DedupOps.minhashPairs(
-          Tables.documents(s, dir), "doc_id", "text",
-          jaccardX1000Threshold = 500)),
-
-    QueryDef(
-      "q85_passage_dedup",
-      "Passage-level (sub-document) dedup (DedupOps.passagePairs): " +
-        "duplicate SPANS across documents — license blocks, " +
-        "boilerplate paragraphs, syndicated fragments — that doc-level " +
-        "q15/q21 cannot see when the surrounding documents differ. " +
-        "Non-overlapping 25-token chunks (TextOps.chunk) become " +
-        "pseudo-docs with id = doc_id*100000 + chunk_idx, run through " +
-        "the SAME capped MinHash-LSH pair pipeline as q21 (identical " +
-        "skew contract), then decode back to (doc, chunk) spans; " +
-        "same-doc pairs drop (within-doc repetition is q44's job). " +
-        "The chunk explode is map-only — rows never leave their input " +
-        "partition — so the scale shape is exactly q21's with " +
-        "~tokens/25 more rows.",
-      Some(s"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** q85's passage-pair SQL over any doc table (see minhashPairsSql
+    * for why the curation pipeline re-derives it over survivors).
+    */
+  private[queries] def passagePairsSql(table: String): String = s"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $table),
 ix AS (SELECT doc_id, tk,
               unnest(generate_series(0, (len(tk)-1)//25)) AS i
        FROM toks),
@@ -171,7 +149,44 @@ p AS (
   FROM v WHERE (it * 1000) // un >= 500)
 SELECT ca // 100000 AS doc_a, ca % 100000 AS chunk_a,
        cb // 100000 AS doc_b, cb % 100000 AS chunk_b, jaccard_x1000
-FROM p WHERE ca // 100000 <> cb // 100000"""),
+FROM p WHERE ca // 100000 <> cb // 100000"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q21_dedup_minhash_lsh",
+      "MinHash+LSH near-dup detection: 3-token shingles → 60-bit md5 " +
+        "hashes → 16 minhash permutations → 4 bands of 4 → capped " +
+        "band-bucket aggregation for candidates → exact shingle-Jaccard " +
+        "verification (>= 0.5). At 100TB only band keys (4×~32B/doc) " +
+        "shuffle, buckets over " +
+        s"${graft.api.DedupOps.DefaultMaxBucket} ids are skipped (skew " +
+        "cap — mass duplication belongs to the O(n) exact-digest pass), " +
+        "and the verify re-reads shingles only for candidates.",
+      Some(q21OracleSql),
+      (s, dir) =>
+        // Band join carries ONLY (band, key, id); shingle-hash sets
+        // rejoin just for surviving candidates (see DedupOps.minhashPairs
+        // — shuffle volume O(docs × 4 keys) + O(candidates × set)).
+        graft.api.DedupOps.minhashPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          jaccardX1000Threshold = 500)),
+
+    QueryDef(
+      "q85_passage_dedup",
+      "Passage-level (sub-document) dedup (DedupOps.passagePairs): " +
+        "duplicate SPANS across documents — license blocks, " +
+        "boilerplate paragraphs, syndicated fragments — that doc-level " +
+        "q15/q21 cannot see when the surrounding documents differ. " +
+        "Non-overlapping 25-token chunks (TextOps.chunk) become " +
+        "pseudo-docs with id = doc_id*100000 + chunk_idx, run through " +
+        "the SAME capped MinHash-LSH pair pipeline as q21 (identical " +
+        "skew contract), then decode back to (doc, chunk) spans; " +
+        "same-doc pairs drop (within-doc repetition is q44's job). " +
+        "The chunk explode is map-only — rows never leave their input " +
+        "partition — so the scale shape is exactly q21's with " +
+        "~tokens/25 more rows.",
+      Some(passagePairsSql("documents")),
       (s, dir) =>
         graft.api.DedupOps.passagePairs(
           Tables.documents(s, dir), "doc_id", "text",
@@ -190,7 +205,10 @@ FROM p WHERE ca // 100000 <> cb // 100000"""),
         "the 60-bit gram hash, a co-partitioned LEFT SEMI back-join " +
         "(existence only — a boilerplate gram in a million docs costs " +
         "postings, never pairs), and an island-merge window over just " +
-        "the shared positions.",
+        "the shared positions. Grams in > 1000 distinct docs are " +
+        "dropped (the capped-bucket contract): corpus-wide boilerplate " +
+        "is q70's O(n) job, and the cap stops any one gram from " +
+        "shipping corpus-scale positions into the window.",
       Some(s"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 ix AS (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 8)) AS pos
@@ -199,7 +217,7 @@ g AS (SELECT doc_id, pos,
              ${hash60Sql("array_to_string(tk[pos+1:pos+8], ' ')")} AS gh
       FROM ix),
 sh AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
-       GROUP BY gh HAVING count(*) >= 2),
+       GROUP BY gh HAVING count(*) >= 2 AND count(*) <= 1000),
 p AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM sh)),
 b AS (SELECT doc_id, pos,
              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
@@ -215,7 +233,7 @@ FROM i GROUP BY doc_id, grp"""),
       (s, dir) =>
         graft.api.DedupOps.exactSubstringSpans(
           Tables.documents(s, dir), "doc_id", "text",
-          gramTokens = 8, minDocs = 2)),
+          gramTokens = 8, minDocs = 2, maxDocsPerGram = 1000)),
 
     QueryDef(
       "q29_ngram_jaccard",

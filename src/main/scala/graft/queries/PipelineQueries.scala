@@ -30,7 +30,7 @@ object PipelineQueries {
     * DIFFERENT raw URLs that canonicalize to ONE. doc_id >= 0, so div
     * == floor-div across engines.
     */
-  private def urlFixtureSql(castT: String, div: String): String = {
+  private[queries] def urlFixtureSql(castT: String, div: String): String = {
     def c(e: String) = s"cast(($e) as $castT)"
     val g = s"(doc_id $div 3)"
     s"""(CASE WHEN $g % 2 = 0
@@ -51,6 +51,62 @@ object PipelineQueries {
           ELSE '?id=' || ${c(g)} END)
  || (CASE WHEN doc_id % 3 = 1 THEN '#sec' || ${c("doc_id")} ELSE '' END)"""
   }
+
+  /** q44's repetition-filter SQL over any doc table — re-run by the
+    * composed curation pipeline (CurationQueries) over the same
+    * generator, so the quality gate cannot drift between the
+    * standalone query and the composition.
+    */
+  private[queries] def repetitionSql(table: String): String = {
+    val gram3 = (0 until 3).map(j => s"string_split(text,' ')[i+$j]")
+      .mkString(" || ' ' || ")
+    val P = graft.functions.TextHashing.P
+    s"""
+WITH s AS (SELECT doc_id,
+  greatest(len(string_split(text,' ')) - 2, 0)::BIGINT AS total_grams,
+  CASE WHEN len(string_split(text,' ')) >= 3 THEN
+    len(list_distinct(list_transform(
+      list_transform(generate_series(1, len(string_split(text,' '))-2), i -> $gram3),
+      g -> ${graft.functions.TextHashing.hash60Sql("g")} % $P)))::BIGINT
+  ELSE 0 END AS nd
+  FROM $table),
+d AS (SELECT doc_id, total_grams,
+             CASE WHEN total_grams > 0
+                  THEN ((total_grams - nd) * 1000) // total_grams
+                  ELSE 0 END AS dup_x1000
+      FROM s)
+SELECT doc_id, total_grams, dup_x1000, dup_x1000 <= 300 AS keep
+FROM d"""
+  }
+
+  /** q88's bigram-LM quality SQL over any doc table (same
+    * single-generator contract as [[repetitionSql]]). The LM trains on
+    * whatever table it is handed — the curation pipeline hands it the
+    * RAW corpus (quality scores are per-doc signals computed before
+    * dedup order matters).
+    */
+  private[queries] def bigramKeepSql(table: String): String = s"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $table),
+bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       FROM (SELECT doc_id, tk,
+                    unnest(generate_series(1, len(tk) - 1)) AS i
+             FROM toks WHERE len(tk) >= 2)),
+db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, sum(n) AS c2 FROM db GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n) AS c1 FROM db GROUP BY 1),
+vv AS (SELECT count(DISTINCT w) AS v
+       FROM (SELECT unnest(tk) AS w FROM toks)),
+sc AS (SELECT doc_id,
+              sum(n * ((len(bin(c2 + 1)) - 1) - (len(bin(c1 + v)) - 1)))::BIGINT AS sum_q2,
+              sum(n)::BIGINT AS n_bigrams
+       FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sc.sum_q2, 0)::BIGINT AS sum_q2,
+       (coalesce(sc.n_bigrams, 0) = 0 OR
+        coalesce(sc.sum_q2, 0) * 1000 >= -4600 * coalesce(sc.n_bigrams, 0)) AS keep
+FROM $table d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -260,27 +316,7 @@ SELECT doc_id, term, score_x, rn FROM r WHERE rn <= 3"""),
         "fraction of repeated 3-token grams as integer fixed-point; " +
         "docs over 30% repetition are dropped. Map-only — the gram " +
         "hashing runs in the native codegen expression, no shuffle.",
-      Some {
-        val gram3 = (0 until 3).map(j => s"string_split(text,' ')[i+$j]")
-          .mkString(" || ' ' || ")
-        val P = graft.functions.TextHashing.P
-        s"""
-WITH s AS (SELECT doc_id,
-  greatest(len(string_split(text,' ')) - 2, 0)::BIGINT AS total_grams,
-  CASE WHEN len(string_split(text,' ')) >= 3 THEN
-    len(list_distinct(list_transform(
-      list_transform(generate_series(1, len(string_split(text,' '))-2), i -> $gram3),
-      g -> ${graft.functions.TextHashing.hash60Sql("g")} % $P)))::BIGINT
-  ELSE 0 END AS nd
-  FROM documents),
-d AS (SELECT doc_id, total_grams,
-             CASE WHEN total_grams > 0
-                  THEN ((total_grams - nd) * 1000) // total_grams
-                  ELSE 0 END AS dup_x1000
-      FROM s)
-SELECT doc_id, total_grams, dup_x1000, dup_x1000 <= 300 AS keep
-FROM d"""
-      },
+      Some(repetitionSql("documents")),
       (s, dir) =>
         graft.api.TextOps.repetitionFilter(
           Tables.documents(s, dir), "doc_id", "text")),
@@ -522,32 +558,12 @@ FROM canon GROUP BY 1"""),
         "cross-engine where float log sums would not. keep = avg " +
         "quantized log-prob >= -4.6 (tuned to the corpus's score " +
         "band; drops the ~11% least-predictable docs), compared " +
-        "by cross-multiplication. Doc bigram rollups partial-agg " +
-        "map-side; the c2/c1 model joins are co-partitioned on the " +
-        "bigram/head; V is a one-row broadcast — model tables are " +
-        "vocabulary-sized, never corpus-sized.",
-      Some("""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-       FROM (SELECT doc_id, tk,
-                    unnest(generate_series(1, len(tk) - 1)) AS i
-             FROM toks WHERE len(tk) >= 2)),
-db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
-c2 AS (SELECT w1, w2, sum(n) AS c2 FROM db GROUP BY 1, 2),
-c1 AS (SELECT w1, sum(n) AS c1 FROM db GROUP BY 1),
-vv AS (SELECT count(DISTINCT w) AS v
-       FROM (SELECT unnest(tk) AS w FROM toks)),
-sc AS (SELECT doc_id,
-              sum(n * ((len(bin(c2 + 1)) - 1) - (len(bin(c1 + v)) - 1)))::BIGINT AS sum_q2,
-              sum(n)::BIGINT AS n_bigrams
-       FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
-       GROUP BY doc_id)
-SELECT d.doc_id,
-       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
-       coalesce(sc.sum_q2, 0)::BIGINT AS sum_q2,
-       (coalesce(sc.n_bigrams, 0) = 0 OR
-        coalesce(sc.sum_q2, 0) * 1000 >= -4600 * coalesce(sc.n_bigrams, 0)) AS keep
-FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""),
+        "by cross-multiplication. The bigram stream is hashed on " +
+        "(w1,w2) once (doc rollup + c2 model reuse the exchange), " +
+        "c1 is a window over the vocabulary-sized c2 frame, V is a " +
+        "one-row broadcast, and short docs union in — model tables " +
+        "are vocabulary-sized, never corpus-sized.",
+      Some(bigramKeepSql("documents")),
       (s, dir) =>
         graft.api.TextOps.bigramLmScore(
           Tables.documents(s, dir), "doc_id", "text",

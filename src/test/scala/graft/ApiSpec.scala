@@ -228,13 +228,39 @@ class ApiSpec extends SparkSpec {
     val newBatch = corpus.filter(col("row_key") === 13L)
     val old = corpus.filter(col("row_key") =!= 13L)
     DedupOps.writeMinhashIndex(old, "row_key", "body", s"$dir/text")
-    val viaIdx = DedupOps.minhashPairsAgainstIndex(
-        newBatch, "row_key", "body", s"$dir/text")
+    val probe = DedupOps.minhashPairsAgainstIndex(
+      newBatch, "row_key", "body", s"$dir/text")
+    val viaIdx = probe
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val inline = DedupOps.minhashPairsAgainst(newBatch, old, "row_key", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaIdx.nonEmpty && viaIdx == inline,
       s"text probe: idx=$viaIdx inline=$inline")
+
+    // partition pruning is LITERAL: the probe's bucket scan carries a
+    // partition filter on the __bp prefix and reads a strict subset of
+    // the index's bucket files (the 100TB contract: a delta pays for
+    // the directories its keys can hit, not the whole index)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val bucketScan = scans(probe.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("buckets")))
+      .getOrElse(fail("no FileSourceScanExec over the bucket index"))
+    assert(bucketScan.partitionFilters.exists(_.references.exists(_.name == "__bp")),
+      s"bucket scan has no __bp partition filter: ${bucketScan.partitionFilters}")
+    def parquetFiles(root: java.io.File): Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles.toSeq.flatMap(parquetFiles)
+      else if (root.getName.endsWith(".parquet")) Seq(root) else Nil
+    val totalFiles = parquetFiles(new java.io.File(s"$dir/text/buckets")).size
+    val filesRead = bucketScan.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles bucket files — pruning did not engage")
 
     // vector twin — the nearDupPairsAgainst fixture through a
     // persisted sign-signature index
@@ -834,6 +860,31 @@ class ApiSpec extends SparkSpec {
       gramTokens = 5, minDocs = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(spans == Set((1L, 0L, 12L), (2L, 3L, 12L)))
+  }
+
+  test("DedupOps.exactSubstringSpans: maxDocsPerGram drops corpus-wide " +
+    "boilerplate grams, keeps mid-frequency shared runs") {
+    // a boilerplate 5-token header in ALL 10 docs (over the cap of 5);
+    // a rare 5-token run shared by exactly docs 1 and 2
+    val boiler = "generated by the example tool"
+    val rare = "unique shared payload sentence here"
+    val docs = (1L to 10L).map { i =>
+      val tail = if (i <= 2) rare else s"filler$i a$i b$i c$i d$i"
+      (i, s"$boiler $tail")
+    }.toDF("row_key", "body")
+    val spans = DedupOps.exactSubstringSpans(docs, "row_key", "body",
+      gramTokens = 5, minDocs = 2, maxDocsPerGram = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the pure-boilerplate gram (offset 0, in all 10 docs > cap 5) is
+    // dropped, so docs 3..10 generate NO spans; docs 1 and 2 share
+    // their whole 10-token text, and the grams at offsets 1..5 (each
+    // straddling into the rare tail, df=2) survive -> span [1, 10)
+    assert(spans == Set((1L, 1L, 10L), (2L, 1L, 10L)))
+    // without the cap binding, the header spans every doc
+    val uncapped = DedupOps.exactSubstringSpans(docs, "row_key", "body",
+      gramTokens = 5, minDocs = 2, maxDocsPerGram = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(uncapped == (1L to 10L).toSet)
   }
 
   test("TextOps.bigramLmScore: hand-computed quantized log-probs, " +

@@ -134,6 +134,97 @@ class MediaSpec extends SparkSpec {
     assert(out(3L).features.sameElements(expected.features))
   }
 
+  // ---- video container fixtures (byte-exact, built from the specs) ----
+
+  private def beInt(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def leInt(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def fcc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+  private def mp4box(typ: String, payload: Array[Byte]): Array[Byte] =
+    beInt(payload.length + 8L) ++ fcc(typ) ++ payload
+
+  /** Minimal well-formed MP4: ftyp + moov(mvhd, video trak, audio
+    * trak). mvhd v0: timescale 600, duration 3000 ticks -> 5000 ms.
+    * Video tkhd: 320x240 in 16.16 fixed point; its stts: 100+20
+    * samples -> 120 frames. The AUDIO trak (0x0 tkhd) carries an stts
+    * of 999 samples that must NOT be counted as frames.
+    */
+  private def mp4Fixture: Array[Byte] = {
+    val mvhd = mp4box("mvhd",
+      beInt(0) ++ beInt(0) ++ beInt(0) ++ beInt(600) ++ beInt(3000) ++
+        beInt(0x00010000L) ++ Array.fill[Byte](2)(0) ++
+        Array.fill[Byte](10)(0) ++ Array.fill[Byte](36)(0) ++
+        Array.fill[Byte](24)(0) ++ beInt(3))
+    def tkhd(w: Int, h: Int) = mp4box("tkhd",
+      beInt(0) ++ beInt(0) ++ beInt(0) ++ beInt(1) ++ beInt(0) ++
+        beInt(3000) ++ Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++
+        Array.fill[Byte](36)(0) ++ beInt(w.toLong << 16) ++ beInt(h.toLong << 16))
+    def stts(counts: Seq[Long]) = mp4box("stts",
+      beInt(0) ++ beInt(counts.length.toLong) ++
+        counts.flatMap(c => beInt(c) ++ beInt(25L)).toArray)
+    def trak(w: Int, h: Int, counts: Seq[Long]) = mp4box("trak",
+      tkhd(w, h) ++ mp4box("mdia", mp4box("minf", mp4box("stbl", stts(counts)))))
+    val moov = mp4box("moov",
+      mvhd ++ trak(320, 240, Seq(100L, 20L)) ++ trak(0, 0, Seq(999L)))
+    mp4box("ftyp", fcc("isom") ++ beInt(0) ++ fcc("isom")) ++ moov
+  }
+
+  /** Minimal AVI: RIFF/AVI with a hdrl LIST holding avih — 25 fps
+    * (40000 us/frame), 250 frames -> 10000 ms, 640x480.
+    */
+  private def aviFixture: Array[Byte] = {
+    val avihBody = leInt(40000) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++
+      leInt(250) ++ leInt(0) ++ leInt(1) ++ leInt(0) ++
+      leInt(640) ++ leInt(480) ++ Array.fill[Byte](16)(0)
+    val avih = fcc("avih") ++ leInt(avihBody.length.toLong) ++ avihBody
+    val hdrl = fcc("LIST") ++ leInt(4L + avih.length) ++ fcc("hdrl") ++ avih
+    val body = fcc("AVI ") ++ hdrl
+    fcc("RIFF") ++ leInt(body.length.toLong) ++ body
+  }
+
+  test("MP4 box walk recovers true dims, video-trak frame count, duration") {
+    import spark.implicits._
+    val out = Multimodal.decode(Seq(
+        MediaRecord(1L, "video/mp4", mp4Fixture)).toDS()).collect().head
+    assert(out.width == 320 && out.height == 240,
+      s"dims ${out.width}x${out.height}")
+    assert(out.nFrames == 120, s"frames ${out.nFrames}") // NOT the audio 999
+    assert(out.durationMs == 5000L, s"duration ${out.durationMs}")
+    assert(out.nBytes == mp4Fixture.length.toLong)
+  }
+
+  test("AVI RIFF header recovers dims, frame count, duration") {
+    import spark.implicits._
+    val out = Multimodal.decode(Seq(
+        MediaRecord(2L, "video/avi", aviFixture)).toDS()).collect().head
+    assert(out.width == 640 && out.height == 480)
+    assert(out.nFrames == 250)
+    assert(out.durationMs == 10000L) // 250 frames at 40000us each
+  }
+
+  test("video frame-sampling plan runs off REAL container frame counts") {
+    import spark.implicits._
+    // 120 true frames, k=10 -> every 12th frame: the sampleFrames plan
+    // is now driven by parsed metadata, not stub arithmetic
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decode(Seq(MediaRecord(1L, "video/mp4", mp4Fixture)).toDS()),
+      k = 10).collect().map(_.getInt(1)).sorted
+    assert(frames.sameElements(0 until 120 by 12), frames.toSeq)
+  }
+
+  test("junk video bytes fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = "not an mp4, not an avi".getBytes("UTF-8")
+    val out = Multimodal.decode(
+      Seq(MediaRecord(9L, "video/mp4", junk)).toDS()).collect().head
+    val expected = Multimodal.decodeStub(MediaRecord(9L, "video/mp4", junk))
+    assert(out == expected.copy(features = out.features))
+    assert(out.features.sameElements(expected.features))
+  }
+
   test("decoded features flow into the vector dedup path (decode -> ANN)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

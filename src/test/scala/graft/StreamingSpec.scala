@@ -21,12 +21,18 @@ class StreamingSpec extends SparkSpec {
 
   /** Pump a far-future sentinel through twice so the watermark passes
     * every real event-time timer (watermark advances one batch behind).
+    * The sentinel must REACH the watermark node — a filter on the input
+    * would be pushed below it and the watermark would never advance —
+    * so it rides key -999 as a VALID far-future "create" (legal for
+    * every matcher's state machine; fMGWS rejects arming a timer behind
+    * the watermark, which an unmatched-type sentinel would do) and
+    * assertions exclude userId < 0.
     */
   private def flush[T](input: MemoryStream[StreamEvent],
       q: org.apache.spark.sql.streaming.StreamingQuery, farMs: Long): Unit = {
-    input.addData(StreamEvent(-999L, -1L, "sentinel", ts(farMs)))
+    input.addData(StreamEvent(-999L, -1L, "create", ts(farMs)))
     q.processAllAvailable()
-    input.addData(StreamEvent(-999L, -2L, "sentinel", ts(farMs + 3600 * 1000L)))
+    input.addData(StreamEvent(-999L, -2L, "create", ts(farMs + 3600 * 1000L)))
     q.processAllAvailable()
   }
 
@@ -60,7 +66,13 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
-  test("OrderTimeoutMatcher streaming == batch q09 outcomes") {
+  /** q09 outcome parity, parameterized by the matcher formulation so
+    * the transformWithState twin reruns it (under RocksDB, which tws
+    * requires; state layout and timer API differ — outcomes must not).
+    */
+  private def assertOrderTimeoutParity(sinkName: String,
+      detect: org.apache.spark.sql.Dataset[StreamEvent] =>
+        org.apache.spark.sql.Dataset[OrderOutcome]): Unit = {
     val evs = Tables.events(spark, sf)
       .filter(col("event_type").isin("signup", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -72,17 +84,22 @@ class StreamingSpec extends SparkSpec {
       }
 
     val input = MemoryStream[StreamEvent]
-    val out = OrderTimeoutMatcher.detect(
-      input.toDS().filter($"eventType" =!= "sentinel")
-        .withWatermark("ts", "0 seconds"), 1800 * 1000L)
-    val q = out.writeStream.format("memory").queryName("order_out")
+    // no sentinel filter on the input: a filter ends up BELOW the
+    // watermark node (predicate pushdown), so filtered sentinels would
+    // advance nothing and tail-of-stream timeouts would never flush.
+    // The sentinel key (-999, eventType neither create nor pay) rides
+    // through the matcher as an unmatched key; its noise outcome is
+    // excluded from the assertion instead.
+    val out = detect(input.toDS().withWatermark("ts", "0 seconds"))
+    val q = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
       input.addData(evs.toSeq); q.processAllAvailable()
       flush(input, q, evs.map(_.tsMs).max + 24 * 3600 * 1000L)
     } finally q.stop()
 
-    val got = spark.table("order_out").as[OrderOutcome].collect()
+    val got = spark.table(sinkName).as[OrderOutcome].collect()
+      .filter(_.userId >= 0)
       .map(o => (o.userId, o.resultMsg)).toSet
     val want = SparkEntry.queries("q09_order_timeout")(spark, sf)
       .select("user_id", "result_msg").collect()
@@ -90,6 +107,62 @@ class StreamingSpec extends SparkSpec {
     // streaming sees only signup/purchase users; batch q09 covers the same
     assert(got == want)
     assert(want.nonEmpty)
+  }
+
+  test("OrderTimeoutMatcher streaming == batch q09 outcomes") {
+    assertOrderTimeoutParity("order_out",
+      OrderTimeoutMatcher.detect(_, 1800 * 1000L))
+  }
+
+  test("OrderTimeoutMatcher transformWithState twin == batch q09 " +
+    "outcomes under RocksDB") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertOrderTimeoutParity("order_out_tws",
+        OrderTimeoutMatcher.detectTws(_, 1800 * 1000L))
+    }
+  }
+
+  test("OrderTimeoutMatcher tws: cross-batch resolution + stale-timer " +
+    "guard golden scenarios") {
+    StateStoreVariants.withRocksDB(spark) {
+      val input = MemoryStream[StreamEvent]
+      // 1-minute watermark delay: batch 2 delivers events with EARLIER
+      // times than batch 1's max (the cross-batch out-of-order cases);
+      // a 0s delay would drop them as late before the processor runs.
+      // Sentinels flow through unfiltered (see assertOrderTimeoutParity)
+      // and are excluded from the assertion by key.
+      val out = OrderTimeoutMatcher.detectTws(
+        input.toDS().withWatermark("ts", "1 minute"), 10000L)
+      val q = out.writeStream.format("memory").queryName("order_tws_golden")
+        .outputMode("append").start()
+      try {
+        // u1: create then (next batch) pay in time — the deadline timer
+        //     must be deleted, not fire later
+        // u2: create, never pays — times out at create + 10s
+        // u3: lone pay — "no create log" flushes at pay + 10s
+        // u4: pay first batch, create second (out of order across
+        //     batches, re-arms the timer to the EARLIER create base)
+        input.addData(
+          StreamEvent(1L, 10L, "create", ts(1000L)),
+          StreamEvent(2L, 20L, "create", ts(2000L)),
+          StreamEvent(3L, 30L, "pay", ts(3000L)),
+          StreamEvent(4L, 40L, "pay", ts(8000L)))
+        q.processAllAvailable()
+        input.addData(
+          StreamEvent(1L, 11L, "pay", ts(5000L)),
+          StreamEvent(4L, 41L, "create", ts(4000L)))
+        q.processAllAvailable()
+        flush(input, q, 10 * 60 * 1000L)
+      } finally q.stop()
+      val got = spark.table("order_tws_golden").as[OrderOutcome].collect()
+        .filter(_.userId >= 0)
+        .map(o => (o.userId, o.createTsMs, o.resultMsg)).toSet
+      assert(got == Set(
+        (1L, 1000L, "payed successfully"),
+        (2L, 2000L, "order timeout"),
+        (3L, -1L, "payed but no create log"),
+        (4L, 4000L, "payed successfully")))
+    }
   }
 
   test("TxReconcile: golden scenarios (match both orders, lone sides, overwrite)") {
