@@ -596,7 +596,7 @@ SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
         "100TB the bucket index is materialized once and re-probed per " +
         "batch.",
       Some(s"""
-WITH s AS ($shingledSql),
+WITH s AS (${shingledSql("documents")}),
 h AS (SELECT doc_id,
              list_distinct(list_transform(shs, sh -> ${hash60Sql("sh")} % $P)) AS hs
       FROM s),
