@@ -18,19 +18,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its nanosecond parquet timestamp normalized to a
-    * microsecond TimestampType column `ts` (Spark's native resolution),
-    * so event-time windowing behaves identically to the reference's
-    * epoch-ms event time (SURVEY.md §1.3). The raw nanos survive as
-    * `ts_ns` for oracle-exact second arithmetic.
+  /** `events` with its parquet timestamp normalized to the repo-wide
+    * event-time contract: `ts_ns` = BIGINT epoch nanoseconds (for
+    * oracle-exact integer arithmetic) and `ts` = microsecond
+    * TimestampType (Spark's native resolution), so event-time
+    * windowing behaves identically to the reference's epoch-ms event
+    * time (SURVEY.md §1.3). Handles both corpus generations: the old
+    * TIMESTAMP(NANOS) layout (surfaced as a raw Long via the legacy
+    * reader flag) and the current timestamp[us] layout (read as
+    * TIMESTAMP_NTZ; wall time is UTC — every session here pins
+    * spark.sql.session.timeZone=UTC, so the cast is exact).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // The corpus writes TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects unless told to surface it as a raw Long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
+    val raw = load(spark, dir, "events").withColumnRenamed("ts", "_ts_raw")
+    val ns = raw.schema("_ts_raw").dataType match {
+      case org.apache.spark.sql.types.LongType => col("_ts_raw")
+      case _ => unix_micros(col("_ts_raw").cast("timestamp")) * lit(1000L)
+    }
+    raw.withColumn("ts_ns", ns)
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .drop("_ts_raw")
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =

@@ -250,10 +250,24 @@ object DedupOps {
     val bucketsRaw = s.read.parquet(s"$indexPath/buckets")
     val hashedOld = s.read.parquet(s"$indexPath/hashed")
     val deltaBands = withBandKeys(shingleHashed(newDf, idCol, textCol))
-    val buckets =
-      if (bucketsRaw.columns.contains("__bp")) {
-        val p = s.read.parquet(s"$indexPath/meta")
-          .head().getAs[Int]("prefix_partitions")
+    // the prefix count comes from the index's own meta; if meta is
+    // missing/corrupt/empty (a partially copied index, a meta dir lost
+    // in transit) the probe DEGRADES to the unpruned full-bucket scan
+    // instead of hard-failing — pruning is an optimization, never a
+    // correctness dependency
+    val prefixPartitions: Option[Int] =
+      if (!bucketsRaw.columns.contains("__bp")) None
+      else try {
+        s.read.parquet(s"$indexPath/meta")
+          .select(col("prefix_partitions").cast("int"))
+          .head(1).headOption.map(_.getInt(0)).filter(_ >= 1)
+      } catch { case _: Exception => None }
+    if (bucketsRaw.columns.contains("__bp") && prefixPartitions.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhashPairsAgainstIndex: $indexPath/meta unreadable or empty " +
+          "— probing the bucket index UNPRUNED (correct, slower)")
+    val buckets = prefixPartitions match {
+      case Some(p) =>
         // the delta re-derives its band keys for this list (map-only
         // over the delta — cheap by the delta-size contract); the
         // returned plan recomputes them for the join itself
@@ -266,7 +280,10 @@ object DedupOps {
         // pruning — the whole point of the layout
         bucketsRaw.filter(col("__bp").isin(prefixes.map(_.toInt): _*))
           .drop("__bp")
-      } else bucketsRaw
+      case None =>
+        if (bucketsRaw.columns.contains("__bp")) bucketsRaw.drop("__bp")
+        else bucketsRaw
+    }
     deltaBands
       .join(buckets, Seq("band", "bkey"))
       .select(col(idCol).as("doc_new"), col("hs").as("hs_new"),

@@ -353,37 +353,61 @@ object TextOps {
     * (e.g. -9000 = quantized perplexity under ~2^9), compared by
     * cross-multiplication — no division, no floats anywhere.
     *
-    * Shape at 100 TB: the exploded bigram stream is hashed on
-    * (w1,w2) exactly once — the per-doc rollup groups by a superset
-    * of that key and the c2 model rollup by the key itself, so both
-    * reuse the exchange; head counts c1 come from a window over the
-    * vocabulary-sized c2 frame (no second corpus-side exchange, no
-    * separate c1 join); V is a one-row broadcast; docs under 2
-    * tokens are unioned in rather than left-joining the whole corpus
-    * back. Model tables are vocabulary-sized, not corpus-sized.
-    * Output: idCol, n_bigrams, sum_q2, keep — docs under 2 tokens
-    * keep with 0 bigrams.
+    * Shape at 100 TB: the per-doc bigram rollup is computed MAP-ONLY
+    * — each doc's tokens live in one row, so its distinct-bigram
+    * counts come from sorting the doc's bigram array and run-length
+    * encoding it inside codegen'd higher-order functions
+    * (O(k log k) per doc, zero bytes on the wire) instead of
+    * exploding raw occurrences into a shuffle. The only corpus-scale
+    * exchange left is the planner-inserted join of the rolled-up
+    * (doc, w1, w2, n) frame against the model — and because it is
+    * planner-inserted (never a user repartition), AQE's skew-join
+    * can split a hot bigram's partition at runtime. c2 aggregates
+    * with its natural map-side partial combine (a hot bigram crosses
+    * the wire as ONE partial row per task, not one row per
+    * occurrence); c1 is a head-vocabulary-sized broadcast off c2, so
+    * the model join preserves c2's (w1,w2) partitioning; V is a
+    * one-row broadcast; docs under 2 tokens union in rather than
+    * left-joining the whole corpus back. Model tables are
+    * vocabulary-sized, not corpus-sized. (If the head vocabulary
+    * ever outgrows broadcast, flip c1 back to a window over c2 —
+    * one extra vocabulary-sized exchange.)
+    *
+    * ANSI-safe by construction: the token count is
+    * coalesce(size(_toks), -1), so a null text routes to the short
+    * path (keep = true, 0 bigrams) under BOTH ANSI and legacy
+    * configs; in-lambda indexing guards i=1 with CASE and uses
+    * 0-based get() for the lookahead, which returns null (not an
+    * error) past the end. Output: idCol, n_bigrams, sum_q2, keep —
+    * docs under 2 tokens keep with 0 bigrams.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       keepAvgQx1000: Long = -9000L): DataFrame = {
     val toks = df.select(col(idCol),
-      split(col(textCol), " ", -1).as("_toks"))
-    val biOcc = toks
-      .filter(size(col("_toks")) >= 2)
-      .select(col(idCol),
-        explode(sequence(lit(1), size(col("_toks")) - 1)).as("_i"),
-        col("_toks"))
-      .select(col(idCol),
-        element_at(col("_toks"), col("_i")).as("_w1"),
-        element_at(col("_toks"), col("_i") + 1).as("_w2"))
-      .repartition(col("_w1"), col("_w2"))
-    val docBi = biOcc.groupBy(col(idCol), col("_w1"), col("_w2"))
-      .agg(count(lit(1)).as("_n"))
+        split(col(textCol), " ", -1).as("_toks"))
+      .withColumn("_m", coalesce(size(col("_toks")), lit(-1)))
+    // map-only per-doc rollup: sorted bigram array -> run starts ->
+    // (w1, w2, count) structs; get() is 0-based and null-safe so the
+    // lookahead needs no bounds branch
+    val docBi = toks.filter(col("_m") >= 2)
+      .withColumn("_bs", expr(
+        "array_sort(transform(sequence(1, _m - 1), i -> " +
+          "named_struct('w1', element_at(_toks, i), " +
+          "'w2', element_at(_toks, i + 1))))"))
+      .withColumn("_starts", expr(
+        "filter(sequence(1, _m - 1), i -> CASE WHEN i = 1 THEN true " +
+          "ELSE element_at(_bs, i) != element_at(_bs, i - 1) END)"))
+      .select(col(idCol), explode(expr(
+        "transform(_starts, (s, j) -> named_struct(" +
+          "'w1', element_at(_bs, s).w1, 'w2', element_at(_bs, s).w2, " +
+          "'n', CAST(coalesce(get(_starts, j + 1), _m) - s AS BIGINT)))"))
+        .as("_p"))
+      .select(col(idCol), col("_p.w1").as("_w1"), col("_p.w2").as("_w2"),
+        col("_p.n").as("_n"))
     val c2 = docBi.groupBy(col("_w1"), col("_w2"))
       .agg(sum(col("_n")).as("_c2"))
-    val model = c2.withColumn("_c1",
-      sum(col("_c2")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_w1"))))
+    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    val model = c2.join(broadcast(c1), Seq("_w1"))
     val vocab = toks.select(explode(col("_toks")).as("_w"))
       .agg(count_distinct(col("_w")).as("_v"))
     def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
@@ -396,7 +420,7 @@ object TextOps {
         col("_n"))
       .groupBy(col(idCol))
       .agg(sum(col("_q")).as("sum_q2"), sum(col("_n")).as("n_bigrams"))
-    val short = toks.filter(size(col("_toks")) < 2)
+    val short = toks.filter(col("_m") < 2)
       .select(col(idCol), lit(0L).as("n_bigrams"), lit(0L).as("sum_q2"))
     perDoc.select(col(idCol), col("n_bigrams"), col("sum_q2"))
       .unionByName(short)

@@ -87,9 +87,10 @@ class StreamingSpec extends SparkSpec {
     // no sentinel filter on the input: a filter ends up BELOW the
     // watermark node (predicate pushdown), so filtered sentinels would
     // advance nothing and tail-of-stream timeouts would never flush.
-    // The sentinel key (-999, eventType neither create nor pay) rides
-    // through the matcher as an unmatched key; its noise outcome is
-    // excluded from the assertion instead.
+    // The sentinel is a valid far-future 'create' on key -999 that DOES
+    // enter the matcher's state machine (arms a timer, leaves pending
+    // state); whatever outcome it may emit is excluded from the
+    // assertion by the userId >= 0 filter below.
     val out = detect(input.toDS().withWatermark("ts", "0 seconds"))
     val q = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
