@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextHashing.hash60Sql
+
+/** The composed batch curation pipeline as a catalog query — q89 runs
+  * [[graft.jobs.CurationPipeline]] end-to-end and its oracle re-runs
+  * the SAME stage SQL generators the standalone queries use
+  * (urlDedupSql, minhashPairsSql, passagePairsSql, repetitionSql,
+  * bigramKeepSql — one generator per rule, so the composition cannot
+  * drift from the pieces), chained over survivor CTEs in pipeline
+  * order. The correctness claim this buys: not just "each stage
+  * matches DuckDB in isolation" but "the stage ORDER and survivor
+  * plumbing match too" — a wrong join type or an off-by-one survivor
+  * set anywhere flips the final kept-set hash.
+  */
+object CurationQueries {
+
+  import PipelineQueries.{urlFixtureSql, urlDedupSql, repetitionSql, bigramKeepSql}
+  import DedupQueries.{minhashPairsSql, passagePairsSql}
+
+  /** The q86 URL fixture as a Spark frame (doc_id, url) — the one
+    * generator both the catalog query and the integration suite feed
+    * into the pipeline's front door.
+    */
+  def urlFixture(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), expr(urlFixtureSql("string", "div")).as("url"))
+
+  private val oracle: String = s"""
+WITH RECURSIVE
+urlk AS MATERIALIZED (${urlDedupSql("documents")}),
+s1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN urlk ON d.doc_id = urlk.keeper_id),
+exk AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+s2 AS MATERIALIZED (SELECT d.* FROM s1 d JOIN exk USING (doc_id)),
+mp AS MATERIALIZED (${minhashPairsSql("s2")}),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM mp
+          UNION SELECT doc_b, doc_a FROM mp),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, edges.t FROM reach r JOIN edges ON r.t = edges.s),
+cl AS MATERIALIZED (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       FROM reach GROUP BY s),
+mem AS MATERIALIZED (SELECT cl.cluster_id, cl.doc_id,
+               len(string_split(d.text, ' '))::BIGINT AS n_tok
+        FROM cl JOIN s2 d USING (doc_id)),
+kp AS MATERIALIZED (SELECT doc_id FROM (
+         SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY n_tok DESC, doc_id ASC) AS rn
+         FROM mem) WHERE rn = 1),
+s3 AS MATERIALIZED (SELECT * FROM s2
+       WHERE doc_id NOT IN (SELECT doc_id FROM mem)
+          OR doc_id IN (SELECT doc_id FROM kp)),
+pp AS MATERIALIZED (${passagePairsSql("s3")}),
+dup AS MATERIALIZED (SELECT doc_b AS doc_id, count(DISTINCT chunk_b) AS ndup
+        FROM pp GROUP BY 1),
+tot AS MATERIALIZED (SELECT doc_id,
+               ((len(string_split(text, ' ')) - 1) // 25 + 1)::BIGINT AS nch
+        FROM s3),
+s4 AS MATERIALIZED (SELECT s3.* FROM s3
+       JOIN tot USING (doc_id)
+       LEFT JOIN dup USING (doc_id)
+       WHERE coalesce(dup.ndup, 0) * 2 < tot.nch),
+rep AS MATERIALIZED (${repetitionSql("s4")}),
+lm AS MATERIALIZED (${bigramKeepSql("s4")}),
+lmstat AS MATERIALIZED (SELECT sum(sum_q2)::BIGINT AS s, sum(n_bigrams)::BIGINT AS n
+           FROM lm),
+s5 AS MATERIALIZED (SELECT s4.* FROM s4
+       JOIN rep ON s4.doc_id = rep.doc_id AND rep.keep
+       JOIN lm ON s4.doc_id = lm.doc_id
+       CROSS JOIN lmstat
+       WHERE lm.n_bigrams = 0
+          OR lm.sum_q2 * lmstat.n >= (lmstat.s - lmstat.n) * lm.n_bigrams),
+mixc AS MATERIALIZED (SELECT source, count(*) AS c,
+                (replace(source, 'src', '')::BIGINT % 3) + 1 AS w
+         FROM s5 GROUP BY 1),
+mk AS (SELECT min(c * 1000 // w) AS k1000 FROM mixc),
+mr AS MATERIALIZED (SELECT source, (k1000 * w) // c AS rate FROM mixc, mk),
+s6 AS MATERIALIZED (SELECT d.doc_id, d.source,
+              len(string_split(d.text, ' '))::BIGINT AS n_tok
+       FROM s5 d JOIN mr USING (source)
+       WHERE ${hash60Sql("d.doc_id::VARCHAR")} % 1000 < mr.rate),
+o AS (SELECT doc_id, source,
+        COALESCE(sum(n_tok) OVER (
+          ORDER BY ${hash60Sql("doc_id::VARCHAR")} % 32,
+                   ${hash60Sql("doc_id::VARCHAR")}, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS start_tok
+      FROM s6)
+SELECT doc_id, source, start_tok, start_tok // 2048 AS bin FROM o"""
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q89_curation_pipeline",
+      "The COMPOSED batch curation pipeline (jobs/CurationPipeline — " +
+        "the batch twin of streaming/IngestPipeline): URL dedup (q86) " +
+        "→ exact dedup (q15) → MinHash-LSH cluster keepers " +
+        "(q21/q46/q58) → passage-duplication gate (q85, drop docs " +
+        "with >= half their chunks seen in an earlier doc) → quality " +
+        "gates (q44 repetition AND q88's bigram-LM scorer with a " +
+        "RELATIVE corpus-mean-minus-1-bit threshold — absolute cuts " +
+        "don't survive the corpus shrinking upstream) → per-source " +
+        "mixture (q60) → 2048-token sequence packing (q50), as ONE " +
+        "DataFrame program. The oracle chains the SAME per-stage SQL " +
+        "generators over survivor CTEs, so stage order and survivor " +
+        "plumbing are hash-checked end-to-end, not just each stage in " +
+        "isolation. Exceeds the single-operator shuffle budget BY " +
+        "CONSTRUCTION (it is seven budgeted operators chained); " +
+        "PlanSpec grants it the composition allowance.",
+      Some(oracle),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.jobs.CurationPipeline.run(docs, urlFixture(docs)).packed
+      })
+  )
+}

@@ -108,6 +108,49 @@ SELECT d.doc_id,
         coalesce(sc.sum_q2, 0) * 1000 >= -4600 * coalesce(sc.n_bigrams, 0)) AS keep
 FROM $table d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
 
+  /** q86's full URL-dedup SQL (fixture → canonicalize → group by
+    * canonical form) over any doc table — the composed curation
+    * pipeline runs it as its front door over the same generator, so
+    * the canonicalization cannot drift between the standalone query
+    * and the composition. Output: canonical_url, keeper_id, n_copies.
+    */
+  private[queries] def urlDedupSql(table: String): String = s"""
+WITH u AS (SELECT doc_id, ${urlFixtureSql("varchar", "//")} AS url FROM $table),
+c0 AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM u),
+c1 AS (SELECT *, regexp_replace(rest, '^[^/@?#]*@', '') AS rest1 FROM c0),
+c2 AS (SELECT *,
+  regexp_extract(rest1, '^([^/?#]*)', 1) AS hostport,
+  regexp_replace(rest1, '^[^/?#]*', '') AS pathq FROM c1),
+c3 AS (SELECT *,
+  lower(regexp_replace(hostport, ':[0-9]*$$', '')) AS host,
+  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM c2),
+c4 AS (SELECT *, regexp_replace(pathq, '#.*', '') AS pf FROM c3),
+c5 AS (SELECT *,
+  regexp_extract(pf, '^([^?]*)', 1) AS path0,
+  regexp_extract(pf, '\\?(.*)', 1) AS query0 FROM c4),
+c6 AS (SELECT *,
+  regexp_replace(regexp_replace(regexp_replace(query0,
+    '(^|&)(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\\1', 'g'),
+    '&&+', '&', 'g'), '^&+|&+$$', '', 'g') AS query1,
+  CASE WHEN path0 = '' THEN '/'
+       ELSE regexp_replace(path0, '(.+?)/+$$', '\\1') END AS path1
+  FROM c5),
+canon AS (SELECT doc_id,
+  CASE WHEN scheme = '' THEN url
+       ELSE scheme || '://' || host ||
+            (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END) ||
+            path1 ||
+            (CASE WHEN query1 = '' THEN '' ELSE '?' || query1 END)
+  END AS canonical_url
+  FROM c6)
+SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM canon GROUP BY 1"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -504,42 +547,7 @@ SELECT doc_id, source FROM (
         "collapses to one canonical URL). Map-only canonicalization " +
         "(codegen'd regex chain, no UDF); only (canonical, id) " +
         "shuffles - the q15 digest-groupBy shape on the frontier.",
-      Some(s"""
-WITH u AS (SELECT doc_id, ${urlFixtureSql("varchar", "//")} AS url FROM documents),
-c0 AS (SELECT doc_id, url,
-  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-  FROM u),
-c1 AS (SELECT *, regexp_replace(rest, '^[^/@?#]*@', '') AS rest1 FROM c0),
-c2 AS (SELECT *,
-  regexp_extract(rest1, '^([^/?#]*)', 1) AS hostport,
-  regexp_replace(rest1, '^[^/?#]*', '') AS pathq FROM c1),
-c3 AS (SELECT *,
-  lower(regexp_replace(hostport, ':[0-9]*$$', '')) AS host,
-  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM c2),
-c4 AS (SELECT *, regexp_replace(pathq, '#.*', '') AS pf FROM c3),
-c5 AS (SELECT *,
-  regexp_extract(pf, '^([^?]*)', 1) AS path0,
-  regexp_extract(pf, '\\?(.*)', 1) AS query0 FROM c4),
-c6 AS (SELECT *,
-  regexp_replace(regexp_replace(regexp_replace(query0,
-    '(^|&)(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', '\\1', 'g'),
-    '&&+', '&', 'g'), '^&+|&+$$', '', 'g') AS query1,
-  CASE WHEN path0 = '' THEN '/'
-       ELSE regexp_replace(path0, '(.+?)/+$$', '\\1') END AS path1
-  FROM c5),
-canon AS (SELECT doc_id,
-  CASE WHEN scheme = '' THEN url
-       ELSE scheme || '://' || host ||
-            (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-                       OR (scheme = 'https' AND port = '443')
-                  THEN '' ELSE ':' || port END) ||
-            path1 ||
-            (CASE WHEN query1 = '' THEN '' ELSE '?' || query1 END)
-  END AS canonical_url
-  FROM c6)
-SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_copies
-FROM canon GROUP BY 1"""),
+      Some(urlDedupSql("documents")),
       (s, dir) =>
         graft.api.TextOps.urlDuplicates(
           Tables.documents(s, dir)
@@ -558,11 +566,13 @@ FROM canon GROUP BY 1"""),
         "cross-engine where float log sums would not. keep = avg " +
         "quantized log-prob >= -4.6 (tuned to the corpus's score " +
         "band; drops the ~11% least-predictable docs), compared " +
-        "by cross-multiplication. The bigram stream is hashed on " +
-        "(w1,w2) once (doc rollup + c2 model reuse the exchange), " +
-        "c1 is a window over the vocabulary-sized c2 frame, V is a " +
-        "one-row broadcast, and short docs union in — model tables " +
-        "are vocabulary-sized, never corpus-sized.",
+        "by cross-multiplication. The per-doc bigram rollup is " +
+        "map-only (sorted-array run-length encode inside HOFs — no " +
+        "raw-occurrence shuffle, no hot-bigram reducer), c2 keeps " +
+        "its map-side combine, c1 broadcasts off c2, V is a one-row " +
+        "broadcast, and short docs union in — the one corpus-scale " +
+        "exchange is the planner-inserted model join, AQE-skew-" +
+        "splittable.",
       Some(bigramKeepSql("documents")),
       (s, dir) =>
         graft.api.TextOps.bigramLmScore(

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.CurationPipeline
+import graft.queries.CurationQueries
+
+/** End-to-end integration of the composed batch curation pipeline
+  * (jobs/CurationPipeline, catalog q89) — the value-level hash check
+  * against the composed DuckDB oracle is the driver's job
+  * (CORRECTNESS_r{N}); this suite pins the pipeline's structural
+  * contract: survivor monotonicity, per-stage dedup invariants,
+  * packing integrity, determinism.
+  */
+class CurationSpec extends SparkSpec {
+
+  private lazy val stages: CurationPipeline.Stages = {
+    val docs = Tables.documents(spark, sf)
+    CurationPipeline.run(docs, CurationQueries.urlFixture(docs))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("stages only ever shrink, and each survivor set nests in the previous") {
+    val s = stages
+    val chain = Seq(ids(Tables.documents(spark, sf)), ids(s.urlSurvivors),
+      ids(s.exactSurvivors), ids(s.nearDupSurvivors),
+      ids(s.passageSurvivors), ids(s.qualitySurvivors), ids(s.mixed))
+    chain.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next.subsetOf(prev),
+        s"survivors grew: ${next.size} not within ${prev.size}")
+    }
+    assert(chain.last.nonEmpty, "pipeline dropped every document")
+    assert(chain.last.size < chain.head.size,
+      "pipeline dropped nothing — fixtures should force every gate to fire")
+  }
+
+  test("no two quality survivors share a text digest or a canonical URL group") {
+    val q = stages.qualitySurvivors
+    val n = q.count()
+    assert(q.select(md5(col("text").cast("binary"))).distinct().count() == n)
+    // the URL fixture collapses each (doc_id div 3) group to one
+    // canonical URL; at most one member of each group may survive
+    val groups = q.select(expr("doc_id div 3").as("g")).groupBy("g")
+      .count().filter(col("count") > 1).count()
+    assert(groups == 0, s"$groups canonical-URL groups kept > 1 doc")
+  }
+
+  test("packing is an exact exclusive prefix sum over the mixed survivors") {
+    val s = stages
+    val nTok = s.qualitySurvivors
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+    val packed = s.packed.join(nTok, Seq("doc_id"))
+      .select("doc_id", "start_tok", "bin", "n_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.map(_._1).distinct.length == packed.length)
+    // sorted by start offset, each doc starts exactly where the
+    // previous ended, from zero, and bin = start div 2048
+    val sorted = packed.sortBy(_._2)
+    assert(sorted.head._2 == 0L)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._2 + a._4, s"gap after doc ${a._1}")
+    }
+    sorted.foreach { case (_, start, bin, _) =>
+      assert(bin == start / 2048, "bin is not start_tok div 2048")
+    }
+    assert(packed.length == s.mixed.count())
+  }
+
+  test("the pipeline is deterministic across independent runs") {
+    val docs = Tables.documents(spark, sf)
+    val again = CurationPipeline
+      .run(docs, CurationQueries.urlFixture(docs)).packed
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val first = stages.packed
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == first)
+  }
+}
