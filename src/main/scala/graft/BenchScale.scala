@@ -41,13 +41,16 @@ import org.apache.spark.sql.functions._
 object BenchScale {
 
   /** The heaviest catalog queries (round-3 bench ranking) + q21 as the
-    * shared-stage owner.
+    * shared-stage owner + the round-5/6 heavy additions (q85 passage
+    * chunk-explode, q87 capped gram-position islands, q88's map-only
+    * bigram rollup) whose 100TB claims deserve direct 10× evidence.
     */
   val Heavy: Seq[String] = Seq(
     "q21_dedup_minhash_lsh", "q58_keeper_by_quality", "q70_common_grams",
     "q46_dedup_clusters", "q35_revenue_by_nation", "q80_dup_graph_degrees",
     "q78_cross_source_dups", "q01_pricing_summary", "q30_ann_kmeans_ivf",
-    "q83_embedding_incremental_dedup")
+    "q83_embedding_incremental_dedup", "q85_passage_dedup",
+    "q87_exact_substring_spans", "q88_bigram_lm_quality")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

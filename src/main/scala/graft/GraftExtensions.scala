@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("minhash16",
       "minhash16(shingleHashes) - all 16 MinHash permutation minima in one pass",
       exprs => graft.functions.MinHash16(exprs.head)))
+    ext.injectFunction(fn("bigram_counts",
+      "bigram_counts(tokens) - per-doc distinct-bigram counts as array<struct<w1,w2,n>>",
+      exprs => graft.functions.BigramCounts(exprs.head)))
     ext.injectFunction(fn("heavy_hitters",
       "heavy_hitters(capacity, key) - bounded Misra-Gries frequent-items summary",
       exprs => graft.functions.HeavyHitters(

@@ -355,9 +355,10 @@ object TextOps {
     *
     * Shape at 100 TB: the per-doc bigram rollup is computed MAP-ONLY
     * — each doc's tokens live in one row, so its distinct-bigram
-    * counts come from sorting the doc's bigram array and run-length
-    * encoding it inside codegen'd higher-order functions
-    * (O(k log k) per doc, zero bytes on the wire) instead of
+    * counts come from ONE pass of the native codegen'd
+    * `bigram_counts` expression (O(k) per doc, zero bytes on the
+    * wire; see TextHashUtil.bigramCounts for why this beats both the
+    * raw-occurrence shuffle AND an interpreted HOF sort) instead of
     * exploding raw occurrences into a shuffle. The only corpus-scale
     * exchange left is the planner-inserted join of the rolled-up
     * (doc, w1, w2, n) frame against the model — and because it is
@@ -376,32 +377,18 @@ object TextOps {
     * ANSI-safe by construction: the token count is
     * coalesce(size(_toks), -1), so a null text routes to the short
     * path (keep = true, 0 bigrams) under BOTH ANSI and legacy
-    * configs; in-lambda indexing guards i=1 with CASE and uses
-    * 0-based get() for the lookahead, which returns null (not an
-    * error) past the end. Output: idCol, n_bigrams, sum_q2, keep —
-    * docs under 2 tokens keep with 0 bigrams.
+    * configs. Output: idCol, n_bigrams, sum_q2, keep — docs under 2
+    * tokens keep with 0 bigrams.
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       keepAvgQx1000: Long = -9000L): DataFrame = {
+    TextHashExpressions.register(df.sparkSession)
     val toks = df.select(col(idCol),
         split(col(textCol), " ", -1).as("_toks"))
       .withColumn("_m", coalesce(size(col("_toks")), lit(-1)))
-    // map-only per-doc rollup: sorted bigram array -> run starts ->
-    // (w1, w2, count) structs; get() is 0-based and null-safe so the
-    // lookahead needs no bounds branch
+    // map-only per-doc rollup in one native codegen'd pass
     val docBi = toks.filter(col("_m") >= 2)
-      .withColumn("_bs", expr(
-        "array_sort(transform(sequence(1, _m - 1), i -> " +
-          "named_struct('w1', element_at(_toks, i), " +
-          "'w2', element_at(_toks, i + 1))))"))
-      .withColumn("_starts", expr(
-        "filter(sequence(1, _m - 1), i -> CASE WHEN i = 1 THEN true " +
-          "ELSE element_at(_bs, i) != element_at(_bs, i - 1) END)"))
-      .select(col(idCol), explode(expr(
-        "transform(_starts, (s, j) -> named_struct(" +
-          "'w1', element_at(_bs, s).w1, 'w2', element_at(_bs, s).w2, " +
-          "'n', CAST(coalesce(get(_starts, j + 1), _m) - s AS BIGINT)))"))
-        .as("_p"))
+      .select(col(idCol), explode(expr("bigram_counts(_toks)")).as("_p"))
       .select(col(idCol), col("_p.w1").as("_w1"), col("_p.w2").as("_w2"),
         col("_p.n").as("_n"))
     val c2 = docBi.groupBy(col("_w1"), col("_w2"))

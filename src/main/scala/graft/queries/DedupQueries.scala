@@ -104,6 +104,31 @@ FROM v WHERE (it * 1000) // un >= 500"""
     */
   private[queries] lazy val q21OracleSql: String = minhashPairsSql("documents")
 
+  /** q53's full oracle SQL — shared by q90 (semantic-dedup keepers),
+    * which clusters the same pair list (the q21OracleSql pattern in
+    * vector space).
+    */
+  private[queries] lazy val q53OracleSql: String = s"""
+WITH $lshBandsCte,
+ok AS (
+  SELECT band, bkey FROM bands
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.vec_id < b.vec_id),
+v AS (
+  SELECT vec_a, vec_b,
+         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
+  FROM cand
+  JOIN n na ON na.vec_id = vec_a
+  JOIN n nb ON nb.vec_id = vec_b)
+SELECT vec_a, vec_b, floor(sim * 1000)::BIGINT AS sim_x1000
+FROM v WHERE floor(sim * 1000) >= 400"""
+
   /** q85's passage-pair SQL over any doc table (see minhashPairsSql
     * for why the curation pipeline re-derives it over survivors).
     */
@@ -392,31 +417,66 @@ QUALIFY rn <= 20"""),
         "catches ~18%) — capped_list-bounded buckets (q21's skew " +
         "contract), exact cosine on candidates only. The pair frame " +
         "feeds the same clusters/keeper consumers as MinHash pairs.",
-      Some(s"""
-WITH $lshBandsCte,
-ok AS (
-  SELECT band, bkey FROM bands
-  GROUP BY band, bkey
-  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a
-  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
-  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-  WHERE a.vec_id < b.vec_id),
-v AS (
-  SELECT vec_a, vec_b,
-         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
-  FROM cand
-  JOIN n na ON na.vec_id = vec_a
-  JOIN n nb ON nb.vec_id = vec_b)
-SELECT vec_a, vec_b, floor(sim * 1000)::BIGINT AS sim_x1000
-FROM v WHERE floor(sim * 1000) >= 400"""),
+      Some(q53OracleSql),
       (s, dir) =>
         graft.api.VectorOps.nearDupPairs(
           Tables.embeddings(s, dir), "vec_id", "embedding",
           planes = (0 until LshPlanes).map(plane),
           simX1000Threshold = 400)),
+
+    QueryDef(
+      "q90_semantic_dedup_keepers",
+      "Semantic (embedding-space) dedup keepers — the SemDeDup idea " +
+        "(Abbas et al. 2023) with this library's primitives: q53's " +
+        "capped banded-LSH cosine pairs → pointer-doubling connected " +
+        "components → ONE keeper per semantic cluster, chosen by " +
+        "highest squared-norm (the 'most informative copy' heuristic, " +
+        "the embedding analog of q58's longest-doc rule; floor(1000·" +
+        "‖v‖²) is an exact left-to-right double fold in both engines, " +
+        "ties to the smallest id). The embedding story now matches " +
+        "the text story end-to-end: pairs (q53) ≡ (q21), incremental " +
+        "probe (q83) ≡ (q59), keepers (q90) ≡ (q58). Scale shape " +
+        "inherited wholesale: capped buckets, O(log d) clustering, " +
+        "one hash-agg keeper pass — no new exchange kinds.",
+      Some(s"""
+WITH RECURSIVE p AS ($q53OracleSql),
+-- outer CTE names must not collide with names q53's inner chain
+-- REFERENCES (e/n/s/bands): DuckDB binds an inner reference to the
+-- outer recursive scope when both exist, so the edge list is edg
+edg AS (SELECT vec_a AS s, vec_b AS t FROM p
+        UNION SELECT vec_b, vec_a FROM p),
+reach(s, t) AS (
+  SELECT s, t FROM edg
+  UNION
+  SELECT r.s, edg.t FROM reach r JOIN edg ON r.t = edg.s),
+c AS (SELECT s AS vec_id, least(s, min(t)) AS cluster_id
+      FROM reach GROUP BY s),
+m AS (SELECT c.cluster_id, c.vec_id,
+             floor(list_dot_product(ev.v, ev.v) * 1000)::BIGINT AS nrm2
+      FROM c JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) ev
+        ON ev.vec_id = c.vec_id)
+SELECT cluster_id, vec_id AS keeper_id, n_members, keeper_score FROM (
+  SELECT cluster_id, vec_id, nrm2 AS keeper_score,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY nrm2 DESC, vec_id ASC) AS rn
+  FROM m) WHERE rn = 1"""),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = graft.api.VectorOps.nearDupPairs(
+          emb, "vec_id", "embedding",
+          planes = (0 until LshPlanes).map(plane),
+          simX1000Threshold = 400)
+        val clusters = graft.operators.ConnectedComponents.minLabel(
+          pairs, "vec_a", "vec_b")
+        val scored = clusters.join(
+          graft.api.VectorOps.normalized(emb, "vec_id", "embedding")
+            .select(col("vec_id"),
+              floor(expr("dot_f(v, v)") * 1000).cast("long").as("nrm2")),
+          clusters("id") === col("vec_id"))
+          .select(col("id"), col("cluster_id"), col("nrm2"))
+        graft.api.DedupOps.keepersByScore(scored, "id", "cluster_id", "nrm2")
+      }),
 
     QueryDef(
       "q83_embedding_incremental_dedup",

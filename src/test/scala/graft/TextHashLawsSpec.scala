@@ -62,6 +62,30 @@ class TextHashLawsSpec extends SparkSpec {
       s"diverging rows: ${bad.select("id", "toks").collect().take(3).toSeq}")
   }
 
+  test("bigram_counts == explode-groupBy bigram occurrence counts") {
+    // the law that keeps q88's oracle hash-exact: the native one-pass
+    // kernel must agree with the relational spelling (explode every
+    // adjacent pair, group, count) on arbitrary docs — order-free
+    // comparison because consumers only aggregate
+    val exploded = docs.filter(size(col("toks")) >= 2)
+      .select(col("id"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', element_at(toks, i), " +
+          "'w2', element_at(toks, i + 1)))")).as("p"))
+      .groupBy(col("id"), col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val native = docs
+      .select(col("id"), explode(expr("bigram_counts(toks)")).as("p"))
+      .select(col("id"), col("p.w1"), col("p.w2"), col("p.n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(native == exploded,
+      s"diverge: native-only=${(native -- exploded).take(3)} " +
+        s"decl-only=${(exploded -- native).take(3)}")
+  }
+
   test("simhash60 == declarative majority vote over distinct-token hash bits") {
     val bits = (0 until 60).map { b =>
       when(lit(2) * size(filter(col("hs"),
