@@ -382,28 +382,49 @@ object TextOps {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
       keepAvgQx1000: Long = -9000L): DataFrame = {
+    val (toks, docBi) = lmTokenize(df, idCol, textCol)
+    val c2 = docBi.groupBy(col("_w1"), col("_w2"))
+      .agg(sum(col("_n")).as("_c2"))
+    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    val vocab = toks.select(explode(col("_toks")).as("_w"))
+      .agg(count_distinct(col("_w")).as("_v"))
+    lmScoreCore(idCol, toks, docBi, c2, c1, vocab, keepAvgQx1000)
+  }
+
+  /** (all-docs token frame, per-doc distinct-bigram counts) — the
+    * shared front end of the LM train and score paths; the rollup is
+    * ONE pass of the native codegen'd `bigram_counts` expression.
+    */
+  private def lmTokenize(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     TextHashExpressions.register(df.sparkSession)
     val toks = df.select(col(idCol),
         split(col(textCol), " ", -1).as("_toks"))
       .withColumn("_m", coalesce(size(col("_toks")), lit(-1)))
-    // map-only per-doc rollup in one native codegen'd pass
     val docBi = toks.filter(col("_m") >= 2)
       .select(col(idCol), explode(expr("bigram_counts(_toks)")).as("_p"))
       .select(col(idCol), col("_p.w1").as("_w1"), col("_p.w2").as("_w2"),
         col("_p.n").as("_n"))
-    val c2 = docBi.groupBy(col("_w1"), col("_w2"))
-      .agg(sum(col("_n")).as("_c2"))
-    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
-    val model = c2.join(broadcast(c1), Seq("_w1"))
-    val vocab = toks.select(explode(col("_toks")).as("_w"))
-      .agg(count_distinct(col("_w")).as("_v"))
+    (toks, docBi)
+  }
+
+  /** The scoring join + per-doc rollup shared by [[bigramLmScore]]
+    * (self-trained: every bigram is in-model, the left joins are
+    * effectively inner) and [[bigramLmScoreAgainst]] (cross-corpus:
+    * out-of-vocabulary bigrams score with c2=0, unseen heads with
+    * c1=0 — the same add-V smoothing, extended off the training set).
+    */
+  private def lmScoreCore(idCol: String, toks: DataFrame, docBi: DataFrame,
+      c2: DataFrame, c1: DataFrame, vocab: DataFrame,
+      keepAvgQx1000: Long): DataFrame = {
     def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val perDoc = docBi
-      .join(model, Seq("_w1", "_w2"))
+      .join(c2, Seq("_w1", "_w2"), "left")
+      .join(broadcast(c1), Seq("_w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
-        (col("_n") * (fl2(col("_c2") + 1) - fl2(col("_c1") + col("_v"))))
-          .as("_q"),
+        (col("_n") * (fl2(coalesce(col("_c2"), lit(0L)) + 1) -
+          fl2(coalesce(col("_c1"), lit(0L)) + col("_v")))).as("_q"),
         col("_n"))
       .groupBy(col(idCol))
       .agg(sum(col("_q")).as("sum_q2"), sum(col("_n")).as("n_bigrams"))
@@ -414,5 +435,54 @@ object TextOps {
       .withColumn("keep",
         col("n_bigrams") === 0 ||
           col("sum_q2") * 1000 >= lit(keepAvgQx1000) * col("n_bigrams"))
+  }
+
+  /** Train the quantized bigram LM on `corpus` and return it as ONE
+    * vocabulary-sized frame (w1, w2, c2, c1, v) — the persistable
+    * artifact of the "train on a reference corpus once, score every
+    * ingest batch" deployment ([[bigramLmScoreAgainst]] is the score
+    * side; the pair is the model-space twin of
+    * [[DedupOps.writeMinhashIndex]] / minhashPairsAgainstIndex).
+    * c2 = corpus count of the bigram, c1 = corpus count of w1 as a
+    * bigram head (constant per w1), v = corpus vocabulary size
+    * (constant). Rows are bigram TYPES, never corpus-sized.
+    */
+  def bigramLmModel(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (toks, docBi) = lmTokenize(corpus, idCol, textCol)
+    val c2 = docBi.groupBy(col("_w1"), col("_w2"))
+      .agg(sum(col("_n")).as("_c2"))
+    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    val vocab = toks.select(explode(col("_toks")).as("_w"))
+      .agg(count_distinct(col("_w")).as("_v"))
+    c2.join(broadcast(c1), Seq("_w1")).crossJoin(broadcast(vocab))
+      .select(col("_w1").as("w1"), col("_w2").as("w2"),
+        col("_c2").as("c2"), col("_c1").as("c1"), col("_v").as("v"))
+  }
+
+  /** Score `df` against a PRE-TRAINED [[bigramLmModel]] frame — the
+    * daily-ingest shape: the model is built once per reference-corpus
+    * version (typically persisted to parquet) and every delta batch
+    * pays only its own map-only rollup plus vocabulary-sized joins.
+    * Out-of-vocabulary bigrams take c2=0; bigrams with an unseen head
+    * take c1=0 (add-V smoothing extended off the training set —
+    * exactly the CCNet posture, where the scored crawl is NOT the LM
+    * training corpus). Same output contract as [[bigramLmScore]]:
+    * idCol, n_bigrams, sum_q2, keep.
+    *
+    * Pass a MATERIALIZED model (a parquet read, or
+    * `.localCheckpoint()` on a fresh one): the score plan consumes it
+    * three ways (bigram counts, head counts, vocabulary), so a lazily
+    * derived model frame would re-run its whole training subtree per
+    * consumer.
+    */
+  def bigramLmScoreAgainst(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, keepAvgQx1000: Long = -9000L): DataFrame = {
+    val (toks, docBi) = lmTokenize(df, idCol, textCol)
+    val c2 = model.select(col("w1").as("_w1"), col("w2").as("_w2"),
+      col("c2").as("_c2"))
+    val c1 = model.select(col("w1").as("_w1"), col("c1").as("_c1")).distinct()
+    val vocab = model.select(max(col("v")).as("_v"))
+    lmScoreCore(idCol, toks, docBi, c2, c1, vocab, keepAvgQx1000)
   }
 }

@@ -577,6 +577,67 @@ SELECT doc_id, source FROM (
       (s, dir) =>
         graft.api.TextOps.bigramLmScore(
           Tables.documents(s, dir), "doc_id", "text",
-          keepAvgQx1000 = -4600L))
+          keepAvgQx1000 = -4600L)),
+
+    QueryDef(
+      "q91_lm_score_against_model",
+      "Train-once / score-deltas bigram-LM quality (TextOps." +
+        "bigramLmModel + bigramLmScoreAgainst): the CCNet deployment " +
+        "posture — the LM trains on a REFERENCE corpus (the 80% " +
+        "doc_id % 5 <> 0 slice) and every ingest batch (the 20% " +
+        "delta) is scored against that persisted vocabulary-sized " +
+        "model; out-of-vocabulary bigrams take c2=0 and unseen heads " +
+        "c1=0 (add-V smoothing extended off the training set). The " +
+        "model-space twin of the q59 persisted-index probe: at 100TB " +
+        "the model is parquet built once per corpus version, and a " +
+        "delta pays only its own map-only bigram_counts rollup plus " +
+        "vocabulary-sized joins. keep = avg quantized log-prob >= " +
+        "-5.0 bits (looser than self-trained q88's -4.6: OOV mass " +
+        "shifts delta scores down; -5.0 sits at the delta's ~5th " +
+        "percentile, so the gate drops the least-predictable tail).",
+      Some(s"""
+WITH ctoks AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents WHERE doc_id % 5 <> 0),
+cbi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM ctoks WHERE len(tk) >= 2)),
+cdb AS (SELECT w1, w2, count(*) AS c2 FROM cbi GROUP BY 1, 2),
+cc1 AS (SELECT w1, count(*) AS c1 FROM cbi GROUP BY 1),
+vv AS (SELECT count(DISTINCT w) AS v
+       FROM (SELECT unnest(tk) AS w FROM ctoks)),
+dtoks AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM documents WHERE doc_id % 5 = 0),
+dbi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM dtoks WHERE len(tk) >= 2)),
+ddb AS (SELECT doc_id, w1, w2, count(*) AS n FROM dbi GROUP BY 1, 2, 3),
+sc AS (SELECT doc_id,
+              sum(n * ((len(bin(coalesce(c2, 0) + 1)) - 1) -
+                       (len(bin(coalesce(c1, 0) + v)) - 1)))::BIGINT AS sum_q2,
+              sum(n)::BIGINT AS n_bigrams
+       FROM ddb LEFT JOIN cdb USING (w1, w2)
+                LEFT JOIN cc1 USING (w1)
+                CROSS JOIN vv
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(sc.sum_q2, 0)::BIGINT AS sum_q2,
+       (coalesce(sc.n_bigrams, 0) = 0 OR
+        coalesce(sc.sum_q2, 0) * 1000 >= -5000 * coalesce(sc.n_bigrams, 0)) AS keep
+FROM dtoks d LEFT JOIN sc ON d.doc_id = sc.doc_id"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // the model is MATERIALIZED before scoring (localCheckpoint =
+        // the in-process stand-in for the persisted parquet of the
+        // real deployment): the score plan reads it three ways
+        // (bigram counts, head counts, vocabulary), and a lazy model
+        // frame would re-derive the whole training subtree for each
+        val model = graft.api.TextOps.bigramLmModel(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+          .localCheckpoint()
+        graft.api.TextOps.bigramLmScoreAgainst(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          model, keepAvgQx1000 = -5000L)
+      })
   )
 }
