@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -210,6 +211,49 @@ class PlanSpec extends SparkSpec {
     assert(nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
       s"no WindowGroupLimit in:\n${planString("q84_per_source_cap")}")
+  }
+
+  test("AQE splits a skewed planner-inserted join at runtime") {
+    // the load-bearing claim behind q88's model join and q35's fact
+    // join: a hot key in a PLANNER-inserted exchange is not a lost
+    // reducer — AQE's OptimizeSkewedJoin splits the oversized
+    // partition and replicates the matching side. (A USER repartition
+    // would opt out of this — which is exactly why bigramLmScore
+    // dropped its explicit repartition in round 7.)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one hot key carrying ~100k rows vs 99 cold keys with one row
+      // each. The payload must be INCOMPRESSIBLE (md5 chains, not a
+      // repeated literal) and SURVIVE column pruning into the shuffle
+      // (selected in the output) — skew detection reads compressed
+      // map-output sizes, and a pruned or compressible pad shrinks
+      // the hot partition below any threshold
+      val left = spark.range(100000).selectExpr(
+        "CASE WHEN id < 99 THEN id + 1 ELSE 0 END AS k",
+        "concat(md5(cast(id as string)), md5(cast(id+1 as string))) AS pad")
+      val right = spark.range(100).selectExpr("id AS k", "id * 10 AS w")
+      val joined = left.join(right, "k").select(col("k"), col("w"), col("pad"))
+      // collect() executes THIS QueryExecution so AQE finalizes in
+      // place (count() would wrap a new plan — the codegen-test trap)
+      assert(joined.collect().length == 100000)
+      val smjs = collectAll(joined.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, "expected a SortMergeJoin")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the join skew=true:\n${smjs.map(_.nodeName)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   test("no catalog query exceeds 6 shuffles at sf0.001") {
