@@ -448,6 +448,55 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  /** Streaming LM gate (LmGate) must score a doc stream IDENTICALLY to
+    * the batch bigramLmScoreAgainst on the same delta/model split — the
+    * stream-static model joins plus the windowed per-doc rollup cannot
+    * drift from the batch arithmetic. The far-future sentinel (-999, a
+    * 1-token doc riding the short branch) advances the watermark so
+    * every window closes and the append-mode aggregate flushes.
+    */
+  test("LmGate streaming == batch bigramLmScoreAgainst (static model, same delta)") {
+    val docs = Tables.documents(spark, sf)
+    val model = graft.api.TextOps.bigramLmModel(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      .localCheckpoint()
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = LmGate.score(input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes",
+      model, keepAvgQx1000 = -5000L)
+    val q = out.writeStream.format("memory").queryName("lm_gate_stream")
+      .outputMode("append").start()
+    try {
+      val base = 1558430000000L
+      val recs = delta.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + i * 1000L))
+      }
+      val (a, b) = recs.splitAt(recs.length / 2)
+      input.addData(a.toSeq: _*); q.processAllAvailable()
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lm_gate_stream").filter(col("doc_id") >= 0)
+      .select("doc_id", "n_bigrams", "sum_q2", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val want = graft.api.TextOps.bigramLmScoreAgainst(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", model,
+      keepAvgQx1000 = -5000L)
+      .select("doc_id", "n_bigrams", "sum_q2", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(want.nonEmpty, "batch scorer produced no rows — vacuous")
+    assert(got == want, s"stream=${got.size} batch=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   /** First-N-arrivals quota: cross-batch counter state, exhausted keys
     * stay exhausted, under-quota keys keep admitting.
     */
