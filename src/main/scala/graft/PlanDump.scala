@@ -38,7 +38,9 @@ object PlanDump {
       "q75_cms_freq", "q76_top_p_selection", "q77_winsorized_stats",
       "q46_dedup_clusters", "q58_keeper_by_quality", "q82_winsorized_approx",
       "q83_embedding_incremental_dedup", "q84_per_source_cap",
-      "q85_passage_dedup", "q86_url_canonical_dedup")
+      "q85_passage_dedup", "q86_url_canonical_dedup",
+      "q87_exact_substring_spans", "q88_bigram_lm_quality",
+      "q90_semantic_dedup_keepers", "q91_lm_score_against_model")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -168,4 +168,23 @@ object CurationPipeline {
 
     Stages(s1, s2, s3, s4, s5, mixed, packed)
   }
+
+  /** Per-stage, per-source survivor counts — the drop-accounting
+    * report a production curation run ships to its dashboard: which
+    * gate removed how much of which source. Stage labels are
+    * alphabetically ordered in pipeline order so the report sorts
+    * correctly as plain data. Output: stage, source, n_docs.
+    */
+  def report(docs: DataFrame, stages: Stages): DataFrame = {
+    def cnt(stage: String, df: DataFrame): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("source"), col("n_docs"))
+    cnt("a_raw", docs)
+      .unionByName(cnt("b_url", stages.urlSurvivors))
+      .unionByName(cnt("c_exact", stages.exactSurvivors))
+      .unionByName(cnt("d_neardup", stages.nearDupSurvivors))
+      .unionByName(cnt("e_passage", stages.passageSurvivors))
+      .unionByName(cnt("f_quality", stages.qualitySurvivors))
+      .unionByName(cnt("g_mixed", stages.mixed))
+  }
 }

@@ -28,8 +28,11 @@ object CurationQueries {
   def urlFixture(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), expr(urlFixtureSql("string", "div")).as("url"))
 
-  private val oracle: String = s"""
-WITH RECURSIVE
+  /** The survivor-CTE chain shared by q89 (packed output) and q92
+    * (per-stage drop accounting) — ONE generator, so the report can
+    * never disagree with the pipeline it reports on.
+    */
+  private val chainCtes: String = s"""WITH RECURSIVE
 urlk AS MATERIALIZED (${urlDedupSql("documents")}),
 s1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN urlk ON d.doc_id = urlk.keeper_id),
 exk AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
@@ -88,8 +91,27 @@ o AS (SELECT doc_id, source,
                    ${hash60Sql("doc_id::VARCHAR")}, doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
           AS start_tok
-      FROM s6)
+      FROM s6)"""
+
+  private val oracle: String = s"""$chainCtes
 SELECT doc_id, source, start_tok, start_tok // 2048 AS bin FROM o"""
+
+  private val reportOracle: String = s"""$chainCtes
+SELECT stage, source, n_docs FROM (
+  SELECT 'a_raw' AS stage, source, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 2
+  UNION ALL
+  SELECT 'b_url', source, count(*)::BIGINT FROM s1 GROUP BY 2
+  UNION ALL
+  SELECT 'c_exact', source, count(*)::BIGINT FROM s2 GROUP BY 2
+  UNION ALL
+  SELECT 'd_neardup', source, count(*)::BIGINT FROM s3 GROUP BY 2
+  UNION ALL
+  SELECT 'e_passage', source, count(*)::BIGINT FROM s4 GROUP BY 2
+  UNION ALL
+  SELECT 'f_quality', source, count(*)::BIGINT FROM s5 GROUP BY 2
+  UNION ALL
+  SELECT 'g_mixed', source, count(*)::BIGINT FROM s6 GROUP BY 2)"""
 
   val all: Seq[QueryDef] = Seq(
     QueryDef(
@@ -113,6 +135,25 @@ SELECT doc_id, source, start_tok, start_tok // 2048 AS bin FROM o"""
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         graft.jobs.CurationPipeline.run(docs, urlFixture(docs)).packed
+      }),
+
+    QueryDef(
+      "q92_curation_report",
+      "Per-stage, per-source drop accounting for the composed curation " +
+        "pipeline (CurationPipeline.report): survivor counts by source " +
+        "after every gate — raw → url → exact → neardup → passage → " +
+        "quality → mixed — the observability output a production " +
+        "curation run ships to its dashboard (which gate removed how " +
+        "much of which source). Built from the SAME Stages frames q89 " +
+        "packs and the SAME oracle CTE chain (one generator), so the " +
+        "report cannot disagree with the pipeline it reports on. " +
+        "Physically: seven tiny per-source aggregates unioned — the " +
+        "report itself is free next to the pipeline.",
+      Some(reportOracle),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.jobs.CurationPipeline.report(docs,
+          graft.jobs.CurationPipeline.run(docs, urlFixture(docs)))
       })
   )
 }

@@ -263,7 +263,9 @@ class PlanSpec extends SparkSpec {
     // composition allowance instead of the single-operator budget
     // (still bounded: a regression that doubles a stage's shuffles
     // trips this too).
-    val compositionBudget = Map("q89_curation_pipeline" -> 40)
+    val compositionBudget = Map(
+      "q89_curation_pipeline" -> 40,
+      "q92_curation_report" -> 40)
     SparkEntry.catalog.foreach { q =>
       val budget = compositionBudget.getOrElse(q.name, 6)
       val shuffles = collectAll(
