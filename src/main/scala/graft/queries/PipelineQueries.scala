@@ -638,6 +638,96 @@ FROM dtoks d LEFT JOIN sc ON d.doc_id = sc.doc_id"""),
         graft.api.TextOps.bigramLmScoreAgainst(
           docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
           model, keepAvgQx1000 = -5000L)
+      }),
+
+    QueryDef(
+      "q93_dsir_importance",
+      "DSIR-style importance resampling (Xie et al. 2023, 'Data " +
+        "Selection for Language Models via Importance Resampling'): " +
+        "per-doc importance weight = log-likelihood RATIO between a " +
+        "TARGET-domain bigram LM (trained on the src1 slice) and the " +
+        "RAW-corpus LM — both the q91 quantized integer models, so " +
+        "ratio_x = sum_q2_target - sum_q2_raw is exact cross-engine; " +
+        "keep = docs at or above the 75th percentile of ratio over " +
+        "scoreable docs (exact interpolated percentile, floor'd to " +
+        "int64 — the q77 percentile-equivalence precedent), plus " +
+        "0-bigram docs (no signal, same convention as q88/q91). The " +
+        "scale shape is q91's twice: two vocabulary-sized persisted " +
+        "models, the corpus pays ONE map-only bigram_counts rollup " +
+        "per scoring pass, and the percentile is a 1-row broadcast.",
+      Some(s"""
+WITH ttoks AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents WHERE source = 'src1'),
+tbi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM ttoks WHERE len(tk) >= 2)),
+tc2 AS (SELECT w1, w2, count(*) AS c2 FROM tbi GROUP BY 1, 2),
+tc1 AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY 1),
+tvv AS (SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(tk) AS w FROM ttoks)),
+rtoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+rbi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM rtoks WHERE len(tk) >= 2)),
+rc2 AS (SELECT w1, w2, count(*) AS c2 FROM rbi GROUP BY 1, 2),
+rc1 AS (SELECT w1, count(*) AS c1 FROM rbi GROUP BY 1),
+rvv AS (SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(tk) AS w FROM rtoks)),
+dd AS (SELECT doc_id, w1, w2, count(*) AS n
+       FROM (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             FROM (SELECT doc_id, tk,
+                          unnest(generate_series(1, len(tk) - 1)) AS i
+                   FROM rtoks WHERE len(tk) >= 2))
+       GROUP BY 1, 2, 3),
+sct AS (SELECT doc_id,
+               sum(n * ((len(bin(coalesce(tc2.c2, 0) + 1)) - 1) -
+                        (len(bin(coalesce(tc1.c1, 0) + tvv.v)) - 1)))::BIGINT AS qt,
+               sum(n)::BIGINT AS n_bigrams
+        FROM dd LEFT JOIN tc2 USING (w1, w2)
+                LEFT JOIN tc1 USING (w1)
+                CROSS JOIN tvv
+        GROUP BY doc_id),
+scr AS (SELECT doc_id,
+               sum(n * ((len(bin(coalesce(rc2.c2, 0) + 1)) - 1) -
+                        (len(bin(coalesce(rc1.c1, 0) + rvv.v)) - 1)))::BIGINT AS qr
+        FROM dd LEFT JOIN rc2 USING (w1, w2)
+                LEFT JOIN rc1 USING (w1)
+                CROSS JOIN rvv
+        GROUP BY doc_id),
+rat AS (SELECT d.doc_id,
+               coalesce(sct.n_bigrams, 0)::BIGINT AS n_bigrams,
+               (coalesce(sct.qt, 0) - coalesce(scr.qr, 0))::BIGINT AS ratio_x
+        FROM documents d
+        LEFT JOIN sct ON d.doc_id = sct.doc_id
+        LEFT JOIN scr ON d.doc_id = scr.doc_id),
+thr AS (SELECT floor(quantile_cont(ratio_x, 0.75))::BIGINT AS p75
+        FROM rat WHERE n_bigrams > 0)
+SELECT doc_id, n_bigrams, ratio_x,
+       (n_bigrams = 0 OR ratio_x >= p75) AS keep
+FROM rat CROSS JOIN thr"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mT = graft.api.TextOps.bigramLmModel(
+          docs.filter(col("source") === "src1"), "doc_id", "text")
+          .localCheckpoint()
+        val mR = graft.api.TextOps.bigramLmModel(docs, "doc_id", "text")
+          .localCheckpoint()
+        val sT = graft.api.TextOps.bigramLmScoreAgainst(
+            docs, "doc_id", "text", mT)
+          .select(col("doc_id"), col("n_bigrams"), col("sum_q2").as("_qt"))
+        val sR = graft.api.TextOps.bigramLmScoreAgainst(
+            docs, "doc_id", "text", mR)
+          .select(col("doc_id"), col("sum_q2").as("_qr"))
+        val rat = sT.join(sR, Seq("doc_id"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("_qt") - col("_qr")).as("ratio_x"))
+        val thr = rat.filter(col("n_bigrams") > 0)
+          .agg(floor(expr("percentile(ratio_x, 0.75)")).cast("long")
+            .as("_p75"))
+        rat.crossJoin(broadcast(thr))
+          .select(col("doc_id"), col("n_bigrams"), col("ratio_x"),
+            (col("n_bigrams") === 0 || col("ratio_x") >= col("_p75"))
+              .as("keep"))
       })
   )
 }

@@ -265,7 +265,8 @@ class PlanSpec extends SparkSpec {
     // trips this too).
     val compositionBudget = Map(
       "q89_curation_pipeline" -> 40,
-      "q92_curation_report" -> 40)
+      "q92_curation_report" -> 40,
+      "q93_dsir_importance" -> 20)
     SparkEntry.catalog.foreach { q =>
       val budget = compositionBudget.getOrElse(q.name, 6)
       val shuffles = collectAll(
