@@ -1,0 +1,162 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al., 2016) as
+  * a Spark program — the tokenizer-training step of an LLM data
+  * pipeline.
+  *
+  * Scale shape: ONE corpus pass builds the (word, cnt) frequency table
+  * — from then on every merge iteration runs over the VOCABULARY frame
+  * (|V| rows, ~10⁵–10⁷ at web scale), never the corpus. Each step is a
+  * pair-explode + partial-agg'd count + a driver-side argmax of one
+  * row (the model update — the same action pattern as a KMeans
+  * iteration), then a map-only merge application. At 100 TB the corpus
+  * contributes one shuffle (the word count); N merges cost N
+  * vocabulary-sized jobs.
+  *
+  * Determinism contract (shared with the DuckDB oracle, which unrolls
+  * the SAME chain step by step in SQL): words are single-space splits;
+  * a word's working segmentation is the space-padded, space-delimited
+  * symbol string (`" h e l l o "`); pair counts weight each adjacent
+  * symbol pair by the word's corpus frequency; the merged pair is the
+  * argmax by (count DESC, left ASC, right ASC — binary string order);
+  * applying a merge is `replace(seg, " l r ", " lr ")` with standard
+  * left-to-right non-overlapping replace semantics IN BOTH ENGINES.
+  * For runs of a repeated symbol ("l l l l") that replace consumes the
+  * shared delimiter and merges alternate pairs per step — a documented
+  * delta from greedy BPE's in-word rescan, chosen because it is the
+  * one semantics both engines implement natively (the remaining pairs
+  * merge in later steps, so the learned vocabulary converges the
+  * same way).
+  */
+object BpeOps {
+
+  /** One learned merge: step (1-based), the two symbols, their count
+    * at selection time.
+    */
+  final case class Merge(step: Int, left: String, right: String, cnt: Long)
+
+  /** Corpus word-frequency table: word, cnt. The single corpus-sized
+    * pass — everything after runs on this frame.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** The initial segmentation column: chars space-joined, space-padded. */
+  private def seg0(word: org.apache.spark.sql.Column) =
+    concat(lit(" "),
+      array_join(expr(s"transform(sequence(1, length(word)), i -> substring(word, i, 1))"), " "),
+      lit(" "))
+
+  /** Train `nMerges` BPE merges over the corpus. Returns the learned
+    * merge table in selection order; stops early when no pair occurs
+    * twice — matching the unrolled oracle, whose later steps then
+    * produce no rows.
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    val wc = wordCounts(df, textCol).withColumn("seg", seg0(col("word")))
+      .select("seg", "cnt").cache()
+    try {
+      val merges = Seq.newBuilder[Merge]
+      var seg = col("seg")
+      var done = false
+      var step = 1
+      while (step <= nMerges && !done) {
+        val pairs = wc.select(seg.as("_seg"), col("cnt"))
+          .select(split(trim(col("_seg")), " ", -1).as("syms"), col("cnt"))
+          // guard: Spark's sequence(0, -1) DESCENDS instead of being
+          // empty, so 1-symbol words must not reach the pair transform
+          .filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(syms) - 2), " +
+              "i -> struct(syms[i] AS l, syms[i+1] AS r))")).as("p"),
+            col("cnt"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .filter(col("c") >= 2)
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (pairs.isEmpty) done = true
+        else {
+          val row = pairs.head
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(step, l, r, c)
+          seg = call_function("replace", seg,
+            lit(s" $l $r "), lit(s" $l$r "))
+          step += 1
+        }
+      }
+      merges.result()
+    } finally { wc.unpersist(); () }
+  }
+
+  /** The learned merge table as a DataFrame (step, left, right, cnt). */
+  def trainTable(spark: SparkSession, df: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    train(df, textCol, nMerges)
+      .toDF("step", "left", "right", "cnt")
+      .select(col("step").cast("long").as("step"), col("left"),
+        col("right"), col("cnt"))
+  }
+
+  /** Tokenize with a learned merge list: applies the merges in
+    * training order to each document's words and returns idCol,
+    * n_tokens (BPE symbols per doc) — map-only over the corpus, the
+    * merge table travels as expression literals (it is the model).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+    val seg = merges.foldLeft(seg0(col("word"))) { (s, m) =>
+      call_function("replace", s,
+        lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))
+    }
+    words.select(col(idCol), size(split(trim(seg), " ", -1)).cast("long")
+        .as("n_syms"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_syms")).as("n_tokens"))
+  }
+
+  /** The DuckDB oracle: the SAME induction unrolled — step CTEs
+    * mirror [[train]] exactly (same splits, same padded seg, same
+    * argmax order, same replace semantics), so the merge table is
+    * hash-identical by construction.
+    */
+  def oracleSql(table: String, textCol: String, nMerges: Int): String = {
+    val steps = (1 to nMerges).map { t =>
+      s"""p$t AS (
+  SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+    SELECT syms[i] AS l, syms[i + 1] AS r, cnt
+    FROM (SELECT string_split(trim(seg), ' ') AS syms, cnt FROM seg${t - 1}),
+         LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i))
+  GROUP BY l, r HAVING sum(cnt) >= 2),
+b$t AS (SELECT $t::BIGINT AS step, l, r, c FROM p$t
+        ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+seg$t AS (SELECT replace(seg, ' ' || l || ' ' || r || ' ',
+                         ' ' || l || r || ' ') AS seg, cnt
+          FROM seg${t - 1} CROSS JOIN b$t)"""
+    }.mkString(",\n")
+    val union = (1 to nMerges)
+      .map(t => s"SELECT step, l AS left, r AS right, c AS cnt FROM b$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(string_split($textCol, ' ')) AS word FROM $table)
+  WHERE word <> '' GROUP BY word),
+seg0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substring(word, i, 1)), ' ') || ' ' AS seg,
+         cnt
+  FROM wc),
+$steps
+$union"""
+  }
+}

@@ -375,4 +375,31 @@ object EventOps {
       .select(col("_k").as(keyCol), col("n"), col("mean_micro"),
         col("mad_micro"), col("n_outliers"))
   }
+
+  /** Per-key mergeable aggregate STATE: keyCol, n_rows, sum_v, sum_v2
+    * — the count + first two integer moments of `value`. The triple is
+    * associative and commutative, which is the whole point: a
+    * maintained corpus statistic is updated by MERGING the persisted
+    * state with the delta batch's partials ([[mergeAggState]]) — cost
+    * O(|delta| + |keys|) per ingest — while a recompute pays a full
+    * corpus rescan every time. At 100 TB the corpus is read ONCE ever;
+    * each arriving batch touches only itself and the |keys|-row state.
+    * All-integer sums → exact, engine-independent, order-independent.
+    */
+  def aggState(df: DataFrame, keyCol: String, value: Column): DataFrame =
+    df.select(col(keyCol), value.cast("long").as("_v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_v")).as("sum_v"),
+        sum(col("_v") * col("_v")).as("sum_v2"))
+
+  /** Merge two [[aggState]] frames (state ⊕ delta): component-wise sum
+    * per key. Keys present on one side pass through (full-outer via
+    * union + re-aggregate — one |keys|-sized shuffle, corpus untouched).
+    */
+  def mergeAggState(state: DataFrame, deltaState: DataFrame,
+      keyCol: String): DataFrame =
+    state.unionByName(deltaState)
+      .groupBy(col(keyCol))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"),
+        sum(col("sum_v2")).as("sum_v2"))
 }

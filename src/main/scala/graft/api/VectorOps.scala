@@ -268,4 +268,124 @@ object VectorOps {
         .cast("long").as("mx_x1m"),
       expr(s"quant_code_sum(`$vecCol`)").as("code_sum"))
   }
+
+  /** Trained product-quantization codebooks: `m` subspaces of `subDim`
+    * dims, `k` centroids each, flattened to `m·k·subDim` doubles in
+    * the [[graft.functions.PqUtil]] layout. The model is tiny (for
+    * m=8, k=16, d=64: 8 KiB) — it travels as a broadcast literal, the
+    * Spark analog of FAISS shipping the codebook to every shard.
+    */
+  final case class PqCodebooks(m: Int, k: Int, subDim: Int,
+      flat: Array[Double])
+
+  /** Train PQ codebooks: one deterministic MLlib KMeans (fixed seed,
+    * sorted centroids) per subspace over UNIT-NORMALIZED vectors, so
+    * the ADC dot product approximates cosine. Training reads at most
+    * ~`maxTrainRows` rows chosen by a deterministic id-hash threshold
+    * — at 100 TB the fit sees a fixed-size sample while encode/scan
+    * stream the full corpus (the standard IVF/PQ split: train small,
+    * apply wide).
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, seed: Long, maxTrainRows: Long = 4096L): PqCodebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = normalized(df, idCol, vecCol)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val d = base.select(max(size(col("u")))).head.getInt(0)
+    require(m > 0 && d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
+    val subDim = d / m
+    val n = base.count()
+    val sample =
+      if (n <= maxTrainRows) base
+      else {
+        val rate = ((maxTrainRows * 1000L) / n).max(1L)
+        base.filter(pmod(xxhash64(col(idCol)), lit(1000L)) < lit(rate))
+      }
+    val cached = sample.select("u").cache()
+    try {
+      val flat = new Array[Double](m * k * subDim)
+      var s = 0
+      while (s < m) {
+        val sub = cached.select(
+          array_to_vector(expr(s"slice(u, ${s * subDim + 1}, $subDim)"))
+            .as("features"))
+        val centers = new KMeans().setK(k).setSeed(seed + s).setMaxIter(5)
+          .setFeaturesCol("features").fit(sub)
+          .clusterCenters.map(_.toArray)
+        // KMeans emits clusters in an arbitrary order; sorting makes
+        // the code assignment a pure function of the centroid SET
+        import scala.math.Ordering.Implicits.seqOrdering
+        val sorted = centers.sortBy(_.toSeq)
+        var c = 0
+        while (c < k) {
+          System.arraycopy(sorted(c), 0, flat, (s * k + c) * subDim, subDim)
+          c += 1
+        }
+        s += 1
+      }
+      PqCodebooks(m, k, subDim, flat)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** PQ-encode the corpus: idCol + `codes` (m ints — at rest these are
+    * m BYTES per vector vs 4·d for the raw floats, a 32× compression
+    * at m=8/d=64, which is what makes a 100 TB corpus scannable from
+    * memory). Map-only; the argmin loop is the native codegen'd
+    * `pq_encode` expression over a broadcast codebook literal.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqCodebooks): DataFrame = {
+    val base = normalized(df, idCol, vecCol)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    base.select(col(idCol),
+      call_function("pq_encode", col("u"), typedLit(model.flat),
+        lit(model.m), lit(model.k)).as("codes"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation with exact
+    * re-rank (the FAISS `IndexRefine` shape): queries keep their exact
+    * (unit) vectors and precompute an m·k lookup table once; the
+    * corpus scan reads ONLY the m-byte codes via `pq_adc` (m table
+    * adds per row) and keeps a per-query shortlist of `refine`
+    * candidates; the raw vectors of just those candidates are then
+    * fetched for an exact cosine re-rank of the final top-k. At 100 TB
+    * the full-corpus pass touches m bytes a vector and the exact math
+    * touches `refine` rows a query — the compressed scan does the
+    * winnowing, the floats only the finish. Broadcast the tiny query
+    * side, rank per query, deterministic ties. Output: qid, nid, rn.
+    */
+  def pqAnnTopK(df: DataFrame, idCol: String, vecCol: String,
+      model: PqCodebooks, queryPred: Column, k: Int,
+      refine: Int = 100): DataFrame = {
+    require(refine >= k, s"pqAnnTopK: refine $refine < k $k")
+    val base = normalized(df, idCol, vecCol)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val enc = pqEncode(df, idCol, vecCol, model)
+      .select(col(idCol).as("nid"), col("codes"))
+    val q = base.filter(queryPred)
+      .select(col(idCol).as("qid"), col("u").as("qu"),
+        call_function("pq_lut", col("u"), typedLit(model.flat),
+          lit(model.m), lit(model.k)).as("lut"))
+    val shortlist = broadcast(q).join(enc, col("qid") =!= col("nid"))
+      .select(col("qid"), col("qu"), col("nid"),
+        call_function("pq_adc", col("codes"), col("lut"), lit(model.k))
+          .as("asim"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("asim").desc, col("nid").asc)))
+      .filter(col("arn") <= refine)
+      .select(col("qid"), col("qu"), col("nid"))
+    // exact re-rank of refine·|queries| rows: broadcast the shortlist
+    // onto the corpus ids, never the corpus onto the shortlist
+    broadcast(shortlist)
+      .join(base.select(col(idCol).as("nid2"), col("u").as("nu")),
+        col("nid") === col("nid2"))
+      .select(col("qid"), col("nid"), expr("dot_f(qu, nu)").as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"))
+  }
 }

@@ -142,8 +142,166 @@ case class QuantCodeSum(child: Expression)
     copy(child = newChild)
 }
 
+/** Static kernels for the product-quantization expressions — one call
+  * site shared by interpreted eval and generated code (the
+  * ShingleHashes pattern), so the encode/scan projections keep their
+  * WholeStageCodegen spans.
+  *
+  * Layout convention (shared with [[graft.api.VectorOps]]): the flat
+  * codebook is `m · k · subDim` doubles, centroid `c` of subspace `s`
+  * occupying `[(s·k+c)·subDim, (s·k+c+1)·subDim)`; the flat LUT is
+  * `m · k` doubles with `lut[s·k+c] = <q_sub_s, centroid_{s,c}>`.
+  */
+object PqUtil {
+  /** PQ encode: per subspace, the index of the L2-nearest centroid
+    * (strict `<` — first minimum wins, deterministic). Output: m ints.
+    * Vector dims beyond `m·subDim` are ignored; missing dims read 0.
+    */
+  def encode(v: ArrayData, cb: ArrayData, m: Int, k: Int): ArrayData = {
+    val subDim = cb.numElements() / (m * k)
+    val d = v.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestDist = java.lang.Double.MAX_VALUE
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * subDim
+        var dist = 0.0
+        var j = 0
+        while (j < subDim) {
+          val off = s * subDim + j
+          val x = if (off < d && !v.isNullAt(off)) v.getDouble(off) else 0.0
+          val diff = x - cb.getDouble(base + j)
+          dist += diff * diff
+          j += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: `lut[s·k+c] = <q_sub_s, centroid_{s,c}>`
+    * (left-to-right double folds — the dot_f accumulation order).
+    */
+  def lut(q: ArrayData, cb: ArrayData, m: Int, k: Int): ArrayData = {
+    val subDim = cb.numElements() / (m * k)
+    val d = q.numElements()
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * subDim
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          val off = s * subDim + j
+          val x = if (off < d && !q.isNullAt(off)) q.getDouble(off) else 0.0
+          acc += x * cb.getDouble(base + j)
+          j += 1
+        }
+        out(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC score: Σ_s lut[s·k + codes[s]] ≈ <q, x> — m array reads per
+    * corpus row, no per-row float math beyond the adds. THIS is the
+    * 100 TB scan kernel: the corpus is m bytes/vector instead of
+    * 4·d, and the scan never touches the original embeddings.
+    */
+  def adc(codes: ArrayData, lutArr: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += lutArr.getDouble(s * k + codes.getInt(s)); s += 1 }
+    acc
+  }
+}
+
+/** `pq_encode(v, cb, m, k)` → ARRAY<INT> of m centroid codes. */
+case class PqEncode(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with org.apache.spark.sql.catalyst.trees.QuaternaryLike[Expression] {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+
+  override def nullSafeEval(v: Any, cb: Any, m: Any, k: Any): Any =
+    PqUtil.encode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb, m, k) =>
+      s"${ev.value} = graft.functions.PqUtil.encode($v, $cb, $m, $k);")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** `pq_lut(q, cb, m, k)` → ARRAY<DOUBLE> of m·k ADC table entries. */
+case class PqLut(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with org.apache.spark.sql.catalyst.trees.QuaternaryLike[Expression] {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+
+  override def nullSafeEval(q: Any, cb: Any, m: Any, k: Any): Any =
+    PqUtil.lut(q.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, cb, m, k) =>
+      s"${ev.value} = graft.functions.PqUtil.lut($q, $cb, $m, $k);")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** `pq_adc(codes, lut, k)` → DOUBLE approximate dot product. */
+case class PqAdc(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+
+  override def nullSafeEval(codes: Any, lutArr: Any, k: Any): Any =
+    PqUtil.adc(codes.asInstanceOf[ArrayData], lutArr.asInstanceOf[ArrayData],
+      k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lutArr, k) =>
+      s"${ev.value} = graft.functions.PqUtil.adc($codes, $lutArr, $k);")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
 object VectorExpressions {
-  /** Idempotently registers `dot_f(a, b)` and `quant_code_sum(v)` on
+  /** Idempotently registers `dot_f(a, b)`, `quant_code_sum(v)` and the
+    * product-quantization kernels `pq_encode` / `pq_lut` / `pq_adc` on
     * the session so plans can use them via expr(...) — the registry
     * path sidesteps the Column-from-Expression constructor churn in
     * Spark 4.
@@ -153,5 +311,13 @@ object VectorExpressions {
       "dot_f", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quant_code_sum", exprs => QuantCodeSum(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_lut", exprs => PqLut(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc", exprs => PqAdc(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

@@ -646,6 +646,53 @@ SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
       }),
 
     QueryDef(
+      "q96_cluster_aware_split",
+      "Leakage-free train/val/test split: q41's deterministic hash " +
+        "split, but keyed on the doc's NEAR-DUP CLUSTER representative " +
+        "(q46's transitive clusters; singletons represent themselves) " +
+        "instead of the doc id — so two near-duplicate documents can " +
+        "NEVER land on opposite sides of the train/test wall, the " +
+        "contamination mode a doc-id split silently permits. The " +
+        "guarantee is structural (same rep -> same hash -> same " +
+        "split), and the oracle rebuilds the identical rep/hash chain. " +
+        "Per-split docs, tokens and distinct groups; cluster stage " +
+        "read from SharedStages, split+agg is one tiny exchange over " +
+        "(split) after map-side partial agg.",
+      Some(s"""
+WITH RECURSIVE p AS ($q21OracleSql),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach(s, t) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+c AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+      FROM reach GROUP BY s),
+a AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep,
+             len(string_split(d.text, ' '))::BIGINT AS n_tok
+      FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id),
+t AS (SELECT CASE WHEN ${hash60Sql("rep::VARCHAR")} % 100 < 90 THEN 'train'
+                  WHEN ${hash60Sql("rep::VARCHAR")} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split, rep, n_tok FROM a)
+SELECT split, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       count(DISTINCT rep) AS n_groups
+FROM t GROUP BY split"""),
+      (s, dir) => {
+        val rep = coalesce(col("cluster_id"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+          .join(SharedStages.clusters(s, dir), Seq("doc_id"), "left")
+          .select(
+            graft.api.SampleOps.splitColumn(rep, 90, 5).as("split"),
+            rep.as("rep"), col("n_tok"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            count_distinct(col("rep")).as("n_groups"))
+      }),
+
+    QueryDef(
       "q59_incremental_dedup",
       "Incremental new-vs-corpus dedup (DedupOps.minhashPairsAgainst): " +
         "the daily-ingestion path - a 20% NEW batch (doc_id % 5 = 0) " +

@@ -75,5 +75,54 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
             "size(rs) < 2 OR forall(sequence(1, size(rs) - 1), " +
               "i -> rs[i-1].sim >= rs[i].sim)"))
           .select("qid", "n_neighbors", "rn_dense", "same_cell", "sims_sorted"))
+  ,
+
+    QueryDef(
+      "q94_ann_pq",
+      "Product-quantization ANN (Jégou et al., 2011) with exact " +
+        "re-rank (the FAISS IndexRefine shape): per-subspace KMeans " +
+        "codebooks (m=16 subspaces × k=16 centroids over " +
+        "unit-normalized 64-d vectors, deterministic seed + sorted " +
+        "centroids), corpus encoded to m codes — 16 BYTES a vector at " +
+        "rest, 16× smaller than the floats, the thing that makes a " +
+        "100TB corpus scannable — then asymmetric-distance shortlist " +
+        "(top-100 by the native codegen pq_adc kernel: m table adds " +
+        "per row, raw embeddings untouched) and an exact cosine " +
+        "re-rank of just those 100 candidates per query for the final " +
+        "top-10. Codebooks are engine-specific (like q30), so the " +
+        "oracle checks invariants computed from the real neighbor " +
+        "rows: 10 ranked neighbors per query, dense rn, and recall@10 " +
+        "vs the exact brute-force top-10 (computed in-band) of at " +
+        "least 5/10 — the refine path holds 6–10/10 at sf0.01 AND " +
+        "sf0.1, so the bound has slack for KMeans float jitter " +
+        "without ever passing a broken index.",
+      Some("""
+SELECT vec_id AS qid,
+       10::BIGINT AS n_neighbors,
+       true AS rn_dense,
+       true AS recall_ok
+FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val pred = col("vec_id") >= 100 && col("vec_id") < 110
+        val model = graft.api.VectorOps.pqTrain(
+          emb, "vec_id", "embedding", m = 16, k = 16, seed = 42L)
+        val pq = graft.api.VectorOps.pqAnnTopK(
+          emb, "vec_id", "embedding", model, pred, k = 10, refine = 100)
+        val exact = graft.api.VectorOps.annBruteTopK(
+            emb, "vec_id", "embedding", pred, k = 10)
+          .select(col("qid").as("eqid"), col("nid").as("enid"))
+        pq.join(exact,
+            col("qid") === col("eqid") && col("nid") === col("enid"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_neighbors"),
+            (sum(col("rn")) === lit(55L) && max(col("rn")) === lit(10L) &&
+              count(lit(1)) === lit(10L)).as("rn_dense"),
+            (sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
+              >= lit(5L)).as("recall_ok"))
+          .select("qid", "n_neighbors", "rn_dense", "recall_ok")
+      })
   )
 }

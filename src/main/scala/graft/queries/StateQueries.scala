@@ -495,6 +495,39 @@ FROM q GROUP BY 1"""),
             sum(when(col("quality") === "medium", 1L).otherwise(0L)).as("n_medium"),
             sum(when(col("quality") === "low", 1L).otherwise(0L)).as("n_low"),
             countDistinct(col("lang")).as("n_langs"))
+      }),
+
+    QueryDef(
+      "q97_incremental_agg_maintenance",
+      "Incremental aggregate maintenance (EventOps.aggState/" +
+        "mergeAggState): per-source token statistics kept as a " +
+        "MERGEABLE state triple (count, Σv, Σv²) and updated by " +
+        "merging the persisted state with the delta batch's partials " +
+        "— never by rescanning the corpus. Here the 90% corpus " +
+        "(doc_id % 10 != 0) builds the state, the 10% delta merges " +
+        "in, and the oracle recomputes the SAME stats from the full " +
+        "table in one pass — merge-equals-recompute is exactly the " +
+        "associativity claim. Derived integer mean rides along. At " +
+        "100TB each ingest pays O(|delta| + |sources|); the recompute " +
+        "alternative pays the corpus. All-integer arithmetic.",
+      Some("""
+SELECT source,
+       count(*) AS n_rows,
+       sum(n_tok)::BIGINT AS sum_v,
+       sum(n_tok * n_tok)::BIGINT AS sum_v2,
+       (sum(n_tok) // count(*))::BIGINT AS mean_tok
+FROM (SELECT source, len(string_split(text, ' '))::BIGINT AS n_tok
+      FROM documents)
+GROUP BY source"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nTok = size(split(col("text"), " ", -1)).cast("long")
+        val state = EventOps.aggState(
+          docs.filter(col("doc_id") % 10 =!= 0), "source", nTok)
+        val deltaState = EventOps.aggState(
+          docs.filter(col("doc_id") % 10 === 0), "source", nTok)
+        EventOps.mergeAggState(state, deltaState, "source")
+          .withColumn("mean_tok", expr("sum_v div n_rows"))
       })
   )
 }

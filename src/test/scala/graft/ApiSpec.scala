@@ -928,4 +928,45 @@ class ApiSpec extends SparkSpec {
     assert(DedupOps.fingerprintPairs(fps, "row_key", "fp",
       bits = 64, hammingMax = 1).isEmpty)
   }
+
+  test("EventOps.aggState: two persisted-state merge rounds == one full " +
+      "recompute (the maintenance contract, through parquet)") {
+    val batches = Seq(
+      Seq(("a", 3L), ("a", 5L), ("b", 2L)),
+      Seq(("a", 1L), ("c", 7L)),
+      Seq(("b", 4L), ("c", 7L), ("c", 0L)))
+    val dfs = batches.map(_.toDF("src", "v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-aggstate-").toString
+    try {
+      // round 0: state = partials of batch 0, persisted
+      EventOps.aggState(dfs(0), "src", col("v"))
+        .write.mode("overwrite").parquet(s"$dir/state0")
+      // rounds 1..2: read persisted state, merge the delta, re-persist —
+      // the corpus frames of earlier batches are NEVER touched again
+      var path = s"$dir/state0"
+      for (i <- 1 to 2) {
+        val next = EventOps.mergeAggState(
+          spark.read.parquet(path),
+          EventOps.aggState(dfs(i), "src", col("v")), "src")
+        path = s"$dir/state$i"
+        next.write.mode("overwrite").parquet(path)
+      }
+      val maintained = spark.read.parquet(path)
+        .collect().map(r => (r.getString(0),
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_v"),
+            r.getAs[Long]("sum_v2")))).toMap
+      val full = EventOps.aggState(
+        dfs.reduce(_ unionByName _), "src", col("v"))
+        .collect().map(r => (r.getString(0),
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_v"),
+            r.getAs[Long]("sum_v2")))).toMap
+      assert(maintained == full)
+      assert(full("c") == ((3L, 14L, 98L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

@@ -277,4 +277,33 @@ class DedupSpec extends SparkSpec {
         r.getInt(3).toLong)).toSet
     assert(q == op)
   }
+
+  test("q96 split: totals conserved and NO near-dup cluster spans splits") {
+    import org.apache.spark.sql.functions._
+    val out = run("q96_cluster_aware_split").collect()
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    // the structural guarantee, asserted on the real data: every
+    // member of a q46 cluster hashes to ONE split because the hash
+    // key is the cluster rep, never the member id
+    val cl = graft.queries.SharedStages.clusters(spark, sf)
+    val spans = cl
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("split",
+        graft.api.SampleOps.splitColumn(col("cluster_id"), 90, 5))
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(spans == 0L)
+    // and the leak the op prevents is REAL here: splitting the same
+    // corpus by member doc_id puts at least one cluster on both sides
+    val idSplitSpans = cl
+      .withColumn("split", graft.api.SampleOps.splitColumn(col("doc_id"), 90, 5))
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(idSplitSpans > 0L,
+      "fixture has no cluster whose members id-hash across splits; " +
+        "the demonstration assert needs a richer fixture")
+  }
 }
