@@ -130,27 +130,30 @@ object BpeOps {
     * hash-identical by construction.
     */
   def oracleSql(table: String, textCol: String, nMerges: Int): String = {
+    // every CTE is MATERIALIZED: seg{t-1} is referenced by BOTH p{t}
+    // and seg{t} — inlined (DuckDB's default) the chain re-derives
+    // each level twice and the plan doubles per step
     val steps = (1 to nMerges).map { t =>
-      s"""p$t AS (
+      s"""p$t AS MATERIALIZED (
   SELECT l, r, sum(cnt)::BIGINT AS c FROM (
     SELECT syms[i] AS l, syms[i + 1] AS r, cnt
     FROM (SELECT string_split(trim(seg), ' ') AS syms, cnt FROM seg${t - 1}),
          LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i))
   GROUP BY l, r HAVING sum(cnt) >= 2),
-b$t AS (SELECT $t::BIGINT AS step, l, r, c FROM p$t
+b$t AS MATERIALIZED (SELECT $t::BIGINT AS step, l, r, c FROM p$t
         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-seg$t AS (SELECT replace(seg, ' ' || l || ' ' || r || ' ',
+seg$t AS MATERIALIZED (SELECT replace(seg, ' ' || l || ' ' || r || ' ',
                          ' ' || l || r || ' ') AS seg, cnt
           FROM seg${t - 1} CROSS JOIN b$t)"""
     }.mkString(",\n")
     val union = (1 to nMerges)
       .map(t => s"SELECT step, l AS left, r AS right, c AS cnt FROM b$t")
       .mkString("\nUNION ALL\n")
-    s"""WITH wc AS (
+    s"""WITH wc AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS cnt FROM (
     SELECT unnest(string_split($textCol, ' ')) AS word FROM $table)
   WHERE word <> '' GROUP BY word),
-seg0 AS (
+seg0 AS MATERIALIZED (
   SELECT ' ' || array_to_string(
            list_transform(generate_series(1, length(word)),
                           i -> substring(word, i, 1)), ' ') || ' ' AS seg,

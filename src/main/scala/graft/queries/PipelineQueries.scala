@@ -728,6 +728,27 @@ FROM rat CROSS JOIN thr"""),
           .select(col("doc_id"), col("n_bigrams"), col("ratio_x"),
             (col("n_bigrams") === 0 || col("ratio_x") >= col("_p75"))
               .as("keep"))
-      })
+      }),
+
+    QueryDef(
+      "q95_bpe_vocab_induction",
+      "Byte-pair-encoding tokenizer training (Sennrich et al., 2016) " +
+        "as a Spark program: ONE corpus pass builds the (word, cnt) " +
+        "frequency table, then every merge iteration runs over the " +
+        "VOCABULARY frame only — pair-explode, partial-agg'd count, " +
+        "a 1-row driver argmax (the model update, the KMeans-iteration " +
+        "action pattern), map-only merge application. 12 merges; " +
+        "deterministic tie-break (count DESC, left ASC, right ASC); " +
+        "merge application is replace(' l r ' -> ' lr ') with " +
+        "identical left-to-right non-overlap semantics in both " +
+        "engines (BpeOps Scaladoc documents the repeated-symbol-run " +
+        "delta vs greedy rescan). The oracle UNROLLS the same chain " +
+        "step by step in SQL, so the learned merge table is " +
+        "hash-identical by construction — an exact oracle for an " +
+        "iterative trained model.",
+      Some(graft.api.BpeOps.oracleSql("documents", "text", 12)),
+      (s, dir) =>
+        graft.api.BpeOps.trainTable(
+          s, Tables.documents(s, dir), "text", nMerges = 12))
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.BpeOps
+
+/** BPE induction semantics: hand-computed merge tables, the pinned
+  * replace-run behavior shared with the DuckDB oracle, early stop,
+  * and tokenization with a learned merge list. The q95 catalog entry
+  * additionally hash-checks the full 12-step table against the
+  * unrolled SQL oracle.
+  */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("train: hand-computed merges with deterministic tie-break") {
+    // "ab" x3, "abc" x2 -> pairs: (a,b)=5, (b,c)=2
+    val df = Seq("ab ab ab abc abc").toDF("body")
+    val m = BpeOps.train(df, "body", 3)
+    assert(m.map(t => (t.step, t.left, t.right, t.cnt)) ==
+      Seq((1, "a", "b", 5L), (2, "ab", "c", 2L)))
+    // stops after 2: no remaining pair occurs twice
+    assert(m.length == 2)
+  }
+
+  test("train: tie on count falls to (left, right) binary order") {
+    // "xy" x2 and "zw" x2 tie at 2; x < z so (x,y) merges first
+    val df = Seq("xy xy zw zw").toDF("body")
+    val m = BpeOps.train(df, "body", 2)
+    assert(m.map(t => (t.left, t.right)) == Seq(("x", "y"), ("z", "w")))
+  }
+
+  test("repeated-symbol runs: the replace semantics both engines share") {
+    // 'llll' x2: pair (l,l) counts 3 per word = 6; replace ' l l '
+    // consumes the shared delimiter -> ' ll l l ' -> step 2 can then
+    // merge the remainder. This pins the documented delta vs greedy
+    // in-word rescan AND proves Spark's replace matches DuckDB's
+    // (the oracle computes the same table from the same corpus).
+    val df = Seq("llll llll").toDF("body")
+    val m = BpeOps.train(df, "body", 2)
+    assert(m(0) == BpeOps.Merge(1, "l", "l", 6L))
+    // after step 1 each word is ' ll l l ': pairs (ll,l)=2, (l,l)=2
+    // -> tie, 'l' < 'll' so (l,l) wins step 2
+    assert(m(1) == BpeOps.Merge(2, "l", "l", 2L))
+  }
+
+  test("tokenCounts: learned merges shrink the per-doc symbol count") {
+    val df = Seq((1L, "banana band"), (2L, "an an an")).toDF("id", "body")
+    val merges = BpeOps.train(df, "body", 2)
+    // (a,n) dominates: banana(2) + band(1) + an*3 = 6
+    assert(merges.head.left == "a" && merges.head.right == "n")
+    val none = BpeOps.tokenCounts(df, "id", "body", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val learned = BpeOps.tokenCounts(df, "id", "body", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none(1L) == 10L && none(2L) == 6L) // chars per doc
+    assert(learned(1L) < none(1L) && learned(2L) < none(2L))
+    // doc 2 is 'an' x3 -> one symbol per word after the (a,n) merge
+    assert(learned(2L) == 3L)
+  }
+
+  test("q95 catalog entry: 12 rows, counts non-increasing, pairs distinct") {
+    val rows = SparkEntry.queries("q95_bpe_vocab_induction")(spark, sf)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("cnt")))
+    assert(rows.length == 12)
+    assert(rows.map(_._1).toSeq == (1L to 12L))
+    // the BPE theorem: the selected count never increases step-over-step
+    assert(rows.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
+    // a merged pair cannot re-occur (adjacencies only shrink)
+    val pairs = rows.map(r => (r._2, r._3))
+    assert(pairs.distinct.length == pairs.length)
+  }
+}
