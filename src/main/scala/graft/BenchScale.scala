@@ -43,14 +43,19 @@ object BenchScale {
   /** The heaviest catalog queries (round-3 bench ranking) + q21 as the
     * shared-stage owner + the round-5/6 heavy additions (q85 passage
     * chunk-explode, q87 capped gram-position islands, q88's map-only
-    * bigram rollup) whose 100TB claims deserve direct 10× evidence.
+    * bigram rollup) + the round-7 trained-model operators (q94 PQ:
+    * train is sample-capped so only encode/scan may grow; q95 BPE:
+    * iterations are vocabulary-sized; q98 tokenize: vocabulary-level
+    * replace application) whose 100TB claims deserve direct 10×
+    * evidence.
     */
   val Heavy: Seq[String] = Seq(
     "q21_dedup_minhash_lsh", "q58_keeper_by_quality", "q70_common_grams",
     "q46_dedup_clusters", "q35_revenue_by_nation", "q80_dup_graph_degrees",
     "q78_cross_source_dups", "q01_pricing_summary", "q30_ann_kmeans_ivf",
     "q83_embedding_incremental_dedup", "q85_passage_dedup",
-    "q87_exact_substring_spans", "q88_bigram_lm_quality")
+    "q87_exact_substring_spans", "q88_bigram_lm_quality",
+    "q94_ann_pq", "q95_bpe_vocab_induction", "q98_bpe_tokenize")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

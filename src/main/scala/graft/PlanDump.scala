@@ -40,7 +40,9 @@ object PlanDump {
       "q83_embedding_incremental_dedup", "q84_per_source_cap",
       "q85_passage_dedup", "q86_url_canonical_dedup",
       "q87_exact_substring_spans", "q88_bigram_lm_quality",
-      "q90_semantic_dedup_keepers", "q91_lm_score_against_model")
+      "q90_semantic_dedup_keepers", "q91_lm_score_against_model",
+      "q94_ann_pq", "q96_cluster_aware_split",
+      "q97_incremental_agg_maintenance", "q98_bpe_tokenize")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

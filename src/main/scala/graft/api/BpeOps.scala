@@ -94,20 +94,60 @@ object BpeOps {
     } finally { wc.unpersist(); () }
   }
 
-  /** The learned merge table as a DataFrame (step, left, right, cnt). */
+  /** The learned merge table as a DataFrame (step, left, right, cnt).
+    * Trains unconditionally via [[trainOwning]] when a corpus key is
+    * given (the q95 posture), seeding the model cache for consumers.
+    */
   def trainTable(spark: SparkSession, df: DataFrame, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int, corpusKey: Option[String] = None): DataFrame = {
     import spark.implicits._
-    train(df, textCol, nMerges)
+    val merges = corpusKey match {
+      case Some(key) => trainOwning(key, df, textCol, nMerges)
+      case None => train(df, textCol, nMerges)
+    }
+    merges
       .toDF("step", "left", "right", "cnt")
       .select(col("step").cast("long").as("step"), col("left"),
         col("right"), col("cnt"))
   }
 
-  /** Tokenize with a learned merge list: applies the merges in
-    * training order to each document's words and returns idCol,
-    * n_tokens (BPE symbols per doc) — map-only over the corpus, the
-    * merge table travels as expression literals (it is the model).
+  // session-scoped model cache, the SharedStages discipline applied to
+  // a DRIVER-SIDE model: the merge list is a pure function of (corpus
+  // key, text column, merge count), so the first consumer trains and
+  // every later one reuses. Same immutability contract as SharedStages:
+  // the keyed corpus must not change for the JVM lifetime.
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Seq[Merge]]
+
+  /** [[train]] memoized by corpus key (e.g. the SF dir): derived
+    * consumers (q98 tokenization) reuse the learned merges, exactly
+    * like q46/q58 reading the shared pair stage.
+    */
+  def trainCached(corpusKey: String, df: DataFrame, textCol: String,
+      nMerges: Int): Seq[Merge] =
+    modelCache.computeIfAbsent((corpusKey, textCol, nMerges),
+      _ => train(df, textCol, nMerges))
+
+  /** [[train]] as the model OWNER: always trains (q95 stays the honest
+    * end-to-end training benchmark, like q21 never reading the shared
+    * pair stage) and refreshes the cache for the derived consumers.
+    */
+  def trainOwning(corpusKey: String, df: DataFrame, textCol: String,
+      nMerges: Int): Seq[Merge] = {
+    val m = train(df, textCol, nMerges)
+    modelCache.put((corpusKey, textCol, nMerges), m)
+    m
+  }
+
+  /** Tokenize with a learned merge list: idCol, n_tokens (BPE symbols
+    * per doc). The merge replaces run ONCE PER DISTINCT WORD — the
+    * vocabulary frame — not once per corpus occurrence: with a real
+    * merge list (10⁴–10⁵ rules) the replace chain is the expensive
+    * part, and |V| ≪ corpus occurrences. The corpus pays one word
+    * explode and one word-keyed join (distinct + join co-partition on
+    * the same key, so the exchange is reused), then the per-doc
+    * rollup. The merge table travels as expression literals (it IS
+    * the model).
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
@@ -118,18 +158,21 @@ object BpeOps {
       call_function("replace", s,
         lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))
     }
-    words.select(col(idCol), size(split(trim(seg), " ", -1)).cast("long")
-        .as("n_syms"))
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(split(trim(seg), " ", -1)).cast("long").as("n_syms"))
+    words.join(vocab, "word")
       .groupBy(col(idCol))
       .agg(sum(col("n_syms")).as("n_tokens"))
   }
 
-  /** The DuckDB oracle: the SAME induction unrolled — step CTEs
-    * mirror [[train]] exactly (same splits, same padded seg, same
-    * argmax order, same replace semantics), so the merge table is
-    * hash-identical by construction.
+  /** The merge-chain CTE block shared by [[oracleSql]] (q95: the merge
+    * table) and [[tokenOracleSql]] (q98: the tokenized corpus) — ONE
+    * generator, so the two oracles can never disagree about the model.
+    * Produces wc, seg0..seg{n} (word, seg, cnt) and p{t}/b{t}.
     */
-  def oracleSql(table: String, textCol: String, nMerges: Int): String = {
+  private def chainSql(table: String, textCol: String,
+      nMerges: Int): String = {
     // every CTE is MATERIALIZED: seg{t-1} is referenced by BOTH p{t}
     // and seg{t} — inlined (DuckDB's default) the chain re-derives
     // each level twice and the plan doubles per step
@@ -142,24 +185,50 @@ object BpeOps {
   GROUP BY l, r HAVING sum(cnt) >= 2),
 b$t AS MATERIALIZED (SELECT $t::BIGINT AS step, l, r, c FROM p$t
         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-seg$t AS MATERIALIZED (SELECT replace(seg, ' ' || l || ' ' || r || ' ',
+seg$t AS MATERIALIZED (SELECT word,
+                 replace(seg, ' ' || l || ' ' || r || ' ',
                          ' ' || l || r || ' ') AS seg, cnt
           FROM seg${t - 1} CROSS JOIN b$t)"""
     }.mkString(",\n")
-    val union = (1 to nMerges)
-      .map(t => s"SELECT step, l AS left, r AS right, c AS cnt FROM b$t")
-      .mkString("\nUNION ALL\n")
-    s"""WITH wc AS MATERIALIZED (
+    s"""wc AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS cnt FROM (
     SELECT unnest(string_split($textCol, ' ')) AS word FROM $table)
   WHERE word <> '' GROUP BY word),
 seg0 AS MATERIALIZED (
-  SELECT ' ' || array_to_string(
+  SELECT word,
+         ' ' || array_to_string(
            list_transform(generate_series(1, length(word)),
                           i -> substring(word, i, 1)), ' ') || ' ' AS seg,
          cnt
   FROM wc),
-$steps
+$steps"""
+  }
+
+  /** q95's oracle: the learned merge table (step, left, right, cnt). */
+  def oracleSql(table: String, textCol: String, nMerges: Int): String = {
+    val union = (1 to nMerges)
+      .map(t => s"SELECT step, l AS left, r AS right, c AS cnt FROM b$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${chainSql(table, textCol, nMerges)}
 $union"""
   }
+
+  /** q98's oracle: train the chain, then tokenize the corpus with the
+    * final per-word segmentation — seg$n maps each DISTINCT word to
+    * its symbol count, the doc-word list joins it, per-doc sum.
+    * Mirrors [[tokenCounts]]'s vocabulary-level application exactly.
+    */
+  def tokenOracleSql(table: String, idCol: String, textCol: String,
+      nMerges: Int): String =
+    s"""WITH ${chainSql(table, textCol, nMerges)},
+toks AS MATERIALIZED (
+  SELECT word, len(string_split(trim(seg), ' '))::BIGINT AS n_syms
+  FROM seg$nMerges),
+docw AS (
+  SELECT $idCol, word FROM (
+    SELECT $idCol, unnest(string_split($textCol, ' ')) AS word FROM $table)
+  WHERE word <> '')
+SELECT $idCol, sum(n_syms)::BIGINT AS n_tokens
+FROM docw JOIN toks USING (word)
+GROUP BY $idCol"""
 }

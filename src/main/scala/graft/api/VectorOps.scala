@@ -278,18 +278,34 @@ object VectorOps {
   final case class PqCodebooks(m: Int, k: Int, subDim: Int,
       flat: Array[Double])
 
-  /** Train PQ codebooks: one deterministic MLlib KMeans (fixed seed,
-    * sorted centroids) per subspace over UNIT-NORMALIZED vectors, so
-    * the ADC dot product approximates cosine. Training reads at most
-    * ~`maxTrainRows` rows chosen by a deterministic id-hash threshold
-    * — at 100 TB the fit sees a fixed-size sample while encode/scan
-    * stream the full corpus (the standard IVF/PQ split: train small,
-    * apply wide).
+  /** Train PQ codebooks: deterministic Lloyd's iterations over ALL m
+    * subspaces AT ONCE — one Spark job per iteration, not one KMeans
+    * fit per subspace (the per-subspace-MLlib formulation launched
+    * m·iters jobs and was the slowest thing in the catalog; this is
+    * ~6 small jobs total). Vectors are UNIT-NORMALIZED first, so the
+    * ADC dot product approximates cosine.
+    *
+    * - Training set: at most ~`maxTrainRows` rows by a deterministic
+    *   id-hash threshold — at 100 TB the fit sees a fixed-size sample
+    *   while encode/scan stream the full corpus (the standard IVF/PQ
+    *   split: train small, apply wide).
+    * - Init: per subspace, the k hash-ranked training subvectors
+    *   (xxhash64 of (seed, id) — seeded, reproducible).
+    * - Assign: the native `pq_encode` kernel computes every
+    *   subspace's nearest code for a row in one call — the SAME
+    *   kernel the corpus encode uses, so train-time and apply-time
+    *   assignment can never disagree.
+    * - Update: centroid means in nano fixed-point (Σ round(x·1e9) as
+    *   int64 / count) — integer sums are partition-order-independent,
+    *   so the trained model is bit-reproducible across runs and
+    *   cluster layouts (a double Σ is not). Empty cells keep their
+    *   previous centroid.
+    * - Centroids sorted per subspace at the end: the code assignment
+    *   is a pure function of the centroid SET.
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, seed: Long, maxTrainRows: Long = 4096L): PqCodebooks = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      m: Int, k: Int, seed: Long, maxTrainRows: Long = 4096L,
+      iters: Int = 5): PqCodebooks = {
     val base = normalized(df, idCol, vecCol)
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
     val d = base.select(max(size(col("u")))).head.getInt(0)
@@ -302,24 +318,61 @@ object VectorOps {
         val rate = ((maxTrainRows * 1000L) / n).max(1L)
         base.filter(pmod(xxhash64(col(idCol)), lit(1000L)) < lit(rate))
       }
-    val cached = sample.select("u").cache()
+    val cached = sample.select(col(idCol).as("_id"), col("u")).cache()
     try {
+      // init: per subspace, k seed subvectors by seeded hash rank
+      val seeds = cached
+        .select(col("_id"), explode(expr(s"sequence(0, ${m - 1})")).as("_s"),
+          col("u"))
+        .select(col("_s"),
+          expr(s"slice(u, _s * $subDim + 1, $subDim)").as("_sv"),
+          xxhash64(lit(seed), col("_id"), col("_s")).as("_h"), col("_id"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_s")).orderBy(col("_h"), col("_id"))))
+        .filter(col("_rn") <= k)
+        .select(col("_s"), col("_rn"), col("_sv"))
+        .collect()
       val flat = new Array[Double](m * k * subDim)
+      seeds.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1) - 1
+        val sv = r.getSeq[Double](2)
+        var j = 0
+        while (j < subDim) { flat((s * k + c) * subDim + j) = sv(j); j += 1 }
+      }
+      // Lloyd: assign all subspaces in one pass, mean-update in exact
+      // nano fixed-point, collect the tiny (sub, code, dim) stats
+      var it = 0
+      while (it < iters) {
+        val stats = cached
+          .select(call_function("pq_encode", col("u"), typedLit(flat.clone()),
+            lit(m), lit(k)).as("_codes"), col("u"))
+          .select(posexplode(col("_codes")).as(Seq("_s", "_c")), col("u"))
+          .select(col("_s"), col("_c"),
+            posexplode(expr(s"slice(u, _s * $subDim + 1, $subDim)"))
+              .as(Seq("_j", "_x")))
+          .groupBy(col("_s"), col("_c"), col("_j"))
+          .agg(sum(round(col("_x") * lit(1e9d)).cast("long")).as("_sx"),
+            count(lit(1)).as("_n"))
+          .collect()
+        stats.foreach { r =>
+          val off = (r.getInt(0) * k + r.getInt(1)) * subDim + r.getInt(2)
+          flat(off) = (r.getLong(3).toDouble / r.getLong(4)) / 1e9
+        }
+        it += 1
+      }
+      // sort centroids within each subspace
+      import scala.math.Ordering.Implicits.seqOrdering
       var s = 0
       while (s < m) {
-        val sub = cached.select(
-          array_to_vector(expr(s"slice(u, ${s * subDim + 1}, $subDim)"))
-            .as("features"))
-        val centers = new KMeans().setK(k).setSeed(seed + s).setMaxIter(5)
-          .setFeaturesCol("features").fit(sub)
-          .clusterCenters.map(_.toArray)
-        // KMeans emits clusters in an arbitrary order; sorting makes
-        // the code assignment a pure function of the centroid SET
-        import scala.math.Ordering.Implicits.seqOrdering
-        val sorted = centers.sortBy(_.toSeq)
+        val centers = (0 until k).map { c =>
+          flat.slice((s * k + c) * subDim, (s * k + c + 1) * subDim).toSeq
+        }.sortBy(identity)
         var c = 0
         while (c < k) {
-          System.arraycopy(sorted(c), 0, flat, (s * k + c) * subDim, subDim)
+          var j = 0
+          while (j < subDim) {
+            flat((s * k + c) * subDim + j) = centers(c)(j); j += 1
+          }
           c += 1
         }
         s += 1

@@ -749,6 +749,36 @@ FROM rat CROSS JOIN thr"""),
       Some(graft.api.BpeOps.oracleSql("documents", "text", 12)),
       (s, dir) =>
         graft.api.BpeOps.trainTable(
-          s, Tables.documents(s, dir), "text", nMerges = 12))
+          s, Tables.documents(s, dir), "text", nMerges = 12,
+          corpusKey = Some(dir))),
+
+    QueryDef(
+      "q98_bpe_tokenize",
+      "Corpus tokenization with the q95-learned BPE merges " +
+        "(BpeOps.tokenCounts): per-doc BPE token counts — the number " +
+        "that drives packing (q50), mixture budgets (q60) and " +
+        "training-cost estimates, computed with the REAL tokenizer " +
+        "rather than the whitespace proxy. The merge replaces run " +
+        "once per DISTINCT word (the vocabulary frame), never per " +
+        "corpus occurrence — with a production-sized rule list the " +
+        "replace chain is the expensive part and |V| is orders of " +
+        "magnitude below the occurrence count; the corpus pays one " +
+        "word explode and one word-keyed join (distinct and join " +
+        "co-partition on the same key), then the per-doc rollup. " +
+        "The oracle re-trains the identical chain in SQL (the ONE " +
+        "shared generator with q95) and applies the final per-word " +
+        "segmentation the same vocabulary-level way — an exact " +
+        "end-to-end train-then-apply hash check. The merge list comes " +
+        "from the session model cache (BpeOps.trainCached — the " +
+        "SharedStages discipline for a driver-side model): q95 owns " +
+        "the honest training cost, q98 reuses the learned merges.",
+      Some(graft.api.BpeOps.tokenOracleSql(
+        "documents", "doc_id", "text", 12)),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.api.BpeOps.trainCached(dir, docs, "text",
+          nMerges = 12)
+        graft.api.BpeOps.tokenCounts(docs, "doc_id", "text", merges)
+      })
   )
 }

@@ -66,6 +66,36 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("transformWithState SequenceMatch == fMGWS twin == batch q08 " +
+      "(RocksDB) — the last stateful shape's migration twin") {
+    val fails = Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000000").as("ms"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), "fail",
+        ts(r.getLong(2))))
+    StateStoreVariants.withRocksDB(spark) {
+      val input = MemoryStream[StreamEvent]
+      val out = SequenceMatch.consecutiveFailsTws(input.toDS(), 3600 * 1000L)
+      val q = out.writeStream.format("memory").queryName("seq_warn_tws")
+        .outputMode("append").start()
+      try {
+        val (a, b) = fails.splitAt(fails.length / 2)
+        input.addData(a.toSeq); q.processAllAvailable()
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val got = spark.table("seq_warn_tws").as[FailWarning].collect()
+      .map(w => (w.userId, w.firstEvent, w.lastEvent)).toSet
+    val want = SparkEntry.queries("q08_login_fail_consecutive")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_event"),
+        r.getAs[Long]("last_event"))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   /** q09 outcome parity, parameterized by the matcher formulation so
     * the transformWithState twin reruns it (under RocksDB, which tws
     * requires; state layout and timer API differ — outcomes must not).
