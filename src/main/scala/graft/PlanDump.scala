@@ -42,7 +42,8 @@ object PlanDump {
       "q87_exact_substring_spans", "q88_bigram_lm_quality",
       "q90_semantic_dedup_keepers", "q91_lm_score_against_model",
       "q94_ann_pq", "q96_cluster_aware_split",
-      "q97_incremental_agg_maintenance", "q98_bpe_tokenize")
+      "q97_incremental_agg_maintenance", "q98_bpe_tokenize",
+      "q99_ann_ivfpq")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

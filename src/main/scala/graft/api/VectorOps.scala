@@ -441,4 +441,118 @@ object VectorOps {
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("rn"))
   }
+
+  /** An IVF-PQ index model: a coarse quantizer (nCells centroids over
+    * the FULL vector — [[pqTrain]] with m=1) that routes vectors to
+    * cells, and the PQ codebooks that compress them inside. The FAISS
+    * `IVFx,PQy` architecture re-expressed as a parquet layout.
+    */
+  final case class IvfPqModel(coarse: PqCodebooks, pq: PqCodebooks)
+
+  /** Train the coarse quantizer and the PQ codebooks — both via the
+    * deterministic Lloyd's [[pqTrain]] (the coarse quantizer IS a
+    * 1-subspace PQ over the whole vector).
+    */
+  def ivfPqTrain(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, k: Int, seed: Long): IvfPqModel =
+    IvfPqModel(
+      coarse = pqTrain(df, idCol, vecCol, m = 1, k = nCells, seed = seed),
+      pq = pqTrain(df, idCol, vecCol, m = m, k = k, seed = seed + 1000))
+
+  /** Persist the IVF-PQ index: `codes` = (id, cell, codes[m]) parquet
+    * PARTITIONED BY cell — a probe that routes to `nprobe` cells reads
+    * ONLY those directories (literal partition pruning, the same
+    * contract as the MinHash index's `__bp` layout) — plus a one-row
+    * `meta` holding both codebooks. At rest the corpus is m bytes of
+    * codes + one int per vector; the raw embeddings stay wherever
+    * they live and are only fetched for exact re-ranks.
+    */
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel, path: String): Unit = {
+    VectorExpressions.register(df.sparkSession)
+    val base = normalized(df, idCol, vecCol)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val enc = base.select(col(idCol),
+      element_at(call_function("pq_encode", col("u"),
+        typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)), 1)
+        .as("cell"),
+      call_function("pq_encode", col("u"), typedLit(model.pq.flat),
+        lit(model.pq.m), lit(model.pq.k)).as("codes"))
+    graft.jobs.Sinks.layout(enc, s"$path/codes",
+      partitionCols = Seq("cell"), sortCols = Seq(idCol),
+      numFiles = model.coarse.k)
+    val s = df.sparkSession
+    import s.implicits._
+    Seq((model.coarse.m, model.coarse.k, model.coarse.subDim,
+        model.coarse.flat.toSeq,
+        model.pq.m, model.pq.k, model.pq.subDim, model.pq.flat.toSeq))
+      .toDF("c_m", "c_k", "c_sub", "c_flat", "p_m", "p_k", "p_sub", "p_flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read back the codebooks persisted by [[writeIvfPqIndex]]. */
+  def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqModel = {
+    val r = spark.read.parquet(s"$path/meta").head
+    def arr(i: Int) = r.getSeq[Double](i).toArray
+    IvfPqModel(
+      coarse = PqCodebooks(r.getInt(0), r.getInt(1), r.getInt(2), arr(3)),
+      pq = PqCodebooks(r.getInt(4), r.getInt(5), r.getInt(6), arr(7)))
+  }
+
+  /** Probe a persisted IVF-PQ index: each query routes to its `nprobe`
+    * L2-nearest cells (ranked via the native `pq_dists` kernel on the
+    * TINY query side), the cell equi-join prunes the codes parquet to
+    * those partition directories, and the ADC scan + threshold runs
+    * inside them — per-query cost is `nprobe/nCells` of the corpus
+    * codes, never the corpus. Stateless (map + equi-join + filter), so
+    * the SAME function is streaming-safe: pass a streaming `newDf` and
+    * the result is an append-mode stream-static probe (the ANN twin of
+    * NearDupIngest). Output: vec_new, vec_old, asim_x1000 (quantized
+    * ADC approximate cosine; exact re-rank = join the raw vectors on
+    * the shortlist, as in [[pqAnnTopK]]).
+    */
+  def ivfPqProbe(newDf: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, adcX1000Threshold: Int,
+      nprobe: Int = 2): DataFrame = {
+    val s = newDf.sparkSession
+    VectorExpressions.register(s)
+    val model = readIvfPqModel(s, indexPath)
+    require(nprobe >= 1 && nprobe <= model.coarse.k,
+      s"ivfPqProbe: nprobe $nprobe outside [1, ${model.coarse.k}]")
+    val codes = s.read.parquet(s"$indexPath/codes")
+    val q = normalized(newDf, idCol, vecCol)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+      .select(col(idCol).as("vec_new"),
+        call_function("pq_lut", col("u"), typedLit(model.pq.flat),
+          lit(model.pq.m), lit(model.pq.k)).as("lut"),
+        call_function("pq_dists", col("u"), typedLit(model.coarse.flat),
+          lit(1), lit(model.coarse.k)).as("cd"))
+      // rank the nCells distances on the query row itself (array sort
+      // of (dist, cell) structs — nCells is small by design), explode
+      // the first nprobe cells
+      .select(col("vec_new"), col("lut"),
+        explode(expr(
+          s"slice(transform(array_sort(transform(sequence(0, ${model.coarse.k - 1}), " +
+            s"c -> struct(element_at(cd, c + 1) AS d, c AS c))), p -> p.c), 1, $nprobe)"))
+          .as("cell"))
+    // make the partition pruning LITERAL for batch probes (the MinHash
+    // index's __bp precedent): the batch's distinct routed cells — at
+    // most nCells ints — become an isin filter the scan planner turns
+    // into directory pruning. A streaming probe cannot collect at plan
+    // time; its micro-batches scan the (m-byte-compressed) codes via
+    // the equi-join alone.
+    val scanned =
+      if (newDf.isStreaming) codes
+      else {
+        val cells = q.select(col("cell")).distinct().collect()
+          .map(_.getInt(0)).toSeq
+        codes.filter(col("cell").isin(cells: _*))
+      }
+    q.join(scanned, Seq("cell"))
+      .select(col("vec_new"), col(idCol).as("vec_old"),
+        floor(call_function("pq_adc", col("codes"), col("lut"),
+          lit(model.pq.k)) * 1000).cast("long").as("asim_x1000"))
+      .filter(col("asim_x1000") >= adcX1000Threshold)
+  }
 }

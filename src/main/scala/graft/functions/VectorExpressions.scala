@@ -226,6 +226,38 @@ object PqUtil {
     while (s < m) { acc += lutArr.getDouble(s * k + codes.getInt(s)); s += 1 }
     acc
   }
+
+  /** Squared L2 distances to every centroid: m·k doubles in codebook
+    * order — [[encode]]'s distance loop with the argmin replaced by
+    * emission. Used on the (tiny) query side to rank IVF cells for
+    * multi-cell probes (nprobe > 1), where encode's single argmin is
+    * not enough.
+    */
+  def dists(v: ArrayData, cb: ArrayData, m: Int, k: Int): ArrayData = {
+    val subDim = cb.numElements() / (m * k)
+    val d = v.numElements()
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * subDim
+        var dist = 0.0
+        var j = 0
+        while (j < subDim) {
+          val off = s * subDim + j
+          val x = if (off < d && !v.isNullAt(off)) v.getDouble(off) else 0.0
+          val diff = x - cb.getDouble(base + j)
+          dist += diff * diff
+          j += 1
+        }
+        out(s * k + c) = dist
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `pq_encode(v, cb, m, k)` → ARRAY<INT> of m centroid codes. */
@@ -277,6 +309,30 @@ case class PqLut(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** `pq_dists(v, cb, m, k)` → ARRAY<DOUBLE> of m·k squared L2 distances. */
+case class PqDists(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with org.apache.spark.sql.catalyst.trees.QuaternaryLike[Expression] {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+
+  override def nullSafeEval(v: Any, cb: Any, m: Any, k: Any): Any =
+    PqUtil.dists(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb, m, k) =>
+      s"${ev.value} = graft.functions.PqUtil.dists($v, $cb, $m, $k);")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** `pq_adc(codes, lut, k)` → DOUBLE approximate dot product. */
 case class PqAdc(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
@@ -316,6 +372,9 @@ object VectorExpressions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_lut", exprs => PqLut(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_dists", exprs => PqDists(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_adc", exprs => PqAdc(exprs(0), exprs(1), exprs(2)), "built-in")

@@ -13,6 +13,27 @@ import graft.{QueryDef, Tables}
   */
 object MlQueries {
 
+  // session-scoped IVF-PQ index cache (the SharedStages/BpeOps
+  // discipline): the persisted index is a pure function of the SF dir
+  // and the build parameters, so the first consumer writes it and
+  // every later run probes the SAME parquet — which is the index's own
+  // deployment story (build once, probe per batch). Temp dirs die with
+  // the JVM (same shutdown contract as SharedStages).
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[queries] def ivfPqIndexDir(s: SparkSession, dir: String): String =
+    indexCache.computeIfAbsent(dir, { _ =>
+      val model = graft.api.VectorOps.ivfPqTrain(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 8, m = 16, k = 16, seed = 42L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-").toString
+      graft.api.VectorOps.writeIvfPqIndex(
+        Tables.embeddings(s, dir), "vec_id", "embedding", model, tmp)
+      tmp
+    })
+
   /** Full KMeans-IVF neighbor detail: qid, qcell, nid, cell, sim, rn.
     * MLlib KMeans (k=8, fixed seed) learns the coarse quantizer instead
     * of q24's fixed centroids; vectors carry their cluster id as the
@@ -122,6 +143,69 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
               count(lit(1)) === lit(10L)).as("rn_dense"),
             (sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
               >= lit(5L)).as("recall_ok"))
+          .select("qid", "n_neighbors", "rn_dense", "recall_ok")
+      }),
+
+    QueryDef(
+      "q99_ann_ivfpq",
+      "IVF-PQ: the production FAISS index architecture (IVF8,PQ16) as " +
+        "a parquet layout + probe. A trained coarse quantizer routes " +
+        "every vector to one of 8 cells; the codes parquet is " +
+        "PARTITIONED BY cell, so a probe that routes its query to the " +
+        "3 nearest cells (pq_dists on the tiny query side) reads ONLY " +
+        "those directories — literal partition pruning, the MinHash " +
+        "index's __bp contract for vectors — and ADC-scans 16-byte " +
+        "codes inside them. The index builds ONCE per corpus (session " +
+        "cache = the deployment story; the probe is the recurring " +
+        "cost and is stateless, so the same function is a streaming " +
+        "stream-static probe). Final top-10 = exact cosine re-rank of " +
+        "the probed candidates. Oracle (q30/q94 pattern): structure + " +
+        "in-band recall@10 vs the global exact top-10 >= 3/10 — " +
+        "nprobe=3/8 forfeits cross-cell neighbors by design (measured " +
+        "4-9/10 at sf0.001/sf0.01/sf0.1), and the bound still fails " +
+        "on any broken routing, encoding, or pruning.",
+      Some("""
+SELECT vec_id AS qid,
+       10::BIGINT AS n_neighbors,
+       true AS rn_dense,
+       true AS recall_ok
+FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val pred = col("vec_id") >= 100 && col("vec_id") < 110
+        val idx = ivfPqIndexDir(s, dir)
+        // candidates from the pruned ADC scan (threshold low enough to
+        // keep every probed candidate — selection happens at re-rank)
+        val cand = graft.api.VectorOps.ivfPqProbe(
+            emb.filter(pred), "vec_id", "embedding", idx,
+            adcX1000Threshold = -2000, nprobe = 3)
+          .filter(col("vec_old") =!= col("vec_new"))
+          .select(col("vec_new").as("qid"), col("vec_old").as("nid"))
+        val base = graft.api.VectorOps.normalized(emb, "vec_id", "embedding")
+          .withColumn("u", expr("transform(v, x -> x / nrm)"))
+        val qv = base.filter(pred)
+          .select(col("vec_id").as("qid2"), col("u").as("qu"))
+        val nv = base.select(col("vec_id").as("nid2"), col("u").as("nu"))
+        val ranked = cand
+          .join(broadcast(qv), col("qid") === col("qid2"))
+          .join(nv, col("nid") === col("nid2"))
+          .select(col("qid"), col("nid"), expr("dot_f(qu, nu)").as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
+          .filter(col("rn") <= 10)
+        val exact = graft.api.VectorOps.annBruteTopK(
+            emb, "vec_id", "embedding", pred, k = 10)
+          .select(col("qid").as("eqid"), col("nid").as("enid"))
+        ranked.join(exact,
+            col("qid") === col("eqid") && col("nid") === col("enid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_neighbors"),
+            (sum(col("rn")) === lit(55L) && max(col("rn")) === lit(10L) &&
+              count(lit(1)) === lit(10L)).as("rn_dense"),
+            (sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
+              >= lit(3L)).as("recall_ok"))
           .select("qid", "n_neighbors", "rn_dense", "recall_ok")
       })
   )

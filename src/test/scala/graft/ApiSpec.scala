@@ -929,6 +929,83 @@ class ApiSpec extends SparkSpec {
       bits = 64, hammingMax = 1).isEmpty)
   }
 
+  test("VectorOps IVF-PQ index: model round-trip, probe ADC exactness, " +
+      "literal cell pruning") {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-t-").toString
+    try {
+      val model = VectorOps.ivfPqTrain(emb, "vec_id", "embedding",
+        nCells = 4, m = 8, k = 8, seed = 7L)
+      VectorOps.writeIvfPqIndex(emb, "vec_id", "embedding", model, dir)
+      // model round-trip is exact
+      val back = VectorOps.readIvfPqModel(spark, dir)
+      assert(back.coarse.k == 4 && back.pq.m == 8)
+      assert(back.coarse.flat.sameElements(model.coarse.flat))
+      assert(back.pq.flat.sameElements(model.pq.flat))
+
+      val queries = emb.filter(col("vec_id") < 5)
+      val probe = VectorOps.ivfPqProbe(queries, "vec_id", "embedding",
+        dir, adcX1000Threshold = -2000, nprobe = 2)
+      val rows = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.nonEmpty)
+      // the probe's asim is EXACTLY the driver-recomputed ADC sum from
+      // the persisted model + codes — no approximation beyond PQ itself
+      val codes = spark.read.parquet(s"$dir/codes")
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](
+          r.fieldIndex("codes"))).toMap
+      val uvecs = VectorOps.normalized(emb, "vec_id", "embedding")
+        .withColumn("u", org.apache.spark.sql.functions.expr(
+          "transform(v, x -> x / nrm)"))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Double](r.fieldIndex("u"))).toMap
+      val subDim = back.pq.subDim
+      rows.take(50).foreach { case (qid, nid, asim) =>
+        val u = uvecs(qid); val cs = codes(nid)
+        val adc = (0 until back.pq.m).map { s =>
+          val base = (s * back.pq.k + cs(s)) * subDim
+          (0 until subDim).foldLeft(0.0)((acc, j) =>
+            acc + u(s * subDim + j) * back.pq.flat(base + j))
+        }.sum
+        assert(math.floor(adc * 1000).toLong == asim,
+          s"ADC mismatch for ($qid,$nid): $adc vs $asim")
+      }
+
+      // batch probes prune LITERALLY: the codes scan carries a `cell`
+      // partition filter and reads a strict subset of the index files
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec        => scans(q.plan)
+        case s: FileSourceScanExec    => Seq(s)
+        case other => (other.children ++ other.subqueries).flatMap(scans)
+      }
+      val one = VectorOps.ivfPqProbe(emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", dir, adcX1000Threshold = -2000, nprobe = 1)
+      one.collect()
+      val codeScan = scans(one.queryExecution.executedPlan)
+        .find(_.metadata.get("Location").exists(_.contains("codes")))
+        .getOrElse(fail("no FileSourceScanExec over the codes index"))
+      assert(codeScan.partitionFilters.exists(
+        _.references.exists(_.name == "cell")),
+        s"codes scan has no cell partition filter: ${codeScan.partitionFilters}")
+      def parquetFiles(root: java.io.File): Seq[java.io.File] =
+        if (root.isDirectory) root.listFiles.toSeq.flatMap(parquetFiles)
+        else if (root.getName.endsWith(".parquet")) Seq(root) else Nil
+      val total = parquetFiles(new java.io.File(s"$dir/codes")).size
+      val read = codeScan.metrics("numFiles").value
+      assert(read > 0 && read < total,
+        s"nprobe=1 probe read $read of $total code files — pruning did not engage")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("EventOps.aggState: two persisted-state merge rounds == one full " +
       "recompute (the maintenance contract, through parquet)") {
     val batches = Seq(

@@ -90,4 +90,14 @@ class MlSpec extends SparkSpec {
       assert(r.getAs[Boolean]("recall_ok"), r.toString)
     }
   }
+
+  test("q99 catalog entry: every invariant column is true") {
+    val rows = SparkEntry.queries("q99_ann_ivfpq")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_neighbors") == 10L, r.toString)
+      assert(r.getAs[Boolean]("rn_dense"), r.toString)
+      assert(r.getAs[Boolean]("recall_ok"), r.toString)
+    }
+  }
 }

@@ -728,6 +728,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF-PQ probe == batch probe (stateless stream-static ANN)") {
+    // ivfPqProbe is stateless (route + equi-join + filter), so the SAME
+    // function accepts a streaming frame — the compressed-index ANN
+    // twin of NearDupIngest. Two micro-batches must emit exactly the
+    // batch probe's rows on the same delta.
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-s-").toString
+    try {
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val model = graft.api.VectorOps.ivfPqTrain(
+        corpus, "vec_id", "embedding", nCells = 4, m = 8, k = 8, seed = 7L)
+      graft.api.VectorOps.writeIvfPqIndex(
+        corpus, "vec_id", "embedding", model, dir)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val rows = delta.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+      val input = MemoryStream[(Long, Seq[Float])]
+      val out = graft.api.VectorOps.ivfPqProbe(
+        input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir, adcX1000Threshold = 200, nprobe = 2)
+      val q = out.writeStream.format("memory").queryName("ivfpq_stream")
+        .outputMode("append").start()
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        input.addData(a.toSeq); q.processAllAvailable()
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.table("ivfpq_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.api.VectorOps.ivfPqProbe(
+          delta, "vec_id", "embedding", dir,
+          adcX1000Threshold = 200, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty && got == want,
+        s"stream=${got.size} batch=${want.size}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** VERDICT r4 item 4: the full ingest composition in ONE query
     * graph — jsonl drop-dir → per-source horizon quota (fMGWS) → exact
     * content dedup (dropDuplicatesWithinWatermark) → corpus near-dup
