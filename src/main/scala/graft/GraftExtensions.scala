@@ -63,6 +63,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("quant_code_sum",
       "quant_code_sum(vec) - summed int8 scalar-quantization codes of a float vector",
       exprs => graft.functions.QuantCodeSum(exprs.head)))
+    ext.injectFunction(fn("pq_encode",
+      "pq_encode(v, codebook, m, k) - per-subspace nearest-centroid PQ codes",
+      exprs => graft.functions.PqEncode(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction(fn("pq_lut",
+      "pq_lut(q, codebook, m, k) - per-query ADC lookup table (m*k dots)",
+      exprs => graft.functions.PqLut(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction(fn("pq_dists",
+      "pq_dists(v, codebook, m, k) - squared L2 distances to every centroid",
+      exprs => graft.functions.PqDists(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction(fn("pq_adc",
+      "pq_adc(codes, lut, k) - asymmetric-distance approximate dot product",
+      exprs => graft.functions.PqAdc(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction(fn("latest_by",
       "latest_by(payload, ord) - payload of the greatest ord (hash-aggregable argmax)",
       exprs => graft.functions.LatestBy(exprs.head, exprs(1))))

@@ -50,6 +50,19 @@ class ExtensionsSpec extends SparkSpec {
         .selectExpr("quant_code_sum(v)").head.getLong(0)
       assert(qcs == 382L) // 0 + 255 + floor(127.5)
 
+      // pq kernels: m=1, k=2, subDim=2 hand codebook [(1,0), (0,1)]
+      val pqRow = Seq(Array(0.9, 0.1)).toDF("v")
+        .selectExpr(
+          "pq_encode(v, array(1.0D, 0.0D, 0.0D, 1.0D), 1, 2) AS c",
+          "pq_lut(v, array(1.0D, 0.0D, 0.0D, 1.0D), 1, 2) AS l",
+          "pq_dists(v, array(1.0D, 0.0D, 0.0D, 1.0D), 1, 2) AS d")
+        .selectExpr("c[0] AS code", "pq_adc(c, l, 2) AS adc",
+          "d[0] < d[1] AS nearer")
+        .head
+      assert(pqRow.getInt(0) == 0)
+      assert(pqRow.getDouble(1) == 0.9) // lut[0] = <(0.9,0.1),(1,0)>
+      assert(pqRow.getBoolean(2))
+
       val lb = Seq((1L, 10L, "x"), (1L, 20L, "y")).toDF("g", "o", "p")
         .groupBy("g").agg(expr("latest_by(p, o)").as("l"))
         .head.getString(1)
