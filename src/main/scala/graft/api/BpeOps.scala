@@ -46,10 +46,14 @@ object BpeOps {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
-  /** The initial segmentation column: chars space-joined, space-padded. */
-  private def seg0(word: org.apache.spark.sql.Column) =
+  /** The initial segmentation column — chars space-joined, space-padded.
+    * Bound by NAME to a column called `word` in the enclosing frame
+    * (the lambda-expression string can't close over an arbitrary
+    * Column); both call sites guarantee it.
+    */
+  private def seg0 =
     concat(lit(" "),
-      array_join(expr(s"transform(sequence(1, length(word)), i -> substring(word, i, 1))"), " "),
+      array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), " "),
       lit(" "))
 
   /** Train `nMerges` BPE merges over the corpus. Returns the learned
@@ -58,7 +62,7 @@ object BpeOps {
     * produce no rows.
     */
   def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
-    val wc = wordCounts(df, textCol).withColumn("seg", seg0(col("word")))
+    val wc = wordCounts(df, textCol).withColumn("seg", seg0)
       .select("seg", "cnt").cache()
     try {
       val merges = Seq.newBuilder[Merge]
@@ -154,7 +158,7 @@ object BpeOps {
     val words = df.select(col(idCol),
       explode(split(col(textCol), " ", -1)).as("word"))
       .filter(col("word") =!= "")
-    val seg = merges.foldLeft(seg0(col("word"))) { (s, m) =>
+    val seg = merges.foldLeft(seg0) { (s, m) =>
       call_function("replace", s,
         lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))
     }

@@ -191,6 +191,51 @@ FROM x ORDER BY n_exact DESC, item LIMIT 10"""),
             (expr("cms_est(sk, item, 1024, 4)") >= col("n_exact") &&
               expr("cms_est(sk, item, 1024, 4)") - col("n_exact") <=
                 greatest(lit(16L), expr("n_total div 64"))).as("cms_ok"))
+      }),
+
+    QueryDef(
+      "q100_hll_sketch_rollup",
+      "Mergeable HLL sketch COLUMNS (Spark's Datasketches surface — " +
+        "hll_sketch_agg / hll_union_agg / hll_sketch_estimate): " +
+        "per-day distinct-user sketches, THEN the all-time distinct " +
+        "estimate computed by UNIONING the daily sketches — the " +
+        "re-aggregation pattern q25's approx_count_distinct cannot " +
+        "express (its estimate is final). This is how a 100TB metrics " +
+        "store works: persist a sketch per (day, dimension) partition " +
+        "once, answer any rollup later by merging KB-sized sketches, " +
+        "never rescanning events. Estimates are engine-specific, so " +
+        "the oracle is in-band (q25's pattern): exact counts ride " +
+        "along, approx_ok asserts the estimate within max(2, 10%); " +
+        "the total row (window_end = 0) bound-checks the UNIONED " +
+        "estimate against the global exact count.",
+      Some("""
+SELECT epoch(time_bucket(INTERVAL '1 day', ts::TIMESTAMP) + INTERVAL '1 day')::BIGINT AS window_end,
+       count(DISTINCT user_id) AS uv_exact,
+       true AS approx_ok
+FROM events GROUP BY 1
+UNION ALL
+SELECT 0::BIGINT, count(DISTINCT user_id), true FROM events"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val daily = ev
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("uv_exact"))
+          .select(unix_timestamp(col("window.end")).as("window_end"),
+            col("sk"), col("uv_exact"))
+        val dailyOut = daily.select(col("window_end"), col("uv_exact"),
+          (abs(hll_sketch_estimate(col("sk")) - col("uv_exact")) <=
+            greatest(lit(2.0), col("uv_exact") * lit(0.10))).as("approx_ok"))
+        // the all-time row merges the DAILY SKETCHES — events are not
+        // rescanned for the estimate; the exact column (verification
+        // only) is the one global pass
+        val total = daily.agg(hll_union_agg(col("sk")).as("sk"))
+          .crossJoin(broadcast(
+            ev.agg(countDistinct(col("user_id")).as("uv_exact"))))
+          .select(lit(0L).as("window_end"), col("uv_exact"),
+            (abs(hll_sketch_estimate(col("sk")) - col("uv_exact")) <=
+              greatest(lit(2.0), col("uv_exact") * lit(0.10))).as("approx_ok"))
+        dailyOut.unionByName(total)
       })
   )
 }

@@ -274,4 +274,28 @@ class SketchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("array_compact"), e.getMessage)
   }
+
+  test("hll sketch union over a partition tracks the direct sketch " +
+      "(q100's re-aggregation contract, estimate-level)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Datasketches HLL union is NOT register-exact (the union gadget
+    // and sparse->dense transitions can differ from the direct path —
+    // measured 4986 vs 4951 on this fixture), so the contract q100
+    // relies on is estimate-level: union of partition sketches stays
+    // within the sketch's error envelope of the direct estimate and of
+    // the truth. Both are asserted here.
+    val vals = (1L to 5000L).map(i => (i % 97, i))
+    val df = vals.toDF("half", "v")
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg(col("v"))))
+      .head.getLong(0)
+    val merged = df.groupBy(col("half"))
+      .agg(hll_sketch_agg(col("v")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head.getLong(0)
+    assert(math.abs(direct - merged) <= direct / 50,
+      s"direct=$direct merged=$merged drifted over 2%")
+    assert(math.abs(direct - 5000L) <= 250L, s"direct $direct vs 5000")
+    assert(math.abs(merged - 5000L) <= 250L, s"merged $merged vs 5000")
+  }
 }
