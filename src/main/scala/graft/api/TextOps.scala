@@ -485,4 +485,54 @@ object TextOps {
     val vocab = model.select(max(col("v")).as("_v"))
     lmScoreCore(idCol, toks, docBi, c2, c1, vocab, keepAvgQx1000)
   }
+
+  /** Deterministic feature-hashing text embedding (the hashing trick,
+    * Weinberger et al. 2009): every token lands in dimension
+    * `hash60(token) % d` with sign from an independent hash bit, the
+    * signed counts are L2-normalized — a MODEL-FREE unit embedding
+    * that makes every vector operator in this library (cosine ANN,
+    * banded-LSH near-dup, PQ/IVF-PQ indexes, SemDeDup keepers) apply
+    * to a raw TEXT corpus with no external encoder. Near-duplicate
+    * texts share almost all tokens, so they embed almost parallel —
+    * exactly the property the semantic-dedup stack needs.
+    *
+    * Output: idCol, `v` (array<double>, unit L2 norm; all-zero for a
+    * token-less or fully-sign-cancelled doc — NaNs never escape).
+    * Integer signed counts are exact and order-independent; the one
+    * float step (x / sqrt(Σx²)) is a single IEEE op per dim, so
+    * quantized projections hash-match DuckDB (the q53 floor
+    * precedent). Two exchanges: (id, dim) partial-agg'd counts, then
+    * the per-id assembly — both collapse map-side; the corpus is
+    * scanned once.
+    */
+  def embedText(df: DataFrame, idCol: String, textCol: String,
+      d: Int = 64): DataFrame = {
+    require(d > 0, s"embedText: d must be positive, got $d")
+    // _h is a named projection so dim and sign derive from ONE hash
+    val withH = df
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("_w"))
+      .filter(col("_w") =!= "")
+      .select(col(idCol), TextHashing.hash60(col("_w")).as("_h"))
+      .select(col(idCol), pmod(col("_h"), lit(d.toLong)).as("_dim"),
+        when(expr("(_h div 4294967296) % 2 = 0"), lit(1L))
+          .otherwise(lit(-1L)).as("_s"))
+    val byDim = withH.groupBy(col(idCol), col("_dim"))
+      .agg(sum(col("_s")).as("_c"))
+    val zero = s"transform(sequence(0, ${d - 1}), i -> 0.0D)"
+    val assembled = byDim.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("_dim"), col("_c"))))
+        .as("_m"),
+        sum(col("_c") * col("_c")).as("_n2"))
+      .select(col(idCol),
+        when(col("_n2") > 0, expr(
+          s"transform(sequence(0, ${d - 1}), " +
+            "i -> coalesce(_m[i], 0L) / sqrt(_n2))"))
+          .otherwise(expr(zero))
+          .as("v"))
+    // row preservation: the explode drops token-less (or null-text)
+    // docs entirely, so re-anchor on the input ids — every input row
+    // gets a vector (zero for no-signal docs), config-independent
+    df.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("v"), expr(zero)).as("v"))
+  }
 }

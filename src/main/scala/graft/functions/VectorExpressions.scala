@@ -36,13 +36,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName is load-bearing: with NON-nullable children,
+      // nullSafeCodeGen emits this block unbraced at method scope, so
+      // two dot_f calls in one codegen span would redeclare the locals
+      // (surfaced by a projection over coalesce()d vectors)
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

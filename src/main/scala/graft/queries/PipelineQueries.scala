@@ -779,6 +779,44 @@ FROM rat CROSS JOIN thr"""),
         val merges = graft.api.BpeOps.trainCached(dir, docs, "text",
           nMerges = 12)
         graft.api.BpeOps.tokenCounts(docs, "doc_id", "text", merges)
+      }),
+
+    QueryDef(
+      "q101_text_embedding",
+      "Model-free feature-hashing text embedding (the hashing trick, " +
+        "Weinberger et al. 2009; TextOps.embedText): every token " +
+        "lands in dim hash60(token) % 64 with a sign from an " +
+        "independent hash bit, signed counts L2-normalized — the " +
+        "bridge that lets the WHOLE vector stack (cosine ANN, banded " +
+        "LSH, PQ/IVF-PQ, SemDeDup keepers) run on a raw TEXT corpus " +
+        "with no external encoder: near-dup texts share tokens, so " +
+        "they embed near-parallel. Integer signed counts are exact " +
+        "and order-independent; the one float step (x/√Σx²) is a " +
+        "single IEEE op per dim, so this catalog projection — the " +
+        "non-zero dims quantized to micro units (the q53 floor " +
+        "precedent) — hash-matches DuckDB EXACTLY: a trained-free " +
+        "embedding with a full value-level oracle, not an invariant " +
+        "one. Two map-side-collapsing exchanges; corpus scanned once.",
+      Some(s"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+h AS (SELECT doc_id, ${graft.functions.TextHashing.hash60Sql("w")} AS h FROM t WHERE w <> ''),
+c AS (SELECT doc_id, h % 64 AS dim,
+             sum(CASE WHEN (h // 4294967296) % 2 = 0 THEN 1
+                      ELSE -1 END)::BIGINT AS c
+      FROM h GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM c GROUP BY 1)
+SELECT c.doc_id, c.dim, floor(1000000.0 * c.c / sqrt(n.n2))::BIGINT AS v_x1m
+FROM c JOIN n ON c.doc_id = n.doc_id
+WHERE c.c <> 0 AND n.n2 > 0"""),
+      (s, dir) => {
+        val emb = graft.api.TextOps.embedText(
+          Tables.documents(s, dir), "doc_id", "text", d = 64)
+        emb.select(col("doc_id"),
+            posexplode(col("v")).as(Seq("dim", "_x")))
+          .filter(col("_x") =!= 0.0d)
+          .select(col("doc_id"), col("dim").cast("long").as("dim"),
+            floor(col("_x") * lit(1000000.0d)).cast("long").as("v_x1m"))
       })
   )
 }

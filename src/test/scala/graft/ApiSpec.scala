@@ -929,6 +929,39 @@ class ApiSpec extends SparkSpec {
       bits = 64, hammingMax = 1).isEmpty)
   }
 
+  test("TextOps.embedText: unit norm, zero-vector edge, and near-dup " +
+      "texts embed near-parallel (the bridge into the vector stack)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely unrelated legal boilerplate paragraph text"),
+      (4L, "")) // token-less
+      .toDF("k", "body")
+    val emb = TextOps.embedText(docs, "k", "body", d = 64)
+    val rows = emb.select(col("k"), expr("dot_f(v, v)").as("n2"), col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1),
+        r.getSeq[Double](2))).toMap
+    // unit L2 norm for real docs, exact zero vector for the empty one
+    Seq(1L, 2L, 3L).foreach(k =>
+      assert(math.abs(rows(k)._1 - 1.0) < 1e-9, s"doc $k norm ${rows(k)._1}"))
+    assert(rows(4L)._1 == 0.0 && rows(4L)._2.forall(_ == 0.0))
+    // near-dup pair parallel, unrelated pair not — the property the
+    // semantic-dedup stack (q53/q90 over these vectors) relies on
+    val a = emb.filter(col("k") === 1).select("v").head.getSeq[Double](0)
+    def cos(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(cos(a, rows(2L)._2) > 0.8, s"near-dup cos ${cos(a, rows(2L)._2)}")
+    assert(cos(a, rows(3L)._2) < 0.5, s"unrelated cos ${cos(a, rows(3L)._2)}")
+    // and the vector operators accept it directly: banded-LSH near-dup
+    // pairs over TEXT-derived vectors find exactly the near-dup pair
+    val pairs = VectorOps.nearDupPairs(emb, "k", "v",
+        planes = graft.queries.DedupQueries.lshPlanes, simX1000Threshold = 700)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs $pairs")
+  }
+
   test("VectorOps IVF-PQ index: model round-trip, probe ADC exactness, " +
       "literal cell pruning") {
     graft.functions.VectorExpressions.register(spark)
