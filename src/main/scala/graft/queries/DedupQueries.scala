@@ -479,6 +479,105 @@ SELECT cluster_id, vec_id AS keeper_id, n_members, keeper_score FROM (
       }),
 
     QueryDef(
+      "q102_text_semantic_dedup",
+      "Semantic dedup on RAW TEXT, end-to-end and hash-exact: q101's " +
+        "model-free feature-hash embedding (TextOps.embedText) feeds " +
+        "the SAME banded-LSH pair machinery as q53, pointer-doubling " +
+        "clusters, and longest-doc keepers (q58's rule) — the full " +
+        "SemDeDup shape with NO external encoder and NO pre-computed " +
+        "embedding table. Cosine >= 0.9 over 64-dim hash embeddings " +
+        "(shared vocabulary sets the baseline high on this corpus; " +
+        ".9 selects the near-dup tail). Zero vectors (token-less or " +
+        "fully-cancelled docs) are excluded BEFORE banding in both " +
+        "engines (n2 > 0), so they can never consume bucket cap. The " +
+        "oracle derives the embedding, the bands, the capped pairs, " +
+        "the recursive closure and the keepers in one SQL chain — " +
+        "every float is a single-IEEE-op-per-dim or a left-to-right " +
+        "fold, so the whole trained-free pipeline hash-matches.",
+      Some(s"""
+WITH RECURSIVE
+tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hh AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM tt WHERE w <> ''),
+hc AS (SELECT doc_id, h % 64 AS dim,
+              sum(CASE WHEN (h // 4294967296) % 2 = 0 THEN 1
+                       ELSE -1 END)::BIGINT AS c
+       FROM hh GROUP BY 1, 2),
+n2t AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM hc GROUP BY 1),
+grid AS (SELECT d.doc_id, g.i AS dim
+         FROM (SELECT DISTINCT doc_id FROM documents) d,
+              generate_series(0, 63) g(i)),
+dense AS (SELECT g.doc_id, g.dim, coalesce(hc.c, 0) AS c
+          FROM grid g LEFT JOIN hc
+            ON hc.doc_id = g.doc_id AND hc.dim = g.dim),
+e AS MATERIALIZED (
+  SELECT dense.doc_id AS vec_id,
+         list(dense.c / sqrt(n2t.n2) ORDER BY dense.dim) AS v
+  FROM dense JOIN n2t ON n2t.doc_id = dense.doc_id
+  WHERE n2t.n2 > 0 GROUP BY 1),
+n AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT vec_id,
+${(0 until LshPlanes).map(j =>
+        s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
+        .mkString(",\n")}
+      FROM n),
+bands AS MATERIALIZED (
+${(0 until LshPlanes / 4).map(b =>
+        s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
+        .mkString("\n  UNION ALL\n")}),
+ok AS (SELECT band, bkey FROM bands
+       GROUP BY band, bkey
+       HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a
+         JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+         JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         WHERE a.vec_id < b.vec_id),
+p AS MATERIALIZED (
+  SELECT vec_a, vec_b
+  FROM (SELECT vec_a, vec_b,
+               list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
+        FROM cand JOIN n na ON na.vec_id = vec_a
+                  JOIN n nb ON nb.vec_id = vec_b)
+  WHERE floor(sim * 1000) >= 900),
+edg AS (SELECT vec_a AS s, vec_b AS t FROM p
+        UNION SELECT vec_b, vec_a FROM p),
+reach(s, t) AS (
+  SELECT s, t FROM edg
+  UNION
+  SELECT r.s, edg.t FROM reach r JOIN edg ON r.t = edg.s),
+cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       FROM reach GROUP BY s),
+m AS (SELECT cl.cluster_id, cl.doc_id,
+             len(string_split(d.text, ' '))::BIGINT AS n_tok
+      FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
+  SELECT cluster_id, doc_id, n_tok AS keeper_score,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tok DESC, doc_id ASC) AS rn
+  FROM m) WHERE rn = 1"""),
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val docs = Tables.documents(s, dir)
+        val emb = graft.api.TextOps.embedText(docs, "doc_id", "text", d = 64)
+          .filter(expr("dot_f(v, v)") > 0)
+        val pairs = graft.api.VectorOps.nearDupPairs(
+          emb, "doc_id", "v", planes = (0 until LshPlanes).map(plane),
+          simX1000Threshold = 900)
+        val clusters = graft.operators.ConnectedComponents.minLabel(
+          pairs, "vec_a", "vec_b")
+        val scored = clusters.join(
+          docs.select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+          clusters("id") === col("doc_id"))
+          .select(col("id"), col("cluster_id"), col("n_tok"))
+        graft.api.DedupOps.keepersByScore(scored, "id", "cluster_id", "n_tok")
+          .select(col("cluster_id"), col("keeper_id"), col("n_members"),
+            col("keeper_score"))
+      }),
+
+    QueryDef(
       "q83_embedding_incremental_dedup",
       "Incremental EMBEDDING dedup (VectorOps.nearDupPairsAgainst): " +
         "q59's daily-ingestion shape in vector space - a 20% NEW batch " +
