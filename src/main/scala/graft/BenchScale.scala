@@ -55,7 +55,8 @@ object BenchScale {
     "q78_cross_source_dups", "q01_pricing_summary", "q30_ann_kmeans_ivf",
     "q83_embedding_incremental_dedup", "q85_passage_dedup",
     "q87_exact_substring_spans", "q88_bigram_lm_quality",
-    "q94_ann_pq", "q95_bpe_vocab_induction", "q98_bpe_tokenize")
+    "q94_ann_pq", "q95_bpe_vocab_induction", "q98_bpe_tokenize",
+    "q101_text_embedding", "q102_text_semantic_dedup")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

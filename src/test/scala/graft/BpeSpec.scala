@@ -60,6 +60,21 @@ class BpeSpec extends SparkSpec {
     assert(learned(2L) == 3L)
   }
 
+  test("model cache: trainCached reuses, trainOwning always retrains " +
+      "and refreshes (the q95-owner / q98-consumer contract)") {
+    val key = s"bpe-cache-test-${System.identityHashCode(this)}"
+    val df1 = Seq("ab ab ab").toDF("body")
+    val df2 = Seq("xy xy xy").toDF("body")
+    val first = BpeOps.trainCached(key, df1, "body", 1)
+    assert(first.map(m => (m.left, m.right)) == Seq(("a", "b")))
+    // cached: a DIFFERENT corpus under the same key returns the old model
+    assert(BpeOps.trainCached(key, df2, "body", 1) == first)
+    // owner: retrains on the new corpus and refreshes the cache
+    val owned = BpeOps.trainOwning(key, df2, "body", 1)
+    assert(owned.map(m => (m.left, m.right)) == Seq(("x", "y")))
+    assert(BpeOps.trainCached(key, df1, "body", 1) == owned)
+  }
+
   test("q95 catalog entry: 12 rows, counts non-increasing, pairs distinct") {
     val rows = SparkEntry.queries("q95_bpe_vocab_induction")(spark, sf)
       .orderBy("step").collect()
