@@ -578,6 +578,87 @@ SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
       }),
 
     QueryDef(
+      "q103_semantic_decontamination",
+      "SEMANTIC benchmark decontamination — q42's n-gram rule catches " +
+        "verbatim leakage; this catches PARAPHRASE-level leakage the " +
+        "gram hashes miss: corpus docs whose q101 hash embedding is " +
+        "cosine >= 0.8 to ANY eval-set doc (doc_id % 50 = 0, q42's " +
+        "convention) are flagged with their match count and max " +
+        "similarity. The small eval set is the CAPPED bucket-index " +
+        "side (q83's incremental shape — the right direction at " +
+        "100TB: the benchmark is the index, the corpus is the probe, " +
+        "so corpus rows never pair with each other), and the whole " +
+        "chain — embedding, bands, capped candidates, exact cosine, " +
+        "rollup — hash-matches the SQL oracle exactly.",
+      Some(s"""
+WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hh AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM tt WHERE w <> ''),
+hc AS (SELECT doc_id, h % 64 AS dim,
+              sum(CASE WHEN (h // 4294967296) % 2 = 0 THEN 1
+                       ELSE -1 END)::BIGINT AS c
+       FROM hh GROUP BY 1, 2),
+n2t AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM hc GROUP BY 1),
+grid AS (SELECT d.doc_id, g.i AS dim
+         FROM (SELECT DISTINCT doc_id FROM documents) d,
+              generate_series(0, 63) g(i)),
+dense AS (SELECT g.doc_id, g.dim, coalesce(hc.c, 0) AS c
+          FROM grid g LEFT JOIN hc
+            ON hc.doc_id = g.doc_id AND hc.dim = g.dim),
+e AS MATERIALIZED (
+  SELECT dense.doc_id AS vec_id,
+         list(dense.c / sqrt(n2t.n2) ORDER BY dense.dim) AS v
+  FROM dense JOIN n2t ON n2t.doc_id = dense.doc_id
+  WHERE n2t.n2 > 0 GROUP BY 1),
+n AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT vec_id,
+${(0 until LshPlanes).map(j =>
+        s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
+        .mkString(",\n")}
+      FROM n),
+bands AS MATERIALIZED (
+${(0 until LshPlanes / 4).map(b =>
+        s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
+        .mkString("\n  UNION ALL\n")}),
+corpb AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
+newb AS (SELECT * FROM bands WHERE vec_id % 50 <> 0),
+ok AS (SELECT band, bkey FROM corpb
+       GROUP BY band, bkey
+       HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (SELECT DISTINCT nw.vec_id AS vec_new, c.vec_id AS vec_old
+         FROM newb nw
+         JOIN ok o ON nw.band = o.band AND nw.bkey = o.bkey
+         JOIN corpb c ON c.band = o.band AND c.bkey = o.bkey),
+p AS (SELECT vec_new, vec_old, floor(sim * 1000)::BIGINT AS sim_x1000
+      FROM (SELECT vec_new, vec_old,
+                   list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
+            FROM cand JOIN n na ON na.vec_id = vec_new
+                      JOIN n nb ON nb.vec_id = vec_old)
+      WHERE floor(sim * 1000) >= 800)
+SELECT vec_new AS doc_id, count(*) AS n_eval_matches,
+       max(sim_x1000) AS max_sim_x1000
+FROM p GROUP BY 1"""),
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val docs = Tables.documents(s, dir)
+        // embed ONCE, probe twice: without the checkpoint the eval and
+        // corpus branches each re-derive the full embedText subtree
+        // (its exchanges doubled — 9 shuffles; the CurationPipeline
+        // materialize-between-stages discipline applies)
+        val emb = graft.api.TextOps.embedText(docs, "doc_id", "text", d = 64)
+          .filter(expr("dot_f(v, v)") > 0)
+          .localCheckpoint()
+        graft.api.VectorOps.nearDupPairsAgainst(
+            emb.filter(col("doc_id") % 50 =!= 0),
+            emb.filter(col("doc_id") % 50 === 0),
+            "doc_id", "v", planes = (0 until LshPlanes).map(plane),
+            simX1000Threshold = 800)
+          .groupBy(col("vec_new").as("doc_id"))
+          .agg(count(lit(1)).as("n_eval_matches"),
+            max(col("sim_x1000")).as("max_sim_x1000"))
+      }),
+
+    QueryDef(
       "q83_embedding_incremental_dedup",
       "Incremental EMBEDDING dedup (VectorOps.nearDupPairsAgainst): " +
         "q59's daily-ingestion shape in vector space - a 20% NEW batch " +
