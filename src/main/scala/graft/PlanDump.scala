@@ -43,7 +43,8 @@ object PlanDump {
       "q90_semantic_dedup_keepers", "q91_lm_score_against_model",
       "q94_ann_pq", "q96_cluster_aware_split",
       "q97_incremental_agg_maintenance", "q98_bpe_tokenize",
-      "q99_ann_ivfpq", "q101_text_embedding", "q102_text_semantic_dedup")
+      "q99_ann_ivfpq", "q101_text_embedding", "q102_text_semantic_dedup",
+      "q103_semantic_decontamination")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -490,10 +490,24 @@ object VectorOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Read back the codebooks persisted by [[writeIvfPqIndex]]. */
+  /** Read back the codebooks persisted by [[writeIvfPqIndex]]. A
+    * missing or empty meta dir (partially copied index) fails with a
+    * NAMED error rather than an opaque head()-on-empty — there is no
+    * degraded mode without the codebooks, unlike the MinHash index's
+    * unpruned fallback.
+    */
   def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqModel = {
-    val r = spark.read.parquet(s"$path/meta").head
+    val meta = try spark.read.parquet(s"$path/meta") catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"readIvfPqModel: no meta at $path/meta — not an IVF-PQ index " +
+            "(or a partial copy missing its codebooks)", e)
+    }
+    val rows = meta.limit(1).collect()
+    require(rows.nonEmpty,
+      s"readIvfPqModel: empty meta at $path/meta — partial index copy?")
+    val r = rows.head
     def arr(i: Int) = r.getSeq[Double](i).toArray
     IvfPqModel(
       coarse = PqCodebooks(r.getInt(0), r.getInt(1), r.getInt(2), arr(3)),
