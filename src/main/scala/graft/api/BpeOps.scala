@@ -190,9 +190,10 @@ object BpeOps {
 b$t AS MATERIALIZED (SELECT $t::BIGINT AS step, l, r, c FROM p$t
         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
 seg$t AS MATERIALIZED (SELECT word,
-                 replace(seg, ' ' || l || ' ' || r || ' ',
-                         ' ' || l || r || ' ') AS seg, cnt
-          FROM seg${t - 1} CROSS JOIN b$t)"""
+                 CASE WHEN b.l IS NULL THEN seg
+                      ELSE replace(seg, ' ' || b.l || ' ' || b.r || ' ',
+                                   ' ' || b.l || b.r || ' ') END AS seg, cnt
+          FROM seg${t - 1} LEFT JOIN b$t b ON true)"""
     }.mkString(",\n")
     s"""wc AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS cnt FROM (

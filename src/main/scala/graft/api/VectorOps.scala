@@ -285,10 +285,10 @@ object VectorOps {
     * ~6 small jobs total). Vectors are UNIT-NORMALIZED first, so the
     * ADC dot product approximates cosine.
     *
-    * - Training set: at most ~`maxTrainRows` rows by a deterministic
-    *   id-hash threshold — at 100 TB the fit sees a fixed-size sample
-    *   while encode/scan stream the full corpus (the standard IVF/PQ
-    *   split: train small, apply wide).
+    * - Training set: EXACTLY the `maxTrainRows` smallest-id-hash rows
+    *   (distributed top-k, bounded at any corpus size) — at 100 TB the
+    *   fit sees a fixed-size sample while encode/scan stream the full
+    *   corpus (the standard IVF/PQ split: train small, apply wide).
     * - Init: per subspace, the k hash-ranked training subvectors
     *   (xxhash64 of (seed, id) — seeded, reproducible).
     * - Assign: the native `pq_encode` kernel computes every
@@ -306,18 +306,22 @@ object VectorOps {
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, seed: Long, maxTrainRows: Long = 4096L,
       iters: Int = 5): PqCodebooks = {
+    require(maxTrainRows > 0 && maxTrainRows <= Int.MaxValue,
+      s"pqTrain: maxTrainRows $maxTrainRows outside (0, Int.MaxValue]")
     val base = normalized(df, idCol, vecCol)
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
     val d = base.select(max(size(col("u")))).head.getInt(0)
     require(m > 0 && d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
     val subDim = d / m
-    val n = base.count()
-    val sample =
-      if (n <= maxTrainRows) base
-      else {
-        val rate = ((maxTrainRows * 1000L) / n).max(1L)
-        base.filter(pmod(xxhash64(col(idCol)), lit(1000L)) < lit(rate))
-      }
+    // training sample: the maxTrainRows smallest-hash rows — the
+    // SampleOps.prioritySample shape (TakeOrderedAndProject: each task
+    // keeps a local top-k, the driver merges). EXACTLY bounded at any
+    // corpus size — a per-mille hash threshold's floor-at-1 would keep
+    // ~n/1000 rows past n = 1000·maxTrainRows and silently void the
+    // fixed-size-sample contract the 100TB claim rests on.
+    val sample = base
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(maxTrainRows.toInt)
     val cached = sample.select(col(idCol).as("_id"), col("u")).cache()
     try {
       // init: per subspace, k seed subvectors by seeded hash rank
@@ -333,11 +337,17 @@ object VectorOps {
         .select(col("_s"), col("_rn"), col("_sv"))
         .collect()
       val flat = new Array[Double](m * k * subDim)
+      // a row shorter than d can hash-rank into the seeds: copy what
+      // exists, leave the tail 0.0 — the same missing-dims-read-0 rule
+      // PqUtil.encode applies. Fewer than k sample rows leave the
+      // remaining centroids at the zero vector (duplicates are inert:
+      // encode's first-minimum tie-break is deterministic).
       seeds.foreach { r =>
         val s = r.getInt(0); val c = r.getInt(1) - 1
         val sv = r.getSeq[Double](2)
         var j = 0
-        while (j < subDim) { flat((s * k + c) * subDim + j) = sv(j); j += 1 }
+        val lim = math.min(subDim, sv.length)
+        while (j < lim) { flat((s * k + c) * subDim + j) = sv(j); j += 1 }
       }
       // Lloyd: assign all subspaces in one pass, mean-update in exact
       // nano fixed-point, collect the tiny (sub, code, dim) stats

@@ -129,6 +129,43 @@ v AS (
 SELECT vec_a, vec_b, floor(sim * 1000)::BIGINT AS sim_x1000
 FROM v WHERE floor(sim * 1000) >= 400"""
 
+  /** The q101 feature-hash text embedding + sign-band CTE chain over
+    * `documents` (tt..bands, ending at `n` vectors + `bands` keys) —
+    * ONE generator shared by the q102 and q103 oracles, the BpeOps
+    * chainSql discipline: the two SQL consumers can never disagree
+    * about the embedding or the banding.
+    */
+  private lazy val textEmbeddingBandsCte: String = s"""tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hh AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM tt WHERE w <> ''),
+hc AS (SELECT doc_id, h % 64 AS dim,
+              sum(CASE WHEN (h // 4294967296) % 2 = 0 THEN 1
+                       ELSE -1 END)::BIGINT AS c
+       FROM hh GROUP BY 1, 2),
+n2t AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM hc GROUP BY 1),
+grid AS (SELECT d.doc_id, g.i AS dim
+         FROM (SELECT DISTINCT doc_id FROM documents) d,
+              generate_series(0, 63) g(i)),
+dense AS (SELECT g.doc_id, g.dim, coalesce(hc.c, 0) AS c
+          FROM grid g LEFT JOIN hc
+            ON hc.doc_id = g.doc_id AND hc.dim = g.dim),
+e AS MATERIALIZED (
+  SELECT dense.doc_id AS vec_id,
+         list(dense.c / sqrt(n2t.n2) ORDER BY dense.dim) AS v
+  FROM dense JOIN n2t ON n2t.doc_id = dense.doc_id
+  WHERE n2t.n2 > 0 GROUP BY 1),
+n AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT vec_id,
+${(0 until LshPlanes).map(j =>
+        s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
+        .mkString(",\n")}
+      FROM n),
+bands AS MATERIALIZED (
+${(0 until LshPlanes / 4).map(b =>
+        s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
+        .mkString("\n  UNION ALL\n")})"""
+
+
   /** q85's passage-pair SQL over any doc table (see minhashPairsSql
     * for why the curation pipeline re-derives it over survivors).
     */
@@ -496,35 +533,7 @@ SELECT cluster_id, vec_id AS keeper_id, n_members, keeper_score FROM (
         "fold, so the whole trained-free pipeline hash-matches.",
       Some(s"""
 WITH RECURSIVE
-tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-hh AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM tt WHERE w <> ''),
-hc AS (SELECT doc_id, h % 64 AS dim,
-              sum(CASE WHEN (h // 4294967296) % 2 = 0 THEN 1
-                       ELSE -1 END)::BIGINT AS c
-       FROM hh GROUP BY 1, 2),
-n2t AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM hc GROUP BY 1),
-grid AS (SELECT d.doc_id, g.i AS dim
-         FROM (SELECT DISTINCT doc_id FROM documents) d,
-              generate_series(0, 63) g(i)),
-dense AS (SELECT g.doc_id, g.dim, coalesce(hc.c, 0) AS c
-          FROM grid g LEFT JOIN hc
-            ON hc.doc_id = g.doc_id AND hc.dim = g.dim),
-e AS MATERIALIZED (
-  SELECT dense.doc_id AS vec_id,
-         list(dense.c / sqrt(n2t.n2) ORDER BY dense.dim) AS v
-  FROM dense JOIN n2t ON n2t.doc_id = dense.doc_id
-  WHERE n2t.n2 > 0 GROUP BY 1),
-n AS MATERIALIZED (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-s AS (SELECT vec_id,
-${(0 until LshPlanes).map(j =>
-        s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
-        .mkString(",\n")}
-      FROM n),
-bands AS MATERIALIZED (
-${(0 until LshPlanes / 4).map(b =>
-        s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
-        .mkString("\n  UNION ALL\n")}),
+$textEmbeddingBandsCte,
 ok AS (SELECT band, bkey FROM bands
        GROUP BY band, bkey
        HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
@@ -591,35 +600,7 @@ SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
         "chain — embedding, bands, capped candidates, exact cosine, " +
         "rollup — hash-matches the SQL oracle exactly.",
       Some(s"""
-WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-hh AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM tt WHERE w <> ''),
-hc AS (SELECT doc_id, h % 64 AS dim,
-              sum(CASE WHEN (h // 4294967296) % 2 = 0 THEN 1
-                       ELSE -1 END)::BIGINT AS c
-       FROM hh GROUP BY 1, 2),
-n2t AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM hc GROUP BY 1),
-grid AS (SELECT d.doc_id, g.i AS dim
-         FROM (SELECT DISTINCT doc_id FROM documents) d,
-              generate_series(0, 63) g(i)),
-dense AS (SELECT g.doc_id, g.dim, coalesce(hc.c, 0) AS c
-          FROM grid g LEFT JOIN hc
-            ON hc.doc_id = g.doc_id AND hc.dim = g.dim),
-e AS MATERIALIZED (
-  SELECT dense.doc_id AS vec_id,
-         list(dense.c / sqrt(n2t.n2) ORDER BY dense.dim) AS v
-  FROM dense JOIN n2t ON n2t.doc_id = dense.doc_id
-  WHERE n2t.n2 > 0 GROUP BY 1),
-n AS MATERIALIZED (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-s AS (SELECT vec_id,
-${(0 until LshPlanes).map(j =>
-        s"  (CASE WHEN list_dot_product(v, ${planeSqlList(j)}) > 0 THEN ${1 << (j % 4)} ELSE 0 END) AS s$j")
-        .mkString(",\n")}
-      FROM n),
-bands AS MATERIALIZED (
-${(0 until LshPlanes / 4).map(b =>
-        s"  SELECT vec_id, $b AS band, s${4 * b} + s${4 * b + 1} + s${4 * b + 2} + s${4 * b + 3} AS bkey FROM s")
-        .mkString("\n  UNION ALL\n")}),
+WITH $textEmbeddingBandsCte,
 corpb AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
 newb AS (SELECT * FROM bands WHERE vec_id % 50 <> 0),
 ok AS (SELECT band, bkey FROM corpb

