@@ -91,6 +91,31 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("pqTrain: bounded training sample is deterministic and exact") {
+    val emb = Tables.embeddings(spark, sf)
+    // maxTrainRows below the corpus size exercises the top-k sample
+    // path: the model must still train and stay bit-reproducible
+    val a = graft.api.VectorOps.pqTrain(
+      emb, "vec_id", "embedding", m = 8, k = 8, seed = 7L,
+      maxTrainRows = 100L)
+    val b = graft.api.VectorOps.pqTrain(
+      emb, "vec_id", "embedding", m = 8, k = 8, seed = 7L,
+      maxTrainRows = 100L)
+    assert(a.flat.sameElements(b.flat))
+    assert(a.flat.exists(_ != 0.0))
+    intercept[IllegalArgumentException] {
+      graft.api.VectorOps.pqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 8, seed = 7L, maxTrainRows = 0L)
+    }
+  }
+
+  test("readIvfPqModel: missing index fails with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      graft.api.VectorOps.readIvfPqModel(spark, "/tmp/graft-no-such-index")
+    }
+    assert(e.getMessage.contains("not an IVF-PQ index"), e.getMessage)
+  }
+
   test("q99 catalog entry: every invariant column is true") {
     val rows = SparkEntry.queries("q99_ann_ivfpq")(spark, sf).collect()
     assert(rows.length == 10)
