@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CurationQueries, DedupQueries, MlQueries, OlapQueries, PipelineQueries, ReferenceQueries, SketchQueries, StateQueries}
+import graft.queries.{ClassifierQueries, CurationQueries, DedupQueries, MlQueries, OlapQueries, PipelineQueries, ReferenceQueries, SketchQueries, StateQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   val catalog: Seq[QueryDef] =
     ReferenceQueries.all ++ PipelineQueries.all ++ DedupQueries.all ++
       SketchQueries.all ++ MlQueries.all ++ OlapQueries.all ++
-      StateQueries.all ++ CurationQueries.all
+      StateQueries.all ++ CurationQueries.all ++ ClassifierQueries.all
 
   /** Flagship query (HotItems top-N) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
