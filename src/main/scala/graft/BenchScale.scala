@@ -47,7 +47,9 @@ object BenchScale {
     * train is sample-capped so only encode/scan may grow; q95 BPE:
     * iterations are vocabulary-sized; q98 tokenize: vocabulary-level
     * replace application) whose 100TB claims deserve direct 10×
-    * evidence.
+    * evidence, + the classifier family (q104 NB: vocabulary-sized
+    * model, one id-keyed score exchange; q105 centroid: map-only
+    * scoring — both should scale with the scan).
     */
   val Heavy: Seq[String] = Seq(
     "q21_dedup_minhash_lsh", "q58_keeper_by_quality", "q70_common_grams",
@@ -56,7 +58,8 @@ object BenchScale {
     "q83_embedding_incremental_dedup", "q85_passage_dedup",
     "q87_exact_substring_spans", "q88_bigram_lm_quality",
     "q94_ann_pq", "q95_bpe_vocab_induction", "q98_bpe_tokenize",
-    "q101_text_embedding", "q102_text_semantic_dedup")
+    "q101_text_embedding", "q102_text_semantic_dedup",
+    "q104_nb_text_classifier", "q105_centroid_classifier")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

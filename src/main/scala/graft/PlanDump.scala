@@ -44,7 +44,8 @@ object PlanDump {
       "q94_ann_pq", "q96_cluster_aware_split",
       "q97_incremental_agg_maintenance", "q98_bpe_tokenize",
       "q99_ann_ivfpq", "q101_text_embedding", "q102_text_semantic_dedup",
-      "q103_semantic_decontamination")
+      "q103_semantic_decontamination", "q104_nb_text_classifier",
+      "q105_centroid_classifier")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

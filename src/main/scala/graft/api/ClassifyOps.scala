@@ -72,6 +72,59 @@ object ClassifyOps {
         col("d"), col("c"), col("v"))
   }
 
+  /** Driver-side class stats off a materialized [[nbModel]] frame —
+    * class-count-sized (the LmGate literal-v precedent). Classes come
+    * back sorted ascending so argmax CASE chains realize the
+    * smallest-class tie-break; `nullPrediction` is the prior-only
+    * argmax for token-less rows.
+    */
+  private[graft] final case class NbStats(classes: IndexedSeq[String],
+      prior: IndexedSeq[Long], denom: IndexedSeq[Long]) {
+    def nullPrediction: (String, Long) = {
+      val i = prior.indices.minBy(i => (-prior(i), classes(i)))
+      (classes(i), prior(i))
+    }
+    /** score_c columns over the `_s$i` per-class rollup sums. */
+    def scoreCols: IndexedSeq[Column] =
+      classes.indices.map(i => col(s"_s$i") + lit(prior(i)))
+    /** (winning score, winning class) — ascending CASE = min-class tie-break. */
+    def bestAndPredicted: (Column, Column) = {
+      val sc = scoreCols
+      val best = if (sc.size == 1) sc.head else greatest(sc: _*)
+      val predicted = classes.indices.drop(1).foldLeft(
+        when(sc(0) === best, lit(classes(0)))) { (acc, i) =>
+        acc.when(sc(i) === best, lit(classes(i)))
+      }
+      (best, predicted)
+    }
+    /** per-class quantized-contribution aggregate columns `_s$i`. */
+    def rollupAggs: IndexedSeq[Column] =
+      classes.indices.map { i =>
+        sum(fl2(coalesce(col(s"_cw$i"), lit(0L)) + 1) - lit(denom(i)))
+          .as(s"_s$i") }
+  }
+
+  private[graft] def nbStats(model: DataFrame): NbStats = {
+    val stats = model.select(col("cls"), col("tc"), col("dc"),
+        col("d"), col("c"), col("v")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toIndexedSeq
+    require(stats.nonEmpty, "nb classify: empty model")
+    NbStats(stats.map(_._1),
+      stats.map { case (_, _, dc, d, c, _) => fl2L(dc + 1) - fl2L(d + c) },
+      stats.map { case (_, tc, _, _, _, v) => fl2L(tc + v) })
+  }
+
+  /** Per-token pivoted model: one row per vocabulary token, one count
+    * column `_cw$i` per class (vocabulary-sized broadcast side).
+    */
+  private[graft] def nbPivoted(model: DataFrame, st: NbStats): DataFrame = {
+    val aggs = st.classes.zipWithIndex.map { case (cl, i) =>
+      sum(when(col("cls") === lit(cl), col("cw"))).as(s"_cw$i") }
+    model.groupBy(col("w")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Score `df` against a PRE-TRAINED [[nbModel]] frame and predict
     * the argmax class per row (ties break to the lexicographically
     * smallest class). Output: idCol, keepCols..., `predicted`
@@ -102,28 +155,8 @@ object ClassifyOps {
     val reserved = Set("_toks", "_m", "_w", "predicted", "score")
     require(!reserved.contains(idCol) && !keepCols.exists(reserved),
       s"nbClassify: id/keep columns may not use reserved names $reserved")
-    // class-count-sized driver read: classes sorted ascending so the
-    // CASE argmax chain below realizes the smallest-class tie-break
-    val stats = model.select(col("cls"), col("tc"), col("dc"),
-        col("d"), col("c"), col("v")).distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5)))
-      .sortBy(_._1)
-    require(stats.nonEmpty, "nbClassify: empty model")
-    val classes = stats.map(_._1)
-    // prior_c = fl2(dc+1) - fl2(d+c); denom_c = fl2(tc+v)
-    val prior = stats.map { case (_, _, dc, d, c, _) =>
-      fl2L(dc + 1) - fl2L(d + c) }
-    val denom = stats.map { case (_, tc, _, _, _, v) => fl2L(tc + v) }
-
-    // per-token pivoted model: one row per vocabulary token, one
-    // count column per class (vocabulary-sized broadcast)
-    val pivoted = model.groupBy(col("w"))
-      .agg(classes.zipWithIndex.map { case (cl, i) =>
-        sum(when(col("cls") === lit(cl), col("cw"))).as(s"_cw$i")
-      }.head, classes.zipWithIndex.map { case (cl, i) =>
-        sum(when(col("cls") === lit(cl), col("cw"))).as(s"_cw$i")
-      }.tail: _*)
+    val st = nbStats(model)
+    val pivoted = nbPivoted(model, st)
 
     val keeps = keepCols.map(col)
     val toks = df.select(col(idCol) +: keeps :+
@@ -132,33 +165,22 @@ object ClassifyOps {
 
     // main path: explode occurrences, broadcast-join the pivoted
     // model, roll per-class quantized contributions up per row
+    val aggs = st.rollupAggs
     val perClass = toks.filter(col("_m") >= 1)
       .select(col(idCol) +: keeps :+ explode(col("_toks")).as("_w"): _*)
       .join(broadcast(pivoted), col("_w") === pivoted("w"), "left")
       .groupBy(col(idCol) +: keeps: _*)
-      .agg(sum(fl2(coalesce(col("_cw0"), lit(0L)) + 1) - lit(denom(0)))
-          .as("_s0"),
-        classes.indices.tail.map { i =>
-          sum(fl2(coalesce(col(s"_cw$i"), lit(0L)) + 1) - lit(denom(i)))
-            .as(s"_s$i") }: _*)
-    val scoreCols = classes.indices.map(i => col(s"_s$i") + lit(prior(i)))
-    val best =
-      if (scoreCols.size == 1) scoreCols.head else greatest(scoreCols: _*)
-    // ascending-order CASE: first class attaining the max wins
-    val predicted = classes.indices.drop(1).foldLeft(
-      when(scoreCols(0) === best, lit(classes(0)))) { (acc, i) =>
-      acc.when(scoreCols(i) === best, lit(classes(i)))
-    }
+      .agg(aggs.head, aggs.tail: _*)
+    val (best, predicted) = st.bestAndPredicted
     val scored = perClass.select(
       col(idCol) +: keeps :+ predicted.as("predicted") :+
         best.as("score"): _*)
 
     // prior-only path for null-text rows (split(null) => no tokens)
-    val (pi, pc) = prior.zipWithIndex.map(_.swap).map { case (i, p) =>
-      (i, p) }.minBy { case (i, p) => (-p, classes(i)) }
+    val (nc, np) = st.nullPrediction
     val nulls = toks.filter(col("_m") < 1)
-      .select(col(idCol) +: keeps :+ lit(classes(pi)).as("predicted") :+
-        lit(pc).as("score"): _*)
+      .select(col(idCol) +: keeps :+ lit(nc).as("predicted") :+
+        lit(np).as("score"): _*)
     scored.unionByName(nulls)
   }
 

@@ -527,6 +527,83 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  /** Streaming NB classifier gate (ClassifyGate.nbGate) must predict
+    * IDENTICALLY to the batch nbClassify on the same train/test split —
+    * the stream-static pivoted-model join plus the windowed per-class
+    * rollup cannot drift from the batch arithmetic (same NbStats
+    * literals by construction, but the aggregation path differs).
+    */
+  test("ClassifyGate.nbGate streaming == batch nbClassify (static model)") {
+    val docs = Tables.documents(spark, sf)
+    val model = graft.api.ClassifyOps.nbModel(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", "lang")
+      .localCheckpoint()
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = ClassifyGate.nbGate(input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes", model)
+    val q = out.writeStream.format("memory").queryName("nb_gate_stream")
+      .outputMode("append").start()
+    try {
+      val base = 1558430000000L
+      val recs = delta.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + i * 1000L))
+      }
+      val (a, b) = recs.splitAt(recs.length / 2)
+      input.addData(a.toSeq: _*); q.processAllAvailable()
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nb_gate_stream").filter(col("doc_id") >= 0)
+      .select("doc_id", "predicted", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.api.ClassifyOps.nbClassify(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", model)
+      .select("doc_id", "predicted", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "batch classifier produced no rows — vacuous")
+    assert(got == want, s"stream=${got.size} batch=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  /** centroidClassify is map-only (model enters the plan as literals),
+    * so the SAME function over a streaming frame is a valid stateless
+    * streaming stage — no gate object needed; prove it end-to-end.
+    */
+  test("centroidClassify applied to a stream == batch (stateless map)") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.api.ClassifyOps.centroidModel(
+      emb.filter(col("vec_id") % 5 =!= 0), "embedding", "label")
+      .localCheckpoint()
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = graft.api.ClassifyOps.centroidClassify(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", model)
+    val q = out.writeStream.format("memory").queryName("centroid_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(delta.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("centroid_stream")
+      .select("vec_id", "predicted", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = graft.api.ClassifyOps.centroidClassify(
+      emb.filter(col("vec_id") % 5 === 0), "embedding", model)
+      .select("vec_id", "predicted", "dist").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream=${got.size} batch=${want.size}")
+  }
+
   /** First-N-arrivals quota: cross-batch counter state, exhausted keys
     * stay exhausted, under-quota keys keep admitting.
     */
