@@ -53,15 +53,24 @@ object ClassifyOps {
     * (map-side combine collapses a hot token to one partial row per
     * task); every other agg is class- or vocabulary-sized. Tokens are
     * the repo-wide `split(text, ' ', -1)` convention.
+    *
+    * Null-labeled rows are excluded (unlabeled data cannot vote in a
+    * supervised model). A class whose training rows carry no tokens
+    * at all (every text null) has no (cls, w) rows and is therefore
+    * absent from the model — it can never be predicted.
     */
   def nbModel(corpus: DataFrame, idCol: String, textCol: String,
       classCol: String): DataFrame = {
-    val occ = corpus.select(col(classCol).as("cls"),
+    // null-labeled rows are UNLABELED — they cannot vote in a
+    // supervised model, and a "null" class would poison the
+    // driver-side class sort in the scorers
+    val labeled = corpus.filter(col(classCol).isNotNull)
+    val occ = labeled.select(col(classCol).as("cls"),
       explode(split(col(textCol), " ", -1)).as("w"))
     val cw = occ.groupBy(col("cls"), col("w"))
       .agg(count(lit(1)).as("cw"))
     val tc = cw.groupBy(col("cls")).agg(sum(col("cw")).as("tc"))
-    val dcF = corpus.groupBy(col(classCol).as("cls"))
+    val dcF = labeled.groupBy(col(classCol).as("cls"))
       .agg(count(lit(1)).as("dc"))
     val gl = dcF.agg(sum(col("dc")).as("d"), count(lit(1)).as("c"))
     val vv = cw.agg(count_distinct(col("w")).as("v"))
@@ -194,7 +203,11 @@ object ClassifyOps {
     */
   def centroidModel(train: DataFrame, vecCol: String,
       labelCol: String): DataFrame = {
-    val q = train.select(col(labelCol).as("label"),
+    // null-labeled rows are unlabeled (cannot seed a centroid); rows
+    // with a null vector contribute nothing either way (posexplode of
+    // null yields no rows)
+    val q = train.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
       expr(s"transform(cast($vecCol as array<double>), " +
         "x -> cast(round(x * 1000000d) as bigint))").as("_q"))
     val dims = q.select(col("label"), posexplode(col("_q")).as(Seq("_i", "_x")))
@@ -234,8 +247,13 @@ object ClassifyOps {
         lit(0L), (acc, t) => acc + t)
       struct(d.as("dist"), lit(lab).as("label"))
     }
+    // a null vector (or one whose length differs from the centroids' —
+    // zip_with pads with nulls) folds to a null dist for EVERY class;
+    // surface that as a null prediction rather than silently emitting
+    // the smallest label
     df.withColumn("_best", array_min(array(scored: _*)))
-      .withColumn("predicted", col("_best.label"))
+      .withColumn("predicted",
+        when(col("_best.dist").isNotNull, col("_best.label")))
       .withColumn("dist", col("_best.dist"))
       .drop("_best")
   }

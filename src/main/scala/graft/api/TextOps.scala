@@ -437,6 +437,79 @@ object TextOps {
           col("sum_q2") * 1000 >= lit(keepAvgQx1000) * col("n_bigrams"))
   }
 
+  /** Content-defined chunking + cross-document chunk sharing — the
+    * rolling-hash (Rabin-style CDC) sibling of the FIXED-window
+    * passage dedup (DedupOps.passagePairs): a chunk boundary falls
+    * after token i wherever hash60 of the `window`-token gram ending
+    * at i is ≡ 0 mod `modulus` (expected chunk length ≈ modulus
+    * tokens). Because boundaries depend only on LOCAL content, an
+    * insertion near the head of a doc re-chunks ONLY the segment it
+    * touches — every downstream chunk re-aligns — where fixed
+    * 25-token windows lose every alignment (ClassifySpec-style
+    * shift-invariance proof lives in ApiSpec). This is the
+    * boundary-shift-robust dedup used on corpora where near-identical
+    * docs differ by small edits.
+    *
+    * Output per doc: idCol, n_chunks (distinct chunk hashes),
+    * n_shared (those appearing in >= minDf docs corpus-wide),
+    * shared_x1000 — the q70 postings shape: chunks travel as 60-bit
+    * hashes, document-frequency aggregates with map-side combine,
+    * the common set semi-joins back co-partitioned on the hash, and
+    * the final rollup keys the doc id. Docs shorter than `window`
+    * tokens are ONE chunk; docs with null text keep their row with 0
+    * chunks (left-join re-anchor).
+    *
+    * Engine parity notes: the boundary index range guards `n >=
+    * window` explicitly — Spark's `sequence(a, b)` DESCENDS when
+    * a > b while DuckDB's generate_series is empty, so the unguarded
+    * spelling would diverge; segment bounds filter `end > start` so a
+    * boundary on the last token cannot emit a phantom empty chunk.
+    */
+  def cdcChunkShares(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 64, window: Int = 4, minDf: Int = 2): DataFrame = {
+    require(modulus >= 2, s"cdcChunkShares: modulus must be >= 2, got $modulus")
+    require(window >= 1, s"cdcChunkShares: window must be >= 1, got $window")
+    require(minDf >= 2, s"cdcChunkShares: minDf must be >= 2, got $minDf")
+    def h(x: String) =
+      s"cast(conv(substring(md5(cast($x as binary)), 1, 15), 16, 10) as bigint)"
+    val toks = df.select(col(idCol),
+        split(col(textCol), " ", -1).as("_tk"))
+      .withColumn("_n", coalesce(size(col("_tk")), lit(-1)))
+    val chunks = toks
+      .withColumn("_b",
+        when(col("_n") >= window, expr(
+          s"filter(sequence($window, _n), " +
+            s"i -> ${h(s"concat_ws(' ', slice(_tk, i - ${window - 1}, $window))")} " +
+            s"% $modulus = 0)"))
+          .otherwise(expr("cast(array() as array<int>)")))
+      .withColumn("_st", expr("concat(array(0), _b)"))
+      .withColumn("_en", expr("concat(_b, array(_n))"))
+      .withColumn("_ch",
+        when(col("_n") >= 1, expr(
+          "array_distinct(transform(" +
+            "filter(sequence(1, size(_st)), " +
+            "j -> element_at(_en, j) > element_at(_st, j)), " +
+            s"j -> ${h("concat_ws(' ', slice(_tk, element_at(_st, j) + 1, " +
+              "element_at(_en, j) - element_at(_st, j)))")}))"))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .select(col(idCol), col("_ch"))
+    val posting = chunks.select(col(idCol), explode(col("_ch")).as("_c"))
+    val common = posting.groupBy(col("_c"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_c"))
+    val sharedPerDoc = posting.join(common, Seq("_c"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_ns"))
+    chunks.select(col(idCol), size(col("_ch")).cast("long").as("n_chunks"))
+      .join(sharedPerDoc, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("_ns"), lit(0L)))
+      .withColumn("shared_x1000",
+        when(col("n_chunks") > 0,
+          expr("(n_shared * 1000) div n_chunks")).otherwise(lit(0L)))
+      .select(col(idCol), col("n_chunks"), col("n_shared"),
+        col("shared_x1000"))
+  }
+
   /** Train the quantized bigram LM on `corpus` and return it as ONE
     * vocabulary-sized frame (w1, w2, c2, c1, v) — the persistable
     * artifact of the "train on a reference corpus once, score every

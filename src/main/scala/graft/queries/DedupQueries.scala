@@ -1004,5 +1004,48 @@ SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1"""),
           .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
           .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
       })
+  ,
+
+    QueryDef(
+      "q106_cdc_chunk_shares",
+      "Content-defined chunking (Rabin-style CDC) + cross-document " +
+        "chunk sharing (TextOps.cdcChunkShares): chunk boundaries " +
+        "fall where the rolling 4-token gram hash is 0 mod 32, so " +
+        "an edit near a doc's head re-chunks only the segment it " +
+        "touches and every downstream chunk re-aligns — the " +
+        "boundary-shift robustness q85's FIXED 25-token windows " +
+        "cannot have (ApiSpec proves the one-token-prefix case). " +
+        "Per doc: distinct chunk hashes, those appearing in >= 2 " +
+        "docs, ratio x1000. The q70 postings shape: chunks travel " +
+        "as 60-bit hashes, document frequency aggregates with " +
+        "map-side combine, the common set semi-joins back " +
+        "co-partitioned on the hash, the rollup keys the doc id.",
+      Some(s"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+tb AS (SELECT doc_id, tk, len(tk) AS n,
+       CASE WHEN len(tk) >= 4 THEN
+         list_filter(generate_series(4, len(tk)),
+           i -> ${hash60Sql("array_to_string(tk[i-3:i], ' ')")} % 32 = 0)
+       ELSE [] END AS b
+       FROM t),
+ch AS (SELECT doc_id,
+       list_distinct(list_transform(
+         list_filter(generate_series(1, len(st)), j -> en[j] > st[j]),
+         j -> ${hash60Sql("array_to_string(tk[st[j]+1:en[j]], ' ')")})) AS chs
+       FROM (SELECT doc_id, tk, [0] || b AS st, b || [n] AS en FROM tb)),
+p AS (SELECT doc_id, unnest(chs) AS c FROM ch),
+cm AS (SELECT c FROM (SELECT c, count(*) AS df FROM p GROUP BY 1)
+       WHERE df >= 2),
+sh AS (SELECT doc_id, count(*) AS ns FROM p JOIN cm USING (c) GROUP BY 1)
+SELECT ch.doc_id, len(chs)::BIGINT AS n_chunks,
+       coalesce(sh.ns, 0)::BIGINT AS n_shared,
+       (CASE WHEN len(chs) > 0
+             THEN (coalesce(sh.ns, 0) * 1000) // len(chs)
+             ELSE 0 END)::BIGINT AS shared_x1000
+FROM ch LEFT JOIN sh USING (doc_id)"""),
+      (s, dir) =>
+        graft.api.TextOps.cdcChunkShares(
+          Tables.documents(s, dir), "doc_id", "text",
+          modulus = 32, window = 4, minDf = 2))
   )
 }

@@ -1079,4 +1079,44 @@ class ApiSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("TextOps.cdcChunkShares: boundary-shift invariance a fixed window " +
+    "cannot have, plus short-doc and null-text contracts") {
+    // doc B = doc A with ONE token prepended. Fixed 25-token windows
+    // lose every alignment; CDC boundaries depend only on local
+    // content, so all of A's chunks except the first re-align in B.
+    val base = (0 until 400)
+      .map(i => s"w${(i * 2654435761L) % 9973}").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, "zzz " + base),
+      (3L, "tiny doc"), (4L, "tiny doc"), // < window: ONE shared chunk
+      (5L, null.asInstanceOf[String]))    // row preserved, 0 chunks
+      .toDF("row_key", "body")
+    val out = TextOps.cdcChunkShares(docs, "row_key", "body",
+        modulus = 16, window = 4, minDf = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 5, "every input row keeps a row")
+    val (na, sa, ra) = out(1L)
+    val (nb, sb, _) = out(2L)
+    assert(na >= 5, s"expected several CDC chunks, got $na")
+    // every chunk of A after the first boundary also appears in B
+    assert(sa >= na - 1, s"A: $sa of $na chunks shared")
+    assert(sb >= na - 1, s"B: $sb of ${nb} chunks shared")
+    assert(ra >= 500, "the majority of A is recognized as shared")
+    assert(out(3L) == ((1L, 1L, 1000L)) && out(4L) == ((1L, 1L, 1000L)),
+      "sub-window docs are one fully-shared chunk")
+    assert(out(5L) == ((0L, 0L, 0L)), "null text keeps its row, 0 chunks")
+
+    // the CONTRAST: EXACT fixed 25-token chunking of the same pair
+    // shares zero chunks — the one-token shift breaks every window
+    // alignment (q85's passagePairs would still catch them, but only
+    // because its per-chunk minhash is FUZZY; exact chunk identity,
+    // which is what CDC dedups on, is gone)
+    val fixedA = base.split(" ").grouped(25).map(_.mkString(" ")).toSet
+    val fixedB = ("zzz " + base).split(" ").grouped(25)
+      .map(_.mkString(" ")).toSet
+    assert((fixedA intersect fixedB).isEmpty,
+      "fixed windows unexpectedly aligned")
+  }
 }

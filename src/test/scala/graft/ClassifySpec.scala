@@ -134,6 +134,35 @@ class ClassifySpec extends SparkSpec {
       "expected zero joins")
   }
 
+  test("null labels are excluded from training; null vectors predict null") {
+    // NB: a null-tag row must not create a phantom class or NPE the
+    // driver-side class sort
+    val withNull = sepCorpus.union(
+      Seq((900L, "stray unlabeled text", null.asInstanceOf[String]))
+        .toDF("k", "body", "tag"))
+    val model = ClassifyOps.nbModel(withNull, "k", "body", "tag")
+      .localCheckpoint()
+    assert(model.select("cls").distinct().collect()
+      .map(_.getString(0)).toSet == Set("ham", "spam"))
+
+    // centroid: null-labeled rows seed no centroid; null vectors come
+    // back with predicted = null (not a silent smallest-label pick)
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f), Some(5)), (2L, Array(0.0f, 1.0f), Some(3)),
+      (3L, Array(9.0f, 9.0f), None))
+      .toDF("id", "vec", "cls")
+    val cm = ClassifyOps.centroidModel(train, "vec", "cls")
+      .localCheckpoint()
+    assert(cm.collect().map(_.getInt(0)).toSet == Set(3, 5))
+    val probe = Seq((1L, Some(Array(1.0f, 0.0f))), (2L, None))
+      .toDF("id", "vec")
+    val out = ClassifyOps.centroidClassify(probe, "vec", cm).collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("predicted"))))
+      .toMap
+    assert(out(1L).contains(5))
+    assert(out(2L).isEmpty)
+  }
+
   test("nbClassify rejects reserved column names") {
     val model = ClassifyOps.nbModel(sepCorpus, "k", "body", "tag")
     intercept[IllegalArgumentException] {
