@@ -59,7 +59,8 @@ object BenchScale {
     "q87_exact_substring_spans", "q88_bigram_lm_quality",
     "q94_ann_pq", "q95_bpe_vocab_induction", "q98_bpe_tokenize",
     "q101_text_embedding", "q102_text_semantic_dedup",
-    "q104_nb_text_classifier", "q105_centroid_classifier")
+    "q104_nb_text_classifier", "q105_centroid_classifier",
+    "q106_cdc_chunk_shares")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

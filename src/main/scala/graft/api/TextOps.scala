@@ -459,38 +459,32 @@ object TextOps {
     * tokens are ONE chunk; docs with null text keep their row with 0
     * chunks (left-join re-anchor).
     *
-    * Engine parity notes: the boundary index range guards `n >=
-    * window` explicitly — Spark's `sequence(a, b)` DESCENDS when
-    * a > b while DuckDB's generate_series is empty, so the unguarded
-    * spelling would diverge; segment bounds filter `end > start` so a
-    * boundary on the last token cannot emit a phantom empty chunk.
+    * Engine parity notes: the Spark side runs the fused native
+    * `cdc_chunk_hashes` kernel (TextHashUtil.cdcChunkHashes — the q22
+    * lesson; the declarative HOF spelling ran interpreted at
+    * ~100us/token); the DuckDB oracle keeps the declarative spelling
+    * and the two are bit-identical by construction: a doc shorter
+    * than `window` has no boundary (the kernel never forms a gram;
+    * the SQL guards `n >= window` because generate_series(a, b) is
+    * empty when a > b), and a boundary on the last token cannot emit
+    * a phantom empty chunk (the kernel's `end > start` emit guard ==
+    * the SQL's segment filter).
     */
   def cdcChunkShares(df: DataFrame, idCol: String, textCol: String,
       modulus: Int = 64, window: Int = 4, minDf: Int = 2): DataFrame = {
     require(modulus >= 2, s"cdcChunkShares: modulus must be >= 2, got $modulus")
     require(window >= 1, s"cdcChunkShares: window must be >= 1, got $window")
     require(minDf >= 2, s"cdcChunkShares: minDf must be >= 2, got $minDf")
-    def h(x: String) =
-      s"cast(conv(substring(md5(cast($x as binary)), 1, 15), 16, 10) as bigint)"
-    val toks = df.select(col(idCol),
+    TextHashExpressions.register(df.sparkSession)
+    // the fused native kernel (boundary hashes + chunk hashes +
+    // distinct in one codegen'd static call); the declarative HOF
+    // spelling of the same math — still the oracle's spelling — ran
+    // interpreted at ~100us/token and cost 61s at sf0.1
+    val chunks = df.select(col(idCol),
         split(col(textCol), " ", -1).as("_tk"))
-      .withColumn("_n", coalesce(size(col("_tk")), lit(-1)))
-    val chunks = toks
-      .withColumn("_b",
-        when(col("_n") >= window, expr(
-          s"filter(sequence($window, _n), " +
-            s"i -> ${h(s"concat_ws(' ', slice(_tk, i - ${window - 1}, $window))")} " +
-            s"% $modulus = 0)"))
-          .otherwise(expr("cast(array() as array<int>)")))
-      .withColumn("_st", expr("concat(array(0), _b)"))
-      .withColumn("_en", expr("concat(_b, array(_n))"))
       .withColumn("_ch",
-        when(col("_n") >= 1, expr(
-          "array_distinct(transform(" +
-            "filter(sequence(1, size(_st)), " +
-            "j -> element_at(_en, j) > element_at(_st, j)), " +
-            s"j -> ${h("concat_ws(' ', slice(_tk, element_at(_st, j) + 1, " +
-              "element_at(_en, j) - element_at(_st, j)))")}))"))
+        when(col("_tk").isNotNull,
+          expr(s"cdc_chunk_hashes(_tk, $window, $modulus)"))
           .otherwise(expr("cast(array() as array<bigint>)")))
       .select(col(idCol), col("_ch"))
     val posting = chunks.select(col(idCol), explode(col("_ch")).as("_c"))
