@@ -86,6 +86,39 @@ class TextHashLawsSpec extends SparkSpec {
         s"decl-only=${(exploded -- native).take(3)}")
   }
 
+  test("cdc_chunk_hashes == declarative boundary-filter + slice/concat chunking") {
+    // the law that keeps q106's oracle hash-exact: the fused CDC
+    // kernel must agree with the declarative spelling (the oracle's
+    // DuckDB transcription) on arbitrary docs — including 0-token,
+    // sub-window, all-boundary (m=2 forces many), and repeated-token
+    // shapes. Chunk emission order is first-occurrence in BOTH paths,
+    // so the comparison is order-sensitive on purpose.
+    for ((w, m) <- Seq((4, 8), (2, 2), (1, 4))) {
+      val n = size(col("toks"))
+      val b = when(n >= w,
+        filter(sequence(lit(w), n),
+          i => pmod(hash60(concat_ws(" ",
+            slice(col("toks"), i - lit(w - 1), lit(w)))), lit(m)) === 0))
+        .otherwise(array().cast("array<int>"))
+      val decl = docs.withColumn("b", b)
+        .withColumn("st", concat(array(lit(0)), col("b")))
+        .withColumn("en", concat(col("b"), array(n)))
+        .withColumn("decl", array_distinct(transform(
+          filter(sequence(lit(1), size(col("st"))),
+            j => element_at(col("en"), j) > element_at(col("st"), j)),
+          j => hash60(concat_ws(" ", slice(col("toks"),
+            element_at(col("st"), j) + 1,
+            element_at(col("en"), j) - element_at(col("st"), j)))))))
+      val bad = decl
+        .withColumn("native", expr(s"cdc_chunk_hashes(toks, $w, $m)"))
+        .filter(to_json(struct(col("native").as("v"))) =!=
+          to_json(struct(col("decl").as("v"))))
+      assert(bad.count() == 0,
+        s"w=$w m=$m diverging rows: " +
+          s"${bad.select("id", "toks").collect().take(3).toSeq}")
+    }
+  }
+
   test("simhash60 == declarative majority vote over distinct-token hash bits") {
     val bits = (0 until 60).map { b =>
       when(lit(2) * size(filter(col("hs"),
