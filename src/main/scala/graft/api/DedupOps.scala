@@ -659,4 +659,132 @@ object DedupOps {
     DedupPipeline(persisted, clusters(persisted),
       dropNearDuplicates(df, idCol, persisted))
   }
+
+  // ---- content-defined-chunk incremental dedup (the exact-passage ---
+  // ---- sibling of the minhash/sign probe family) --------------------
+
+  /** (idCol, `_ch` = distinct CDC chunk hashes) per doc — the shared
+    * front end of [[cdcChunkHits]] and the index build/probe, via the
+    * fused native `cdc_chunk_hashes` kernel (TextOps.cdcChunkShares'
+    * contract: null text keeps its row with an empty array).
+    */
+  private def cdcChunked(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int, window: Int): DataFrame = {
+    TextHashExpressions.register(df.sparkSession)
+    df.select(col(idCol), split(col(textCol), " ", -1).as("_tk"))
+      .withColumn("_ch",
+        when(col("_tk").isNotNull,
+          expr(s"cdc_chunk_hashes(_tk, $window, $modulus)"))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .select(col(idCol), col("_ch"))
+  }
+
+  /** Incremental exact-passage dedup: which CDC chunks of a NEW batch
+    * already exist anywhere in the corpus — the content-defined twin
+    * of [[minhashPairsAgainst]] (doc-level fuzzy) and the passage gate
+    * (fixed windows): boundary-shift-robust, exact at chunk
+    * granularity. Output per delta doc: idCol, n_chunks, n_hits
+    * (chunks present in the corpus's chunk set), hit_x1000.
+    *
+    * Scale shape: both sides travel as 60-bit chunk hashes (never
+    * text); the corpus chunk SET is a distinct over the exploded
+    * postings (map-side partial distinct), the delta semi-joins it
+    * co-partitioned on the hash, and the per-doc rollup keys the
+    * delta id. At 100 TB the corpus side is materialized once by
+    * [[writeCdcChunkIndex]] and every batch pays only
+    * [[cdcChunkHitsAgainstIndex]]'s O(delta + pruned index scan).
+    */
+  def cdcChunkHits(newDf: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, modulus: Int = 64, window: Int = 4): DataFrame = {
+    val delta = cdcChunked(newDf, idCol, textCol, modulus, window)
+    val corpusSet = cdcChunked(corpus, idCol, textCol, modulus, window)
+      .select(explode(col("_ch")).as("_c")).distinct()
+    cdcHitsRollup(delta, corpusSet, idCol)
+  }
+
+  private def cdcHitsRollup(delta: DataFrame, corpusSet: DataFrame,
+      idCol: String): DataFrame = {
+    val posting = delta.select(col(idCol), explode(col("_ch")).as("_c"))
+    val hits = posting.join(corpusSet, Seq("_c"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nh"))
+    delta.select(col(idCol), size(col("_ch")).cast("long").as("n_chunks"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("_nh"), lit(0L)))
+      .withColumn("hit_x1000",
+        when(col("n_chunks") > 0,
+          expr("(n_hits * 1000) div n_chunks")).otherwise(lit(0L)))
+      .select(col(idCol), col("n_chunks"), col("n_hits"), col("hit_x1000"))
+  }
+
+  /** Materialize the corpus side of [[cdcChunkHitsAgainstIndex]]:
+    * `$path/chunks` = the corpus's DISTINCT chunk hashes PARTITIONED
+    * by `__bp = xxhash64(c) mod prefixPartitions` and sorted by `c`
+    * within partitions (directory-level pruning + row-group min/max,
+    * the [[writeMinhashIndex]] layout applied to a plain hash set);
+    * `$path/meta` = one row recording prefix_partitions AND the
+    * chunking parameters (modulus, window) so a probe chunks with
+    * EXACTLY the index's geometry — a CDC probe against an index
+    * built with different parameters would be silently meaningless,
+    * which is why the params live in the index, not in caller code.
+    */
+  def writeCdcChunkIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, modulus: Int = 64, window: Int = 4,
+      prefixPartitions: Int = 64): Unit = {
+    require(prefixPartitions >= 1,
+      s"writeCdcChunkIndex: prefixPartitions $prefixPartitions < 1")
+    graft.jobs.Sinks.layout(
+      cdcChunked(corpus, idCol, textCol, modulus, window)
+        .select(explode(col("_ch")).as("c")).distinct()
+        .withColumn("__bp",
+          pmod(xxhash64(col("c")), lit(prefixPartitions.toLong))),
+      s"$path/chunks", partitionCols = Seq("__bp"),
+      sortCols = Seq("c"), numFiles = 8)
+    corpus.sparkSession.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(modulus).as("modulus"), lit(window).as("window"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[cdcChunkHits]] probing a PERSISTED [[writeCdcChunkIndex]]
+    * instead of re-chunking the corpus: identical output on the same
+    * split (parity-tested), per-batch cost O(delta + pruned index
+    * scan). The delta's distinct `__bp` prefixes (at most
+    * prefix_partitions ints, collected driver-side) prune the chunk
+    * parquet to the directories its hashes can hit; the `c` sort
+    * prunes row groups within them. Unlike the minhash probe's
+    * OPTIONAL meta, the meta here is REQUIRED — it carries the
+    * chunking geometry — so a missing/partial index fails with a
+    * named error rather than probing with guessed parameters.
+    */
+  def cdcChunkHitsAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, indexPath: String): DataFrame = {
+    val s = newDf.sparkSession
+    val meta =
+      try {
+        s.read.parquet(s"$indexPath/meta")
+          .select(col("prefix_partitions").cast("int"),
+            col("modulus").cast("int"), col("window").cast("int"))
+          .head(1).headOption
+      } catch {
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"cdcChunkHitsAgainstIndex: cannot read $indexPath/meta — " +
+              "the index is missing or partially copied; the meta " +
+              "carries the chunking geometry (modulus, window), so " +
+              "probing without it would be silently meaningless", e)
+      }
+    val row = meta.getOrElse(throw new IllegalStateException(
+      s"cdcChunkHitsAgainstIndex: $indexPath/meta is empty"))
+    val (prefixes, modulus, window) =
+      (row.getInt(0), row.getInt(1), row.getInt(2))
+    val delta = cdcChunked(newDf, idCol, textCol, modulus, window)
+      .localCheckpoint() // consumed twice (prefix list + rollup)
+    val touched = delta.select(explode(col("_ch")).as("_c"))
+      .select(pmod(xxhash64(col("_c")), lit(prefixes.toLong)).as("__bp"))
+      .distinct().collect().map(_.getLong(0))
+    val corpusSet = s.read.parquet(s"$indexPath/chunks")
+      .filter(col("__bp").isin(touched.toSeq: _*))
+      .select(col("c").as("_c"))
+    cdcHitsRollup(delta, corpusSet, idCol)
+  }
 }

@@ -213,6 +213,25 @@ SELECT ca // 100000 AS doc_a, ca % 100000 AS chunk_a,
        cb // 100000 AS doc_b, cb % 100000 AS chunk_b, jaccard_x1000
 FROM p WHERE ca // 100000 <> cb // 100000"""
 
+  /** The q106/q107 CDC front end: `ck` = (doc_id, chs) with chs the
+    * DISTINCT content-defined chunk hashes of each doc — the DuckDB
+    * transcription of the native `cdc_chunk_hashes` kernel
+    * (TextHashLawsSpec pins the equivalence).
+    */
+  private def cdcChunksSql(table: String, modulus: Int): String = s"""
+t AS (SELECT doc_id, string_split(text,' ') AS tk FROM $table),
+tb AS (SELECT doc_id, tk, len(tk) AS n,
+       CASE WHEN len(tk) >= 4 THEN
+         list_filter(generate_series(4, len(tk)),
+           i -> ${hash60Sql("array_to_string(tk[i-3:i], ' ')")} % $modulus = 0)
+       ELSE [] END AS b
+       FROM t),
+ck AS (SELECT doc_id,
+       list_distinct(list_transform(
+         list_filter(generate_series(1, len(st)), j -> en[j] > st[j]),
+         j -> ${hash60Sql("array_to_string(tk[st[j]+1:en[j]], ' ')")})) AS chs
+       FROM (SELECT doc_id, tk, [0] || b AS st, b || [n] AS en FROM tb))"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1021,31 +1040,57 @@ SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1"""),
         "map-side combine, the common set semi-joins back " +
         "co-partitioned on the hash, the rollup keys the doc id.",
       Some(s"""
-WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-tb AS (SELECT doc_id, tk, len(tk) AS n,
-       CASE WHEN len(tk) >= 4 THEN
-         list_filter(generate_series(4, len(tk)),
-           i -> ${hash60Sql("array_to_string(tk[i-3:i], ' ')")} % 32 = 0)
-       ELSE [] END AS b
-       FROM t),
-ch AS (SELECT doc_id,
-       list_distinct(list_transform(
-         list_filter(generate_series(1, len(st)), j -> en[j] > st[j]),
-         j -> ${hash60Sql("array_to_string(tk[st[j]+1:en[j]], ' ')")})) AS chs
-       FROM (SELECT doc_id, tk, [0] || b AS st, b || [n] AS en FROM tb)),
-p AS (SELECT doc_id, unnest(chs) AS c FROM ch),
+WITH ${cdcChunksSql("documents", 32)},
+p AS (SELECT doc_id, unnest(chs) AS c FROM ck),
 cm AS (SELECT c FROM (SELECT c, count(*) AS df FROM p GROUP BY 1)
        WHERE df >= 2),
 sh AS (SELECT doc_id, count(*) AS ns FROM p JOIN cm USING (c) GROUP BY 1)
-SELECT ch.doc_id, len(chs)::BIGINT AS n_chunks,
+SELECT ck.doc_id, len(chs)::BIGINT AS n_chunks,
        coalesce(sh.ns, 0)::BIGINT AS n_shared,
        (CASE WHEN len(chs) > 0
              THEN (coalesce(sh.ns, 0) * 1000) // len(chs)
              ELSE 0 END)::BIGINT AS shared_x1000
-FROM ch LEFT JOIN sh USING (doc_id)"""),
+FROM ck LEFT JOIN sh USING (doc_id)"""),
       (s, dir) =>
         graft.api.TextOps.cdcChunkShares(
           Tables.documents(s, dir), "doc_id", "text",
           modulus = 32, window = 4, minDf = 2))
+  ,
+
+    QueryDef(
+      "q107_cdc_incremental_dedup",
+      "Incremental exact-passage dedup (DedupOps.cdcChunkHits): a 20% " +
+        "NEW batch (doc_id % 5 = 0) probes the 80% corpus's " +
+        "content-defined chunk set — which of the delta's CDC chunks " +
+        "already exist ANYWHERE in the corpus. The content-defined " +
+        "twin of q59 (doc-level fuzzy minhash) at exact chunk " +
+        "granularity, boundary-shift-robust where fixed windows are " +
+        "not (q106's property). Both sides travel as 60-bit hashes; " +
+        "the corpus chunk set distincts with map-side partials, the " +
+        "delta semi-joins it co-partitioned on the hash, the rollup " +
+        "keys the delta id. At 100TB the corpus side is " +
+        "writeCdcChunkIndex's __bp-partitioned parquet, built once per " +
+        "corpus version, and every batch pays " +
+        "cdcChunkHitsAgainstIndex's O(delta + pruned index scan) — " +
+        "parity- and pruning-tested in DedupSpec.",
+      Some(s"""
+WITH ${cdcChunksSql("documents", 32)},
+corpus AS (SELECT DISTINCT unnest(chs) AS c FROM ck WHERE doc_id % 5 <> 0),
+delta AS (SELECT doc_id, unnest(chs) AS c FROM ck WHERE doc_id % 5 = 0),
+hits AS (SELECT doc_id, count(*) AS nh FROM delta JOIN corpus USING (c)
+         GROUP BY 1)
+SELECT ck.doc_id, len(chs)::BIGINT AS n_chunks,
+       coalesce(nh, 0)::BIGINT AS n_hits,
+       (CASE WHEN len(chs) > 0
+             THEN (coalesce(nh, 0) * 1000) // len(chs)
+             ELSE 0 END)::BIGINT AS hit_x1000
+FROM ck LEFT JOIN hits USING (doc_id) WHERE ck.doc_id % 5 = 0"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.DedupOps.cdcChunkHits(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", modulus = 32, window = 4)
+      })
   )
 }

@@ -1080,6 +1080,53 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunk index: probe == inline, meta is required, pruning engages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcidx-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    DedupOps.writeCdcChunkIndex(old, "doc_id", "text", s"$dir/cdc",
+      modulus = 32, window = 4)
+    val probe = DedupOps.cdcChunkHitsAgainstIndex(
+      delta, "doc_id", "text", s"$dir/cdc")
+    val viaIdx = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val inline = DedupOps.cdcChunkHits(delta, old, "doc_id", "text",
+        modulus = 32, window = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaIdx == inline, s"probe != inline: " +
+      s"idx-only=${(viaIdx -- inline).take(3)} " +
+      s"inline-only=${(inline -- viaIdx).take(3)}")
+    assert(viaIdx.exists(_._3 > 0), "no hits at sf0.001 — vacuous parity")
+
+    // the probe's chunk scan prunes by the __bp partition column
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val chunkScan = scans(probe.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("chunks")))
+      .getOrElse(fail("no FileSourceScanExec over the chunk index"))
+    assert(chunkScan.partitionFilters
+        .exists(_.references.exists(_.name == "__bp")),
+      s"chunk scan has no __bp partition filter: ${chunkScan.partitionFilters}")
+
+    // meta is REQUIRED (it carries the chunking geometry): a
+    // partially-copied index fails with a named error, never a
+    // wrong-parameter probe
+    val err = intercept[IllegalStateException] {
+      DedupOps.cdcChunkHitsAgainstIndex(
+        delta, "doc_id", "text", s"$dir/nonexistent")
+    }
+    assert(err.getMessage.contains("meta"))
+  }
+
   test("TextOps.cdcChunkShares: boundary-shift invariance a fixed window " +
     "cannot have, plus short-doc and null-text contracts") {
     // doc B = doc A with ONE token prepended. Fixed 25-token windows
