@@ -668,8 +668,8 @@ object DedupOps {
     * fused native `cdc_chunk_hashes` kernel (TextOps.cdcChunkShares'
     * contract: null text keeps its row with an empty array).
     */
-  private def cdcChunked(df: DataFrame, idCol: String, textCol: String,
-      modulus: Int, window: Int): DataFrame = {
+  private[graft] def cdcChunked(df: DataFrame, idCol: String,
+      textCol: String, modulus: Int, window: Int): DataFrame = {
     TextHashExpressions.register(df.sparkSession)
     df.select(col(idCol), split(col(textCol), " ", -1).as("_tk"))
       .withColumn("_ch",
@@ -756,9 +756,12 @@ object DedupOps {
     * chunking geometry — so a missing/partial index fails with a
     * named error rather than probing with guessed parameters.
     */
-  def cdcChunkHitsAgainstIndex(newDf: DataFrame, idCol: String,
-      textCol: String, indexPath: String): DataFrame = {
-    val s = newDf.sparkSession
+  /** (prefix_partitions, modulus, window) off a [[writeCdcChunkIndex]]
+    * meta — REQUIRED (it carries the chunking geometry): named error
+    * on a missing/partial index, never a guessed-parameter probe.
+    */
+  private[graft] def readCdcMeta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Int, Int, Int) = {
     val meta =
       try {
         s.read.parquet(s"$indexPath/meta")
@@ -768,15 +771,20 @@ object DedupOps {
       } catch {
         case e: Exception =>
           throw new IllegalStateException(
-            s"cdcChunkHitsAgainstIndex: cannot read $indexPath/meta — " +
-              "the index is missing or partially copied; the meta " +
-              "carries the chunking geometry (modulus, window), so " +
-              "probing without it would be silently meaningless", e)
+            s"cdc probe: cannot read $indexPath/meta — the index is " +
+              "missing or partially copied; the meta carries the " +
+              "chunking geometry (modulus, window), so probing " +
+              "without it would be silently meaningless", e)
       }
     val row = meta.getOrElse(throw new IllegalStateException(
-      s"cdcChunkHitsAgainstIndex: $indexPath/meta is empty"))
-    val (prefixes, modulus, window) =
-      (row.getInt(0), row.getInt(1), row.getInt(2))
+      s"cdc probe: $indexPath/meta is empty"))
+    (row.getInt(0), row.getInt(1), row.getInt(2))
+  }
+
+  def cdcChunkHitsAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, indexPath: String): DataFrame = {
+    val s = newDf.sparkSession
+    val (prefixes, modulus, window) = readCdcMeta(s, indexPath)
     val delta = cdcChunked(newDf, idCol, textCol, modulus, window)
       .localCheckpoint() // consumed twice (prefix list + rollup)
     val touched = delta.select(explode(col("_ch")).as("_c"))

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.DedupOps
+
+/** Streaming CDC ingest gate — score every document on a continuous
+  * stream by how much of it already exists in the corpus, against the
+  * PERSISTED [[graft.api.DedupOps.writeCdcChunkIndex]] chunk set, in
+  * ONE streaming graph:
+  *
+  *   - chunking is the stateless native `cdc_chunk_hashes` kernel,
+  *     with the geometry read off the index's OWN meta at graph build
+  *     time (the batch probe's contract: a gate can never chunk with
+  *     parameters that disagree with the index it probes);
+  *   - the corpus chunk set is a STREAM-STATIC left join (re-read per
+  *     micro-batch, stateless by construction). The driver-side
+  *     prefix-pruning of the batch probe does not apply — a stream's
+  *     key set is unbounded — but the `__bp` layout still serves the
+  *     scan (partition-count parallelism, `c`-sorted row groups);
+  *   - per-doc rollup is a windowed streaming aggregate keyed
+  *     (window(ts), doc): the kernel emits DISTINCT chunk hashes, so
+  *     count(*) IS n_chunks and the hit-indicator sum IS n_hits —
+  *     one aggregate, watermark-bounded state;
+  *   - chunk-less docs (null text) bypass the aggregate and union in
+  *     as 0-chunk rows (the batch row-preservation contract).
+  *
+  * A doc gates IDENTICALLY streaming and batch (StreamingSpec parity
+  * vs [[graft.api.DedupOps.cdcChunkHitsAgainstIndex]]). Deployment:
+  * build the chunk index per corpus version (batch), gate the crawl
+  * stream continuously — the exact-passage sibling of the
+  * NearDupIngest minhash gate.
+  *
+  * Output: idCol, window_end, n_chunks, n_hits, hit_x1000 (append).
+  */
+object CdcGate {
+
+  def hitsGate(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String, window: String, indexPath: String,
+      declareWatermark: Boolean = true): DataFrame = {
+    val s = docs.sparkSession
+    val (_, modulus, w) = DedupOps.readCdcMeta(s, indexPath)
+    val corpus = s.read.parquet(s"$indexPath/chunks")
+      .select(col("c").as("_c"), lit(1L).as("_hit"))
+
+    val src = if (declareWatermark) docs.withWatermark(tsCol, delay) else docs
+    graft.functions.TextHashExpressions.register(s)
+    val chunked = src.select(col(idCol), col(tsCol),
+      split(col(textCol), " ", -1).as("_tk"))
+      .withColumn("_ch",
+        when(col("_tk").isNotNull, expr(s"cdc_chunk_hashes(_tk, $w, $modulus)"))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+
+    val win = org.apache.spark.sql.functions.window(col(tsCol), window)
+    val scored = chunked.filter(size(col("_ch")) >= 1)
+      .select(col(idCol), col(tsCol), explode(col("_ch")).as("_c"))
+      .join(corpus, Seq("_c"), "left")
+      .groupBy(win, col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .select(col(idCol), col("window.end").as("window_end"),
+        col("n_chunks"), col("n_hits"))
+    val empty = chunked.filter(size(col("_ch")) < 1)
+      .select(col(idCol), win("end").as("window_end"),
+        lit(0L).as("n_chunks"), lit(0L).as("n_hits"))
+    scored.unionByName(empty)
+      .withColumn("hit_x1000",
+        when(col("n_chunks") > 0,
+          expr("(n_hits * 1000) div n_chunks")).otherwise(lit(0L)))
+  }
+}

@@ -527,6 +527,55 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  /** Streaming CDC ingest gate (CdcGate.hitsGate) must score a doc
+    * stream IDENTICALLY to the batch persisted-index probe on the same
+    * split — the stream-static chunk-set join plus the windowed rollup
+    * cannot drift from the batch arithmetic, and the gate must take
+    * its chunking geometry from the index's own meta.
+    */
+  test("CdcGate streaming == batch cdcChunkHitsAgainstIndex (persisted index)") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcgate-").toString
+    graft.api.DedupOps.writeCdcChunkIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      s"$dir/cdc", modulus = 32, window = 4)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = CdcGate.hitsGate(input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes",
+      s"$dir/cdc")
+    val q = out.writeStream.format("memory").queryName("cdc_gate_stream")
+      .outputMode("append").start()
+    try {
+      val base = 1558430000000L
+      val recs = delta.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + i * 1000L))
+      }
+      val (a, b) = recs.splitAt(recs.length / 2)
+      input.addData(a.toSeq: _*); q.processAllAvailable()
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cdc_gate_stream").filter(col("doc_id") >= 0)
+      .select("doc_id", "n_chunks", "n_hits", "hit_x1000").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = graft.api.DedupOps.cdcChunkHitsAgainstIndex(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", s"$dir/cdc")
+      .select("doc_id", "n_chunks", "n_hits", "hit_x1000").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty && want.exists(_._3 > 0),
+      "batch probe found no hits — vacuous")
+    assert(got == want, s"stream=${got.size} batch=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   /** Streaming NB classifier gate (ClassifyGate.nbGate) must predict
     * IDENTICALLY to the batch nbClassify on the same train/test split —
     * the stream-static pivoted-model join plus the windowed per-class
