@@ -45,7 +45,8 @@ object PlanDump {
       "q97_incremental_agg_maintenance", "q98_bpe_tokenize",
       "q99_ann_ivfpq", "q101_text_embedding", "q102_text_semantic_dedup",
       "q103_semantic_decontamination", "q104_nb_text_classifier",
-      "q105_centroid_classifier", "q106_cdc_chunk_shares")
+      "q105_centroid_classifier", "q106_cdc_chunk_shares",
+      "q107_cdc_incremental_dedup", "q108_bm25_retrieval")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

@@ -504,6 +504,90 @@ object TextOps {
         col("shared_x1000"))
   }
 
+  /** Quantized-integer BM25 top-k retrieval — the ranked keyword
+    * search of a curation/eval stack (find the corpus passages most
+    * relevant to an eval query, route seed queries to documents),
+    * with every arithmetic step in exact int64 so rankings
+    * hash-match cross-engine:
+    *
+    *   - idf(t) = log2((N+1)/df_t) in EXACT milli-bit fixed point
+    *     (1024 units per bit): r = ((N+1) << 20) div df, e = fl2(r),
+    *     mantissa m = r div 2^(e-10) in [1024, 2048), idf =
+    *     (e-20)*1024 + (m-1024) — floor-log2 plus a LINEAR
+    *     interpolation within the octave, all int64 (2^(e-10) via
+    *     pow-double is exact below 2^53; max error vs true log2
+    *     ~0.06%). Whole-bit fl2 idf (the q88 discipline) is too
+    *     coarse here: on a shared vocabulary most terms fall in the
+    *     same octave and every score collapses to 0.
+    *   - tf-saturation in parts-per-thousand with k1 = 1.2, b = 0.75:
+    *     denom_x1000 = tf*1000 + 1200 * (250 + (750 * dl * N) div T)
+    *     div 1000, where dl = doc tokens, T = corpus tokens (so
+    *     dl*N/T is the exact length ratio, floored once)
+    *   - contribution = idf * ((tf * 2200 * 1000) div denom_x1000);
+    *     score = sum over the query's DISTINCT terms (binary query
+    *     weights)
+    *
+    * Top `k` docs per query by score desc, doc id asc on ties;
+    * self-matches excluded. Output: qid, rank, idCol, score.
+    *
+    * Scale shape: the postings build is one (doc, term) exchange with
+    * map-side tf combine off a single corpus scan; df rolls up
+    * vocabulary-sized; the query term set is a broadcast (queries
+    * are human-scale); scoring joins postings ⋈ query-terms on the
+    * term then rolls up (qid, doc) with partial aggregation; the
+    * rank is a WindowGroupLimit-prunable row_number per qid. N and T
+    * are one-row broadcasts. Nothing corpus-scale ever carries text —
+    * terms could travel as hash60s at 100 TB (kept as strings here so
+    * the oracle stays readable).
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qidCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val toks = corpus.select(col(idCol),
+      split(col(textCol), " ", -1).as("_tk"))
+    // the postings frame IS the inverted index: it feeds BOTH the df
+    // rollup and the scoring join, so it is materialized once
+    // (localCheckpoint — the in-process stand-in for the persisted
+    // index of a real deployment; without it the corpus pays the
+    // tokenize + tf exchange twice, the q91 lesson)
+    val tf = toks.select(col(idCol), size(col("_tk")).cast("long").as("_dl"),
+        explode(col("_tk")).as("_t"))
+      .groupBy(col(idCol), col("_dl"), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+      .localCheckpoint()
+    val df_ = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val gl = toks.agg(count(lit(1)).as("_n"),
+      sum(size(col("_tk")).cast("long")).as("_tt"))
+    val qTerms = queries.select(col(qidCol).as("_qid"),
+        explode(split(col(textCol), " ", -1)).as("_t"))
+      .distinct()
+    // ONE broadcast model side: (qid, term, df) = query terms pre-joined
+    // with their document frequencies (query-scale rows; the df build's
+    // vocabulary-sized exchange feeds a broadcast-hash join, so the
+    // corpus-side tf frame joins it without re-shuffling)
+    val qidf = df_.join(broadcast(qTerms), Seq("_t"))
+    val scored = tf
+      .join(broadcast(qidf), Seq("_t"))
+      .filter(col("_qid") =!= col(idCol))
+      .crossJoin(broadcast(gl))
+      .withColumn("_r", expr("((_n + 1) * 1048576) div _df"))
+      .withColumn("_e", fl2(col("_r")))
+      .withColumn("_m", expr("_r div cast(pow(2d, _e - 10) as bigint)"))
+      .withColumn("_idf", expr("(_e - 20) * 1024 + (_m - 1024)"))
+      .withColumn("_den", expr(
+        "_tf * 1000 + (1200 * (250 + (750 * _dl * _n) div _tt)) div 1000"))
+      .withColumn("_c", expr("_idf * ((_tf * 2200000) div _den)"))
+      .groupBy(col("_qid"), col(idCol))
+      .agg(sum(col("_c")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_qid"))
+          .orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("qid"), col("rank"), col(idCol), col("score"))
+  }
+
   /** Train the quantized bigram LM on `corpus` and return it as ONE
     * vocabulary-sized frame (w1, w2, c2, c1, v) — the persistable
     * artifact of the "train on a reference corpus once, score every

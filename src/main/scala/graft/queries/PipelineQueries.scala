@@ -821,5 +821,57 @@ WHERE c.c <> 0 AND n.n2 > 0"""),
           .select(col("doc_id"), col("dim").cast("long").as("dim"),
             floor(col("_x") * lit(1000000.0d)).cast("long").as("v_x1m"))
       })
+  ,
+
+    QueryDef(
+      "q108_bm25_retrieval",
+      "Quantized-integer BM25 top-10 retrieval (TextOps.bm25TopK; " +
+        "Robertson/Sparck Jones — the ranked keyword search of a " +
+        "curation/eval stack): query docs (doc_id % 100 = 0) retrieve " +
+        "their most-relevant corpus docs, self-matches excluded. " +
+        "idf = log2((N+1)/df) in EXACT milli-bit fixed point " +
+        "(floor-log2 via length(bin()) plus linear octave " +
+        "interpolation — all int64, both engines; whole-bit idf " +
+        "collapses to 0 on a shared vocabulary), tf saturation with " +
+        "k1=1.2 b=0.75 in parts-per-thousand with single floored " +
+        "divisions. One (doc,term) exchange with map-side tf combine, " +
+        "vocabulary-sized df rollup, query terms broadcast, (qid,doc) " +
+        "rollup with partial agg, WindowGroupLimit-prunable rank.",
+      Some("""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+tf AS (SELECT doc_id, dl, t, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, len(tk)::BIGINT AS dl, unnest(tk) AS t
+             FROM toks)
+       GROUP BY 1,2,3),
+dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+gl AS (SELECT count(*)::BIGINT AS n, sum(len(tk))::BIGINT AS tt FROM toks),
+q AS (SELECT DISTINCT doc_id AS qid, unnest(string_split(text,' ')) AS t
+      FROM documents WHERE doc_id % 100 = 0),
+idf AS (SELECT t, (e - 20) * 1024 + (m - 1024) AS idf
+        FROM (SELECT t, e, r // (pow(2, e - 10)::BIGINT) AS m
+              FROM (SELECT t, ((gl.n + 1) * 1048576) // df AS r,
+                           len(bin(((gl.n + 1) * 1048576) // df)) - 1 AS e
+                    FROM dfq CROSS JOIN gl))),
+sc AS (SELECT q.qid, tf.doc_id,
+         sum(idf.idf *
+             ((tf.tf * 2200000) //
+              (tf.tf * 1000 +
+               (1200 * (250 + (750 * tf.dl * gl.n) // gl.tt)) // 1000)))
+           ::BIGINT AS score
+       FROM tf JOIN q USING (t) JOIN idf USING (t) CROSS JOIN gl
+       WHERE tf.doc_id <> q.qid
+       GROUP BY 1,2),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM sc)
+SELECT qid, rank::BIGINT AS rank, doc_id, score FROM r WHERE rank <= 10"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.TextOps.bm25TopK(docs,
+          docs.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("qid"), col("text")),
+          "doc_id", "text", "qid", k = 10)
+      })
   )
 }

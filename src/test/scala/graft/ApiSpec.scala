@@ -1080,6 +1080,38 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.bm25TopK: rare shared terms outrank common ones, " +
+    "self-matches excluded, ties break to the smaller doc id") {
+    // filler docs share only ultra-common terms with the query;
+    // doc 50 shares the RARE terms — BM25's idf must rank it first
+    // even though doc 51 matches more TOTAL occurrences of common ones
+    val filler = (1L until 50L).map(i =>
+      (i, "the a of and " + s"noise$i junk$i pad$i"))
+    val docs = (filler ++ Seq(
+      (50L, "zyzzyva quokka axolotl and the"),
+      (51L, "the the the a a a of of and and"),
+      (99L, "zyzzyva quokka searching for rare beasts")))
+      .toDF("row_key", "body")
+    val queries = docs.filter(col("row_key") === 99L)
+      .select(col("row_key").as("q"), col("body"))
+    val top = TextOps.bm25TopK(docs, queries, "row_key", "body", "q", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(top.head == ((1L, 50L)),
+      s"rare-term doc should rank first, got ${top.toSeq}")
+    assert(!top.exists(_._2 == 99L), "self-match must be excluded")
+
+    // exact ties break to the smaller doc id: two identical docs
+    val twin = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"), (9L, "alpha beta"))
+      .toDF("row_key", "body")
+    val tq = twin.filter(col("row_key") === 9L)
+      .select(col("row_key").as("q"), col("body"))
+    val t = TextOps.bm25TopK(twin, tq, "row_key", "body", "q", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(t.map(_._2).toSeq == Seq(1L, 2L, 3L),
+      s"tie-break order wrong: ${t.toSeq}")
+  }
+
   test("CDC chunk index: probe == inline, meta is required, pruning engages") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdcidx-").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
