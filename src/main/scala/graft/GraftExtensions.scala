@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bigram_counts",
       "bigram_counts(tokens) - per-doc distinct-bigram counts as array<struct<w1,w2,n>>",
       exprs => graft.functions.BigramCounts(exprs.head)))
+    ext.injectFunction(fn("cdc_chunk_hashes",
+      "cdc_chunk_hashes(tokens, window, modulus) - distinct 60-bit hashes of " +
+        "content-defined chunks (rolling-gram boundaries)",
+      exprs => graft.functions.CdcChunkHashes(exprs.head,
+        FnArgs.litInt("cdc_chunk_hashes", "window", exprs(1)),
+        FnArgs.litLong("cdc_chunk_hashes", "modulus", exprs(2)))))
     ext.injectFunction(fn("heavy_hitters",
       "heavy_hitters(capacity, key) - bounded Misra-Gries frequent-items summary",
       exprs => graft.functions.HeavyHitters(

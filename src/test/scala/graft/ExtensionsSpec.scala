@@ -42,6 +42,17 @@ class ExtensionsSpec extends SparkSpec {
         .head.getInt(0)
       assert(nShingles == 2)
 
+      // cdc_chunk_hashes: modulus 2 -> several boundaries on an 8-token
+      // doc; a sub-window doc is exactly one chunk
+      val nCdc = Seq("a b c d e f g h").toDF("t")
+        .selectExpr("size(cdc_chunk_hashes(split(t, ' '), 4, 2))")
+        .head.getInt(0)
+      assert(nCdc >= 1)
+      val oneChunk = Seq("tiny doc").toDF("t")
+        .selectExpr("size(cdc_chunk_hashes(split(t, ' '), 4, 2))")
+        .head.getInt(0)
+      assert(oneChunk == 1)
+
       val dot = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
         .selectExpr("dot_f(a, b)").head.getDouble(0)
       assert(dot == 11.0)
