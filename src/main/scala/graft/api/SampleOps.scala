@@ -190,4 +190,52 @@ object SampleOps {
         (col("bucket_off") + col("local_cum")).as("start_tok"),
         expr(s"(bucket_off + local_cum) div $budget").as("bin"))
   }
+
+  /** Deterministic epoch ordering with curriculum tiers — the
+    * training-order generator of a data pipeline: every row gets a
+    * GLOBAL 0-based position `pos` such that (a) tiers are strictly
+    * ordered (every tier-0 row precedes every tier-1 row — curriculum:
+    * clean/easy data first), (b) within a tier the order is a seeded
+    * hash shuffle (`hash60(seed ':' id)` — a new seed string per epoch
+    * reshuffles deterministically; the same seed replays the exact
+    * order, the property that makes a training run resumable and
+    * reproducible), ties to the smaller id. The precise within-tier
+    * key is (h mod `buckets`, h, id) — bucket-major, so the global
+    * rank decomposes exactly into per-bucket ranks plus offsets; for
+    * a hash shuffle the bucket-major and plain-h orders are equally
+    * random.
+    *
+    * The global position is computed WITHOUT a global-order window
+    * (the [[packSequences]] two-phase discipline): rows rank inside
+    * (tier, hash-bucket) partitions, and each partition adds a
+    * triangular offset — counts, not data, cross the wire. Output:
+    * idCol, tierCol, pos.
+    */
+  def epochOrder(df: DataFrame, idCol: String, tierCol: String,
+      seed: String, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"epochOrder: buckets must be >= 1, got $buckets")
+    val docs = df
+      .select(col(idCol), col(tierCol).cast("long").as("_tier"),
+        TextHashing.hash60(
+          concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("_h"))
+      .withColumn("_bucket", pmod(col("_h"), lit(buckets.toLong)))
+    val w = Window.partitionBy(col("_tier"), col("_bucket"))
+      .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs.withColumn("_local",
+      coalesce(count(lit(1)).over(w), lit(0L)))
+    val totals = docs.groupBy(col("_tier"), col("_bucket"))
+      .agg(count(lit(1)).as("_tot"))
+    val offsets = totals.join(
+        broadcast(totals.select(col("_tier").as("_t2"),
+          col("_bucket").as("_b2"), col("_tot").as("_n2"))),
+        col("_t2") < col("_tier") ||
+          (col("_t2") === col("_tier") && col("_b2") < col("_bucket")),
+        "left")
+      .groupBy(col("_tier"), col("_bucket"))
+      .agg(coalesce(sum(col("_n2")), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_tier", "_bucket"))
+      .select(col(idCol), col("_tier").as(tierCol),
+        (col("_off") + col("_local")).as("pos"))
+  }
 }

@@ -824,6 +824,50 @@ WHERE c.c <> 0 AND n.n2 > 0"""),
   ,
 
     QueryDef(
+      "q109_epoch_order",
+      "Deterministic curriculum epoch ordering (SampleOps.epochOrder): " +
+        "every doc gets a GLOBAL 0-based training position - quality " +
+        "tiers strictly ordered (q17's high/medium/low as tiers " +
+        "0/1/2: clean data first), seeded hash shuffle within a tier " +
+        "(seed 'epoch1'; a new seed per epoch reshuffles " +
+        "deterministically, the same seed replays exactly - the " +
+        "property that makes a run resumable), ties to the smaller " +
+        "id. The global position is a TWO-PHASE prefix count " +
+        "(per-(tier,bucket) rank + triangular offsets - the q50 " +
+        "packing discipline), so no global-order window exists at " +
+        "any corpus size; the order key is (tier, h mod B, h, id) - " +
+        "bucket-major so the prefix decomposes exactly - and the " +
+        "oracle's single-node row_number spells the same total " +
+        "order declaratively.",
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+         ${occSql("text", " the ")} AS n_stop
+  FROM documents),
+tier AS (
+  SELECT doc_id,
+         CASE WHEN n_tok >= 40 AND (n_stop * 1000) // n_tok >= 20 THEN 0
+              WHEN n_tok >= 15 THEN 1 ELSE 2 END AS tier
+  FROM t),
+h AS (SELECT doc_id, tier,
+             ${graft.functions.TextHashing.hash60Sql("'epoch1:' || doc_id")} AS hh
+      FROM tier)
+SELECT doc_id, tier,
+       (row_number() OVER (ORDER BY tier, hh % 32, hh, doc_id) - 1)::BIGINT
+         AS pos
+FROM h"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tiers = graft.api.TextOps.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            when(col("quality") === "high", lit(0L))
+              .when(col("quality") === "medium", lit(1L))
+              .otherwise(lit(2L)).as("tier"))
+        graft.api.SampleOps.epochOrder(tiers, "doc_id", "tier", "epoch1")
+      })
+  ,
+
+    QueryDef(
       "q108_bm25_retrieval",
       "Quantized-integer BM25 top-10 retrieval (TextOps.bm25TopK; " +
         "Robertson/Sparck Jones — the ranked keyword search of a " +

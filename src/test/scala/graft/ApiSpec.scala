@@ -1080,6 +1080,28 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("SampleOps.epochOrder: global permutation, strict tier order, " +
+    "seed replay and reshuffle") {
+    val rows = (0L until 200L).map(i => (i, (i % 3).toInt)).toDF("k", "t")
+    val e1 = SampleOps.epochOrder(rows, "k", "t", "epoch1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pos is a bijection onto 0..N-1
+    assert(e1.map(_._3).sorted.toSeq == (0L until 200L))
+    // curriculum: every tier-0 position precedes every tier-1, etc.
+    val maxByTier = e1.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minByTier = e1.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(maxByTier(0L) < minByTier(1L) && maxByTier(1L) < minByTier(2L))
+    // same seed replays the exact order; a new seed reshuffles
+    val replay = SampleOps.epochOrder(rows, "k", "t", "epoch1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e1.sortBy(_._1).sameElements(replay.sortBy(_._1)))
+    val e2 = SampleOps.epochOrder(rows, "k", "t", "epoch2").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val p1 = e1.map(r => r._1 -> r._3).toMap
+    assert((0L until 200L).count(k => p1(k) != e2(k)) > 150,
+      "a new seed should reshuffle most positions")
+  }
+
   test("TextOps.bm25TopK: rare shared terms outrank common ones, " +
     "self-matches excluded, ties break to the smaller doc id") {
     // filler docs share only ultra-common terms with the query;
