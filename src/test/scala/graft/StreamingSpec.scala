@@ -534,6 +534,16 @@ class StreamingSpec extends SparkSpec {
     * its chunking geometry from the index's own meta.
     */
   test("CdcGate streaming == batch cdcChunkHitsAgainstIndex (persisted index)") {
+    assertCdcGateParity("cdc_gate_stream")
+  }
+
+  test("CdcGate parity holds under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertCdcGateParity("cdc_gate_stream_rocks")
+    }
+  }
+
+  private def assertCdcGateParity(sinkName: String): Unit = {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-cdcgate-").toString
     graft.api.DedupOps.writeCdcChunkIndex(
@@ -546,7 +556,7 @@ class StreamingSpec extends SparkSpec {
     val out = CdcGate.hitsGate(input.toDF().toDF("doc_id", "text", "ts"),
       "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes",
       s"$dir/cdc")
-    val q = out.writeStream.format("memory").queryName("cdc_gate_stream")
+    val q = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
       val base = 1558430000000L
@@ -561,7 +571,7 @@ class StreamingSpec extends SparkSpec {
       input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("cdc_gate_stream").filter(col("doc_id") >= 0)
+    val got = spark.table(sinkName).filter(col("doc_id") >= 0)
       .select("doc_id", "n_chunks", "n_hits", "hit_x1000").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
@@ -583,6 +593,16 @@ class StreamingSpec extends SparkSpec {
     * literals by construction, but the aggregation path differs).
     */
   test("ClassifyGate.nbGate streaming == batch nbClassify (static model)") {
+    assertNbGateParity("nb_gate_stream")
+  }
+
+  test("nbGate parity holds under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertNbGateParity("nb_gate_stream_rocks")
+    }
+  }
+
+  private def assertNbGateParity(sinkName: String): Unit = {
     val docs = Tables.documents(spark, sf)
     val model = graft.api.ClassifyOps.nbModel(
       docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", "lang")
@@ -593,7 +613,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, Timestamp)]
     val out = ClassifyGate.nbGate(input.toDF().toDF("doc_id", "text", "ts"),
       "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes", model)
-    val q = out.writeStream.format("memory").queryName("nb_gate_stream")
+    val q = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
       val base = 1558430000000L
@@ -608,7 +628,7 @@ class StreamingSpec extends SparkSpec {
       input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("nb_gate_stream").filter(col("doc_id") >= 0)
+    val got = spark.table(sinkName).filter(col("doc_id") >= 0)
       .select("doc_id", "predicted", "score").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     val want = graft.api.ClassifyOps.nbClassify(
