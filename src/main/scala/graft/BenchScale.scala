@@ -60,7 +60,8 @@ object BenchScale {
     "q94_ann_pq", "q95_bpe_vocab_induction", "q98_bpe_tokenize",
     "q101_text_embedding", "q102_text_semantic_dedup",
     "q104_nb_text_classifier", "q105_centroid_classifier",
-    "q106_cdc_chunk_shares")
+    "q106_cdc_chunk_shares", "q107_cdc_incremental_dedup",
+    "q108_bm25_retrieval", "q109_epoch_order")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

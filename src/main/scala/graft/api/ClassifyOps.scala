@@ -63,14 +63,19 @@ object ClassifyOps {
       classCol: String): DataFrame = {
     // null-labeled rows are UNLABELED — they cannot vote in a
     // supervised model, and a "null" class would poison the
-    // driver-side class sort in the scorers
+    // driver-side class sort in the scorers. The class column is
+    // NORMALIZED to string at train time (the model frame's `cls` is
+    // always StringType), so an int- or long-labeled corpus trains a
+    // valid model instead of deferring a ClassCastException to the
+    // scorer's driver-side stats read.
     val labeled = corpus.filter(col(classCol).isNotNull)
-    val occ = labeled.select(col(classCol).as("cls"),
+      .withColumn("__cls", col(classCol).cast("string"))
+    val occ = labeled.select(col("__cls").as("cls"),
       explode(split(col(textCol), " ", -1)).as("w"))
     val cw = occ.groupBy(col("cls"), col("w"))
       .agg(count(lit(1)).as("cw"))
     val tc = cw.groupBy(col("cls")).agg(sum(col("cw")).as("tc"))
-    val dcF = labeled.groupBy(col(classCol).as("cls"))
+    val dcF = labeled.groupBy(col("__cls").as("cls"))
       .agg(count(lit(1)).as("dc"))
     val gl = dcF.agg(sum(col("dc")).as("d"), count(lit(1)).as("c"))
     val vv = cw.agg(count_distinct(col("w")).as("v"))
@@ -161,9 +166,12 @@ object ClassifyOps {
     */
   def nbClassify(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame, keepCols: Seq[String] = Nil): DataFrame = {
-    val reserved = Set("_toks", "_m", "_w", "predicted", "score")
-    require(!reserved.contains(idCol) && !keepCols.exists(reserved),
-      s"nbClassify: id/keep columns may not use reserved names $reserved")
+    val reserved = Set("_toks", "_m", "_w", "w", "predicted", "score")
+    def bad(n: String) =
+      reserved.contains(n) || n.matches("_cw\\d+") || n.matches("_s\\d+")
+    require(!bad(idCol) && !keepCols.exists(bad),
+      s"nbClassify: id/keep columns may not use reserved names " +
+        s"$reserved or the _cw<i>/_s<i> rollup pattern")
     val st = nbStats(model)
     val pivoted = nbPivoted(model, st)
 
@@ -208,8 +216,8 @@ object ClassifyOps {
     // null yields no rows)
     val q = train.filter(col(labelCol).isNotNull)
       .select(col(labelCol).as("label"),
-      expr(s"transform(cast($vecCol as array<double>), " +
-        "x -> cast(round(x * 1000000d) as bigint))").as("_q"))
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x * lit(1000000d)).cast("long")).as("_q"))
     val dims = q.select(col("label"), posexplode(col("_q")).as(Seq("_i", "_x")))
     dims.groupBy(col("label"), col("_i"))
       .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
@@ -235,26 +243,33 @@ object ClassifyOps {
     */
   def centroidClassify(df: DataFrame, vecCol: String,
       model: DataFrame): DataFrame = {
-    val cents = model.select(col("label"), col("centroid")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
+    // labels collect GENERICALLY (any orderable label type, not just
+    // int32): the DataFrame sorts by the label's own type ordering and
+    // the collected Seq preserves that order, so no driver-side sort
+    // (and no type-specific getter) is needed
+    val cents = model.select(col("label"), col("centroid"))
+      .orderBy(col("label").asc).collect()
+      .map(r => (r.get(0), r.getSeq[Long](1)))
     require(cents.nonEmpty, "centroidClassify: empty model")
-    val q = expr(s"transform(cast($vecCol as array<double>), " +
-      "x -> cast(round(x * 1000000d) as bigint))")
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * lit(1000000d)).cast("long"))
+    // a class whose centroid length differs from the input (null
+    // input, ragged vector, or a model trained on mixed-dim vectors)
+    // folds to a null dist via zip_with padding; coalesce it to
+    // Long.MaxValue so a VALID class still wins against it, and only
+    // an input no class matches comes back with predicted = null
+    val Unreachable = Long.MaxValue
     val scored = cents.map { case (lab, m) =>
       val mLit = typedlit(m)
       val d = aggregate(zip_with(q, mLit, (x, c) => (x - c) * (x - c)),
         lit(0L), (acc, t) => acc + t)
-      struct(d.as("dist"), lit(lab).as("label"))
+      struct(coalesce(d, lit(Unreachable)).as("dist"), lit(lab).as("label"))
     }
-    // a null vector (or one whose length differs from the centroids' —
-    // zip_with pads with nulls) folds to a null dist for EVERY class;
-    // surface that as a null prediction rather than silently emitting
-    // the smallest label
     df.withColumn("_best", array_min(array(scored: _*)))
       .withColumn("predicted",
-        when(col("_best.dist").isNotNull, col("_best.label")))
-      .withColumn("dist", col("_best.dist"))
+        when(col("_best.dist") < Unreachable, col("_best.label")))
+      .withColumn("dist",
+        when(col("_best.dist") < Unreachable, col("_best.dist")))
       .drop("_best")
   }
 }

@@ -663,20 +663,24 @@ object DedupOps {
   // ---- content-defined-chunk incremental dedup (the exact-passage ---
   // ---- sibling of the minhash/sign probe family) --------------------
 
-  /** (idCol, `_ch` = distinct CDC chunk hashes) per doc — the shared
-    * front end of [[cdcChunkHits]] and the index build/probe, via the
-    * fused native `cdc_chunk_hashes` kernel (TextOps.cdcChunkShares'
-    * contract: null text keeps its row with an empty array).
+  /** (idCol, extraCols..., `_ch` = distinct CDC chunk hashes) per doc
+    * — the shared front end of [[cdcChunkHits]], the index
+    * build/probe, AND the streaming gate ([[graft.streaming.CdcGate]]
+    * passes its event-time column through `extraCols`), via the fused
+    * native `cdc_chunk_hashes` kernel. The null contract lives HERE
+    * and only here: null text keeps its row with an empty array.
     */
   private[graft] def cdcChunked(df: DataFrame, idCol: String,
-      textCol: String, modulus: Int, window: Int): DataFrame = {
+      textCol: String, modulus: Int, window: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     TextHashExpressions.register(df.sparkSession)
-    df.select(col(idCol), split(col(textCol), " ", -1).as("_tk"))
+    df.select(col(idCol) +: extraCols.map(col) :+
+        split(col(textCol), " ", -1).as("_tk"): _*)
       .withColumn("_ch",
         when(col("_tk").isNotNull,
           expr(s"cdc_chunk_hashes(_tk, $window, $modulus)"))
           .otherwise(expr("cast(array() as array<bigint>)")))
-      .select(col(idCol), col("_ch"))
+      .select(col(idCol) +: extraCols.map(col) :+ col("_ch"): _*)
   }
 
   /** Incremental exact-passage dedup: which CDC chunks of a NEW batch

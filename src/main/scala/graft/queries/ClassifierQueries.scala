@@ -39,7 +39,7 @@ object ClassifierQueries {
         "to the smallest class.",
       Some("""
 WITH tr AS (SELECT doc_id, lang, string_split(text,' ') AS tk
-            FROM documents WHERE doc_id % 5 <> 0),
+            FROM documents WHERE doc_id % 5 <> 0 AND lang IS NOT NULL),
 occ AS (SELECT lang AS cls, unnest(tk) AS w FROM tr),
 cw AS (SELECT cls, w, count(*)::BIGINT AS cw FROM occ GROUP BY 1,2),
 tc AS (SELECT cls, sum(cw)::BIGINT AS tc FROM cw GROUP BY 1),
@@ -62,10 +62,24 @@ scored AS (SELECT sc.doc_id, sc.lang, sc.cls,
 best AS (SELECT doc_id, lang, cls, score,
                 row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, cls ASC) AS rn
-         FROM scored)
+         FROM scored),
+np AS (SELECT cls AS npc,
+              ((len(bin(dc+1))-1) - (len(bin(d+c))-1))::BIGINT AS nps
+       FROM (SELECT dc.cls, dc.dc, gl.d, gl.c,
+                    row_number() OVER (
+                      ORDER BY (len(bin(dc.dc+1))-1) -
+                               (len(bin(gl.d+gl.c))-1) DESC,
+                               dc.cls ASC) AS rn
+             FROM dc CROSS JOIN gl)
+       WHERE rn = 1)
 SELECT doc_id, lang AS actual, cls AS predicted, score,
        (lang = cls) AS correct
-FROM best WHERE rn = 1"""),
+FROM best WHERE rn = 1
+UNION ALL
+SELECT d.doc_id, d.lang AS actual, np.npc AS predicted, np.nps AS score,
+       (d.lang = np.npc) AS correct
+FROM documents d CROSS JOIN np
+WHERE d.doc_id % 5 = 0 AND d.text IS NULL"""),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         // materialized before scoring (the q91 contract): the classify
@@ -100,25 +114,30 @@ WITH q AS (SELECT vec_id, label,
                   list_transform(embedding,
                     x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS qv
            FROM embeddings),
-tr AS (SELECT * FROM q WHERE vec_id % 5 <> 0),
+tr AS (SELECT * FROM q WHERE vec_id % 5 <> 0 AND label IS NOT NULL),
 te AS (SELECT * FROM q WHERE vec_id % 5 = 0),
 dims AS (SELECT label, i, qv[i] AS x
-         FROM tr CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
+         FROM tr CROSS JOIN unnest(generate_series(1, len(qv))) AS t(i)),
 cents AS (SELECT label, i,
                  CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS m
           FROM dims GROUP BY 1,2),
 cl AS (SELECT label, list(m ORDER BY i) AS mv FROM cents GROUP BY 1),
 scored AS (SELECT te.vec_id, te.label AS actual, cl.label AS cls,
-                  list_sum(list_transform(generate_series(1, 64),
-                    j -> (te.qv[j]-cl.mv[j])*(te.qv[j]-cl.mv[j])))::BIGINT
-                    AS dist
+                  (CASE WHEN te.qv IS NOT NULL AND len(te.qv) = len(cl.mv)
+                        THEN list_sum(list_transform(
+                               generate_series(1, len(cl.mv)),
+                               j -> (te.qv[j]-cl.mv[j])*(te.qv[j]-cl.mv[j])))
+                        ELSE NULL END)::BIGINT AS dist
            FROM te CROSS JOIN cl),
 best AS (SELECT vec_id, actual, cls, dist,
                 row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY dist ASC, cls ASC) AS rn
+                                   ORDER BY dist ASC NULLS LAST,
+                                            cls ASC) AS rn
          FROM scored)
-SELECT vec_id, actual, cls AS predicted, dist,
-       (actual = cls) AS correct
+SELECT vec_id, actual,
+       (CASE WHEN dist IS NULL THEN NULL ELSE cls END) AS predicted,
+       dist,
+       (actual = (CASE WHEN dist IS NULL THEN NULL ELSE cls END)) AS correct
 FROM best WHERE rn = 1"""),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

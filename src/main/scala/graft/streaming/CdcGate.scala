@@ -45,12 +45,11 @@ object CdcGate {
       .select(col("c").as("_c"), lit(1L).as("_hit"))
 
     val src = if (declareWatermark) docs.withWatermark(tsCol, delay) else docs
-    graft.functions.TextHashExpressions.register(s)
-    val chunked = src.select(col(idCol), col(tsCol),
-      split(col(textCol), " ", -1).as("_tk"))
-      .withColumn("_ch",
-        when(col("_tk").isNotNull, expr(s"cdc_chunk_hashes(_tk, $w, $modulus)"))
-          .otherwise(expr("cast(array() as array<bigint>)")))
+    // the SAME chunking front end as the batch probe (null contract
+    // and kernel geometry live in one place — stream/batch parity by
+    // construction, not by parallel maintenance)
+    val chunked = DedupOps.cdcChunked(src, idCol, textCol, modulus, w,
+      extraCols = Seq(tsCol))
 
     val win = org.apache.spark.sql.functions.window(col(tsCol), window)
     val scored = chunked.filter(size(col("_ch")) >= 1)

@@ -163,6 +163,48 @@ class ClassifySpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("label types are generic: int-labeled NB, string-labeled centroids") {
+    // NB normalizes the class column to string at train time
+    val intLabeled = sepCorpus.withColumn("tag",
+      when(col("tag") === "ham", lit(7)).otherwise(lit(3)))
+    val m = ClassifyOps.nbModel(intLabeled, "k", "body", "tag")
+      .localCheckpoint()
+    val out = ClassifyOps.nbClassify(
+      sepCorpus.filter(col("k") % 4 === 0), "k", "body", m).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("3", "7")))
+
+    // centroid labels collect generically (string domains, not int32)
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f), "news"), (2L, Array(0.0f, 1.0f), "code"))
+      .toDF("id", "vec", "domain")
+    val cm = ClassifyOps.centroidModel(train, "vec", "domain")
+      .localCheckpoint()
+    val got = ClassifyOps.centroidClassify(
+      Seq((9L, Array(0.9f, 0.1f))).toDF("id", "vec"), "vec", cm)
+      .collect().head
+    assert(got.getAs[String]("predicted") == "news")
+  }
+
+  test("mixed-dimension centroids: a valid class still wins; no-match predicts null") {
+    // class 1's centroid is 2-d, class 2's is 3-d; a 2-d input must
+    // classify to class 1 (not null out because ONE class mismatched)
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(0.0f, 1.0f, 0.5f), 2))
+      .toDF("id", "vec", "cls")
+    val m = ClassifyOps.centroidModel(train, "vec", "cls")
+      .localCheckpoint()
+    val out = ClassifyOps.centroidClassify(
+      Seq((9L, Some(Array(1.0f, 0.0f))), (10L, Some(Array(9f, 9f, 9f, 9f))),
+        (11L, Option.empty[Array[Float]]))
+        .toDF("id", "vec"), "vec", m)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("predicted")))).toMap
+    assert(out(9L).contains(1))
+    assert(out(10L).isEmpty, "4-d input matches no centroid")
+    assert(out(11L).isEmpty, "null input predicts null")
+  }
+
   test("nbClassify rejects reserved column names") {
     val model = ClassifyOps.nbModel(sepCorpus, "k", "body", "tag")
     intercept[IllegalArgumentException] {
