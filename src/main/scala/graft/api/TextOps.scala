@@ -540,44 +540,64 @@ object TextOps {
     * terms could travel as hash60s at 100 TB (kept as strings here so
     * the oracle stays readable).
     */
-  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      textCol: String, qidCol: String, k: Int = 10): DataFrame = {
-    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+  /** The STATIC half of BM25: per-(term, doc) quantized contributions
+    * `_c` (the full bm25TopK arithmetic — milli-bit idf, k1/b
+    * saturation — folded into one frame, since idf depends only on
+    * the term and tf/dl only on the (term, doc) posting). Built once
+    * and localCheckpointed (the in-process stand-in for the persisted
+    * inverted index; the postings feed both the df rollup and the
+    * contribution projection, so without the cut the corpus pays the
+    * tokenize + tf exchange twice — the q91 lesson). N and total
+    * tokens are read driver-side at build (one-row agg, the LmGate
+    * literal precedent) and enter as literals. Shared VERBATIM by the
+    * batch ranker and [[graft.streaming.Bm25Gate]], so stream and
+    * batch scores cannot drift. Columns: `_t`, idCol, `_c`.
+    */
+  private[graft] def bm25ContribIndex(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val toks = corpus.select(col(idCol),
       split(col(textCol), " ", -1).as("_tk"))
-    // the postings frame IS the inverted index: it feeds BOTH the df
-    // rollup and the scoring join, so it is materialized once
-    // (localCheckpoint — the in-process stand-in for the persisted
-    // index of a real deployment; without it the corpus pays the
-    // tokenize + tf exchange twice, the q91 lesson)
+    val Seq(n, tt) = {
+      val r = toks.agg(count(lit(1)).as("_n"),
+        sum(size(col("_tk")).cast("long")).as("_tt")).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
     val tf = toks.select(col(idCol), size(col("_tk")).cast("long").as("_dl"),
         explode(col("_tk")).as("_t"))
       .groupBy(col(idCol), col("_dl"), col("_t"))
       .agg(count(lit(1)).as("_tf"))
-      .localCheckpoint()
     val df_ = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
-    val gl = toks.agg(count(lit(1)).as("_n"),
-      sum(size(col("_tk")).cast("long")).as("_tt"))
-    val qTerms = queries.select(col(qidCol).as("_qid"),
-        explode(split(col(textCol), " ", -1)).as("_t"))
-      .distinct()
-    // ONE broadcast model side: (qid, term, df) = query terms pre-joined
-    // with their document frequencies (query-scale rows; the df build's
-    // vocabulary-sized exchange feeds a broadcast-hash join, so the
-    // corpus-side tf frame joins it without re-shuffling)
-    val qidf = df_.join(broadcast(qTerms), Seq("_t"))
-    val scored = tf
-      .join(broadcast(qidf), Seq("_t"))
-      .filter(col("_qid") =!= col(idCol))
-      .crossJoin(broadcast(gl))
-      .withColumn("_r", expr("((_n + 1) * 1048576) div _df"))
+      .withColumn("_r", expr(s"((${n}L + 1) * 1048576) div _df"))
       .withColumn("_e", fl2(col("_r")))
       .withColumn("_m", expr("_r div cast(pow(2d, _e - 10) as bigint)"))
       .withColumn("_idf", expr("(_e - 20) * 1024 + (_m - 1024)"))
+      .select(col("_t"), col("_idf"))
+    tf.join(broadcast(df_), Seq("_t"))
       .withColumn("_den", expr(
-        "_tf * 1000 + (1200 * (250 + (750 * _dl * _n) div _tt)) div 1000"))
-      .withColumn("_c", expr("_idf * ((_tf * 2200000) div _den)"))
+        s"_tf * 1000 + (1200 * (250 + (750 * _dl * ${n}L) div ${tt}L)) div 1000"))
+      .select(col("_t"), col(idCol),
+        expr("_idf * ((_tf * 2200000) div _den)").as("_c"))
+      .localCheckpoint()
+  }
+
+  /** Stateless per-query term set: one row per (qid [, extras], term),
+    * distinct WITHIN the query row (`array_distinct` — binary query
+    * weights with no cross-row distinct, so the same projection is
+    * valid on a STREAM). Contract: one input row per query id.
+    */
+  private[graft] def bm25QueryTerms(queries: DataFrame, qidCol: String,
+      textCol: String, extraCols: Seq[String] = Nil): DataFrame =
+    queries.select(col(qidCol).as("_qid") +: extraCols.map(col) :+
+      explode(array_distinct(split(col(textCol), " ", -1))).as("_t"): _*)
+
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qidCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    val idx = bm25ContribIndex(corpus, idCol, textCol)
+    val scored = idx
+      .join(broadcast(bm25QueryTerms(queries, qidCol, textCol)), Seq("_t"))
+      .filter(col("_qid") =!= col(idCol))
       .groupBy(col("_qid"), col(idCol))
       .agg(sum(col("_c")).as("score"))
     scored

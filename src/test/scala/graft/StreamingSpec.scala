@@ -586,6 +586,48 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  /** Streaming BM25 gate: the chained (window,qid,doc)-rollup →
+    * (window,qid)-topk_agg aggregation over the SHARED static
+    * contribution index must rank identically to the batch
+    * window-function ranker on the same query set.
+    */
+  test("Bm25Gate streaming == batch bm25TopK (shared contribution index)") {
+    val docs = Tables.documents(spark, sf)
+    val qDf = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val delta = qDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = streaming.Bm25Gate.topKGate(
+      input.toDF().toDF("qid", "text", "ts"), "qid", "text", "ts",
+      delay = "1 hour", window = "10 minutes",
+      docs, "doc_id", "text", k = 10)
+    val q = out.writeStream.format("memory").queryName("bm25_gate_stream")
+      .outputMode("append").start()
+    try {
+      val base = 1558430000000L
+      val recs = delta.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + i * 1000L))
+      }
+      input.addData(recs.toSeq: _*); q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bm25_gate_stream").filter(col("qid") >= 0)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = graft.api.TextOps.bm25TopK(docs, qDf, "doc_id", "text",
+        "qid", k = 10)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty, "batch ranker produced no rows — vacuous")
+    assert(got == want, s"stream=${got.size} batch=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   /** Streaming NB classifier gate (ClassifyGate.nbGate) must predict
     * IDENTICALLY to the batch nbClassify on the same train/test split —
     * the stream-static pivoted-model join plus the windowed per-class
