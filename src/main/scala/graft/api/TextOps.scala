@@ -594,9 +594,18 @@ object TextOps {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, qidCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
-    val idx = bm25ContribIndex(corpus, idCol, textCol)
+    bm25Rank(bm25ContribIndex(corpus, idCol, textCol),
+      bm25QueryTerms(queries, qidCol, textCol), idCol, k)
+  }
+
+  /** The scoring+ranking back half shared by [[bm25TopK]] (in-process
+    * index) and [[bm25TopKAgainstIndex]] (persisted index): contrib
+    * index ⋈ broadcast query terms → (qid, doc) rollup → pruned rank.
+    */
+  private def bm25Rank(idx: DataFrame, qTerms: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val scored = idx
-      .join(broadcast(bm25QueryTerms(queries, qidCol, textCol)), Seq("_t"))
+      .join(broadcast(qTerms), Seq("_t"))
       .filter(col("_qid") =!= col(idCol))
       .groupBy(col("_qid"), col(idCol))
       .agg(sum(col("_c")).as("score"))
@@ -606,6 +615,75 @@ object TextOps {
           .orderBy(col("score").desc, col(idCol).asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("_qid").as("qid"), col("rank"), col(idCol), col("score"))
+  }
+
+  /** Materialize [[bm25ContribIndex]] to parquet — the retrieval
+    * deployment posture: `$path/contrib` = (term, doc, quantized
+    * contribution) PARTITIONED by `__bp = hash60(term) mod
+    * prefixPartitions` and sorted by `_t` within partitions (the
+    * writeCdcChunkIndex/writeMinhashIndex layout applied to an
+    * inverted index), `$path/meta` = prefix_partitions. Build once
+    * per corpus version; every query batch probes with
+    * [[bm25TopKAgainstIndex]], whose query-term prefixes prune the
+    * contrib parquet to the directories they can hit — a handful of
+    * query terms read a handful of directories, never the index.
+    */
+  def writeBm25Index(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, prefixPartitions: Int = 64): Unit = {
+    require(prefixPartitions >= 1,
+      s"writeBm25Index: prefixPartitions $prefixPartitions < 1")
+    graft.jobs.Sinks.layout(
+      bm25ContribIndex(corpus, idCol, textCol)
+        .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+          lit(prefixPartitions.toLong))),
+      s"$path/contrib", partitionCols = Seq("__bp"),
+      sortCols = Seq("_t"), numFiles = 8)
+    corpus.sparkSession.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[bm25TopK]] probing a PERSISTED [[writeBm25Index]] instead of
+    * building the index in-process: identical output on the same
+    * corpus (parity-tested), per-batch cost O(query terms + pruned
+    * index scan). The query set's distinct `__bp` prefixes (at most
+    * prefix_partitions ints, collected driver-side — the CDC-probe
+    * discipline) prune the contrib parquet; the `_t` sort prunes row
+    * groups within the touched directories. The meta is REQUIRED (it
+    * carries the prefix geometry): a partially copied index fails
+    * with a named error rather than probing unpruned with a guessed
+    * layout.
+    */
+  def bm25TopKAgainstIndex(queries: DataFrame, qidCol: String,
+      textCol: String, indexPath: String, idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"bm25TopKAgainstIndex: k must be >= 1, got $k")
+    val s = queries.sparkSession
+    val prefixes =
+      try {
+        s.read.parquet(s"$indexPath/meta")
+          .select(col("prefix_partitions").cast("int"))
+          .head(1).headOption.map(_.getInt(0)).filter(_ >= 1)
+          .getOrElse(throw new IllegalStateException(
+            s"bm25TopKAgainstIndex: $indexPath/meta is empty"))
+      } catch {
+        case e: IllegalStateException => throw e
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"bm25TopKAgainstIndex: cannot read $indexPath/meta — the " +
+              "index is missing or partially copied; the meta carries " +
+              "the prefix geometry, so probing without it would scan " +
+              "with a guessed layout", e)
+      }
+    val qTerms = bm25QueryTerms(queries, qidCol, textCol).localCheckpoint()
+    val touched = qTerms
+      .select(pmod(TextHashing.hash60(col("_t")), lit(prefixes.toLong))
+        .as("__bp"))
+      .distinct().collect().map(_.getLong(0))
+    val idx = s.read.parquet(s"$indexPath/contrib")
+      .filter(col("__bp").isin(touched.toSeq: _*))
+      .select(col("_t"), col(idCol), col("_c"))
+    bm25Rank(idx, qTerms, idCol, k)
   }
 
   /** Train the quantized bigram LM on `corpus` and return it as ONE

@@ -1134,6 +1134,49 @@ class ApiSpec extends SparkSpec {
       s"tie-break order wrong: ${t.toSeq}")
   }
 
+  test("BM25 persisted index: probe == in-process, meta required, pruning engages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val qDf = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    TextOps.writeBm25Index(docs, "doc_id", "text", s"$dir/bm25")
+    val probe = TextOps.bm25TopKAgainstIndex(qDf, "qid", "text",
+      s"$dir/bm25", "doc_id", k = 10)
+    val viaIdx = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val inline = TextOps.bm25TopK(docs, qDf, "doc_id", "text", "qid", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaIdx.nonEmpty && viaIdx == inline,
+      s"probe != in-process: idx-only=${(viaIdx -- inline).take(3)} " +
+        s"inline-only=${(inline -- viaIdx).take(3)}")
+
+    // the contrib scan prunes by the __bp partition column
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val contribScan = scans(probe.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("contrib")))
+      .getOrElse(fail("no FileSourceScanExec over the contrib index"))
+    assert(contribScan.partitionFilters
+        .exists(_.references.exists(_.name == "__bp")),
+      s"contrib scan has no __bp partition filter: " +
+        s"${contribScan.partitionFilters}")
+
+    val err = intercept[IllegalStateException] {
+      TextOps.bm25TopKAgainstIndex(qDf, "qid", "text",
+        s"$dir/nonexistent", "doc_id")
+    }
+    assert(err.getMessage.contains("meta"))
+  }
+
   test("CDC chunk index: probe == inline, meta is required, pruning engages") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdcidx-").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
