@@ -214,8 +214,17 @@ object SampleOps {
   def epochOrder(df: DataFrame, idCol: String, tierCol: String,
       seed: String, buckets: Int = 32): DataFrame = {
     require(buckets >= 1, s"epochOrder: buckets must be >= 1, got $buckets")
+    // A null or non-numeric tier must fail loudly: a silent cast-to-null
+    // would drop the row from the inequality offsets self-join, alias it
+    // onto _off=0 and duplicate `pos` values — breaking the documented
+    // global-bijection property. raise_error is map-side (no extra pass).
+    val tierChecked = when(col(tierCol).cast("long").isNull,
+        raise_error(concat(
+          lit(s"epochOrder: null or non-numeric '$tierCol' tier for id "),
+          col(idCol).cast("string"))))
+      .otherwise(col(tierCol).cast("long"))
     val docs = df
-      .select(col(idCol), col(tierCol).cast("long").as("_tier"),
+      .select(col(idCol), tierChecked.as("_tier"),
         TextHashing.hash60(
           concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("_h"))
       .withColumn("_bucket", pmod(col("_h"), lit(buckets.toLong)))

@@ -558,11 +558,23 @@ object TextOps {
     def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
     val toks = corpus.select(col(idCol),
       split(col(textCol), " ", -1).as("_tk"))
-    val Seq(n, tt) = {
+    val Seq(n, tt, maxDl) = {
       val r = toks.agg(count(lit(1)).as("_n"),
-        sum(size(col("_tk")).cast("long")).as("_tt")).head()
-      Seq(r.getLong(0), r.getLong(1))
+        sum(size(col("_tk")).cast("long")).as("_tt"),
+        coalesce(max(size(col("_tk")).cast("long")), lit(0L)).as("_mx")).head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    // The length-norm term computes 750 * _dl * N in int64 before the
+    // div; at extreme scale (N ~ 1e11 docs with dl ≳ 2e5-token
+    // outliers) that product would wrap 2^63 and silently corrupt
+    // scores under non-ANSI arithmetic. Both factors are known at
+    // build time, so fail fast here instead — the documented limit is
+    // max_dl * N <= 2^63 / 750 (~1.2e16 doc-tokens), beyond which
+    // docs must be truncated/split before indexing.
+    require(maxDl <= 0 || n <= 0 || maxDl <= Long.MaxValue / 750L / n,
+      s"bm25ContribIndex: 750 * max_dl($maxDl) * N($n) would overflow " +
+        "int64 in the length-norm term; truncate or split documents " +
+        s"longer than ${Long.MaxValue / 750L / n} tokens before indexing")
     val tf = toks.select(col(idCol), size(col("_tk")).cast("long").as("_dl"),
         explode(col("_tk")).as("_t"))
       .groupBy(col(idCol), col("_dl"), col("_t"))

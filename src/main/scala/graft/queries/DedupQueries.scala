@@ -218,12 +218,20 @@ FROM p WHERE ca // 100000 <> cb // 100000"""
     * transcription of the native `cdc_chunk_hashes` kernel
     * (TextHashLawsSpec pins the equivalence).
     */
-  private def cdcChunksSql(table: String, modulus: Int): String = s"""
+  /** ONE pair of CDC geometry constants for q106/q107: both the
+    * DuckDB oracle fragment and the Scala kernel call sites read
+    * these, so oracle and kernel geometry cannot drift.
+    */
+  private val CdcMod = 32
+  private val CdcWindow = 4
+
+  private def cdcChunksSql(table: String, modulus: Int,
+      window: Int = 4): String = s"""
 t AS (SELECT doc_id, string_split(text,' ') AS tk FROM $table),
 tb AS (SELECT doc_id, tk, len(tk) AS n,
-       CASE WHEN len(tk) >= 4 THEN
-         list_filter(generate_series(4, len(tk)),
-           i -> ${hash60Sql("array_to_string(tk[i-3:i], ' ')")} % $modulus = 0)
+       CASE WHEN len(tk) >= $window THEN
+         list_filter(generate_series($window, len(tk)),
+           i -> ${hash60Sql(s"array_to_string(tk[i-${window - 1}:i], ' ')")} % $modulus = 0)
        ELSE [] END AS b
        FROM t),
 ck AS (SELECT doc_id,
@@ -1040,7 +1048,7 @@ SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1"""),
         "map-side combine, the common set semi-joins back " +
         "co-partitioned on the hash, the rollup keys the doc id.",
       Some(s"""
-WITH ${cdcChunksSql("documents", 32)},
+WITH ${cdcChunksSql("documents", CdcMod, CdcWindow)},
 p AS (SELECT doc_id, unnest(chs) AS c FROM ck),
 cm AS (SELECT c FROM (SELECT c, count(*) AS df FROM p GROUP BY 1)
        WHERE df >= 2),
@@ -1054,7 +1062,7 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
       (s, dir) =>
         graft.api.TextOps.cdcChunkShares(
           Tables.documents(s, dir), "doc_id", "text",
-          modulus = 32, window = 4, minDf = 2))
+          modulus = CdcMod, window = CdcWindow, minDf = 2))
   ,
 
     QueryDef(
@@ -1074,7 +1082,7 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
         "cdcChunkHitsAgainstIndex's O(delta + pruned index scan) — " +
         "parity- and pruning-tested in DedupSpec.",
       Some(s"""
-WITH ${cdcChunksSql("documents", 32)},
+WITH ${cdcChunksSql("documents", CdcMod, CdcWindow)},
 corpus AS (SELECT DISTINCT unnest(chs) AS c FROM ck WHERE doc_id % 5 <> 0),
 delta AS (SELECT doc_id, unnest(chs) AS c FROM ck WHERE doc_id % 5 = 0),
 hits AS (SELECT doc_id, count(*) AS nh FROM delta JOIN corpus USING (c)
@@ -1090,7 +1098,7 @@ FROM ck LEFT JOIN hits USING (doc_id) WHERE ck.doc_id % 5 = 0"""),
         graft.api.DedupOps.cdcChunkHits(
           docs.filter(col("doc_id") % 5 === 0),
           docs.filter(col("doc_id") % 5 =!= 0),
-          "doc_id", "text", modulus = 32, window = 4)
+          "doc_id", "text", modulus = CdcMod, window = CdcWindow)
       })
   )
 }

@@ -23,8 +23,10 @@ import graft.api.DedupOps
   *     (window(ts), doc): the kernel emits DISTINCT chunk hashes, so
   *     count(*) IS n_chunks and the hit-indicator sum IS n_hits —
   *     one aggregate, watermark-bounded state;
-  *   - chunk-less docs (null text) bypass the aggregate and union in
-  *     as 0-chunk rows (the batch row-preservation contract).
+  *   - chunk-less docs (null text) union in as 0-chunk rows through
+  *     their OWN windowed aggregate (the batch row-preservation
+  *     contract), so late null-text rows are watermark-dropped
+  *     exactly like late token-ful rows.
   *
   * A doc gates IDENTICALLY streaming and batch (StreamingSpec parity
   * vs [[graft.api.DedupOps.cdcChunkHitsAgainstIndex]]). Deployment:
@@ -60,8 +62,14 @@ object CdcGate {
         sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
       .select(col(idCol), col("window.end").as("window_end"),
         col("n_chunks"), col("n_hits"))
+    // chunk-less docs go through the SAME windowed-aggregate shape as
+    // scored docs (not a stateless projection): late null-text rows are
+    // watermark-dropped exactly like late token-ful rows — uniform
+    // late-data semantics across both branches.
     val empty = chunked.filter(size(col("_ch")) < 1)
-      .select(col(idCol), win("end").as("window_end"),
+      .groupBy(win, col(idCol))
+      .agg(count(lit(1)).as("_n"))
+      .select(col(idCol), col("window.end").as("window_end"),
         lit(0L).as("n_chunks"), lit(0L).as("n_hits"))
     scored.unionByName(empty)
       .withColumn("hit_x1000",

@@ -20,9 +20,10 @@ import graft.api.ClassifyOps
   *     keyed (window(ts), doc): one partial row per in-watermark doc,
   *     emitted on window close in append mode — watermark-bounded
   *     state, never corpus-bounded;
-  *   - null-text docs bypass the aggregate and union in with the
-  *     prior-only prediction (the batch ANSI row-preservation
-  *     contract).
+  *   - null-text docs union in with the prior-only prediction through
+  *     their OWN windowed aggregate (the batch ANSI row-preservation
+  *     contract), so late null-text rows are watermark-dropped
+  *     exactly like late token-ful rows.
   *
   * The scoring arithmetic is the SAME `NbStats` machinery the batch
   * scorer uses, so a doc classifies identically streaming and batch
@@ -63,8 +64,13 @@ object ClassifyGate {
       predicted.as("predicted"), best.as("score"))
 
     val (nc, np) = st.nullPrediction
+    // same windowed-aggregate shape as the scored branch so late
+    // null-text rows are watermark-dropped uniformly (and duplicate
+    // ids collapse per (window, id) exactly as the scored branch does)
     val nulls = toks.filter(col("_m") < 1)
-      .select(col(idCol), win("end").as("window_end"),
+      .groupBy(win, col(idCol))
+      .agg(count(lit(1)).as("_n"))
+      .select(col(idCol), col("window.end").as("window_end"),
         lit(nc).as("predicted"), lit(np).as("score"))
     scored.unionByName(nulls)
   }

@@ -69,10 +69,13 @@ object LmGate {
       .agg(sum(col("_q")).as("sum_q2"), sum(col("_n")).as("n_bigrams"))
       .select(col(idCol), col("window.end").as("window_end"),
         col("n_bigrams"), col("sum_q2"))
+    // same windowed-aggregate shape as the scored branch so late
+    // short/null-text rows are watermark-dropped uniformly
     val short = toks.filter(col("_m") < 2)
-      .select(col(idCol),
-        (org.apache.spark.sql.functions.window(col(tsCol), window))("end")
-          .as("window_end"),
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(idCol))
+      .agg(count(lit(1)).as("_n"))
+      .select(col(idCol), col("window.end").as("window_end"),
         lit(0L).as("n_bigrams"), lit(0L).as("sum_q2"))
     scored.unionByName(short)
       .withColumn("keep",
