@@ -46,8 +46,19 @@ object Bench {
       "\"" + k + "\":" + rs.map(BenchHarness.num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // A strictly monotone-increasing run array with meaningful growth
+    // is a LEAK signature (state accreting across invocations in one
+    // session — the round-7 q89 localCheckpoint lifecycle bug), not
+    // jitter: jitter is symmetric, leaks only grow. Flag it so a
+    // regression of that class is self-diagnosing in the artifact.
+    val leaks = raw.collect {
+      case (k, rs) if rs.size >= 3 && rs.forall(_ >= 0) &&
+        rs.zip(rs.tail).forall { case (a, b) => b > a } &&
+        rs.last >= rs.head * 1.2 && rs.last - rs.head >= 0.2 => k
+    }
+    val leaksJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"leak_suspects":$leaksJson,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -63,7 +63,9 @@ import graft.operators.ConnectedComponents
 object CurationPipeline {
 
   /** Every stage's survivor frame, exposed for inspection/tests; the
-    * driver-facing result is [[packed]].
+    * driver-facing result is [[packed]]. `checkpointed` tracks the
+    * stage-boundary localCheckpoint frames so [[close]] can release
+    * their storage blocks.
     */
   final case class Stages(
       urlSurvivors: DataFrame,
@@ -72,7 +74,29 @@ object CurationPipeline {
       passageSurvivors: DataFrame,
       qualitySurvivors: DataFrame,
       mixed: DataFrame,
-      packed: DataFrame)
+      packed: DataFrame,
+      checkpointed: Seq[DataFrame] = Nil) {
+
+    /** Release every stage-boundary checkpoint's storage blocks.
+      * localCheckpoint persists its RDD for the life of the context
+      * and truncates lineage, so WITHOUT this a long-lived driver
+      * re-running the pipeline (a bench JVM, a per-ingest-batch
+      * production loop) accretes storage memory run over run — the
+      * blocks die only when the RDDs are GC'd, which references from
+      * a Stages cache prevent. Call once the terminal frame has been
+      * materialized. AFTER close() no stage frame can be recomputed
+      * (truncated lineage + released blocks) — close is the END of
+      * this Stages' life, mirroring what dropping a between-stage
+      * parquet materialization would be at 100 TB.
+      */
+    def close(): Unit = checkpointed.foreach { df =>
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+  }
 
   /** Run the full pipeline over `docs` (doc_id, text, source, + any
     * other columns) with `urlCol` carrying the raw crawl URL.
@@ -86,8 +110,14 @@ object CurationPipeline {
     val nTok = size(split(col("text"), " ", -1)).cast("long")
     // stage-boundary lineage cut (see scaladoc): keep-sets are id
     // frames, tiny next to the corpus — checkpointing them keeps the
-    // composed plan linear in the stage count
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    // composed plan linear in the stage count. Each cut frame is
+    // tracked so Stages.close() can release its blocks.
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      cuts += c
+      c
+    }
 
     // 1. URL dedup: keeper ids of each canonical-URL group
     val urlKeepers = cut(TextOps.urlDuplicates(urls, "doc_id", "url")
@@ -166,7 +196,7 @@ object CurationPipeline {
       .join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("start_tok"), col("bin"))
 
-    Stages(s1, s2, s3, s4, s5, mixed, packed)
+    Stages(s1, s2, s3, s4, s5, mixed, packed, cuts.toSeq)
   }
 
   /** Per-stage, per-source survivor counts — the drop-accounting

@@ -77,4 +77,25 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(again == first)
   }
+
+  test("Stages.close releases every stage-boundary checkpoint's blocks") {
+    // the round-7 leak: localCheckpoint persists for the context's
+    // life, so repeated run() in one session accretes storage blocks
+    // unless each evicted Stages is explicitly closed
+    def persistedIds(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = persistedIds()
+    val docs = Tables.documents(spark, sf)
+    val st = CurationPipeline.run(docs, CurationQueries.urlFixture(docs))
+    st.packed.count() // terminal materialization, as the contract requires
+    val during = persistedIds() -- before
+    assert(st.checkpointed.size == 7,
+      s"expected 7 stage-boundary cuts, got ${st.checkpointed.size}")
+    assert(during.nonEmpty,
+      "run() should have registered persistent checkpoint RDDs")
+    st.close()
+    val after = persistedIds()
+    assert(during.intersect(after).isEmpty,
+      s"close() left checkpoint RDDs persisted: ${during.intersect(after)}")
+  }
 }
