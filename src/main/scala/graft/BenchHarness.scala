@@ -10,6 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BenchHarness {
 
+  /** ANSI-SQL lane toggle: `SPARK_GRAFT_ANSI=true` runs every session
+    * (bench, verify, tests) under `spark.sql.ansi.enabled=true` —
+    * Spark 4's strict arithmetic/cast semantics. The catalog is
+    * ANSI-clean (the whole suite + all 109 hash oracles pass in both
+    * lanes); the default stays non-ANSI so round-over-round bench
+    * numbers remain comparable.
+    */
+  def ansiEnabled: String = sys.env.getOrElse("SPARK_GRAFT_ANSI", "false")
+
   /** Cluster-job-shaped local session: AQE on, shuffle partitions =
     * core count (not 200), codegen compile failures THROW (a silent
     * interpreted fallback would invalidate every number).
@@ -23,6 +32,7 @@ object BenchHarness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.ansi.enabled", ansiEnabled)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

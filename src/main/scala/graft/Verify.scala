@@ -15,6 +15,7 @@ object Verify {
       // codegen compile failures fail the query (and print via the
       // [verify] catch) instead of silently running interpreted
       .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.ansi.enabled", BenchHarness.ansiEnabled)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

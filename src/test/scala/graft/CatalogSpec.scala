@@ -10,6 +10,14 @@ class CatalogSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("session honors the SPARK_GRAFT_ANSI lane toggle") {
+    // proves the env var actually reaches the forked test JVM — a
+    // green ANSI-lane run is meaningless if the toggle silently
+    // defaulted to false inside the fork
+    val want = sys.env.getOrElse("SPARK_GRAFT_ANSI", "false")
+    assert(spark.conf.get("spark.sql.ansi.enabled") == want)
+  }
+
   test("catalog is well-formed: unique names, oracle keys subset") {
     val names = SparkEntry.catalog.map(_.name)
     assert(names.distinct.size == names.size)

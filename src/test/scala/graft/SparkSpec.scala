@@ -40,6 +40,9 @@ object SparkSpec {
       // regresses into e.g. the Expand switch-case split bug fails its
       // suite loudly rather than just losing codegen
       .config("spark.sql.codegen.fallback", "false")
+      // the ANSI lane: SPARK_GRAFT_ANSI=true runs the whole suite
+      // under Spark 4's strict arithmetic/cast semantics
+      .config("spark.sql.ansi.enabled", BenchHarness.ansiEnabled)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
