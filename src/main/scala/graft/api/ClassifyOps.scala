@@ -116,6 +116,15 @@ object ClassifyOps {
       classes.indices.map { i =>
         sum(fl2(coalesce(col(s"_cw$i"), lit(0L)) + 1) - lit(denom(i)))
           .as(s"_s$i") }
+    /** per-ROW (pre-aggregation) contributions `_q$i` — the same
+      * arithmetic as [[rollupAggs]] split out so a multi-gate union
+      * can zero non-classifier rows BEFORE one shared aggregate
+      * (summing `_q$i` over a doc's token rows == `_s$i`).
+      */
+    def contribCols: IndexedSeq[Column] =
+      classes.indices.map { i =>
+        (fl2(coalesce(col(s"_cw$i"), lit(0L)) + 1) - lit(denom(i)))
+          .as(s"_q$i") }
   }
 
   private[graft] def nbStats(model: DataFrame): NbStats = {

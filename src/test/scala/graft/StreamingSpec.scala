@@ -1059,6 +1059,164 @@ class StreamingSpec extends SparkSpec {
         s"extra=${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  /** VERDICT r7 item 3: the FULL curation stack as one streaming
+    * query — the [[assertIngestPipeline]] admission prefix (quota tws
+    * + exact dedup) fused with ALL FOUR scoring gates (near-dup LSH
+    * probe, CDC chunk overlap, bigram-LM quality, NB classifier) via
+    * the tagged-union expansion and ONE windowed aggregate. Oracle =
+    * the batch composition of the same rules (minhashPairsAgainst,
+    * cdcChunkHitsAgainstIndex, bigramLmScoreAgainst, nbClassify) on
+    * the same admitted set, row-for-row across every verdict column,
+    * including a checkpointed kill-and-restart mid-stream.
+    */
+  private def assertCuratedPipeline(): Unit = {
+    val docs = Tables.documents(spark, sf)
+    val corpusDf = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = NearDupIngest.index(corpusDf, "doc_id", "text")
+    val cdcPath =
+      java.nio.file.Files.createTempDirectory("graft_cur_cdc").toString
+    graft.api.DedupOps.writeCdcChunkIndex(corpusDf, "doc_id", "text", cdcPath)
+    val lmModel = graft.api.TextOps.bigramLmModel(corpusDf, "doc_id", "text")
+      .localCheckpoint()
+    val nbModel = graft.api.ClassifyOps
+      .nbModel(corpusDf, "doc_id", "text", "lang").localCheckpoint()
+
+    val cap = 8
+    val base = 1558000000000L
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .zipWithIndex
+      .map { case ((id, t, s), i) => (id, t, s, ts(base + i * 1000L)) }
+    val corpusText = corpusDf.orderBy("doc_id").select("text")
+      .head.getString(0)
+    val synth1 = (90001L, corpusText, "synthsrc", ts(base + 10000000L))
+    val synth2 = (90002L, corpusText, "synthsrc", ts(base + 10001000L))
+    // a null-text doc exercises the empty-branch legs of every gate
+    // (the sf0.001 fixture has none)
+    val synth3 = (90003L, null.asInstanceOf[String], "nullsrc",
+      ts(base + 10002000L))
+    val half = delta.length / 2
+    val batches = Seq(delta.take(half).toSeq, delta.drop(half).toSeq,
+      Seq(synth1, synth3), Seq(synth2))
+
+    // batch-composed admitted set: per-source first-cap, then synth2
+    // drops as an exact duplicate of synth1; the null-text doc admits
+    val admitted = (delta.groupBy(_._3).values
+      .flatMap(_.sortBy(_._1).take(cap)).toSeq ++ Seq(synth1, synth3))
+      .sortBy(_._1)
+    val admittedDf = admitted
+      .toDF("doc_id", "text", "source", "at").localCheckpoint()
+
+    // LM threshold from the batch scores' median avg-q so BOTH keep
+    // outcomes occur (a one-sided gate would be vacuous)
+    val lmScores = graft.api.TextOps.bigramLmScoreAgainst(
+      admittedDf, "doc_id", "text", lmModel)
+    val avgs = lmScores.filter(col("n_bigrams") > 0)
+      .select(expr("(sum_q2 * 1000) div n_bigrams")).collect()
+      .map(_.getLong(0)).sorted
+    val keepAvg = avgs(avgs.length / 2)
+    val cdc = graft.api.DedupOps.cdcChunkHitsAgainstIndex(
+      admittedDf, "doc_id", "text", cdcPath)
+    val nb = graft.api.ClassifyOps.nbClassify(
+      admittedDf, "doc_id", "text", nbModel)
+    val ndFlag = graft.api.DedupOps.minhashPairsAgainst(
+        admittedDf, corpusDf, "doc_id", "text")
+      .select(col("doc_new").as("doc_id")).distinct()
+      .withColumn("nd_hit", lit(1L))
+    val expected = admittedDf
+      .join(cdc, Seq("doc_id"))
+      .join(lmScores.select(col("doc_id"), col("n_bigrams"), col("sum_q2")),
+        Seq("doc_id"))
+      .join(nb.select(col("doc_id"), col("predicted"), col("score")),
+        Seq("doc_id"))
+      .join(ndFlag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.window(col("at"), "1 hour")("end")
+          .as("window_end"),
+        col("n_chunks"), col("n_hits"), col("hit_x1000"),
+        col("n_bigrams"), col("sum_q2"),
+        (col("n_bigrams") === 0 ||
+          col("sum_q2") * 1000 >= lit(keepAvg) * col("n_bigrams"))
+          .as("lm_keep"),
+        coalesce(col("nd_hit"), lit(0L)).as("nd_hit"),
+        col("predicted"), col("score"))
+      .withColumn("keep", col("nd_hit") === 0 && col("lm_keep") &&
+        col("hit_x1000") < 500)
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long].toString)
+    assert(expected.map(_(7)).distinct.size == 2,
+      "lm gate is one-sided — threshold choice made the gate vacuous")
+    assert(expected.exists(r => r(8) == 1L),
+      "no near-dup flag — the nd leg is vacuous")
+    assert(expected.exists(r => r(11) == false) &&
+      expected.exists(r => r(11) == true),
+      "composed keep is one-sided — test is vacuous")
+
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_drop")
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_cur_ck").toString
+    val collected =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    def startQuery() = IngestPipeline.curated(spark, dropDir.toString, idx,
+        cdcPath, lmModel, nbModel, capPerSource = cap, horizon = "2 hours",
+        delay = "1 hour", window = "1 hour", keepAvgQx1000 = keepAvg)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batch.collect().foreach(r => collected.add(r.toSeq))
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    def feed(i: Int, rows: Seq[(Long, String, String, Timestamp)],
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      graft.jobs.Sinks.jsonl(
+        rows.toDF("doc_id", "text", "source", "at"), s"$dropDir/batch$i")
+      val src = new java.io.File(s"$dropDir/batch$i")
+      src.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+        java.nio.file.Files.move(f.toPath, dropDir.resolve(s"b$i-${f.getName}"))
+      }
+      q.processAllAvailable()
+    }
+    // the windowed agg only emits when the watermark passes a window:
+    // a far-future straggler row (dropped by the quota cap's later
+    // arrival? no — new source, admitted, but in a far window that
+    // never closes) advances the watermark past every real window
+    val flushRow = (99999L, "flush doc", "flushsrc",
+      ts(base + 3L * 24 * 3600 * 1000))
+
+    val q1 = startQuery()
+    try feed(0, batches(0), q1) finally q1.stop()
+    val q2 = startQuery()
+    try {
+      batches.zipWithIndex.drop(1).foreach { case (b, i) => feed(i, b, q2) }
+      feed(batches.size, Seq(flushRow), q2)
+      feed(batches.size + 1, Seq((99998L, "flush doc two", "flushsrc",
+        ts(base + 4L * 24 * 3600 * 1000))), q2)
+    } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toSeq
+      .filter(r => r.head.asInstanceOf[Long] != 99999L &&
+        r.head.asInstanceOf[Long] != 99998L)
+      .sortBy(_.head.asInstanceOf[Long].toString)
+    assert(got.size == expected.size,
+      s"stream=${got.size} batch=${expected.size} " +
+        s"missing=${(expected.map(_.head).toSet -- got.map(_.head).toSet).take(5)}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"verdict mismatch for doc ${e.head}:\n  stream=$g\n  batch =$e")
+    }
+    idx.unpersist()
+  }
+
+  test("one-graph CURATED pipeline: quota -> dedup -> all four gates -> verdict, with restart") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertCuratedPipeline()
+    }
+  }
+
   test("one-graph ingest pipeline: drop-dir -> quota -> exact dedup -> probe, with restart") {
     // RocksDB is REQUIRED, not a variant: the quota stage runs on
     // transformWithState (the only API whose output carries an
