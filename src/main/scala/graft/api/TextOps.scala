@@ -666,27 +666,35 @@ object TextOps {
     * with a named error rather than probing unpruned with a guessed
     * layout.
     */
+  /** The persisted-index meta contract shared by the batch probe and
+    * [[graft.streaming.Bm25Gate]]: the meta is REQUIRED (it carries
+    * the prefix geometry), so a partially copied index fails with a
+    * named error rather than probing with a guessed layout.
+    */
+  private[graft] def readBm25Meta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String): Int =
+    try {
+      s.read.parquet(s"$indexPath/meta")
+        .select(col("prefix_partitions").cast("int"))
+        .head(1).headOption.map(_.getInt(0)).filter(_ >= 1)
+        .getOrElse(throw new IllegalStateException(
+          s"bm25 index probe: $indexPath/meta is empty"))
+    } catch {
+      case e: IllegalStateException => throw e
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"bm25 index probe: cannot read $indexPath/meta — the " +
+            "index is missing or partially copied; the meta carries " +
+            "the prefix geometry, so probing without it would scan " +
+            "with a guessed layout", e)
+    }
+
   def bm25TopKAgainstIndex(queries: DataFrame, qidCol: String,
       textCol: String, indexPath: String, idCol: String,
       k: Int = 10): DataFrame = {
     require(k >= 1, s"bm25TopKAgainstIndex: k must be >= 1, got $k")
     val s = queries.sparkSession
-    val prefixes =
-      try {
-        s.read.parquet(s"$indexPath/meta")
-          .select(col("prefix_partitions").cast("int"))
-          .head(1).headOption.map(_.getInt(0)).filter(_ >= 1)
-          .getOrElse(throw new IllegalStateException(
-            s"bm25TopKAgainstIndex: $indexPath/meta is empty"))
-      } catch {
-        case e: IllegalStateException => throw e
-        case e: Exception =>
-          throw new IllegalStateException(
-            s"bm25TopKAgainstIndex: cannot read $indexPath/meta — the " +
-              "index is missing or partially copied; the meta carries " +
-              "the prefix geometry, so probing without it would scan " +
-              "with a guessed layout", e)
-      }
+    val prefixes = readBm25Meta(s, indexPath)
     val qTerms = bm25QueryTerms(queries, qidCol, textCol).localCheckpoint()
     val touched = qTerms
       .select(pmod(TextHashing.hash60(col("_t")), lit(prefixes.toLong))

@@ -34,10 +34,45 @@ object Bm25Gate {
   def topKGate(queries: DataFrame, qidCol: String, textCol: String,
       tsCol: String, delay: String, window: String,
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
-      k: Int = 10, declareWatermark: Boolean = true): DataFrame = {
+      k: Int = 10, declareWatermark: Boolean = true): DataFrame =
+    gateCore(queries, qidCol, textCol, tsCol, delay, window,
+      TextOps.bm25ContribIndex(corpus, corpusIdCol, corpusTextCol),
+      corpusIdCol, k, declareWatermark)
+
+  /** [[topKGate]] fed from a PERSISTED [[TextOps.writeBm25Index]]
+    * instead of building the contribution index in-process — the
+    * stream deploy now matches the batch deploy
+    * ([[TextOps.bm25TopKAgainstIndex]]): build the index once per
+    * corpus version, gate the query stream continuously. The batch
+    * probe's driver-side `__bp` prefix pruning does not apply — a
+    * stream's term set is unbounded — but the layout still serves
+    * the static-side scan (partition-count parallelism, `_t`-sorted
+    * row groups), and the meta is REQUIRED exactly as in the batch
+    * probe (a partially copied index fails loudly at graph build).
+    */
+  def topKGateAgainstIndex(queries: DataFrame, qidCol: String,
+      textCol: String, tsCol: String, delay: String, window: String,
+      indexPath: String, idCol: String, k: Int = 10,
+      declareWatermark: Boolean = true): DataFrame = {
+    val s = queries.sparkSession
+    TextOps.readBm25Meta(s, indexPath) // completeness check only
+    gateCore(queries, qidCol, textCol, tsCol, delay, window,
+      s.read.parquet(s"$indexPath/contrib")
+        .select(col("_t"), col(idCol), col("_c")),
+      idCol, k, declareWatermark)
+  }
+
+  /** The one ranking graph behind both index sources: stream-static
+    * term join → (window, qid, doc) score rollup → (window, qid)
+    * single-pass `topk_agg` — chained watermark-bounded aggregates,
+    * append mode.
+    */
+  private def gateCore(queries: DataFrame, qidCol: String,
+      textCol: String, tsCol: String, delay: String, window: String,
+      idx: DataFrame, corpusIdCol: String, k: Int,
+      declareWatermark: Boolean): DataFrame = {
     require(k >= 1, s"Bm25Gate: k must be >= 1, got $k")
     graft.functions.SketchAggregates.register(queries.sparkSession)
-    val idx = TextOps.bm25ContribIndex(corpus, corpusIdCol, corpusTextCol)
     val src =
       if (declareWatermark) queries.withWatermark(tsCol, delay) else queries
     val qTerms = TextOps.bm25QueryTerms(src, qidCol, textCol,
