@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * audio via javax.sound.sampled (WAV/AIFF/AU PCM + ULAW/ALAW) — both
   * JDK-built-in, zero external deps. Video CONTAINER metadata is also
   * real: a codec-free MP4 (ISO BMFF) box walk and AVI RIFF header
-  * parse recover true width/height/frame-count/duration. Only the
-  * video FRAME PAYLOAD decode remains a DETERMINISTIC STUB (no JDK
-  * video codec exists — the feature vector is the stub's byte
-  * checksum); swap it for a real codec without touching the plumbing.
+  * parse recover true width/height/frame-count/duration, and
+  * MJPEG-in-AVI FRAME payloads decode for REAL too (each `movi`
+  * video chunk is a complete JPEG the imageio path parses; features
+  * are the per-frame band-luminance mean over a bounded uniform
+  * sample). Only frame decode for codecs the JDK lacks (H.264 etc.)
+  * remains a DETERMINISTIC STUB (the feature vector is the stub's
+  * byte checksum); swap in a real codec without touching the
+  * plumbing.
   */
 object Multimodal {
 
@@ -76,6 +80,38 @@ object Multimodal {
     * non-image media. Returns None when no registered reader parses
     * the bytes (caller falls back to the stub).
     */
+  /** Mean luminance over FeatureDim vertical bands in [0,1] — the one
+    * content-derived image feature, shared by the still-image decode
+    * and the MJPEG per-frame decode.
+    */
+  private def bandLuminance(im: java.awt.image.BufferedImage): Array[Float] = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val feats = new Array[Float](FeatureDim)
+    var b = 0
+    while (b < FeatureDim) {
+      val x0 = b * w / FeatureDim
+      val x1 = math.max(x0 + 1, (b + 1) * w / FeatureDim)
+      var sum = 0.0
+      var cnt = 0
+      var x = x0
+      while (x < math.min(x1, w)) {
+        var y = 0
+        while (y < h) {
+          val rgb = im.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0
+          cnt += 1
+          y += 1
+        }
+        x += 1
+      }
+      feats(b) = if (cnt == 0) 0f else (sum / cnt / 255.0).toFloat
+      b += 1
+    }
+    feats
+  }
+
   private[graft] def decodeImage(r: MediaRecord): Option[DecodedMedia] = {
     val img =
       // NonFatal, not just IOException: ImageIO plugins throw runtime
@@ -85,31 +121,8 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
       catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
-      val w = im.getWidth
-      val h = im.getHeight
-      val feats = new Array[Float](FeatureDim)
-      var b = 0
-      while (b < FeatureDim) {
-        val x0 = b * w / FeatureDim
-        val x1 = math.max(x0 + 1, (b + 1) * w / FeatureDim)
-        var sum = 0.0
-        var cnt = 0
-        var x = x0
-        while (x < math.min(x1, w)) {
-          var y = 0
-          while (y < h) {
-            val rgb = im.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000.0
-            cnt += 1
-            y += 1
-          }
-          x += 1
-        }
-        feats(b) = if (cnt == 0) 0f else (sum / cnt / 255.0).toFloat
-        b += 1
-      }
-      DecodedMedia(r.docId, r.mediaType, r.payload.length.toLong, w, h, 1, feats)
+      DecodedMedia(r.docId, r.mediaType, r.payload.length.toLong,
+        im.getWidth, im.getHeight, 1, bandLuminance(im))
     }
   }
 
@@ -327,20 +340,100 @@ object Multimodal {
     out
   }
 
+  /** Uniform sample cap for per-frame MJPEG decode: enough frames for
+    * a stable mean feature, bounded work per record.
+    */
+  private[graft] val MaxSampledFrames = 4
+
+  /** `movi` LIST walk: the byte ranges of the video stream's frame
+    * chunks — fourcc `NNdc`/`NNdb` (compressed/uncompressed video
+    * data for stream NN), even-padded like every RIFF chunk, with
+    * nested `rec ` LISTs recursed into. Uniformly samples at most
+    * `maxSample` frames (always including the first) so per-record
+    * work is bounded regardless of video length. Offsets, not copies,
+    * until the sample is chosen.
+    */
+  private[graft] def parseAviVideoFrames(b: Array[Byte],
+      maxSample: Int): Seq[Array[Byte]] = {
+    val n = b.length
+    if (n < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return Nil
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def isVideoChunk(fcc: String): Boolean =
+      fcc.length == 4 && fcc(0).isDigit && fcc(1).isDigit &&
+        fcc(2) == 'd' && (fcc(3) == 'c' || fcc(3) == 'b')
+    def walk(start: Long, end: Long, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val fcc = fourcc(b, off.toInt)
+        val size = le32(b, off.toInt + 4)
+        val body = off + 8
+        if (body + size > end) return
+        if (fcc == "LIST" && size >= 4) {
+          val listType = fourcc(b, body.toInt)
+          walk(body + 4, body + size,
+            inMovi || listType == "movi" || listType == "rec ")
+        } else if (inMovi && isVideoChunk(fcc) && size > 0) {
+          found += ((body.toInt, size.toInt))
+        }
+        off = body + size + (size & 1L) // chunks pad to even
+      }
+    }
+    walk(12L, n.toLong, inMovi = false)
+    val cnt = found.length
+    if (cnt == 0) Nil
+    else {
+      val take = math.min(maxSample, cnt)
+      (0 until take).map { i =>
+        val (o, sz) = found(i * cnt / take)
+        java.util.Arrays.copyOfRange(b, o, o + sz)
+      }
+    }
+  }
+
   /** REAL video container metadata (MP4 box walk, then AVI RIFF):
     * true width/height/frame-count/duration into the typed schema.
-    * The feature vector stays the deterministic stub's — decoding
-    * FRAMES needs a codec the JDK doesn't have; that half remains the
-    * documented stub seam. None when neither container grammar
-    * matches.
+    * For MJPEG-in-AVI the FRAME payloads decode too — each sampled
+    * `movi` video chunk is a complete JPEG the JDK's javax.imageio
+    * path already parses — and the feature vector is the element-wise
+    * mean of the per-frame band-luminance features (the still-image
+    * feature, applied per frame). Width/height fall back to the first
+    * decoded frame's true dimensions when the header omits them. For
+    * codecs the JDK cannot parse (H.264 etc.) the features remain the
+    * deterministic stub's — the one documented stub seam left. None
+    * when neither container grammar matches.
     */
   private[graft] def decodeVideo(r: MediaRecord): Option[DecodedMedia] =
-    (try parseMp4Meta(r.payload).orElse(parseAviMeta(r.payload))
-     catch { case scala.util.control.NonFatal(_) => None }).map { m =>
-      DecodedMedia(r.docId, r.mediaType, r.payload.length.toLong,
-        m.width, m.height, m.nFrames, decodeStub(r).features,
-        durationMs = m.durationMs)
-    }
+    (try parseMp4Meta(r.payload).map((_, Seq.empty[Array[Byte]]))
+       .orElse(parseAviMeta(r.payload).map(m =>
+         (m, parseAviVideoFrames(r.payload, MaxSampledFrames))))
+     catch { case scala.util.control.NonFatal(_) => None })
+      .map { case (m, frameBytes) =>
+        val frames = frameBytes.flatMap { fb =>
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fb)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val feats =
+          if (frames.isEmpty) decodeStub(r).features
+          else {
+            val per = frames.map(bandLuminance)
+            val out = new Array[Float](FeatureDim)
+            var i = 0
+            while (i < FeatureDim) {
+              var s = 0.0
+              per.foreach(p => s += p(i))
+              out(i) = (s / per.length).toFloat
+              i += 1
+            }
+            out
+          }
+        val (w, h) =
+          if (m.width > 0 || frames.isEmpty) (m.width, m.height)
+          else (frames.head.getWidth, frames.head.getHeight)
+        DecodedMedia(r.docId, r.mediaType, r.payload.length.toLong,
+          w, h, m.nFrames, feats, durationMs = m.durationMs)
+      }
 
   /** Per-record dispatch: payloads typed `image/...` go through the
     * real JDK image decode, `audio/...` through the real JDK audio

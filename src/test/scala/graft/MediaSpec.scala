@@ -185,6 +185,84 @@ class MediaSpec extends SparkSpec {
     fcc("RIFF") ++ leInt(body.length.toLong) ++ body
   }
 
+  /** MJPEG AVI: the [[aviFixture]] header plus a movi LIST whose
+    * `00dc` chunks are REAL JPEGs (ImageIO-written solid-color
+    * frames), odd sizes pad to even per the RIFF grammar; a `01wb`
+    * audio chunk rides along and must NOT be decoded as a frame.
+    */
+  private def jpegBytes(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = im.createGraphics()
+    g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
+  }
+  private def riffChunk(fccStr: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    fcc(fccStr) ++ leInt(payload.length.toLong) ++ payload ++ pad
+  }
+  private def mjpegFrames: Seq[Array[Byte]] =
+    Seq(jpegBytes(0x000000), jpegBytes(0xffffff), jpegBytes(0x808080))
+  private def mjpegAviFixture: Array[Byte] = {
+    val avihBody = leInt(40000) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++
+      leInt(3) ++ leInt(0) ++ leInt(1) ++ leInt(0) ++
+      leInt(32) ++ leInt(24) ++ Array.fill[Byte](16)(0)
+    val avih = fcc("avih") ++ leInt(avihBody.length.toLong) ++ avihBody
+    val hdrl = fcc("LIST") ++ leInt(4L + avih.length) ++ fcc("hdrl") ++ avih
+    val moviPayload = fcc("movi") ++
+      riffChunk("00dc", mjpegFrames(0)) ++
+      riffChunk("01wb", Array.fill[Byte](17)(42)) ++ // audio, odd size
+      riffChunk("00dc", mjpegFrames(1)) ++
+      riffChunk("00dc", mjpegFrames(2))
+    val movi = fcc("LIST") ++ leInt(moviPayload.length.toLong) ++ moviPayload
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ leInt(body.length.toLong) ++ body
+  }
+
+  test("MJPEG-in-AVI frames decode for REAL: features are the per-frame band-luminance mean") {
+    import spark.implicits._
+    val out = Multimodal.decode(Seq(
+        MediaRecord(7L, "video/avi", mjpegAviFixture)).toDS()).collect().head
+    assert(out.width == 32 && out.height == 24)
+    assert(out.nFrames == 3 && out.durationMs == 120L)
+    // expected = element-wise mean of the STILL-image features of the
+    // same three JPEG payloads — frame decode must be the image decode
+    val per = mjpegFrames.map(fb => Multimodal.decodeImage(
+      MediaRecord(0L, "image/jpeg", fb)).get.features)
+    val want = (0 until Multimodal.FeatureDim).map { i =>
+      (per.map(_(i).toDouble).sum / per.length).toFloat
+    }
+    assert(out.features.toSeq == want,
+      s"got ${out.features.toSeq} want $want")
+    // black and white frames average to ~mid grey — a REAL decode
+    // signature no byte-checksum stub can produce
+    out.features.foreach(f => assert(f > 0.4f && f < 0.7f, f))
+    // the audio chunk is not in the frame walk
+    assert(Multimodal.parseAviVideoFrames(mjpegAviFixture, 10).length == 3)
+  }
+
+  test("MJPEG frame sampling is bounded and includes the first frame") {
+    val many = {
+      val avihBody = leInt(40000) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++
+        leInt(9) ++ leInt(0) ++ leInt(1) ++ leInt(0) ++
+        leInt(32) ++ leInt(24) ++ Array.fill[Byte](16)(0)
+      val avih = fcc("avih") ++ leInt(avihBody.length.toLong) ++ avihBody
+      val hdrl = fcc("LIST") ++ leInt(4L + avih.length) ++ fcc("hdrl") ++ avih
+      val moviPayload = fcc("movi") ++
+        (0 until 9).flatMap(i => riffChunk("00dc",
+          jpegBytes(i * 0x1c1c1c))).toArray
+      val movi = fcc("LIST") ++ leInt(moviPayload.length.toLong) ++ moviPayload
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      fcc("RIFF") ++ leInt(body.length.toLong) ++ body
+    }
+    val sampled = Multimodal.parseAviVideoFrames(many, Multimodal.MaxSampledFrames)
+    assert(sampled.length == Multimodal.MaxSampledFrames)
+    // first frame always sampled; sample is uniform over the 9 frames
+    assert(sampled.head.sameElements(jpegBytes(0)))
+  }
+
   test("MP4 box walk recovers true dims, video-trak frame count, duration") {
     import spark.implicits._
     val out = Multimodal.decode(Seq(
