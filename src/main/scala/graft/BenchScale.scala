@@ -112,6 +112,36 @@ object BenchScale {
     Seq("nation", "region").foreach(t => write(load(spark, baseDir, t), t))
   }
 
+  /** Vocabulary-REALISTIC k× documents table (Heaps' law): copy i
+    * renames a token TYPE t iff `pmod(xxhash64(t, i), 1000) <
+    * round(500/sqrt(i))`, so the expected number of NEW types per
+    * copy falls like V₁/(2√i) and the total vocabulary grows ~k^0.5
+    * (β ≈ 0.5, the classic Heaps exponent) instead of the bijective
+    * rename's k×. Used ONLY for the vocabulary-sensitive rows
+    * (q95/q98/q101): un-renamed tokens are SHARED across copies, so
+    * cross-copy shingles collide and the dedup family would measure
+    * an O(k²) pair artifact on this corpus — exactly what the
+    * bijective fixture exists to avoid.
+    */
+  def scaleDocsHeaps(spark: SparkSession, baseDir: String, outDir: String,
+      k: Int): Unit = {
+    val Off = 1000000000L
+    val docs = load(spark, baseDir, "documents")
+    (0 until k).map { i =>
+      val text =
+        if (i == 0) col("text")
+        else {
+          val p = math.round(500.0 / math.sqrt(i))
+          array_join(transform(split(col("text"), " ", -1),
+            t => when(pmod(xxhash64(t, lit(i)), lit(1000)) < lit(p),
+              concat(t, lit(s"_c$i"))).otherwise(t)), " ")
+        }
+      docs.select((col("doc_id") + lit(i * Off)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
@@ -219,6 +249,31 @@ object BenchScale {
     val bPrbS = BenchHarness.minOf2Of(() => TextOps.bm25TopKAgainstIndex(
       bmQueries, "qid", "text", s"$idxDir/bm25_scaled", "doc_id"))
 
+    // ---- Heaps-law vocabulary fixture: the q95/q98/q101 upper bounds
+    // under the bijective rename measure a 10x vocabulary; this corpus
+    // grows the vocabulary ~k^0.5 (realistic Heaps growth), isolating
+    // how the vocabulary-frame operators behave on a REAL corpus's
+    // token statistics. Only documents is generated (these queries
+    // read nothing else); dedup rows never run here (shared tokens
+    // across copies would measure a cross-copy pair artifact).
+    val heapsDir = Files.createTempDirectory("graft-scale-heaps-").toString
+    scaleDocsHeaps(spark, baseDir, heapsDir, k)
+    val vocabOf = (dir: String) => load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0)
+    val vocabRatio = {
+      val b = vocabOf(baseDir)
+      if (b == 0) -1.0 else vocabOf(heapsDir).toDouble / b
+    }
+    val heapsRows = Seq("q95_bpe_vocab_induction", "q98_bpe_tokenize",
+      "q101_text_embedding").map { q =>
+      val base = BenchHarness.minOf2(spark, q, baseDir)
+      val scaled = BenchHarness.minOf2(spark, q, heapsDir)
+      val ratio = if (base <= 0 || scaled <= 0) -1.0
+        else scaled / math.max(base, 0.15)
+      (s"${q}_heaps", base, scaled, ratio)
+    }
+
     // index builds are one-shot full-corpus scans: they join the
     // ~linear rows (<= 2k bound); probes join the flat rows (<= 2.0)
     val buildRows = Seq(
@@ -230,7 +285,7 @@ object BenchScale {
       ("q83_probe_const_delta", vPrbB, vPrbS, cRatio(vPrbB, vPrbS)),
       ("q108_probe_const_delta", bPrbB, bPrbS, cRatio(bPrbB, bPrbS)))
 
-    val linearRows = rows ++ buildRows
+    val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max
     import BenchHarness.num
     val qs = (linearRows ++ probeRows).map { case (q, b, s, r) =>
@@ -241,7 +296,7 @@ object BenchScale {
     // fixed-delta probes stay flat REGARDLESS of k
     val ok = linearRows.forall(r => r._4 > 0 && r._4 <= 2.0 * k)
     val constOk = probeRows.forall(r => r._4 > 0 && r._4 <= 2.0)
-    println(s"""{"metric":"scale_worst_ratio","value":$worst,"unit":"x","k":$k,"base":"$baseDir","linear_ok":$ok,"const_delta_ok":$constOk,"queries":$qs}""")
+    println(s"""{"metric":"scale_worst_ratio","value":$worst,"unit":"x","k":$k,"base":"$baseDir","linear_ok":$ok,"const_delta_ok":$constOk,"heaps_vocab_ratio":${num(vocabRatio)},"queries":$qs}""")
     spark.stop()
   }
 }

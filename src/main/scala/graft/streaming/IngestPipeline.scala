@@ -189,17 +189,18 @@ object IngestPipeline {
       .select(col("docId").as("doc_id"), col("payload").as("text"),
         col("ts"))
 
-    // ---- ONE stateless tagged expansion (single generator) ----
+    // ---- ONE stateless tagged expansion (single generator). The
+    // base/chunk/bigram/token rows come from the fused native
+    // `curation_rows` kernel — one codegen'd pass per doc, not three
+    // interpreted transform lambdas (the q22 lesson); only the 4 band
+    // structs are built in-plan (they derive from minhash16, a
+    // different input, and are a static unroll — no HOF either). Null
+    // text keeps its presence row via the otherwise branch. ----
     val sNull = "cast(null as string)"
+    val baseOnly = s"array(named_struct('t', 0, 'w1', $sNull, " +
+      s"'w2', $sNull, 'n', 0L, 'c', 0L, 'band', -1, 'bkey', $sNull))"
     val tagged = exact
       .select(col("doc_id"), col("ts"), split(col("text"), " ", -1).as("_tk"))
-      .withColumn("_ch", when(col("_tk").isNotNull,
-          expr(s"cdc_chunk_hashes(_tk, $cdcW, $cdcMod)"))
-        .otherwise(expr("cast(array() as array<bigint>)")))
-      .withColumn("_bg", when(coalesce(size(col("_tk")), lit(-1)) >= 2,
-          expr("bigram_counts(_tk)"))
-        .otherwise(expr(
-          "cast(array() as array<struct<w1:string,w2:string,n:bigint>>)")))
       .withColumn("hs", when(coalesce(size(col("_tk")), lit(-1)) >= 3,
           expr(s"shingle_hashes(_tk, 3, $P)"))
         // typedLit keeps containsNull=false, which minhash16 requires
@@ -218,15 +219,9 @@ object IngestPipeline {
         .otherwise(expr("cast(array() as array<struct<t:int,w1:string," +
           "w2:string,n:bigint,c:bigint,band:int,bkey:string>>)")))
       .withColumn("_all", concat(
-        expr(s"array(named_struct('t', 0, 'w1', $sNull, 'w2', $sNull, " +
-          "'n', 0L, 'c', 0L, 'band', -1, 'bkey', " + sNull + "))"),
-        expr(s"transform(_ch, x -> named_struct('t', 1, 'w1', $sNull, " +
-          s"'w2', $sNull, 'n', 0L, 'c', x, 'band', -1, 'bkey', $sNull))"),
-        expr(s"transform(_bg, p -> named_struct('t', 2, 'w1', p.w1, " +
-          s"'w2', p.w2, 'n', p.n, 'c', 0L, 'band', -1, 'bkey', $sNull))"),
-        expr(s"transform(coalesce(_tk, cast(array() as array<string>)), " +
-          s"w -> named_struct('t', 3, 'w1', w, 'w2', $sNull, 'n', 0L, " +
-          s"'c', 0L, 'band', -1, 'bkey', $sNull))"),
+        when(col("_tk").isNotNull,
+            expr(s"curation_rows(_tk, $cdcW, $cdcMod)"))
+          .otherwise(expr(baseOnly)),
         col("_bands")))
     val rows = tagged
       .select(col("doc_id"), col("ts"), col("hs"), explode(col("_all")).as("e"))

@@ -134,4 +134,34 @@ class TextHashLawsSpec extends SparkSpec {
       s"diverging rows: ${bad.select("id", "toks", "native", "decl")
         .collect().take(3).toSeq}")
   }
+
+  test("curation_rows == base ++ cdc_chunk_hashes ++ bigram_counts ++ token rows") {
+    // the law behind IngestPipeline.curated's tagged expansion: the
+    // fused kernel must emit exactly the declarative concat of the
+    // three transforms it replaced (same rows, same order), on
+    // arbitrary docs incl. 0/1/2-token and repeated-token shapes
+    val sNull = "cast(null as string)"
+    for ((w, m) <- Seq((4, 8), (2, 2))) {
+      val decl = docs.withColumn("decl", expr(
+        s"""concat(
+          array(named_struct('t', 0, 'w1', $sNull, 'w2', $sNull,
+            'n', 0L, 'c', 0L, 'band', -1, 'bkey', $sNull)),
+          transform(cdc_chunk_hashes(toks, $w, $m),
+            x -> named_struct('t', 1, 'w1', $sNull, 'w2', $sNull,
+              'n', 0L, 'c', x, 'band', -1, 'bkey', $sNull)),
+          transform(bigram_counts(toks),
+            p -> named_struct('t', 2, 'w1', p.w1, 'w2', p.w2,
+              'n', p.n, 'c', 0L, 'band', -1, 'bkey', $sNull)),
+          transform(toks,
+            tk -> named_struct('t', 3, 'w1', tk, 'w2', $sNull,
+              'n', 0L, 'c', 0L, 'band', -1, 'bkey', $sNull)))"""))
+      val bad = decl
+        .withColumn("native", expr(s"curation_rows(toks, $w, $m)"))
+        .filter(to_json(struct(col("native").as("v"))) =!=
+          to_json(struct(col("decl").as("v"))))
+      assert(bad.count() == 0,
+        s"w=$w m=$m diverging rows: " +
+          s"${bad.select("id", "toks").collect().take(3).toSeq}")
+    }
+  }
 }
