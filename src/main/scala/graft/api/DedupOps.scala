@@ -103,9 +103,24 @@ object DedupOps {
     */
   private[graft] def bandBuckets(bands: DataFrame, idCol: String,
       maxBucket: Int): DataFrame =
+    bandBucketsAll(bands, idCol, maxBucket)
+      .filter(col("__cs").isNotNull)
+
+  /** [[bandBuckets]] KEEPING the over-cap buckets as `__cs = null`
+    * TOMBSTONE rows. In-process consumers filter them (a null bucket
+    * blocks nothing, so carrying it is pure overhead), but the
+    * PERSISTED index must record them: a fold
+    * ([[foldIntoMinhashIndex]]) cannot otherwise distinguish "bucket
+    * never seen" from "bucket already over cap", and would resurrect
+    * a skipped bucket with only its delta members — diverging from
+    * the from-scratch build the fold must reproduce. Probes are
+    * tombstone-tolerant by construction (`explode(__cs)` of null
+    * emits nothing).
+    */
+  private[graft] def bandBucketsAll(bands: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame =
     bands.groupBy(col("band"), col("bkey"))
       .agg(call_function("capped_list", col(idCol), lit(maxBucket)).as("__cs"))
-      .filter(col("__cs").isNotNull)
 
   /** Shared MinHash front end: (hashed = id + distinct shingle hashes,
     * bands = id + LSH band keys). Factored so self-join dedup
@@ -204,7 +219,9 @@ object DedupOps {
     val hashed = shingleHashed(corpus, idCol, textCol).persist()
     try {
       graft.jobs.Sinks.layout(
-        bandBuckets(withBandKeys(hashed)
+        // tombstones INCLUDED (bandBucketsAll): the fold operator
+        // needs to see which buckets are already over cap
+        bandBucketsAll(withBandKeys(hashed)
           .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
           .withColumn("__bp",
             pmod(xxhash64(col("band"), col("bkey")), lit(prefixPartitions.toLong))),
@@ -215,8 +232,92 @@ object DedupOps {
         s"$path/hashed", partitionCols = Nil,
         sortCols = Seq("doc_old"), numFiles = 8)
       corpus.sparkSession.range(1)
-        .select(lit(prefixPartitions).as("prefix_partitions"))
+        .select(lit(prefixPartitions).as("prefix_partitions"),
+          lit(maxBucket).as("max_bucket"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally hashed.unpersist()
+  }
+
+  /** Fold a DELTA of new documents into a persisted
+    * [[writeMinhashIndex]] WITHOUT re-scanning the corpus text — the
+    * daily index-maintenance operation at scale: corpus v2's index =
+    * fold(v1 index, day's new docs), cost O(index size + delta),
+    * where the index is ids + hash sets (tiny next to the corpus
+    * text a from-scratch rebuild would re-shingle).
+    *
+    * Exactness contract: the folded index probes IDENTICALLY to a
+    * from-scratch `writeMinhashIndex(corpus ∪ delta)` (DedupSpec
+    * parity). The cap arithmetic is why tombstones exist: a bucket
+    * over cap in EITHER input stays a tombstone (adding docs cannot
+    * shrink it), an under-cap union that crosses the cap BECOMES one,
+    * and a bucket absent on one side keeps the other side's list —
+    * all exactly what the from-scratch `capped_list` would compute.
+    * Delta ids must be disjoint from the indexed ids (the incremental
+    * contract everywhere in this api). Meta (prefix geometry + cap)
+    * is REQUIRED: reproducing the build needs the build's parameters,
+    * so a pre-tombstone index (no `max_bucket` in meta) folds with
+    * [[DefaultMaxBucket]] and a warning is the caller's lookout.
+    */
+  def foldIntoMinhashIndex(delta: DataFrame, idCol: String,
+      textCol: String, indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "foldIntoMinhashIndex: outPath must differ from indexPath (the " +
+        "merge reads the old index lazily while writing the new one)")
+    val s = delta.sparkSession
+    val meta =
+      try s.read.parquet(s"$indexPath/meta").head(1).headOption
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"foldIntoMinhashIndex: cannot read $indexPath/meta — the " +
+            "fold must reproduce the build's prefix/cap geometry", e)
+      }
+    val metaRow = meta.getOrElse(throw new IllegalStateException(
+      s"foldIntoMinhashIndex: $indexPath/meta is empty"))
+    val metaDf = s.read.parquet(s"$indexPath/meta")
+    val prefixPartitions = metaRow.getAs[Number]("prefix_partitions").intValue()
+    val maxBucket =
+      if (metaDf.columns.contains("max_bucket"))
+        metaRow.getAs[Number]("max_bucket").intValue()
+      else DefaultMaxBucket
+
+    val hashed = shingleHashed(delta, idCol, textCol).persist()
+    try {
+      val deltaBuckets = bandBucketsAll(withBandKeys(hashed)
+        .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
+        .select(col("band"), col("bkey"), col("__cs").as("_dcs"),
+          lit(true).as("_dhas"))
+      val oldBuckets = s.read.parquet(s"$indexPath/buckets").drop("__bp")
+        .select(col("band"), col("bkey"), col("__cs").as("_ocs"),
+          lit(true).as("_ohas"))
+      // full-outer merge; the _has indicators distinguish "row absent"
+      // from "row present with a null (tombstone) list"
+      val merged = oldBuckets
+        .join(deltaBuckets, Seq("band", "bkey"), "full_outer")
+        .select(col("band"), col("bkey"),
+          when(col("_ohas").isNotNull && col("_ocs").isNull ||
+               col("_dhas").isNotNull && col("_dcs").isNull,
+            lit(null).cast(deltaBuckets.schema("_dcs").dataType))
+          .when(col("_ohas").isNotNull && col("_dhas").isNotNull,
+            when(size(concat(col("_ocs"), col("_dcs"))) > maxBucket,
+              lit(null).cast(deltaBuckets.schema("_dcs").dataType))
+            .otherwise(concat(col("_ocs"), col("_dcs"))))
+          .when(col("_ohas").isNotNull, col("_ocs"))
+          .otherwise(col("_dcs")).as("__cs"))
+      graft.jobs.Sinks.layout(
+        merged.withColumn("__bp",
+          pmod(xxhash64(col("band"), col("bkey")),
+            lit(prefixPartitions.toLong))),
+        s"$outPath/buckets", partitionCols = Seq("__bp"),
+        sortCols = Seq("band", "bkey"), numFiles = 8)
+      graft.jobs.Sinks.layout(
+        s.read.parquet(s"$indexPath/hashed").unionByName(
+          hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old"))),
+        s"$outPath/hashed", partitionCols = Nil,
+        sortCols = Seq("doc_old"), numFiles = 8)
+      s.range(1)
+        .select(lit(prefixPartitions).as("prefix_partitions"),
+          lit(maxBucket).as("max_bucket"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
     } finally hashed.unpersist()
   }
 
@@ -747,6 +848,37 @@ object DedupOps {
       .select(lit(prefixPartitions).as("prefix_partitions"),
         lit(modulus).as("modulus"), lit(window).as("window"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold a DELTA of new documents into a persisted
+    * [[writeCdcChunkIndex]] WITHOUT re-chunking the corpus — the CDC
+    * sibling of [[foldIntoMinhashIndex]], simpler because the index
+    * is a plain distinct hash set (no cap arithmetic): new index =
+    * old chunk set ∪ delta chunk set, chunked with EXACTLY the old
+    * index's geometry (read off its meta — a fold with different
+    * modulus/window would be silently meaningless, the probe's
+    * contract applied to maintenance). Cost O(index + delta); probes
+    * identically to a from-scratch build on corpus ∪ delta
+    * (DedupSpec parity).
+    */
+  def foldIntoCdcChunkIndex(delta: DataFrame, idCol: String,
+      textCol: String, indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "foldIntoCdcChunkIndex: outPath must differ from indexPath")
+    val s = delta.sparkSession
+    val (prefixes, modulus, window) = readCdcMeta(s, indexPath)
+    val deltaChunks = cdcChunked(delta, idCol, textCol, modulus, window)
+      .select(explode(col("_ch")).as("c"))
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/chunks").select(col("c"))
+        .unionByName(deltaChunks).distinct()
+        .withColumn("__bp", pmod(xxhash64(col("c")), lit(prefixes.toLong))),
+      s"$outPath/chunks", partitionCols = Seq("__bp"),
+      sortCols = Seq("c"), numFiles = 8)
+    s.range(1)
+      .select(lit(prefixes).as("prefix_partitions"),
+        lit(modulus).as("modulus"), lit(window).as("window"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
   }
 
   /** [[cdcChunkHits]] probing a PERSISTED [[writeCdcChunkIndex]]

@@ -306,4 +306,78 @@ class DedupSpec extends SparkSpec {
       "fixture has no cluster whose members id-hash across splits; " +
         "the demonstration assert needs a richer fixture")
   }
+
+  test("foldIntoMinhashIndex == from-scratch rebuild, incl. cap tombstones") {
+    import graft.api.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val delta = docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+    def probeSet(path: String) = DedupOps.minhashPairsAgainstIndex(
+        probes, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-fold-").toString
+    DedupOps.writeMinhashIndex(c0.unionByName(delta), "doc_id", "text",
+      s"$dir/full")
+    DedupOps.writeMinhashIndex(c0, "doc_id", "text", s"$dir/v1")
+    DedupOps.foldIntoMinhashIndex(delta, "doc_id", "text",
+      s"$dir/v1", s"$dir/v2")
+    val full = probeSet(s"$dir/full")
+    val folded = probeSet(s"$dir/v2")
+    assert(full.nonEmpty, "probe found nothing — parity would be vacuous")
+    assert(folded == full, s"missing=${(full -- folded).take(3)} " +
+      s"extra=${(folded -- full).take(3)}")
+
+    // cap=1 forces tombstones AND cap-crossing unions: any bucket with
+    // two docs (from either side, or one from each) must tombstone in
+    // BOTH builds — the exactness the _has-indicator merge arithmetic
+    // carries. The from-scratch/folded probes must still agree.
+    DedupOps.writeMinhashIndex(c0.unionByName(delta), "doc_id", "text",
+      s"$dir/full1", maxBucket = 1)
+    DedupOps.writeMinhashIndex(c0, "doc_id", "text", s"$dir/v1c",
+      maxBucket = 1)
+    DedupOps.foldIntoMinhashIndex(delta, "doc_id", "text",
+      s"$dir/v1c", s"$dir/v2c")
+    assert(probeSet(s"$dir/v2c") == probeSet(s"$dir/full1"))
+    // the folded index really records tombstones (and the cross-side
+    // cap-crossing case really occurred, or the fixture is too tame)
+    val v2buckets = spark.read.parquet(s"$dir/v2c/buckets")
+    assert(v2buckets.filter(col("__cs").isNull).count() > 0,
+      "no tombstone rows in the folded index — the cap leg is vacuous")
+    val crossings = spark.read.parquet(s"$dir/v1c/buckets")
+      .filter(col("__cs").isNotNull)
+      .join(v2buckets.filter(col("__cs").isNull), Seq("band", "bkey"),
+        "left_semi").count()
+    assert(crossings > 0,
+      "no under-cap v1 bucket tombstoned by the fold — cap-crossing untested")
+  }
+
+  test("foldIntoCdcChunkIndex == from-scratch rebuild") {
+    import graft.api.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val delta = docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+    def hits(path: String) = DedupOps.cdcChunkHitsAgainstIndex(
+        probes, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcfold-").toString
+    DedupOps.writeCdcChunkIndex(c0.unionByName(delta), "doc_id", "text",
+      s"$dir/full", modulus = 32)
+    DedupOps.writeCdcChunkIndex(c0, "doc_id", "text", s"$dir/v1",
+      modulus = 32)
+    DedupOps.foldIntoCdcChunkIndex(delta, "doc_id", "text",
+      s"$dir/v1", s"$dir/v2")
+    val full = hits(s"$dir/full")
+    val folded = hits(s"$dir/v2")
+    assert(full.exists(_._3 > 0), "no chunk hits — parity would be vacuous")
+    assert(folded == full)
+    // the fold copied the geometry meta verbatim (modulus 32, not the
+    // writeCdcChunkIndex default 64)
+    val (_, m, w) = DedupOps.readCdcMeta(spark, s"$dir/v2")
+    assert(m == 32 && w == 4)
+  }
 }

@@ -1268,6 +1268,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("curated pipeline plan: exactly 3 SINGLE-INSTANCE stateful operators") {
+    // the load-bearing structural claim: the tagged-union expansion
+    // exists so the stateful prefix is planned ONCE. A reintroduced
+    // branch would show up here as a duplicated TransformWithState /
+    // DeduplicateWithinWatermark / Aggregate — the exact shape that
+    // silently mixes dedup-survivor universes (see IngestPipeline
+    // scaladoc). Counted on the ANALYZED plan: no query start needed.
+    val docs = Tables.documents(spark, sf)
+    val corpusDf = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = NearDupIngest.index(corpusDf, "doc_id", "text")
+    val cdcPath =
+      java.nio.file.Files.createTempDirectory("graft_cur_plan").toString
+    graft.api.DedupOps.writeCdcChunkIndex(corpusDf, "doc_id", "text", cdcPath)
+    val lmModel = graft.api.TextOps.bigramLmModel(corpusDf, "doc_id", "text")
+      .localCheckpoint()
+    val nbModel = graft.api.ClassifyOps
+      .nbModel(corpusDf, "doc_id", "text", "lang").localCheckpoint()
+    val dropDir =
+      java.nio.file.Files.createTempDirectory("graft_cur_plan_drop").toString
+    val out = IngestPipeline.curated(spark, dropDir, idx, cdcPath,
+      lmModel, nbModel, capPerSource = 8, horizon = "2 hours",
+      delay = "1 hour", window = "1 hour", keepAvgQx1000 = -9000L)
+    val plan = out.queryExecution.analyzed
+    def count(pred: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        => Boolean): Int = plan.collect { case p if pred(p) => p }.size
+    val tws = count(_.getClass.getSimpleName.contains("TransformWithState"))
+    val dedup = count(
+      _.getClass.getSimpleName.contains("DeduplicateWithinWatermark"))
+    // only STREAMING aggregates hold state — the static model sides
+    // (pivoted NB groupBy, m1 distinct) are stateless batch aggregates
+    // re-evaluated per micro-batch
+    val aggs = count(p =>
+      p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] &&
+        p.isStreaming)
+    assert(tws == 1, s"quota tws planned $tws times — a branch duplicated it")
+    assert(dedup == 1, s"digest dedup planned $dedup times")
+    assert(aggs == 1, s"expected ONE windowed aggregate, got $aggs")
+    idx.unpersist()
+  }
+
   test("one-graph ingest pipeline: drop-dir -> quota -> exact dedup -> probe, with restart") {
     // RocksDB is REQUIRED, not a variant: the quota stage runs on
     // transformWithState (the only API whose output carries an
