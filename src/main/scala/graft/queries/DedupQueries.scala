@@ -240,6 +240,59 @@ ck AS (SELECT doc_id,
          j -> ${hash60Sql("array_to_string(tk[st[j]+1:en[j]], ' ')")})) AS chs
        FROM (SELECT doc_id, tk, [0] || b AS st, b || [n] AS en FROM tb))"""
 
+  /** q59's oracle, shared VERBATIM by q110 (probe through a FOLDED
+    * persisted index): the fold's exactness contract — folded index ==
+    * from-scratch build — makes the two queries' expected output
+    * literally identical, so one oracle string serves both and they
+    * cannot drift.
+    */
+  private[queries] val q59OracleSql: String = s"""
+WITH s AS (${shingledSql("documents")}),
+h AS (SELECT doc_id,
+             list_distinct(list_transform(shs, sh -> ${hash60Sql("sh")} % $P)) AS hs
+      FROM s),
+m AS (SELECT doc_id, ${minhashSqlArray("hs")} AS mh FROM h),
+bands AS (
+  SELECT doc_id, g.b AS band,
+         mh[4*g.b+1]::VARCHAR || ':' || mh[4*g.b+2]::VARCHAR || ':' ||
+         mh[4*g.b+3]::VARCHAR || ':' || mh[4*g.b+4]::VARCHAR AS bkey
+  FROM m CROSS JOIN generate_series(0, ${Bands - 1}) g(b)),
+cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+ok AS (
+  SELECT band, bkey FROM cb
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_old
+  FROM nb n
+  JOIN ok o ON n.band = o.band AND n.bkey = o.bkey
+  JOIN cb c ON c.band = o.band AND c.bkey = o.bkey),
+v AS (
+  SELECT doc_new, doc_old,
+         len(list_intersect(hn.hs, ho.hs)) AS it,
+         len(list_distinct(list_concat(hn.hs, ho.hs))) AS un
+  FROM cand JOIN h hn ON hn.doc_id = doc_new
+            JOIN h ho ON ho.doc_id = doc_old)
+SELECT doc_new, doc_old, (it * 1000) // un AS jaccard_x1000
+FROM v WHERE (it * 1000) // un >= 500"""
+
+  /** q107's oracle, shared VERBATIM by q111 (probe through a FOLDED
+    * persisted CDC chunk index) — same drift-proofing as [[q59OracleSql]].
+    */
+  private[queries] val q107OracleSql: String = s"""
+WITH ${cdcChunksSql("documents", CdcMod, CdcWindow)},
+corpus AS (SELECT DISTINCT unnest(chs) AS c FROM ck WHERE doc_id % 5 <> 0),
+delta AS (SELECT doc_id, unnest(chs) AS c FROM ck WHERE doc_id % 5 = 0),
+hits AS (SELECT doc_id, count(*) AS nh FROM delta JOIN corpus USING (c)
+         GROUP BY 1)
+SELECT ck.doc_id, len(chs)::BIGINT AS n_chunks,
+       coalesce(nh, 0)::BIGINT AS n_hits,
+       (CASE WHEN len(chs) > 0
+             THEN (coalesce(nh, 0) * 1000) // len(chs)
+             ELSE 0 END)::BIGINT AS hit_x1000
+FROM ck LEFT JOIN hits USING (doc_id) WHERE ck.doc_id % 5 = 0"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -890,36 +943,7 @@ FROM t GROUP BY split"""),
         "the delta, and exact-Jaccard verify joins candidates only. At " +
         "100TB the bucket index is materialized once and re-probed per " +
         "batch.",
-      Some(s"""
-WITH s AS (${shingledSql("documents")}),
-h AS (SELECT doc_id,
-             list_distinct(list_transform(shs, sh -> ${hash60Sql("sh")} % $P)) AS hs
-      FROM s),
-m AS (SELECT doc_id, ${minhashSqlArray("hs")} AS mh FROM h),
-bands AS (
-  SELECT doc_id, g.b AS band,
-         mh[4*g.b+1]::VARCHAR || ':' || mh[4*g.b+2]::VARCHAR || ':' ||
-         mh[4*g.b+3]::VARCHAR || ':' || mh[4*g.b+4]::VARCHAR AS bkey
-  FROM m CROSS JOIN generate_series(0, ${Bands - 1}) g(b)),
-cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
-nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
-ok AS (
-  SELECT band, bkey FROM cb
-  GROUP BY band, bkey
-  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
-cand AS (
-  SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_old
-  FROM nb n
-  JOIN ok o ON n.band = o.band AND n.bkey = o.bkey
-  JOIN cb c ON c.band = o.band AND c.bkey = o.bkey),
-v AS (
-  SELECT doc_new, doc_old,
-         len(list_intersect(hn.hs, ho.hs)) AS it,
-         len(list_distinct(list_concat(hn.hs, ho.hs))) AS un
-  FROM cand JOIN h hn ON hn.doc_id = doc_new
-            JOIN h ho ON ho.doc_id = doc_old)
-SELECT doc_new, doc_old, (it * 1000) // un AS jaccard_x1000
-FROM v WHERE (it * 1000) // un >= 500"""),
+      Some(q59OracleSql),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         graft.api.DedupOps.minhashPairsAgainst(
@@ -1081,18 +1105,7 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
         "corpus version, and every batch pays " +
         "cdcChunkHitsAgainstIndex's O(delta + pruned index scan) — " +
         "parity- and pruning-tested in DedupSpec.",
-      Some(s"""
-WITH ${cdcChunksSql("documents", CdcMod, CdcWindow)},
-corpus AS (SELECT DISTINCT unnest(chs) AS c FROM ck WHERE doc_id % 5 <> 0),
-delta AS (SELECT doc_id, unnest(chs) AS c FROM ck WHERE doc_id % 5 = 0),
-hits AS (SELECT doc_id, count(*) AS nh FROM delta JOIN corpus USING (c)
-         GROUP BY 1)
-SELECT ck.doc_id, len(chs)::BIGINT AS n_chunks,
-       coalesce(nh, 0)::BIGINT AS n_hits,
-       (CASE WHEN len(chs) > 0
-             THEN (coalesce(nh, 0) * 1000) // len(chs)
-             ELSE 0 END)::BIGINT AS hit_x1000
-FROM ck LEFT JOIN hits USING (doc_id) WHERE ck.doc_id % 5 = 0"""),
+      Some(q107OracleSql),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         graft.api.DedupOps.cdcChunkHits(
@@ -1100,5 +1113,80 @@ FROM ck LEFT JOIN hits USING (doc_id) WHERE ck.doc_id % 5 = 0"""),
           docs.filter(col("doc_id") % 5 =!= 0),
           "doc_id", "text", modulus = CdcMod, window = CdcWindow)
       })
+  ,
+
+    QueryDef(
+      "q110_fold_minhash_probe",
+      "Incremental index MAINTENANCE proven end-to-end " +
+        "(DedupOps.foldIntoMinhashIndex): the corpus's 80% side is " +
+        "indexed as v1 (40%) + a FOLDED 40% delta — no corpus re-scan, " +
+        "O(index + delta) with exact cap-tombstone arithmetic — and " +
+        "the 20% probe batch runs minhashPairsAgainstIndex against " +
+        "the folded v2. The oracle is q59's VERBATIM (one shared " +
+        "string): the fold's contract is that a folded index probes " +
+        "identically to a from-scratch build, so the expected rows " +
+        "are literally q59's. At 100TB this is the daily operation: " +
+        "fold the day's docs into yesterday's index, probe the next " +
+        "batch.",
+      Some(q59OracleSql),
+      (s, dir) =>
+        graft.api.DedupOps.minhashPairsAgainstIndex(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", foldedMinhashDir(s, dir))),
+
+    QueryDef(
+      "q111_fold_cdc_probe",
+      "CDC chunk-index maintenance proven end-to-end " +
+        "(DedupOps.foldIntoCdcChunkIndex): v1 chunk index on 40% of " +
+        "the corpus, the other 40% FOLDED in (distinct chunk-set " +
+        "union chunked with v1's own meta geometry), the 20% probe " +
+        "batch scored by cdcChunkHitsAgainstIndex against v2. Oracle " +
+        "= q107's VERBATIM (shared string) by the same fold-equals-" +
+        "rebuild contract.",
+      Some(q107OracleSql),
+      (s, dir) =>
+        graft.api.DedupOps.cdcChunkHitsAgainstIndex(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", foldedCdcDir(s, dir)))
   )
+
+  // session-scoped folded-index caches (the MlQueries.ivfPqIndexDir
+  // discipline): build v1 on the 40% slice, fold the other 40% in,
+  // first consumer pays the build, every later run probes the same
+  // parquet — which is the fold's own deployment story
+  private val foldMinhashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val foldCdcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def foldedMinhashDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldMinhashCache.computeIfAbsent(dir, { _ =>
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldmh-").toString
+      graft.api.DedupOps.writeMinhashIndex(
+        docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "doc_id", "text", s"$tmp/v1")
+      graft.api.DedupOps.foldIntoMinhashIndex(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "doc_id", "text", s"$tmp/v1", s"$tmp/v2")
+      s"$tmp/v2"
+    })
+
+  private def foldedCdcDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldCdcCache.computeIfAbsent(dir, { _ =>
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldcdc-").toString
+      graft.api.DedupOps.writeCdcChunkIndex(
+        docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "doc_id", "text", s"$tmp/v1",
+        modulus = CdcMod, window = CdcWindow)
+      graft.api.DedupOps.foldIntoCdcChunkIndex(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "doc_id", "text", s"$tmp/v1", s"$tmp/v2")
+      s"$tmp/v2"
+    })
 }
