@@ -258,6 +258,34 @@ object DedupOps {
     * so a pre-tombstone index (no `max_bucket` in meta) folds with
     * [[DefaultMaxBucket]] and a warning is the caller's lookout.
     */
+  /** The exact from-scratch cap arithmetic over two (band, bkey,
+    * `__cs`) bucket frames WITH tombstones: a tombstone on either side
+    * persists (adding docs cannot shrink a bucket), an under-cap union
+    * that crosses the cap becomes one, a one-sided bucket keeps its
+    * list. The `_has` indicators distinguish "row absent" from "row
+    * present with a null (tombstone) list" across the full-outer
+    * join. Shared by the minhash and sign-index folds.
+    */
+  private[graft] def mergeCappedBuckets(oldBuckets: DataFrame,
+      deltaBuckets: DataFrame, maxBucket: Int): DataFrame = {
+    val listType = deltaBuckets.schema("__cs").dataType
+    val o = oldBuckets.select(col("band"), col("bkey"),
+      col("__cs").as("_ocs"), lit(true).as("_ohas"))
+    val d = deltaBuckets.select(col("band"), col("bkey"),
+      col("__cs").as("_dcs"), lit(true).as("_dhas"))
+    o.join(d, Seq("band", "bkey"), "full_outer")
+      .select(col("band"), col("bkey"),
+        when(col("_ohas").isNotNull && col("_ocs").isNull ||
+             col("_dhas").isNotNull && col("_dcs").isNull,
+          lit(null).cast(listType))
+        .when(col("_ohas").isNotNull && col("_dhas").isNotNull,
+          when(size(concat(col("_ocs"), col("_dcs"))) > maxBucket,
+            lit(null).cast(listType))
+          .otherwise(concat(col("_ocs"), col("_dcs"))))
+        .when(col("_ohas").isNotNull, col("_ocs"))
+        .otherwise(col("_dcs")).as("__cs"))
+  }
+
   def foldIntoMinhashIndex(delta: DataFrame, idCol: String,
       textCol: String, indexPath: String, outPath: String): Unit = {
     require(indexPath != outPath,
@@ -284,25 +312,8 @@ object DedupOps {
     try {
       val deltaBuckets = bandBucketsAll(withBandKeys(hashed)
         .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
-        .select(col("band"), col("bkey"), col("__cs").as("_dcs"),
-          lit(true).as("_dhas"))
       val oldBuckets = s.read.parquet(s"$indexPath/buckets").drop("__bp")
-        .select(col("band"), col("bkey"), col("__cs").as("_ocs"),
-          lit(true).as("_ohas"))
-      // full-outer merge; the _has indicators distinguish "row absent"
-      // from "row present with a null (tombstone) list"
-      val merged = oldBuckets
-        .join(deltaBuckets, Seq("band", "bkey"), "full_outer")
-        .select(col("band"), col("bkey"),
-          when(col("_ohas").isNotNull && col("_ocs").isNull ||
-               col("_dhas").isNotNull && col("_dcs").isNull,
-            lit(null).cast(deltaBuckets.schema("_dcs").dataType))
-          .when(col("_ohas").isNotNull && col("_dhas").isNotNull,
-            when(size(concat(col("_ocs"), col("_dcs"))) > maxBucket,
-              lit(null).cast(deltaBuckets.schema("_dcs").dataType))
-            .otherwise(concat(col("_ocs"), col("_dcs"))))
-          .when(col("_ohas").isNotNull, col("_ocs"))
-          .otherwise(col("_dcs")).as("__cs"))
+      val merged = mergeCappedBuckets(oldBuckets, deltaBuckets, maxBucket)
       graft.jobs.Sinks.layout(
         merged.withColumn("__bp",
           pmod(xxhash64(col("band"), col("bkey")),

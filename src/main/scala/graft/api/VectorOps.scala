@@ -182,7 +182,10 @@ object VectorOps {
     val base = normalized(corpus, idCol, vecCol).persist()
     try {
       graft.jobs.Sinks.layout(
-        DedupOps.bandBuckets(signBands(base, idCol, planes, rowsPerBand),
+        // tombstones included (bandBucketsAll) so [[foldIntoSignIndex]]
+        // can reproduce the cap arithmetic — the writeMinhashIndex
+        // contract; probes explode __cs and skip nulls for free
+        DedupOps.bandBucketsAll(signBands(base, idCol, planes, rowsPerBand),
           idCol, maxBucket),
         s"$path/buckets", partitionCols = Nil,
         sortCols = Seq("band", "bkey"), numFiles = 8)
@@ -191,6 +194,65 @@ object VectorOps {
           col("nrm").as("no")),
         s"$path/vectors", partitionCols = Nil,
         sortCols = Seq("vec_old"), numFiles = 8)
+      corpus.sparkSession.range(1)
+        .select(lit(maxBucket).as("max_bucket"),
+          lit(rowsPerBand).as("rows_per_band"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally base.unpersist()
+  }
+
+  /** Fold a DELTA of new vectors into a persisted [[writeSignIndex]]
+    * WITHOUT re-normalizing or re-banding the corpus — the embedding
+    * sibling of [[DedupOps.foldIntoMinhashIndex]], same exactness
+    * contract (folded index probes == from-scratch rebuild, cap
+    * tombstones and all, via the shared
+    * [[DedupOps.mergeCappedBuckets]] arithmetic). `planes` must be
+    * the index's own build planes (the LSH contract everywhere);
+    * rows_per_band and max_bucket come off the index's meta. Delta
+    * ids disjoint from indexed ids, as in every incremental path.
+    */
+  def foldIntoSignIndex(delta: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], indexPath: String,
+      outPath: String): Unit = {
+    require(indexPath != outPath,
+      "foldIntoSignIndex: outPath must differ from indexPath")
+    val s = delta.sparkSession
+    graft.functions.SketchAggregates.register(s)
+    val metaRow =
+      try s.read.parquet(s"$indexPath/meta").head(1).headOption
+        .getOrElse(throw new IllegalStateException(
+          s"foldIntoSignIndex: $indexPath/meta is empty"))
+      catch {
+        case e: IllegalStateException => throw e
+        case e: Exception => throw new IllegalStateException(
+          s"foldIntoSignIndex: cannot read $indexPath/meta — the fold " +
+            "must reproduce the build's cap/banding geometry (indexes " +
+            "written before the meta existed must be rebuilt once)", e)
+      }
+    val maxBucket = metaRow.getAs[Number]("max_bucket").intValue()
+    val rowsPerBand = metaRow.getAs[Number]("rows_per_band").intValue()
+    require(planes.size % rowsPerBand == 0,
+      s"foldIntoSignIndex: ${planes.size} planes not divisible into " +
+        s"the index's bands of $rowsPerBand")
+    val base = normalized(delta, idCol, vecCol).persist()
+    try {
+      val deltaBuckets = DedupOps.bandBucketsAll(
+        signBands(base, idCol, planes, rowsPerBand), idCol, maxBucket)
+      graft.jobs.Sinks.layout(
+        DedupOps.mergeCappedBuckets(
+          s.read.parquet(s"$indexPath/buckets"), deltaBuckets, maxBucket),
+        s"$outPath/buckets", partitionCols = Nil,
+        sortCols = Seq("band", "bkey"), numFiles = 8)
+      graft.jobs.Sinks.layout(
+        s.read.parquet(s"$indexPath/vectors").unionByName(
+          base.select(col(idCol).as("vec_old"), col("v").as("vo"),
+            col("nrm").as("no"))),
+        s"$outPath/vectors", partitionCols = Nil,
+        sortCols = Seq("vec_old"), numFiles = 8)
+      s.range(1)
+        .select(lit(maxBucket).as("max_bucket"),
+          lit(rowsPerBand).as("rows_per_band"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
     } finally base.unpersist()
   }
 

@@ -353,6 +353,37 @@ class DedupSpec extends SparkSpec {
       "no under-cap v1 bucket tombstoned by the fold — cap-crossing untested")
   }
 
+  test("foldIntoSignIndex == from-scratch rebuild (embedding twin)") {
+    import graft.api.{DedupOps, VectorOps}
+    val planes = graft.queries.DedupQueries.lshPlanes
+    val emb = Tables.embeddings(spark, sf)
+    val c0 = emb.filter(col("vec_id") % 5 === 1 || col("vec_id") % 5 === 2)
+    val delta = emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 5 === 4)
+    val probes = emb.filter(col("vec_id") % 5 === 0)
+    def probeSet(path: String) = VectorOps.probeSignIndex(
+        probes, "vec_id", "embedding", planes, path,
+        simX1000Threshold = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfold-").toString
+    VectorOps.writeSignIndex(c0.unionByName(delta), "vec_id", "embedding",
+      planes, s"$dir/full")
+    VectorOps.writeSignIndex(c0, "vec_id", "embedding", planes, s"$dir/v1")
+    VectorOps.foldIntoSignIndex(delta, "vec_id", "embedding", planes,
+      s"$dir/v1", s"$dir/v2")
+    val full = probeSet(s"$dir/full")
+    val folded = probeSet(s"$dir/v2")
+    assert(full.nonEmpty, "probe found nothing — parity would be vacuous")
+    assert(folded == full, s"missing=${(full -- folded).take(3)} " +
+      s"extra=${(folded -- full).take(3)}")
+    // pre-meta indexes fail loudly, never fold with guessed geometry
+    val err = intercept[IllegalStateException] {
+      VectorOps.foldIntoSignIndex(delta, "vec_id", "embedding", planes,
+        s"$dir/nonexistent", s"$dir/v3")
+    }
+    assert(err.getMessage.contains("meta"))
+  }
+
   test("foldIntoCdcChunkIndex == from-scratch rebuild") {
     import graft.api.DedupOps
     val docs = Tables.documents(spark, sf)
