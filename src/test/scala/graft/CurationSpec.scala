@@ -84,18 +84,22 @@ class CurationSpec extends SparkSpec {
     // unless each evicted Stages is explicitly closed
     def persistedIds(): Set[Int] =
       spark.sparkContext.getPersistentRDDs.keySet.toSet
-    val before = persistedIds()
     val docs = Tables.documents(spark, sf)
     val st = CurationPipeline.run(docs, CurationQueries.urlFixture(docs))
     st.packed.count() // terminal materialization, as the contract requires
-    val during = persistedIds() -- before
+    // identify THIS run's checkpoint RDDs from the Stages frames
+    // themselves — a global before/after diff would misattribute RDDs
+    // persisted by concurrently running suites (shared test JVM)
+    val ids = st.checkpointed.flatMap(df =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }).toSet
     assert(st.checkpointed.size == 7,
       s"expected 7 stage-boundary cuts, got ${st.checkpointed.size}")
-    assert(during.nonEmpty,
-      "run() should have registered persistent checkpoint RDDs")
+    assert(ids.size == 7 && ids.subsetOf(persistedIds()),
+      s"run() should have 7 persisted checkpoint RDDs; got $ids")
     st.close()
-    val after = persistedIds()
-    assert(during.intersect(after).isEmpty,
-      s"close() left checkpoint RDDs persisted: ${during.intersect(after)}")
+    assert(ids.intersect(persistedIds()).isEmpty,
+      s"close() left checkpoint RDDs persisted: ${ids.intersect(persistedIds())}")
   }
 }

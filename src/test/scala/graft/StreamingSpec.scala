@@ -1164,8 +1164,12 @@ class StreamingSpec extends SparkSpec {
     // outcomes occur (a one-sided gate would be vacuous)
     val lmScores = graft.api.TextOps.bigramLmScoreAgainst(
       admittedDf, "doc_id", "text", lmModel)
+    // greatest(...,1): projection pushdown lands this expression in
+    // the scorer's literal-0 union branch where ANSI constant-folding
+    // would throw DIVIDE_BY_ZERO before the n_bigrams>0 filter applies;
+    // for the rows that survive the filter the value is identical
     val avgs = lmScores.filter(col("n_bigrams") > 0)
-      .select(expr("(sum_q2 * 1000) div n_bigrams")).collect()
+      .select(expr("(sum_q2 * 1000) div greatest(n_bigrams, 1)")).collect()
       .map(_.getLong(0)).sorted
     val keepAvg = avgs(avgs.length / 2)
     val cdc = graft.api.DedupOps.cdcChunkHitsAgainstIndex(
