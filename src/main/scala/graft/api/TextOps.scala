@@ -603,6 +603,62 @@ object TextOps {
     queries.select(col(qidCol).as("_qid") +: extraCols.map(col) :+
       explode(array_distinct(split(col(textCol), " ", -1))).as("_t"): _*)
 
+  /** Hybrid retrieval — the modern RAG-stack shape: fuse the LEXICAL
+    * ranking ([[bm25TopK]]) with a SEMANTIC ranking (cosine over the
+    * model-free [[embedText]] hash embeddings) by reciprocal-rank
+    * fusion (Cormack et al. 2009), all integer-deterministic:
+    *
+    *   rrf(doc) = Σ over lists of 1000000 div (rrfK + rank)
+    *
+    * with the final top-k by (rrf DESC, id ASC). The semantic leg
+    * ranks by the FLOORED micro-cosine (both vectors are embedText
+    * unit vectors, so cosine = one `dot_f` left-to-right fold —
+    * hash-oracle-exact, the q101/q102 precedent) with id tie-break;
+    * zero-signal vectors (no tokens, or fully-cancelled counts) are
+    * excluded from the semantic leg on BOTH engines — a signal-less
+    * query still gets its full BM25 leg. A doc appearing in only one
+    * list scores that list's term alone (standard RRF).
+    *
+    * Scale shape: the BM25 leg is the contribution-index plan; the
+    * semantic leg is a broadcast-query brute-force scan (the ANN
+    * baseline — swap in [[graft.api.VectorOps.ivfPqProbe]] over the
+    * same embeddings when the corpus outgrows brute force; RRF only
+    * consumes (qid, id, rank) so the fusion is retriever-agnostic);
+    * fusion itself is one (qid, id)-keyed exchange over 2k rows per
+    * query. Output: qid, rank, idCol, rrf.
+    */
+  def hybridTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qidCol: String, k: Int = 10, kPerList: Int = 10,
+      d: Int = 64, rrfK: Long = 60L): DataFrame = {
+    require(k >= 1 && kPerList >= 1,
+      s"hybridTopK: k/kPerList must be >= 1, got $k/$kPerList")
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val lex = bm25TopK(corpus, queries, idCol, textCol, qidCol, kPerList)
+      .select(col("qid"), col(idCol).as("_id"), col("rank").as("_r"))
+    def signal(df: DataFrame) = df.filter(expr("exists(v, x -> x != 0D)"))
+    val ce = signal(embedText(corpus, idCol, textCol, d))
+      .select(col(idCol).as("_nid"), col("v").as("_nv"))
+    val qe = signal(embedText(queries, qidCol, textCol, d))
+      .select(col(qidCol).as("_qid2"), col("v").as("_qv"))
+    val sem = broadcast(qe).join(ce, col("_qid2") =!= col("_nid"))
+      .select(col("_qid2").as("qid"), col("_nid").as("_id"),
+        floor(expr("dot_f(_qv, _nv)") * lit(1000000.0d)).cast("long")
+          .as("_sim"))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("_sim").desc, col("_id").asc)).cast("long"))
+      .filter(col("_r") <= kPerList)
+      .select(col("qid"), col("_id"), col("_r"))
+    lex.unionByName(sem)
+      .groupBy(col("qid"), col("_id"))
+      .agg(sum(expr(s"1000000 div (${rrfK}L + _r)")).as("rrf"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("_id").as(idCol), col("rrf"))
+  }
+
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, qidCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")

@@ -135,7 +135,7 @@ FROM v WHERE floor(sim * 1000) >= 400"""
     * chainSql discipline: the two SQL consumers can never disagree
     * about the embedding or the banding.
     */
-  private lazy val textEmbeddingBandsCte: String = s"""tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+  private[queries] lazy val textEmbeddingBandsCte: String = s"""tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 hh AS (SELECT doc_id, ${hash60Sql("w")} AS h FROM tt WHERE w <> ''),
 hc AS (SELECT doc_id, h % 64 AS dim,
               sum(CASE WHEN (h // 4294967296) % 2 = 0 THEN 1

@@ -151,6 +151,37 @@ canon AS (SELECT doc_id,
 SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM canon GROUP BY 1"""
 
+  /** q108's BM25 CTE chain (toks..r, ranked per query), shared
+    * VERBATIM with q112's lexical leg — one generator, no drift.
+    */
+  private[queries] val bm25RankCte: String = """toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+tf AS (SELECT doc_id, dl, t, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, len(tk)::BIGINT AS dl, unnest(tk) AS t
+             FROM toks)
+       GROUP BY 1,2,3),
+dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+gl AS (SELECT count(*)::BIGINT AS n, sum(len(tk))::BIGINT AS tt FROM toks),
+q AS (SELECT DISTINCT doc_id AS qid, unnest(string_split(text,' ')) AS t
+      FROM documents WHERE doc_id % 100 = 0),
+idf AS (SELECT t, (e - 20) * 1024 + (m - 1024) AS idf
+        FROM (SELECT t, e, r // (pow(2, e - 10)::BIGINT) AS m
+              FROM (SELECT t, ((gl.n + 1) * 1048576) // df AS r,
+                           len(bin(((gl.n + 1) * 1048576) // df)) - 1 AS e
+                    FROM dfq CROSS JOIN gl))),
+sc AS (SELECT q.qid, tf.doc_id,
+         sum(idf.idf *
+             ((tf.tf * 2200000) //
+              (tf.tf * 1000 +
+               (1200 * (250 + (750 * tf.dl * gl.n) // gl.tt)) // 1000)))
+           ::BIGINT AS score
+       FROM tf JOIN q USING (t) JOIN idf USING (t) CROSS JOIN gl
+       WHERE tf.doc_id <> q.qid
+       GROUP BY 1,2),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM sc)"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -881,38 +912,63 @@ FROM h"""),
         "divisions. One (doc,term) exchange with map-side tf combine, " +
         "vocabulary-sized df rollup, query terms broadcast, (qid,doc) " +
         "rollup with partial agg, WindowGroupLimit-prunable rank.",
-      Some("""
-WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-tf AS (SELECT doc_id, dl, t, count(*)::BIGINT AS tf
-       FROM (SELECT doc_id, len(tk)::BIGINT AS dl, unnest(tk) AS t
-             FROM toks)
-       GROUP BY 1,2,3),
-dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-gl AS (SELECT count(*)::BIGINT AS n, sum(len(tk))::BIGINT AS tt FROM toks),
-q AS (SELECT DISTINCT doc_id AS qid, unnest(string_split(text,' ')) AS t
-      FROM documents WHERE doc_id % 100 = 0),
-idf AS (SELECT t, (e - 20) * 1024 + (m - 1024) AS idf
-        FROM (SELECT t, e, r // (pow(2, e - 10)::BIGINT) AS m
-              FROM (SELECT t, ((gl.n + 1) * 1048576) // df AS r,
-                           len(bin(((gl.n + 1) * 1048576) // df)) - 1 AS e
-                    FROM dfq CROSS JOIN gl))),
-sc AS (SELECT q.qid, tf.doc_id,
-         sum(idf.idf *
-             ((tf.tf * 2200000) //
-              (tf.tf * 1000 +
-               (1200 * (250 + (750 * tf.dl * gl.n) // gl.tt)) // 1000)))
-           ::BIGINT AS score
-       FROM tf JOIN q USING (t) JOIN idf USING (t) CROSS JOIN gl
-       WHERE tf.doc_id <> q.qid
-       GROUP BY 1,2),
-r AS (SELECT qid, doc_id, score,
-             row_number() OVER (PARTITION BY qid
-                                ORDER BY score DESC, doc_id ASC) AS rank
-      FROM sc)
+      Some(s"""
+WITH $bm25RankCte
 SELECT qid, rank::BIGINT AS rank, doc_id, score FROM r WHERE rank <= 10"""),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         graft.api.TextOps.bm25TopK(docs,
+          docs.filter(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("qid"), col("text")),
+          "doc_id", "text", "qid", k = 10)
+      })
+  ,
+
+    QueryDef(
+      "q112_hybrid_retrieval",
+      "Hybrid retrieval (TextOps.hybridTopK) — the RAG-stack standard: " +
+        "reciprocal-rank fusion (Cormack et al. 2009) of q108's " +
+        "lexical BM25 top-10 and a semantic top-10 over q101's " +
+        "model-free hash embeddings, rrf = sum over lists of " +
+        "1000000 div (60 + rank), final rank by (rrf DESC, id ASC). " +
+        "Every ranking key is an integer (milli-bit BM25 scores; " +
+        "FLOORED micro-cosine of unit embedText vectors — one " +
+        "left-to-right dot fold, the q101/q102 hash-exact precedent), " +
+        "so a full value-level oracle covers the fused ranking " +
+        "end-to-end. Zero-signal vectors sit out the semantic leg in " +
+        "both engines; a signal-less query keeps its BM25 leg. The " +
+        "oracle reuses q108's BM25 chain and q102's embedding chain " +
+        "VERBATIM (shared generators). Scale: BM25 leg = the " +
+        "contribution-index plan; semantic leg = broadcast-query " +
+        "brute scan (swap in the IVF-PQ probe at corpus scale — RRF " +
+        "only consumes (qid, id, rank), so the fusion is " +
+        "retriever-agnostic); fusion is one (qid,id) exchange over " +
+        "2k rows/query.",
+      Some(s"""
+WITH $bm25RankCte,
+${DedupQueries.textEmbeddingBandsCte},
+sem AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, nid ASC) AS sr
+  FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
+               floor(list_dot_product(a.v, b.v) * 1000000.0)::BIGINT AS sim
+        FROM e a JOIN e b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id)),
+fused AS (
+  SELECT qid, id, sum(1000000 // (60 + rr))::BIGINT AS rrf
+  FROM (SELECT qid, doc_id AS id, rank AS rr FROM r WHERE rank <= 10
+        UNION ALL
+        SELECT qid, nid, sr FROM sem WHERE sr <= 10)
+  GROUP BY 1, 2)
+SELECT qid, rank, doc_id, rrf FROM (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, id ASC)::BIGINT AS rank,
+         id AS doc_id, rrf
+  FROM fused) WHERE rank <= 10"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.TextOps.hybridTopK(docs,
           docs.filter(col("doc_id") % 100 === 0)
             .select(col("doc_id").as("qid"), col("text")),
           "doc_id", "text", "qid", k = 10)

@@ -148,6 +148,46 @@ class ApiSpec extends SparkSpec {
     assert(dups("http://b.io/y") == (4L, 1L))
   }
 
+  test("TextOps.hybridTopK: RRF arithmetic reconstructible from the two legs") {
+    import graft.api.TextOps
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val out = TextOps.hybridTopK(docs, queries, "doc_id", "text", "qid",
+        k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), (r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty)
+    // recompute rrf independently from the lexical leg + a driver-side
+    // semantic leg over the same embeddings; every fused score must be
+    // the exact sum of its lists' 1000000 div (60 + rank) terms
+    val lex = TextOps.bm25TopK(docs, queries, "doc_id", "text", "qid", 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    val emb = TextOps.embedText(docs, "doc_id", "text", d = 64)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter(_._2.exists(_ != 0.0))
+    val sem = emb.filter(_._1 % 100 == 0).flatMap { case (qid, qv) =>
+      emb.filter(_._1 != qid).map { case (nid, nv) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { d += qv(i) * nv(i); i += 1 }
+        (qid, nid, math.floor(d * 1000000.0).toLong)
+      }.sortBy { case (_, nid, sim) => (-sim, nid) }.take(10).zipWithIndex
+        .map { case ((q, n, _), i) => ((q, n), i + 1L) }
+    }.toMap
+    out.foreach { case ((qid, id), (_, rrf)) =>
+      val want = lex.get((qid, id)).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        sem.get((qid, id)).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == want, s"rrf mismatch for ($qid,$id): got $rrf want $want")
+      assert(want > 0, s"($qid,$id) in fused output but in neither leg")
+    }
+    // per-query cap respected and ranks contiguous from 1
+    out.toSeq.groupBy(_._1._1).foreach { case (q, rows) =>
+      val ranks = rows.map(_._2._1).sorted
+      assert(ranks == (1L to ranks.length) && ranks.length <= 10,
+        s"bad rank sequence for qid $q: $ranks")
+    }
+  }
+
   test("TextOps.redactPii: typed placeholders, classes stay disjoint") {
     val df = Seq(
       (1L, "mail a.b+c@foo.org and 192.168.0.1 then dial +44 20 7946 0958 ok"),
