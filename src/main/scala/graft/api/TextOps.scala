@@ -553,17 +553,43 @@ object TextOps {
     * batch ranker and [[graft.streaming.Bm25Gate]], so stream and
     * batch scores cannot drift. Columns: `_t`, idCol, `_c`.
     */
-  private[graft] def bm25ContribIndex(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+  /** (N docs, total tokens, max doc length) — the corpus-global BM25
+    * stats, computed exactly as the original one-frame build did (N
+    * counts null-text rows, tt does not — sum skips nulls — so a
+    * fold's merged stats reproduce a from-scratch build bit-for-bit).
+    */
+  private[graft] def bm25CorpusStats(corpus: DataFrame, idCol: String,
+      textCol: String): (Long, Long, Long) = {
     val toks = corpus.select(col(idCol),
       split(col(textCol), " ", -1).as("_tk"))
-    val Seq(n, tt, maxDl) = {
-      val r = toks.agg(count(lit(1)).as("_n"),
-        sum(size(col("_tk")).cast("long")).as("_tt"),
-        coalesce(max(size(col("_tk")).cast("long")), lit(0L)).as("_mx")).head()
-      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
-    }
+    val r = toks.agg(count(lit(1)).as("_n"),
+      sum(size(col("_tk")).cast("long")).as("_tt"),
+      coalesce(max(size(col("_tk")).cast("long")), lit(0L)).as("_mx")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Raw postings (_t, idCol, _dl, _tf) — the stats-free half of the
+    * index, from which contributions are recomputable under ANY
+    * corpus stats (what makes [[foldIntoBm25Index]] possible: global
+    * stats shift with every delta, so `_c` cannot be merged — but
+    * postings union and `_c` re-derives at index-size cost).
+    */
+  private[graft] def bm25Postings(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol), split(col(textCol), " ", -1).as("_tk"))
+      .select(col(idCol), size(col("_tk")).cast("long").as("_dl"),
+        explode(col("_tk")).as("_t"))
+      .groupBy(col(idCol), col("_dl"), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+
+  /** The full quantized BM25 arithmetic (milli-bit idf, k1/b
+    * saturation) over raw postings + corpus stats — ONE
+    * implementation shared by the in-process build and the fold, so
+    * a folded index cannot drift from a from-scratch one.
+    */
+  private[graft] def bm25ContribFromPostings(postings: DataFrame,
+      idCol: String, n: Long, tt: Long, maxDl: Long): DataFrame = {
+    def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
     // The length-norm term computes 750 * _dl * N in int64 before the
     // div; at extreme scale (N ~ 1e11 docs with dl ≳ 2e5-token
     // outliers) that product would wrap 2^63 and silently corrupt
@@ -572,25 +598,27 @@ object TextOps {
     // max_dl * N <= 2^63 / 750 (~1.2e16 doc-tokens), beyond which
     // docs must be truncated/split before indexing.
     require(maxDl <= 0 || n <= 0 || maxDl <= Long.MaxValue / 750L / n,
-      s"bm25ContribIndex: 750 * max_dl($maxDl) * N($n) would overflow " +
+      s"bm25 contrib: 750 * max_dl($maxDl) * N($n) would overflow " +
         "int64 in the length-norm term; truncate or split documents " +
         s"longer than ${Long.MaxValue / 750L / n} tokens before indexing")
-    val tf = toks.select(col(idCol), size(col("_tk")).cast("long").as("_dl"),
-        explode(col("_tk")).as("_t"))
-      .groupBy(col(idCol), col("_dl"), col("_t"))
-      .agg(count(lit(1)).as("_tf"))
-    val df_ = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val df_ = postings.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
       .withColumn("_r", expr(s"((${n}L + 1) * 1048576) div _df"))
       .withColumn("_e", fl2(col("_r")))
       .withColumn("_m", expr("_r div cast(pow(2d, _e - 10) as bigint)"))
       .withColumn("_idf", expr("(_e - 20) * 1024 + (_m - 1024)"))
       .select(col("_t"), col("_idf"))
-    tf.join(broadcast(df_), Seq("_t"))
+    postings.join(broadcast(df_), Seq("_t"))
       .withColumn("_den", expr(
         s"_tf * 1000 + (1200 * (250 + (750 * _dl * ${n}L) div ${tt}L)) div 1000"))
       .select(col("_t"), col(idCol),
         expr("_idf * ((_tf * 2200000) div _den)").as("_c"))
-      .localCheckpoint()
+  }
+
+  private[graft] def bm25ContribIndex(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (n, tt, maxDl) = bm25CorpusStats(corpus, idCol, textCol)
+    bm25ContribFromPostings(bm25Postings(corpus, idCol, textCol),
+      idCol, n, tt, maxDl).localCheckpoint()
   }
 
   /** Stateless per-query term set: one row per (qid [, extras], term),
@@ -700,15 +728,90 @@ object TextOps {
       path: String, prefixPartitions: Int = 64): Unit = {
     require(prefixPartitions >= 1,
       s"writeBm25Index: prefixPartitions $prefixPartitions < 1")
+    val (n, tt, maxDl) = bm25CorpusStats(corpus, idCol, textCol)
+    val postings = bm25Postings(corpus, idCol, textCol).localCheckpoint()
     graft.jobs.Sinks.layout(
-      bm25ContribIndex(corpus, idCol, textCol)
+      bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
         .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
           lit(prefixPartitions.toLong))),
       s"$path/contrib", partitionCols = Seq("__bp"),
       sortCols = Seq("_t"), numFiles = 8)
+    // the raw (term, doc, tf, dl) postings ride along: contributions
+    // are a function of corpus-GLOBAL stats, so maintenance
+    // ([[foldIntoBm25Index]]) must re-derive them — possible from raw
+    // postings at index size, impossible from baked _c values
+    graft.jobs.Sinks.layout(
+      postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+        lit(prefixPartitions.toLong))),
+      s"$path/postings", partitionCols = Seq("__bp"),
+      sortCols = Seq("_t"), numFiles = 8)
     corpus.sparkSession.range(1)
-      .select(lit(prefixPartitions).as("prefix_partitions"))
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold a DELTA of new documents into a persisted [[writeBm25Index]]
+    * WITHOUT re-tokenizing the corpus — completing the maintenance
+    * story across every index family (minhash, sign, CDC, BM25).
+    * BM25 is the interesting case: contributions depend on
+    * corpus-GLOBAL stats (N, total tokens, per-term df), so every
+    * `_c` in the index changes when ANY document arrives — no
+    * per-bucket merge exists. What IS incremental: the raw postings
+    * union (the delta tokenizes itself, disjoint doc ids), the stats
+    * add (old N/tt off the meta + the delta's own), and df re-derives
+    * from the unioned postings. The fold is therefore an INDEX-SIZED
+    * rewrite (one pass over ids+counts parquet, the same cost class
+    * as the minhash fold's bucket merge) instead of a CORPUS-sized
+    * re-tokenization — at 100 TB the corpus text is orders of
+    * magnitude larger than its postings. Exactness: the contrib
+    * arithmetic is [[bm25ContribFromPostings]] shared verbatim with
+    * the build, and the merged stats reproduce the from-scratch agg
+    * (N counts null-text docs, tt skips them — both sides computed
+    * the same way), so a folded index probes identically to
+    * `writeBm25Index(corpus ∪ delta)` (ApiSpec parity). Meta without
+    * stats (a pre-fold index) fails loudly: rebuild once.
+    */
+  def foldIntoBm25Index(delta: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "foldIntoBm25Index: outPath must differ from indexPath")
+    val s = delta.sparkSession
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"foldIntoBm25Index: cannot read $indexPath/meta — the fold " +
+            "needs the index's corpus stats (n, tt, max_dl)", e)
+      }
+    require(Seq("n", "tt", "max_dl").forall(metaDf.columns.contains),
+      s"foldIntoBm25Index: $indexPath/meta lacks corpus stats (n, tt, " +
+        "max_dl) — a pre-fold index must be rebuilt once with the " +
+        "current writeBm25Index")
+    val m = metaDf.head()
+    val prefixes = m.getAs[Number]("prefix_partitions").intValue()
+    val (oldN, oldTt, oldMax) = (m.getAs[Number]("n").longValue(),
+      m.getAs[Number]("tt").longValue(), m.getAs[Number]("max_dl").longValue())
+    val (dn, dtt, dMax) = bm25CorpusStats(delta, idCol, textCol)
+    val (n, tt, maxDl) = (oldN + dn, oldTt + dtt, math.max(oldMax, dMax))
+    val postings = s.read.parquet(s"$indexPath/postings").drop("__bp")
+      .unionByName(bm25Postings(delta, idCol, textCol))
+      .localCheckpoint()
+    graft.jobs.Sinks.layout(
+      bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
+        .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+          lit(prefixes.toLong))),
+      s"$outPath/contrib", partitionCols = Seq("__bp"),
+      sortCols = Seq("_t"), numFiles = 8)
+    graft.jobs.Sinks.layout(
+      postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+        lit(prefixes.toLong))),
+      s"$outPath/postings", partitionCols = Seq("__bp"),
+      sortCols = Seq("_t"), numFiles = 8)
+    s.range(1)
+      .select(lit(prefixes).as("prefix_partitions"),
+        lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
   }
 
   /** [[bm25TopK]] probing a PERSISTED [[writeBm25Index]] instead of

@@ -1217,6 +1217,49 @@ class ApiSpec extends SparkSpec {
     assert(err.getMessage.contains("meta"))
   }
 
+  test("foldIntoBm25Index == from-scratch rebuild (global stats re-derived)") {
+    // BM25's fold is the interesting one: every contribution depends
+    // on corpus-global stats, so the fold recomputes _c from the
+    // unioned RAW postings + merged stats — and must probe identically
+    // to writeBm25Index on the unioned corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25fold-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val c0 = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val delta = docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+    val qDf = docs.filter(col("doc_id") % 5 === 0)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    def probeSet(path: String) = TextOps.bm25TopKAgainstIndex(
+        qDf, "qid", "text", path, "doc_id", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    TextOps.writeBm25Index(c0.unionByName(delta), "doc_id", "text",
+      s"$dir/full")
+    TextOps.writeBm25Index(c0, "doc_id", "text", s"$dir/v1")
+    TextOps.foldIntoBm25Index(delta, "doc_id", "text",
+      s"$dir/v1", s"$dir/v2")
+    val full = probeSet(s"$dir/full")
+    val folded = probeSet(s"$dir/v2")
+    assert(full.nonEmpty, "probe found nothing — parity would be vacuous")
+    assert(folded == full, s"missing=${(full -- folded).take(3)} " +
+      s"extra=${(folded -- full).take(3)}")
+    // the folds CHANGED the idf/length-norm of old docs (global stats
+    // moved) — assert a v1-probe score differs from v2's for some doc,
+    // or the global-stats recompute claim is untested
+    val v1 = probeSet(s"$dir/v1")
+    val v1Scores = v1.map(r => (r._1, r._3) -> r._4).toMap
+    assert(folded.exists(r => v1Scores.get((r._1, r._3)).exists(_ != r._4)),
+      "no old doc's score moved after the fold — stats recompute vacuous")
+    // a pre-fold index (no stats in meta) fails loudly
+    val err = intercept[IllegalArgumentException] {
+      spark.range(1).select(lit(64).as("prefix_partitions"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/old/meta")
+      TextOps.foldIntoBm25Index(delta, "doc_id", "text",
+        s"$dir/old", s"$dir/v3")
+    }
+    assert(err.getMessage.contains("stats"))
+  }
+
   test("CDC chunk index: probe == inline, meta is required, pruning engages") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdcidx-").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
