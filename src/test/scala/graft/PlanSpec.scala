@@ -266,7 +266,11 @@ class PlanSpec extends SparkSpec {
     val compositionBudget = Map(
       "q89_curation_pipeline" -> 40,
       "q92_curation_report" -> 40,
-      "q93_dsir_importance" -> 20)
+      "q93_dsir_importance" -> 20,
+      // two retrievers + fusion: embedText's 2 rollups + the BM25
+      // leg's 2 (tf rollup, rank) + semantic rank + fusion agg +
+      // final rank = 7, each individually budgeted elsewhere
+      "q112_hybrid_retrieval" -> 8)
     SparkEntry.catalog.foreach { q =>
       val budget = compositionBudget.getOrElse(q.name, 6)
       val shuffles = collectAll(

@@ -1082,8 +1082,13 @@ class StreamingSpec extends SparkSpec {
       .start()
     def feed(i: Int, rows: Seq[(Long, String, String, Timestamp)],
         q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      // ONE part file per feed: arrival order within a micro-batch
+      // follows file/partition order, and the quota's first-cap
+      // admission is arrival-order semantics — multi-part writes under
+      // load can list in any order and flake the doc_id-order oracle
       graft.jobs.Sinks.jsonl(
-        rows.toDF("doc_id", "text", "source", "at"), s"$dropDir/batch$i")
+        rows.toDF("doc_id", "text", "source", "at").coalesce(1),
+        s"$dropDir/batch$i")
       val src = new java.io.File(s"$dropDir/batch$i")
       src.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
         java.nio.file.Files.move(f.toPath, dropDir.resolve(s"b$i-${f.getName}"))
@@ -1227,8 +1232,13 @@ class StreamingSpec extends SparkSpec {
       .start()
     def feed(i: Int, rows: Seq[(Long, String, String, Timestamp)],
         q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      // ONE part file per feed: arrival order within a micro-batch
+      // follows file/partition order, and the quota's first-cap
+      // admission is arrival-order semantics — multi-part writes under
+      // load can list in any order and flake the doc_id-order oracle
       graft.jobs.Sinks.jsonl(
-        rows.toDF("doc_id", "text", "source", "at"), s"$dropDir/batch$i")
+        rows.toDF("doc_id", "text", "source", "at").coalesce(1),
+        s"$dropDir/batch$i")
       val src = new java.io.File(s"$dropDir/batch$i")
       src.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
         java.nio.file.Files.move(f.toPath, dropDir.resolve(s"b$i-${f.getName}"))
