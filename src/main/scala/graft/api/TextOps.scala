@@ -929,38 +929,26 @@ object TextOps {
     * Integer signed counts are exact and order-independent; the one
     * float step (x / sqrt(Σx²)) is a single IEEE op per dim, so
     * quantized projections hash-match DuckDB (the q53 floor
-    * precedent). Two exchanges: (id, dim) partial-agg'd counts, then
-    * the per-id assembly — both collapse map-side; the corpus is
-    * scanned once.
+    * precedent).
+    *
+    * ZERO exchanges: the whole embedding is the native `hash_embed`
+    * kernel — one codegen'd pass per row, value-identical to the
+    * former explode → (id,dim) rollup → per-id assembly spelling
+    * (TextHashLawsSpec pins the law; the q101/q102/q103 hash oracles
+    * gate it). A map-only projection is also what makes a STREAMING
+    * frame embeddable statelessly (no groupBy state). Null text keeps
+    * its row with the zero vector (row preservation,
+    * config-independent).
     */
   def embedText(df: DataFrame, idCol: String, textCol: String,
       d: Int = 64): DataFrame = {
     require(d > 0, s"embedText: d must be positive, got $d")
-    // _h is a named projection so dim and sign derive from ONE hash
-    val withH = df
-      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("_w"))
-      .filter(col("_w") =!= "")
-      .select(col(idCol), TextHashing.hash60(col("_w")).as("_h"))
-      .select(col(idCol), pmod(col("_h"), lit(d.toLong)).as("_dim"),
-        when(expr("(_h div 4294967296) % 2 = 0"), lit(1L))
-          .otherwise(lit(-1L)).as("_s"))
-    val byDim = withH.groupBy(col(idCol), col("_dim"))
-      .agg(sum(col("_s")).as("_c"))
+    TextHashExpressions.register(df.sparkSession)
     val zero = s"transform(sequence(0, ${d - 1}), i -> 0.0D)"
-    val assembled = byDim.groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("_dim"), col("_c"))))
-        .as("_m"),
-        sum(col("_c") * col("_c")).as("_n2"))
-      .select(col(idCol),
-        when(col("_n2") > 0, expr(
-          s"transform(sequence(0, ${d - 1}), " +
-            "i -> coalesce(_m[i], 0L) / sqrt(_n2))"))
-          .otherwise(expr(zero))
-          .as("v"))
-    // row preservation: the explode drops token-less (or null-text)
-    // docs entirely, so re-anchor on the input ids — every input row
-    // gets a vector (zero for no-signal docs), config-independent
-    df.select(col(idCol)).join(assembled, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("v"), expr(zero)).as("v"))
+    df.select(col(idCol),
+      when(col(textCol).isNotNull,
+          call_function("hash_embed",
+            split(col(textCol), " ", -1), lit(d)))
+        .otherwise(expr(zero)).as("v"))
   }
 }

@@ -135,6 +135,41 @@ class TextHashLawsSpec extends SparkSpec {
         .collect().take(3).toSeq}")
   }
 
+  test("hash_embed == explode -> (id,dim) rollup -> assembly spelling") {
+    // the law that keeps q101/q102/q103 hash-exact after the map-only
+    // kernel replaced the two-exchange spelling: per-dim signed counts
+    // from ONE hash, L2-normalized with the same Long/Double division,
+    // zero signal -> the zero vector
+    for (d <- Seq(8, 64)) {
+      val decl = docs
+        .select(col("id"), explode(col("toks")).as("_w"))
+        .filter(col("_w") =!= "")
+        .select(col("id"), hash60(col("_w")).as("_h"))
+        .select(col("id"), pmod(col("_h"), lit(d.toLong)).as("_dim"),
+          when(expr("(_h div 4294967296) % 2 = 0"), lit(1L))
+            .otherwise(lit(-1L)).as("_s"))
+        .groupBy(col("id"), col("_dim")).agg(sum(col("_s")).as("_c"))
+        .groupBy(col("id"))
+        .agg(map_from_entries(collect_list(struct(col("_dim"), col("_c"))))
+          .as("_m"), sum(col("_c") * col("_c")).as("_n2"))
+        .select(col("id"),
+          when(col("_n2") > 0, expr(s"transform(sequence(0, ${d - 1}), " +
+            "i -> coalesce(_m[i], 0L) / sqrt(_n2))"))
+            .otherwise(expr(s"transform(sequence(0, ${d - 1}), i -> 0.0D)"))
+            .as("decl"))
+      val bad = docs
+        .join(decl, Seq("id"), "left")
+        .withColumn("decl", coalesce(col("decl"),
+          expr(s"transform(sequence(0, ${d - 1}), i -> 0.0D)")))
+        .withColumn("native", call_function("hash_embed", col("toks"), lit(d)))
+        // bit-exact double compare via json stringification
+        .filter(to_json(struct(col("native").as("v"))) =!=
+          to_json(struct(col("decl").as("v"))))
+      assert(bad.count() == 0,
+        s"d=$d diverging rows: ${bad.select("id", "toks").collect().take(3).toSeq}")
+    }
+  }
+
   test("curation_rows == base ++ cdc_chunk_hashes ++ bigram_counts ++ token rows") {
     // the law behind IngestPipeline.curated's tagged expansion: the
     // fused kernel must emit exactly the declarative concat of the
