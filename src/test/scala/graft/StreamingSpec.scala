@@ -1405,6 +1405,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.size == 3)
   }
 
+  test("embedText is stateless-streaming-safe since the hash_embed kernel") {
+    // the map-only kernel (round 8) removed embedText's two groupBys,
+    // so a raw TEXT stream now embeds with NO state — which chains the
+    // whole vector stack (sign-index probe, centroid classify, PQ ADC)
+    // onto text streams directly. Batch parity is value-level.
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta epsilon"),
+      (3L, null.asInstanceOf[String]), (4L, ""))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.api.TextOps.embedText(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", d = 16)
+      .writeStream.format("memory").queryName("embed_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toMap
+    val got = rows(spark.table("embed_stream"))
+    val want = rows(graft.api.TextOps.embedText(
+      docs.toDF("doc_id", "text"), "doc_id", "text", d = 16))
+    assert(got == want && want.size == 4, s"stream=$got batch=$want")
+    assert(got(3L).forall(_ == 0.0) && got(4L).forall(_ == 0.0),
+      "null/empty text must keep its row with the zero vector")
+  }
+
   test("streaming dedup parity holds under the RocksDB state store") {
     StateStoreVariants.withRocksDB(spark) {
       assertStreamingDedup("dedup_stream_rocks")
