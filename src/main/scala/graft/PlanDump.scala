@@ -47,7 +47,7 @@ object PlanDump {
       "q103_semantic_decontamination", "q104_nb_text_classifier",
       "q105_centroid_classifier", "q106_cdc_chunk_shares",
       "q107_cdc_incremental_dedup", "q108_bm25_retrieval",
-      "q110_fold_minhash_probe", "q111_fold_cdc_probe",
+      "q110_fold_minhash_probe", "q111_fold_cdc_probe", "q113_fold_sign_probe",
       "q112_hybrid_retrieval")
     val pw = new PrintWriter(out)
     names.foreach { n =>

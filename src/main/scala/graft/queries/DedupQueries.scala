@@ -293,6 +293,32 @@ SELECT ck.doc_id, len(chs)::BIGINT AS n_chunks,
              ELSE 0 END)::BIGINT AS hit_x1000
 FROM ck LEFT JOIN hits USING (doc_id) WHERE ck.doc_id % 5 = 0"""
 
+  /** q83's oracle, shared VERBATIM by q113 (probe through a FOLDED
+    * persisted sign index) — the [[q59OracleSql]] drift-proofing for
+    * the vector family.
+    */
+  private[queries] val q83OracleSql: String = s"""
+WITH $lshBandsCte,
+corpb AS (SELECT * FROM bands WHERE vec_id % 5 <> 0),
+newb AS (SELECT * FROM bands WHERE vec_id % 5 = 0),
+ok AS (
+  SELECT band, bkey FROM corpb
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT nw.vec_id AS vec_new, c.vec_id AS vec_old
+  FROM newb nw
+  JOIN ok o ON nw.band = o.band AND nw.bkey = o.bkey
+  JOIN corpb c ON c.band = o.band AND c.bkey = o.bkey),
+v AS (
+  SELECT vec_new, vec_old,
+         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
+  FROM cand
+  JOIN n na ON na.vec_id = vec_new
+  JOIN n nb ON nb.vec_id = vec_old)
+SELECT vec_new, vec_old, floor(sim * 1000)::BIGINT AS sim_x1000
+FROM v WHERE floor(sim * 1000) >= 400"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -730,27 +756,7 @@ FROM p GROUP BY 1"""),
         "verifies candidates only. Same hyperplane generator as q39/" +
         "q53, so batch self-join and incremental paths band " +
         "identically.",
-      Some(s"""
-WITH $lshBandsCte,
-corpb AS (SELECT * FROM bands WHERE vec_id % 5 <> 0),
-newb AS (SELECT * FROM bands WHERE vec_id % 5 = 0),
-ok AS (
-  SELECT band, bkey FROM corpb
-  GROUP BY band, bkey
-  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
-cand AS (
-  SELECT DISTINCT nw.vec_id AS vec_new, c.vec_id AS vec_old
-  FROM newb nw
-  JOIN ok o ON nw.band = o.band AND nw.bkey = o.bkey
-  JOIN corpb c ON c.band = o.band AND c.bkey = o.bkey),
-v AS (
-  SELECT vec_new, vec_old,
-         list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS sim
-  FROM cand
-  JOIN n na ON na.vec_id = vec_new
-  JOIN n nb ON nb.vec_id = vec_old)
-SELECT vec_new, vec_old, floor(sim * 1000)::BIGINT AS sim_x1000
-FROM v WHERE floor(sim * 1000) >= 400"""),
+      Some(q83OracleSql),
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         graft.api.VectorOps.nearDupPairsAgainst(
@@ -1135,6 +1141,22 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
           "doc_id", "text", foldedMinhashDir(s, dir))),
 
     QueryDef(
+      "q113_fold_sign_probe",
+      "Embedding-index maintenance proven end-to-end " +
+        "(VectorOps.foldIntoSignIndex): the 80% vector corpus indexed " +
+        "as v1 (40%) + a FOLDED 40% delta through the SHARED " +
+        "mergeCappedBuckets cap arithmetic, the 20% probe batch run " +
+        "through probeSignIndex against v2. Oracle = q83's VERBATIM " +
+        "(shared string) by the fold-equals-rebuild contract — the " +
+        "q110/q111 pattern completing the vector family.",
+      Some(q83OracleSql),
+      (s, dir) =>
+        graft.api.VectorOps.probeSignIndex(
+          Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", (0 until LshPlanes).map(plane),
+          foldedSignDir(s, dir), simX1000Threshold = 400)),
+
+    QueryDef(
       "q111_fold_cdc_probe",
       "CDC chunk-index maintenance proven end-to-end " +
         "(DedupOps.foldIntoCdcChunkIndex): v1 chunk index on 40% of " +
@@ -1171,6 +1193,25 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
       graft.api.DedupOps.foldIntoMinhashIndex(
         docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
         "doc_id", "text", s"$tmp/v1", s"$tmp/v2")
+      s"$tmp/v2"
+    })
+
+  private val foldSignCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def foldedSignDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldSignCache.computeIfAbsent(dir, { _ =>
+      val emb = Tables.embeddings(s, dir)
+      val planes = (0 until LshPlanes).map(plane)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldsign-").toString
+      graft.api.VectorOps.writeSignIndex(
+        emb.filter(col("vec_id") % 5 === 1 || col("vec_id") % 5 === 2),
+        "vec_id", "embedding", planes, s"$tmp/v1")
+      graft.api.VectorOps.foldIntoSignIndex(
+        emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 5 === 4),
+        "vec_id", "embedding", planes, s"$tmp/v1", s"$tmp/v2")
       s"$tmp/v2"
     })
 
