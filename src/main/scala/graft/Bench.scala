@@ -24,21 +24,40 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = BenchHarness.session()
     BenchHarness.warmup(spark, SparkEntry.queries.keys)
+    // the warmup alone runs every thunk once → one session's worth of
+    // leaked localCheckpoint RDDs before timing even starts
+    BenchHarness.drainLocalCheckpoints(spark)
     val stageBuild = {
       val t0 = System.nanoTime()
       try queries.SharedStages.clusters(spark, sfDir).count()
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    BenchHarness.drainLocalCheckpoints(spark)
     // three timed runs per query; "queries" reports the min (the
     // steady-state plan cost), "runs" the raw per-run arrays so a
     // driver-load outlier is visible as [0.3, 6.1, 0.3], not as a
-    // phantom regression
+    // phantom regression. After each query's runs, drain the
+    // localCheckpoint RDDs its thunks pinned (see
+    // BenchHarness.drainLocalCheckpoints — without this the session
+    // accretes pinned storage across 113×3 invocations and major-GC
+    // pauses masquerade as per-query regressions; the r8 q56 finding).
+    var drained = 0
     val raw = ("shared_stage_build" -> Seq(stageBuild)) +:
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-        name -> BenchHarness.timedRuns(3,
+        val rs = BenchHarness.timedRuns(3,
           () => SparkEntry.queries(name)(spark, sfDir))
+        drained += BenchHarness.drainLocalCheckpoints(spark)
+        name -> rs
       }
+    // teardown assertion: after the final drain NOTHING locally
+    // checkpointed may remain pinned — a nonzero count here means a
+    // new leak class (checkpoints created outside query thunks)
+    val residual = spark.sparkContext.getPersistentRDDs.values
+      .count(BenchHarness.isLocallyCheckpointed)
+    assert(residual == 0,
+      s"bench teardown: $residual locally-checkpointed RDDs still " +
+        "pinned after the final drain")
     val results = raw.map { case (k, rs) => k -> BenchHarness.minOfRuns(rs) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -58,7 +77,7 @@ object Bench {
     }
     val leaksJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"leak_suspects":$leaksJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"leak_suspects":$leaksJson,"drained_checkpoints":$drained,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))

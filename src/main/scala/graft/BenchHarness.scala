@@ -94,6 +94,39 @@ object BenchHarness {
   def minOf2Of(build: () => DataFrame): Double =
     minOfRuns(timedRuns(2, build))
 
+  /** Release every locally-checkpointed RDD still pinned on the
+    * context. localCheckpoint persists its RDD for the LIFE of the
+    * session (the q89 round-7 lesson, generalized): a bench loop
+    * re-invoking 113 query thunks 3× each creates fresh checkpoint
+    * RDDs per invocation and never references the old ones again —
+    * they accrete until the 8g driver heap is mostly pinned storage
+    * and multi-second major GCs land on whichever query is running
+    * (the r8 q56/q32/q102 third-run spikes). Draining after each
+    * query's runs is semantics-free: no thunk invocation can see a
+    * PREVIOUS invocation's checkpoint (each builds its own), and
+    * cacheManager `.persist()` caches — which ARE legitimately shared
+    * across runs and queries — are left untouched
+    * (`isLocallyCheckpointed` is false for them). Returns the number
+    * of RDDs released so the bench artifact can report drain activity.
+    */
+  def drainLocalCheckpoints(spark: SparkSession): Int = {
+    val pinned = spark.sparkContext.getPersistentRDDs.values
+      .filter(isLocallyCheckpointed).toSeq
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.size
+  }
+
+  /** RDD.isLocallyCheckpointed is `private[rdd]` at the Scala level
+    * but (like all Scala package-private members) a public method in
+    * bytecode — one reflective handle keeps the drain dependent only
+    * on Spark's own lifecycle flag, not on storage-level heuristics
+    * that would also match legitimate `.persist()` caches.
+    */
+  private val locallyCheckpointedM =
+    classOf[org.apache.spark.rdd.RDD[_]].getMethod("isLocallyCheckpointed")
+  def isLocallyCheckpointed(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    locallyCheckpointedM.invoke(rdd).asInstanceOf[Boolean]
+
   /** Locale-safe fixed-ish decimal rendering for the JSON contract
     * lines: Double.toString never uses the JVM default locale, while
     * an f-interpolator `%.3f` under a comma-decimal locale would emit

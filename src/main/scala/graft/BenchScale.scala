@@ -173,6 +173,8 @@ object BenchScale {
     val rows = stageRow +: Heavy.map { q =>
       val base = BenchHarness.minOf2(spark, q, baseDir)
       val scaled = BenchHarness.minOf2(spark, q, outDir)
+      // leak hygiene between query families (same discipline as Bench)
+      BenchHarness.drainLocalCheckpoints(spark)
       // floor tiny bases: a 0.08s query is fixed-overhead-dominated and
       // its ratio measures the JVM, not the plan
       val ratio =

@@ -34,6 +34,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the localCheckpoint RDDs this query pinned — the
+      // 113-query dump otherwise accretes session storage exactly
+      // like the bench loop (see BenchHarness.drainLocalCheckpoints)
+      BenchHarness.drainLocalCheckpoints(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -233,7 +233,7 @@ object DedupOps {
         sortCols = Seq("doc_old"), numFiles = 8)
       corpus.sparkSession.range(1)
         .select(lit(prefixPartitions).as("prefix_partitions"),
-          lit(maxBucket).as("max_bucket"))
+          lit(maxBucket).as("max_bucket"), lit(1).as("layers"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally hashed.unpersist()
   }

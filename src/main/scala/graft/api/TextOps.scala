@@ -730,25 +730,27 @@ object TextOps {
       s"writeBm25Index: prefixPartitions $prefixPartitions < 1")
     val (n, tt, maxDl) = bm25CorpusStats(corpus, idCol, textCol)
     val postings = bm25Postings(corpus, idCol, textCol).localCheckpoint()
-    graft.jobs.Sinks.layout(
-      bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
-        .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+    try {
+      graft.jobs.Sinks.layout(
+        bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
+          .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+            lit(prefixPartitions.toLong))),
+        s"$path/contrib", partitionCols = Seq("__bp"),
+        sortCols = Seq("_t"), numFiles = 8)
+      // the raw (term, doc, tf, dl) postings ride along: contributions
+      // are a function of corpus-GLOBAL stats, so maintenance
+      // ([[foldIntoBm25Index]]) must re-derive them — possible from raw
+      // postings at index size, impossible from baked _c values
+      graft.jobs.Sinks.layout(
+        postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
           lit(prefixPartitions.toLong))),
-      s"$path/contrib", partitionCols = Seq("__bp"),
-      sortCols = Seq("_t"), numFiles = 8)
-    // the raw (term, doc, tf, dl) postings ride along: contributions
-    // are a function of corpus-GLOBAL stats, so maintenance
-    // ([[foldIntoBm25Index]]) must re-derive them — possible from raw
-    // postings at index size, impossible from baked _c values
-    graft.jobs.Sinks.layout(
-      postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
-        lit(prefixPartitions.toLong))),
-      s"$path/postings", partitionCols = Seq("__bp"),
-      sortCols = Seq("_t"), numFiles = 8)
-    corpus.sparkSession.range(1)
-      .select(lit(prefixPartitions).as("prefix_partitions"),
-        lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        s"$path/postings", partitionCols = Seq("__bp"),
+        sortCols = Seq("_t"), numFiles = 8)
+      corpus.sparkSession.range(1)
+        .select(lit(prefixPartitions).as("prefix_partitions"),
+          lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally Lifecycle.releaseLocalCheckpoint(postings)
   }
 
   /** Fold a DELTA of new documents into a persisted [[writeBm25Index]]
@@ -797,21 +799,23 @@ object TextOps {
     val postings = s.read.parquet(s"$indexPath/postings").drop("__bp")
       .unionByName(bm25Postings(delta, idCol, textCol))
       .localCheckpoint()
-    graft.jobs.Sinks.layout(
-      bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
-        .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+    try {
+      graft.jobs.Sinks.layout(
+        bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
+          .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+            lit(prefixes.toLong))),
+        s"$outPath/contrib", partitionCols = Seq("__bp"),
+        sortCols = Seq("_t"), numFiles = 8)
+      graft.jobs.Sinks.layout(
+        postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
           lit(prefixes.toLong))),
-      s"$outPath/contrib", partitionCols = Seq("__bp"),
-      sortCols = Seq("_t"), numFiles = 8)
-    graft.jobs.Sinks.layout(
-      postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
-        lit(prefixes.toLong))),
-      s"$outPath/postings", partitionCols = Seq("__bp"),
-      sortCols = Seq("_t"), numFiles = 8)
-    s.range(1)
-      .select(lit(prefixes).as("prefix_partitions"),
-        lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+        s"$outPath/postings", partitionCols = Seq("__bp"),
+        sortCols = Seq("_t"), numFiles = 8)
+      s.range(1)
+        .select(lit(prefixes).as("prefix_partitions"),
+          lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+    } finally Lifecycle.releaseLocalCheckpoint(postings)
   }
 
   /** [[bm25TopK]] probing a PERSISTED [[writeBm25Index]] instead of

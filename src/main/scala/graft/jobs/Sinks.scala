@@ -76,6 +76,23 @@ object Sinks {
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** [[layout]] with mode=append: NEW sorted files land next to the
+    * existing ones (dynamic-partition append inside each directory
+    * partition). This is what makes index FOLDS O(delta) on the write
+    * side — a delta's rows arrive as their own sorted run instead of
+    * forcing a corpus-sized rewrite; each appended run keeps its own
+    * row-group min/max stats, so point/range pruning still works per
+    * file. Readers that need one logical row per key reconcile the
+    * runs at read (see DedupOps.mergeLayeredBuckets).
+    */
+  def layoutAppend(df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCols: Seq[String], numFiles: Int): Unit = {
+    val keys = (partitionCols ++ sortCols).map(col)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** JSONL export — the training-data interchange format (one JSON
     * object per line; trainers and dataset tooling consume this
     * directly). Same partition-directory contract as [[parquet]]; each

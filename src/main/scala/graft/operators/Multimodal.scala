@@ -428,8 +428,13 @@ object Multimodal {
             }
             out
           }
+        // trust the container header only when BOTH dimensions are
+        // plausible — a header reporting width>0 with height==0 (or
+        // vice versa) is bogus, and a decoded MJPEG frame knows its
+        // true geometry
         val (w, h) =
-          if (m.width > 0 || frames.isEmpty) (m.width, m.height)
+          if ((m.width > 0 && m.height > 0) || frames.isEmpty)
+            (m.width, m.height)
           else (frames.head.getWidth, frames.head.getHeight)
         DecodedMedia(r.docId, r.mediaType, r.payload.length.toLong,
           w, h, m.nFrames, feats, durationMs = m.durationMs)
