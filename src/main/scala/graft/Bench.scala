@@ -50,9 +50,13 @@ object Bench {
         drained += BenchHarness.drainLocalCheckpoints(spark)
         name -> rs
       }
-    // teardown assertion: after the final drain NOTHING locally
-    // checkpointed may remain pinned — a nonzero count here means a
-    // new leak class (checkpoints created outside query thunks)
+    // teardown: release the cache-owned Stages checkpoints (they are
+    // drain-exempt by design — q92 reads q89's cached frames), then
+    // assert NOTHING locally checkpointed remains pinned — a nonzero
+    // count here means a new leak class (checkpoints created outside
+    // query thunks and outside the registered caches)
+    queries.CurationQueries.clearCache()
+    drained += BenchHarness.drainLocalCheckpoints(spark)
     val residual = spark.sparkContext.getPersistentRDDs.values
       .count(BenchHarness.isLocallyCheckpointed)
     assert(residual == 0,
@@ -64,7 +68,14 @@ object Bench {
     val runs = raw.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(BenchHarness.num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // the headline total sums only SUCCESSFUL rows: a -1.0 failure
+    // marker must not subtract from (or silently shrink) the total —
+    // failures are surfaced in their own array instead, so a failed
+    // query can never make the round look cheaper (the r9 q92 artifact
+    // bug)
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // A strictly monotone-increasing run array with meaningful growth
     // is a LEAK signature (state accreting across invocations in one
     // session — the round-7 q89 localCheckpoint lifecycle bug), not
@@ -77,7 +88,7 @@ object Bench {
     }
     val leaksJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"leak_suspects":$leaksJson,"drained_checkpoints":$drained,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failedJson,"leak_suspects":$leaksJson,"drained_checkpoints":$drained,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))

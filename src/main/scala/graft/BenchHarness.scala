@@ -102,16 +102,26 @@ object BenchHarness {
     * they accrete until the 8g driver heap is mostly pinned storage
     * and multi-second major GCs land on whichever query is running
     * (the r8 q56/q32/q102 third-run spikes). Draining after each
-    * query's runs is semantics-free: no thunk invocation can see a
-    * PREVIOUS invocation's checkpoint (each builds its own), and
-    * cacheManager `.persist()` caches — which ARE legitimately shared
-    * across runs and queries — are left untouched
-    * (`isLocallyCheckpointed` is false for them). Returns the number
-    * of RDDs released so the bench artifact can report drain activity.
+    * query's runs is semantics-free for thunk-private checkpoints: no
+    * thunk invocation can see a PREVIOUS invocation's checkpoint (each
+    * builds its own), and cacheManager `.persist()` caches — which ARE
+    * legitimately shared across runs and queries — are left untouched
+    * (`isLocallyCheckpointed` is false for them). The ONE cross-query
+    * sharing shape that argument does not cover — long-lived session
+    * caches of checkpointed frames (q92 reads q89's cached
+    * CurationPipeline Stages) — is handled by the
+    * [[graft.api.Lifecycle]] cache-owned registry: owners register
+    * their live checkpoint RDD ids and the drain skips them (the
+    * round-9 q92 -1.0 lesson — draining a cache-owned checkpoint
+    * truncates lineage on a frame a LATER query still reads,
+    * unrecoverably). The leak bound survives because owners release
+    * the old run's ids on every refresh. Returns the number of RDDs
+    * released so the bench artifact can report drain activity.
     */
   def drainLocalCheckpoints(spark: SparkSession): Int = {
     val pinned = spark.sparkContext.getPersistentRDDs.values
-      .filter(isLocallyCheckpointed).toSeq
+      .filter(r => isLocallyCheckpointed(r) &&
+        !graft.api.Lifecycle.isCacheOwned(r.id)).toSeq
     pinned.foreach(_.unpersist(blocking = false))
     pinned.size
   }

@@ -87,15 +87,14 @@ object CurationPipeline {
       * materialized. AFTER close() no stage frame can be recomputed
       * (truncated lineage + released blocks) — close is the END of
       * this Stages' life, mirroring what dropping a between-stage
-      * parquet materialization would be at 100 TB.
+      * parquet materialization would be at 100 TB. Goes through
+      * [[graft.api.Lifecycle.releaseLocalCheckpoint]] so any
+      * cache-owned registration (CurationQueries' Stages cache) is
+      * dropped in the same step — a closed Stages must not keep its
+      * dead ids drain-exempt.
       */
-    def close(): Unit = checkpointed.foreach { df =>
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    }
+    def close(): Unit =
+      checkpointed.foreach(graft.api.Lifecycle.releaseLocalCheckpoint)
   }
 
   /** Run the full pipeline over `docs` (doc_id, text, source, + any

@@ -42,22 +42,48 @@ object CurationQueries {
       dir: String): graft.jobs.CurationPipeline.Stages = {
     val docs = Tables.documents(s, dir)
     val st = graft.jobs.CurationPipeline.run(docs, urlFixture(docs))
+    // the cached Stages' checkpoints are deliberately shared across
+    // query invocations (q92 reads q89's frames), so they must survive
+    // BenchHarness.drainLocalCheckpoints — register them cache-owned
+    // (drain-exempt; the round-9 lesson: the drain killed them and q92
+    // hard-failed with truncated lineage).
+    st.checkpointed.foreach(graft.api.Lifecycle.registerCacheOwned)
     // the evicted run's checkpoint blocks are released NOW, not at RDD
     // GC: without this a long-lived session re-running q89 accretes
     // storage memory per invocation (the round-7 bench showed runs
-    // growing 4.94 → 6.76 s). The new run's frames are independent of
-    // the old ones, and the single-threaded catalog contract means no
-    // consumer is mid-flight on the evicted frames.
+    // growing 4.94 → 6.76 s). close() also unregisters the old ids, so
+    // at most one run's worth of cache-owned blocks is ever pinned.
+    // The new run's frames are independent of the old ones, and the
+    // single-threaded catalog contract means no consumer is mid-flight
+    // on the evicted frames.
     Option(stagesCache.put(dir, st)).foreach(_.close())
     st
   }
 
+  /** q92's read path: the cached Stages of q89's run — IF still live.
+    * Liveness is checked frame-by-frame (Lifecycle.isLive): if anything
+    * released the cached checkpoints (an unregistered drain, an
+    * explicit close), the frames are unrecoverable (truncated lineage),
+    * so recompute as the new owner rather than throw. This makes q92
+    * correct under EVERY catalog iteration order — the round-9 verdict
+    * flagged that Verify's unordered Map happened to run q92 before q89
+    * and any reshuffle would have flipped its correctness row red.
+    */
   private def stagesCached(s: org.apache.spark.sql.SparkSession,
-      dir: String): graft.jobs.CurationPipeline.Stages =
-    stagesCache.computeIfAbsent(dir, _ => {
-      val docs = Tables.documents(s, dir)
-      graft.jobs.CurationPipeline.run(docs, urlFixture(docs))
-    })
+      dir: String): graft.jobs.CurationPipeline.Stages = {
+    val cur = stagesCache.get(dir)
+    if (cur != null && cur.checkpointed.forall(graft.api.Lifecycle.isLive)) cur
+    else runOwning(s, dir)
+  }
+
+  /** Teardown hook (Bench's final residual assertion): close every
+    * cached Stages — releases its checkpoint blocks and unregisters
+    * its cache-owned ids — and empty the cache.
+    */
+  def clearCache(): Unit = {
+    val it = stagesCache.values().iterator()
+    while (it.hasNext) { it.next().close(); it.remove() }
+  }
 
   /** The survivor-CTE chain shared by q89 (packed output) and q92
     * (per-stage drop accounting) — ONE generator, so the report can

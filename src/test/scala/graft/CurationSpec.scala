@@ -102,4 +102,44 @@ class CurationSpec extends SparkSpec {
     assert(ids.intersect(persistedIds()).isEmpty,
       s"close() left checkpoint RDDs persisted: ${ids.intersect(persistedIds())}")
   }
+
+  test("q89 -> drain -> q92 in one session: drain spares the cached Stages") {
+    // the round-9 regression: Bench drains localCheckpoints after every
+    // query's runs, and q89's post-run drain killed the cached Stages
+    // q92 reads (truncated lineage -> unrecoverable -> q92 = -1.0).
+    // Fixed via the Lifecycle cache-owned registry; this replays the
+    // exact bench order.
+    queries.CurationQueries.clearCache()
+    val q89 = SparkEntry.queries("q89_curation_pipeline")(spark, sf)
+    assert(q89.count() > 0)
+    BenchHarness.drainLocalCheckpoints(spark) // the bench's post-q89 drain
+    val q92 = SparkEntry.queries("q92_curation_report")(spark, sf)
+    val rows = q92.collect()
+    assert(rows.length > 0, "q92 failed after the post-q89 drain")
+    // 7 stages x >=1 source each
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
+      Seq("a_raw", "b_url", "c_exact", "d_neardup", "e_passage",
+        "f_quality", "g_mixed"))
+  }
+
+  test("q92 alone recomputes when the cached Stages' checkpoints are dead") {
+    // the map-order time bomb flagged in round 9: Verify iterates an
+    // unordered Map, so q92 may run first, or run against a cache whose
+    // checkpoints something else released. stagesCached must detect a
+    // dead cache (Lifecycle.isLive) and recompute as the new owner
+    // rather than read unrecoverable blocks.
+    queries.CurationQueries.clearCache()
+    // cold cache: q92 first (the today-lucky Verify order)
+    val cold = SparkEntry.queries("q92_curation_report")(spark, sf).collect()
+    assert(cold.length > 0)
+    // now kill the cached checkpoints OUTSIDE the registry's knowledge
+    // (simulates any future unregistered release path)
+    spark.sparkContext.getPersistentRDDs.values
+      .filter(BenchHarness.isLocallyCheckpointed)
+      .foreach(_.unpersist(blocking = true))
+    val reread = SparkEntry.queries("q92_curation_report")(spark, sf).collect()
+    assert(reread.length == cold.length,
+      "q92 against a dead cache must recompute, not fail or drift")
+    queries.CurationQueries.clearCache()
+  }
 }
