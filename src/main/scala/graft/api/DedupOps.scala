@@ -231,33 +231,11 @@ object DedupOps {
         hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
         s"$path/hashed", partitionCols = Nil,
         sortCols = Seq("doc_old"), numFiles = 8)
-      corpus.sparkSession.range(1)
-        .select(lit(prefixPartitions).as("prefix_partitions"),
-          lit(maxBucket).as("max_bucket"), lit(1).as("layers"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeMinhashMeta(corpus.sparkSession, path, prefixPartitions,
+        maxBucket, 1)
     } finally hashed.unpersist()
   }
 
-  /** Fold a DELTA of new documents into a persisted
-    * [[writeMinhashIndex]] WITHOUT re-scanning the corpus text — the
-    * daily index-maintenance operation at scale: corpus v2's index =
-    * fold(v1 index, day's new docs), cost O(index size + delta),
-    * where the index is ids + hash sets (tiny next to the corpus
-    * text a from-scratch rebuild would re-shingle).
-    *
-    * Exactness contract: the folded index probes IDENTICALLY to a
-    * from-scratch `writeMinhashIndex(corpus ∪ delta)` (DedupSpec
-    * parity). The cap arithmetic is why tombstones exist: a bucket
-    * over cap in EITHER input stays a tombstone (adding docs cannot
-    * shrink it), an under-cap union that crosses the cap BECOMES one,
-    * and a bucket absent on one side keeps the other side's list —
-    * all exactly what the from-scratch `capped_list` would compute.
-    * Delta ids must be disjoint from the indexed ids (the incremental
-    * contract everywhere in this api). Meta (prefix geometry + cap)
-    * is REQUIRED: reproducing the build needs the build's parameters,
-    * so a pre-tombstone index (no `max_bucket` in meta) folds with
-    * [[DefaultMaxBucket]] and a warning is the caller's lookout.
-    */
   /** The exact from-scratch cap arithmetic over two (band, bkey,
     * `__cs`) bucket frames WITH tombstones: a tombstone on either side
     * persists (adding docs cannot shrink a bucket), an under-cap union
@@ -286,33 +264,140 @@ object DedupOps {
         .otherwise(col("_dcs")).as("__cs"))
   }
 
+  /** N-way reconcile of LAYERED (band, bkey, `__cs`) bucket runs — the
+    * read side of the O(delta)-write fold ([[foldIntoMinhashIndex]]'s
+    * in-place overload, [[graft.jobs.Sinks.layoutAppend]]): each
+    * append lands the delta's capped buckets as its own run, so a key
+    * may appear once per layer; one grouped pass restores the exact
+    * from-scratch semantics. The arithmetic is order-free (unlike the
+    * 2-way [[mergeCappedBuckets]], which encodes sides): a tombstone
+    * in ANY layer means that layer alone was over cap, so the union
+    * is too; otherwise the concat of disjoint per-layer member lists
+    * IS the full bucket, tombstoned iff it crosses the cap — term for
+    * term what `capped_list` computes over the union corpus.
+    * `collect_list` skips nulls, so tombstones are detected by an
+    * explicit indicator, not by their (absent) lists.
+    */
+  private[graft] def mergeLayeredBuckets(buckets: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val listType = buckets.schema("__cs").dataType
+    buckets.groupBy(col("band"), col("bkey"))
+      .agg(max(when(col("__cs").isNull, 1).otherwise(0)).as("_tomb"),
+        flatten(collect_list(col("__cs"))).as("_all"))
+      .select(col("band"), col("bkey"),
+        when(col("_tomb") === 1 || size(col("_all")) > maxBucket,
+          lit(null).cast(listType))
+          .otherwise(col("_all")).as("__cs"))
+  }
+
+  /** (prefix_partitions, max_bucket, layers) off a
+    * [[writeMinhashIndex]] meta. BOTH geometry fields are REQUIRED
+    * with a named rebuild-once error: a pre-tombstone index (no
+    * `max_bucket` in meta) has no tombstone rows, so folding it would
+    * silently resurrect over-cap buckets with delta-only members —
+    * violating fold==rebuild with no error anywhere (the
+    * foldIntoBm25Index / foldIntoSignIndex posture, applied here).
+    * `layers` defaults to 1 (single-run indexes predate the column).
+    */
+  private def readMinhashMeta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (Int, Int, Int) = {
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$op: cannot read $indexPath/meta — the fold must " +
+            "reproduce the build's prefix/cap geometry", e)
+      }
+    require(metaDf.columns.contains("max_bucket"),
+      s"$op: $indexPath/meta lacks max_bucket — a pre-tombstone index " +
+        "records no over-cap buckets, so a fold would silently " +
+        "resurrect them with delta-only members; rebuild it once with " +
+        "the current writeMinhashIndex")
+    val row = metaDf.head(1).headOption.getOrElse(
+      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
+    val layers =
+      if (metaDf.columns.contains("layers"))
+        row.getAs[Number]("layers").intValue()
+      else 1
+    (row.getAs[Number]("prefix_partitions").intValue(),
+      row.getAs[Number]("max_bucket").intValue(), layers)
+  }
+
+  private def writeMinhashMeta(s: org.apache.spark.sql.SparkSession,
+      path: String, prefixPartitions: Int, maxBucket: Int,
+      layers: Int): Unit =
+    s.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(maxBucket).as("max_bucket"), lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  /** Fold a DELTA of new documents into a persisted
+    * [[writeMinhashIndex]] WITHOUT re-scanning the corpus text, and
+    * WITHOUT rewriting the index: the delta's capped buckets and
+    * shingle sets land as their OWN sorted parquet runs
+    * ([[graft.jobs.Sinks.layoutAppend]]) inside the index's existing
+    * `__bp` directory layout — write cost O(delta) bytes, the daily
+    * index-maintenance operation at 100 TB (the compacting overload
+    * below writes O(index) bytes per fold, which at scale would
+    * rewrite the whole signature store every day). `layers` in meta
+    * counts the runs; readers reconcile per-key duplicates through
+    * [[mergeLayeredBuckets]] (exact fold==rebuild arithmetic, q110's
+    * driver-checked hash), and the `hashed/` runs need NO reconcile —
+    * disjoint delta ids make the row-set union literal. Each appended
+    * run keeps its own (band, bkey) row-group stats, so point/range
+    * pruning still works per file; periodic [[compactMinhashIndex]]
+    * folds the runs back to one when their count starts to matter
+    * (the LSM posture: append daily, compact weekly).
+    */
+  def foldIntoMinhashIndex(delta: DataFrame, idCol: String,
+      textCol: String, indexPath: String): Unit = {
+    val s = delta.sparkSession
+    val (prefixPartitions, maxBucket, layers) =
+      readMinhashMeta(s, indexPath, "foldIntoMinhashIndex")
+    val hashed = shingleHashed(delta, idCol, textCol).persist()
+    try {
+      graft.jobs.Sinks.layoutAppend(
+        bandBucketsAll(withBandKeys(hashed)
+          .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
+          .withColumn("__bp",
+            pmod(xxhash64(col("band"), col("bkey")),
+              lit(prefixPartitions.toLong))),
+        s"$indexPath/buckets", partitionCols = Seq("__bp"),
+        sortCols = Seq("band", "bkey"), numFiles = 8)
+      graft.jobs.Sinks.layoutAppend(
+        hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
+        s"$indexPath/hashed", partitionCols = Nil,
+        sortCols = Seq("doc_old"), numFiles = 8)
+      writeMinhashMeta(s, indexPath, prefixPartitions, maxBucket, layers + 1)
+    } finally hashed.unpersist()
+  }
+
+  /** Fold-and-COMPACT: delta + old index merged into a fresh
+    * single-layer index at `outPath` — O(index) read AND write, the
+    * right cost class when the fold cadence is the compaction cadence
+    * (small indexes, tests, one-shot migrations). For the daily path
+    * at scale use the in-place overload above (O(delta) writes) and
+    * compact separately. Exactness: identical probes to a
+    * from-scratch `writeMinhashIndex(corpus ∪ delta)` (DedupSpec
+    * parity) — tombstone/cap arithmetic via [[mergeCappedBuckets]],
+    * with a layered old index first reconciled through
+    * [[mergeLayeredBuckets]] so both fold shapes compose.
+    */
   def foldIntoMinhashIndex(delta: DataFrame, idCol: String,
       textCol: String, indexPath: String, outPath: String): Unit = {
     require(indexPath != outPath,
       "foldIntoMinhashIndex: outPath must differ from indexPath (the " +
         "merge reads the old index lazily while writing the new one)")
     val s = delta.sparkSession
-    val meta =
-      try s.read.parquet(s"$indexPath/meta").head(1).headOption
-      catch {
-        case e: Exception => throw new IllegalStateException(
-          s"foldIntoMinhashIndex: cannot read $indexPath/meta — the " +
-            "fold must reproduce the build's prefix/cap geometry", e)
-      }
-    val metaRow = meta.getOrElse(throw new IllegalStateException(
-      s"foldIntoMinhashIndex: $indexPath/meta is empty"))
-    val metaDf = s.read.parquet(s"$indexPath/meta")
-    val prefixPartitions = metaRow.getAs[Number]("prefix_partitions").intValue()
-    val maxBucket =
-      if (metaDf.columns.contains("max_bucket"))
-        metaRow.getAs[Number]("max_bucket").intValue()
-      else DefaultMaxBucket
-
+    val (prefixPartitions, maxBucket, layers) =
+      readMinhashMeta(s, indexPath, "foldIntoMinhashIndex")
     val hashed = shingleHashed(delta, idCol, textCol).persist()
     try {
       val deltaBuckets = bandBucketsAll(withBandKeys(hashed)
         .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
-      val oldBuckets = s.read.parquet(s"$indexPath/buckets").drop("__bp")
+      val oldRaw = s.read.parquet(s"$indexPath/buckets").drop("__bp")
+      val oldBuckets =
+        if (layers > 1) mergeLayeredBuckets(oldRaw, maxBucket) else oldRaw
       val merged = mergeCappedBuckets(oldBuckets, deltaBuckets, maxBucket)
       graft.jobs.Sinks.layout(
         merged.withColumn("__bp",
@@ -325,11 +410,37 @@ object DedupOps {
           hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old"))),
         s"$outPath/hashed", partitionCols = Nil,
         sortCols = Seq("doc_old"), numFiles = 8)
-      s.range(1)
-        .select(lit(prefixPartitions).as("prefix_partitions"),
-          lit(maxBucket).as("max_bucket"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+      writeMinhashMeta(s, outPath, prefixPartitions, maxBucket, 1)
     } finally hashed.unpersist()
+  }
+
+  /** Compact a layered index ([[foldIntoMinhashIndex]] in-place folds)
+    * back to ONE sorted run per side: buckets reconciled through
+    * [[mergeLayeredBuckets]], hashed rows re-laid into globally sorted
+    * files, meta reset to layers=1. O(index) read and write — the
+    * amortized cost the daily O(delta) appends defer; identical probe
+    * results before and after (reconcile-at-read == reconcile-at-
+    * compact, same arithmetic).
+    */
+  def compactMinhashIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactMinhashIndex: outPath must differ from indexPath")
+    val (prefixPartitions, maxBucket, _) =
+      readMinhashMeta(s, indexPath, "compactMinhashIndex")
+    graft.jobs.Sinks.layout(
+      mergeLayeredBuckets(
+        s.read.parquet(s"$indexPath/buckets").drop("__bp"), maxBucket)
+        .withColumn("__bp",
+          pmod(xxhash64(col("band"), col("bkey")),
+            lit(prefixPartitions.toLong))),
+      s"$outPath/buckets", partitionCols = Seq("__bp"),
+      sortCols = Seq("band", "bkey"), numFiles = 8)
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/hashed"),
+      s"$outPath/hashed", partitionCols = Nil,
+      sortCols = Seq("doc_old"), numFiles = 8)
+    writeMinhashMeta(s, outPath, prefixPartitions, maxBucket, 1)
   }
 
   /** [[minhashPairsAgainst]] probing a PERSISTED index
@@ -367,13 +478,15 @@ object DedupOps {
     // in transit) the probe DEGRADES to the unpruned full-bucket scan
     // instead of hard-failing — pruning is an optimization, never a
     // correctness dependency
+    val metaRow: Option[org.apache.spark.sql.Row] =
+      try s.read.parquet(s"$indexPath/meta").head(1).headOption
+      catch { case _: Exception => None }
+    def metaInt(name: String): Option[Int] = metaRow
+      .filter(_.schema.fieldNames.contains(name))
+      .map(_.getAs[Number](name).intValue())
     val prefixPartitions: Option[Int] =
       if (!bucketsRaw.columns.contains("__bp")) None
-      else try {
-        s.read.parquet(s"$indexPath/meta")
-          .select(col("prefix_partitions").cast("int"))
-          .head(1).headOption.map(_.getInt(0)).filter(_ >= 1)
-      } catch { case _: Exception => None }
+      else metaInt("prefix_partitions").filter(_ >= 1)
     if (bucketsRaw.columns.contains("__bp") && prefixPartitions.isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"minhashPairsAgainstIndex: $indexPath/meta unreadable or empty " +
@@ -396,8 +509,26 @@ object DedupOps {
         if (bucketsRaw.columns.contains("__bp")) bucketsRaw.drop("__bp")
         else bucketsRaw
     }
+    // LAYERED index (in-place O(delta) folds): a (band, bkey) may
+    // appear once per appended run, and exact fold==rebuild semantics
+    // need the cross-run cap arithmetic — reconcile the PRUNED subset
+    // through mergeLayeredBuckets (the agg runs over only the
+    // directories the delta's keys can hit, so the probe's sub-linear
+    // index-scan term is untouched). Single-layer indexes skip the
+    // agg entirely. A layered index always carries meta (the in-place
+    // fold both requires and rewrites it), so layers/max_bucket are
+    // reliably present exactly when they matter.
+    val layers = metaInt("layers").getOrElse(1)
+    val reconciled =
+      if (layers <= 1) buckets
+      else mergeLayeredBuckets(buckets,
+        metaInt("max_bucket").getOrElse(throw new IllegalStateException(
+          s"minhashPairsAgainstIndex: $indexPath/meta has layers=" +
+            s"$layers but no max_bucket — layered reconcile needs the " +
+            "build's cap; the index is corrupt or hand-edited")))
+        .filter(col("__cs").isNotNull)
     deltaBands
-      .join(buckets, Seq("band", "bkey"))
+      .join(reconciled, Seq("band", "bkey"))
       .select(col(idCol).as("doc_new"), col("hs").as("hs_new"),
         explode(col("__cs")).as("doc_old"))
       .dropDuplicates("doc_new", "doc_old")
@@ -855,21 +986,45 @@ object DedupOps {
           pmod(xxhash64(col("c")), lit(prefixPartitions.toLong))),
       s"$path/chunks", partitionCols = Seq("__bp"),
       sortCols = Seq("c"), numFiles = 8)
-    corpus.sparkSession.range(1)
-      .select(lit(prefixPartitions).as("prefix_partitions"),
-        lit(modulus).as("modulus"), lit(window).as("window"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeCdcMeta(corpus.sparkSession, path, prefixPartitions, modulus,
+      window, 1)
   }
 
   /** Fold a DELTA of new documents into a persisted
-    * [[writeCdcChunkIndex]] WITHOUT re-chunking the corpus — the CDC
-    * sibling of [[foldIntoMinhashIndex]], simpler because the index
-    * is a plain distinct hash set (no cap arithmetic): new index =
-    * old chunk set ∪ delta chunk set, chunked with EXACTLY the old
-    * index's geometry (read off its meta — a fold with different
-    * modulus/window would be silently meaningless, the probe's
-    * contract applied to maintenance). Cost O(index + delta); probes
-    * identically to a from-scratch build on corpus ∪ delta
+    * [[writeCdcChunkIndex]] IN PLACE with O(delta) write bytes — the
+    * CDC sibling of the in-place [[foldIntoMinhashIndex]], simpler on
+    * BOTH sides because the index is a plain distinct hash set: the
+    * delta's distinct chunk hashes land as their own sorted run
+    * ([[graft.jobs.Sinks.layoutAppend]]) inside the existing `__bp`
+    * directories, chunked with EXACTLY the index's meta geometry, and
+    * the read side needs NO reconcile at all — the probe's corpus set
+    * feeds a `left_semi` join ([[cdcHitsRollup]]), which is
+    * duplicate-insensitive, so a chunk appearing in two runs changes
+    * nothing. `layers` in meta counts the runs; periodic
+    * [[compactCdcChunkIndex]] re-distincts them into one (pure read
+    * amplification cleanup, never a correctness event).
+    */
+  def foldIntoCdcChunkIndex(delta: DataFrame, idCol: String,
+      textCol: String, indexPath: String): Unit = {
+    val s = delta.sparkSession
+    val (prefixes, modulus, window) = readCdcMeta(s, indexPath)
+    val layers = readCdcLayers(s, indexPath)
+    graft.jobs.Sinks.layoutAppend(
+      cdcChunked(delta, idCol, textCol, modulus, window)
+        .select(explode(col("_ch")).as("c")).distinct()
+        .withColumn("__bp", pmod(xxhash64(col("c")), lit(prefixes.toLong))),
+      s"$indexPath/chunks", partitionCols = Seq("__bp"),
+      sortCols = Seq("c"), numFiles = 8)
+    writeCdcMeta(s, indexPath, prefixes, modulus, window, layers + 1)
+  }
+
+  /** Fold-and-COMPACT variant: old chunk set ∪ delta chunk set
+    * re-distincted into a fresh single-run index at `outPath` —
+    * O(index) read and write, the right shape when fold cadence ==
+    * compaction cadence. Chunked with exactly the old index's meta
+    * geometry (a fold with different modulus/window would be silently
+    * meaningless, the probe's contract applied to maintenance).
+    * Probes identically to a from-scratch build on corpus ∪ delta
     * (DedupSpec parity).
     */
   def foldIntoCdcChunkIndex(delta: DataFrame, idCol: String,
@@ -886,11 +1041,50 @@ object DedupOps {
         .withColumn("__bp", pmod(xxhash64(col("c")), lit(prefixes.toLong))),
       s"$outPath/chunks", partitionCols = Seq("__bp"),
       sortCols = Seq("c"), numFiles = 8)
+    writeCdcMeta(s, outPath, prefixes, modulus, window, 1)
+  }
+
+  /** Compact a layered CDC index (in-place [[foldIntoCdcChunkIndex]]
+    * appends) back to one globally distinct sorted run — O(index)
+    * read/write, pure read-amplification cleanup (layered and
+    * compacted indexes probe identically; the semi-join never saw
+    * the duplicates).
+    */
+  def compactCdcChunkIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactCdcChunkIndex: outPath must differ from indexPath")
+    val (prefixes, modulus, window) = readCdcMeta(s, indexPath)
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/chunks").select(col("c")).distinct()
+        .withColumn("__bp", pmod(xxhash64(col("c")), lit(prefixes.toLong))),
+      s"$outPath/chunks", partitionCols = Seq("__bp"),
+      sortCols = Seq("c"), numFiles = 8)
+    writeCdcMeta(s, outPath, prefixes, modulus, window, 1)
+  }
+
+  private def writeCdcMeta(s: org.apache.spark.sql.SparkSession,
+      path: String, prefixes: Int, modulus: Int, window: Int,
+      layers: Int): Unit =
     s.range(1)
       .select(lit(prefixes).as("prefix_partitions"),
-        lit(modulus).as("modulus"), lit(window).as("window"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
-  }
+        lit(modulus).as("modulus"), lit(window).as("window"),
+        lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  /** `layers` off a CDC index meta (default 1 — pre-layering indexes
+    * lack the column). Observability only for CDC: probes are
+    * duplicate-insensitive regardless.
+    */
+  private def readCdcLayers(s: org.apache.spark.sql.SparkSession,
+      indexPath: String): Int =
+    try {
+      val m = s.read.parquet(s"$indexPath/meta")
+      if (m.columns.contains("layers"))
+        m.head(1).headOption.map(_.getAs[Number]("layers").intValue())
+          .getOrElse(1)
+      else 1
+    } catch { case _: Exception => 1 }
 
   /** [[cdcChunkHits]] probing a PERSISTED [[writeCdcChunkIndex]]
     * instead of re-chunking the corpus: identical output on the same

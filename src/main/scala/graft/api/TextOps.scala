@@ -746,11 +746,79 @@ object TextOps {
           lit(prefixPartitions.toLong))),
         s"$path/postings", partitionCols = Seq("__bp"),
         sortCols = Seq("_t"), numFiles = 8)
-      corpus.sparkSession.range(1)
-        .select(lit(prefixPartitions).as("prefix_partitions"),
-          lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeBm25Meta(corpus.sparkSession, path, prefixPartitions,
+        n, tt, maxDl, 1)
     } finally Lifecycle.releaseLocalCheckpoint(postings)
+  }
+
+  private def writeBm25Meta(s: org.apache.spark.sql.SparkSession,
+      path: String, prefixPartitions: Int, n: Long, tt: Long,
+      maxDl: Long, layers: Int): Unit =
+    s.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"),
+        lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  /** Full BM25 meta (prefix_partitions, n, tt, max_dl, layers) with
+    * the fold's stats REQUIREMENT: a pre-fold index (no corpus stats
+    * in meta) fails with a named rebuild-once error. `layers`
+    * defaults to 1 for pre-layering indexes.
+    */
+  private[graft] def readBm25FullMeta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (Int, Long, Long, Long, Int) = {
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$op: cannot read $indexPath/meta — the fold " +
+            "needs the index's corpus stats (n, tt, max_dl)", e)
+      }
+    require(Seq("n", "tt", "max_dl").forall(metaDf.columns.contains),
+      s"$op: $indexPath/meta lacks corpus stats (n, tt, " +
+        "max_dl) — a pre-fold index must be rebuilt once with the " +
+        "current writeBm25Index")
+    val m = metaDf.head()
+    val layers =
+      if (metaDf.columns.contains("layers"))
+        m.getAs[Number]("layers").intValue()
+      else 1
+    (m.getAs[Number]("prefix_partitions").intValue(),
+      m.getAs[Number]("n").longValue(), m.getAs[Number]("tt").longValue(),
+      m.getAs[Number]("max_dl").longValue(), layers)
+  }
+
+  /** Fold a DELTA of new documents into a persisted [[writeBm25Index]]
+    * IN PLACE with O(delta) write bytes. BM25's global-stats problem
+    * — every baked `_c` changes when ANY document arrives — is solved
+    * here by NOT baking: the delta's raw postings land as their own
+    * sorted run ([[graft.jobs.Sinks.layoutAppend]]; disjoint doc ids,
+    * so the multi-run read IS the postings union with no reconcile),
+    * the merged stats land in meta, and `layers > 1` tells the probe
+    * the baked `contrib/` is STALE — [[bm25TopKAgainstIndex]] then
+    * derives contributions at probe time from the PRUNED postings +
+    * meta stats through the verbatim [[bm25ContribFromPostings]]
+    * arithmetic (df per term is exact over a pruned directory: `__bp`
+    * partitions by term hash, so a touched directory holds EVERY
+    * posting of each term in it). Probe-time work grows only by the
+    * per-touched-term df agg — still O(query terms + pruned scan),
+    * never O(index). [[compactBm25Index]] rebakes contrib and resets
+    * layers=1 (the LSM posture: append daily, rebake weekly).
+    */
+  def foldIntoBm25Index(delta: DataFrame, idCol: String, textCol: String,
+      indexPath: String): Unit = {
+    val s = delta.sparkSession
+    val (prefixes, oldN, oldTt, oldMax, layers) =
+      readBm25FullMeta(s, indexPath, "foldIntoBm25Index")
+    val (dn, dtt, dMax) = bm25CorpusStats(delta, idCol, textCol)
+    graft.jobs.Sinks.layoutAppend(
+      bm25Postings(delta, idCol, textCol)
+        .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+          lit(prefixes.toLong))),
+      s"$indexPath/postings", partitionCols = Seq("__bp"),
+      sortCols = Seq("_t"), numFiles = 8)
+    writeBm25Meta(s, indexPath, prefixes, oldN + dn, oldTt + dtt,
+      math.max(oldMax, dMax), layers + 1)
   }
 
   /** Fold a DELTA of new documents into a persisted [[writeBm25Index]]
@@ -779,21 +847,8 @@ object TextOps {
     require(indexPath != outPath,
       "foldIntoBm25Index: outPath must differ from indexPath")
     val s = delta.sparkSession
-    val metaDf =
-      try s.read.parquet(s"$indexPath/meta")
-      catch {
-        case e: Exception => throw new IllegalStateException(
-          s"foldIntoBm25Index: cannot read $indexPath/meta — the fold " +
-            "needs the index's corpus stats (n, tt, max_dl)", e)
-      }
-    require(Seq("n", "tt", "max_dl").forall(metaDf.columns.contains),
-      s"foldIntoBm25Index: $indexPath/meta lacks corpus stats (n, tt, " +
-        "max_dl) — a pre-fold index must be rebuilt once with the " +
-        "current writeBm25Index")
-    val m = metaDf.head()
-    val prefixes = m.getAs[Number]("prefix_partitions").intValue()
-    val (oldN, oldTt, oldMax) = (m.getAs[Number]("n").longValue(),
-      m.getAs[Number]("tt").longValue(), m.getAs[Number]("max_dl").longValue())
+    val (prefixes, oldN, oldTt, oldMax, _) =
+      readBm25FullMeta(s, indexPath, "foldIntoBm25Index")
     val (dn, dtt, dMax) = bm25CorpusStats(delta, idCol, textCol)
     val (n, tt, maxDl) = (oldN + dn, oldTt + dtt, math.max(oldMax, dMax))
     val postings = s.read.parquet(s"$indexPath/postings").drop("__bp")
@@ -811,12 +866,52 @@ object TextOps {
           lit(prefixes.toLong))),
         s"$outPath/postings", partitionCols = Seq("__bp"),
         sortCols = Seq("_t"), numFiles = 8)
-      s.range(1)
-        .select(lit(prefixes).as("prefix_partitions"),
-          lit(n).as("n"), lit(tt).as("tt"), lit(maxDl).as("max_dl"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+      writeBm25Meta(s, outPath, prefixes, n, tt, maxDl, 1)
     } finally Lifecycle.releaseLocalCheckpoint(postings)
   }
+
+  /** Compact a layered BM25 index (in-place [[foldIntoBm25Index]]
+    * appends): rebake `contrib/` from the full postings with the
+    * meta's merged stats (restoring the baked-score fast probe),
+    * re-layout the postings runs into one, reset layers=1 — O(index)
+    * read/write, the amortized cost the daily O(delta) appends defer.
+    * Identical probe results before and after (bake-at-compact ==
+    * derive-at-probe, same [[bm25ContribFromPostings]] arithmetic).
+    */
+  def compactBm25Index(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactBm25Index: outPath must differ from indexPath")
+    val (prefixes, n, tt, maxDl, _) =
+      readBm25FullMeta(s, indexPath, "compactBm25Index")
+    val postings = s.read.parquet(s"$indexPath/postings").drop("__bp")
+      .localCheckpoint()
+    try {
+      graft.jobs.Sinks.layout(
+        bm25ContribFromPostings(postings, idColOf(postings), n, tt, maxDl)
+          .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+            lit(prefixes.toLong))),
+        s"$outPath/contrib", partitionCols = Seq("__bp"),
+        sortCols = Seq("_t"), numFiles = 8)
+      graft.jobs.Sinks.layout(
+        postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+          lit(prefixes.toLong))),
+        s"$outPath/postings", partitionCols = Seq("__bp"),
+        sortCols = Seq("_t"), numFiles = 8)
+      writeBm25Meta(s, outPath, prefixes, n, tt, maxDl, 1)
+    } finally Lifecycle.releaseLocalCheckpoint(postings)
+  }
+
+  /** The postings' doc-id column name: postings are (_t, <id>, _tf,
+    * _dl) with the id column the only non-underscore-prefixed one —
+    * compaction reads postings off parquet, where the original
+    * caller's idCol name is whatever the build wrote.
+    */
+  private def idColOf(postings: DataFrame): String =
+    postings.columns.find(c => !c.startsWith("_")).getOrElse(
+      throw new IllegalStateException(
+        "compactBm25Index: postings carry no doc-id column " +
+          s"(columns: ${postings.columns.mkString(", ")})"))
 
   /** [[bm25TopK]] probing a PERSISTED [[writeBm25Index]] instead of
     * building the index in-process: identical output on the same
@@ -863,9 +958,33 @@ object TextOps {
       .select(pmod(TextHashing.hash60(col("_t")), lit(prefixes.toLong))
         .as("__bp"))
       .distinct().collect().map(_.getLong(0))
-    val idx = s.read.parquet(s"$indexPath/contrib")
-      .filter(col("__bp").isin(touched.toSeq: _*))
-      .select(col("_t"), col(idCol), col("_c"))
+    // LAYERED index (in-place foldIntoBm25Index appends): the baked
+    // contrib/ predates the folds' stat shifts — every _c in it is
+    // stale — so derive contributions at probe time from the PRUNED
+    // postings + the meta's merged stats instead. df per term is
+    // exact over the touched directories (__bp partitions by term
+    // hash: a directory holds every posting of each term in it), and
+    // the arithmetic is the build's own bm25ContribFromPostings, so
+    // layered and compacted indexes rank identically. Single-layer
+    // indexes keep the baked fast path.
+    val metaDf = s.read.parquet(s"$indexPath/meta")
+    val layers =
+      if (metaDf.columns.contains("layers"))
+        metaDf.head(1).headOption
+          .map(_.getAs[Number]("layers").intValue()).getOrElse(1)
+      else 1
+    val idx =
+      if (layers <= 1)
+        s.read.parquet(s"$indexPath/contrib")
+          .filter(col("__bp").isin(touched.toSeq: _*))
+          .select(col("_t"), col(idCol), col("_c"))
+      else {
+        val (_, n, tt, maxDl, _) =
+          readBm25FullMeta(s, indexPath, "bm25TopKAgainstIndex")
+        val postings = s.read.parquet(s"$indexPath/postings")
+          .filter(col("__bp").isin(touched.toSeq: _*)).drop("__bp")
+        bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
+      }
     bm25Rank(idx, qTerms, idCol, k)
   }
 

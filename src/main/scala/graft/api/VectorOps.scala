@@ -194,22 +194,89 @@ object VectorOps {
           col("nrm").as("no")),
         s"$path/vectors", partitionCols = Nil,
         sortCols = Seq("vec_old"), numFiles = 8)
-      corpus.sparkSession.range(1)
-        .select(lit(maxBucket).as("max_bucket"),
-          lit(rowsPerBand).as("rows_per_band"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeSignMeta(corpus.sparkSession, path, maxBucket, rowsPerBand, 1)
     } finally base.unpersist()
   }
 
+  /** (max_bucket, rows_per_band, layers) off a [[writeSignIndex]]
+    * meta — REQUIRED with a named rebuild-once error (the fold must
+    * reproduce the build's cap/banding geometry); `layers` defaults
+    * to 1 for pre-layering indexes.
+    */
+  private def readSignMeta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (Int, Int, Int) = {
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$op: cannot read $indexPath/meta — the fold " +
+            "must reproduce the build's cap/banding geometry (indexes " +
+            "written before the meta existed must be rebuilt once)", e)
+      }
+    val row = metaDf.head(1).headOption.getOrElse(
+      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
+    val layers =
+      if (metaDf.columns.contains("layers"))
+        row.getAs[Number]("layers").intValue()
+      else 1
+    (row.getAs[Number]("max_bucket").intValue(),
+      row.getAs[Number]("rows_per_band").intValue(), layers)
+  }
+
+  private def writeSignMeta(s: org.apache.spark.sql.SparkSession,
+      path: String, maxBucket: Int, rowsPerBand: Int, layers: Int): Unit =
+    s.range(1)
+      .select(lit(maxBucket).as("max_bucket"),
+        lit(rowsPerBand).as("rows_per_band"), lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
   /** Fold a DELTA of new vectors into a persisted [[writeSignIndex]]
-    * WITHOUT re-normalizing or re-banding the corpus — the embedding
-    * sibling of [[DedupOps.foldIntoMinhashIndex]], same exactness
-    * contract (folded index probes == from-scratch rebuild, cap
-    * tombstones and all, via the shared
-    * [[DedupOps.mergeCappedBuckets]] arithmetic). `planes` must be
-    * the index's own build planes (the LSH contract everywhere);
-    * rows_per_band and max_bucket come off the index's meta. Delta
-    * ids disjoint from indexed ids, as in every incremental path.
+    * IN PLACE with O(delta) write bytes — the embedding sibling of
+    * the in-place [[DedupOps.foldIntoMinhashIndex]]: the delta's
+    * capped sign buckets and normalized vectors land as their own
+    * sorted runs ([[graft.jobs.Sinks.layoutAppend]]); `layers` in
+    * meta counts the runs, [[probeSignIndex]] reconciles per-key
+    * duplicates through [[DedupOps.mergeLayeredBuckets]] (exact
+    * fold==rebuild arithmetic, q113's driver-checked hash), and the
+    * `vectors/` runs need no reconcile (disjoint delta ids). Compact
+    * with [[compactSignIndex]] when run count starts to matter.
+    */
+  def foldIntoSignIndex(delta: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], indexPath: String): Unit = {
+    val s = delta.sparkSession
+    graft.functions.SketchAggregates.register(s)
+    val (maxBucket, rowsPerBand, layers) =
+      readSignMeta(s, indexPath, "foldIntoSignIndex")
+    require(planes.size % rowsPerBand == 0,
+      s"foldIntoSignIndex: ${planes.size} planes not divisible into " +
+        s"the index's bands of $rowsPerBand")
+    val base = normalized(delta, idCol, vecCol).persist()
+    try {
+      graft.jobs.Sinks.layoutAppend(
+        DedupOps.bandBucketsAll(
+          signBands(base, idCol, planes, rowsPerBand), idCol, maxBucket),
+        s"$indexPath/buckets", partitionCols = Nil,
+        sortCols = Seq("band", "bkey"), numFiles = 8)
+      graft.jobs.Sinks.layoutAppend(
+        base.select(col(idCol).as("vec_old"), col("v").as("vo"),
+          col("nrm").as("no")),
+        s"$indexPath/vectors", partitionCols = Nil,
+        sortCols = Seq("vec_old"), numFiles = 8)
+      writeSignMeta(s, indexPath, maxBucket, rowsPerBand, layers + 1)
+    } finally base.unpersist()
+  }
+
+  /** Fold-and-COMPACT variant: delta + old index merged into a fresh
+    * single-layer index at `outPath` — O(index) read AND write, the
+    * right shape when fold cadence == compaction cadence. Same
+    * exactness contract (folded index probes == from-scratch rebuild,
+    * cap tombstones and all, via the shared
+    * [[DedupOps.mergeCappedBuckets]] arithmetic; a layered old index
+    * is first reconciled through [[DedupOps.mergeLayeredBuckets]] so
+    * both fold shapes compose). `planes` must be the index's own
+    * build planes (the LSH contract everywhere); rows_per_band and
+    * max_bucket come off the index's meta. Delta ids disjoint from
+    * indexed ids, as in every incremental path.
     */
   def foldIntoSignIndex(delta: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], indexPath: String,
@@ -218,19 +285,8 @@ object VectorOps {
       "foldIntoSignIndex: outPath must differ from indexPath")
     val s = delta.sparkSession
     graft.functions.SketchAggregates.register(s)
-    val metaRow =
-      try s.read.parquet(s"$indexPath/meta").head(1).headOption
-        .getOrElse(throw new IllegalStateException(
-          s"foldIntoSignIndex: $indexPath/meta is empty"))
-      catch {
-        case e: IllegalStateException => throw e
-        case e: Exception => throw new IllegalStateException(
-          s"foldIntoSignIndex: cannot read $indexPath/meta — the fold " +
-            "must reproduce the build's cap/banding geometry (indexes " +
-            "written before the meta existed must be rebuilt once)", e)
-      }
-    val maxBucket = metaRow.getAs[Number]("max_bucket").intValue()
-    val rowsPerBand = metaRow.getAs[Number]("rows_per_band").intValue()
+    val (maxBucket, rowsPerBand, layers) =
+      readSignMeta(s, indexPath, "foldIntoSignIndex")
     require(planes.size % rowsPerBand == 0,
       s"foldIntoSignIndex: ${planes.size} planes not divisible into " +
         s"the index's bands of $rowsPerBand")
@@ -238,9 +294,12 @@ object VectorOps {
     try {
       val deltaBuckets = DedupOps.bandBucketsAll(
         signBands(base, idCol, planes, rowsPerBand), idCol, maxBucket)
+      val oldRaw = s.read.parquet(s"$indexPath/buckets")
+      val oldBuckets =
+        if (layers > 1) DedupOps.mergeLayeredBuckets(oldRaw, maxBucket)
+        else oldRaw
       graft.jobs.Sinks.layout(
-        DedupOps.mergeCappedBuckets(
-          s.read.parquet(s"$indexPath/buckets"), deltaBuckets, maxBucket),
+        DedupOps.mergeCappedBuckets(oldBuckets, deltaBuckets, maxBucket),
         s"$outPath/buckets", partitionCols = Nil,
         sortCols = Seq("band", "bkey"), numFiles = 8)
       graft.jobs.Sinks.layout(
@@ -249,11 +308,31 @@ object VectorOps {
             col("nrm").as("no"))),
         s"$outPath/vectors", partitionCols = Nil,
         sortCols = Seq("vec_old"), numFiles = 8)
-      s.range(1)
-        .select(lit(maxBucket).as("max_bucket"),
-          lit(rowsPerBand).as("rows_per_band"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+      writeSignMeta(s, outPath, maxBucket, rowsPerBand, 1)
     } finally base.unpersist()
+  }
+
+  /** Compact a layered sign index (in-place [[foldIntoSignIndex]]
+    * appends) back to one sorted run per side: buckets reconciled
+    * through [[DedupOps.mergeLayeredBuckets]], vectors re-laid sorted,
+    * meta reset to layers=1. Identical probe results before and after.
+    */
+  def compactSignIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactSignIndex: outPath must differ from indexPath")
+    val (maxBucket, rowsPerBand, _) =
+      readSignMeta(s, indexPath, "compactSignIndex")
+    graft.jobs.Sinks.layout(
+      DedupOps.mergeLayeredBuckets(
+        s.read.parquet(s"$indexPath/buckets"), maxBucket),
+      s"$outPath/buckets", partitionCols = Nil,
+      sortCols = Seq("band", "bkey"), numFiles = 8)
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/vectors"),
+      s"$outPath/vectors", partitionCols = Nil,
+      sortCols = Seq("vec_old"), numFiles = 8)
+    writeSignMeta(s, outPath, maxBucket, rowsPerBand, 1)
   }
 
   /** [[nearDupPairsAgainst]] probing a PERSISTED index
@@ -271,7 +350,24 @@ object VectorOps {
     require(planes.nonEmpty && planes.size % rowsPerBand == 0,
       s"probeSignIndex: ${planes.size} planes not divisible into bands of $rowsPerBand")
     val s = newDf.sparkSession
-    val buckets = s.read.parquet(s"$indexPath/buckets")
+    val bucketsRaw = s.read.parquet(s"$indexPath/buckets")
+    // LAYERED index (in-place foldIntoSignIndex appends): reconcile
+    // per-key duplicate runs through the exact cross-run cap
+    // arithmetic; single-layer indexes (builds, compactions,
+    // pre-layering indexes without the meta column) skip the agg
+    val buckets =
+      try {
+        val metaDf = s.read.parquet(s"$indexPath/meta")
+        val layers =
+          if (metaDf.columns.contains("layers"))
+            metaDf.head(1).headOption
+              .map(_.getAs[Number]("layers").intValue()).getOrElse(1)
+          else 1
+        if (layers <= 1) bucketsRaw
+        else DedupOps.mergeLayeredBuckets(bucketsRaw,
+          metaDf.head().getAs[Number]("max_bucket").intValue())
+          .filter(col("__cs").isNotNull)
+      } catch { case _: Exception => bucketsRaw }
     val vecs = s.read.parquet(s"$indexPath/vectors")
     val bNew = normalized(newDf, idCol, vecCol)
     signBands(bNew, idCol, planes, rowsPerBand)

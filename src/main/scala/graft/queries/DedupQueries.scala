@@ -1124,16 +1124,19 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
     QueryDef(
       "q110_fold_minhash_probe",
       "Incremental index MAINTENANCE proven end-to-end " +
-        "(DedupOps.foldIntoMinhashIndex): the corpus's 80% side is " +
-        "indexed as v1 (40%) + a FOLDED 40% delta — no corpus re-scan, " +
-        "O(index + delta) with exact cap-tombstone arithmetic — and " +
-        "the 20% probe batch runs minhashPairsAgainstIndex against " +
-        "the folded v2. The oracle is q59's VERBATIM (one shared " +
+        "(DedupOps.foldIntoMinhashIndex, IN-PLACE): the corpus's 80% " +
+        "side is indexed as v1 (40%) + a 40% delta folded in place — " +
+        "no corpus re-scan, and O(delta) WRITE bytes: the delta's " +
+        "capped buckets land as their own sorted layered run " +
+        "(Sinks.layoutAppend) and the probe reconciles per-key runs " +
+        "through mergeLayeredBuckets' exact cap-tombstone arithmetic. " +
+        "The 20% probe batch runs minhashPairsAgainstIndex against " +
+        "the layered index. The oracle is q59's VERBATIM (one shared " +
         "string): the fold's contract is that a folded index probes " +
         "identically to a from-scratch build, so the expected rows " +
         "are literally q59's. At 100TB this is the daily operation: " +
-        "fold the day's docs into yesterday's index, probe the next " +
-        "batch.",
+        "append the day's run to yesterday's index, compact weekly " +
+        "(compactMinhashIndex).",
       Some(q59OracleSql),
       (s, dir) =>
         graft.api.DedupOps.minhashPairsAgainstIndex(
@@ -1143,12 +1146,14 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
     QueryDef(
       "q113_fold_sign_probe",
       "Embedding-index maintenance proven end-to-end " +
-        "(VectorOps.foldIntoSignIndex): the 80% vector corpus indexed " +
-        "as v1 (40%) + a FOLDED 40% delta through the SHARED " +
-        "mergeCappedBuckets cap arithmetic, the 20% probe batch run " +
-        "through probeSignIndex against v2. Oracle = q83's VERBATIM " +
-        "(shared string) by the fold-equals-rebuild contract — the " +
-        "q110/q111 pattern completing the vector family.",
+        "(VectorOps.foldIntoSignIndex, IN-PLACE): the 80% vector " +
+        "corpus indexed as v1 (40%) + a 40% delta appended as its own " +
+        "layered run — O(delta) write bytes — with probeSignIndex " +
+        "reconciling runs through the SHARED mergeLayeredBuckets cap " +
+        "arithmetic; the 20% probe batch runs against the layered " +
+        "index. Oracle = q83's VERBATIM (shared string) by the " +
+        "fold-equals-rebuild contract — the q110/q111 pattern " +
+        "completing the vector family.",
       Some(q83OracleSql),
       (s, dir) =>
         graft.api.VectorOps.probeSignIndex(
@@ -1159,12 +1164,14 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
     QueryDef(
       "q111_fold_cdc_probe",
       "CDC chunk-index maintenance proven end-to-end " +
-        "(DedupOps.foldIntoCdcChunkIndex): v1 chunk index on 40% of " +
-        "the corpus, the other 40% FOLDED in (distinct chunk-set " +
-        "union chunked with v1's own meta geometry), the 20% probe " +
-        "batch scored by cdcChunkHitsAgainstIndex against v2. Oracle " +
-        "= q107's VERBATIM (shared string) by the same fold-equals-" +
-        "rebuild contract.",
+        "(DedupOps.foldIntoCdcChunkIndex, IN-PLACE): v1 chunk index " +
+        "on 40% of the corpus, the other 40% appended as its own " +
+        "layered run chunked with v1's own meta geometry — O(delta) " +
+        "write bytes, and NO read-side reconcile needed (the probe's " +
+        "left_semi join is duplicate-insensitive); the 20% probe " +
+        "batch scored by cdcChunkHitsAgainstIndex against the layered " +
+        "index. Oracle = q107's VERBATIM (shared string) by the same " +
+        "fold-equals-rebuild contract.",
       Some(q107OracleSql),
       (s, dir) =>
         graft.api.DedupOps.cdcChunkHitsAgainstIndex(
@@ -1190,10 +1197,14 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
       graft.api.DedupOps.writeMinhashIndex(
         docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
         "doc_id", "text", s"$tmp/v1")
+      // the IN-PLACE O(delta)-write fold: the delta lands as its own
+      // layered run and the probe reconciles at read — so the driver's
+      // q110 hash gates the layered fold==rebuild contract (the
+      // compacting overload keeps its own DedupSpec parity)
       graft.api.DedupOps.foldIntoMinhashIndex(
         docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
-        "doc_id", "text", s"$tmp/v1", s"$tmp/v2")
-      s"$tmp/v2"
+        "doc_id", "text", s"$tmp/v1")
+      s"$tmp/v1"
     })
 
   private val foldSignCache =
@@ -1209,10 +1220,12 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
       graft.api.VectorOps.writeSignIndex(
         emb.filter(col("vec_id") % 5 === 1 || col("vec_id") % 5 === 2),
         "vec_id", "embedding", planes, s"$tmp/v1")
+      // in-place layered fold (q110 comment applies): q113's hash
+      // gates layered fold==rebuild for the vector family
       graft.api.VectorOps.foldIntoSignIndex(
         emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 5 === 4),
-        "vec_id", "embedding", planes, s"$tmp/v1", s"$tmp/v2")
-      s"$tmp/v2"
+        "vec_id", "embedding", planes, s"$tmp/v1")
+      s"$tmp/v1"
     })
 
   private def foldedCdcDir(s: org.apache.spark.sql.SparkSession,
@@ -1225,9 +1238,11 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
         docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
         "doc_id", "text", s"$tmp/v1",
         modulus = CdcMod, window = CdcWindow)
+      // in-place layered fold (q110 comment applies): q111's hash
+      // gates the appended-run read path
       graft.api.DedupOps.foldIntoCdcChunkIndex(
         docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
-        "doc_id", "text", s"$tmp/v1", s"$tmp/v2")
-      s"$tmp/v2"
+        "doc_id", "text", s"$tmp/v1")
+      s"$tmp/v1"
     })
 }

@@ -56,10 +56,23 @@ object Bm25Gate {
       declareWatermark: Boolean = true): DataFrame = {
     val s = queries.sparkSession
     TextOps.readBm25Meta(s, indexPath) // completeness check only
+    // layered index (in-place TextOps.foldIntoBm25Index appends): the
+    // baked contrib/ is stale, so the static side derives
+    // contributions from the postings runs + the meta's merged stats
+    // — the batch probe's discipline, minus prefix pruning (a
+    // stream's term set is unbounded). Compaction restores the baked
+    // fast path.
+    val (_, n, tt, maxDl, layers) =
+      TextOps.readBm25FullMeta(s, indexPath, "Bm25Gate")
+    val idx =
+      if (layers <= 1)
+        s.read.parquet(s"$indexPath/contrib")
+          .select(col("_t"), col(idCol), col("_c"))
+      else TextOps.bm25ContribFromPostings(
+        s.read.parquet(s"$indexPath/postings").drop("__bp"),
+        idCol, n, tt, maxDl)
     gateCore(queries, qidCol, textCol, tsCol, delay, window,
-      s.read.parquet(s"$indexPath/contrib")
-        .select(col("_t"), col(idCol), col("_c")),
-      idCol, k, declareWatermark)
+      idx, idCol, k, declareWatermark)
   }
 
   /** The one ranking graph behind both index sources: stream-static

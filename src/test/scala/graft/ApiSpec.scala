@@ -1258,6 +1258,24 @@ class ApiSpec extends SparkSpec {
         s"$dir/old", s"$dir/v3")
     }
     assert(err.getMessage.contains("stats"))
+
+    // IN-PLACE layered fold: the delta's postings land as their own
+    // run (O(delta) write bytes — contrib is NOT rebaked), and the
+    // probe derives contributions from the pruned postings + merged
+    // meta stats; ranks must match the from-scratch rebuild exactly
+    TextOps.foldIntoBm25Index(delta, "doc_id", "text", s"$dir/v1")
+    assert(probeSet(s"$dir/v1") == full,
+      "layered BM25 index must rank identically to a rebuild")
+    val meta = spark.read.parquet(s"$dir/v1/meta").head()
+    assert(meta.getAs[Number]("layers").intValue() == 2)
+    assert(meta.getAs[Number]("n").longValue() ==
+      c0.count() + delta.count())
+    // compaction rebakes contrib with the merged stats: identical
+    // ranks, baked fast path restored (layers back to 1)
+    TextOps.compactBm25Index(spark, s"$dir/v1", s"$dir/vc")
+    assert(probeSet(s"$dir/vc") == full)
+    assert(spark.read.parquet(s"$dir/vc/meta").head()
+      .getAs[Number]("layers").intValue() == 1)
   }
 
   test("CDC chunk index: probe == inline, meta is required, pruning engages") {

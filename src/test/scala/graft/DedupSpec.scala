@@ -410,5 +410,167 @@ class DedupSpec extends SparkSpec {
     // writeCdcChunkIndex default 64)
     val (_, m, w) = DedupOps.readCdcMeta(spark, s"$dir/v2")
     assert(m == 32 && w == 4)
+    // IN-PLACE layered fold: delta appended as its own run, identical
+    // probe (the semi-join never sees the duplicates)
+    DedupOps.foldIntoCdcChunkIndex(delta, "doc_id", "text", s"$dir/v1")
+    assert(hits(s"$dir/v1") == full)
+    // compaction re-distincts into one run, identical probe
+    DedupOps.compactCdcChunkIndex(spark, s"$dir/v1", s"$dir/vc")
+    assert(hits(s"$dir/vc") == full)
+  }
+
+  test("IN-PLACE layered minhash fold: probe parity, multi-layer, compaction") {
+    import graft.api.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val d1 = docs.filter(col("doc_id") % 5 === 3)
+    val d2 = docs.filter(col("doc_id") % 5 === 4)
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+    def probeSet(path: String) = DedupOps.minhashPairsAgainstIndex(
+        probes, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lfold-").toString
+    DedupOps.writeMinhashIndex(c0.unionByName(d1).unionByName(d2),
+      "doc_id", "text", s"$dir/full")
+    DedupOps.writeMinhashIndex(c0, "doc_id", "text", s"$dir/v1")
+    // two successive O(delta) in-place folds -> a 3-layer index
+    DedupOps.foldIntoMinhashIndex(d1, "doc_id", "text", s"$dir/v1")
+    DedupOps.foldIntoMinhashIndex(d2, "doc_id", "text", s"$dir/v1")
+    val meta = spark.read.parquet(s"$dir/v1/meta").head()
+    assert(meta.getAs[Number]("layers").intValue() == 3)
+    val full = probeSet(s"$dir/full")
+    assert(full.nonEmpty, "probe found nothing — parity would be vacuous")
+    assert(probeSet(s"$dir/v1") == full,
+      "layered index must probe identically to a from-scratch rebuild")
+    // the layered index really contains per-key duplicate runs — the
+    // reconcile leg is exercised, not vacuous
+    val dupKeys = spark.read.parquet(s"$dir/v1/buckets")
+      .groupBy("band", "bkey").count().filter(col("count") > 1).count()
+    assert(dupKeys > 0, "no (band,bkey) spans layers — reconcile untested")
+    // compaction reconciles to one run with identical probes
+    DedupOps.compactMinhashIndex(spark, s"$dir/v1", s"$dir/vc")
+    assert(probeSet(s"$dir/vc") == full)
+    assert(spark.read.parquet(s"$dir/vc/buckets")
+      .groupBy("band", "bkey").count().filter(col("count") > 1).count() == 0)
+    assert(spark.read.parquet(s"$dir/vc/meta").head()
+      .getAs[Number]("layers").intValue() == 1)
+    // compacting-fold overload composes over a LAYERED input: fold d2
+    // into (v1 + d1-as-a-run) with the outPath overload — the old
+    // side reconciles through mergeLayeredBuckets before the 2-way
+    // merge, and the result must still probe like the full rebuild
+    DedupOps.writeMinhashIndex(c0, "doc_id", "text", s"$dir/w1")
+    DedupOps.foldIntoMinhashIndex(d1, "doc_id", "text", s"$dir/w1")
+    DedupOps.foldIntoMinhashIndex(d2, "doc_id", "text",
+      s"$dir/w1", s"$dir/v3")
+    assert(probeSet(s"$dir/v3") == full)
+  }
+
+  test("IN-PLACE layered minhash fold under cap=1: cross-layer tombstones") {
+    import graft.api.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val delta = docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+    def probeSet(path: String) = DedupOps.minhashPairsAgainstIndex(
+        probes, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lfoldc-").toString
+    DedupOps.writeMinhashIndex(c0.unionByName(delta), "doc_id", "text",
+      s"$dir/full1", maxBucket = 1)
+    DedupOps.writeMinhashIndex(c0, "doc_id", "text", s"$dir/v1",
+      maxBucket = 1)
+    DedupOps.foldIntoMinhashIndex(delta, "doc_id", "text", s"$dir/v1")
+    // a layered union crossing the cap must suppress the bucket at
+    // read exactly as the from-scratch tombstone does
+    assert(probeSet(s"$dir/v1") == probeSet(s"$dir/full1"))
+    // and the cross-layer crossing case really occurred: some key has
+    // two live single-member runs (union = 2 > cap) — reconcile must
+    // tombstone it
+    val crossing = spark.read.parquet(s"$dir/v1/buckets")
+      .filter(col("__cs").isNotNull)
+      .groupBy("band", "bkey").count().filter(col("count") > 1).count()
+    assert(crossing > 0,
+      "no under-cap runs share a key across layers — crossing untested")
+  }
+
+  test("in-place fold writes O(delta) bytes; legacy pre-tombstone meta fails loudly") {
+    import graft.api.DedupOps
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 3)
+    val delta = docs.filter(col("doc_id") % 50 === 3) // ~2% of the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-obytes-").toString
+    DedupOps.writeMinhashIndex(corpus, "doc_id", "text", s"$dir/v1")
+    val before = dirBytes(s"$dir/v1/buckets") + dirBytes(s"$dir/v1/hashed")
+    DedupOps.foldIntoMinhashIndex(delta, "doc_id", "text", s"$dir/v1")
+    val appended =
+      dirBytes(s"$dir/v1/buckets") + dirBytes(s"$dir/v1/hashed") - before
+    // the round-9 gap this closes: the compacting fold rewrites the
+    // whole index per fold (O(corpus) bytes); the in-place fold must
+    // land only the delta's runs. 35% bounds the per-file parquet
+    // overhead a 2% delta pays at this tiny SF — at scale the ratio
+    // tracks the delta fraction.
+    assert(appended > 0, "fold appended nothing")
+    assert(appended < (before * 35) / 100,
+      s"in-place fold wrote $appended bytes against an index of " +
+        s"$before — not O(delta)")
+    // and the compacting fold really is O(index) on the same delta —
+    // the contrast that makes the assertion above meaningful
+    DedupOps.foldIntoMinhashIndex(delta.limit(0), "doc_id", "text",
+      s"$dir/v1", s"$dir/v2")
+    val rewritten = dirBytes(s"$dir/v2/buckets") + dirBytes(s"$dir/v2/hashed")
+    assert(rewritten > (before * 60) / 100,
+      s"compacting fold wrote only $rewritten bytes vs index $before " +
+        "— expected a full rewrite")
+    // task: a pre-tombstone index (meta without max_bucket) must fail
+    // the fold with a named rebuild-once error, matching the BM25 and
+    // sign folds — silently assuming DefaultMaxBucket would resurrect
+    // over-cap buckets with delta-only members
+    spark.range(1).select(lit(64).as("prefix_partitions"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/legacy/meta")
+    val err = intercept[IllegalArgumentException] {
+      DedupOps.foldIntoMinhashIndex(delta, "doc_id", "text", s"$dir/legacy")
+    }
+    assert(err.getMessage.contains("max_bucket") &&
+      err.getMessage.contains("rebuild"))
+    val err2 = intercept[IllegalArgumentException] {
+      DedupOps.foldIntoMinhashIndex(delta, "doc_id", "text",
+        s"$dir/legacy", s"$dir/legacy2")
+    }
+    assert(err2.getMessage.contains("max_bucket"))
+  }
+
+  test("IN-PLACE layered sign fold: probe parity and compaction (vector twin)") {
+    import graft.api.{DedupOps, VectorOps}
+    val planes = graft.queries.DedupQueries.lshPlanes
+    val emb = Tables.embeddings(spark, sf)
+    val c0 = emb.filter(col("vec_id") % 5 === 1 || col("vec_id") % 5 === 2)
+    val delta = emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 5 === 4)
+    val probes = emb.filter(col("vec_id") % 5 === 0)
+    def probeSet(path: String) = VectorOps.probeSignIndex(
+        probes, "vec_id", "embedding", planes, path,
+        simX1000Threshold = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsfold-").toString
+    VectorOps.writeSignIndex(c0.unionByName(delta), "vec_id", "embedding",
+      planes, s"$dir/full")
+    VectorOps.writeSignIndex(c0, "vec_id", "embedding", planes, s"$dir/v1")
+    VectorOps.foldIntoSignIndex(delta, "vec_id", "embedding", planes,
+      s"$dir/v1")
+    val full = probeSet(s"$dir/full")
+    assert(full.nonEmpty, "probe found nothing — parity would be vacuous")
+    assert(probeSet(s"$dir/v1") == full)
+    assert(spark.read.parquet(s"$dir/v1/meta").head()
+      .getAs[Number]("layers").intValue() == 2)
+    VectorOps.compactSignIndex(spark, s"$dir/v1", s"$dir/vc")
+    assert(probeSet(s"$dir/vc") == full)
+    assert(spark.read.parquet(s"$dir/vc/buckets")
+      .groupBy("band", "bkey").count().filter(col("count") > 1).count() == 0)
   }
 }
