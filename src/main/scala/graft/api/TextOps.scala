@@ -677,6 +677,17 @@ object TextOps {
           .orderBy(col("_sim").desc, col("_id").asc)).cast("long"))
       .filter(col("_r") <= kPerList)
       .select(col("qid"), col("_id"), col("_r"))
+    rrfFuse(lex, sem, idCol, k, rrfK)
+  }
+
+  /** The reciprocal-rank fusion shared by [[hybridTopK]] and
+    * [[hybridTopKIvfPq]] — RRF consumes only (qid, _id, _r), so the
+    * fusion is retriever-agnostic by construction: ONE implementation
+    * means the scale-side retriever swap cannot drift the fused
+    * ranking semantics.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, idCol: String,
+      k: Int, rrfK: Long): DataFrame =
     lex.unionByName(sem)
       .groupBy(col("qid"), col("_id"))
       .agg(sum(expr(s"1000000 div (${rrfK}L + _r)")).as("rrf"))
@@ -685,6 +696,50 @@ object TextOps {
           .orderBy(col("rrf").desc, col("_id").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("_id").as(idCol), col("rrf"))
+
+  /** [[hybridTopK]] with the semantic leg probing a PERSISTED IVF-PQ
+    * index ([[VectorOps.writeIvfPqIndex]] over the corpus's
+    * [[embedText]] vectors) instead of the brute broadcast corpus
+    * scan — the 100-TB deployment shape: the brute leg dots EVERY
+    * corpus vector against every query (correct at small SF, a
+    * scale-killer at 100×), while the probe routes each query to
+    * `nprobe` of the index's cells and ADC-scans m-byte codes inside
+    * ONLY those partition directories (literal pruning; the q99
+    * plan). Candidates rank per query by ADC-approximate cosine — RRF
+    * is rank-based, so approximate ranks degrade recall gracefully
+    * rather than corrupting scores, and the fusion itself is the
+    * SHARED [[rrfFuse]] (retriever-agnostic by construction). The
+    * lexical leg is unchanged. Oracle posture (q114): in-band overlap
+    * floor vs the brute fused ranking, the q99 recall-floor
+    * precedent; a PlanSpec assertion pins the absence of any
+    * nested-loop join against the corpus.
+    */
+  def hybridTopKIvfPq(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qidCol: String,
+      ivfPqIndexPath: String, k: Int = 10, kPerList: Int = 10,
+      d: Int = 64, rrfK: Long = 60L, nprobe: Int = 2,
+      adcX1000Threshold: Int = -2000): DataFrame = {
+    require(k >= 1 && kPerList >= 1,
+      s"hybridTopKIvfPq: k/kPerList must be >= 1, got $k/$kPerList")
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val lex = bm25TopK(corpus, queries, idCol, textCol, qidCol, kPerList)
+      .select(col("qid"), col(idCol).as("_id"), col("rank").as("_r"))
+    // ivfPqProbe addresses both sides by the INDEX's id column (the
+    // codes parquet was written with the corpus idCol), so the query
+    // embeddings adopt it for the probe; the output is renamed columns
+    // (vec_new/vec_old) either way
+    val qe = embedText(queries, qidCol, textCol, d)
+      .filter(expr("exists(v, x -> x != 0D)"))
+      .select(col(qidCol).as(idCol), col("v"))
+    val sem = VectorOps.ivfPqProbe(qe, idCol, "v", ivfPqIndexPath,
+        adcX1000Threshold, nprobe)
+      .filter(col("vec_new") =!= col("vec_old"))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_new"))
+          .orderBy(col("asim_x1000").desc, col("vec_old").asc)).cast("long"))
+      .filter(col("_r") <= kPerList)
+      .select(col("vec_new").as("qid"), col("vec_old").as("_id"), col("_r"))
+    rrfFuse(lex, sem, idCol, k, rrfK)
   }
 
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -973,5 +973,90 @@ SELECT qid, rank, doc_id, rrf FROM (
             .select(col("doc_id").as("qid"), col("text")),
           "doc_id", "text", "qid", k = 10)
       })
+  ,
+
+    QueryDef(
+      "q114_hybrid_retrieval_ivfpq",
+      "q112's hybrid retrieval with the semantic leg at its 100-TB " +
+        "shape (TextOps.hybridTopKIvfPq): instead of the brute " +
+        "broadcast corpus scan, queries probe a PERSISTED IVF-PQ " +
+        "index over the corpus's hash embeddings (built once per " +
+        "corpus version, session-cached — the q99 deployment) with " +
+        "nprobe=3/8 cell routing and 16-byte ADC scans inside only " +
+        "the routed partition directories; candidates rank by " +
+        "ADC-approximate cosine, and the fusion is the SHARED rrfFuse " +
+        "(RRF consumes only ranks, so the retriever swap cannot " +
+        "change fusion semantics). ADC ranks are approximate, so the " +
+        "oracle is the q99 in-band posture: per query, the fused " +
+        "output must be rank-dense, size-match the brute fused " +
+        "output, and overlap it on at least 3 of 10 rows — the q99 " +
+        "floor verbatim (measured 4-10/10 across sf0.001/0.01/0.1; " +
+        "nprobe=3/8 forfeits cross-cell neighbors by design, and any " +
+        "broken routing, encoding, or pruning collapses the overlap). PlanSpec pins the " +
+        "absence of any nested-loop join against the corpus — the " +
+        "exact plan property that makes this the scale-side leg.",
+      Some("""
+SELECT doc_id AS qid, true AS n_ok, true AS rn_dense, true AS overlap_ok
+FROM documents WHERE doc_id % 100 = 0"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val qs = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qid"), col("text"))
+        val iv = graft.api.TextOps.hybridTopKIvfPq(docs, qs,
+          "doc_id", "text", "qid", hybridIvfPqDir(s, dir),
+          k = 10, nprobe = 3)
+        val br = graft.api.TextOps.hybridTopK(docs, qs,
+          "doc_id", "text", "qid", k = 10)
+        val brRows = br.select(col("qid").as("_bq"), col("doc_id").as("_bid"))
+        val brCnt = br.groupBy(col("qid").as("_cq"))
+          .agg(count(lit(1)).as("_bn"))
+        val agg = iv
+          .join(brRows,
+            col("qid") === col("_bq") && col("doc_id") === col("_bid"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("_n"),
+            (sum(col("rank")) * 2 === count(lit(1)) * (count(lit(1)) + 1) &&
+              max(col("rank")) === count(lit(1))).as("rn_dense"),
+            sum(when(col("_bq").isNotNull, 1L).otherwise(0L)).as("_ov"))
+          .join(brCnt, col("qid") === col("_cq"), "left")
+          .select(col("qid"), (col("_n") === coalesce(col("_bn"), lit(0L)))
+              .as("n_ok"),
+            col("rn_dense"),
+            (col("_ov") * 10 >= least(col("_n"), coalesce(col("_bn"),
+              lit(0L))) * 3).as("overlap_ok"))
+        // every query doc emits a row, even one with zero fused rows
+        // in both variants (vacuously consistent) — the oracle's row
+        // set is the full probe set
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qid"))
+          .join(agg, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_ok"), lit(true)).as("n_ok"),
+            coalesce(col("rn_dense"), lit(true)).as("rn_dense"),
+            coalesce(col("overlap_ok"), lit(true)).as("overlap_ok"))
+      })
   )
+
+  // session-scoped IVF-PQ index over the corpus's TEXT hash embeddings
+  // (the MlQueries.ivfPqIndexDir discipline applied to embedText
+  // vectors): build once per SF dir, every q114 run probes the same
+  // parquet — the index's own deployment story. Zero-signal vectors
+  // (token-less or fully-sign-cancelled docs) are excluded exactly as
+  // the brute leg excludes them, so both legs see one corpus.
+  private val hybridIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def hybridIvfPqDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hybridIdxCache.computeIfAbsent(dir, { _ =>
+      val ce = graft.api.TextOps.embedText(
+        Tables.documents(s, dir), "doc_id", "text", 64)
+        .filter(expr("exists(v, x -> x != 0D)"))
+      val model = graft.api.VectorOps.ivfPqTrain(
+        ce, "doc_id", "v", nCells = 8, m = 16, k = 16, seed = 42L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-hybivfpq-").toString
+      graft.api.VectorOps.writeIvfPqIndex(ce, "doc_id", "v", model, tmp)
+      tmp
+    })
 }

@@ -256,6 +256,38 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("q114 semantic leg: no nested-loop join against the corpus") {
+    // the scale property that makes hybridTopKIvfPq the 100-TB leg:
+    // the brute variant's semantic leg is a broadcast theta-join
+    // (every corpus vector dotted per query — a
+    // BroadcastNestedLoopJoin), the IVF-PQ variant routes queries to
+    // cells and equi-joins the codes parquet. Assert the contrast so
+    // the absence check cannot go vacuous.
+    import graft.queries.PipelineQueries
+    val docs = Tables.documents(spark, sf)
+    val qs = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val iv = graft.api.TextOps.hybridTopKIvfPq(docs, qs,
+      "doc_id", "text", "qid", PipelineQueries.hybridIvfPqDir(spark, sf),
+      k = 10, nprobe = 3)
+    val ivNodes = collectAll(iv.queryExecution.executedPlan)
+    assert(!ivNodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "IVF-PQ hybrid must not plan a nested-loop join anywhere")
+    val br = graft.api.TextOps.hybridTopK(docs, qs,
+      "doc_id", "text", "qid", k = 10)
+    assert(collectAll(br.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "brute hybrid's semantic leg should be the nested-loop contrast")
+    // and the codes scan is partition-PRUNED to the routed cells
+    val codesScans = ivNodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes"))
+        => f
+    }
+    assert(codesScans.nonEmpty && codesScans.forall(_.partitionFilters.nonEmpty),
+      "codes scan should carry cell partition filters (literal pruning)")
+  }
+
   test("no catalog query exceeds 6 shuffles at sf0.001") {
     // q89 is the COMPOSED curation pipeline — seven individually
     // budgeted operators chained over survivor sets, so its plan is
@@ -270,7 +302,12 @@ class PlanSpec extends SparkSpec {
       // two retrievers + fusion: embedText's 2 rollups + the BM25
       // leg's 2 (tf rollup, rank) + semantic rank + fusion agg +
       // final rank = 7, each individually budgeted elsewhere
-      "q112_hybrid_retrieval" -> 8)
+      "q112_hybrid_retrieval" -> 8,
+      // q114 is a COMPARISON harness: it runs BOTH hybrid variants
+      // (q112's 8-shuffle budget twice) plus the per-qid agreement
+      // rollups — the shipped operator itself is hybridTopKIvfPq,
+      // whose own plan is covered by the nested-loop-free assertion
+      "q114_hybrid_retrieval_ivfpq" -> 24)
     SparkEntry.catalog.foreach { q =>
       val budget = compositionBudget.getOrElse(q.name, 6)
       val shuffles = collectAll(
