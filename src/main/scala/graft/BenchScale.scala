@@ -251,6 +251,139 @@ object BenchScale {
     val bPrbS = BenchHarness.minOf2Of(() => TextOps.bm25TopKAgainstIndex(
       bmQueries, "qid", "text", s"$idxDir/bm25_scaled", "doc_id"))
 
+    // ---- fold-cost rows: the O(delta) MAINTENANCE claim, measured ----
+    // The round-9 verdict's standing caveat was fold write
+    // amplification: the compacting folds rewrite the whole index per
+    // fold. The round-10 in-place folds append the delta as its own
+    // layered run instead — so folding the SAME fixed delta into the
+    // 1x and kx indexes built above must cost ~the same
+    // (fold_const_delta rows, <= 2.0), while compacting a layered
+    // index is the expected index-sized contrast (compact_cost rows,
+    // ~linear). Folds MUTATE their index, so they run after the probe
+    // rows, one timed run each (a repeat would fold a second layer);
+    // the CDC family gets its index built here (no earlier row needed
+    // it). Write amplification itself is reported as bytes: the
+    // appended run vs the index it folded into.
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) return 0L
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+    val cIdxB = timedUnit(DedupOps.writeCdcChunkIndex(
+      corpusDocs(baseDir), "doc_id", "text", s"$idxDir/cdc_base"))
+    val cIdxS = timedUnit(DedupOps.writeCdcChunkIndex(
+      corpusDocs(outDir), "doc_id", "text", s"$idxDir/cdc_scaled"))
+    val mhIdxBytesB = dirBytes(s"$idxDir/text_base")
+    val mhIdxBytesS = dirBytes(s"$idxDir/text_scaled")
+    val tFldB = timedUnit(DedupOps.foldIntoMinhashIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/text_base"))
+    val tFldS = timedUnit(DedupOps.foldIntoMinhashIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/text_scaled"))
+    val mhFoldBytesB = dirBytes(s"$idxDir/text_base") - mhIdxBytesB
+    val mhFoldBytesS = dirBytes(s"$idxDir/text_scaled") - mhIdxBytesS
+    val vFldB = timedUnit(VectorOps.foldIntoSignIndex(
+      deltaVecs, "vec_id", "embedding", planes, s"$idxDir/vec_base"))
+    val vFldS = timedUnit(VectorOps.foldIntoSignIndex(
+      deltaVecs, "vec_id", "embedding", planes, s"$idxDir/vec_scaled"))
+    val cFldB = timedUnit(DedupOps.foldIntoCdcChunkIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/cdc_base"))
+    val cFldS = timedUnit(DedupOps.foldIntoCdcChunkIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/cdc_scaled"))
+    val bFldB = timedUnit(TextOps.foldIntoBm25Index(
+      deltaDocs, "doc_id", "text", s"$idxDir/bm25_base"))
+    val bFldS = timedUnit(TextOps.foldIntoBm25Index(
+      deltaDocs, "doc_id", "text", s"$idxDir/bm25_scaled"))
+    // compaction: the amortized index-sized operation the appends
+    // defer — compacting the now-2-layer minhash indexes
+    val tCmpB = timedUnit(DedupOps.compactMinhashIndex(
+      spark, s"$idxDir/text_base", s"$idxDir/text_base_c"))
+    val tCmpS = timedUnit(DedupOps.compactMinhashIndex(
+      spark, s"$idxDir/text_scaled", s"$idxDir/text_scaled_c"))
+
+    // ---- curated-stream throughput: the one-graph ingest pipeline
+    // (quota -> exact dedup -> 4 gates -> verdict) fed a FIXED batch
+    // against a 1x and a kx corpus behind its index sides. The claim
+    // under test: per-batch stream cost is delta-dominated (models
+    // broadcast; corpus joins are index-side stream-static), so
+    // docs/sec should hold ~flat as the corpus behind the gates grows
+    // kx. RocksDB provider (the tws quota stage requires it).
+    def curatedThroughput(corpusDir: String): (Double, Long) = {
+      import spark.implicits._
+      val corpusDf = load(spark, corpusDir, "documents")
+        .filter(col("doc_id") % 5 =!= 0)
+      val idx = graft.streaming.NearDupIngest.index(corpusDf, "doc_id", "text")
+      val cdcPath = Files.createTempDirectory("graft-scale-ingcdc-").toString
+      graft.api.DedupOps.writeCdcChunkIndex(corpusDf, "doc_id", "text", cdcPath)
+      val lmModel = graft.api.TextOps
+        .bigramLmModel(corpusDf, "doc_id", "text").localCheckpoint()
+      val nbModel = graft.api.ClassifyOps
+        .nbModel(corpusDf, "doc_id", "text", "lang").localCheckpoint()
+      val base0 = 1558000000000L
+      val batch = load(spark, baseDir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+        .orderBy("doc_id").limit(2000).collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getString(1), r.getString(2),
+          new java.sql.Timestamp(base0 + i * 1000L)) }
+      val dropDir = Files.createTempDirectory("graft-scale-ingdrop-")
+      val ckpt = Files.createTempDirectory("graft-scale-ingck-").toString
+      val outRows = new java.util.concurrent.atomic.AtomicLong
+      val prevProvider = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = graft.streaming.IngestPipeline.curated(spark,
+            dropDir.toString, idx, cdcPath, lmModel, nbModel,
+            capPerSource = batch.length, horizon = "2 hours",
+            delay = "1 hour", window = "1 hour", keepAvgQx1000 = -9000L)
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => outRows.addAndGet(b.count()); ()
+          }
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+        def feed(name: String,
+            rows: Seq[(Long, String, String, java.sql.Timestamp)]): Unit = {
+          graft.jobs.Sinks.jsonl(
+            rows.toDF("doc_id", "text", "source", "at").coalesce(1),
+            s"$dropDir/$name")
+          new java.io.File(s"$dropDir/$name").listFiles()
+            .filter(_.getName.endsWith(".json")).foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                dropDir.resolve(s"$name-${f.getName}"))
+            }
+        }
+        try {
+          q.processAllAvailable() // graph cold-start out of the timing
+          feed("b0", batch.toSeq)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // far-future flush closes the windows so the verdict rows
+          // actually emit (sanity that the graph ran end-to-end)
+          feed("fl", Seq((999999L, "flush doc", "flushsrc",
+            new java.sql.Timestamp(base0 + 3L * 24 * 3600 * 1000))))
+          q.processAllAvailable()
+          (batch.length / elapsed, outRows.get())
+        } finally q.stop()
+      } catch { case _: Throwable => (-1.0, 0L) }
+      finally {
+        prevProvider match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+        idx.unpersist()
+      }
+    }
+    val (curB, curOutB) = curatedThroughput(baseDir)
+    val (curS, curOutS) = curatedThroughput(outDir)
+
     // ---- Heaps-law vocabulary fixture: the q95/q98/q101 upper bounds
     // under the bijective rename measure a 10x vocabulary; this corpus
     // grows the vocabulary ~k^0.5 (realistic Heaps growth), isolating
@@ -277,15 +410,24 @@ object BenchScale {
     }
 
     // index builds are one-shot full-corpus scans: they join the
-    // ~linear rows (<= 2k bound); probes join the flat rows (<= 2.0)
+    // ~linear rows (<= 2k bound); probes and in-place folds join the
+    // flat rows (<= 2.0 — the fixed delta's cost must not track the
+    // corpus behind the index); compaction joins the linear rows (it
+    // IS the amortized index-sized operation)
     val buildRows = Seq(
       ("q59_index_build", tIdxB, tIdxS, cRatio(tIdxB, tIdxS)),
       ("q83_index_build", vIdxB, vIdxS, cRatio(vIdxB, vIdxS)),
-      ("q108_index_build", bIdxB, bIdxS, cRatio(bIdxB, bIdxS)))
+      ("q108_index_build", bIdxB, bIdxS, cRatio(bIdxB, bIdxS)),
+      ("q111_index_build", cIdxB, cIdxS, cRatio(cIdxB, cIdxS)),
+      ("q110_compact_cost", tCmpB, tCmpS, cRatio(tCmpB, tCmpS)))
     val probeRows = Seq(
       ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
       ("q83_probe_const_delta", vPrbB, vPrbS, cRatio(vPrbB, vPrbS)),
-      ("q108_probe_const_delta", bPrbB, bPrbS, cRatio(bPrbB, bPrbS)))
+      ("q108_probe_const_delta", bPrbB, bPrbS, cRatio(bPrbB, bPrbS)),
+      ("q110_fold_const_delta", tFldB, tFldS, cRatio(tFldB, tFldS)),
+      ("q113_fold_const_delta", vFldB, vFldS, cRatio(vFldB, vFldS)),
+      ("q111_fold_const_delta", cFldB, cFldS, cRatio(cFldB, cFldS)),
+      ("q108_fold_const_delta", bFldB, bFldS, cRatio(bFldB, bFldS)))
 
     val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max
@@ -295,10 +437,17 @@ object BenchScale {
     }.mkString("{", ",", "}")
     // linear_ok: every ratio within 2x of proportional growth (the
     // driver-verdict bound for a super-linear flag); const_delta_ok:
-    // fixed-delta probes stay flat REGARDLESS of k
+    // fixed-delta probes AND in-place folds stay flat REGARDLESS of k
     val ok = linearRows.forall(r => r._4 > 0 && r._4 <= 2.0 * k)
     val constOk = probeRows.forall(r => r._4 > 0 && r._4 <= 2.0)
-    println(s"""{"metric":"scale_worst_ratio","value":$worst,"unit":"x","k":$k,"base":"$baseDir","linear_ok":$ok,"const_delta_ok":$constOk,"heaps_vocab_ratio":${num(vocabRatio)},"queries":$qs}""")
+    val foldBytes =
+      s""""minhash_index_base":$mhIdxBytesB,"minhash_appended_base":$mhFoldBytesB,""" +
+      s""""minhash_index_scaled":$mhIdxBytesS,"minhash_appended_scaled":$mhFoldBytesS"""
+    val curated =
+      s""""base_docs_per_sec":${num(curB)},"scaled_docs_per_sec":${num(curS)},""" +
+      s""""ratio":${num(if (curB <= 0 || curS <= 0) -1.0 else curB / curS)},""" +
+      s""""out_rows_base":$curOutB,"out_rows_scaled":$curOutS"""
+    println(s"""{"metric":"scale_worst_ratio","value":$worst,"unit":"x","k":$k,"base":"$baseDir","linear_ok":$ok,"const_delta_ok":$constOk,"heaps_vocab_ratio":${num(vocabRatio)},"fold_bytes":{$foldBytes},"curated_throughput":{$curated},"queries":$qs}""")
     spark.stop()
   }
 }

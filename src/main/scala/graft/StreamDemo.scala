@@ -110,6 +110,34 @@ object StreamDemo {
     println("=== Cep (view→cart→buy funnel) ===")
     spark.table("demo_cep").orderBy("key").show(20, false)
 
+    // ---- Cep.withinSession: the same funnel under a SESSION gap —
+    //      "the user kept going" (each step within 2min of the last)
+    //      instead of a fixed total horizon: a slow-but-continuous
+    //      funnel matches at any total span; one 2min+ gap times out ----
+    val csin = MemoryStream[StreamEvent]
+    val sessionFunnel = SessionPattern(Seq(
+      (e: StreamEvent) => e.eventType == "view",
+      (e: StreamEvent) => e.eventType == "cart",
+      (e: StreamEvent) => e.eventType == "buy"), 2 * 60000L, strict = false)
+    val csq = Cep.withinSession(
+        csin.toDS().withWatermark("ts", "0 seconds"), sessionFunnel)
+      .writeStream.format("memory").queryName("demo_cep_session")
+      .outputMode("append").start()
+    csin.addData(
+      StreamEvent(1, 1, "view", ts(1000)),        // continuous shopper:
+      StreamEvent(1, 2, "cart", ts(110 * 1000)),  // every gap < 2min,
+      StreamEvent(1, 3, "buy", ts(215 * 1000)),   // span 3.5min → matched
+      StreamEvent(2, 4, "view", ts(1000)),        // walked away 3min
+      StreamEvent(2, 5, "cart", ts(181 * 1000)))  // → view times out
+    csq.processAllAvailable()
+    csin.addData(StreamEvent(-9, -1, "other", ts(3600000L)))
+    csq.processAllAvailable()
+    csin.addData(StreamEvent(-9, -2, "other", ts(7200000L)))
+    csq.processAllAvailable()
+    csq.stop()
+    println("=== Cep.withinSession (same funnel, 2min session gap) ===")
+    spark.table("demo_cep_session").orderBy("key").show(20, false)
+
     spark.stop()
   }
 }

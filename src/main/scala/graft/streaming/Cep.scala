@@ -40,6 +40,21 @@ final case class Pattern(
   require(steps.size >= 2, "Pattern needs at least two steps")
 }
 
+/** [[Pattern]]'s gap-bounded sibling ([[Cep.withinSession]]): a partial
+  * stays alive while CONSECUTIVE accepted events arrive within `gapMs`
+  * of each other — the `session_window` contract applied to sequence
+  * matching, the shape real funnels use ("the user kept going", not
+  * "the user finished inside a fixed horizon"): a slow-but-continuous
+  * funnel matches regardless of total span, while any single gap over
+  * `gapMs` times the partial out.
+  */
+final case class SessionPattern(
+    steps: Seq[StreamEvent => Boolean],
+    gapMs: Long,
+    strict: Boolean) {
+  require(steps.size >= 2, "SessionPattern needs at least two steps")
+}
+
 object Cep {
 
   private implicit val stateEnc: org.apache.spark.sql.Encoder[CepState] = Encoders.product[CepState]
@@ -50,16 +65,39 @@ object Cep {
       : Dataset[CepMatch] =
     events.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(step(pattern) _)
+        GroupStateTimeout.EventTimeTimeout)(
+        step(pattern.steps, pattern.strict,
+          p => p.firstTsMs + pattern.withinMs) _)
 
+  /** [[matchPattern]] under SESSION-GAP survival ([[SessionPattern]]):
+    * identical machinery, one changed deadline — `lastTsMs + gapMs`
+    * (advances with every accepted event) instead of the fixed
+    * `firstTsMs + withinMs`. Everything else (strict/relaxed
+    * contiguity, timeout side output carrying the reached steps, the
+    * per-key state envelope) is shared code, so the two horizon
+    * semantics cannot drift.
+    */
+  def withinSession(events: Dataset[StreamEvent], pattern: SessionPattern)
+      : Dataset[CepMatch] =
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        step(pattern.steps, pattern.strict,
+          p => p.lastTsMs + pattern.gapMs) _)
+
+  /** A partial can accept events until (exclusive) this event-time; at
+    * it, the partial times out. Funnel patterns pin it to the match
+    * start, session patterns to the last accepted event.
+    */
   private def expire(key: Long, live: Seq[CepPartial], watermarkMs: Long,
-      withinMs: Long): (Seq[CepPartial], Seq[CepMatch]) = {
-    val (dead, alive) = live.partition(_.firstTsMs + withinMs <= watermarkMs)
+      deadline: CepPartial => Long): (Seq[CepPartial], Seq[CepMatch]) = {
+    val (dead, alive) = live.partition(deadline(_) <= watermarkMs)
     (alive, dead.map(p => CepMatch(key, "timeout", p.stepDone, p.eventIds,
       p.firstTsMs, p.lastTsMs)))
   }
 
-  private def step(pattern: Pattern)(key: Long,
+  private def step(steps: Seq[StreamEvent => Boolean], strict: Boolean,
+      deadline: CepPartial => Long)(key: Long,
       events: Iterator[StreamEvent], state: GroupState[CepState])
       : Iterator[CepMatch] = {
     val wm = state.getCurrentWatermarkMs()
@@ -67,7 +105,7 @@ object Cep {
     val out = Seq.newBuilder[CepMatch]
 
     if (state.hasTimedOut || events.isEmpty) {
-      val (alive, timedOut) = expire(key, live, wm, pattern.withinMs)
+      val (alive, timedOut) = expire(key, live, wm, deadline)
       out ++= timedOut
       live = alive
     }
@@ -75,12 +113,12 @@ object Cep {
     events.toSeq.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
       val advanced = Seq.newBuilder[CepPartial]
       live.foreach { p =>
-        val withinBound = e.tsMs - p.firstTsMs <= pattern.withinMs
+        val withinBound = e.tsMs <= deadline(p)
         if (withinBound && e.tsMs >= p.lastTsMs &&
-            pattern.steps(p.stepDone)(e)) {
+            steps(p.stepDone)(e)) {
           val np = CepPartial(p.stepDone + 1, p.firstTsMs, e.tsMs,
             p.eventIds :+ e.eventId)
-          if (np.stepDone == pattern.steps.size)
+          if (np.stepDone == steps.size)
             out += CepMatch(key, "matched", np.stepDone, np.eventIds,
               np.firstTsMs, np.lastTsMs)
           else advanced += np
@@ -88,13 +126,13 @@ object Cep {
           // can never complete → timed out
           out += CepMatch(key, "timeout", p.stepDone, p.eventIds,
             p.firstTsMs, p.lastTsMs)
-        } else if (!pattern.strict) {
+        } else if (!strict) {
           advanced += p // relaxed: survive the gap event
         }
         // strict + non-matching event: partial dies silently (CEP `next`)
       }
       live = advanced.result()
-      if (pattern.steps.head(e))
+      if (steps.head(e))
         live :+= CepPartial(1, e.tsMs, e.tsMs, Seq(e.eventId))
       // a single event can both complete one partial and start another —
       // matches CEP's skip-to-next-row behavior
@@ -103,8 +141,7 @@ object Cep {
     if (live.isEmpty) state.remove()
     else {
       state.update(CepState(live))
-      state.setTimeoutTimestamp(
-        live.map(_.firstTsMs).min + pattern.withinMs)
+      state.setTimeoutTimestamp(live.map(deadline).min)
     }
     out.result().iterator
   }

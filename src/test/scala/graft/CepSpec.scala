@@ -109,4 +109,72 @@ class CepSpec extends SparkSpec {
       .filter(_.tag == "matched")
     assert(got.map(m => (m.key, m.eventIds)) == Set((1L, Seq(1L, 2L, 3L))))
   }
+
+  private def runCepSession(events: Seq[StreamEvent],
+      pattern: SessionPattern, flushMs: Long, name: String): Set[CepMatch] = {
+    val input = MemoryStream[StreamEvent]
+    val out = Cep.withinSession(
+      input.toDS().withWatermark("ts", "0 seconds"), pattern)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(StreamEvent(-999L, -1L, "sentinel", ts(flushMs)))
+      q.processAllAvailable()
+      input.addData(StreamEvent(-999L, -2L, "sentinel", ts(flushMs * 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).as[CepMatch].collect().toSet
+      .filter(_.key != -999L)
+  }
+
+  test("session-gap pattern: slow-but-continuous funnels match, one gap kills") {
+    // the shape fixed-within cannot express: u1 completes view→cart→buy
+    // with every consecutive gap <= 2s but a TOTAL span (5s) beyond any
+    // horizon a fixed Pattern(withinMs=2s-per-step-ish) could grant
+    // without also admitting u2, whose single 3s gap must time out.
+    val gap = 2000L
+    val evs = Seq(
+      StreamEvent(1L, 1L, "view", ts(1000)),
+      StreamEvent(1L, 2L, "cart", ts(3000)),  // gap 2s: alive
+      StreamEvent(1L, 3L, "buy", ts(5000)),   // gap 2s: matched, span 4s
+      StreamEvent(2L, 4L, "view", ts(1000)),
+      StreamEvent(2L, 5L, "cart", ts(4500)))  // gap 3.5s: dead partial
+    val pat = SessionPattern(Seq(_.eventType == "view",
+      _.eventType == "cart", _.eventType == "buy"), gap, strict = false)
+    val got = runCepSession(evs, pat, 60 * 60 * 1000L, "cep_session")
+    assert(got.filter(_.tag == "matched").map(m => (m.key, m.eventIds)) ==
+      Set((1L, Seq(1L, 2L, 3L))))
+    // u2's view partial timed out at 1 step (its cart arrived past the
+    // gap and could not attach; CepMatch carries the steps reached)
+    assert(got.exists(m => m.key == 2L && m.tag == "timeout" &&
+      m.stepsDone == 1 && m.eventIds == Seq(4L)))
+    // the CONTRAST that makes the session semantics non-vacuous: the
+    // fixed-within matcher with withinMs = gap rejects u1 (span 4s > 2s)
+    val fixedGot = runCep(evs,
+      Pattern(Seq(_.eventType == "view", _.eventType == "cart",
+        _.eventType == "buy"), gap, strict = false),
+      60 * 60 * 1000L, "cep_session_fixed")
+    assert(!fixedGot.exists(_.tag == "matched"),
+      "fixed-within horizon should reject the slow-but-continuous funnel")
+  }
+
+  test("session-gap pattern: deadline advances with each accepted event") {
+    // four-step chain where EVERY consecutive gap is just inside the
+    // session gap — total span 3 x 1.9s; the deadline must re-arm off
+    // lastTsMs at every step or step 3+ would be (wrongly) expired by
+    // the watermark advancing past firstTsMs + gap
+    val gap = 2000L
+    val evs = Seq(
+      StreamEvent(7L, 1L, "a", ts(1000)),
+      StreamEvent(7L, 2L, "b", ts(2900)),
+      StreamEvent(7L, 3L, "c", ts(4800)),
+      StreamEvent(7L, 4L, "d", ts(6700)))
+    val pat = SessionPattern(Seq(_.eventType == "a", _.eventType == "b",
+      _.eventType == "c", _.eventType == "d"), gap, strict = true)
+    val got = runCepSession(evs, pat, 60 * 60 * 1000L, "cep_session_adv")
+    assert(got.filter(_.tag == "matched").map(_.eventIds) ==
+      Set(Seq(1L, 2L, 3L, 4L)))
+  }
 }

@@ -223,6 +223,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(("t4", "unmatched_receipt", -1L, 40L)))
   }
 
+  test("TxReconcile tws twin: golden parity + cross-batch re-match under RocksDB") {
+    // the last fMGWS operator to get its transformWithState port, and
+    // the only two-sided one — the fMGWS golden scenarios verbatim,
+    // plus cross-batch cases the timer discipline must survive: a key
+    // matching AFTER its lone side armed a deadline (timer deleted,
+    // not fired) and a key whose pending side re-arms to a new base.
+    StateStoreVariants.withRocksDB(spark) {
+      val input = MemoryStream[TxEvent]
+      // 1-minute delay so batch-2 events older than batch-1's max are
+      // not dropped late (the cross-batch out-of-order cases)
+      val out = TxReconcile.reconcileTws(
+        input.toDS().withWatermark("ts", "1 minute"), 5000L)
+      val q = out.writeStream.format("memory").queryName("tx_tws_out")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          TxEvent("t1", 0, 10L, ts(1000)), TxEvent("t1", 1, 11L, ts(2000)),
+          TxEvent("t2", 1, 20L, ts(1000)), TxEvent("t2", 0, 21L, ts(2000)),
+          TxEvent("t3", 0, 30L, ts(1000)),  // lone pay, flushes
+          TxEvent("t4", 1, 40L, ts(1000)),  // lone receipt, flushes
+          TxEvent("t5", 0, 50L, ts(3000)))  // pay now, receipt next batch
+        q.processAllAvailable()
+        input.addData(
+          TxEvent("t5", 1, 51L, ts(4000)))  // cross-batch match: t5's
+        q.processAllAvailable()             // armed deadline must die
+        input.addData(TxEvent("flush", 0, -1L, ts(10 * 60 * 1000L)))
+        q.processAllAvailable()
+        input.addData(TxEvent("flush2", 1, -2L, ts(20 * 60 * 1000L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tx_tws_out").as[TxResult].collect()
+        .filter(r => r.txKey.startsWith("t"))
+        .map(r => (r.txKey, r.tag, r.payId, r.receiptId)).toSet
+      assert(got == Set(
+        ("t1", "matched", 10L, 11L),
+        ("t2", "matched", 21L, 20L),
+        ("t3", "unmatched_pay", 30L, -1L),
+        ("t4", "unmatched_receipt", -1L, 40L),
+        ("t5", "matched", 50L, 51L)),
+        s"tws reconcile diverged: $got")
+    }
+  }
+
   test("streaming session_window == batch q31 sessions") {
     // microsecond-exact timestamps (batch q31 compares in integer us)
     def tsUs(us: Long) = java.sql.Timestamp.from(
