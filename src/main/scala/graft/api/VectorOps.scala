@@ -664,6 +664,44 @@ object VectorOps {
     * degraded mode without the codebooks, unlike the MinHash index's
     * unpruned fallback.
     */
+  /** Fold a DELTA of new vectors into a persisted [[writeIvfPqIndex]]
+    * IN PLACE with O(delta) cost on BOTH sides — completing the
+    * incremental-maintenance story across every index family (minhash,
+    * sign, CDC, BM25, and now IVF-PQ). The codebooks are FROZEN (the
+    * FAISS `add` contract: train the quantizers once, encode every
+    * later delta with them), so the fold is a map-only encode of the
+    * delta against the broadcast codebooks plus a sorted-run append
+    * ([[graft.jobs.Sinks.layoutAppend]]) into the existing
+    * cell-partition directories. Uniquely in the family, NO read-side
+    * reconcile exists to need: codes rows are per-vector (disjoint
+    * delta ids by the incremental contract everywhere in this api) and
+    * [[ivfPqProbe]] already reads every file inside its routed cells —
+    * a folded index probes identically to re-encoding corpus ∪ delta
+    * under the SAME model (ApiSpec parity, exact: same codebooks ⇒
+    * same codes ⇒ same ADC sums). The honest caveat is drift, not
+    * arithmetic: codebooks trained on yesterday's distribution encode
+    * a drifted corpus with growing quantization error — monitor the
+    * in-band recall floor (the q99/q115 oracle) and retrain+rebuild
+    * when it sags, exactly the production FAISS posture.
+    */
+  def foldIntoIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): Unit = {
+    val s = delta.sparkSession
+    VectorExpressions.register(s)
+    val model = readIvfPqModel(s, indexPath)
+    val base = normalized(delta, idCol, vecCol)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    graft.jobs.Sinks.layoutAppend(
+      base.select(col(idCol),
+        element_at(call_function("pq_encode", col("u"),
+          typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)), 1)
+          .as("cell"),
+        call_function("pq_encode", col("u"), typedLit(model.pq.flat),
+          lit(model.pq.m), lit(model.pq.k)).as("codes")),
+      s"$indexPath/codes", partitionCols = Seq("cell"),
+      sortCols = Seq(idCol), numFiles = model.coarse.k)
+  }
+
   def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqModel = {
     val meta = try spark.read.parquet(s"$path/meta") catch {

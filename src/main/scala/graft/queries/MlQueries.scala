@@ -170,43 +170,101 @@ SELECT vec_id AS qid,
        true AS rn_dense,
        true AS recall_ok
 FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
-      (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
-        val emb = Tables.embeddings(s, dir)
-        val pred = col("vec_id") >= 100 && col("vec_id") < 110
-        val idx = ivfPqIndexDir(s, dir)
-        // candidates from the pruned ADC scan (threshold low enough to
-        // keep every probed candidate — selection happens at re-rank)
-        val cand = graft.api.VectorOps.ivfPqProbe(
-            emb.filter(pred), "vec_id", "embedding", idx,
-            adcX1000Threshold = -2000, nprobe = 3)
-          .filter(col("vec_old") =!= col("vec_new"))
-          .select(col("vec_new").as("qid"), col("vec_old").as("nid"))
-        val base = graft.api.VectorOps.normalized(emb, "vec_id", "embedding")
-          .withColumn("u", expr("transform(v, x -> x / nrm)"))
-        val qv = base.filter(pred)
-          .select(col("vec_id").as("qid2"), col("u").as("qu"))
-        val nv = base.select(col("vec_id").as("nid2"), col("u").as("nu"))
-        val ranked = cand
-          .join(broadcast(qv), col("qid") === col("qid2"))
-          .join(nv, col("nid") === col("nid2"))
-          .select(col("qid"), col("nid"), expr("dot_f(qu, nu)").as("sim"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
-          .filter(col("rn") <= 10)
-        val exact = graft.api.VectorOps.annBruteTopK(
-            emb, "vec_id", "embedding", pred, k = 10)
-          .select(col("qid").as("eqid"), col("nid").as("enid"))
-        ranked.join(exact,
-            col("qid") === col("eqid") && col("nid") === col("enid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("n_neighbors"),
-            (sum(col("rn")) === lit(55L) && max(col("rn")) === lit(10L) &&
-              count(lit(1)) === lit(10L)).as("rn_dense"),
-            (sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
-              >= lit(3L)).as("recall_ok"))
-          .select("qid", "n_neighbors", "rn_dense", "recall_ok")
-      })
+      (s, dir) => ivfPqRecallHarness(s, dir, ivfPqIndexDir(s, dir)))
+  ,
+
+    QueryDef(
+      "q115_fold_ivfpq_probe",
+      "IVF-PQ index maintenance proven end-to-end " +
+        "(VectorOps.foldIntoIvfPqIndex) — completing the fold family " +
+        "across all five persisted indexes: v1 trains its codebooks " +
+        "and encodes 80% of the vectors, the 20% delta is folded IN " +
+        "PLACE (frozen codebooks, map-only encode, O(delta) appended " +
+        "run in the cell directories — the FAISS add contract), and " +
+        "the q99 recall harness runs VERBATIM (one shared function) " +
+        "against the folded index: per-query exact-cosine re-rank of " +
+        "the pruned ADC candidates must be rank-dense with in-band " +
+        "recall@10 >= 3/10 vs the global exact top-10. The fold " +
+        "itself introduces ZERO approximation beyond PQ (same " +
+        "codebooks => same codes — ApiSpec asserts exact probe-set " +
+        "equality vs a same-model rebuild); what this catalog row " +
+        "gates is the deployed composition: fold -> route -> prune -> " +
+        "ADC -> re-rank on the driver-checked oracle.",
+      Some("""
+SELECT vec_id AS qid,
+       10::BIGINT AS n_neighbors,
+       true AS rn_dense,
+       true AS recall_ok
+FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
+      (s, dir) => ivfPqRecallHarness(s, dir, foldedIvfPqDir(s, dir)))
   )
+
+  /** The q99/q115 oracle harness over ANY IVF-PQ index dir covering
+    * the full embeddings corpus: pruned ADC probe (nprobe=3) ->
+    * exact-cosine re-rank to top-10 -> per-query structure + in-band
+    * recall@10 >= 3/10 vs the global exact top-10. ONE function so the
+    * fresh-index and folded-index rows cannot drift in what they gate.
+    */
+  private def ivfPqRecallHarness(s: SparkSession, dir: String,
+      idx: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val pred = col("vec_id") >= 100 && col("vec_id") < 110
+    // candidates from the pruned ADC scan (threshold low enough to
+    // keep every probed candidate — selection happens at re-rank)
+    val cand = graft.api.VectorOps.ivfPqProbe(
+        emb.filter(pred), "vec_id", "embedding", idx,
+        adcX1000Threshold = -2000, nprobe = 3)
+      .filter(col("vec_old") =!= col("vec_new"))
+      .select(col("vec_new").as("qid"), col("vec_old").as("nid"))
+    val base = graft.api.VectorOps.normalized(emb, "vec_id", "embedding")
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val qv = base.filter(pred)
+      .select(col("vec_id").as("qid2"), col("u").as("qu"))
+    val nv = base.select(col("vec_id").as("nid2"), col("u").as("nu"))
+    val ranked = cand
+      .join(broadcast(qv), col("qid") === col("qid2"))
+      .join(nv, col("nid") === col("nid2"))
+      .select(col("qid"), col("nid"), expr("dot_f(qu, nu)").as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid").asc)).cast("long"))
+      .filter(col("rn") <= 10)
+    val exact = graft.api.VectorOps.annBruteTopK(
+        emb, "vec_id", "embedding", pred, k = 10)
+      .select(col("qid").as("eqid"), col("nid").as("enid"))
+    ranked.join(exact,
+        col("qid") === col("eqid") && col("nid") === col("enid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        (sum(col("rn")) === lit(55L) && max(col("rn")) === lit(10L) &&
+          count(lit(1)) === lit(10L)).as("rn_dense"),
+        (sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
+          >= lit(3L)).as("recall_ok"))
+      .select("qid", "n_neighbors", "rn_dense", "recall_ok")
+  }
+
+  // session-scoped FOLDED IVF-PQ index (the q110/q111/q113 fixture
+  // pattern for the vector-codes family): codebooks train on the 80%
+  // slice, v1 encodes it, the 20% delta folds in place with the
+  // frozen model — first consumer pays the build, later runs probe
+  // the same parquet.
+  private val foldedIvfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def foldedIvfPqDir(s: SparkSession, dir: String): String =
+    foldedIvfPqCache.computeIfAbsent(dir, { _ =>
+      val emb = Tables.embeddings(s, dir)
+      val c0 = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val model = graft.api.VectorOps.ivfPqTrain(
+        c0, "vec_id", "embedding", nCells = 8, m = 16, k = 16, seed = 42L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivfpqfold-").toString
+      graft.api.VectorOps.writeIvfPqIndex(
+        c0, "vec_id", "embedding", model, tmp)
+      graft.api.VectorOps.foldIntoIvfPqIndex(
+        delta, "vec_id", "embedding", tmp)
+      tmp
+    })
 }

@@ -1079,6 +1079,45 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("foldIntoIvfPqIndex: frozen-codebook fold probes EXACTLY like a " +
+      "same-model rebuild, with O(delta) write bytes") {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val c0 = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 10)
+    val probes = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqf-").toString
+    def dirBytes(p: String): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+    // ONE model (trained on the v1 corpus — the FAISS posture: the
+    // fold never retrains), two indexes: v1+fold vs full re-encode
+    val model = VectorOps.ivfPqTrain(c0, "vec_id", "embedding",
+      nCells = 4, m = 8, k = 8, seed = 7L)
+    VectorOps.writeIvfPqIndex(c0, "vec_id", "embedding", model, s"$dir/v1")
+    VectorOps.writeIvfPqIndex(c0.unionByName(delta), "vec_id", "embedding",
+      model, s"$dir/full")
+    val before = dirBytes(s"$dir/v1/codes")
+    VectorOps.foldIntoIvfPqIndex(delta, "vec_id", "embedding", s"$dir/v1")
+    val appended = dirBytes(s"$dir/v1/codes") - before
+    def probeSet(path: String) = VectorOps.ivfPqProbe(
+        probes, "vec_id", "embedding", path,
+        adcX1000Threshold = -2000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = probeSet(s"$dir/full")
+    assert(full.exists(_._2 % 5 == 0),
+      "no probe candidate from the delta — fold parity would be vacuous")
+    // EXACT equality, not a recall floor: same codebooks => same codes
+    // => same ADC sums — the fold introduces zero approximation beyond
+    // PQ itself
+    assert(probeSet(s"$dir/v1") == full)
+    assert(appended > 0 && appended < before,
+      s"fold appended $appended bytes vs index $before — not O(delta)")
+  }
+
   test("EventOps.aggState: two persisted-state merge rounds == one full " +
       "recompute (the maintenance contract, through parquet)") {
     val batches = Seq(
