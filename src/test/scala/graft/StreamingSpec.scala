@@ -722,6 +722,53 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("meta"))
   }
 
+  test("Bm25Gate on a LAYERED index (in-place fold) == batch layered probe") {
+    // the gate's layers>1 branch: the baked contrib/ is stale after an
+    // in-place fold, so the static side must derive contributions from
+    // the postings runs + merged meta stats — and rank exactly like
+    // the batch probe doing the same (which ApiSpec pins to the
+    // from-scratch rebuild)
+    val docs = Tables.documents(spark, sf)
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_bm25_lgate").toString
+    graft.api.TextOps.writeBm25Index(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", idxPath)
+    graft.api.TextOps.foldIntoBm25Index(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", idxPath)
+    val qDf = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val delta = qDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = streaming.Bm25Gate.topKGateAgainstIndex(
+      input.toDF().toDF("qid", "text", "ts"), "qid", "text", "ts",
+      delay = "1 hour", window = "10 minutes", idxPath, "doc_id", k = 10)
+    val q = out.writeStream.format("memory").queryName("bm25_lidx_gate")
+      .outputMode("append").start()
+    try {
+      val base = 1558430000000L
+      val recs = delta.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + i * 1000L))
+      }
+      input.addData(recs.toSeq: _*); q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bm25_lidx_gate").filter(col("qid") >= 0)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = graft.api.TextOps.bm25TopKAgainstIndex(qDf, "qid", "text",
+        idxPath, "doc_id", k = 10)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty, "batch layered probe produced no rows — vacuous")
+    assert(got == want, s"stream=${got.size} batch=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   /** Streaming NB classifier gate (ClassifyGate.nbGate) must predict
     * IDENTICALLY to the batch nbClassify on the same train/test split —
     * the stream-static pivoted-model join plus the windowed per-class
