@@ -379,6 +379,12 @@ object BenchScale {
             "spark.sql.streaming.stateStore.providerClass")
         }
         idx.unpersist()
+        // the models were localCheckpointed for the stream-static
+        // joins — release their pinned blocks (the drain discipline;
+        // without this the base run's models stay pinned through the
+        // kx run and skew its memory envelope)
+        graft.api.Lifecycle.releaseLocalCheckpoint(lmModel)
+        graft.api.Lifecycle.releaseLocalCheckpoint(nbModel)
       }
     }
     val (curB, curOutB) = curatedThroughput(baseDir)

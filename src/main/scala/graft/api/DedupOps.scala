@@ -348,6 +348,19 @@ object DedupOps {
     * pruning still works per file; periodic [[compactMinhashIndex]]
     * folds the runs back to one when their count starts to matter
     * (the LSM posture: append daily, compact weekly).
+    *
+    * Crash consistency (applies to ALL FOUR in-place folds): the
+    * appends and the meta rewrite are separate filesystem commits, so
+    * a crash mid-fold can leave a partial delta (appended runs the
+    * meta's layer count does not yet cover). The operational contract
+    * is single-writer with restore-on-failure: treat the fold as a job
+    * that either completes or rolls back to the previous index copy
+    * (never retried in place — re-appending the delta would duplicate
+    * its rows). Callers needing an atomic fold use the to-`outPath`
+    * overloads, which build a FRESH directory and leave the old index
+    * untouched — O(index) writes is the price of that atomicity, which
+    * is exactly the trade a transactional table layout (manifest
+    * commit) would dissolve at the storage layer, out of scope here.
     */
   def foldIntoMinhashIndex(delta: DataFrame, idCol: String,
       textCol: String, indexPath: String): Unit = {
@@ -473,14 +486,27 @@ object DedupOps {
     val bucketsRaw = s.read.parquet(s"$indexPath/buckets")
     val hashedOld = s.read.parquet(s"$indexPath/hashed")
     val deltaBands = withBandKeys(shingleHashed(newDf, idCol, textCol))
-    // the prefix count comes from the index's own meta; if meta is
-    // missing/corrupt/empty (a partially copied index, a meta dir lost
-    // in transit) the probe DEGRADES to the unpruned full-bucket scan
-    // instead of hard-failing — pruning is an optimization, never a
-    // correctness dependency
+    // the prefix count AND the layer count come from the index's own
+    // meta — pruning is still only an optimization, but since the
+    // in-place layered folds exist, the layer count is a CORRECTNESS
+    // dependency (see the hard-fail below)
     val metaRow: Option[org.apache.spark.sql.Row] =
       try s.read.parquet(s"$indexPath/meta").head(1).headOption
       catch { case _: Exception => None }
+    // an index WITHOUT the __bp layout predates both pruning and
+    // layering — single-run by construction, safe to probe unpruned
+    // and unreconciled. An index WITH the layout always shipped a
+    // meta, and since layered folds exist an unreadable meta can no
+    // longer degrade to "correct, slower": without `layers` we cannot
+    // rule out per-key duplicate runs whose unreconciled join would
+    // resurrect tombstones and cap-crossing unions — fail loudly (the
+    // CDC/BM25 probes' posture), never probe possibly-wrong.
+    if (bucketsRaw.columns.contains("__bp") && metaRow.isEmpty)
+      throw new IllegalStateException(
+        s"minhashPairsAgainstIndex: cannot read $indexPath/meta for a " +
+          "__bp-layout index — the meta carries the layer count, and " +
+          "probing a possibly-layered index without reconcile would be " +
+          "silently wrong; restore the meta or rebuild the index")
     def metaInt(name: String): Option[Int] = metaRow
       .filter(_.schema.fieldNames.contains(name))
       .map(_.getAs[Number](name).intValue())
@@ -489,8 +515,8 @@ object DedupOps {
       else metaInt("prefix_partitions").filter(_ >= 1)
     if (bucketsRaw.columns.contains("__bp") && prefixPartitions.isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"minhashPairsAgainstIndex: $indexPath/meta unreadable or empty " +
-          "— probing the bucket index UNPRUNED (correct, slower)")
+        s"minhashPairsAgainstIndex: $indexPath/meta lacks a usable " +
+          "prefix_partitions — probing UNPRUNED (correct, slower)")
     val buckets = prefixPartitions match {
       case Some(p) =>
         // the delta re-derives its band keys for this list (map-only
@@ -1002,7 +1028,9 @@ object DedupOps {
     * duplicate-insensitive, so a chunk appearing in two runs changes
     * nothing. `layers` in meta counts the runs; periodic
     * [[compactCdcChunkIndex]] re-distincts them into one (pure read
-    * amplification cleanup, never a correctness event).
+    * amplification cleanup, never a correctness event). Crash
+    * consistency: single-writer, restore-on-failure, never retry in
+    * place — see [[foldIntoMinhashIndex]]'s contract note.
     */
   def foldIntoCdcChunkIndex(delta: DataFrame, idCol: String,
       textCol: String, indexPath: String): Unit = {
@@ -1092,10 +1120,11 @@ object DedupOps {
     * scan). The delta's distinct `__bp` prefixes (at most
     * prefix_partitions ints, collected driver-side) prune the chunk
     * parquet to the directories its hashes can hit; the `c` sort
-    * prunes row groups within them. Unlike the minhash probe's
-    * OPTIONAL meta, the meta here is REQUIRED — it carries the
-    * chunking geometry — so a missing/partial index fails with a
-    * named error rather than probing with guessed parameters.
+    * prunes row groups within them. The meta is REQUIRED — it carries
+    * the chunking geometry — so a missing/partial index fails with a
+    * named error rather than probing with guessed parameters (the
+    * minhash/sign probes converged on the same posture once layered
+    * folds made the layer count a correctness input).
     */
   /** (prefix_partitions, modulus, window) off a [[writeCdcChunkIndex]]
     * meta — REQUIRED (it carries the chunking geometry): named error

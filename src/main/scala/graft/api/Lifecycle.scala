@@ -60,9 +60,4 @@ object Lifecycle {
 
   /** Is this RDD id owned by a live session cache? */
   private[graft] def isCacheOwned(id: Int): Boolean = cacheOwned.contains(id)
-
-  /** Count of currently registered cache-owned RDD ids (teardown
-    * accounting: Bench's residual assertion allows exactly these).
-    */
-  private[graft] def cacheOwnedCount: Int = cacheOwned.size
 }

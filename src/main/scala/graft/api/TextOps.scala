@@ -826,8 +826,9 @@ object TextOps {
       try s.read.parquet(s"$indexPath/meta")
       catch {
         case e: Exception => throw new IllegalStateException(
-          s"$op: cannot read $indexPath/meta — the fold " +
-            "needs the index's corpus stats (n, tt, max_dl)", e)
+          s"$op: cannot read $indexPath/meta — the index is missing " +
+            "or partially copied; the meta carries the prefix " +
+            "geometry, corpus stats, and layer count", e)
       }
     require(Seq("n", "tt", "max_dl").forall(metaDf.columns.contains),
       s"$op: $indexPath/meta lacks corpus stats (n, tt, " +
@@ -858,7 +859,12 @@ object TextOps {
     * posting of each term in it). Probe-time work grows only by the
     * per-touched-term df agg — still O(query terms + pruned scan),
     * never O(index). [[compactBm25Index]] rebakes contrib and resets
-    * layers=1 (the LSM posture: append daily, rebake weekly).
+    * layers=1 (the LSM posture: append daily, rebake weekly). Crash
+    * consistency: single-writer, restore-on-failure, never retry in
+    * place — see [[DedupOps.foldIntoMinhashIndex]]'s contract note
+    * (here a crash between the postings append and the meta write
+    * leaves the index behaving exactly as v1: layers stays 1, so the
+    * probe reads the baked contrib and never sees the orphan run).
     */
   def foldIntoBm25Index(delta: DataFrame, idCol: String, textCol: String,
       indexPath: String): Unit = {
@@ -979,35 +985,15 @@ object TextOps {
     * with a named error rather than probing unpruned with a guessed
     * layout.
     */
-  /** The persisted-index meta contract shared by the batch probe and
-    * [[graft.streaming.Bm25Gate]]: the meta is REQUIRED (it carries
-    * the prefix geometry), so a partially copied index fails with a
-    * named error rather than probing with a guessed layout.
-    */
-  private[graft] def readBm25Meta(s: org.apache.spark.sql.SparkSession,
-      indexPath: String): Int =
-    try {
-      s.read.parquet(s"$indexPath/meta")
-        .select(col("prefix_partitions").cast("int"))
-        .head(1).headOption.map(_.getInt(0)).filter(_ >= 1)
-        .getOrElse(throw new IllegalStateException(
-          s"bm25 index probe: $indexPath/meta is empty"))
-    } catch {
-      case e: IllegalStateException => throw e
-      case e: Exception =>
-        throw new IllegalStateException(
-          s"bm25 index probe: cannot read $indexPath/meta — the " +
-            "index is missing or partially copied; the meta carries " +
-            "the prefix geometry, so probing without it would scan " +
-            "with a guessed layout", e)
-    }
-
   def bm25TopKAgainstIndex(queries: DataFrame, qidCol: String,
       textCol: String, indexPath: String, idCol: String,
       k: Int = 10): DataFrame = {
     require(k >= 1, s"bm25TopKAgainstIndex: k must be >= 1, got $k")
     val s = queries.sparkSession
-    val prefixes = readBm25Meta(s, indexPath)
+    // ONE meta read serves prefixes + stats + layer count (the named
+    // missing-meta error included)
+    val (prefixes, n, tt, maxDl, layers) =
+      readBm25FullMeta(s, indexPath, "bm25 index probe")
     val qTerms = bm25QueryTerms(queries, qidCol, textCol).localCheckpoint()
     val touched = qTerms
       .select(pmod(TextHashing.hash60(col("_t")), lit(prefixes.toLong))
@@ -1022,20 +1008,12 @@ object TextOps {
     // the arithmetic is the build's own bm25ContribFromPostings, so
     // layered and compacted indexes rank identically. Single-layer
     // indexes keep the baked fast path.
-    val metaDf = s.read.parquet(s"$indexPath/meta")
-    val layers =
-      if (metaDf.columns.contains("layers"))
-        metaDf.head(1).headOption
-          .map(_.getAs[Number]("layers").intValue()).getOrElse(1)
-      else 1
     val idx =
       if (layers <= 1)
         s.read.parquet(s"$indexPath/contrib")
           .filter(col("__bp").isin(touched.toSeq: _*))
           .select(col("_t"), col(idCol), col("_c"))
       else {
-        val (_, n, tt, maxDl, _) =
-          readBm25FullMeta(s, indexPath, "bm25TopKAgainstIndex")
         val postings = s.read.parquet(s"$indexPath/postings")
           .filter(col("__bp").isin(touched.toSeq: _*)).drop("__bp")
         bm25ContribFromPostings(postings, idCol, n, tt, maxDl)

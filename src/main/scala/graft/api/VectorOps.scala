@@ -239,7 +239,9 @@ object VectorOps {
     * duplicates through [[DedupOps.mergeLayeredBuckets]] (exact
     * fold==rebuild arithmetic, q113's driver-checked hash), and the
     * `vectors/` runs need no reconcile (disjoint delta ids). Compact
-    * with [[compactSignIndex]] when run count starts to matter.
+    * with [[compactSignIndex]] when run count starts to matter. Crash
+    * consistency: single-writer, restore-on-failure, never retry in
+    * place — see [[DedupOps.foldIntoMinhashIndex]]'s contract note.
     */
   def foldIntoSignIndex(delta: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], indexPath: String): Unit = {
@@ -354,20 +356,31 @@ object VectorOps {
     // LAYERED index (in-place foldIntoSignIndex appends): reconcile
     // per-key duplicate runs through the exact cross-run cap
     // arithmetic; single-layer indexes (builds, compactions,
-    // pre-layering indexes without the meta column) skip the agg
+    // pre-layering indexes without the meta column) skip the agg.
+    // The meta read must NOT degrade silently: every writeSignIndex
+    // has shipped a meta, so an unreadable one means a partial copy —
+    // and since layered folds exist, probing without the layer count
+    // could silently skip the reconcile and emit pairs a rebuild
+    // would suppress. Fail loudly (the CDC/BM25/minhash posture).
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"probeSignIndex: cannot read $indexPath/meta — the index " +
+            "is missing or partially copied; the meta carries the " +
+            "layer count, and probing a possibly-layered index " +
+            "without reconcile would be silently wrong", e)
+      }
+    val layers =
+      if (metaDf.columns.contains("layers"))
+        metaDf.head(1).headOption
+          .map(_.getAs[Number]("layers").intValue()).getOrElse(1)
+      else 1
     val buckets =
-      try {
-        val metaDf = s.read.parquet(s"$indexPath/meta")
-        val layers =
-          if (metaDf.columns.contains("layers"))
-            metaDf.head(1).headOption
-              .map(_.getAs[Number]("layers").intValue()).getOrElse(1)
-          else 1
-        if (layers <= 1) bucketsRaw
-        else DedupOps.mergeLayeredBuckets(bucketsRaw,
-          metaDf.head().getAs[Number]("max_bucket").intValue())
-          .filter(col("__cs").isNotNull)
-      } catch { case _: Exception => bucketsRaw }
+      if (layers <= 1) bucketsRaw
+      else DedupOps.mergeLayeredBuckets(bucketsRaw,
+        metaDf.head().getAs[Number]("max_bucket").intValue())
+        .filter(col("__cs").isNotNull)
     val vecs = s.read.parquet(s"$indexPath/vectors")
     val bNew = normalized(newDf, idCol, vecCol)
     signBands(bNew, idCol, planes, rowsPerBand)
@@ -682,7 +695,12 @@ object VectorOps {
     * arithmetic: codebooks trained on yesterday's distribution encode
     * a drifted corpus with growing quantization error — monitor the
     * in-band recall floor (the q99/q115 oracle) and retrain+rebuild
-    * when it sags, exactly the production FAISS posture.
+    * when it sags, exactly the production FAISS posture. Crash
+    * consistency: single-writer, restore-on-failure, never retry in
+    * place — see [[DedupOps.foldIntoMinhashIndex]]'s contract note
+    * (here the failure mode is mildest: codes rows are per-vector, so
+    * a partial append is a partially-visible delta, not a wrong
+    * probe).
     */
   def foldIntoIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
       indexPath: String): Unit = {

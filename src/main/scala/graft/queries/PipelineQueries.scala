@@ -1010,7 +1010,7 @@ FROM documents WHERE doc_id % 100 = 0"""),
         val brRows = br.select(col("qid").as("_bq"), col("doc_id").as("_bid"))
         val brCnt = br.groupBy(col("qid").as("_cq"))
           .agg(count(lit(1)).as("_bn"))
-        val agg = iv
+        val ivAgg = iv
           .join(brRows,
             col("qid") === col("_bq") && col("doc_id") === col("_bid"),
             "left")
@@ -1019,21 +1019,23 @@ FROM documents WHERE doc_id % 100 = 0"""),
             (sum(col("rank")) * 2 === count(lit(1)) * (count(lit(1)) + 1) &&
               max(col("rank")) === count(lit(1))).as("rn_dense"),
             sum(when(col("_bq").isNotNull, 1L).otherwise(0L)).as("_ov"))
-          .join(brCnt, col("qid") === col("_cq"), "left")
-          .select(col("qid"), (col("_n") === coalesce(col("_bn"), lit(0L)))
-              .as("n_ok"),
-            col("rn_dense"),
-            (col("_ov") * 10 >= least(col("_n"), coalesce(col("_bn"),
-              lit(0L))) * 3).as("overlap_ok"))
-        // every query doc emits a row, even one with zero fused rows
-        // in both variants (vacuously consistent) — the oracle's row
-        // set is the full probe set
+        // every query doc emits a row, and the per-qid checks compare
+        // BOTH sides through coalesced counts: an IVF-PQ variant that
+        // emits zero rows where the brute variant emits ten fails
+        // n_ok (a left-join that coalesced only the iv side to true
+        // would pass a fully broken retriever — the non-vacuity the
+        // oracle actually needs). Both-empty stays vacuously green.
         docs.filter(col("doc_id") % 100 === 0)
           .select(col("doc_id").as("qid"))
-          .join(agg, Seq("qid"), "left")
-          .select(col("qid"), coalesce(col("n_ok"), lit(true)).as("n_ok"),
+          .join(ivAgg, Seq("qid"), "left")
+          .join(brCnt, col("qid") === col("_cq"), "left")
+          .select(col("qid"),
+            (coalesce(col("_n"), lit(0L)) === coalesce(col("_bn"), lit(0L)))
+              .as("n_ok"),
             coalesce(col("rn_dense"), lit(true)).as("rn_dense"),
-            coalesce(col("overlap_ok"), lit(true)).as("overlap_ok"))
+            (coalesce(col("_ov"), lit(0L)) * 10 >=
+              least(coalesce(col("_n"), lit(0L)),
+                coalesce(col("_bn"), lit(0L))) * 3).as("overlap_ok"))
       })
   )
 

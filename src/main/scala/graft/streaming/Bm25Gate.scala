@@ -55,13 +55,13 @@ object Bm25Gate {
       indexPath: String, idCol: String, k: Int = 10,
       declareWatermark: Boolean = true): DataFrame = {
     val s = queries.sparkSession
-    TextOps.readBm25Meta(s, indexPath) // completeness check only
     // layered index (in-place TextOps.foldIntoBm25Index appends): the
     // baked contrib/ is stale, so the static side derives
     // contributions from the postings runs + the meta's merged stats
     // — the batch probe's discipline, minus prefix pruning (a
     // stream's term set is unbounded). Compaction restores the baked
-    // fast path.
+    // fast path. The ONE meta read is also the completeness check
+    // (missing/partial index fails at graph build with a named error).
     val (_, n, tt, maxDl, layers) =
       TextOps.readBm25FullMeta(s, indexPath, "Bm25Gate")
     val idx =

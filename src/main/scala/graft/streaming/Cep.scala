@@ -61,13 +61,23 @@ object Cep {
   private implicit val matchEnc: org.apache.spark.sql.Encoder[CepMatch] = Encoders.product[CepMatch]
   private implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
 
+  /** Overflow-safe deadline addition: a caller using a huge horizon
+    * ("effectively unbounded" withinMs/gapMs near Long.MaxValue) must
+    * saturate, not wrap to a negative deadline that would expire every
+    * partial instantly.
+    */
+  private def satAdd(base: Long, horizon: Long): Long = {
+    val d = base + horizon
+    if (horizon > 0 && d < base) Long.MaxValue else d
+  }
+
   def matchPattern(events: Dataset[StreamEvent], pattern: Pattern)
       : Dataset[CepMatch] =
     events.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         step(pattern.steps, pattern.strict,
-          p => p.firstTsMs + pattern.withinMs) _)
+          p => satAdd(p.firstTsMs, pattern.withinMs)) _)
 
   /** [[matchPattern]] under SESSION-GAP survival ([[SessionPattern]]):
     * identical machinery, one changed deadline — `lastTsMs + gapMs`
@@ -83,7 +93,7 @@ object Cep {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         step(pattern.steps, pattern.strict,
-          p => p.lastTsMs + pattern.gapMs) _)
+          p => satAdd(p.lastTsMs, pattern.gapMs)) _)
 
   /** A partial can accept events until (exclusive) this event-time; at
     * it, the partial times out. Funnel patterns pin it to the match
