@@ -44,6 +44,37 @@ object ConnectedComponents {
       maxIter: Int = 20): DataFrame =
     minLabelWithRounds(edges, srcCol, dstCol, maxIter)._1
 
+  /** Incremental component MAINTENANCE: fold a batch of NEW edges into
+    * an existing (id, cluster_id) assignment WITHOUT the old edge list
+    * — the cluster-side completion of the incremental dedup story
+    * (probe the persisted index for the delta's pairs, then fold them
+    * into yesterday's cluster assignment; never re-derive or re-close
+    * the full pair set).
+    *
+    * Exactness: an assignment IS its components — the star edges
+    * (id → cluster_id) connect exactly what the original edges
+    * connected — so `minLabel(assignmentEdges ∪ newEdges)` equals
+    * `minLabel(oldEdges ∪ newEdges)` (q116's driver-checked oracle
+    * computes the latter over the full union in DuckDB). New edges may
+    * merge any number of existing clusters and introduce brand-new
+    * vertices; both collapse to the union's true min label.
+    *
+    * Cost: the iterated edge set is |assignment| + |delta edges| —
+    * vertex-count-shaped, not pair-count-shaped (a dup-heavy corpus
+    * has far more pairs than docs), and the propagation converges in
+    * O(log diameter) rounds over STAR-shaped old components (diameter
+    * ≤ 2 per old cluster), so almost all rounds are spent only on the
+    * delta's chains.
+    */
+  def foldAssignment(assignment: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame =
+    minLabel(
+      assignment.select(col("id").cast("long").as("src"),
+          col("cluster_id").cast("long").as("dst"))
+        .unionByName(newEdges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))),
+      "src", "dst", maxIter)
+
   /** [[minLabel]] plus the number of rounds it took — exposed so tests
     * can pin the O(log d) convergence of the shortcut path.
     */

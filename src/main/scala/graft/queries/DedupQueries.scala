@@ -1176,8 +1176,92 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
       (s, dir) =>
         graft.api.DedupOps.cdcChunkHitsAgainstIndex(
           Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
-          "doc_id", "text", foldedCdcDir(s, dir)))
+          "doc_id", "text", foldedCdcDir(s, dir))),
+
+    QueryDef(
+      "q116_fold_clusters",
+      "Incremental CLUSTER maintenance " +
+        "(ConnectedComponents.foldAssignment) — the transitive-closure " +
+        "side of the daily dedup fold, closing the last from-scratch " +
+        "recompute in the incremental story: yesterday's persisted " +
+        "(doc, cluster) assignment + the delta's pairs (cross pairs " +
+        "from the layered persisted index probe — q110's artifact " +
+        "reused — plus the delta's self-pairs) re-close WITHOUT the " +
+        "old pair list. Exact because an assignment IS its components " +
+        "(the star edges id->cluster_id connect exactly what the " +
+        "original pairs connected), so min-label over assignment " +
+        "edges ∪ delta edges equals min-label over ALL pairs — which " +
+        "is literally what the oracle computes: a recursive-CTE " +
+        "closure over the union of the three split-semantics pair " +
+        "sets (corpus self, delta-vs-corpus, delta self; shared SQL " +
+        "generators). Cost is vertex-shaped, not pair-shaped: the " +
+        "iterated edge set is |assignment| + |delta pairs|, and old " +
+        "components are stars (diameter <= 2), so propagation rounds " +
+        "are spent only on the delta's chains.",
+      Some(q116OracleSql),
+      (s, dir) => {
+        val delta = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        val cross = graft.api.DedupOps.minhashPairsAgainstIndex(
+          delta, "doc_id", "text", foldedMinhashDir(s, dir))
+        val selfNew = graft.api.DedupOps.minhashPairs(
+          delta, "doc_id", "text")
+        graft.operators.ConnectedComponents.foldAssignment(
+          s.read.parquet(corpusAssignmentDir(s, dir)),
+          cross.select(col("doc_new").as("src"), col("doc_old").as("dst"))
+            .unionByName(selfNew.select(col("doc_a").as("src"),
+              col("doc_b").as("dst"))),
+          "src", "dst")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      })
   )
+
+  /** q116's oracle: the recursive transitive closure over the UNION of
+    * the three split-semantics pair sets — corpus self-pairs (capped
+    * within the corpus), delta-vs-corpus pairs (q59's verbatim SQL:
+    * corpus-side buckets, corpus-side caps), delta self-pairs (capped
+    * within the delta). The fold's contract is that folding the
+    * latter two into the corpus assignment reproduces this closure
+    * exactly.
+    */
+  private lazy val q116OracleSql: String = s"""
+WITH RECURSIVE
+cb_docs AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+nb_docs AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 5 = 0),
+po AS MATERIALIZED (${minhashPairsSql("cb_docs")}),
+pn AS MATERIALIZED (${minhashPairsSql("nb_docs")}),
+pc AS MATERIALIZED ($q59OracleSql),
+e AS (SELECT doc_a AS s, doc_b AS t FROM po
+      UNION SELECT doc_b, doc_a FROM po
+      UNION SELECT doc_a, doc_b FROM pn
+      UNION SELECT doc_b, doc_a FROM pn
+      UNION SELECT doc_new, doc_old FROM pc
+      UNION SELECT doc_old, doc_new FROM pc),
+reach(s, t) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+FROM reach GROUP BY s"""
+
+  // session-scoped persisted corpus cluster assignment (the
+  // SharedStages discipline): "yesterday's" (doc, cluster) parquet
+  // that q116 folds the delta into — built once per SF dir from the
+  // corpus slice's own pairs, read (never recomputed) by every fold.
+  private val clusterAsgCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def corpusAssignmentDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    clusterAsgCache.computeIfAbsent(dir, { _ =>
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      val asg = graft.operators.ConnectedComponents.minLabel(
+        graft.api.DedupOps.minhashPairs(corpus, "doc_id", "text"),
+        "doc_a", "doc_b")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldcc-").toString
+      asg.write.mode("overwrite").parquet(tmp)
+      tmp
+    })
 
   // session-scoped folded-index caches (the MlQueries.ivfPqIndexDir
   // discipline): build v1 on the 40% slice, fold the other 40% in,

@@ -419,6 +419,26 @@ class DedupSpec extends SparkSpec {
     assert(hits(s"$dir/vc") == full)
   }
 
+  test("ConnectedComponents.foldAssignment == full recompute (cluster maintenance)") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // old graph: three clusters {1,2}, {3,4}, {10,11}; the delta
+    // merges two of them (2-3), starts a brand-new one (5-6), and
+    // extends one (11-12) — every maintenance shape at once
+    val old = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val asg = ConnectedComponents.minLabel(old, "a", "b")
+    val nw = Seq((2L, 3L), (5L, 6L), (11L, 12L)).toDF("a", "b")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = toMap(ConnectedComponents.foldAssignment(asg, nw, "a", "b"))
+    val full = toMap(ConnectedComponents.minLabel(
+      old.unionByName(nw), "a", "b"))
+    assert(folded == full, s"folded=$folded full=$full")
+    assert(folded(4L) == 1L, "merged clusters must take the global min")
+    assert(folded(6L) == 5L, "brand-new delta cluster")
+    assert(folded(12L) == 10L, "extended cluster keeps its old min")
+  }
+
   test("IN-PLACE layered minhash fold: probe parity, multi-layer, compaction") {
     import graft.api.DedupOps
     val docs = Tables.documents(spark, sf)
