@@ -13,7 +13,7 @@ object BenchHarness {
   /** ANSI-SQL lane toggle: `SPARK_GRAFT_ANSI=true` runs every session
     * (bench, verify, tests) under `spark.sql.ansi.enabled=true` —
     * Spark 4's strict arithmetic/cast semantics. The catalog is
-    * ANSI-clean (the whole suite + all 109 hash oracles pass in both
+    * ANSI-clean (the whole suite + all 116 hash oracles pass in both
     * lanes); the default stays non-ANSI so round-over-round bench
     * numbers remain comparable.
     */
@@ -97,7 +97,7 @@ object BenchHarness {
   /** Release every locally-checkpointed RDD still pinned on the
     * context. localCheckpoint persists its RDD for the LIFE of the
     * session (the q89 round-7 lesson, generalized): a bench loop
-    * re-invoking 113 query thunks 3× each creates fresh checkpoint
+    * re-invoking every catalog thunk 3× each creates fresh checkpoint
     * RDDs per invocation and never references the old ones again —
     * they accrete until the 8g driver heap is mostly pinned storage
     * and multi-second major GCs land on whichever query is running
