@@ -1199,21 +1199,53 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
         "components are stars (diameter <= 2), so propagation rounds " +
         "are spent only on the delta's chains.",
       Some(q116OracleSql),
+      (s, dir) => foldedClusters(s, dir)),
+
+    QueryDef(
+      "q117_fold_keepers",
+      "The incremental dedup DECISION, end-to-end: quality-aware " +
+        "keeper selection (DedupOps.keepersByScore, q58's operator) " +
+        "over q116's FOLDED clusters — fold the delta's pairs into " +
+        "yesterday's assignment, then pick each merged cluster's " +
+        "highest-token-count member (ties -> min id) in one " +
+        "latest_by hash-aggregate. This is what a daily ingest " +
+        "actually ships: the updated keep/drop set after maintenance, " +
+        "with zero full-corpus recomputation anywhere upstream " +
+        "(persisted assignment + layered-index probe + delta-only " +
+        "pair derivation). Oracle = the SHARED q116 closure CTEs " +
+        "(one generator — the fold and the decision cannot drift) " +
+        "extended with q58's verbatim argmax shape.",
+      Some(q117OracleSql),
       (s, dir) => {
-        val delta = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
-        val cross = graft.api.DedupOps.minhashPairsAgainstIndex(
-          delta, "doc_id", "text", foldedMinhashDir(s, dir))
-        val selfNew = graft.api.DedupOps.minhashPairs(
-          delta, "doc_id", "text")
-        graft.operators.ConnectedComponents.foldAssignment(
-          s.read.parquet(corpusAssignmentDir(s, dir)),
-          cross.select(col("doc_new").as("src"), col("doc_old").as("dst"))
-            .unionByName(selfNew.select(col("doc_a").as("src"),
-              col("doc_b").as("dst"))),
-          "src", "dst")
-          .select(col("id").as("doc_id"), col("cluster_id"))
+        val nTok = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+        graft.api.DedupOps.keepersByScore(
+          foldedClusters(s, dir).join(nTok, Seq("doc_id")),
+          "doc_id", "cluster_id", "n_tok")
       })
   )
+
+  /** q116's folded assignment (ONE definition, shared with q117's
+    * keeper selection): persisted corpus assignment + the delta's
+    * cross pairs (layered persisted-index probe) + the delta's
+    * self-pairs, re-closed through foldAssignment.
+    */
+  private def foldedClusters(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val delta = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+    val cross = graft.api.DedupOps.minhashPairsAgainstIndex(
+      delta, "doc_id", "text", foldedMinhashDir(s, dir))
+    val selfNew = graft.api.DedupOps.minhashPairs(
+      delta, "doc_id", "text")
+    graft.operators.ConnectedComponents.foldAssignment(
+      s.read.parquet(corpusAssignmentDir(s, dir)),
+      cross.select(col("doc_new").as("src"), col("doc_old").as("dst"))
+        .unionByName(selfNew.select(col("doc_a").as("src"),
+          col("doc_b").as("dst"))),
+      "src", "dst")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
 
   /** q116's oracle: the recursive transitive closure over the UNION of
     * the three split-semantics pair sets — corpus self-pairs (capped
@@ -1223,8 +1255,7 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
     * latter two into the corpus assignment reproduces this closure
     * exactly.
     */
-  private lazy val q116OracleSql: String = s"""
-WITH RECURSIVE
+  private lazy val q116ClosureCtes: String = s"""
 cb_docs AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 5 <> 0),
 nb_docs AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 5 = 0),
 po AS MATERIALIZED (${minhashPairsSql("cb_docs")}),
@@ -1239,9 +1270,29 @@ e AS (SELECT doc_a AS s, doc_b AS t FROM po
 reach(s, t) AS (
   SELECT s, t FROM e
   UNION
-  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)"""
+
+  private lazy val q116OracleSql: String = s"""
+WITH RECURSIVE $q116ClosureCtes
 SELECT s AS doc_id, least(s, min(t)) AS cluster_id
 FROM reach GROUP BY s"""
+
+  /** q117's oracle: the SHARED q116 closure extended with q58's
+    * verbatim argmax shape over per-doc token counts.
+    */
+  private lazy val q117OracleSql: String = s"""
+WITH RECURSIVE $q116ClosureCtes,
+c AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+      FROM reach GROUP BY s),
+m AS (SELECT c.cluster_id, c.doc_id,
+             len(string_split(d.text, ' '))::BIGINT AS n_tok
+      FROM c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
+  SELECT cluster_id, doc_id, n_tok AS keeper_score,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tok DESC, doc_id ASC) AS rn
+  FROM m) WHERE rn = 1"""
 
   // session-scoped persisted corpus cluster assignment (the
   // SharedStages discipline): "yesterday's" (doc, cluster) parquet
