@@ -402,4 +402,38 @@ object EventOps {
       .groupBy(col(keyCol))
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"),
         sum(col("sum_v2")).as("sum_v2"))
+
+  /** Per-key mergeable DISTINCT-COUNT state: keyCol, `hll_sk` (a
+    * Datasketches HLL binary) — the maintained statistic [[aggState]]'s
+    * moment triple cannot express: count-distinct is not a sum, so
+    * moments cannot fold it, but HLL sketches union losslessly (same
+    * registers a one-shot build over the union would converge to).
+    * Persist per corpus version, merge each delta batch's partials in
+    * ([[mergeDistinctState]]) — the O(|delta| + |keys| × KB) ingest
+    * cost, never a corpus rescan. Estimates carry the usual HLL error
+    * (~1.6% at default lgK); q118's oracle bounds them in-band against
+    * exact counts (the q100 posture — estimates are engine-specific,
+    * so value-level cross-engine hashing is impossible by design).
+    */
+  def distinctState(df: DataFrame, keyCol: String, value: Column): DataFrame =
+    df.groupBy(col(keyCol)).agg(hll_sketch_agg(value).as("hll_sk"))
+
+  /** Merge two [[distinctState]] frames (state ⊕ delta): per-key HLL
+    * union — associative and duplicate-insensitive (an element in both
+    * sides sets the same registers), so merge-equals-recompute holds
+    * at the register level. Same |keys|-sized union + re-aggregate
+    * shape as [[mergeAggState]].
+    */
+  def mergeDistinctState(state: DataFrame, deltaState: DataFrame,
+      keyCol: String): DataFrame =
+    state.unionByName(deltaState)
+      .groupBy(col(keyCol))
+      .agg(hll_union_agg(col("hll_sk")).as("hll_sk"))
+
+  /** Read a [[distinctState]] out as per-key estimates: keyCol,
+    * distinct_est (long).
+    */
+  def distinctEstimate(state: DataFrame, keyCol: String): DataFrame =
+    state.select(col(keyCol),
+      hll_sketch_estimate(col("hll_sk")).cast("long").as("distinct_est"))
 }

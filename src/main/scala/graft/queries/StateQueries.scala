@@ -528,6 +528,45 @@ GROUP BY source"""),
           docs.filter(col("doc_id") % 10 === 0), "source", nTok)
         EventOps.mergeAggState(state, deltaState, "source")
           .withColumn("mean_tok", expr("sum_v div n_rows"))
+      }),
+
+    QueryDef(
+      "q118_fold_distinct_state",
+      "Incremental DISTINCT-COUNT maintenance (EventOps.distinctState/" +
+        "mergeDistinctState) — the maintained statistic q97's moment " +
+        "triple cannot express: per-event-type distinct users kept as " +
+        "a mergeable Datasketches HLL state, the 90% corpus building " +
+        "the state and the 10% delta (event_id % 10 = 0) merging in " +
+        "via per-key HLL union — duplicate-insensitive (a user seen " +
+        "on both sides sets the same registers), so merge-equals-" +
+        "recompute holds at the register level with NO corpus rescan. " +
+        "Estimates are engine-specific, so the oracle is in-band " +
+        "(q100's posture): exact distinct counts ride along and " +
+        "approx_ok bounds the folded estimate within max(2, 10%). At " +
+        "100TB each ingest pays O(|delta| + |keys| x KB-sketches); " +
+        "the recompute alternative re-shuffles every user id ever " +
+        "seen.",
+      Some("""
+SELECT event_type, count(DISTINCT user_id) AS uv_exact, true AS approx_ok
+FROM events GROUP BY 1"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val state = EventOps.distinctState(
+          ev.filter(col("event_id") % 10 =!= 0), "event_type",
+          col("user_id"))
+        val deltaState = EventOps.distinctState(
+          ev.filter(col("event_id") % 10 === 0), "event_type",
+          col("user_id"))
+        val merged = EventOps.mergeDistinctState(state, deltaState,
+          "event_type")
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("uv_exact"))
+        EventOps.distinctEstimate(merged, "event_type")
+          .join(exact, Seq("event_type"))
+          .select(col("event_type"), col("uv_exact"),
+            (abs(col("distinct_est") - col("uv_exact")) <=
+              greatest(lit(2L), (col("uv_exact") / 10L).cast("long")))
+              .as("approx_ok"))
       })
   )
 }

@@ -1118,6 +1118,35 @@ class ApiSpec extends SparkSpec {
       s"fold appended $appended bytes vs index $before — not O(delta)")
   }
 
+  test("EventOps.distinctState: persisted HLL state folds through parquet, " +
+      "duplicate-insensitive, estimates bounded") {
+    import spark.implicits._
+    // three batches with OVERLAPPING members per key — the case moment
+    // states cannot maintain and the HLL union must not double-count
+    val batches = Seq(
+      Seq(("a", 1L), ("a", 2L), ("b", 10L)),
+      Seq(("a", 2L), ("a", 3L), ("c", 20L)),
+      Seq(("b", 10L), ("b", 11L), ("c", 20L), ("c", 21L)))
+    val dfs = batches.map(_.toDF("k", "u"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dstate-").toString
+    EventOps.distinctState(dfs(0), "k", col("u"))
+      .write.mode("overwrite").parquet(s"$dir/state0")
+    var path = s"$dir/state0"
+    for (i <- 1 to 2) {
+      val next = EventOps.mergeDistinctState(
+        spark.read.parquet(path),
+        EventOps.distinctState(dfs(i), "k", col("u")), "k")
+      next.write.mode("overwrite").parquet(s"$dir/state$i")
+      path = s"$dir/state$i"
+    }
+    val est = EventOps.distinctEstimate(spark.read.parquet(path), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact distincts across the union: a=3, b=2, c=2 — at these
+    // cardinalities HLL is exact, so the fold must land exactly (any
+    // double-count from the overlapping members would show here)
+    assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 2L), s"est=$est")
+  }
+
   test("EventOps.aggState: two persisted-state merge rounds == one full " +
       "recompute (the maintenance contract, through parquet)") {
     val batches = Seq(
