@@ -436,4 +436,53 @@ object EventOps {
   def distinctEstimate(state: DataFrame, keyCol: String): DataFrame =
     state.select(col(keyCol),
       hll_sketch_estimate(col("hll_sk")).cast("long").as("distinct_est"))
+
+  /** Per-key mergeable QUANTILE state: keyCol, `kll_sk` (a
+    * Datasketches KLL-doubles binary) — the third maintained statistic
+    * in the family: [[aggState]] folds moments, [[distinctState]]
+    * folds cardinality, this folds the whole VALUE DISTRIBUTION.
+    * Quantiles are not sums and not duplicate-insensitive, but KLL
+    * sketches are fully mergeable with the rank-error guarantee
+    * preserved across ANY merge tree (Karnin–Lang–Liberty, FOCS'16:
+    * ±ε normalized rank at O(1/ε·log log 1/δ) space — ~1.65% at the
+    * default k=200), so a persisted per-key state absorbs each delta
+    * batch's partials at O(|delta| + |keys| × KB-sketch) with no
+    * corpus rescan. KLL compaction is randomized (coin-flip row
+    * retention), so estimates are run-dependent BY DESIGN — oracles
+    * must bound them in-band in RANK space (q47's discipline; q119
+    * guards at ±0.05 rank, 3× the k=200 error bound). Until a key's
+    * stream exceeds k items the sketch stores them all and quantiles
+    * are exact order statistics — which is what makes small fixtures
+    * deterministic.
+    */
+  def quantileState(df: DataFrame, keyCol: String, value: Column): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(call_function("kll_sketch_agg_double", value.cast("double"))
+        .as("kll_sk"))
+
+  /** Merge two [[quantileState]] frames (state ⊕ delta): per-key KLL
+    * merge. Same |keys|-sized union + re-aggregate shape as
+    * [[mergeAggState]]/[[mergeDistinctState]]; the merged sketch
+    * carries the SAME rank-error guarantee as a one-shot build over
+    * the concatenated stream (mergeability is the KLL theorem, not an
+    * approximation of it).
+    */
+  def mergeQuantileState(state: DataFrame, deltaState: DataFrame,
+      keyCol: String): DataFrame =
+    state.unionByName(deltaState)
+      .groupBy(col(keyCol))
+      .agg(call_function("kll_merge_agg_double", col("kll_sk"))
+        .as("kll_sk"))
+
+  /** Read a [[quantileState]] out as per-key quantile estimates:
+    * keyCol, q_0 … q_{n-1} (double — each an actual stream element
+    * whose normalized rank is within the sketch's ε of the requested
+    * quantile).
+    */
+  def quantileEstimate(state: DataFrame, keyCol: String,
+      qs: Seq[Double]): DataFrame =
+    state.select(col(keyCol) +: qs.zipWithIndex.map { case (q, i) =>
+      call_function("kll_sketch_get_quantile_double", col("kll_sk"),
+        lit(q)).as(s"q_$i")
+    }: _*)
 }

@@ -567,6 +567,58 @@ FROM events GROUP BY 1"""),
             (abs(col("distinct_est") - col("uv_exact")) <=
               greatest(lit(2L), (col("uv_exact") / 10L).cast("long")))
               .as("approx_ok"))
+      }),
+
+    QueryDef(
+      "q119_fold_quantile_state",
+      "Incremental QUANTILE maintenance (EventOps.quantileState/" +
+        "mergeQuantileState) — the third maintained statistic: q97 " +
+        "folds moments, q118 folds cardinality, this folds the whole " +
+        "value DISTRIBUTION as a per-key mergeable Datasketches KLL " +
+        "sketch. The 90% corpus builds the state, the 10% delta " +
+        "(event_id % 10 = 0) merges in per-key; KLL mergeability " +
+        "preserves the +-1.65% (k=200) rank-error guarantee across " +
+        "ANY merge tree, so fold==build-over-union holds at the " +
+        "guarantee level with no corpus rescan. KLL compaction is " +
+        "randomized, so the oracle is in-band in RANK space (q47's " +
+        "discipline, guards at +-0.05 rank = 3x the error bound): " +
+        "exact interpolated p50/p95/p99 ride along as the hashed " +
+        "output, approx_ok bounds each folded estimate between the " +
+        "exact quantiles at the guard ranks. At 100TB each ingest " +
+        "pays O(|delta| + |keys| x KB-sketches); the exact " +
+        "alternative re-sorts every value ever seen.",
+      Some("""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       true AS approx_ok
+FROM events GROUP BY 1"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val state = EventOps.quantileState(
+          ev.filter(col("event_id") % 10 =!= 0), "event_type",
+          col("value"))
+        val deltaState = EventOps.quantileState(
+          ev.filter(col("event_id") % 10 === 0), "event_type",
+          col("value"))
+        val merged = EventOps.mergeQuantileState(state, deltaState,
+          "event_type")
+        val ap = EventOps.quantileEstimate(merged, "event_type",
+          Seq(0.5, 0.95, 0.99))
+        // ex: the three outputs + the ±0.05-rank guard positions
+        // [.5,.95,.99, .45,.55, .90, .94, 1.0] (p95/p99 cap at max).
+        val exact = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, " +
+            "array(0.5, 0.95, 0.99, 0.45, 0.55, 0.90, 0.94, 1.0))")
+            .as("ex"))
+        def g(i: Int) = element_at(col("ex"), i)
+        exact.join(ap, Seq("event_type"))
+          .select(col("event_type"),
+            g(1).as("p50"), g(2).as("p95"), g(3).as("p99"),
+            (col("q_0") >= g(4) && col("q_0") <= g(5) &&
+              col("q_1") >= g(6) && col("q_1") <= g(8) &&
+              col("q_2") >= g(7) && col("q_2") <= g(8)).as("approx_ok"))
       })
   )
 }

@@ -1147,6 +1147,38 @@ class ApiSpec extends SparkSpec {
     assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 2L), s"est=$est")
   }
 
+  test("EventOps.quantileState: persisted KLL state folds through parquet; " +
+      "below-k streams give exact order statistics") {
+    import spark.implicits._
+    // DISJOINT batches (the aggState posture — quantiles are not
+    // duplicate-insensitive, a delta must not resend corpus rows):
+    // key "a" accumulates exactly 1..100 across three maintenance
+    // rounds. 100 < k=200, so the merged sketch holds every item and
+    // get_quantile returns exact deterministic order statistics — any
+    // loss or duplication in the fold would shift them.
+    val batches = Seq(
+      (1 to 40).map(v => ("a", v.toDouble)),
+      (41 to 70).map(v => ("a", v.toDouble)),
+      (71 to 100).map(v => ("a", v.toDouble)))
+    val dfs = batches.map(_.toDF("k", "v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstate-").toString
+    EventOps.quantileState(dfs(0), "k", col("v"))
+      .write.mode("overwrite").parquet(s"$dir/state0")
+    var path = s"$dir/state0"
+    for (i <- 1 to 2) {
+      val next = EventOps.mergeQuantileState(
+        spark.read.parquet(path),
+        EventOps.quantileState(dfs(i), "k", col("v")), "k")
+      next.write.mode("overwrite").parquet(s"$dir/state$i")
+      path = s"$dir/state$i"
+    }
+    val est = EventOps.quantileEstimate(spark.read.parquet(path), "k",
+        Seq(0.5, 0.9, 1.0))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .head
+    assert(est == ((50.0, 90.0, 100.0)), s"est=$est")
+  }
+
   test("EventOps.aggState: two persisted-state merge rounds == one full " +
       "recompute (the maintenance contract, through parquet)") {
     val batches = Seq(
