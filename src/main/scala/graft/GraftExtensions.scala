@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "heavy_hitters(capacity, key) - bounded Misra-Gries frequent-items summary",
       exprs => graft.functions.HeavyHitters(
         FnArgs.litInt("heavy_hitters", "capacity", exprs.head), exprs(1))))
+    ext.injectFunction(fn("heavy_hitters_merge",
+      "heavy_hitters_merge(capacity, delta, items) - fold persisted " +
+        "Misra-Gries summaries (same merge algebra as heavy_hitters)",
+      exprs => graft.functions.HeavyHittersMerge(
+        FnArgs.litInt("heavy_hitters_merge", "capacity", exprs.head),
+        exprs(1), exprs(2))))
     ext.injectFunction(fn("dot_f",
       "dot_f(a, b) - codegen left-to-right double dot product",
       exprs => DotProduct(exprs.head, exprs(1))))

@@ -485,4 +485,53 @@ object EventOps {
       call_function("kll_sketch_get_quantile_double", col("kll_sk"),
         lit(q)).as(s"q_$i")
     }: _*)
+
+  /** Per-key mergeable HEAVY-HITTERS state: keyCol, mg_cap (the
+    * Misra–Gries capacity — part of the state, so a fold can never
+    * silently mix geometries), mg_delta, mg_items (the ≤capacity
+    * (key, est) counters, est DESC / key ASC) — the fourth maintained
+    * statistic: [[aggState]] folds moments, [[distinctState]]
+    * cardinality, [[quantileState]] the distribution, this folds the
+    * HOT KEYS. Built on the `heavy_hitters` Misra–Gries aggregate
+    * whose merge guarantees hold for ANY update/merge tree, so the
+    * theorem set q56 checks (under-count ≤ delta, recall above delta,
+    * delta·(cap+1) ≤ N) survives persistence and folding verbatim.
+    */
+  def heavyHittersState(df: DataFrame, keyCol: String, item: Column,
+      capacity: Int): DataFrame = {
+    graft.functions.SketchAggregates.register(df.sparkSession)
+    df.groupBy(col(keyCol))
+      .agg(call_function("heavy_hitters", lit(capacity), item).as("_hh"))
+      .select(col(keyCol), lit(capacity).as("mg_cap"),
+        col("_hh.delta").as("mg_delta"), col("_hh.items").as("mg_items"))
+  }
+
+  /** Merge two [[heavyHittersState]] frames (state ⊕ delta): per-key
+    * `heavy_hitters_merge` — the SAME counter/trim algebra the base
+    * aggregate uses distributed, applied to persisted summaries. The
+    * capacity is read from the STATE FRAMES themselves (the
+    * geometry-from-the-artifact contract every persisted index
+    * follows); mixed capacities fail loudly — MG summaries of
+    * different capacities have incomparable deltas and cannot fold.
+    * Each maintenance round costs O(|keys| × capacity); the corpus
+    * behind the state is never rescanned.
+    */
+  def mergeHeavyHittersState(state: DataFrame, deltaState: DataFrame,
+      keyCol: String): DataFrame = {
+    graft.functions.SketchAggregates.register(state.sparkSession)
+    val caps = state.select(col("mg_cap"))
+      .unionByName(deltaState.select(col("mg_cap")))
+      .distinct().collect().map(_.getInt(0))
+    require(caps.length == 1,
+      "mergeHeavyHittersState: capacity mismatch across states " +
+        s"(${caps.sorted.mkString(", ")}) — Misra-Gries summaries of " +
+        "different capacities cannot fold; rebuild one side")
+    val cap = caps.head
+    state.unionByName(deltaState)
+      .groupBy(col(keyCol))
+      .agg(call_function("heavy_hitters_merge", lit(cap),
+        col("mg_delta"), col("mg_items")).as("_hh"))
+      .select(col(keyCol), lit(cap).as("mg_cap"),
+        col("_hh.delta").as("mg_delta"), col("_hh.items").as("mg_items"))
+  }
 }

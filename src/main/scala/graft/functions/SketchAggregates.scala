@@ -49,6 +49,12 @@ object SketchAggregates {
         FnArgs.litInt("heavy_hitters", "capacity", exprs.head), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters_merge",
+      exprs => HeavyHittersMerge(
+        FnArgs.litInt("heavy_hitters_merge", "capacity", exprs.head),
+        exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "latest_by",
       exprs => LatestBy(exprs.head, exprs(1)),
       "built-in")
@@ -429,24 +435,21 @@ case class BloomDistinct(
   * Output: struct(delta BIGINT, items ARRAY<STRUCT<key BIGINT,
   * est BIGINT>>), items sorted (est DESC, key ASC). Key must be BIGINT.
   */
-case class HeavyHitters(
-    capacity: Int,
-    key: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+/** Shared Misra–Gries buffer algebra for [[HeavyHitters]] (raw rows in)
+  * and [[HeavyHittersMerge]] (persisted summaries in): same buffer
+  * layout, same merge, same over-capacity trim, same output shape — so
+  * a FOLDED state (persisted summary ⊕ delta partials) obeys exactly
+  * the invariants q56's theorem oracle checks: the MG merge guarantees
+  * hold for ANY update/merge tree (Agarwal et al., PODS'12), and a
+  * maintenance fold is just one more node in that tree.
+  */
+private[graft] trait MgAggregate
     extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
 
-  require(capacity > 0, "heavy_hitters: capacity must be positive")
+  def capacity: Int
+  def fnName: String
 
-  override def children: Seq[Expression] = Seq(key)
   override def nullable: Boolean = false
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (key.dataType != LongType)
-      TypeCheckFailure(s"heavy_hitters: key must be BIGINT, got ${key.dataType.sql}")
-    else TypeCheckSuccess
-  }
 
   override def dataType: DataType = StructType(Seq(
     StructField("delta", LongType, nullable = false),
@@ -458,7 +461,7 @@ case class HeavyHitters(
   // The map doubles as the delta carrier under the reserved key
   // Long.MinValue (never a data key: hash60/ids are non-negative;
   // guarded in update()).
-  private val DeltaKey = Long.MinValue
+  protected final val DeltaKey = Long.MinValue
 
   override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] = {
     val m = scala.collection.mutable.LongMap.empty[Long]
@@ -466,39 +469,14 @@ case class HeavyHitters(
     m
   }
 
-  override def update(
-      buf: scala.collection.mutable.LongMap[Long],
-      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
-    val v = key.eval(input)
-    if (v == null) return buf
-    val k = v.asInstanceOf[Long]
-    require(k != DeltaKey, "heavy_hitters: key value Long.MinValue is reserved")
-    val cur = buf.getOrElse(k, 0L) // counters are >= 1, so 0 = absent
-    if (cur > 0L) { buf(k) = cur + 1L; return buf }
-    if (buf.size - 1 < capacity) { buf(k) = 1L; return buf }
-    // full and new key: classic MG — decrement every counter (and the
-    // arriving key's implicit 1), dropping zeros; delta absorbs the
-    // subtraction. O(capacity) per eviction, bounded by construction.
-    val dead = ArrayBuffer.empty[Long]
-    buf.foreachEntry { (kk, c) =>
-      if (kk != DeltaKey) { if (c == 1L) dead += kk else buf(kk) = c - 1L }
-    }
-    dead.foreach(buf.remove)
-    buf(DeltaKey) = buf(DeltaKey) + 1L
-    buf
-  }
-
-  override def merge(
-      a: scala.collection.mutable.LongMap[Long],
-      b: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
-    b.foreachEntry { (k, c) =>
-      if (k != DeltaKey) a(k) = a.getOrElse(k, 0L) + c
-    }
-    a(DeltaKey) = a(DeltaKey) + b(DeltaKey)
+  /** If over capacity, subtract the (capacity+1)-th largest count from
+    * everything and drop the non-positives: at least capacity+1
+    * counters shrink by m, delta grows by m, so
+    * sum(est) + delta*(capacity+1) never increases.
+    */
+  protected final def trim(
+      a: scala.collection.mutable.LongMap[Long]): Unit = {
     if (a.size - 1 > capacity) {
-      // subtract the (capacity+1)-th largest count from everything:
-      // at least capacity+1 counters shrink by m, delta grows by m,
-      // so sum(est) + delta*(capacity+1) never increases.
       val counts = ArrayBuffer.empty[Long]
       a.foreachEntry { (k, c) => if (k != DeltaKey) counts += c }
       val sorted = counts.sortInPlace()(Ordering.Long.reverse)
@@ -510,6 +488,16 @@ case class HeavyHitters(
       dead.foreach(a.remove)
       a(DeltaKey) = a(DeltaKey) + m
     }
+  }
+
+  override def merge(
+      a: scala.collection.mutable.LongMap[Long],
+      b: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
+    b.foreachEntry { (k, c) =>
+      if (k != DeltaKey) a(k) = a.getOrElse(k, 0L) + c
+    }
+    a(DeltaKey) = a(DeltaKey) + b(DeltaKey)
+    trim(a)
     a
   }
 
@@ -534,6 +522,48 @@ case class HeavyHitters(
     if (!m.contains(DeltaKey)) m(DeltaKey) = 0L
     m
   }
+}
+
+case class HeavyHitters(
+    capacity: Int,
+    key: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends MgAggregate {
+
+  require(capacity > 0, "heavy_hitters: capacity must be positive")
+
+  override def fnName: String = "heavy_hitters"
+  override def children: Seq[Expression] = Seq(key)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (key.dataType != LongType)
+      TypeCheckFailure(s"heavy_hitters: key must be BIGINT, got ${key.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  override def update(
+      buf: scala.collection.mutable.LongMap[Long],
+      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
+    val v = key.eval(input)
+    if (v == null) return buf
+    val k = v.asInstanceOf[Long]
+    require(k != DeltaKey, "heavy_hitters: key value Long.MinValue is reserved")
+    val cur = buf.getOrElse(k, 0L) // counters are >= 1, so 0 = absent
+    if (cur > 0L) { buf(k) = cur + 1L; return buf }
+    if (buf.size - 1 < capacity) { buf(k) = 1L; return buf }
+    // full and new key: classic MG — decrement every counter (and the
+    // arriving key's implicit 1), dropping zeros; delta absorbs the
+    // subtraction. O(capacity) per eviction, bounded by construction.
+    val dead = ArrayBuffer.empty[Long]
+    buf.foreachEntry { (kk, c) =>
+      if (kk != DeltaKey) { if (c == 1L) dead += kk else buf(kk) = c - 1L }
+    }
+    dead.foreach(buf.remove)
+    buf(DeltaKey) = buf(DeltaKey) + 1L
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
     copy(mutableAggBufferOffset = offset)
@@ -542,6 +572,77 @@ case class HeavyHitters(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(key = newChildren(0))
+}
+
+/** `heavy_hitters_merge(capacity, delta, items)` — fold PERSISTED
+  * Misra–Gries summaries (the struct [[HeavyHitters]] outputs, stored
+  * one row per key) back into one summary: absorb each input row's
+  * counters and delta into the buffer, then apply the standard
+  * over-capacity trim. Because the buffer, merge, and trim are the
+  * SAME algebra as `heavy_hitters` (shared [[MgAggregate]]), a folded
+  * state satisfies the identical theorem set — under-count ≤ delta,
+  * recall above delta, delta*(capacity+1) ≤ N — with N now the total
+  * rows behind state ⊕ delta. This is the maintenance half of the MG
+  * story: persist the |keys|-row summary frame, fold each ingest
+  * batch's partials in at O(|keys| × capacity), never rescan the
+  * corpus. Null-struct rows are ignored (a key absent from one side).
+  */
+case class HeavyHittersMerge(
+    capacity: Int,
+    delta: Expression,
+    items: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends MgAggregate {
+
+  require(capacity > 0, "heavy_hitters_merge: capacity must be positive")
+
+  override def fnName: String = "heavy_hitters_merge"
+  override def children: Seq[Expression] = Seq(delta, items)
+
+  private val itemsType = ArrayType(StructType(Seq(
+    StructField("key", LongType), StructField("est", LongType))))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (delta.dataType != LongType)
+      TypeCheckFailure(
+        s"heavy_hitters_merge: delta must be BIGINT, got ${delta.dataType.sql}")
+    else if (!DataType.equalsStructurally(items.dataType, itemsType,
+        ignoreNullability = true))
+      TypeCheckFailure("heavy_hitters_merge: items must be " +
+        s"ARRAY<STRUCT<key BIGINT, est BIGINT>>, got ${items.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  override def update(
+      buf: scala.collection.mutable.LongMap[Long],
+      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
+    val d = delta.eval(input)
+    val arr = items.eval(input)
+    if (d == null || arr == null) return buf
+    buf(DeltaKey) = buf(DeltaKey) + d.asInstanceOf[Long]
+    val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    while (i < a.numElements()) {
+      val row = a.getStruct(i, 2)
+      val k = row.getLong(0)
+      require(k != DeltaKey,
+        "heavy_hitters_merge: key value Long.MinValue is reserved")
+      buf(k) = buf.getOrElse(k, 0L) + row.getLong(1)
+      i += 1
+    }
+    trim(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(delta = newChildren(0), items = newChildren(1))
 }
 
 /** Mutable buffer for [[LatestBy]]: `ord == null` means "no rows seen". */

@@ -619,6 +619,67 @@ FROM events GROUP BY 1"""),
             (col("q_0") >= g(4) && col("q_0") <= g(5) &&
               col("q_1") >= g(6) && col("q_1") <= g(8) &&
               col("q_2") >= g(7) && col("q_2") <= g(8)).as("approx_ok"))
+      }),
+
+    QueryDef(
+      "q120_fold_heavy_hitters",
+      "Incremental HEAVY-HITTERS maintenance (EventOps." +
+        "heavyHittersState/mergeHeavyHittersState) — the fourth " +
+        "maintained statistic: q97 folds moments, q118 cardinality, " +
+        "q119 the distribution, this folds the HOT KEYS. The 90% " +
+        "corpus's per-event-type Misra-Gries summaries (48 counters) " +
+        "persist as a |keys|-row state; the 10% delta's partials fold " +
+        "in via heavy_hitters_merge — the SAME counter/trim algebra " +
+        "the base aggregate uses across partitions, and the MG merge " +
+        "guarantees (Agarwal et al., PODS'12) hold for ANY merge " +
+        "tree, so q56's theorem oracle applies to the FOLDED state " +
+        "verbatim: every estimate under-counts by at most delta, " +
+        "every key above delta is present, delta*(cap+1) <= N — " +
+        "checked in-band (mg_ok) with exact per-type row/key counts " +
+        "riding along as the hashed output. Capacity lives IN the " +
+        "state (mg_cap); mixed-capacity folds fail loudly. Each " +
+        "ingest pays O(|keys| x capacity), never a corpus rescan.",
+      Some("""
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT json_extract(props, '$.k')::BIGINT) AS n_keys,
+       true AS mg_ok
+FROM events GROUP BY event_type"""),
+      (s, dir) => {
+        val cap = 48
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val state = EventOps.heavyHittersState(
+          ev.filter(col("event_id") % 10 =!= 0), "event_type",
+          col("k"), cap)
+        val deltaState = EventOps.heavyHittersState(
+          ev.filter(col("event_id") % 10 === 0), "event_type",
+          col("k"), cap)
+        val folded = EventOps.mergeHeavyHittersState(state, deltaState,
+          "event_type")
+        val exact = ev.groupBy(col("event_type"), col("k"))
+          .agg(count(lit(1)).as("cnt"))
+        val n = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val sk = folded.join(n, Seq("event_type"))
+          .select(col("event_type"), col("n_events"),
+            col("mg_delta").as("delta"), col("mg_items").as("items"))
+        val est = sk.select(col("event_type"), explode(col("items")).as("it"))
+          .select(col("event_type"), col("it.key").as("k"),
+            col("it.est").as("est"))
+        // MG only under-counts, so folded keys are a subset of exact
+        // keys: a left join from exact covers both directions (q56).
+        exact.join(est, Seq("event_type", "k"), "left")
+          .join(broadcast(sk.select(col("event_type"), col("n_events"),
+            col("delta"))), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n_events")).as("n_events"),
+            count(lit(1)).as("n_keys"),
+            (every(when(col("est").isNull, col("cnt") <= col("delta"))
+              .otherwise(col("est") <= col("cnt") &&
+                col("cnt") - col("est") <= col("delta"))) &&
+              max(col("delta") * (cap + 1)) <= max(col("n_events")))
+              .as("mg_ok"))
       })
   )
 }

@@ -1179,6 +1179,46 @@ class ApiSpec extends SparkSpec {
     assert(est == ((50.0, 90.0, 100.0)), s"est=$est")
   }
 
+  test("EventOps.heavyHittersState: persisted MG state folds through " +
+      "parquet — exact below capacity, deterministic trim above, " +
+      "mixed capacities fail loudly") {
+    import spark.implicits._
+    def state(rows: Seq[(String, Long)], cap: Int) =
+      EventOps.heavyHittersState(rows.toDF("g", "k"), "g", col("k"), cap)
+    def items(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("mg_delta"), col("mg_items")).collect().map { r =>
+        (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+          .map(it => (it.getLong(0), it.getLong(1))).toList)
+      }.head
+    val dir = java.nio.file.Files.createTempDirectory("graft-mgstate-").toString
+    // below capacity: counters never evict, so the fold must be EXACT
+    // counter sums — {1:5, 2:3} ⊕ {1:2, 3:4} = {1:7, 3:4, 2:3}, delta 0
+    state(Seq.fill(5)(("g", 1L)) ++ Seq.fill(3)(("g", 2L)), 4)
+      .write.mode("overwrite").parquet(s"$dir/state0")
+    val folded = EventOps.mergeHeavyHittersState(
+      spark.read.parquet(s"$dir/state0"),
+      state(Seq.fill(2)(("g", 1L)) ++ Seq.fill(4)(("g", 3L)), 4), "g")
+    assert(items(folded) == ((0L,
+      List((1L, 7L), (3L, 4L), (2L, 3L)))), s"got ${items(folded)}")
+    // capacity crossing: {1:5, 2:3} ⊕ {3:4, 4:1} at cap 2 → 4 counters,
+    // trim subtracts the 3rd-largest (3): {1:2, 3:1}, delta 3 — the
+    // deterministic arithmetic of MgAggregate.trim, through parquet
+    state(Seq.fill(5)(("g", 1L)) ++ Seq.fill(3)(("g", 2L)), 2)
+      .write.mode("overwrite").parquet(s"$dir/cap2")
+    val trimmed = EventOps.mergeHeavyHittersState(
+      spark.read.parquet(s"$dir/cap2"),
+      state(Seq.fill(4)(("g", 3L)) ++ Seq(("g", 4L)), 2), "g")
+    assert(items(trimmed) == ((3L, List((1L, 2L), (3L, 1L)))),
+      s"got ${items(trimmed)}")
+    // geometry mismatch: summaries of different capacities cannot fold
+    val e = intercept[IllegalArgumentException] {
+      EventOps.mergeHeavyHittersState(
+        spark.read.parquet(s"$dir/state0"),
+        state(Seq(("g", 1L)), 2), "g")
+    }
+    assert(e.getMessage.contains("capacity mismatch"), e.getMessage)
+  }
+
   test("EventOps.aggState: two persisted-state merge rounds == one full " +
       "recompute (the maintenance contract, through parquet)") {
     val batches = Seq(
