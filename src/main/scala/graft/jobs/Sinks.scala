@@ -93,6 +93,40 @@ object Sinks {
       .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** BUCKETED external table: the co-location layout for repeated
+    * joins/aggregations on one key. `bucketBy` hash-assigns rows to
+    * `numBuckets` files by `bucketCol` (Spark's HashPartitioning
+    * arithmetic), `sortBy` orders within each bucket, and the leading
+    * `repartition(numBuckets, bucketCol)` — the SAME hash — lands each
+    * bucket in exactly ONE file. Two tables bucketed by their join key
+    * with the same bucket count then sort-merge-join with ZERO
+    * exchange on either side (PlanSpec proves it non-vacuously against
+    * the plain-parquet contrast); the join's sorts remain but are
+    * bucket-LOCAL — Spark ≥3 re-sorts rather than trust writer sort
+    * metadata (SPARK-28595) — so the shuffle, the cost that scales
+    * with the cluster, is the one that disappears.
+    *
+    * This is the 100-TB layout investment: pay one shuffle at write
+    * time, then every daily join/agg on that key — the fact⋈fact join
+    * no broadcast can save — reads co-located buckets forever. Bucket
+    * count scales with the cluster (thousands at 100 TB; callers pick
+    * it so one bucket fits an executor core's memory).
+    *
+    * Registers `table` in the session catalog backed by files at
+    * `path` (external — survives session teardown; a new session
+    * re-registers over the same files).
+    */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+      numBuckets: Int, bucketCol: String): Unit = {
+    df.repartition(numBuckets, col(bucketCol))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** JSONL export — the training-data interchange format (one JSON
     * object per line; trainers and dataset tooling consume this
     * directly). Same partition-directory contract as [[parquet]]; each

@@ -492,6 +492,68 @@ GROUP BY 1, 2"""),
       (s, dir) =>
         graft.api.EventOps.transitions(
           Tables.events(s, dir), "user_id", "ts", "event_id",
-          "event_type"))
+          "event_type")),
+
+    QueryDef(
+      "q121_bucketed_join",
+      "Co-located fact⋈fact join over BUCKETED tables (Sinks." +
+        "bucketedTable): lineitem and orders are written ONCE bucketed " +
+        "by their join key (8 buckets here; thousands at 100TB — the " +
+        "layout investment), and the join then sort-merge-joins " +
+        "co-located buckets with ZERO exchange on either side — the " +
+        "repeated fact⋈fact join no broadcast can save, paid for at " +
+        "write time instead of on every query (PlanSpec asserts the " +
+        "single-exchange plan against the plain-parquet contrast; the " +
+        "remaining sorts are bucket-local, SPARK-28595). The only " +
+        "shuffle left is the 5-group priority rollup. Decimal-exact " +
+        "revenue; " +
+        "results are layout-independent, so the oracle is the plain " +
+        "join. Tables build once per session+SF (the index-build " +
+        "discipline) — every rerun pays only the read side, which is " +
+        "the deployment story.",
+      Some("""
+SELECT o_orderpriority,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1"""),
+      (s, dir) => {
+        val (li, ord) = bucketedPair(s, dir)
+        s.table(li).hint("merge")
+          .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+              (lit(1) - col("l_discount").cast(dec)))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      })
   )
+
+  /** Session-scoped bucketed lineitem/orders external tables (the
+    * index-build discipline: first consumer pays the one-time layout
+    * shuffle, every later run joins co-located buckets — which IS the
+    * bucketing deployment story). Table names carry the session and
+    * dir hashes so distinct sessions/SFs never collide in a shared
+    * catalog.
+    */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+
+  def bucketedPair(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val key = System.identityHashCode(s) + "|" + dir
+    bucketedCache.computeIfAbsent(key, { _ =>
+      val sfx = java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.Integer.toHexString(System.identityHashCode(s))
+      val li = s"graft_li_$sfx"
+      val ord = s"graft_ord_$sfx"
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bucketed-").toString
+      graft.jobs.Sinks.bucketedTable(
+        Tables.lineitem(s, dir), li, s"$tmp/lineitem", 8, "l_orderkey")
+      graft.jobs.Sinks.bucketedTable(
+        Tables.orders(s, dir), ord, s"$tmp/orders", 8, "o_orderkey")
+      (li, ord)
+    })
+  }
 }

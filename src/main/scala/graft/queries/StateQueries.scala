@@ -659,26 +659,24 @@ FROM events GROUP BY event_type"""),
           "event_type")
         val exact = ev.groupBy(col("event_type"), col("k"))
           .agg(count(lit(1)).as("cnt"))
-        val n = ev.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_events"))
-        val sk = folded.join(n, Seq("event_type"))
-          .select(col("event_type"), col("n_events"),
-            col("mg_delta").as("delta"), col("mg_items").as("items"))
-        val est = sk.select(col("event_type"), explode(col("items")).as("it"))
+        val est = folded
+          .select(col("event_type"), explode(col("mg_items")).as("it"))
           .select(col("event_type"), col("it.key").as("k"),
             col("it.est").as("est"))
         // MG only under-counts, so folded keys are a subset of exact
         // keys: a left join from exact covers both directions (q56).
+        // n_events = sum of the exact per-key counts, folded in the
+        // final rollup — no separate corpus-count scan or shuffle.
         exact.join(est, Seq("event_type", "k"), "left")
-          .join(broadcast(sk.select(col("event_type"), col("n_events"),
-            col("delta"))), Seq("event_type"))
+          .join(broadcast(folded.select(col("event_type"),
+            col("mg_delta").as("delta"))), Seq("event_type"))
           .groupBy(col("event_type"))
-          .agg(max(col("n_events")).as("n_events"),
+          .agg(sum(col("cnt")).as("n_events"),
             count(lit(1)).as("n_keys"),
             (every(when(col("est").isNull, col("cnt") <= col("delta"))
               .otherwise(col("est") <= col("cnt") &&
                 col("cnt") - col("est") <= col("delta"))) &&
-              max(col("delta") * (cap + 1)) <= max(col("n_events")))
+              max(col("delta")) * (cap + 1) <= sum(col("cnt")))
               .as("mg_ok"))
       })
   )

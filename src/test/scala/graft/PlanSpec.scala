@@ -288,6 +288,35 @@ class PlanSpec extends SparkSpec {
       "codes scan should carry cell partition filters (literal pruning)")
   }
 
+  test("q121: bucketed fact join plans zero join exchange; " +
+      "plain parquet pays two plus sorts") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // the bucketed plan: the ONLY shuffle is the 5-group rollup — the
+    // join itself reads co-located, pre-sorted buckets
+    val nodes = collectAll(plan("q121_bucketed_join"))
+    assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "bucketed join should sort-merge-join")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
+      s"expected exactly the rollup exchange, got " +
+        nodes.filter(_.isInstanceOf[ShuffleExchangeLike]).mkString("; "))
+    // (the join's sorts remain, but they are bucket-LOCAL — Spark ≥3
+    // does not trust writer sort metadata by default, SPARK-28595; the
+    // exchange elimination is the 100-TB win)
+    // non-vacuous contrast: the same merge join over plain parquet
+    // shuffles and sorts both sides
+    val pl = Tables.lineitem(spark, sf).hint("merge")
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_items"))
+    val plain = collectAll(pl.queryExecution.executedPlan)
+    assert(plain.count(_.isInstanceOf[ShuffleExchangeLike]) >= 3 &&
+      plain.count(_.isInstanceOf[SortExec]) >= 2,
+      "plain-parquet contrast should pay two join exchanges + sorts")
+  }
+
   test("no catalog query exceeds 6 shuffles at sf0.001") {
     // q89 is the COMPOSED curation pipeline — seven individually
     // budgeted operators chained over survivor sets, so its plan is
