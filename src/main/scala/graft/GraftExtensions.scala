@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.HeavyHittersMerge(
         FnArgs.litInt("heavy_hitters_merge", "capacity", exprs.head),
         exprs(1), exprs(2))))
+    ext.injectFunction(fn("morton2",
+      "morton2(x, y) - 62-bit Z-order key interleaving two scaled non-negative longs",
+      exprs => graft.functions.MortonCode(exprs.head, exprs(1))))
     ext.injectFunction(fn("dot_f",
       "dot_f(a, b) - codegen left-to-right double dot product",
       exprs => DotProduct(exprs.head, exprs(1))))

@@ -93,6 +93,48 @@ object Sinks {
       .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Z-ORDERED layout: multi-dimensional data skipping. [[layout]]'s
+    * sort clusters one leading column — its files prune range reads on
+    * that column and no other. This writes the rows ordered by a
+    * Morton (Z-order) key over TWO columns ([[graft.functions.MortonCode]]:
+    * each column min/max-scaled to [0, 2^bits), bits interleaved), so
+    * every file and row group covers a tight BOX in (x, y) space and
+    * parquet min/max statistics prune a predicate on EITHER column —
+    * the layout for the 100-TB table that serves both "this user" and
+    * "this hour" reads without being written twice. LayoutSpec
+    * measures the effect: on a 2-D box predicate the z-ordered layout
+    * materializes a fraction of the rows the single-column sort must.
+    *
+    * Range scaling is computed from the frame itself (one O(1)
+    * min/max aggregate — the same build-once discipline as
+    * [[bucketedTable]]); the Morton key is layout-only and is not
+    * written. `rowGroupBytes` sizes parquet row groups — the skipping
+    * granularity (at 100 TB the default 128 MB is right; tests shrink
+    * it to get many groups from small data).
+    */
+  def zorderedLayout(df: DataFrame, path: String, xCol: String,
+      yCol: String, numFiles: Int, bits: Int = 20,
+      rowGroupBytes: Long = 128L << 20): Unit = {
+    val Seq(xMin, xMax, yMin, yMax) = df
+      .agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+        min(col(yCol)).cast("double"), max(col(yCol)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val hi = (1L << bits) - 1
+    def scaled(c: String, lo: Double, span: Double) =
+      ((col(c).cast("double") - lit(lo)) / lit(if (span > 0) span else 1.0) *
+        lit(hi.toDouble)).cast("long")
+    graft.functions.LayoutExpressions.register(df.sparkSession)
+    val mort = call_function("morton2",
+      scaled(xCol, xMin, xMax - xMin), scaled(yCol, yMin, yMax - yMin))
+    df.withColumn("__z", mort)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(path)
+  }
+
   /** BUCKETED external table: the co-location layout for repeated
     * joins/aggregations on one key. `bucketBy` hash-assigns rows to
     * `numBuckets` files by `bucketCol` (Spark's HashPartitioning

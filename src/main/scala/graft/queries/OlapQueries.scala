@@ -526,6 +526,48 @@ GROUP BY 1"""),
               (lit(1) - col("l_discount").cast(dec)))
               .cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
+      }),
+
+    QueryDef(
+      "q122_zorder_box",
+      "2-D box query over the Z-ORDERED layout (Sinks.zorderedLayout + " +
+        "the native morton2 expression): events written once ordered by " +
+        "the interleaved-bit Morton key of (user_id, time), so every " +
+        "file and row group covers a tight box in both dimensions and " +
+        "parquet min/max stats prune a predicate on EITHER axis — the " +
+        "data-skipping layout for the 100TB table serving both " +
+        "'this user' and 'this hour' reads without being written " +
+        "twice (a single-column sort prunes only its leading column; " +
+        "LayoutSpec measures the row-group skipping contrast). Bounds " +
+        "are inlined literals (integer percentiles of the O(1) " +
+        "min/max), so both filters reach the scan as PushedFilters " +
+        "(PlanSpec asserts). Exact integer/min/max outputs; results " +
+        "are layout-independent, so the oracle is the plain filter — " +
+        "same bound arithmetic via scalar subqueries.",
+      Some("""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, value FROM events),
+b AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
+             min(us) AS tmn, max(us) AS tmx FROM e)
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(value) AS v_min, max(value) AS v_max
+FROM e, b
+WHERE user_id BETWEEN umn + (umx - umn) * 30 // 100
+                  AND umn + (umx - umn) * 45 // 100
+  AND us BETWEEN tmn + (tmx - tmn) * 30 // 100
+             AND tmn + (tmx - tmn) * 45 // 100
+GROUP BY 1"""),
+      (s, dir) => {
+        val (path, uMin, uMax, tMin, tMax) = zorderedEvents(s, dir)
+        def lo(mn: Long, mx: Long) = mn + (mx - mn) * 30 / 100
+        def hi(mn: Long, mx: Long) = mn + (mx - mn) * 45 / 100
+        s.read.parquet(path)
+          .filter(col("user_id").between(lo(uMin, uMax), hi(uMin, uMax)) &&
+            col("us").between(lo(tMin, tMax), hi(tMin, tMax)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("value")).as("v_min"), max(col("value")).as("v_max"))
       })
   )
 
@@ -554,6 +596,33 @@ GROUP BY 1"""),
       graft.jobs.Sinks.bucketedTable(
         Tables.orders(s, dir), ord, s"$tmp/orders", 8, "o_orderkey")
       (li, ord)
+    })
+  }
+
+  /** Session-scoped Z-ORDERED events layout (the [[bucketedPair]]
+    * discipline for the data-skipping layout): built once per
+    * session+SF; returns the path plus the integer min/max of both
+    * layout dimensions so callers inline bound LITERALS — a filter
+    * built from a join would never reach the scan as a PushedFilter.
+    */
+  private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Long, Long, Long, Long)]
+
+  def zorderedEvents(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Long, Long, Long, Long) = {
+    val key = System.identityHashCode(s) + "|" + dir
+    zorderCache.computeIfAbsent(key, { _ =>
+      val src = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("us"), col("event_type"), col("value"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-zorder-").toString + "/events"
+      graft.jobs.Sinks.zorderedLayout(src, path, "user_id", "us",
+        numFiles = 8)
+      val r = src.agg(min(col("user_id")), max(col("user_id")),
+        min(col("us")), max(col("us"))).head()
+      (path, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     })
   }
 }

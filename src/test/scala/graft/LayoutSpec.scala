@@ -51,6 +51,54 @@ class LayoutSpec extends SparkSpec {
       }
   }
 
+  test("z-order layout skips row groups on BOTH dims; the single-column " +
+      "sort cannot prune its trailing dim") {
+    // sf0.01: 10k events over 150 users — enough rows for ~100-row
+    // row groups (the writer checks block size every ~100 records, so
+    // 2 KB blocks make each group a skippable ~100-row unit)
+    val src = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("us"))
+    val base = Files.createTempDirectory("graft_zorder").toString
+    Sinks.zorderedLayout(src, s"$base/z", "user_id", "us",
+      numFiles = 2, rowGroupBytes = 2048)
+    src.repartitionByRange(2, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.option("parquet.block.size", 2048L).parquet(s"$base/u")
+
+    val r = src.agg(min(col("user_id")), max(col("user_id")),
+      min(col("us")), max(col("us"))).head()
+    def lo(mn: Long, mx: Long) = mn + (mx - mn) * 30 / 100
+    def hi(mn: Long, mx: Long) = mn + (mx - mn) * 45 / 100
+    val (uLo, uHi) = (lo(r.getLong(0), r.getLong(1)), hi(r.getLong(0), r.getLong(1)))
+    val (tLo, tHi) = (lo(r.getLong(2), r.getLong(3)), hi(r.getLong(2), r.getLong(3)))
+
+    // (result rows, rows the parquet reader MATERIALIZED — the scan's
+    // numOutputRows, i.e. what survived row-group min/max pruning)
+    def run(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("user_id").between(uLo, uHi) &&
+          col("us").between(tLo, tHi))
+      val n = df.collect().length.toLong
+      val scanned = SparkSpec.collectAll(df.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value }.sum
+      (n, scanned)
+    }
+    val (nZ, matZ) = run(s"$base/z")
+    val (nU, matU) = run(s"$base/u")
+    val exact = src.filter(col("user_id").between(uLo, uHi) &&
+      col("us").between(tLo, tHi)).count()
+
+    assert(nZ == exact && nU == exact, "layout must not change results")
+    val total = src.count()
+    // the single-column sort prunes the user slab but reads ALL its
+    // time range; the z-order layout prunes the 2-D box
+    assert(matU < total, "user-sorted layout should prune the user dim")
+    assert(matZ * 2 <= matU,
+      s"z-order should materialize well under the single-dim sort: " +
+        s"z=$matZ vs u=$matU (box=$exact of $total)")
+  }
+
   test("jsonl export round-trips rows and honors partition dirs") {
     val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
     val src = Tables.documents(spark, sf)

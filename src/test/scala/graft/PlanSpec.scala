@@ -317,6 +317,20 @@ class PlanSpec extends SparkSpec {
       "plain-parquet contrast should pay two join exchanges + sorts")
   }
 
+  test("q122: both box-filter dims reach the z-ordered scan as " +
+      "PushedFilters") {
+    val scans = collectAll(plan("q122_zorder_box")).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString(" ")
+    for (c <- Seq("user_id", "us")) {
+      assert(pushed.contains(s"GreaterThanOrEqual($c") &&
+        pushed.contains(s"LessThanOrEqual($c"),
+        s"expected both range bounds on $c pushed to parquet: $pushed")
+    }
+  }
+
   test("no catalog query exceeds 6 shuffles at sf0.001") {
     // q89 is the COMPOSED curation pipeline — seven individually
     // budgeted operators chained over survivor sets, so its plan is
