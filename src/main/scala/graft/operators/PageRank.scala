@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank over an undirected edge list — the
+  * power-iteration centrality scorer, expressed as the same
+  * vertex-keyed join + partial-aggregated sum per round as
+  * [[ConnectedComponents]] (Spark's canonical iterative-graph shape).
+  *
+  * In a curation pipeline the edges are the near-dup pair graph, and
+  * the score is a DENSITY signal: boilerplate/template hubs sit at the
+  * center of large duplication neighborhoods and accumulate rank,
+  * while isolated chains stay near the floor — the "prune dense
+  * regions harder" knob of density-aware data selection, computed
+  * from the pair list the dedup stages already derived.
+  *
+  * Arithmetic is INTEGER throughout so the result is exact and
+  * engine-independent (the catalog oracle replays it in DuckDB as an
+  * unrolled CTE chain): every vertex starts at `scale`; each round a
+  * vertex emits `rank div degree` along every edge (Long floor
+  * division — operands are non-negative, so Spark's truncation and
+  * DuckDB's floor agree) and collects
+  * `(100-dampingPct)*scale div 100  +  dampingPct * sum(incoming) div 100`.
+  * Sums are associative Long adds — no float order sensitivity. The
+  * undirected symmetrization means no dangling vertices and no
+  * zero-in-degree vertices, the two mass leaks the textbook directed
+  * formulation has to patch.
+  *
+  * Cost shape at 100 TB: the edge list is persisted ONCE and never
+  * rewritten; the iterated state is one (id, degree, rank) row per
+  * vertex. Each round is one shuffle join of edges⋈ranks on the
+  * source key plus one partial-aggregated sum keyed by destination —
+  * partial aggregation collapses the per-edge contributions
+  * map-side, so the shuffle carries vertex-count rows. Ranks are
+  * localCheckpointed per round (the iterative-algorithm contract:
+  * lineage would otherwise nest every prior round into the plan).
+  */
+object PageRank {
+
+  /** Default per-vertex starting mass: large enough that `rank div
+    * degree` keeps ~9 significant decimal digits against degree in
+    * the thousands. Overflow bound: a vertex's rank never exceeds the
+    * graph's total mass ≈ |V| × scale, and the hottest intermediate is
+    * `dampingPct × in_sum` — so callers with billion-vertex graphs
+    * should pass a smaller `scale` (keep dampingPct × |V| × scale
+    * under 2^63).
+    */
+  val Scale = 1000000000000L
+
+  /** @return one row per vertex of `edges`: (id, degree, rank) with
+    *         rank on the integer `scale` (a vertex with no edges does
+    *         not appear — it would hold the constant floor forever).
+    */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = Scale): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val sym = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("t")))
+      .persist()
+    val deg = sym.groupBy(col("s").as("id"))
+      .agg(count(lit(1)).as("degree")).persist()
+    val base = (100L - dampingPct) * scale / 100L
+
+    var rank = deg.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val incoming = sym
+        .join(rank.withColumnRenamed("id", "s"), Seq("s"))
+        .select(col("t").as("id"), expr("rank div degree").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
+      rank = deg.join(incoming, Seq("id"))
+        .select(col("id"), col("degree"),
+          (lit(base) + expr(s"($dampingPct * in_sum) div 100")).as("rank"))
+        // one job per round; truncates the nested-round lineage
+        .localCheckpoint()
+    }
+    // the final checkpointed ranks no longer reference either cache
+    sym.unpersist()
+    deg.unpersist()
+    rank
+  }
+}

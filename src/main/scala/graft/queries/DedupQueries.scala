@@ -1223,8 +1223,59 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
         graft.api.DedupOps.keepersByScore(
           foldedClusters(s, dir).join(nTok, Seq("doc_id")),
           "doc_id", "cluster_id", "n_tok")
-      })
+      }),
+
+    QueryDef(
+      "q123_graph_centrality",
+      "Integer-exact PageRank over the near-dup pair graph " +
+        "(operators.PageRank): 5 undirected power-iteration rounds, " +
+        "damping 85/100, every step in Long arithmetic (emit rank div " +
+        "degree per edge, collect base + 85*sum div 100) so the scores " +
+        "hash-match an unrolled DuckDB CTE replay exactly — no float " +
+        "order sensitivity anywhere. The score is a DENSITY signal for " +
+        "curation: boilerplate hubs at the center of big duplication " +
+        "neighborhoods accumulate rank (q80's degree histogram is the " +
+        "1-hop version; this weighs the whole neighborhood), the " +
+        "prune-dense-regions knob of density-aware selection. Cost " +
+        "shape: edges persisted once from the SHARED materialized pair " +
+        "stage, iterated state is one row per vertex, each round one " +
+        "vertex-keyed shuffle join + partial-agg sum, ranks " +
+        "localCheckpointed per round (the iterative contract).",
+      Some(pagerankOracleSql),
+      (s, dir) => graft.operators.PageRank
+        .ranks(SharedStages.minhashPairs(s, dir), "doc_a", "doc_b",
+          iterations = 5)
+        .select(col("id").as("doc_id"), col("degree"), col("rank")))
   )
+
+  /** q123's oracle: the identical integer power iteration unrolled as
+    * a CTE chain over the SHARED q21 pair SQL (the BpeOps unrolled-
+    * oracle discipline). Non-negative Long arithmetic only, so
+    * DuckDB's floor `//` and Spark's truncating `div` agree; each
+    * round's rank is cast back to BIGINT so both engines carry the
+    * same type.
+    */
+  private[queries] lazy val pagerankOracleSql: String = {
+    val scale = graft.operators.PageRank.Scale
+    val base = 15L * scale / 100L
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+  SELECT deg.id, deg.degree,
+         ($base + (85 * agg.c) // 100)::BIGINT AS r
+  FROM deg JOIN (
+    SELECT e.t AS id, sum(r${k - 1}.r // r${k - 1}.degree) AS c
+    FROM e JOIN r${k - 1} ON e.s = r${k - 1}.id
+    GROUP BY e.t) agg ON deg.id = agg.id)"""
+    }.mkString(",\n")
+    s"""
+WITH p AS ($q21OracleSql),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY 1),
+r0 AS (SELECT id, degree, $scale::BIGINT AS r FROM deg),
+$rounds
+SELECT id AS doc_id, degree, r AS rank FROM r5"""
+  }
 
   /** q116's folded assignment (ONE definition, shared with q117's
     * keeper selection): persisted corpus assignment + the delta's

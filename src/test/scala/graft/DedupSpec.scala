@@ -99,6 +99,37 @@ class DedupSpec extends SparkSpec {
     assert((100 to 150).forall(i => lbl2(i.toLong) == 100L))
   }
 
+  test("pagerank: exact hand-computed integer ranks; hubs outrank leaves") {
+    import spark.implicits._
+    val S = graft.operators.PageRank.Scale
+    // star 0-{1,2,3}: after ONE round the integer recurrence gives
+    // center  0.15*S + (85 * (3 * (S div 1))) div 100  = 2.70*S
+    // leaves  0.15*S + (85 * (S div 3)) div 100
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r1 = graft.operators.PageRank.ranks(star, "a", "b", iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r1(0L) == (3L, 15L * S / 100 + 85L * 3 * S / 100))
+    val leaf = 15L * S / 100 + 85L * (S / 3) / 100
+    assert(r1(1L) == (1L, leaf) && r1(2L) == (1L, leaf) && r1(3L) == (1L, leaf))
+
+    // after more rounds the hub keeps its lead, every score stays
+    // positive, and total mass stays ~|V|*S (floor division only ever
+    // LOSES mass, at most a few units per vertex per round)
+    val r5 = graft.operators.PageRank.ranks(star, "a", "b", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r5(0L) > r5(1L) && r5.values.forall(_ > 0))
+    val total = r5.values.sum
+    assert(total <= 4 * S && total > 4 * S - 1000L,
+      s"mass should be conserved up to floor-division loss: $total")
+
+    // chain 0-1-2: middle vertex is the 1-hop hub
+    val chain3 = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val rc = graft.operators.PageRank.ranks(chain3, "a", "b", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rc(1L) > rc(0L) && rc(0L) == rc(2L),
+      s"chain middle should outrank symmetric endpoints: $rc")
+  }
+
   test("connected components == union-find on seeded random graphs (shortcut engaged)") {
     import spark.implicits._
     // sparse random graphs have long chains (diameter > ShortcutAfter),
