@@ -61,7 +61,12 @@ object BenchScale {
     "q101_text_embedding", "q102_text_semantic_dedup",
     "q104_nb_text_classifier", "q105_centroid_classifier",
     "q106_cdc_chunk_shares", "q107_cdc_incremental_dedup",
-    "q108_bm25_retrieval", "q109_epoch_order")
+    "q108_bm25_retrieval", "q109_epoch_order",
+    // round-10 layout + graph additions: q121/q122 pay their one-time
+    // layout build on the first run (min-of-2 reports the post-build
+    // read path — the deployment story); q123 iterates over the pair
+    // stage, so its 10× cost is pair-graph-shaped
+    "q121_bucketed_join", "q122_zorder_box", "q123_graph_centrality")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
@@ -108,6 +113,15 @@ object BenchScale {
     write((0 until k).map(i =>
       cust.select((off(i, "c_custkey") +: cust.columns.filter(_ != "c_custkey")
         .map(col).toSeq): _*)).reduce(_ unionByName _), "customer")
+
+    // events: id/user shifted per copy, timestamps kept — k× the rows
+    // over k× the users with the same time span (how traffic actually
+    // grows), so the z-order box of q122 covers k× rows too
+    val ev = load(spark, baseDir, "events")
+    write((0 until k).map(i =>
+      ev.select((off(i, "event_id") +: off(i, "user_id") +:
+        ev.columns.filterNot(Set("event_id", "user_id"))
+          .map(col).toSeq): _*)).reduce(_ unionByName _), "events")
 
     Seq("nation", "region").foreach(t => write(load(spark, baseDir, t), t))
   }

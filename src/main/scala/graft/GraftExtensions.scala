@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bigram_counts",
       "bigram_counts(tokens) - per-doc distinct-bigram counts as array<struct<w1,w2,n>>",
       exprs => graft.functions.BigramCounts(exprs.head)))
+    ext.injectFunction(fn("token_entropy",
+      "token_entropy(tokens) - per-doc unigram entropy in exact milli-bits",
+      exprs => graft.functions.TokenEntropy(exprs.head)))
     ext.injectFunction(fn("cdc_chunk_hashes",
       "cdc_chunk_hashes(tokens, window, modulus) - distinct 60-bit hashes of " +
         "content-defined chunks (rolling-gram boundaries)",

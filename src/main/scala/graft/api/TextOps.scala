@@ -57,6 +57,42 @@ object TextOps {
           .when(col("n_tok") >= 15, "medium")
           .otherwise("low").as("quality"))
 
+  /** Per-document unigram token-entropy quality signal in EXACT
+    * milli-bit fixed point — the distributional filter the ratio
+    * heuristics ([[qualityScore]]) and within-doc duplicate-gram
+    * fraction miss: a doc cycling a small vocabulary (keyword
+    * stuffing, boilerplate loops, tag soup) has low entropy even when
+    * no single gram repeats enough to trip the repetition filter,
+    * while healthy prose sits near the corpus norm.
+    *
+    *   H = Σ_w (c_w / L) · log2(L / c_w)
+    *
+    * computed as `sum(c · lg(L, c)) div L` milli-bits with the q108
+    * idf quantization scheme (ONE discipline for every log in the
+    * repo): r = (L·2^20) div c ≥ 2^20, e = floor-log2(r) via
+    * `length(bin(r)) - 1`, octave-linear mantissa m = r div 2^(e-10)
+    * ∈ [1024, 2048), lg = (e-20)·1024 + (m-1024). All int64 and
+    * monotone in L/c, so scores hash-match the DuckDB replay exactly
+    * and order identically to true entropy within quantization error.
+    * A single repeated token gives exactly 0; k equally-frequent
+    * tokens with k a power of two give exactly 1024·log2(k).
+    *
+    * Scale shape: the native `token_entropy` kernel
+    * ([[graft.functions.TokenEntropy]]) makes the whole computation a
+    * ZERO-exchange map-only projection — every count is doc-local, so
+    * nothing ever shuffles (the hash_embed lesson: the declarative
+    * explode + two-groupBy spelling pays a (doc, token) exchange plus
+    * the rollup for arithmetic one per-row pass computes). Map-only
+    * also means stateless-streaming-safe: a raw text stream scores
+    * with no state. Output: (idCol, n_tok, entropy_mb).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    TextHashExpressions.register(df.sparkSession)
+    df.select(col(idCol), split(col(textCol), " ", -1).as("_tk"))
+      .select(col(idCol), size(col("_tk")).cast("long").as("n_tok"),
+        call_function("token_entropy", col("_tk")).as("entropy_mb"))
+  }
+
   /** Marker-token language ID with deterministic first-wins argmax.
     * Adds column `pred_lang` to the input columns.
     */

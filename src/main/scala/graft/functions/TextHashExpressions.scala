@@ -39,6 +39,39 @@ object TextHashUtil {
     acc >>> 4
   }
 
+  /** tokens → unigram Shannon entropy in milli-bit fixed point, the
+    * exact integer arithmetic of [[graft.api.TextOps.tokenEntropy]]'s
+    * oracle (one per-row pass: count token types, then fold
+    * c · lg(L, c) with the q108 idf quantization — r = L·2^20 div c,
+    * e = floor-log2(r), octave-linear mantissa). A null element
+    * counts as its own token type (split() never produces one; the
+    * guard keeps arbitrary caller arrays safe).
+    */
+  def tokenEntropyMb(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Long](n * 2)
+    var nulls = 0L
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) nulls += 1
+      else counts.merge(tokens.getUTF8String(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val L = n.toLong
+    var s = 0L
+    def add(c: Long): Unit = {
+      val r = L * 1048576L / c
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(r)
+      val m = r >> (e - 10)
+      s += c * ((e - 20L) * 1024L + (m - 1024L))
+    }
+    val it = counts.values().iterator()
+    while (it.hasNext) add(it.next())
+    if (nulls > 0) add(nulls)
+    s / L
+  }
+
   /** tokens → 60-bit majority-vote SimHash over the DISTINCT tokens:
     * bit b of the result is set when more than half the distinct-token
     * hash60 values have bit b set. One static call fuses what the
@@ -549,6 +582,38 @@ case class BigramCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Map-only milli-bit token-entropy kernel (`token_entropy(tokens)`)
+  * — the per-doc distributional quality signal as ONE codegen'd
+  * per-row pass, so the whole q124 query is a zero-exchange
+  * projection (and stateless-streaming-safe: no groupBy means a raw
+  * text stream scores with no state — the hash_embed lesson). The
+  * arithmetic is [[TextHashUtil.tokenEntropyMb]], bit-identical to
+  * the unrolled SQL oracle.
+  */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckSuccess
+      case other =>
+        TypeCheckFailure(s"token_entropy: needs ARRAY<STRING>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.tokenEntropyMb(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashUtil.tokenEntropyMb($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BigramCounts {
   import org.apache.spark.sql.types.{StringType, StructField, StructType}
   val OutType: ArrayType = ArrayType(StructType(Seq(
@@ -589,6 +654,8 @@ object TextHashExpressions {
       "minhash16", exprs => MinHash16(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_entropy", exprs => TokenEntropy(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_chunk_hashes",
       exprs => CdcChunkHashes(exprs.head,

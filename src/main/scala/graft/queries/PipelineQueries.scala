@@ -1036,7 +1036,37 @@ FROM documents WHERE doc_id % 100 = 0"""),
             (coalesce(col("_ov"), lit(0L)) * 10 >=
               least(coalesce(col("_n"), lit(0L)),
                 coalesce(col("_bn"), lit(0L))) * 3).as("overlap_ok"))
-      })
+      }),
+
+    QueryDef(
+      "q124_token_entropy",
+      "Per-doc unigram token entropy in EXACT milli-bit fixed point " +
+        "(TextOps.tokenEntropy) — the distributional quality filter " +
+        "the ratio heuristics (q17) and duplicate-gram fraction (q44) " +
+        "miss: keyword stuffing and boilerplate loops cycle a small " +
+        "vocabulary, so their entropy collapses even when no single " +
+        "gram repeats enough to trip q44. H = sum(c*lg(L,c)) div L " +
+        "with q108's idf quantization (floor-log2 + octave-linear " +
+        "mantissa — ONE log discipline repo-wide), all int64, " +
+        "monotone, hash-exact cross-engine. Physically a ZERO-exchange " +
+        "map-only projection: the native token_entropy kernel counts " +
+        "and folds per row (every count is doc-local — the hash_embed " +
+        "lesson applied to entropy), so the query is scan-bound at any " +
+        "scale and stateless-streaming-safe (StreamingSpec).",
+      Some("""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+c AS (SELECT doc_id, L, w, count(*)::BIGINT AS c
+      FROM (SELECT doc_id, len(tk)::BIGINT AS L, unnest(tk) AS w FROM t)
+      GROUP BY 1, 2, 3),
+lg AS (SELECT doc_id, L, c, (e - 20) * 1024 + (m - 1024) AS lg
+       FROM (SELECT doc_id, L, c, e, r // (pow(2, e - 10)::BIGINT) AS m
+             FROM (SELECT doc_id, L, c, (L * 1048576) // c AS r,
+                          len(bin((L * 1048576) // c)) - 1 AS e
+                   FROM c)))
+SELECT doc_id, L AS n_tok, (sum(c * lg) // L)::BIGINT AS entropy_mb
+FROM lg GROUP BY doc_id, L"""),
+      (s, dir) => graft.api.TextOps.tokenEntropy(
+        Tables.documents(s, dir), "doc_id", "text"))
   )
 
   // session-scoped IVF-PQ index over the corpus's TEXT hash embeddings

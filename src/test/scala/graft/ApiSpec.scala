@@ -42,6 +42,31 @@ class ApiSpec extends SparkSpec {
     assert(qual.count() == 5)
   }
 
+  test("TextOps.tokenEntropy: exact milli-bit values at the anchors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x"),          // single repeated token: exactly 0
+      (2L, "a b c d"),          // 4 equiprobable: exactly 2 bits
+      (3L, "a a b"),            // 2/3,1/3 mix: hand-quantized 853
+      (4L, "p q"))              // 2 equiprobable: exactly 1 bit
+      .toDF("row_key", "body")
+    val h = TextOps.tokenEntropy(docs, "row_key", "body").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L) == (4L, 0L))
+    assert(h(2L) == (4L, 2048L))
+    // c(a)=2: r=3*2^20/2 -> e=20, m=1536, lg=512; c(b)=1: r=3*2^20 ->
+    // e=21, m=1536, lg=1536; H = (2*512 + 1536) div 3 = 853
+    assert(h(3L) == (3L, 853L))
+    assert(h(4L) == (2L, 1024L))
+    // monotone: cycling a small vocabulary scores strictly below
+    // distinct prose of the same length
+    val pair = Seq((1L, "w1 w2 w1 w2 w1 w2 w1 w2"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("row_key", "body")
+    val hp = TextOps.tokenEntropy(pair, "row_key", "body").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hp(1L) < hp(2L))
+  }
+
   test("DedupOps over custom columns") {
     val exact = DedupOps.exactDuplicates(corpus, "row_key", "body")
       .filter(col("n_copies") > 1).collect()

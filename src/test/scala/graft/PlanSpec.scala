@@ -103,7 +103,7 @@ class PlanSpec extends SparkSpec {
     Seq("q16_token_stats", "q17_quality_score", "q18_lang_id",
       "q19_doc_fingerprint", "q22_simhash_fingerprint", "q26_multimodal_meta",
       "q38_text_normalize", "q44_repetition_filter", "q45_stratified_sample",
-      "q52_pii_redaction", "q69_vec_quantize")
+      "q52_pii_redaction", "q69_vec_quantize", "q124_token_entropy")
       .foreach { q =>
         val shuffles = collectAll(plan(q)).count(_.isInstanceOf[ShuffleExchangeLike])
         assert(shuffles == 0, s"$q: expected map-only, got $shuffles shuffles")
@@ -315,6 +315,15 @@ class PlanSpec extends SparkSpec {
     assert(plain.count(_.isInstanceOf[ShuffleExchangeLike]) >= 3 &&
       plain.count(_.isInstanceOf[SortExec]) >= 2,
       "plain-parquet contrast should pay two join exchanges + sorts")
+    // the same layout serves aggregation: grouping by the bucket key
+    // satisfies the hash-aggregate's distribution at read time —
+    // ZERO exchanges anywhere
+    val (li, _) = graft.queries.OlapQueries.bucketedPair(spark, sf)
+    val agg = spark.table(li).groupBy(col("l_orderkey"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity")))
+    assert(collectAll(agg.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike]) == 0,
+      "bucketed groupBy on the bucket key should plan no exchange")
   }
 
   test("q122: both box-filter dims reach the z-ordered scan as " +

@@ -1495,6 +1495,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && want.size == 3)
   }
 
+  test("tokenEntropy is stateless-streaming-safe (map-only kernel)") {
+    // same contract as embedText below: the token_entropy kernel has
+    // no groupBy, so a raw text stream scores quality with NO state;
+    // batch parity is value-level
+    val docs = Seq((1L, "x x x x"), (2L, "a b c d"), (3L, "a a b"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.api.TextOps.tokenEntropy(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("entropy_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(spark.table("entropy_stream"))
+    val want = rows(graft.api.TextOps.tokenEntropy(
+      docs.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got == want && want ==
+      Set((1L, 4L, 0L), (2L, 4L, 2048L), (3L, 3L, 853L)))
+  }
+
   test("embedText is stateless-streaming-safe since the hash_embed kernel") {
     // the map-only kernel (round 8) removed embedText's two groupBys,
     // so a raw TEXT stream now embeds with NO state — which chains the
