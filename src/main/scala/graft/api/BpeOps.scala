@@ -154,8 +154,36 @@ object BpeOps {
     * the model).
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    wordSyms(df, idCol, textCol, merges)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_syms")).as("n_tokens"))
+
+  /** Tokenizer-FIT (fertility) report: per key (typically the source
+    * column), whitespace word count, BPE token count under `merges`,
+    * and fertility = tokens-per-word ×1000 (integer-exact). THE
+    * metric for judging a vocabulary against a corpus mix — a source
+    * whose fertility stays near the character count is one the vocab
+    * doesn't cover (wrong language/domain), and token budgets per
+    * source (q60's mixture weights) should be set from these counts,
+    * not whitespace proxies. Same vocabulary-level application shape
+    * as [[tokenCounts]]; the rollup keys the handful of sources.
+    */
+  def fertility(df: DataFrame, sourceCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    wordSyms(df, sourceCol, textCol, merges)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
+      .select(col(sourceCol), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 1000) div n_words").as("fertility_x1000"))
+
+  /** The shared vocabulary-level merge application: (keyCol, word,
+    * n_syms) — one word explode, the replace chain run once per
+    * DISTINCT word, one word-keyed join back.
+    */
+  private def wordSyms(df: DataFrame, keyCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
-    val words = df.select(col(idCol),
+    val words = df.select(col(keyCol),
       explode(split(col(textCol), " ", -1)).as("word"))
       .filter(col("word") =!= "")
     val seg = merges.foldLeft(seg0) { (s, m) =>
@@ -166,8 +194,6 @@ object BpeOps {
       .select(col("word"),
         size(split(trim(seg), " ", -1)).cast("long").as("n_syms"))
     words.join(vocab, "word")
-      .groupBy(col(idCol))
-      .agg(sum(col("n_syms")).as("n_tokens"))
   }
 
   /** The merge-chain CTE block shared by [[oracleSql]] (q95: the merge
@@ -236,4 +262,24 @@ docw AS (
 SELECT $idCol, sum(n_syms)::BIGINT AS n_tokens
 FROM docw JOIN toks USING (word)
 GROUP BY $idCol"""
+
+  /** q125's oracle: the same trained chain + vocabulary-level
+    * application as [[tokenOracleSql]], rolled up per source with the
+    * integer fertility ratio — mirrors [[fertility]] exactly.
+    */
+  def fertilityOracleSql(table: String, sourceCol: String, textCol: String,
+      nMerges: Int): String =
+    s"""WITH ${chainSql(table, textCol, nMerges)},
+toks AS MATERIALIZED (
+  SELECT word, len(string_split(trim(seg), ' '))::BIGINT AS n_syms
+  FROM seg$nMerges),
+srcw AS (
+  SELECT $sourceCol, word FROM (
+    SELECT $sourceCol, unnest(string_split($textCol, ' ')) AS word FROM $table)
+  WHERE word <> '')
+SELECT $sourceCol, count(*)::BIGINT AS n_words,
+       sum(n_syms)::BIGINT AS n_tokens,
+       ((sum(n_syms) * 1000) // count(*))::BIGINT AS fertility_x1000
+FROM srcw JOIN toks USING (word)
+GROUP BY $sourceCol"""
 }

@@ -1066,7 +1066,32 @@ lg AS (SELECT doc_id, L, c, (e - 20) * 1024 + (m - 1024) AS lg
 SELECT doc_id, L AS n_tok, (sum(c * lg) // L)::BIGINT AS entropy_mb
 FROM lg GROUP BY doc_id, L"""),
       (s, dir) => graft.api.TextOps.tokenEntropy(
-        Tables.documents(s, dir), "doc_id", "text"))
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    QueryDef(
+      "q125_tokenizer_fit",
+      "Tokenizer-fit (fertility) report (BpeOps.fertility): per " +
+        "source, whitespace words, BPE tokens under the q95-learned " +
+        "merges, and fertility = tokens-per-word x1000 — THE metric " +
+        "for judging a vocabulary against a corpus mix (a source " +
+        "whose fertility stays near its character count is one the " +
+        "vocab doesn't cover), and the number token budgets per " +
+        "source should be set from (q60's mixture weights use doc " +
+        "counts; production mixtures weigh TOKENS). Same " +
+        "vocabulary-frame application as q98 (replace chain once per " +
+        "DISTINCT word, word-keyed join back, model from the session " +
+        "cache — q95 owns the training cost), rolled up to the " +
+        "handful of sources; integer ratio, exact end-to-end " +
+        "train-then-apply-then-report hash check through the ONE " +
+        "shared chain generator.",
+      Some(graft.api.BpeOps.fertilityOracleSql(
+        "documents", "source", "text", 12)),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.api.BpeOps.trainCached(dir, docs, "text",
+          nMerges = 12)
+        graft.api.BpeOps.fertility(docs, "source", "text", merges)
+      })
   )
 
   // session-scoped IVF-PQ index over the corpus's TEXT hash embeddings

@@ -60,6 +60,24 @@ class BpeSpec extends SparkSpec {
     assert(learned(2L) == 3L)
   }
 
+  test("fertility: exact per-source integer ratios, merges shrink them") {
+    val df = Seq(("s1", "banana band"), ("s2", "an an an"))
+      .toDF("src", "body")
+    val merges = BpeOps.train(df, "body", 2)
+    def fert(m: Seq[BpeOps.Merge]) = BpeOps.fertility(df, "src", "body", m)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // no merges: fertility = chars per word x1000
+    val none = fert(Nil)
+    assert(none("s1") == (2L, 10L, 5000L)) // banana(6)+band(4) over 2 words
+    assert(none("s2") == (3L, 6L, 2000L))
+    // the learned (a,n)-led merges shrink tokens, words are unchanged
+    val learned = fert(merges)
+    assert(learned("s1")._1 == 2L && learned("s2")._1 == 3L)
+    assert(learned("s1")._2 < 10L && learned("s2")._2 == 3L)
+    assert(learned("s2")._3 == 1000L) // 'an' -> exactly 1 token per word
+  }
+
   test("dried chain: tokenCounts on a corpus with fewer merges than " +
       "asked matches the oracle's pass-through semantics") {
     // nMerges=5 but only 2 pairs ever reach count >= 2 — the oracle's
