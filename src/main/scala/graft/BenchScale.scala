@@ -66,7 +66,9 @@ object BenchScale {
     // layout build on the first run (min-of-2 reports the post-build
     // read path — the deployment story); q123 iterates over the pair
     // stage, so its 10× cost is pair-graph-shaped
-    "q121_bucketed_join", "q122_zorder_box", "q123_graph_centrality")
+    "q121_bucketed_join", "q122_zorder_box", "q123_graph_centrality",
+    // q124 is the zero-exchange entropy kernel — pure scan growth
+    "q124_token_entropy")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
@@ -421,7 +423,10 @@ object BenchScale {
       if (b == 0) -1.0 else vocabOf(heapsDir).toDouble / b
     }
     val heapsRows = Seq("q95_bpe_vocab_induction", "q98_bpe_tokenize",
-      "q101_text_embedding").map { q =>
+      "q101_text_embedding",
+      // q125 applies the merge chain per DISTINCT word, so its cost is
+      // vocabulary-sensitive — the Heaps fixture is the honest one
+      "q125_tokenizer_fit").map { q =>
       val base = BenchHarness.minOf2(spark, q, baseDir)
       val scaled = BenchHarness.minOf2(spark, q, heapsDir)
       val ratio = if (base <= 0 || scaled <= 0) -1.0

@@ -99,6 +99,38 @@ class LayoutSpec extends SparkSpec {
         s"z=$matZ vs u=$matU (box=$exact of $total)")
   }
 
+  test("morton2 laws: exact bijective interleave (despread roundtrip)") {
+    graft.functions.LayoutExpressions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(2000)(
+      (rnd.nextLong() & 0x7fffffffL, rnd.nextLong() & 0x7fffffffL))
+    val rows = pts.toDF("x", "y")
+      .selectExpr("x", "y", "morton2(x, y) AS z").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the exact inverse of the kernel's 5-round spread
+    def despread(v0: Long): Long = {
+      var v = v0 & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      v = (v | (v >> 4)) & 0x00ff00ff00ff00ffL
+      v = (v | (v >> 8)) & 0x0000ffff0000ffffL
+      (v | (v >> 16)) & 0x00000000ffffffffL
+    }
+    rows.foreach { case (x, y, z) =>
+      assert(despread(z) == x && despread(z >> 1) == y,
+        s"roundtrip failed for ($x, $y) -> $z")
+    }
+    // bijection on the sample: distinct inputs give distinct codes
+    assert(rows.map(_._3).distinct.length == pts.distinct.length)
+    // quadrant locality: the top bit of each coord lands in the code's
+    // top two bits, so the four (x, y) half-plane quadrants map to
+    // disjoint code ranges — the property row-group pruning exploits
+    rows.foreach { case (x, y, z) =>
+      assert((z >> 60 & 1L) == (x >> 30) && (z >> 61 & 1L) == (y >> 30))
+    }
+  }
+
   test("jsonl export round-trips rows and honors partition dirs") {
     val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
     val src = Tables.documents(spark, sf)
