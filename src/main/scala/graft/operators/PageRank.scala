@@ -82,4 +82,53 @@ object PageRank {
     deg.unpersist()
     rank
   }
+
+  /** Similarity-WEIGHTED PageRank: a vertex splits its rank across
+    * neighbors proportionally to edge weight (`rank × w div Σw`
+    * instead of `rank div degree`), so a 0.9-Jaccard twin pulls more
+    * centrality than a barely-over-threshold neighbor — the weighted
+    * refinement of [[ranks]] for similarity graphs, same integer
+    * discipline (non-negative Longs, floor division, associative
+    * sums) and same per-round plan shape. With UNIFORM weights this
+    * is exactly [[ranks]]: floor(r·w / (d·w)) = floor(r / d) —
+    * DedupSpec pins the equality. Overflow bound: the hottest term is
+    * `rank × w`, so weights on a ×1000 scale tighten [[Scale]]'s |V|
+    * bound by 1000× — callers with huge graphs shrink `scale`.
+    *
+    * @return one row per vertex: (id, w_degree, rank) where w_degree
+    *         is the summed incident weight.
+    */
+  def weightedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = Scale): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val sym = edges
+      .select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("t"),
+        col(weightCol).cast("long").as("w"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("s"),
+          col(srcCol).cast("long").as("t"),
+          col(weightCol).cast("long").as("w")))
+      .persist()
+    val deg = sym.groupBy(col("s").as("id"))
+      .agg(sum(col("w")).as("w_degree")).persist()
+    val base = (100L - dampingPct) * scale / 100L
+
+    var rank = deg.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val incoming = sym
+        .join(rank.withColumnRenamed("id", "s"), Seq("s"))
+        .select(col("t").as("id"),
+          expr("(rank * w) div w_degree").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
+      rank = deg.join(incoming, Seq("id"))
+        .select(col("id"), col("w_degree"),
+          (lit(base) + expr(s"($dampingPct * in_sum) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    deg.unpersist()
+    rank
+  }
 }

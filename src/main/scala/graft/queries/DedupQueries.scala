@@ -1245,8 +1245,58 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
       (s, dir) => graft.operators.PageRank
         .ranks(SharedStages.minhashPairs(s, dir), "doc_a", "doc_b",
           iterations = 5)
-        .select(col("id").as("doc_id"), col("degree"), col("rank")))
+        .select(col("id").as("doc_id"), col("degree"), col("rank"))),
+
+    QueryDef(
+      "q126_weighted_centrality",
+      "Similarity-WEIGHTED PageRank over the near-dup pair graph " +
+        "(operators.PageRank.weightedRanks): q123's power iteration " +
+        "with each vertex splitting rank proportionally to edge " +
+        "weight — rank x jaccard_x1000 div sum-of-incident-weights — " +
+        "so a 0.9-Jaccard twin pulls more centrality than a " +
+        "barely-over-threshold neighbor. The refinement that matters " +
+        "on REAL dup graphs, where hub strength varies: q123 treats " +
+        "all pairs equally, this weighs the strength of each tie. " +
+        "Same integer discipline (non-negative Longs, floor division " +
+        "— Spark div == DuckDB //), same unrolled-CTE oracle, same " +
+        "per-round plan (one vertex-keyed shuffle join + partial-agg " +
+        "sum over the persisted edges, ranks localCheckpointed); " +
+        "DedupSpec pins exact hand-computed weighted-star ranks AND " +
+        "that uniform weights reproduce q123's ranks exactly " +
+        "(floor(r*w/(d*w)) = floor(r/d)).",
+      Some(weightedPagerankOracleSql),
+      (s, dir) => graft.operators.PageRank
+        .weightedRanks(SharedStages.minhashPairs(s, dir), "doc_a",
+          "doc_b", "jaccard_x1000", iterations = 5)
+        .select(col("id").as("doc_id"), col("w_degree"), col("rank")))
   )
+
+  /** q126's oracle: the q123 unrolled chain with weighted splits —
+    * contribution = (r × w) // w_degree, w_degree = summed incident
+    * weight — over the SHARED q21 pair SQL (jaccard_x1000 is the
+    * edge weight).
+    */
+  private[queries] lazy val weightedPagerankOracleSql: String = {
+    val scale = graft.operators.PageRank.Scale
+    val base = 15L * scale / 100L
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+  SELECT deg.id, deg.w_degree,
+         ($base + (85 * agg.c) // 100)::BIGINT AS r
+  FROM deg JOIN (
+    SELECT e.t AS id, sum((r${k - 1}.r * e.w) // r${k - 1}.w_degree) AS c
+    FROM e JOIN r${k - 1} ON e.s = r${k - 1}.id
+    GROUP BY e.t) agg ON deg.id = agg.id)"""
+    }.mkString(",\n")
+    s"""
+WITH p AS ($q21OracleSql),
+e AS (SELECT doc_a AS s, doc_b AS t, jaccard_x1000 AS w FROM p
+      UNION ALL SELECT doc_b, doc_a, jaccard_x1000 FROM p),
+deg AS (SELECT s AS id, sum(w)::BIGINT AS w_degree FROM e GROUP BY 1),
+r0 AS (SELECT id, w_degree, $scale::BIGINT AS r FROM deg),
+$rounds
+SELECT id AS doc_id, w_degree, r AS rank FROM r5"""
+  }
 
   /** q123's oracle: the identical integer power iteration unrolled as
     * a CTE chain over the SHARED q21 pair SQL (the BpeOps unrolled-

@@ -130,6 +130,35 @@ class DedupSpec extends SparkSpec {
       s"chain middle should outrank symmetric endpoints: $rc")
   }
 
+  test("weighted pagerank: exact weighted-star ranks; uniform weights " +
+      "reproduce the unweighted ranks exactly") {
+    import spark.implicits._
+    val S = graft.operators.PageRank.Scale
+    // star 0-1 (w=1000), 0-2 (w=500): after ONE round
+    //   r(0) = 0.15S + 85*( S*1000 div 1000 + S*500 div 500 ) div 100
+    //   r(1) = 0.15S + 85*( S*1000 div 1500 ) div 100
+    //   r(2) = 0.15S + 85*( S*500  div 1500 ) div 100
+    val star = Seq((0L, 1L, 1000L), (0L, 2L, 500L)).toDF("a", "b", "w")
+    val r1 = graft.operators.PageRank
+      .weightedRanks(star, "a", "b", "w", iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = 15L * S / 100
+    assert(r1(0L) == (1500L, base + 85L * (2 * S) / 100))
+    assert(r1(1L) == (1000L, base + 85L * (S * 1000L / 1500L) / 100))
+    assert(r1(2L) == (500L, base + 85L * (S * 500L / 1500L) / 100))
+    assert(r1(1L)._2 > r1(2L)._2, "the stronger tie must pull more rank")
+
+    // floor(r*w / (d*w)) == floor(r/d): uniform weights change NOTHING
+    val chain = (0L until 6L).map(i => (i, i + 1, 7L)).toDF("a", "b", "w")
+    val wr = graft.operators.PageRank
+      .weightedRanks(chain, "a", "b", "w", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ur = graft.operators.PageRank
+      .ranks(chain.drop("w"), "a", "b", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wr == ur, s"uniform-weight ranks must equal unweighted: $wr vs $ur")
+  }
+
   test("connected components == union-find on seeded random graphs (shortcut engaged)") {
     import spark.implicits._
     // sparse random graphs have long chains (diameter > ShortcutAfter),
