@@ -989,7 +989,9 @@ SELECT qid, rank, doc_id, rrf FROM (
         "change fusion semantics). ADC ranks are approximate, so the " +
         "oracle is the q99 in-band posture: per query, the fused " +
         "output must be rank-dense, size-match the brute fused " +
-        "output, and overlap it on at least 3 of 10 rows — the q99 " +
+        "output (read from the SHARED materialized brute stage — " +
+        "q112 owns the honest end-to-end cost, the oracle leg only " +
+        "needs the rows), and overlap it on at least 3 of 10 rows — the q99 " +
         "floor verbatim (measured 4-10/10 across sf0.001/0.01/0.1; " +
         "nprobe=3/8 forfeits cross-cell neighbors by design, and any " +
         "broken routing, encoding, or pruning collapses the overlap). PlanSpec pins the " +
@@ -1005,8 +1007,10 @@ FROM documents WHERE doc_id % 100 = 0"""),
         val iv = graft.api.TextOps.hybridTopKIvfPq(docs, qs,
           "doc_id", "text", "qid", hybridIvfPqDir(s, dir),
           k = 10, nprobe = 3)
-        val br = graft.api.TextOps.hybridTopK(docs, qs,
-          "doc_id", "text", "qid", k = 10)
+        // the brute contrast comes from the SHARED materialized stage
+        // (q112 owns the honest end-to-end cost; this oracle leg only
+        // needs the result rows)
+        val br = SharedStages.hybridBrute(s, dir)
         val brRows = br.select(col("qid").as("_bq"), col("doc_id").as("_bid"))
         val brCnt = br.groupBy(col("qid").as("_cq"))
           .agg(count(lit(1)).as("_bn"))

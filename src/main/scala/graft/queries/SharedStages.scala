@@ -91,6 +91,24 @@ object SharedStages {
         jaccardX1000Threshold = 500)
     }
 
+  /** The brute hybrid-retrieval output (qid, rank, doc_id, score) —
+    * q112's full computation, materialized once so q114's in-band
+    * overlap oracle (which compares the IVF-PQ variant against the
+    * brute result) reads the persisted frame instead of re-running
+    * the broadcast corpus scan. q112's own catalog entry stays the
+    * honest end-to-end computation (the q21 discipline: the stage
+    * owner never reads the cache).
+    */
+  def hybridBrute(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "hybrid", Seq("qid", "rank")) {
+      val docs = Tables.documents(s, dir)
+      graft.api.TextOps.hybridTopK(docs,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+          .select(org.apache.spark.sql.functions.col("doc_id").as("qid"),
+            org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", "qid", k = 10)
+    }
+
   /** q46's transitive clusters (doc_id, cluster_id) over the shared
     * pair list — the iterative label propagation reads the persisted
     * edges, never the LSH DAG, and its own output is persisted for q58.
