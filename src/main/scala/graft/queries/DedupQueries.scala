@@ -1199,7 +1199,7 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
         "components are stars (diameter <= 2), so propagation rounds " +
         "are spent only on the delta's chains.",
       Some(q116OracleSql),
-      (s, dir) => foldedClusters(s, dir)),
+      (s, dir) => foldedClustersShared(s, dir)),
 
     QueryDef(
       "q117_fold_keepers",
@@ -1212,7 +1212,10 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
         "actually ships: the updated keep/drop set after maintenance, " +
         "with zero full-corpus recomputation anywhere upstream " +
         "(persisted assignment + layered-index probe + delta-only " +
-        "pair derivation). Oracle = the SHARED q116 closure CTEs " +
+        "pair derivation); the folded assignment itself is read from " +
+        "the materialized shared stage (first consumer pays the fold " +
+        "once — the SharedStages discipline; q116 owns the honest " +
+        "cost in catalog order). Oracle = the SHARED q116 closure CTEs " +
         "(one generator — the fold and the decision cannot drift) " +
         "extended with q58's verbatim argmax shape.",
       Some(q117OracleSql),
@@ -1221,7 +1224,7 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
           .select(col("doc_id"),
             size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
         graft.api.DedupOps.keepersByScore(
-          foldedClusters(s, dir).join(nTok, Seq("doc_id")),
+          foldedClustersShared(s, dir).join(nTok, Seq("doc_id")),
           "doc_id", "cluster_id", "n_tok")
       }),
 
@@ -1332,6 +1335,28 @@ SELECT id AS doc_id, degree, r AS rank FROM r5"""
     * cross pairs (layered persisted-index probe) + the delta's
     * self-pairs, re-closed through foldAssignment.
     */
+  /** The materialized folded assignment (SharedStages discipline —
+    * q116 and q117 both consume the identical derivation, so the
+    * first consumer pays the fold once per SF dir and the other reads
+    * the persisted parquet; keyed by dir only, like SharedStages: the
+    * output is a pure function of the input directory).
+    */
+  private val foldedClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def foldedClustersShared(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = foldedClustersCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldedclusters-").toString
+      graft.jobs.Sinks.layout(foldedClusters(s, dir), tmp,
+        partitionCols = Nil, sortCols = Seq("cluster_id", "doc_id"),
+        numFiles = 1)
+      tmp
+    })
+    s.read.parquet(path)
+  }
+
   private def foldedClusters(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val delta = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
