@@ -1214,8 +1214,10 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
         "(persisted assignment + layered-index probe + delta-only " +
         "pair derivation); the folded assignment itself is read from " +
         "the materialized shared stage (first consumer pays the fold " +
-        "once — the SharedStages discipline; q116 owns the honest " +
-        "cost in catalog order). Oracle = the SHARED q116 closure CTEs " +
+        "once — the SharedStages discipline; like every index-backed " +
+        "row, min-of-N bench numbers measure the artifact read path " +
+        "and the honest fold cost is the SCALE fold rows + the first " +
+        "run). Oracle = the SHARED q116 closure CTEs " +
         "(one generator — the fold and the decision cannot drift) " +
         "extended with q58's verbatim argmax shape.",
       Some(q117OracleSql),
