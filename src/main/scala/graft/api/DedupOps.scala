@@ -889,6 +889,34 @@ object DedupOps {
         .drop("_dg"))
   }
 
+  /** Corpus-version diff by content digest — the what-changed-between-
+    * crawls audit ([[graft.api.EventOps.snapshotDiff]]'s discipline
+    * applied to document content): per id, `added` (only in v2),
+    * `removed` (only in v1), `changed` (both, digests differ),
+    * `unchanged`. Presence is detected by MARKER columns, never
+    * payload null-ness (a null text must not read as absence), and
+    * identity is the 16-byte raw md5 digest (unhex'd — the
+    * [[unionWithPrecedence]] rationale: the join and compare carry 16
+    * bytes, not document bodies). One co-partitioned full-outer hash
+    * join on the id; `carry` columns come back coalesced v2-first
+    * (the newer crawl names the row).
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String, carry: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(col(idCol) +:
+        (carry.map(c => col(c).as(s"${c}__$tag")) ++
+          Seq(unhex(md5(col(textCol).cast("binary"))).as(s"_d$tag"),
+            lit(true).as(s"_in$tag"))): _*)
+    side(v1, "1").join(side(v2, "2"), Seq(idCol), "full_outer")
+      .select(col(idCol) +:
+        (carry.map(c => coalesce(col(s"${c}__2"), col(s"${c}__1")).as(c)) ++
+          Seq(when(col("_in1").isNull, lit("added"))
+            .when(col("_in2").isNull, lit("removed"))
+            .when(col("_d1") === col("_d2"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))): _*)
+  }
+
   /** The dedup pipeline's consumable output: the corpus minus every doc
     * appearing as the higher id of a near-dup pair (pair-wise form; use
     * [[clusters]] keepers for chain-exact dedup).

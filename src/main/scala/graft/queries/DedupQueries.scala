@@ -1273,7 +1273,50 @@ FROM ck LEFT JOIN sh USING (doc_id)"""),
       (s, dir) => graft.operators.PageRank
         .weightedRanks(SharedStages.minhashPairs(s, dir), "doc_a",
           "doc_b", "jaccard_x1000", iterations = 5)
-        .select(col("id").as("doc_id"), col("w_degree"), col("rank")))
+        .select(col("id").as("doc_id"), col("w_degree"), col("rank"))),
+
+    QueryDef(
+      "q127_corpus_diff",
+      "Corpus-version diff report (DedupOps.corpusDiff) — the " +
+        "what-changed-between-crawls audit a re-crawl pipeline runs " +
+        "before re-processing: per (source, status) counts of added / " +
+        "removed / changed / unchanged docs between two corpus " +
+        "versions, with identity = the 16-byte raw content digest " +
+        "(the q74 rationale: the full-outer join and compare carry 16 " +
+        "bytes per row, never document bodies) and presence detected " +
+        "by marker columns, never payload null-ness (q65's " +
+        "discipline). Fixture versions are deterministic slices: v1 = " +
+        "id % 7 != 0, v2 = id % 5 != 0 with id % 9 == 0 texts " +
+        "reversed — all four statuses populated. ONE co-partitioned " +
+        "full-outer hash join on the id, then a |sources x 4| rollup " +
+        "with map-side partials.",
+      Some("""
+WITH v1 AS (SELECT doc_id, source, md5(text) AS d
+            FROM documents WHERE doc_id % 7 <> 0),
+v2 AS (SELECT doc_id, source,
+              md5(CASE WHEN doc_id % 9 = 0 THEN reverse(text)
+                       ELSE text END) AS d
+       FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(v2.source, v1.source) AS source,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.d = v2.d THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       count(*) AS n_docs
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+GROUP BY 1, 2"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+        val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 9 === 0, reverse(col("text")))
+              .otherwise(col("text")))
+        graft.api.DedupOps.corpusDiff(v1, v2, "doc_id", "text",
+            carry = Seq("source"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"))
+      })
   )
 
   /** q126's oracle: the q123 unrolled chain with weighted splits —

@@ -351,6 +351,29 @@ class ApiSpec extends SparkSpec {
       s"vector probe: idx=$vIdx inline=$vInline")
   }
 
+  test("DedupOps.corpusDiff: all four statuses; presence by marker, " +
+      "not payload nulls") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same", "s1"), (2L, "old", "s1"), (3L, "gone", "s2"),
+      (5L, null.asInstanceOf[String], "s2"))
+      .toDF("row_key", "body", "src")
+    val v2 = Seq((1L, "same", "s1"), (2L, "new", "s1"), (4L, "fresh", "s2"),
+      (5L, null.asInstanceOf[String], "s2"))
+      .toDF("row_key", "body", "src")
+    val d = DedupOps.corpusDiff(v1, v2, "row_key", "body", carry = Seq("src"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(d(1L) == ("s1", "unchanged"))
+    assert(d(2L) == ("s1", "changed"))
+    assert(d(3L) == ("s2", "removed"))
+    assert(d(4L) == ("s2", "added"))
+    // null text on BOTH sides: present, digests both null -> the
+    // digest equality is null, so the row lands in 'changed' (a null
+    // payload is an unknown, never 'absent'); crucially NOT
+    // added/removed — the markers, not the payload, decide presence
+    assert(d(5L)._2 == "changed")
+  }
+
   test("DedupOps.keepersByScore picks the highest-score member per cluster") {
     val scored = Seq(
       (1L, 100L, 5L), (2L, 100L, 9L), (3L, 100L, 9L), // tie on 9 -> min id 2
