@@ -716,6 +716,52 @@ object TextOps {
     rrfFuse(lex, sem, idCol, k, rrfK)
   }
 
+  /** PASSAGE-level retrieval — the RAG shape at chunk granularity:
+    * the corpus explodes into fixed-window token chunks ([[chunk]] —
+    * map-only Generate, rows never leave their input partition), each
+    * chunk becomes a pseudo-doc (id × 100000 + chunk_idx, the q85
+    * encoding), chunks and queries embed through the zero-shuffle
+    * [[embedText]] kernel, and each query ranks chunks by cosine —
+    * so the answer is WHERE in a document the relevant passage sits,
+    * not just which document. Chunks of the query's own document are
+    * excluded (self-retrieval). Similarities quantize to
+    * `floor(sim × 1e6)` BEFORE ranking (the hybridTopK discipline:
+    * integer ranks are cross-engine-exact), ties to the smaller
+    * chunk id.
+    *
+    * This brute leg is the correctness baseline; at 100 TB the
+    * chunk vectors feed [[VectorOps.writeIvfPqIndex]] exactly as doc
+    * vectors do (the q114 swap — chunks are just more rows), so the
+    * scale path needs no new machinery.
+    *
+    * Output: (qidCol, rank, idCol, chunk_idx, sim_x1e6).
+    */
+  def passageTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qidCol: String, k: Int = 10,
+      chunkTokens: Int = 32, stride: Int = 32, d: Int = 64): DataFrame = {
+    require(k >= 1, s"passageTopK: k must be >= 1, got $k")
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val chunks = chunk(corpus, idCol, textCol, chunkTokens, stride)
+      .select((col(idCol) * lit(100000L) + col("chunk_idx")).as("_cid"),
+        col("chunk_text").as("_ctext"))
+    def signal(df: DataFrame) = df.filter(expr("exists(v, x -> x != 0D)"))
+    val cv = signal(embedText(chunks, "_cid", "_ctext", d))
+      .select(col("_cid"), col("v").as("_cv"))
+    val qv = signal(embedText(queries, qidCol, textCol, d))
+      .select(col(qidCol).as("_qid2"), col("v").as("_qv"))
+    broadcast(qv).join(cv, col("_qid2") =!= expr("_cid div 100000"))
+      .select(col("_qid2").as(qidCol), col("_cid"),
+        floor(expr("dot_f(_qv, _cv)") * lit(1000000.0d)).cast("long")
+          .as("sim_x1e6"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("sim_x1e6").desc, col("_cid").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"),
+        expr("_cid div 100000").as(idCol),
+        expr("_cid % 100000").as("chunk_idx"), col("sim_x1e6"))
+  }
+
   /** The reciprocal-rank fusion shared by [[hybridTopK]] and
     * [[hybridTopKIvfPq]] — RRF consumes only (qid, _id, _r), so the
     * fusion is retriever-agnostic by construction: ONE implementation

@@ -1319,6 +1319,32 @@ GROUP BY 1, 2"""),
       })
   )
 
+  /** The hash-embedding CTE chain (the q101 arithmetic — identical
+    * to [[textEmbeddingBandsCte]]'s embed half) over an ARBITRARY
+    * (id, text) source CTE, with every emitted CTE name prefixed so
+    * two chains can coexist in one oracle (q128 embeds chunks AND
+    * queries). Ends at `${pfx}e` = (id, v) unit vectors; rows with a
+    * zero vector are dropped, mirroring embedText's signal filter.
+    */
+  private[queries] def hashEmbedCte(pfx: String, srcCte: String): String =
+    s"""${pfx}tt AS (SELECT id, unnest(string_split(text, ' ')) AS w FROM $srcCte),
+${pfx}hh AS (SELECT id, ${hash60Sql("w")} AS h FROM ${pfx}tt WHERE w <> ''),
+${pfx}hc AS (SELECT id, h % 64 AS dim,
+              sum(CASE WHEN (h // 4294967296) % 2 = 0 THEN 1
+                       ELSE -1 END)::BIGINT AS c
+       FROM ${pfx}hh GROUP BY 1, 2),
+${pfx}n2 AS (SELECT id, sum(c * c)::BIGINT AS n2 FROM ${pfx}hc GROUP BY 1),
+${pfx}grid AS (SELECT d.id, g.i AS dim
+         FROM (SELECT DISTINCT id FROM $srcCte) d,
+              generate_series(0, 63) g(i)),
+${pfx}dense AS (SELECT g.id, g.dim, coalesce(hc.c, 0) AS c
+          FROM ${pfx}grid g LEFT JOIN ${pfx}hc hc
+            ON hc.id = g.id AND hc.dim = g.dim),
+${pfx}e AS MATERIALIZED (
+  SELECT dense.id, list(dense.c / sqrt(n2.n2) ORDER BY dense.dim) AS v
+  FROM ${pfx}dense dense JOIN ${pfx}n2 n2 ON n2.id = dense.id
+  WHERE n2.n2 > 0 GROUP BY 1)"""
+
   /** q126's oracle: the q123 unrolled chain with weighted splits —
     * contribution = (r × w) // w_degree, w_degree = summed incident
     * weight — over the SHARED q21 pair SQL (jaccard_x1000 is the

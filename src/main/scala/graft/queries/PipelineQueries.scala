@@ -1095,6 +1095,54 @@ FROM lg GROUP BY doc_id, L"""),
         val merges = graft.api.BpeOps.trainCached(dir, docs, "text",
           nMerges = 12)
         graft.api.BpeOps.fertility(docs, "source", "text", merges)
+      }),
+
+    QueryDef(
+      "q128_passage_retrieval",
+      "Passage-level retrieval (TextOps.passageTopK) — the RAG shape " +
+        "at chunk granularity: the corpus explodes into 32-token " +
+        "chunks (map-only Generate, the q72/q85 machinery; chunk id " +
+        "= doc x 100000 + idx), chunks and queries embed through the " +
+        "zero-shuffle hash_embed kernel, and each query ranks " +
+        "passages by cosine — WHERE in a document the relevant " +
+        "passage sits, not just which document. Sims quantize to " +
+        "floor(sim x 1e6) BEFORE ranking (q112's discipline: integer " +
+        "ranks are cross-engine-exact), ties to the smaller chunk, " +
+        "own-document chunks excluded. This brute leg is the " +
+        "correctness baseline; at 100TB the chunk vectors feed the " +
+        "same IVF-PQ index build as doc vectors (the q114 swap — " +
+        "chunks are just more rows). The oracle replays chunking, " +
+        "BOTH embeddings (one prefixed CTE generator), and the exact " +
+        "quantized ranking.",
+      Some(s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (SELECT doc_id, toks,
+             unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_idx
+      FROM t),
+ch AS MATERIALIZED (
+  SELECT doc_id * 100000 + chunk_idx AS id,
+         array_to_string(list_slice(toks, chunk_idx * 32 + 1,
+                                    chunk_idx * 32 + 32), ' ') AS text
+  FROM x),
+qd AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 500 = 0),
+${DedupQueries.hashEmbedCte("c", "ch")},
+${DedupQueries.hashEmbedCte("q", "qd")},
+sc AS (SELECT q.id AS qid, c.id AS cid,
+              floor(list_dot_product(q.v, c.v) * 1000000.0)::BIGINT AS sim
+       FROM qe q JOIN ce c ON q.id <> c.id // 100000),
+r AS (SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, cid ASC) AS rank
+      FROM sc)
+SELECT qid, rank::BIGINT AS rank, cid // 100000 AS doc_id,
+       cid % 100000 AS chunk_idx, sim AS sim_x1e6
+FROM r WHERE rank <= 10"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.TextOps.passageTopK(docs,
+          docs.filter(col("doc_id") % 500 === 0)
+            .select(col("doc_id").as("qid"), col("text")),
+          "doc_id", "text", "qid", k = 10)
       })
   )
 
