@@ -67,8 +67,10 @@ object BenchScale {
     // read path — the deployment story); q123 iterates over the pair
     // stage, so its 10× cost is pair-graph-shaped
     "q121_bucketed_join", "q122_zorder_box", "q123_graph_centrality",
-    // q124 is the zero-exchange entropy kernel — pure scan growth
-    "q124_token_entropy")
+    // q124 is the zero-exchange entropy kernel — pure scan growth;
+    // q127's digest diff join carries 16 B/row, so its growth is the
+    // id-keyed exchange
+    "q124_token_entropy", "q127_corpus_diff")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

@@ -340,6 +340,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q128: queries broadcast; the rank window is the only exchange") {
+    val nodes = collectAll(plan("q128_passage_retrieval"))
+    // the not-own-doc condition is non-equi, so the brute leg is a
+    // broadcast NESTED-LOOP over the streamed chunks — the q112 brute
+    // shape, and exactly what the IVF-PQ swap replaces at scale
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "the human-scale query side should broadcast (nested-loop brute leg)")
+    // chunk explode + both embeddings are map-only; the per-qid rank
+    // window is the single exchange (at 100TB the brute scan swaps
+    // for the IVF-PQ probe and this stays the only exchange)
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) <= 1,
+      "expected at most the rank-window exchange")
+  }
+
   test("no catalog query exceeds 6 shuffles at sf0.001") {
     // q89 is the COMPOSED curation pipeline — seven individually
     // budgeted operators chained over survivor sets, so its plan is
