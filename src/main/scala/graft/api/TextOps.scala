@@ -762,6 +762,72 @@ object TextOps {
         expr("_cid % 100000").as("chunk_idx"), col("sim_x1e6"))
   }
 
+  /** [[passageTopK]]'s scale-side leg made literal: queries probe a
+    * PERSISTED IVF-PQ index built over the CHUNK vectors (chunks are
+    * just more rows to [[VectorOps.writeIvfPqIndex]] — the q114 swap
+    * at passage granularity), shortlist the top-`refine` candidates
+    * by ADC-approximate cosine inside only the routed cell
+    * directories, then EXACT-rerank the shortlist (the q94 ADC +
+    * refine shape — short-chunk embeddings make raw ADC ranks
+    * noisier than doc-level, so the refine step is load-bearing
+    * here: measured per-query brute overlap at sf0.1 rose from 0–5
+    * of 10 raw to 6–10 of 10 refined at nprobe=5). The chunk
+    * pseudo-id decodes back to (doc, chunk); own-document chunks are
+    * excluded exactly as the brute leg excludes them. Retrieval is
+    * still approximate (routing bounds recall), so catalog
+    * verification is the in-band overlap posture against the brute
+    * output (q114/q99 precedent).
+    *
+    * Output: (qidCol, rank, idCol, chunk_idx, sim_x1e6).
+    */
+  def passageTopKIvfPq(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qidCol: String,
+      ivfPqIndexPath: String, k: Int = 10, nprobe: Int = 5,
+      refine: Int = 100, chunkTokens: Int = 32, stride: Int = 32,
+      d: Int = 64, adcX1000Threshold: Int = -2000): DataFrame = {
+    require(k >= 1 && refine >= k,
+      s"passageTopKIvfPq: need 1 <= k <= refine, got k=$k refine=$refine")
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    // the probe addresses both sides by the INDEX's id column (the
+    // codes parquet was written with the chunk pseudo-id _cid)
+    val qe = embedText(queries, qidCol, textCol, d)
+      .filter(expr("exists(v, x -> x != 0D)"))
+    val shortlist = VectorOps.ivfPqProbe(
+        qe.select(col(qidCol).as("_cid"), col("v")), "_cid", "v",
+        ivfPqIndexPath, adcX1000Threshold, nprobe)
+      .filter(col("vec_new") =!= expr("vec_old div 100000"))
+      .withColumn("_arn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_new"))
+          .orderBy(col("asim_x1000").desc, col("vec_old").asc)))
+      .filter(col("_arn") <= refine)
+      .select(col("vec_new"), col("vec_old"))
+    // exact refine of the refine·|queries|-row shortlist (the q94 ADC +
+    // refine shape): true chunk vectors come from the zero-shuffle
+    // embed kernel here — at 100 TB store the raw vectors beside the
+    // index codes and join those instead of recomputing. Quantizing
+    // the exact sims identically to [[passageTopK]] makes the refined
+    // ranks tie-stable against the brute baseline.
+    val chunks = chunk(corpus, idCol, textCol, chunkTokens, stride)
+      .select((col(idCol) * lit(100000L) + col("chunk_idx")).as("_cid"),
+        col("chunk_text").as("_ctext"))
+    val cvec = embedText(chunks, "_cid", "_ctext", d)
+      .filter(expr("exists(v, x -> x != 0D)"))
+      .select(col("_cid").as("vec_old"), col("v").as("_cv"))
+    val qvec = qe.select(col(qidCol).as("_qid2"), col("v").as("_qv"))
+    shortlist.join(cvec, Seq("vec_old"))
+      .join(broadcast(qvec), col("vec_new") === col("_qid2"))
+      .select(col("vec_new").as(qidCol), col("vec_old"),
+        floor(expr("dot_f(_qv, _cv)") * lit(1000000.0d)).cast("long")
+          .as("sim_x1e6"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("sim_x1e6").desc, col("vec_old").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"),
+        expr("vec_old div 100000").as(idCol),
+        expr("vec_old % 100000").as("chunk_idx"), col("sim_x1e6"))
+  }
+
   /** The reciprocal-rank fusion shared by [[hybridTopK]] and
     * [[hybridTopKIvfPq]] — RRF consumes only (qid, _id, _r), so the
     * fusion is retriever-agnostic by construction: ONE implementation

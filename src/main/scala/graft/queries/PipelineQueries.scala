@@ -1143,6 +1143,64 @@ FROM r WHERE rank <= 10"""),
           docs.filter(col("doc_id") % 500 === 0)
             .select(col("doc_id").as("qid"), col("text")),
           "doc_id", "text", "qid", k = 10)
+      }),
+
+    QueryDef(
+      "q129_passage_retrieval_ivfpq",
+      "q128's passage retrieval at its 100-TB shape (TextOps." +
+        "passageTopKIvfPq): queries probe a PERSISTED IVF-PQ index " +
+        "built over the CHUNK vectors — chunks are just more rows to " +
+        "the same writeIvfPqIndex the doc-level q114 uses, which is " +
+        "the claim q128 makes, made literal — with nprobe=5/8 cell " +
+        "routing, 16-byte ADC scans inside only the routed partition " +
+        "directories, the chunk pseudo-id decoded back to (doc, " +
+        "chunk), own-doc chunks excluded. Short-chunk embeddings make " +
+        "raw ADC ranks noisy, so the top-100 shortlist EXACT-reranks " +
+        "(the q94 ADC + refine shape — measured sf0.1 overlap rose " +
+        "from 0-5/10 raw to 6-10/10 refined at nprobe=5). Retrieval " +
+        "is still approximate (routing bounds recall), so the oracle " +
+        "is the q114 in-band posture: per query, the output must be " +
+        "rank-dense, size-match the brute output (read from the " +
+        "SHARED materialized passage stage — q128 owns the honest " +
+        "brute cost), and overlap it at chunk granularity on at " +
+        "least 3 of 10 rows (measured 6-10/10 at sf0.1, 5+/10 at the " +
+        "small SFs' single query).",
+      Some("""
+SELECT doc_id AS qid, true AS n_ok, true AS rn_dense, true AS overlap_ok
+FROM documents WHERE doc_id % 500 = 0"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val qs = docs.filter(col("doc_id") % 500 === 0)
+          .select(col("doc_id").as("qid"), col("text"))
+        val iv = graft.api.TextOps.passageTopKIvfPq(docs, qs,
+          "doc_id", "text", "qid", passageIvfPqDir(s, dir),
+          k = 10, nprobe = 5)
+        val br = SharedStages.passageBrute(s, dir)
+        val brRows = br.select(col("qid").as("_bq"),
+          col("doc_id").as("_bid"), col("chunk_idx").as("_bci"))
+        val brCnt = br.groupBy(col("qid").as("_cq"))
+          .agg(count(lit(1)).as("_bn"))
+        val ivAgg = iv
+          .join(brRows,
+            col("qid") === col("_bq") && col("doc_id") === col("_bid") &&
+              col("chunk_idx") === col("_bci"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("_n"),
+            (sum(col("rank")) * 2 === count(lit(1)) * (count(lit(1)) + 1) &&
+              max(col("rank")) === count(lit(1))).as("rn_dense"),
+            sum(when(col("_bq").isNotNull, 1L).otherwise(0L)).as("_ov"))
+        docs.filter(col("doc_id") % 500 === 0)
+          .select(col("doc_id").as("qid"))
+          .join(ivAgg, Seq("qid"), "left")
+          .join(brCnt, col("qid") === col("_cq"), "left")
+          .select(col("qid"),
+            (coalesce(col("_n"), lit(0L)) === coalesce(col("_bn"), lit(0L)))
+              .as("n_ok"),
+            coalesce(col("rn_dense"), lit(true)).as("rn_dense"),
+            (coalesce(col("_ov"), lit(0L)) * 10 >=
+              least(coalesce(col("_n"), lit(0L)),
+                coalesce(col("_bn"), lit(0L))) * 3).as("overlap_ok"))
       })
   )
 
@@ -1154,6 +1212,30 @@ FROM r WHERE rank <= 10"""),
   // the brute leg excludes them, so both legs see one corpus.
   private val hybridIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  // q129's persisted CHUNK-vector IVF-PQ index (the hybridIvfPqDir
+  // discipline at passage granularity): chunks become pseudo-docs
+  // exactly as passageTopK builds them, so probe and brute see one
+  // chunk universe.
+  private val passageIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def passageIvfPqDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    passageIdxCache.computeIfAbsent(dir, { _ =>
+      val chunks = graft.api.TextOps.chunk(
+        Tables.documents(s, dir), "doc_id", "text", 32, 32)
+        .select((col("doc_id") * lit(100000L) + col("chunk_idx"))
+          .as("_cid"), col("chunk_text"))
+      val cv = graft.api.TextOps.embedText(chunks, "_cid", "chunk_text", 64)
+        .filter(expr("exists(v, x -> x != 0D)"))
+      val model = graft.api.VectorOps.ivfPqTrain(
+        cv, "_cid", "v", nCells = 8, m = 16, k = 16, seed = 42L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-psgivfpq-").toString
+      graft.api.VectorOps.writeIvfPqIndex(cv, "_cid", "v", model, tmp)
+      tmp
+    })
 
   private[graft] def hybridIvfPqDir(s: org.apache.spark.sql.SparkSession,
       dir: String): String =

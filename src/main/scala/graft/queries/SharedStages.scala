@@ -109,6 +109,22 @@ object SharedStages {
         "doc_id", "text", "qid", k = 10)
     }
 
+  /** The brute passage-retrieval output (qid, rank, doc_id,
+    * chunk_idx, sim_x1e6) — q128's full computation, materialized for
+    * q129's in-band overlap oracle (the [[hybridBrute]] rationale at
+    * chunk granularity; q128's catalog entry stays the honest
+    * end-to-end computation).
+    */
+  def passageBrute(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "passages", Seq("qid", "rank")) {
+      val docs = Tables.documents(s, dir)
+      graft.api.TextOps.passageTopK(docs,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 500 === 0)
+          .select(org.apache.spark.sql.functions.col("doc_id").as("qid"),
+            org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", "qid", k = 10)
+    }
+
   /** q46's transitive clusters (doc_id, cluster_id) over the shared
     * pair list — the iterative label propagation reads the persisted
     * edges, never the LSH DAG, and its own output is persisted for q58.
