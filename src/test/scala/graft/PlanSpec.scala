@@ -355,6 +355,23 @@ class PlanSpec extends SparkSpec {
       "expected at most the rank-window exchange")
   }
 
+  test("q129: no nested loop anywhere; chunk-codes scan is cell-pruned") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val nodes = collectAll(plan("q129_passage_retrieval_ivfpq"))
+    // the brute contrast reads the materialized passage stage, so the
+    // WHOLE query — probe, refine, and oracle legs — plans zero
+    // nested-loop joins (the q128 brute shape is entirely absent)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "q129 must not plan a nested-loop join anywhere")
+    val codesScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes"))
+        => f
+    }
+    assert(codesScans.nonEmpty && codesScans.forall(_.partitionFilters.nonEmpty),
+      "chunk-codes scan should carry cell partition filters")
+  }
+
   test("no catalog query exceeds 6 shuffles at sf0.001") {
     // q89 is the COMPOSED curation pipeline — seven individually
     // budgeted operators chained over survivor sets, so its plan is
