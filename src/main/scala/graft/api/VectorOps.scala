@@ -746,7 +746,11 @@ object VectorOps {
     * codes, never the corpus. Stateless (map + equi-join + filter), so
     * the SAME function is streaming-safe: pass a streaming `newDf` and
     * the result is an append-mode stream-static probe (the ANN twin of
-    * NearDupIngest). Output: vec_new, vec_old, asim_x1000 (quantized
+    * NearDupIngest) — but an UNPRUNED one (the plan-time cell collect
+    * is impossible on a streaming frame, so every micro-batch scans
+    * the whole codes index via the equi-join). At corpus scale use
+    * [[ivfPqProbeEachBatch]], which recovers the literal cell pruning
+    * per micro-batch. Output: vec_new, vec_old, asim_x1000 (quantized
     * ADC approximate cosine; exact re-rank = join the raw vectors on
     * the shortlist, as in [[pqAnnTopK]]).
     */
@@ -756,6 +760,54 @@ object VectorOps {
     val s = newDf.sparkSession
     VectorExpressions.register(s)
     val model = readIvfPqModel(s, indexPath)
+    ivfPqProbeWith(newDf, idCol, vecCol, indexPath, model,
+      adcX1000Threshold, nprobe)
+  }
+
+  /** Streaming IVF-PQ probe with PER-BATCH cell pruning — the scale
+    * path for stream-static ANN against a persisted index. Inside
+    * `foreachBatch` each micro-batch is a plain batch frame, so the
+    * batch probe's plan-time trick applies verbatim: collect the
+    * batch's distinct routed cells (at most `nCells` ints) and turn
+    * them into an `isin` literal the scan planner compiles to codes
+    * partition-directory pruning. Per-batch cost is thus
+    * `nprobe/nCells` of the corpus codes — never the corpus — where
+    * the naive streaming equi-join ([[ivfPqProbe]] on a streaming
+    * frame) re-scans the ENTIRE index every micro-batch.
+    *
+    * The model (coarse + PQ codebooks) is read ONCE at stream-author
+    * time: folds ([[foldIntoIvfPqIndex]]) append codes under the
+    * frozen-codebook contract and never rewrite `meta`, so the cached
+    * model stays valid while each batch's fresh `read.parquet` of
+    * `codes` picks up newly folded runs — fold-while-serving safe.
+    *
+    * `sink(probeResult, batchId)` receives the pruned probe frame for
+    * each micro-batch; returns the configured writer (caller sets
+    * checkpoint/trigger and calls `.start()`).
+    */
+  def ivfPqProbeEachBatch(newDf: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, adcX1000Threshold: Int, nprobe: Int = 2)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(newDf.isStreaming,
+      "ivfPqProbeEachBatch: batch frames take the already-pruned ivfPqProbe")
+    val s = newDf.sparkSession
+    VectorExpressions.register(s)
+    val model = readIvfPqModel(s, indexPath)
+    require(nprobe >= 1 && nprobe <= model.coarse.k,
+      s"ivfPqProbeEachBatch: nprobe $nprobe outside [1, ${model.coarse.k}]")
+    newDf.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        sink(ivfPqProbeWith(batch, idCol, vecCol, indexPath, model,
+          adcX1000Threshold, nprobe), batchId)
+    }
+  }
+
+  private def ivfPqProbeWith(newDf: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, model: IvfPqModel,
+      adcX1000Threshold: Int, nprobe: Int): DataFrame = {
+    val s = newDf.sparkSession
     require(nprobe >= 1 && nprobe <= model.coarse.k,
       s"ivfPqProbe: nprobe $nprobe outside [1, ${model.coarse.k}]")
     val codes = s.read.parquet(s"$indexPath/codes")
@@ -777,9 +829,10 @@ object VectorOps {
     // make the partition pruning LITERAL for batch probes (the MinHash
     // index's __bp precedent): the batch's distinct routed cells — at
     // most nCells ints — become an isin filter the scan planner turns
-    // into directory pruning. A streaming probe cannot collect at plan
-    // time; its micro-batches scan the (m-byte-compressed) codes via
-    // the equi-join alone.
+    // into directory pruning. A streaming frame cannot collect at plan
+    // time, so it falls back to the bare equi-join over the full codes
+    // — at scale, route streams through ivfPqProbeEachBatch, which
+    // re-enters here with a BATCH micro-batch frame and prunes.
     val scanned =
       if (newDf.isStreaming) codes
       else {
