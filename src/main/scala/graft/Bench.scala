@@ -79,16 +79,31 @@ object Bench {
     // A strictly monotone-increasing run array with meaningful growth
     // is a LEAK signature (state accreting across invocations in one
     // session — the round-7 q89 localCheckpoint lifecycle bug), not
-    // jitter: jitter is symmetric, leaks only grow. Flag it so a
-    // regression of that class is self-diagnosing in the artifact.
-    val leaks = raw.collect {
-      case (k, rs) if rs.size >= 3 && rs.forall(_ >= 0) &&
-        rs.zip(rs.tail).forall { case (a, b) => b > a } &&
-        rs.last >= rs.head * 1.2 && rs.last - rs.head >= 0.2 => k
-    }
+    // jitter: jitter is symmetric, leaks only grow. But a CONTENDED
+    // driver run produces the same single-sample signature when
+    // machine load ramps during a query's three runs (the r10 q14/q39
+    // false accusations — flat on a clean re-run). So the heuristic
+    // self-adjudicates: each candidate is re-run once in a cleaned
+    // state (drain + GC) and flagged only if the monotone signature
+    // REPRODUCES — a real leak leaks again; contention is time-local.
+    // Both the retest arrays and the confirmed list land in the
+    // artifact so an adjudicated candidate stays visible.
+    val candidates = raw.collect {
+      case (k, rs) if BenchHarness.monotoneLeak(rs) => k }
+    val (leaks, retests) = BenchHarness.adjudicateLeaks(candidates, { k =>
+      BenchHarness.drainLocalCheckpoints(spark)
+      System.gc()
+      val rs = BenchHarness.timedRuns(3,
+        () => SparkEntry.queries(k)(spark, sfDir))
+      drained += BenchHarness.drainLocalCheckpoints(spark)
+      rs
+    })
     val leaksJson = leaks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retestsJson = retests.toSeq.sortBy(_._1).map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(BenchHarness.num).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failedJson,"leak_suspects":$leaksJson,"drained_checkpoints":$drained,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failedJson,"leak_suspects":$leaksJson,"leak_retests":$retestsJson,"drained_checkpoints":$drained,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -94,6 +94,35 @@ object BenchHarness {
   def minOf2Of(build: () => DataFrame): Double =
     minOfRuns(timedRuns(2, build))
 
+  /** Leak signature on a raw run array: strictly monotone-increasing
+    * with meaningful growth (≥1.2× first→last and ≥0.2s absolute).
+    * Jitter is symmetric; state accreting across invocations in one
+    * session only grows (the round-7 q89 localCheckpoint class). A
+    * single sample of this signature is also what a CONTENDED machine
+    * produces when load ramps during the three runs (the r10 q14/q39
+    * false accusation), which is why [[adjudicateLeaks]] requires the
+    * signature to reproduce before the artifact names a suspect.
+    */
+  def monotoneLeak(rs: Seq[Double]): Boolean =
+    rs.size >= 3 && rs.forall(_ >= 0) &&
+      rs.zip(rs.tail).forall { case (a, b) => b > a } &&
+      rs.last >= rs.head * 1.2 && rs.last - rs.head >= 0.2
+
+  /** Self-adjudicating leak flagging: a candidate (first-pass
+    * [[monotoneLeak]] hit) is confirmed only if a FRESH retest of the
+    * same thunk reproduces the monotone signature. A real leak leaks
+    * again — the retest ramps exactly like the first pass. Contention
+    * noise is time-local — the odds the machine ramps again during
+    * that query's retest are the odds the first hit was wrong.
+    * Returns (confirmed, retest arrays for the artifact — an empty
+    * map means no candidate needed adjudication).
+    */
+  def adjudicateLeaks(candidates: Seq[String],
+      retest: String => Seq[Double]): (Seq[String], Map[String, Seq[Double]]) = {
+    val retests = candidates.map(k => k -> retest(k)).toMap
+    (candidates.filter(k => monotoneLeak(retests(k))), retests)
+  }
+
   /** Release every locally-checkpointed RDD still pinned on the
     * context. localCheckpoint persists its RDD for the LIFE of the
     * session (the q89 round-7 lesson, generalized): a bench loop
