@@ -427,6 +427,26 @@ object DedupOps {
     } finally hashed.unpersist()
   }
 
+  /** The maintenance policy as one call: in-place O(delta) fold, then
+    * compact-and-swap iff the post-fold layer count has reached
+    * `compactThreshold` ([[IndexMaintenance.compactIfLayered]] — the
+    * "append daily, compact weekly" cadence without a separate
+    * scheduler). Probes are identical before and after the compaction
+    * (reconcile-at-read == reconcile-at-compact). Returns true when
+    * this fold triggered the compaction.
+    */
+  def maintainMinhashIndex(delta: DataFrame, idCol: String,
+      textCol: String, indexPath: String,
+      compactThreshold: Int =
+        IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    foldIntoMinhashIndex(delta, idCol, textCol, indexPath)
+    val s = delta.sparkSession
+    val (_, _, layers) =
+      readMinhashMeta(s, indexPath, "maintainMinhashIndex")
+    IndexMaintenance.compactIfLayered(s, indexPath, layers,
+      compactThreshold)(out => compactMinhashIndex(s, indexPath, out))
+  }
+
   /** Compact a layered index ([[foldIntoMinhashIndex]] in-place folds)
     * back to ONE sorted run per side: buckets reconciled through
     * [[mergeLayeredBuckets]], hashed rows re-laid into globally sorted
@@ -1098,6 +1118,21 @@ object DedupOps {
       s"$outPath/chunks", partitionCols = Seq("__bp"),
       sortCols = Seq("c"), numFiles = 8)
     writeCdcMeta(s, outPath, prefixes, modulus, window, 1)
+  }
+
+  /** [[maintainMinhashIndex]]'s CDC twin: O(delta) fold, then
+    * compact-and-swap iff post-fold layers ≥ `compactThreshold`.
+    * Returns true when this fold triggered the compaction.
+    */
+  def maintainCdcChunkIndex(delta: DataFrame, idCol: String,
+      textCol: String, indexPath: String,
+      compactThreshold: Int =
+        IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    foldIntoCdcChunkIndex(delta, idCol, textCol, indexPath)
+    val s = delta.sparkSession
+    IndexMaintenance.compactIfLayered(s, indexPath,
+      readCdcLayers(s, indexPath), compactThreshold)(
+      out => compactCdcChunkIndex(s, indexPath, out))
   }
 
   /** Compact a layered CDC index (in-place [[foldIntoCdcChunkIndex]]

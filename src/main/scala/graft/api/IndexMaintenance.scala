@@ -1,0 +1,81 @@
+package graft.api
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Opportunistic compaction for the layered persisted indexes
+  * (minhash / CDC / sign / BM25): the in-place `foldInto*` appends are
+  * O(delta) by design, so layer count — and with it per-probe
+  * reconcile work and file-open fan-out — grows one run per fold
+  * until a `compact*` folds the runs back to one. The `maintain*`
+  * entry points in each ops object wrap fold-then-compact-if-layered
+  * around this policy, turning the LSM posture ("append daily,
+  * compact weekly") into a single call whose amortized cost is
+  * O(delta + index/threshold) writes per fold.
+  *
+  * The IVF-PQ fold is deliberately NOT under this policy: it never
+  * rewrites `meta` (the frozen-codebook contract that makes
+  * fold-while-serving safe — [[VectorOps.ivfPqProbeEachBatch]] caches
+  * the model at stream-author time), codes runs need no read-side
+  * reconcile (per-vector rows, disjoint ids), and probes prune by
+  * `cell` DIRECTORY, so extra runs only add files within already-
+  * routed cells.
+  *
+  * Compaction-in-place mechanics: `compact*` contracts require a
+  * fresh output directory (the merge reads the old index lazily while
+  * writing the new one), so the swap goes through two siblings —
+  * compact to `<index>__compacting`, rename the live index to
+  * `<index>__old`, rename the fresh one into place, delete the old.
+  * Directory rename is a metadata op on HDFS-like filesystems; on a
+  * pure object store the same swap is a manifest flip in a
+  * transactional table layout, out of scope here (same position as
+  * the fold crash contract, [[DedupOps.foldIntoMinhashIndex]]).
+  * Crash consistency inherits that contract — single-writer,
+  * restore-on-failure: a crash between the two renames leaves the
+  * index path briefly absent, and leftover `__compacting`/`__old`
+  * siblings from a crashed attempt are deleted on the next maintain.
+  */
+object IndexMaintenance {
+
+  /** Compact once layer count reaches this many appended runs.
+    * 8 runs ≈ a week of daily folds; read-side reconcile cost and
+    * file-open fan-out both scale with the run count, so the
+    * threshold bounds probe overhead at ~8× one run's files while
+    * keeping compaction (O(index) read+write) amortized to
+    * 1/threshold of the fold cadence.
+    */
+  val DefaultCompactThreshold = 8
+
+  /** Run `compactTo(freshDir)` and swap the result into `indexPath`
+    * iff `layers >= threshold`. Returns true when a compaction ran.
+    */
+  def compactIfLayered(s: SparkSession, indexPath: String, layers: Int,
+      threshold: Int)(compactTo: String => Unit): Boolean = {
+    require(threshold >= 2,
+      s"compactIfLayered: threshold $threshold would compact on every " +
+        "fold — use the fold-and-compact to-outPath overloads for that " +
+        "cost class")
+    if (layers < threshold) false
+    else {
+      val fs = new Path(indexPath).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val live = fs.makeQualified(new Path(indexPath))
+      val fresh = new Path(live.getParent, live.getName + "__compacting")
+      val old = new Path(live.getParent, live.getName + "__old")
+      // leftovers from a crashed previous attempt
+      fs.delete(fresh, true)
+      fs.delete(old, true)
+      compactTo(fresh.toString)
+      if (!fs.rename(live, old)) throw new IllegalStateException(
+        s"compactIfLayered: cannot move live index $live aside to $old")
+      if (!fs.rename(fresh, live)) {
+        fs.rename(old, live) // restore — the fresh copy stays for triage
+        throw new IllegalStateException(
+          s"compactIfLayered: cannot move compacted index $fresh into " +
+            s"place at $live — live index restored, fresh copy kept")
+      }
+      fs.delete(old, true)
+      true
+    }
+  }
+}

@@ -1087,6 +1087,25 @@ object TextOps {
     * Identical probe results before and after (bake-at-compact ==
     * derive-at-probe, same [[bm25ContribFromPostings]] arithmetic).
     */
+  /** [[DedupOps.maintainMinhashIndex]]'s BM25 twin: O(delta) fold,
+    * then compact-and-swap iff post-fold layers ≥ `compactThreshold`.
+    * Returns true when this fold triggered the compaction. (For BM25
+    * compaction additionally re-bakes the contrib parquet, so probes
+    * after it read baked `_c` rows instead of deriving from layered
+    * postings — same arithmetic, less per-probe work.)
+    */
+  def maintainBm25Index(delta: DataFrame, idCol: String, textCol: String,
+      indexPath: String,
+      compactThreshold: Int =
+        IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    foldIntoBm25Index(delta, idCol, textCol, indexPath)
+    val s = delta.sparkSession
+    val (_, _, _, _, layers) =
+      readBm25FullMeta(s, indexPath, "maintainBm25Index")
+    IndexMaintenance.compactIfLayered(s, indexPath, layers,
+      compactThreshold)(out => compactBm25Index(s, indexPath, out))
+  }
+
   def compactBm25Index(s: org.apache.spark.sql.SparkSession,
       indexPath: String, outPath: String): Unit = {
     require(indexPath != outPath,

@@ -314,6 +314,22 @@ object VectorOps {
     } finally base.unpersist()
   }
 
+  /** [[DedupOps.maintainMinhashIndex]]'s sign-LSH twin: O(delta)
+    * fold, then compact-and-swap iff post-fold layers ≥
+    * `compactThreshold`. Returns true when this fold triggered the
+    * compaction.
+    */
+  def maintainSignIndex(delta: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], indexPath: String,
+      compactThreshold: Int =
+        IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    foldIntoSignIndex(delta, idCol, vecCol, planes, indexPath)
+    val s = delta.sparkSession
+    val (_, _, layers) = readSignMeta(s, indexPath, "maintainSignIndex")
+    IndexMaintenance.compactIfLayered(s, indexPath, layers,
+      compactThreshold)(out => compactSignIndex(s, indexPath, out))
+  }
+
   /** Compact a layered sign index (in-place [[foldIntoSignIndex]]
     * appends) back to one sorted run per side: buckets reconciled
     * through [[DedupOps.mergeLayeredBuckets]], vectors re-laid sorted,

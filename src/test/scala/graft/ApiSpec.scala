@@ -1464,6 +1464,24 @@ class ApiSpec extends SparkSpec {
     assert(probeSet(s"$dir/vc") == full)
     assert(spark.read.parquet(s"$dir/vc/meta").head()
       .getAs[Number]("layers").intValue() == 1)
+
+    // maintainBm25Index: split the delta across two maintains at
+    // threshold 3 — the first stays layered, the second reaches the
+    // threshold, compacts-and-swaps IN PLACE, and the swapped index
+    // ranks exactly like the from-scratch rebuild
+    val dA = delta.filter(col("doc_id") % 5 === 3)
+    val dB = delta.filter(col("doc_id") % 5 === 4)
+    TextOps.writeBm25Index(c0, "doc_id", "text", s"$dir/m1")
+    assert(!TextOps.maintainBm25Index(dA, "doc_id", "text",
+      s"$dir/m1", compactThreshold = 3))
+    assert(spark.read.parquet(s"$dir/m1/meta").head()
+      .getAs[Number]("layers").intValue() == 2)
+    assert(TextOps.maintainBm25Index(dB, "doc_id", "text",
+      s"$dir/m1", compactThreshold = 3))
+    assert(spark.read.parquet(s"$dir/m1/meta").head()
+      .getAs[Number]("layers").intValue() == 1)
+    assert(probeSet(s"$dir/m1") == full,
+      "maintained (fold+compact+swap) BM25 index must rank like a rebuild")
   }
 
   test("CDC chunk index: probe == inline, meta is required, pruning engages") {

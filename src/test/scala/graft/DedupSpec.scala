@@ -545,6 +545,116 @@ class DedupSpec extends SparkSpec {
     assert(probeSet(s"$dir/v3") == full)
   }
 
+  test("maintainMinhashIndex: folds stay O(delta) below the threshold, " +
+      "compact-and-swap fires AT it, probes hash-green throughout") {
+    import graft.api.{DedupOps, IndexMaintenance}
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 === 1)
+    val deltas = (2 to 4).map(m => docs.filter(col("doc_id") % 5 === m))
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+    def probeSet(path: String) = DedupOps.minhashPairsAgainstIndex(
+        probes, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def layersOf(path: String) = spark.read.parquet(s"$path/meta").head()
+      .getAs[Number]("layers").intValue()
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-").toString
+    DedupOps.writeMinhashIndex(c0, "doc_id", "text", s"$dir/ix")
+    // plant leftovers from a "crashed previous attempt" — maintain
+    // must clear them, not trip over them
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/ix__compacting"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/ix__old"))
+    // threshold 3: fold #1 leaves 2 layers (no compaction), fold #2
+    // reaches 3 and compacts in place
+    assert(!DedupOps.maintainMinhashIndex(deltas(0), "doc_id", "text",
+      s"$dir/ix", compactThreshold = 3))
+    assert(layersOf(s"$dir/ix") == 2)
+    val expectAfter2 = {
+      DedupOps.writeMinhashIndex(c0.unionByName(deltas(0)),
+        "doc_id", "text", s"$dir/full2")
+      probeSet(s"$dir/full2")
+    }
+    assert(expectAfter2.nonEmpty && probeSet(s"$dir/ix") == expectAfter2)
+    assert(DedupOps.maintainMinhashIndex(deltas(1), "doc_id", "text",
+      s"$dir/ix", compactThreshold = 3))
+    assert(layersOf(s"$dir/ix") == 1, "compaction must reset layers")
+    // the swap left no siblings behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/ix__compacting")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/ix__old")))
+    // compacted-in-place index still probes like a from-scratch build
+    DedupOps.writeMinhashIndex(
+      c0.unionByName(deltas(0)).unionByName(deltas(1)),
+      "doc_id", "text", s"$dir/full3")
+    assert(probeSet(s"$dir/ix") == probeSet(s"$dir/full3"))
+    // and the maintained index keeps accepting folds after the swap
+    assert(!DedupOps.maintainMinhashIndex(deltas(2), "doc_id", "text",
+      s"$dir/ix", compactThreshold = 3))
+    assert(layersOf(s"$dir/ix") == 2)
+    DedupOps.writeMinhashIndex(
+      c0.unionByName(deltas(0)).unionByName(deltas(1))
+        .unionByName(deltas(2)), "doc_id", "text", s"$dir/full4")
+    assert(probeSet(s"$dir/ix") == probeSet(s"$dir/full4"))
+    // threshold 1 would compact on every fold — that cost class is the
+    // to-outPath overload's job, so the policy rejects it
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.compactIfLayered(spark, s"$dir/ix", 5, 1)(_ => ())
+    }
+  }
+
+  test("maintainCdcChunkIndex + maintainSignIndex: same policy, " +
+      "other families") {
+    import graft.api.{DedupOps, VectorOps}
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 3 === 0)
+    val d1 = docs.filter(col("doc_id") % 3 === 1)
+    val d2 = docs.filter(col("doc_id") % 3 === 2)
+    def layersOf(path: String) = {
+      val m = spark.read.parquet(s"$path/meta").head()
+      m.getAs[Number]("layers").intValue()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint2-").toString
+    // CDC: threshold 2 -> the very first maintain compacts
+    DedupOps.writeCdcChunkIndex(c0, "doc_id", "text", s"$dir/cdc")
+    assert(DedupOps.maintainCdcChunkIndex(d1, "doc_id", "text",
+      s"$dir/cdc", compactThreshold = 2))
+    assert(layersOf(s"$dir/cdc") == 1)
+    // probe parity post-swap vs a from-scratch build on c0 ∪ d1
+    DedupOps.writeCdcChunkIndex(c0.unionByName(d1), "doc_id", "text",
+      s"$dir/cdcf")
+    def cdcHits(path: String) = DedupOps.cdcChunkHitsAgainstIndex(
+        d2, "doc_id", "text", path)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val full = cdcHits(s"$dir/cdcf")
+    assert(full.nonEmpty && cdcHits(s"$dir/cdc") == full)
+    // sign: below threshold no compaction, at threshold swap fires
+    val planes = graft.queries.DedupQueries.lshPlanes
+    val emb = Tables.embeddings(spark, sf)
+    val e0 = emb.filter(col("vec_id") % 3 === 0)
+    val e1 = emb.filter(col("vec_id") % 3 === 1)
+    val e2 = emb.filter(col("vec_id") % 3 === 2)
+    VectorOps.writeSignIndex(e0, "vec_id", "embedding", planes, s"$dir/sg")
+    assert(!VectorOps.maintainSignIndex(e1, "vec_id", "embedding", planes,
+      s"$dir/sg", compactThreshold = 3))
+    assert(layersOf(s"$dir/sg") == 2)
+    assert(VectorOps.maintainSignIndex(e2, "vec_id", "embedding", planes,
+      s"$dir/sg", compactThreshold = 3))
+    assert(layersOf(s"$dir/sg") == 1)
+    // post-swap parity vs from-scratch on the whole embedding set
+    VectorOps.writeSignIndex(e0.unionByName(e1).unionByName(e2),
+      "vec_id", "embedding", planes, s"$dir/sgf")
+    def sgProbe(path: String) = VectorOps.probeSignIndex(
+        emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding",
+        planes, path, simX1000Threshold = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sgFull = sgProbe(s"$dir/sgf")
+    assert(sgFull.nonEmpty && sgProbe(s"$dir/sg") == sgFull)
+  }
+
   test("IN-PLACE layered minhash fold under cap=1: cross-layer tombstones") {
     import graft.api.DedupOps
     val docs = Tables.documents(spark, sf)
