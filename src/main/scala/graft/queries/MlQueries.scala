@@ -22,7 +22,7 @@ object MlQueries {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
-  private[queries] def ivfPqIndexDir(s: SparkSession, dir: String): String =
+  private[graft] def ivfPqIndexDir(s: SparkSession, dir: String): String =
     indexCache.computeIfAbsent(dir, { _ =>
       val model = graft.api.VectorOps.ivfPqTrain(
         Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -124,26 +124,10 @@ SELECT vec_id AS qid,
        true AS recall_ok
 FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
       (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
-        val emb = Tables.embeddings(s, dir)
-        val pred = col("vec_id") >= 100 && col("vec_id") < 110
-        val model = graft.api.VectorOps.pqTrain(
-          emb, "vec_id", "embedding", m = 16, k = 16, seed = 42L)
-        val pq = graft.api.VectorOps.pqAnnTopK(
-          emb, "vec_id", "embedding", model, pred, k = 10, refine = 100)
-        val exact = graft.api.VectorOps.annBruteTopK(
-            emb, "vec_id", "embedding", pred, k = 10)
-          .select(col("qid").as("eqid"), col("nid").as("enid"))
-        pq.join(exact,
-            col("qid") === col("eqid") && col("nid") === col("enid"),
-            "left")
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("n_neighbors"),
-            (sum(col("rn")) === lit(55L) && max(col("rn")) === lit(10L) &&
-              count(lit(1)) === lit(10L)).as("rn_dense"),
-            (sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
-              >= lit(5L)).as("recall_ok"))
-          .select("qid", "n_neighbors", "rn_dense", "recall_ok")
+        val floor = AnnFloors.floor("q94_ann_pq", dir)
+        pqRecallCounts(s, dir)
+          .select(col("qid"), col("n_neighbors"), col("rn_dense"),
+            (col("recall10") >= lit(floor.toLong)).as("recall_ok"))
       }),
 
     QueryDef(
@@ -170,7 +154,8 @@ SELECT vec_id AS qid,
        true AS rn_dense,
        true AS recall_ok
 FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
-      (s, dir) => ivfPqRecallHarness(s, dir, ivfPqIndexDir(s, dir)))
+      (s, dir) => ivfPqRecallHarness(s, dir, ivfPqIndexDir(s, dir),
+        "q99_ann_ivfpq"))
   ,
 
     QueryDef(
@@ -196,16 +181,57 @@ SELECT vec_id AS qid,
        true AS rn_dense,
        true AS recall_ok
 FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
-      (s, dir) => ivfPqRecallHarness(s, dir, foldedIvfPqDir(s, dir)))
+      (s, dir) => ivfPqRecallHarness(s, dir, foldedIvfPqDir(s, dir),
+        "q115_fold_ivfpq_probe"))
   )
+
+  /** q94's raw recall counts: PQ ADC shortlist + exact refine top-10
+    * vs the in-band exact brute top-10, per-query. Split from the
+    * boolean oracle mapping so [[AnnFloorMeasure]] can record the
+    * measured minima the [[AnnFloors]] floors are pinned against.
+    */
+  private[graft] def pqRecallCounts(s: SparkSession,
+      dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val pred = col("vec_id") >= 100 && col("vec_id") < 110
+    val model = graft.api.VectorOps.pqTrain(
+      emb, "vec_id", "embedding", m = 16, k = 16, seed = 42L)
+    val pq = graft.api.VectorOps.pqAnnTopK(
+      emb, "vec_id", "embedding", model, pred, k = 10, refine = 100)
+    val exact = graft.api.VectorOps.annBruteTopK(
+        emb, "vec_id", "embedding", pred, k = 10)
+      .select(col("qid").as("eqid"), col("nid").as("enid"))
+    pq.join(exact,
+        col("qid") === col("eqid") && col("nid") === col("enid"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        (sum(col("rn")) === lit(55L) && max(col("rn")) === lit(10L) &&
+          count(lit(1)) === lit(10L)).as("rn_dense"),
+        sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("recall10"))
+  }
 
   /** The q99/q115 oracle harness over ANY IVF-PQ index dir covering
     * the full embeddings corpus: pruned ADC probe (nprobe=3) ->
     * exact-cosine re-rank to top-10 -> per-query structure + in-band
-    * recall@10 >= 3/10 vs the global exact top-10. ONE function so the
+    * recall@10 floor ([[AnnFloors]], pinned per SF at measured
+    * minimum − 1) vs the global exact top-10. ONE function so the
     * fresh-index and folded-index rows cannot drift in what they gate.
     */
   private def ivfPqRecallHarness(s: SparkSession, dir: String,
+      idx: String, floorKey: String): DataFrame = {
+    val floor = AnnFloors.floor(floorKey, dir)
+    ivfPqRecallCounts(s, dir, idx)
+      .select(col("qid"), col("n_neighbors"), col("rn_dense"),
+        (col("recall10") >= lit(floor.toLong)).as("recall_ok"))
+  }
+
+  /** The raw-count leg of [[ivfPqRecallHarness]] — also what
+    * [[AnnFloorMeasure]] records minima from.
+    */
+  private[graft] def ivfPqRecallCounts(s: SparkSession, dir: String,
       idx: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val emb = Tables.embeddings(s, dir)
@@ -239,9 +265,8 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
       .agg(count(lit(1)).as("n_neighbors"),
         (sum(col("rn")) === lit(55L) && max(col("rn")) === lit(10L) &&
           count(lit(1)) === lit(10L)).as("rn_dense"),
-        (sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
-          >= lit(3L)).as("recall_ok"))
-      .select("qid", "n_neighbors", "rn_dense", "recall_ok")
+        sum(when(col("eqid").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("recall10"))
   }
 
   // session-scoped FOLDED IVF-PQ index (the q110/q111/q113 fixture
@@ -252,7 +277,7 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
   private val foldedIvfPqCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
-  private def foldedIvfPqDir(s: SparkSession, dir: String): String =
+  private[graft] def foldedIvfPqDir(s: SparkSession, dir: String): String =
     foldedIvfPqCache.computeIfAbsent(dir, { _ =>
       val emb = Tables.embeddings(s, dir)
       val c0 = emb.filter(col("vec_id") % 5 =!= 0)

@@ -1000,47 +1000,8 @@ SELECT qid, rank, doc_id, rrf FROM (
       Some("""
 SELECT doc_id AS qid, true AS n_ok, true AS rn_dense, true AS overlap_ok
 FROM documents WHERE doc_id % 100 = 0"""),
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val qs = docs.filter(col("doc_id") % 100 === 0)
-          .select(col("doc_id").as("qid"), col("text"))
-        val iv = graft.api.TextOps.hybridTopKIvfPq(docs, qs,
-          "doc_id", "text", "qid", hybridIvfPqDir(s, dir),
-          k = 10, nprobe = 3)
-        // the brute contrast comes from the SHARED materialized stage
-        // (q112 owns the honest end-to-end cost; this oracle leg only
-        // needs the result rows)
-        val br = SharedStages.hybridBrute(s, dir)
-        val brRows = br.select(col("qid").as("_bq"), col("doc_id").as("_bid"))
-        val brCnt = br.groupBy(col("qid").as("_cq"))
-          .agg(count(lit(1)).as("_bn"))
-        val ivAgg = iv
-          .join(brRows,
-            col("qid") === col("_bq") && col("doc_id") === col("_bid"),
-            "left")
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("_n"),
-            (sum(col("rank")) * 2 === count(lit(1)) * (count(lit(1)) + 1) &&
-              max(col("rank")) === count(lit(1))).as("rn_dense"),
-            sum(when(col("_bq").isNotNull, 1L).otherwise(0L)).as("_ov"))
-        // every query doc emits a row, and the per-qid checks compare
-        // BOTH sides through coalesced counts: an IVF-PQ variant that
-        // emits zero rows where the brute variant emits ten fails
-        // n_ok (a left-join that coalesced only the iv side to true
-        // would pass a fully broken retriever — the non-vacuity the
-        // oracle actually needs). Both-empty stays vacuously green.
-        docs.filter(col("doc_id") % 100 === 0)
-          .select(col("doc_id").as("qid"))
-          .join(ivAgg, Seq("qid"), "left")
-          .join(brCnt, col("qid") === col("_cq"), "left")
-          .select(col("qid"),
-            (coalesce(col("_n"), lit(0L)) === coalesce(col("_bn"), lit(0L)))
-              .as("n_ok"),
-            coalesce(col("rn_dense"), lit(true)).as("rn_dense"),
-            (coalesce(col("_ov"), lit(0L)) * 10 >=
-              least(coalesce(col("_n"), lit(0L)),
-                coalesce(col("_bn"), lit(0L))) * 3).as("overlap_ok"))
-      }),
+      (s, dir) => overlapOracle(hybridIvfPqCounts(s, dir),
+        AnnFloors.floor("q114_hybrid_retrieval_ivfpq", dir))),
 
     QueryDef(
       "q124_token_entropy",
@@ -1168,41 +1129,98 @@ FROM r WHERE rank <= 10"""),
       Some("""
 SELECT doc_id AS qid, true AS n_ok, true AS rn_dense, true AS overlap_ok
 FROM documents WHERE doc_id % 500 = 0"""),
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val qs = docs.filter(col("doc_id") % 500 === 0)
-          .select(col("doc_id").as("qid"), col("text"))
-        val iv = graft.api.TextOps.passageTopKIvfPq(docs, qs,
-          "doc_id", "text", "qid", passageIvfPqDir(s, dir),
-          k = 10, nprobe = 5)
-        val br = SharedStages.passageBrute(s, dir)
-        val brRows = br.select(col("qid").as("_bq"),
-          col("doc_id").as("_bid"), col("chunk_idx").as("_bci"))
-        val brCnt = br.groupBy(col("qid").as("_cq"))
-          .agg(count(lit(1)).as("_bn"))
-        val ivAgg = iv
-          .join(brRows,
-            col("qid") === col("_bq") && col("doc_id") === col("_bid") &&
-              col("chunk_idx") === col("_bci"),
-            "left")
-          .groupBy(col("qid"))
-          .agg(count(lit(1)).as("_n"),
-            (sum(col("rank")) * 2 === count(lit(1)) * (count(lit(1)) + 1) &&
-              max(col("rank")) === count(lit(1))).as("rn_dense"),
-            sum(when(col("_bq").isNotNull, 1L).otherwise(0L)).as("_ov"))
-        docs.filter(col("doc_id") % 500 === 0)
-          .select(col("doc_id").as("qid"))
-          .join(ivAgg, Seq("qid"), "left")
-          .join(brCnt, col("qid") === col("_cq"), "left")
-          .select(col("qid"),
-            (coalesce(col("_n"), lit(0L)) === coalesce(col("_bn"), lit(0L)))
-              .as("n_ok"),
-            coalesce(col("rn_dense"), lit(true)).as("rn_dense"),
-            (coalesce(col("_ov"), lit(0L)) * 10 >=
-              least(coalesce(col("_n"), lit(0L)),
-                coalesce(col("_bn"), lit(0L))) * 3).as("overlap_ok"))
-      })
+      (s, dir) => overlapOracle(passageIvfPqCounts(s, dir),
+        AnnFloors.floor("q129_passage_retrieval_ivfpq", dir)))
   )
+
+  /** q114's raw overlap counts: IVF-PQ hybrid leg vs the SHARED
+    * materialized brute stage, per-query (qid, _n, _bn, rn_dense,
+    * _ov). Split from the boolean oracle mapping so
+    * [[AnnFloorMeasure]] can record the measured minima the
+    * [[AnnFloors]] floors are pinned against.
+    */
+  private[graft] def hybridIvfPqCounts(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qs = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val iv = graft.api.TextOps.hybridTopKIvfPq(docs, qs,
+      "doc_id", "text", "qid", hybridIvfPqDir(s, dir),
+      k = 10, nprobe = 3)
+    // the brute contrast comes from the SHARED materialized stage
+    // (q112 owns the honest end-to-end cost; this oracle leg only
+    // needs the result rows)
+    val br = SharedStages.hybridBrute(s, dir)
+    overlapCounts(docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid")),
+      iv, br.select(col("qid").as("_bq"), col("doc_id").as("_bid")),
+      col("qid") === col("_bq") && col("doc_id") === col("_bid"))
+  }
+
+  /** q129's raw overlap counts at chunk granularity — the
+    * [[hybridIvfPqCounts]] twin over the passage legs. */
+  private[graft] def passageIvfPqCounts(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qs = docs.filter(col("doc_id") % 500 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val iv = graft.api.TextOps.passageTopKIvfPq(docs, qs,
+      "doc_id", "text", "qid", passageIvfPqDir(s, dir),
+      k = 10, nprobe = 5)
+    val br = SharedStages.passageBrute(s, dir)
+    overlapCounts(docs.filter(col("doc_id") % 500 === 0)
+        .select(col("doc_id").as("qid")),
+      iv, br.select(col("qid").as("_bq"), col("doc_id").as("_bid"),
+        col("chunk_idx").as("_bci")),
+      col("qid") === col("_bq") && col("doc_id") === col("_bid") &&
+        col("chunk_idx") === col("_bci"))
+  }
+
+  /** Shared overlap-count shape for the approximate-vs-brute oracles:
+    * join the approximate top-k rows against the brute rows, count
+    * per-query size (_n), brute size (_bn), rank-density, and overlap
+    * (_ov). `allQids` pins one output row per query doc even when a
+    * side emits nothing.
+    */
+  private def overlapCounts(allQids: org.apache.spark.sql.DataFrame,
+      iv: org.apache.spark.sql.DataFrame,
+      brRows: org.apache.spark.sql.DataFrame,
+      joinCond: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val brCnt = brRows.groupBy(col("_bq").as("_cq"))
+      .agg(count(lit(1)).as("_bn"))
+    val ivAgg = iv.join(brRows, joinCond, "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("_n"),
+        (sum(col("rank")) * 2 === count(lit(1)) * (count(lit(1)) + 1) &&
+          max(col("rank")) === count(lit(1))).as("rn_dense"),
+        sum(when(col("_bq").isNotNull, 1L).otherwise(0L)).as("_ov"))
+    allQids
+      .join(ivAgg, Seq("qid"), "left")
+      .join(brCnt, col("qid") === col("_cq"), "left")
+      .select(col("qid"),
+        coalesce(col("_n"), lit(0L)).as("_n"),
+        coalesce(col("_bn"), lit(0L)).as("_bn"),
+        coalesce(col("rn_dense"), lit(true)).as("rn_dense"),
+        coalesce(col("_ov"), lit(0L)).as("_ov"))
+  }
+
+  /** Boolean oracle mapping over [[overlapCounts]] output: per query
+    * the approximate side must size-match the brute side, be
+    * rank-dense, and overlap it on at least `floorPer10` of 10 rows
+    * (scaled to the actual row count). An IVF-PQ variant emitting
+    * zero rows where the brute emits ten fails n_ok (a left-join
+    * coalescing only the iv side to true would pass a fully broken
+    * retriever — the non-vacuity the oracle actually needs);
+    * both-empty stays vacuously green.
+    */
+  private def overlapOracle(counts: org.apache.spark.sql.DataFrame,
+      floorPer10: Int): org.apache.spark.sql.DataFrame =
+    counts.select(col("qid"),
+      (col("_n") === col("_bn")).as("n_ok"),
+      col("rn_dense"),
+      (col("_ov") * 10 >= least(col("_n"), col("_bn")) * floorPer10)
+        .as("overlap_ok"))
 
   // session-scoped IVF-PQ index over the corpus's TEXT hash embeddings
   // (the MlQueries.ivfPqIndexDir discipline applied to embedText
