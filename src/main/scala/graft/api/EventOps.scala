@@ -534,4 +534,114 @@ object EventOps {
       .select(col(keyCol), lit(cap).as("mg_cap"),
         col("_hh.delta").as("mg_delta"), col("_hh.items").as("mg_items"))
   }
+
+  /** STRICT-contiguity sequence matches — the batch formulation of
+    * [[graft.streaming.Cep.matchPattern]] with `strict = true` (CEP
+    * `next`, ref LoginFailWithCep.scala:28-36's `.next` chain): over
+    * each user's TOTAL event stream ordered by (`tsCol`, `idCol`), a
+    * match is a run of CONSECUTIVE rows whose types equal `types`,
+    * with the last event within `horizon` (same unit as `tsCol`) of
+    * the first. Any intervening event of another type between steps
+    * kills the partial — fail–success–fail is NOT a match — which is
+    * exactly why the whole match is k ADJACENT rows and one `lead()`
+    * window pass computes it: one exchange on the user key, one sort,
+    * no self-join (the oracle's rn-self-join spelling is the O(pairs)
+    * contrast). CepSpec pins parity with the streaming engine on the
+    * same events.
+    *
+    * Output: (user, step1_event .. stepK_event, first_ts, last_ts)
+    * with the caller's `userCol` name preserved.
+    */
+  def strictSequence(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, types: Seq[String],
+      horizon: Long): DataFrame = {
+    require(types.size >= 2, "strictSequence needs at least two steps")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val withLeads = types.indices.tail.foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"_k$i", lead(col(typeCol), i).over(w))
+        .withColumn(s"_i$i", lead(col(idCol), i).over(w))
+        .withColumn(s"_t$i", lead(col(tsCol), i).over(w))
+    }
+    val last = types.size - 1
+    val stepsMatch = types.indices.tail
+      .map(i => col(s"_k$i") === types(i))
+      .foldLeft(col(typeCol) === types.head)(_ && _)
+    withLeads
+      .filter(stepsMatch && col(s"_t$last") - col(tsCol) <= horizon)
+      .select(col(userCol) +:
+        (col(idCol).as("step1_event") +: types.indices.tail.map(i =>
+          col(s"_i$i").as(s"step${i + 1}_event"))) :+
+        col(tsCol).as("first_ts") :+ col(s"_t$last").as("last_ts"): _*)
+  }
+
+  /** SESSION-GAP funnel matches — the batch formulation of
+    * [[graft.streaming.Cep.withinSession]] with `strict = false`
+    * (relaxed `followedBy` under a per-step gap bound): a match
+    * chains one event per step where each step's event is the
+    * EARLIEST event of that type strictly after the previous step's
+    * event (by (`tsCol`, `idCol`) order) and within `gap` of it —
+    * the engine's greedy first-acceptable-event advance, where a
+    * nearer-but-never-completing next step genuinely kills the match
+    * (the partial advanced into it and timed out), so "first within
+    * gap, then require ITS chain to complete" is the semantics, not
+    * an approximation.
+    *
+    * Plan shape: filter to the funnel's types (pushed to the scan),
+    * then ONE exchange on the user key and k−1 stacked window passes
+    * over the SAME (ts, id) DESC ordering (one sort; each pass
+    * attaches to step-i rows the nearest following step-(i+1) row's
+    * chain struct via `last(..., ignoreNulls)` over the preceding
+    * frame). No joins, no per-pair blowup — the oracle's LATERAL
+    * spelling is the contrast.
+    *
+    * Output shape matches [[strictSequence]].
+    */
+  def sessionFunnel(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, types: Seq[String],
+      gap: Long): DataFrame = {
+    require(types.size >= 2, "sessionFunnel needs at least two steps")
+    require(types.distinct.size == types.size,
+      "sessionFunnel steps must be distinct types (a row can carry " +
+        "only one step's chain); repeated-type sequences are " +
+        "strictSequence or streaming Cep territory")
+    val ev = df.filter(col(typeCol).isin(types: _*))
+    // rows strictly AFTER the current one in ascending (ts, id) order
+    // are exactly the PRECEDING rows under descending order
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val k = types.size
+    // chain struct on a step-i row: ok (its suffix completes within
+    // per-step gaps), ids (step i..k event ids), last ts of step k
+    val seeded = ev.withColumn("_ch",
+      when(col(typeCol) === types(k - 1),
+        struct(lit(true).as("ok"), array(col(idCol)).as("ids"),
+          col(tsCol).as("lt"))))
+    val chained = (k - 2 to 0 by -1).foldLeft(seeded) { (acc, i) =>
+      val nxt = last(
+        when(col(typeCol) === types(i + 1),
+          struct(col(tsCol).as("ts"), col("_ch").as("ch"))),
+        ignoreNulls = true).over(w)
+      acc.withColumn("_nx", nxt)
+        .withColumn("_ch",
+          when(col(typeCol) === types(i),
+            struct(
+              (col("_nx").isNotNull &&
+                col("_nx.ts") <= col(tsCol) + gap &&
+                coalesce(col("_nx.ch.ok"), lit(false))).as("ok"),
+              concat(array(col(idCol)),
+                coalesce(col("_nx.ch.ids"),
+                  array().cast("array<long>"))).as("ids"),
+              col("_nx.ch.lt").as("lt")))
+            .otherwise(col("_ch")))
+        .drop("_nx")
+    }
+    chained
+      .filter(col(typeCol) === types.head && col("_ch.ok"))
+      .select(col(userCol) +:
+        types.indices.map(i =>
+          element_at(col("_ch.ids"), i + 1).as(s"step${i + 1}_event")) :+
+        col(tsCol).as("first_ts") :+ col("_ch.lt").as("last_ts"): _*)
+  }
 }

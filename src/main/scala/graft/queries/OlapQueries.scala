@@ -568,7 +568,82 @@ GROUP BY 1"""),
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"),
             min(col("value")).as("v_min"), max(col("value")).as("v_max"))
-      })
+      }),
+
+    QueryDef(
+      "q130_strict_sequence",
+      "STRICT-contiguity CEP sequence over the full event stream " +
+        "(EventOps.strictSequence == streaming.Cep Pattern strict=true, " +
+        "CepSpec-pinned parity): view -> click -> purchase as three " +
+        "CONSECUTIVE per-user events (ordered by event-time µs then " +
+        "event_id) with the purchase within 24h of the view. Any " +
+        "intervening event of another type kills the partial — " +
+        "fail-success-fail is NOT a match, the semantic q08's relaxed " +
+        "lag-over-errors row never gated. Strictness makes the match " +
+        "k adjacent rows, so the Spark side is ONE lead() window pass " +
+        "(one exchange on user_id, one sort, no self-join); the " +
+        "oracle is the O(pairs) rn-self-join spelling.",
+      Some("""
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events)
+SELECT a.user_id, a.event_id AS step1_event, b.event_id AS step2_event,
+       c.event_id AS step3_event, a.us AS first_ts, c.us AS last_ts
+FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+ JOIN o c ON a.user_id = c.user_id AND c.rn = a.rn + 2
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+  AND c.event_type = 'purchase' AND c.us - a.us <= 86400000000"""),
+      (s, dir) =>
+        graft.api.EventOps.strictSequence(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"),
+              expr("ts_ns div 1000").as("us"), col("event_type")),
+          "user_id", "us", "event_id", "event_type",
+          Seq("view", "click", "purchase"), horizon = 86400000000L)),
+
+    QueryDef(
+      "q131_session_funnel",
+      "SESSION-GAP CEP funnel (EventOps.sessionFunnel == streaming." +
+        "Cep.withinSession relaxed, CepSpec-pinned parity): view -> " +
+        "click -> purchase where each step is the EARLIEST event of " +
+        "its type strictly after the previous step and within 24h of " +
+        "IT (deadline advances per accepted step — the session " +
+        "contract, not q130's fixed from-start horizon; a " +
+        "slow-but-continuous funnel matches at any total span). " +
+        "Greedy first-acceptable advance is the engine semantic: a " +
+        "nearer click whose own purchase never arrives within gap " +
+        "kills the match. Spark side: type filter pushed to the scan, " +
+        "one exchange on user_id, k-1 stacked last(ignoreNulls) " +
+        "window passes over one DESC sort — no joins; the oracle is " +
+        "the LATERAL first-match spelling.",
+      Some("""
+WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase')
+SELECT v.user_id, v.event_id AS step1_event, fc.cid AS step2_event,
+       fp.pid AS step3_event, v.us AS first_ts, fp.pus AS last_ts
+FROM v,
+  LATERAL (SELECT c.event_id AS cid, c.us AS cus FROM c
+           WHERE c.user_id = v.user_id
+             AND (c.us > v.us OR (c.us = v.us AND c.event_id > v.event_id))
+             AND c.us <= v.us + 86400000000
+           ORDER BY c.us, c.event_id LIMIT 1) fc,
+  LATERAL (SELECT p.event_id AS pid, p.us AS pus FROM p
+           WHERE p.user_id = v.user_id
+             AND (p.us > fc.cus OR (p.us = fc.cus AND p.event_id > fc.cid))
+             AND p.us <= fc.cus + 86400000000
+           ORDER BY p.us, p.event_id LIMIT 1) fp"""),
+      (s, dir) =>
+        graft.api.EventOps.sessionFunnel(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"),
+              expr("ts_ns div 1000").as("us"), col("event_type")),
+          "user_id", "us", "event_id", "event_type",
+          Seq("view", "click", "purchase"), gap = 86400000000L))
   )
 
   /** Session-scoped bucketed lineitem/orders external tables (the

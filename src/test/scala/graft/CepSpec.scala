@@ -160,6 +160,66 @@ class CepSpec extends SparkSpec {
       "fixed-within horizon should reject the slow-but-continuous funnel")
   }
 
+  test("q130 batch formulation == strict Cep engine on the real event " +
+      "stream (fail-success-fail is not a match)") {
+    // the catalog's EventOps.strictSequence and the streaming engine
+    // must agree on the FULL events table (all five types interleaved,
+    // so intervening events really exercise the partial-killing leg)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000000").as("ms"), col("event_type"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), r.getString(3),
+        ts(r.getLong(2))))
+    val horizonMs = 24 * 3600 * 1000L
+    val pat = Pattern(Seq(_.eventType == "view", _.eventType == "click",
+      _.eventType == "purchase"), horizonMs, strict = true)
+    val engine = runCep(evs.toSeq, pat,
+      evs.map(_.tsMs).max + 10 * horizonMs, "cep_q130")
+      .filter(_.tag == "matched").map(_.eventIds)
+    val batch = graft.api.EventOps.strictSequence(
+        Tables.events(spark, sf)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000000").as("ms"), col("event_type")),
+        "user_id", "ms", "event_id", "event_type",
+        Seq("view", "click", "purchase"), horizon = horizonMs)
+      .collect()
+      .map(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "no strict matches — parity would be vacuous")
+    assert(engine == batch,
+      s"engineOnly=${(engine -- batch).take(3)} " +
+        s"batchOnly=${(batch -- engine).take(3)}")
+  }
+
+  test("q131 batch formulation == session-gap Cep engine on the real " +
+      "event stream (greedy first-next advance)") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000000").as("ms"), col("event_type"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), r.getString(3),
+        ts(r.getLong(2))))
+    val gapMs = 24 * 3600 * 1000L
+    val pat = SessionPattern(Seq(_.eventType == "view",
+      _.eventType == "click", _.eventType == "purchase"), gapMs,
+      strict = false)
+    val engine = runCepSession(evs.toSeq, pat,
+      evs.map(_.tsMs).max + 10 * gapMs, "cep_q131")
+      .filter(_.tag == "matched").map(_.eventIds)
+    val batch = graft.api.EventOps.sessionFunnel(
+        Tables.events(spark, sf)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000000").as("ms"), col("event_type")),
+        "user_id", "ms", "event_id", "event_type",
+        Seq("view", "click", "purchase"), gap = gapMs)
+      .collect()
+      .map(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "no funnel matches — parity would be vacuous")
+    assert(engine == batch,
+      s"engineOnly=${(engine -- batch).take(3)} " +
+        s"batchOnly=${(batch -- engine).take(3)}")
+  }
+
   test("session-gap pattern: deadline advances with each accepted event") {
     // four-step chain where EVERY consecutive gap is just inside the
     // session gap — total span 3 x 1.9s; the deadline must re-arm off
