@@ -778,16 +778,28 @@ object TextOps {
     * verification is the in-band overlap posture against the brute
     * output (q114/q99 precedent).
     *
+    * The index MUST be written with
+    * [[VectorOps.writeIvfPqIndex]]`(..., storeVectors = true)`: the
+    * exact-refine leg joins the shortlist against the index's STORED
+    * chunk vectors (cell-pruned to the batch's routed cells — the
+    * same isin-literal pruning the codes scan gets), never
+    * re-chunking or re-embedding the corpus. At 100 TB the old
+    * recompute shape was a full-corpus scan-and-embed PER RETRIEVAL
+    * BATCH; the stored-vector join touches `nprobe/nCells` of the
+    * vectors parquet instead. A vectors-less index fails with
+    * [[VectorOps.readIvfPqVectors]]'s named rebuild-once error.
+    *
     * Output: (qidCol, rank, idCol, chunk_idx, sim_x1e6).
     */
-  def passageTopKIvfPq(corpus: DataFrame, queries: DataFrame,
+  def passageTopKIvfPq(queries: DataFrame,
       idCol: String, textCol: String, qidCol: String,
       ivfPqIndexPath: String, k: Int = 10, nprobe: Int = 5,
-      refine: Int = 100, chunkTokens: Int = 32, stride: Int = 32,
+      refine: Int = 100,
       d: Int = 64, adcX1000Threshold: Int = -2000): DataFrame = {
     require(k >= 1 && refine >= k,
       s"passageTopKIvfPq: need 1 <= k <= refine, got k=$k refine=$refine")
-    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val s = queries.sparkSession
+    graft.functions.VectorExpressions.register(s)
     // the probe addresses both sides by the INDEX's id column (the
     // codes parquet was written with the chunk pseudo-id _cid)
     val qe = embedText(queries, qidCol, textCol, d)
@@ -802,19 +814,23 @@ object TextOps {
       .filter(col("_arn") <= refine)
       .select(col("vec_new"), col("vec_old"))
     // exact refine of the refine·|queries|-row shortlist (the q94 ADC +
-    // refine shape): true chunk vectors come from the zero-shuffle
-    // embed kernel here — at 100 TB store the raw vectors beside the
-    // index codes and join those instead of recomputing. Quantizing
-    // the exact sims identically to [[passageTopK]] makes the refined
-    // ranks tie-stable against the brute baseline.
-    val chunks = chunk(corpus, idCol, textCol, chunkTokens, stride)
-      .select((col(idCol) * lit(100000L) + col("chunk_idx")).as("_cid"),
-        col("chunk_text").as("_ctext"))
-    val cvec = embedText(chunks, "_cid", "_ctext", d)
-      .filter(expr("exists(v, x -> x != 0D)"))
-      .select(col("_cid").as("vec_old"), col("v").as("_cv"))
+    // refine shape): true chunk vectors come from the index's STORED
+    // vectors parquet, pruned to the batch's routed cells with the
+    // same isin literal the codes scan gets — every shortlisted id
+    // lives in a routed cell by construction, so the pruned read is
+    // lossless. Quantizing the exact sims identically to
+    // [[passageTopK]] makes the refined ranks tie-stable against the
+    // brute baseline (stored vectors are the embed kernel's exact
+    // doubles, so the dots are bit-identical to recomputing).
+    val model = VectorOps.readIvfPqModel(s, ivfPqIndexPath)
+    val cells = VectorOps.ivfPqRoutedCells(
+      qe.select(col(qidCol).as("_cid"), col("v")), "_cid", "v",
+      model, nprobe)
+    val cvec = VectorOps.readIvfPqVectors(s, ivfPqIndexPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vid").as("vec_old"), col("vec").as("_cv"))
     val qvec = qe.select(col(qidCol).as("_qid2"), col("v").as("_qv"))
-    shortlist.join(cvec, Seq("vec_old"))
+    broadcast(shortlist).join(cvec, Seq("vec_old"))
       .join(broadcast(qvec), col("vec_new") === col("_qid2"))
       .select(col("vec_new").as(qidCol), col("vec_old"),
         floor(expr("dot_f(_qv, _cv)") * lit(1000000.0d)).cast("long")

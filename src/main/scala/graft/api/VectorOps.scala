@@ -661,23 +661,41 @@ object VectorOps {
     * ONLY those directories (literal partition pruning, the same
     * contract as the MinHash index's `__bp` layout) — plus a one-row
     * `meta` holding both codebooks. At rest the corpus is m bytes of
-    * codes + one int per vector; the raw embeddings stay wherever
-    * they live and are only fetched for exact re-ranks.
+    * codes + one int per vector; with `storeVectors = false` the raw
+    * embeddings stay wherever they live and are only fetched for
+    * exact re-ranks.
+    *
+    * `storeVectors = true` additionally persists `vectors` =
+    * (vid, cell, vec) — the RAW input vectors under the SAME cell
+    * partitioning — so an exact-refine consumer
+    * ([[TextOps.passageTopKIvfPq]]) can join its ADC shortlist
+    * against a cell-pruned stored-vector read instead of recomputing
+    * the corpus embeddings per retrieval batch (the FAISS
+    * `IndexRefineFlat` posture: codes do the winnowing, stored floats
+    * only the finish). Folds ([[foldIntoIvfPqIndex]]) keep `vectors`
+    * in sync automatically when it exists.
     */
   def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
-      model: IvfPqModel, path: String): Unit = {
+      model: IvfPqModel, path: String,
+      storeVectors: Boolean = false): Unit = {
     VectorExpressions.register(df.sparkSession)
     val base = normalized(df, idCol, vecCol)
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
-    val enc = base.select(col(idCol),
-      element_at(call_function("pq_encode", col("u"),
-        typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)), 1)
-        .as("cell"),
+      .withColumn("cell",
+        element_at(call_function("pq_encode", col("u"),
+          typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)), 1))
+    val enc = base.select(col(idCol), col("cell"),
       call_function("pq_encode", col("u"), typedLit(model.pq.flat),
         lit(model.pq.m), lit(model.pq.k)).as("codes"))
     graft.jobs.Sinks.layout(enc, s"$path/codes",
       partitionCols = Seq("cell"), sortCols = Seq(idCol),
       numFiles = model.coarse.k)
+    if (storeVectors) {
+      graft.jobs.Sinks.layout(
+        base.select(col(idCol).as("vid"), col("cell"), col("v").as("vec")),
+        s"$path/vectors", partitionCols = Seq("cell"),
+        sortCols = Seq("vid"), numFiles = model.coarse.k)
+    }
     val s = df.sparkSession
     import s.implicits._
     Seq((model.coarse.m, model.coarse.k, model.coarse.subDim,
@@ -686,6 +704,24 @@ object VectorOps {
       .toDF("c_m", "c_k", "c_sub", "c_flat", "p_m", "p_k", "p_sub", "p_flat")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Read back the raw vectors persisted by
+    * [[writeIvfPqIndex]]`(..., storeVectors = true)` as
+    * (vid, cell, vec). A missing `vectors` sibling fails with a NAMED
+    * error — the exact-refine path has no degraded mode that is not a
+    * full-corpus recompute, and a silent fallback to one would be a
+    * scale-killer hiding behind a correct answer.
+    */
+  def readIvfPqVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    try spark.read.parquet(s"$path/vectors") catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"readIvfPqVectors: no stored vectors at $path/vectors — " +
+            "rebuild the index with writeIvfPqIndex(..., storeVectors " +
+            "= true) so exact-refine joins stored vectors instead of " +
+            "re-embedding the corpus per retrieval batch", e)
+    }
 
   /** Read back the codebooks persisted by [[writeIvfPqIndex]]. A
     * missing or empty meta dir (partially copied index) fails with a
@@ -725,15 +761,30 @@ object VectorOps {
     val model = readIvfPqModel(s, indexPath)
     val base = normalized(delta, idCol, vecCol)
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
-    graft.jobs.Sinks.layoutAppend(
-      base.select(col(idCol),
+      .withColumn("cell",
         element_at(call_function("pq_encode", col("u"),
-          typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)), 1)
-          .as("cell"),
+          typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)), 1))
+    graft.jobs.Sinks.layoutAppend(
+      base.select(col(idCol), col("cell"),
         call_function("pq_encode", col("u"), typedLit(model.pq.flat),
           lit(model.pq.m), lit(model.pq.k)).as("codes")),
       s"$indexPath/codes", partitionCols = Seq("cell"),
       sortCols = Seq(idCol), numFiles = model.coarse.k)
+    // an index written with storeVectors=true keeps its stored-vector
+    // sibling in sync: the delta's raw vectors append as their own
+    // sorted run under the same cell partitioning (still O(delta) —
+    // skipping this would silently break the exact-refine contract
+    // the moment a fold lands: shortlisted delta ids would have no
+    // stored vector to join)
+    val vecPath = new org.apache.hadoop.fs.Path(s"$indexPath/vectors")
+    val fs = vecPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(vecPath)) {
+      graft.jobs.Sinks.layoutAppend(
+        base.select(col(idCol).as("vid"), col("cell"),
+          col("v").as("vec")),
+        s"$indexPath/vectors", partitionCols = Seq("cell"),
+        sortCols = Seq("vid"), numFiles = model.coarse.k)
+    }
   }
 
   def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
@@ -820,6 +871,36 @@ object VectorOps {
     }
   }
 
+  // first-nprobe cell routing over a per-row `cd` distance array —
+  // shared by the probe's explode and ivfPqRoutedCells so the two can
+  // never rank cells differently
+  private def cellRouteExpr(nCells: Int, nprobe: Int): String =
+    s"slice(transform(array_sort(transform(sequence(0, ${nCells - 1}), " +
+      s"c -> struct(element_at(cd, c + 1) AS d, c AS c))), p -> p.c), " +
+      s"1, $nprobe)"
+
+  /** The distinct cells a BATCH query frame routes to at `nprobe` —
+    * the same ranking the probe itself uses, surfaced so downstream
+    * reads of the index's sibling parquets (stored vectors, codes)
+    * can reuse the isin-literal partition pruning. Bounded collect:
+    * at most nCells ints regardless of query count.
+    */
+  private[graft] def ivfPqRoutedCells(newDf: DataFrame, idCol: String,
+      vecCol: String, model: IvfPqModel, nprobe: Int): Seq[Int] = {
+    require(!newDf.isStreaming,
+      "ivfPqRoutedCells: plan-time cell collect needs a batch frame")
+    require(nprobe >= 1 && nprobe <= model.coarse.k,
+      s"ivfPqRoutedCells: nprobe $nprobe outside [1, ${model.coarse.k}]")
+    VectorExpressions.register(newDf.sparkSession)
+    normalized(newDf, idCol, vecCol)
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+      .withColumn("cd", call_function("pq_dists", col("u"),
+        typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)))
+      .select(explode(expr(cellRouteExpr(model.coarse.k, nprobe)))
+        .as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+  }
+
   private def ivfPqProbeWith(newDf: DataFrame, idCol: String,
       vecCol: String, indexPath: String, model: IvfPqModel,
       adcX1000Threshold: Int, nprobe: Int): DataFrame = {
@@ -838,10 +919,7 @@ object VectorOps {
       // of (dist, cell) structs — nCells is small by design), explode
       // the first nprobe cells
       .select(col("vec_new"), col("lut"),
-        explode(expr(
-          s"slice(transform(array_sort(transform(sequence(0, ${model.coarse.k - 1}), " +
-            s"c -> struct(element_at(cd, c + 1) AS d, c AS c))), p -> p.c), 1, $nprobe)"))
-          .as("cell"))
+        explode(expr(cellRouteExpr(model.coarse.k, nprobe))).as("cell"))
     // make the partition pruning LITERAL for batch probes (the MinHash
     // index's __bp precedent): the batch's distinct routed cells — at
     // most nCells ints — become an isin filter the scan planner turns

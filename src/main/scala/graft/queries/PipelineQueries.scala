@@ -1164,7 +1164,7 @@ FROM documents WHERE doc_id % 500 = 0"""),
     val docs = Tables.documents(s, dir)
     val qs = docs.filter(col("doc_id") % 500 === 0)
       .select(col("doc_id").as("qid"), col("text"))
-    val iv = graft.api.TextOps.passageTopKIvfPq(docs, qs,
+    val iv = graft.api.TextOps.passageTopKIvfPq(qs,
       "doc_id", "text", "qid", passageIvfPqDir(s, dir),
       k = 10, nprobe = 5)
     val br = SharedStages.passageBrute(s, dir)
@@ -1251,7 +1251,11 @@ FROM documents WHERE doc_id % 500 = 0"""),
         cv, "_cid", "v", nCells = 8, m = 16, k = 16, seed = 42L)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-psgivfpq-").toString
-      graft.api.VectorOps.writeIvfPqIndex(cv, "_cid", "v", model, tmp)
+      // storeVectors: q129's exact-refine leg joins the stored chunk
+      // vectors (cell-pruned) instead of re-chunking + re-embedding
+      // the corpus per retrieval batch
+      graft.api.VectorOps.writeIvfPqIndex(cv, "_cid", "v", model, tmp,
+        storeVectors = true)
       tmp
     })
 

@@ -1166,6 +1166,53 @@ class ApiSpec extends SparkSpec {
       s"fold appended $appended bytes vs index $before — not O(delta)")
   }
 
+  test("writeIvfPqIndex storeVectors: exact round-trip, fold keeps the " +
+      "vectors sibling in sync, vectors-less index fails with a named error") {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val c0 = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqv-").toString
+    try {
+      val model = VectorOps.ivfPqTrain(c0, "vec_id", "embedding",
+        nCells = 4, m = 8, k = 8, seed = 7L)
+      VectorOps.writeIvfPqIndex(c0, "vec_id", "embedding", model,
+        s"$dir/v", storeVectors = true)
+      def storedMap() = VectorOps.readIvfPqVectors(spark, s"$dir/v")
+        .collect()
+        .map(r => r.getAs[Long]("vid") ->
+          r.getSeq[Double](r.fieldIndex("vec"))).toMap
+      def inputMap(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // stored vectors are the input doubles EXACTLY (the refine leg's
+      // dots must be bit-identical to recomputing them)
+      val s0 = storedMap(); val i0 = inputMap(c0)
+      assert(s0.keySet == i0.keySet, "stored-vector ids != indexed ids")
+      s0.foreach { case (id, v) => assert(v == i0(id), s"vec drift at $id") }
+      // a fold appends the delta's vectors under the same layout —
+      // shortlisted delta ids stay joinable
+      VectorOps.foldIntoIvfPqIndex(delta, "vec_id", "embedding", s"$dir/v")
+      val s1 = storedMap(); val i1 = inputMap(c0.unionByName(delta))
+      assert(s1.keySet == i1.keySet,
+        "fold did not keep the vectors sibling in sync")
+      s1.foreach { case (id, v) => assert(v == i1(id), s"vec drift at $id") }
+      // no degraded mode: an index written without storeVectors fails
+      // the vectors read with an actionable rebuild-once error
+      VectorOps.writeIvfPqIndex(c0, "vec_id", "embedding", model, s"$dir/nv")
+      val e = intercept[IllegalArgumentException](
+        VectorOps.readIvfPqVectors(spark, s"$dir/nv"))
+      assert(e.getMessage.contains("storeVectors = true"),
+        s"unnamed error: ${e.getMessage}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("EventOps.distinctState: persisted HLL state folds through parquet, " +
       "duplicate-insensitive, estimates bounded") {
     import spark.implicits._

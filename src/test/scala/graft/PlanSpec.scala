@@ -372,6 +372,33 @@ class PlanSpec extends SparkSpec {
       "chunk-codes scan should carry cell partition filters")
   }
 
+  test("q129: exact refine reads STORED chunk vectors (cell-pruned), " +
+      "never re-chunks or re-embeds the corpus") {
+    val nodes = collectAll(plan("q129_passage_retrieval_ivfpq"))
+    // the refine leg's vectors scan: persisted beside the codes by
+    // writeIvfPqIndex(storeVectors = true), pruned to the routed cells
+    val vecScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("vectors"))
+        => f
+    }
+    assert(vecScans.nonEmpty, "refine should scan the stored-vector parquet")
+    assert(vecScans.forall(_.partitionFilters.nonEmpty),
+      "stored-vector scan should carry cell partition filters")
+    // the old scale-killer shape — chunk(corpus) + embedText per
+    // retrieval batch — planned a PosExplode Generate over the corpus
+    // (TextOps.chunk's signature shape); with stored vectors the whole
+    // q129 plan has none. The probe's tiny query-side cell-routing
+    // Explode is the only Generate allowed.
+    val posExplodes = nodes.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec
+        if g.generator.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PosExplode] => g
+    }
+    assert(posExplodes.isEmpty,
+      "q129 must not re-chunk the corpus (no PosExplode in the plan)")
+  }
+
   test("no catalog query exceeds 6 shuffles at sf0.001") {
     // q89 is the COMPOSED curation pipeline — seven individually
     // budgeted operators chained over survivor sets, so its plan is
