@@ -372,6 +372,32 @@ class PlanSpec extends SparkSpec {
       "chunk-codes scan should carry cell partition filters")
   }
 
+  test("q130: strict contiguity is ONE lead() window pass — a single " +
+      "user-key exchange, no joins") {
+    val nodes = collectAll(plan("q130_strict_sequence"))
+    // the oracle's rn-self-join spelling is the O(pairs) contrast; the
+    // Spark side must never plan a join at all
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "q130 must not plan any join (k adjacent rows = one lead() pass)")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 1, s"expected the single user-key exchange, got $shuffles")
+  }
+
+  test("q131: funnel type filter reaches the scan; one exchange, no joins") {
+    val s = planString("q131_session_funnel")
+    assert(s.contains("In(event_type") && s.contains("PushedFilters"),
+      s"expected funnel-type pushdown in:\n$s")
+    val nodes = collectAll(plan("q131_session_funnel"))
+    // k-1 stacked last(ignoreNulls) passes share ONE (user, ts DESC)
+    // sort — the oracle's LATERAL spelling is the per-pair contrast
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "q131 must not plan any join (chained window passes)")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 1, s"expected the single user-key exchange, got $shuffles")
+  }
+
   test("q129: exact refine reads STORED chunk vectors (cell-pruned), " +
       "never re-chunks or re-embeds the corpus") {
     val nodes = collectAll(plan("q129_passage_retrieval_ivfpq"))
