@@ -27,6 +27,7 @@ object Sinks {
     */
   def toKafka(df: DataFrame, servers: String, topic: String,
       keyCol: Option[String] = None): Unit = {
+    Sources.requireKafkaDataSource(df.sparkSession, "Sinks.toKafka")
     val value = to_csv(struct(df.columns.toIndexedSeq.map(col): _*)).as("value")
     val out = keyCol match {
       case Some(k) => df.select(col(k).cast("string").as("key"), value)
@@ -41,6 +42,7 @@ object Sinks {
   /** Streaming twin of [[toKafka]]. */
   def toKafkaStream[T](ds: Dataset[T], servers: String, topic: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    Sources.requireKafkaDataSource(ds.sparkSession, "Sinks.toKafkaStream")
     csvValue(ds.toDF()).writeStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)

@@ -56,17 +56,50 @@ object Sources {
       .select(col("r.*"))
       .withColumn("ts", timestamp_seconds(col(tsCol)))
 
-  /** S1: Kafka line source (ref FlinkKafkaConsumer, HotItems.scala:37-44).
-    * Not runnable in this container (no broker) — the builder is the
-    * contract: value-as-string lines, same downstream parse as csv.
+  /** The kafka connector is NOT part of spark core — a deployment
+    * missing `spark-sql-kafka-0-10` surfaces as a raw
+    * ClassNotFound deep inside `load()`. Fail the builders instead,
+    * by name, with the fix in the message. Checked EAGERLY (at
+    * builder time, not first-action time) so a misdeployed pipeline
+    * dies before it builds a plan it can never run.
     */
-  def kafkaLines(spark: SparkSession, servers: String, topic: String): DataFrame =
+  private[jobs] def requireKafkaDataSource(spark: SparkSession,
+      op: String): Unit = {
+    def classNotFound(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[ClassNotFoundException] ||
+        classNotFound(e.getCause))
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("kafka", spark.sessionState.conf)
+      ()
+    } catch {
+      case e: Throwable if classNotFound(e) ||
+          e.getMessage != null && e.getMessage.contains("kafka") =>
+        throw new IllegalStateException(
+          s"$op: the 'kafka' DataSource is not on the classpath. Deploy " +
+            "the connector matching your Spark version, e.g. " +
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> " +
+            "(brings kafka-clients transitively), or place the jars under " +
+            "$SPARK_HOME/jars. The pipeline logic itself is broker-free " +
+            "testable via Sources.csvLines on a memory stream.", e)
+    }
+  }
+
+  /** S1: Kafka line source (ref FlinkKafkaConsumer, HotItems.scala:37-44).
+    * Not runnable in this container (no broker/connector) — the builder
+    * is the contract: value-as-string lines, same downstream parse as
+    * csv. Fails by name via [[requireKafkaDataSource]] when the
+    * connector jar is absent.
+    */
+  def kafkaLines(spark: SparkSession, servers: String, topic: String): DataFrame = {
+    requireKafkaDataSource(spark, "Sources.kafkaLines")
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("subscribe", topic)
       .option("startingOffsets", "latest")
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
+  }
 
   /** S1 end-to-end: a Kafka topic of CSV lines parsed exactly like the
     * file source (ref HotItems.scala:37-48 — the flagship's front door).

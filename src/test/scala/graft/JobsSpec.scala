@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.DataFrame
 
-import graft.jobs.{Jobs, Schemas, Sources}
+import graft.jobs.{Jobs, Schemas, Sinks, Sources}
 
 /** Golden tests for the 12 reference pipelines over synthesized fixtures
   * mirroring the reference's bundled CSVs (FIXTURES.md §§1-7; the
@@ -181,6 +181,27 @@ tx9,alipay,1558430850""")
       fromFile.schema.map(f => (f.name, f.dataType)))
     assert(fromLines.collect().map(_.toString).sorted.sameElements(
       fromFile.collect().map(_.toString).sorted))
+  }
+
+  test("absent kafka DataSource fails the builders BY NAME, not with a " +
+      "raw ClassNotFound") {
+    // this container has no kafka connector jars, so the error path is
+    // directly exercisable: every kafka builder must die at BUILD time
+    // with the deployment fix in the message
+    val eSrc = intercept[IllegalStateException](
+      Sources.kafkaLines(spark, "broker:9092", "t"))
+    assert(eSrc.getMessage.contains("Sources.kafkaLines") &&
+      eSrc.getMessage.contains("spark-sql-kafka-0-10"),
+      s"unnamed source error: ${eSrc.getMessage}")
+    val eSink = intercept[IllegalStateException](
+      Sinks.toKafka(behavior.limit(1), "broker:9092", "t"))
+    assert(eSink.getMessage.contains("Sinks.toKafka") &&
+      eSink.getMessage.contains("spark-sql-kafka-0-10"),
+      s"unnamed sink error: ${eSink.getMessage}")
+    val eStream = intercept[IllegalStateException](
+      Sinks.toKafkaStream(behavior.limit(1), "broker:9092", "t", "/tmp/x"))
+    assert(eStream.getMessage.contains("Sinks.toKafkaStream"),
+      s"unnamed stream-sink error: ${eStream.getMessage}")
   }
 
   test("kafka producer value projection round-trips through the consumer parse") {
