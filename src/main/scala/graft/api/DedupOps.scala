@@ -439,6 +439,7 @@ object DedupOps {
       textCol: String, indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
     foldIntoMinhashIndex(delta, idCol, textCol, indexPath)
     val s = delta.sparkSession
     val (_, _, layers) =
@@ -1128,6 +1129,7 @@ object DedupOps {
       textCol: String, indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
     foldIntoCdcChunkIndex(delta, idCol, textCol, indexPath)
     val s = delta.sparkSession
     IndexMaintenance.compactIfLayered(s, indexPath,
@@ -1167,7 +1169,7 @@ object DedupOps {
     * lack the column). Observability only for CDC: probes are
     * duplicate-insensitive regardless.
     */
-  private def readCdcLayers(s: org.apache.spark.sql.SparkSession,
+  private[graft] def readCdcLayers(s: org.apache.spark.sql.SparkSession,
       indexPath: String): Int =
     try {
       val m = s.read.parquet(s"$indexPath/meta")

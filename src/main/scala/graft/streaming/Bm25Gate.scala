@@ -28,6 +28,20 @@ import graft.api.TextOps
   * as in the batch ranker. Output: qid, window_end, rank, doc id
   * (idCol's name), score — StreamingSpec proves row-for-row parity
   * with [[TextOps.bm25TopK]] on the same query set.
+  *
+  * FOLD-WHILE-SERVING CONTRACT: the persisted-index gate reads meta
+  * (corpus stats n/tt/maxDl, layer count) ONCE at graph build and its
+  * static side is a graph-build snapshot (cached parquet file
+  * listing) — a [[TextOps.foldIntoBm25Index]] landing while the gate
+  * serves is invisible to it; the gate keeps ranking against the
+  * authored corpus consistently (never new postings under old stats,
+  * which is why serving folds live is IMPOSSIBLE here without
+  * re-authoring: BM25 folds REWRITE the meta's merged stats, unlike
+  * the frozen-codebook IVF-PQ path). Re-author the gate to pick a
+  * fold up; QUIESCE it across a [[TextOps.maintainBm25Index]]
+  * compaction swap (the swap deletes files the cached listing still
+  * points at). The CdcGate StreamingSpec fold-while-serving case pins
+  * the snapshot behavior for this gate architecture.
   */
 object Bm25Gate {
 

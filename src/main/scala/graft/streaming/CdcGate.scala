@@ -34,7 +34,23 @@ import graft.api.DedupOps
   * stream continuously — the exact-passage sibling of the
   * NearDupIngest minhash gate.
   *
+  * FOLD-WHILE-SERVING CONTRACT (StreamingSpec-pinned): the static
+  * side is a GRAPH-BUILD SNAPSHOT — Spark caches the parquet file
+  * listing in the authored plan, so an in-place
+  * [[graft.api.DedupOps.foldIntoCdcChunkIndex]] landing while the
+  * gate serves is invisible to it (the gate keeps scoring against
+  * the authored chunk set, consistently; it never sees a torn state).
+  * Re-author the gate to pick a fold up. COMPACTION is different: the
+  * [[graft.api.DedupOps.maintainCdcChunkIndex]] swap DELETES files
+  * the cached listing still points at — quiesce (stop) the gate
+  * across a compaction swap, then re-author. (Contrast: the IVF-PQ
+  * serving path [[graft.api.VectorOps.ivfPqProbeEachBatch]] re-reads
+  * codes per micro-batch and is fold-while-serving safe — its folds
+  * never rewrite meta; CDC folds bump `layers`.)
+  *
   * Output: idCol, window_end, n_chunks, n_hits, hit_x1000 (append).
+  * Per (window, doc) the layered-index branch is delivery-idempotent:
+  * a doc redelivered inside one window collapses to one chunk set.
   */
 object CdcGate {
 
@@ -43,6 +59,16 @@ object CdcGate {
       declareWatermark: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     val (_, modulus, w) = DedupOps.readCdcMeta(s, indexPath)
+    // LAYERED index (in-place folds appended): the chunk set is
+    // globally distinct only within each run — a chunk living in both
+    // the base and a fold run would double its _hit under the plain
+    // left join (the batch probe is immune: left_semi). layers==1
+    // keeps the single-aggregate fast path; layers>1 collapses
+    // duplicate index hits per (window, doc, chunk) first — chained
+    // watermark-bounded aggregates, the Bm25Gate layered-branch
+    // discipline. Read once at graph build, like the geometry: the
+    // static side is a graph-build snapshot (see fold note below).
+    val layers = DedupOps.readCdcLayers(s, indexPath)
     val corpus = s.read.parquet(s"$indexPath/chunks")
       .select(col("c").as("_c"), lit(1L).as("_hit"))
 
@@ -54,12 +80,20 @@ object CdcGate {
       extraCols = Seq(tsCol))
 
     val win = org.apache.spark.sql.functions.window(col(tsCol), window)
-    val scored = chunked.filter(size(col("_ch")) >= 1)
+    val joined = chunked.filter(size(col("_ch")) >= 1)
       .select(col(idCol), col(tsCol), explode(col("_ch")).as("_c"))
       .join(corpus, Seq("_c"), "left")
-      .groupBy(win, col(idCol))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+    val rolled =
+      if (layers <= 1)
+        joined.groupBy(win, col(idCol))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      else
+        joined.groupBy(win, col(idCol), col("_c"))
+          .agg(max(coalesce(col("_hit"), lit(0L))).as("_h"))
+          .groupBy(col("window"), col(idCol))
+          .agg(count(lit(1)).as("n_chunks"), sum(col("_h")).as("n_hits"))
+    val scored = rolled
       .select(col(idCol), col("window.end").as("window_end"),
         col("n_chunks"), col("n_hits"))
     // chunk-less docs go through the SAME windowed-aggregate shape as

@@ -629,6 +629,98 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  /** Fold-while-serving contract for the stream-static gates: unlike
+    * the IVF-PQ probe (fresh read per micro-batch inside
+    * foreachBatch), a gate's static side is authored ONCE — Spark
+    * caches the parquet file listing in the plan, so an in-place fold
+    * landing while the gate serves is INVISIBLE to it: the gate keeps
+    * scoring against the graph-build snapshot, consistently (never a
+    * torn mix of old meta + new runs). Re-authoring the gate picks the
+    * fold up. This test PINS that contract end-to-end; the gates'
+    * Scaladoc states it (and that compaction swaps require quiescing —
+    * a swap DELETES files the cached listing still points at).
+    */
+  test("CdcGate fold-while-serving: gate serves the authored snapshot; " +
+      "a re-authored gate sees the fold (batch parity both sides)") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcfws-").toString
+    graft.api.DedupOps.writeCdcChunkIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      s"$dir/cdc", modulus = 32, window = 4)
+    val deltaDf = docs.filter(col("doc_id") % 5 === 0)
+    val probeDf = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text"))
+    val probes = probeDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    def batchWant() = graft.api.DedupOps.cdcChunkHitsAgainstIndex(
+        probeDf, "doc_id", "text", s"$dir/cdc")
+      .select("doc_id", "n_hits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantPre = batchWant()
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = CdcGate.hitsGate(input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes",
+      s"$dir/cdc")
+    val q = out.writeStream.format("memory").queryName("cdc_fws_gate")
+      .outputMode("append").start()
+    val base = 1558430000000L
+    try {
+      // window 1: scored against the authored snapshot
+      input.addData(probes.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + i * 1000L)) }.toSeq: _*)
+      q.processAllAvailable()
+      // the fold lands WHILE the gate serves
+      graft.api.DedupOps.foldIntoCdcChunkIndex(
+        deltaDf, "doc_id", "text", s"$dir/cdc")
+      // window 2 (same docs, 20 min later): still the snapshot
+      input.addData(probes.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + 20L * 60 * 1000 + i * 1000L)) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val wantPost = batchWant()
+    // non-vacuity: the fold must actually change what the batch probe
+    // sees (the delta's own chunks are now all present)
+    assert(wantPost != wantPre,
+      "fold changed nothing — the while-serving claim would be vacuous")
+    val byWindow = spark.table("cdc_fws_gate").filter(col("doc_id") >= 0)
+      .select("window_end", "doc_id", "n_hits").collect()
+      .groupBy(_.getTimestamp(0).getTime)
+      .map { case (w, rs) =>
+        w -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(byWindow.size == 2, s"expected 2 windows, got ${byWindow.keySet}")
+    byWindow.values.foreach { got =>
+      assert(got == wantPre,
+        "gate drifted from the authored snapshot mid-serve " +
+          s"(diff=${got.toSet.diff(wantPre.toSet).take(3)})")
+    }
+    // a RE-AUTHORED gate (same index path) sees the folded corpus
+    val input2 = MemoryStream[(Long, String, Timestamp)]
+    val out2 = CdcGate.hitsGate(input2.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes",
+      s"$dir/cdc")
+    val q2 = out2.writeStream.format("memory").queryName("cdc_fws_gate2")
+      .outputMode("append").start()
+    try {
+      input2.addData(probes.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + i * 1000L)) }.toSeq: _*)
+      q2.processAllAvailable()
+      input2.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q2.processAllAvailable()
+      input2.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = spark.table("cdc_fws_gate2").filter(col("doc_id") >= 0)
+      .select("doc_id", "n_hits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == wantPost,
+      s"re-authored gate != post-fold batch probe " +
+        s"(diff=${got2.toSet.diff(wantPost.toSet).take(3)})")
+  }
+
   /** Streaming BM25 gate: the chained (window,qid,doc)-rollup →
     * (window,qid)-topk_agg aggregation over the SHARED static
     * contribution index must rank identically to the batch
