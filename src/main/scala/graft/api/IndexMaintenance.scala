@@ -32,8 +32,23 @@ import org.apache.spark.sql.SparkSession
   * the fold crash contract, [[DedupOps.foldIntoMinhashIndex]]).
   * Crash consistency inherits that contract — single-writer,
   * restore-on-failure: a crash between the two renames leaves the
-  * index path briefly absent, and leftover `__compacting`/`__old`
-  * siblings from a crashed attempt are deleted on the next maintain.
+  * index path briefly absent, and every `maintain*` entry point runs
+  * [[recoverAtEntry]] FIRST (before its fold): a missing live path
+  * with an `__old` sibling restores `__old` into place, and stale
+  * `__compacting`/`__old` siblings are deleted UNCONDITIONALLY — a
+  * crashed attempt can neither strand the index absent nor leave a
+  * full-size copy lingering while folds stay under the threshold.
+  *
+  * READER CONTRACT: the swap is NOT reader-safe. A probe running
+  * concurrently sees a briefly-absent path between the renames, and a
+  * probe that listed files pre-swap can hit deleted files after the
+  * old copy is removed. Quiesce probes across any maintain* call that
+  * may compact (layer count at threshold), or gate the call behind
+  * the serving layer's lock. This is deliberately WEAKER than the
+  * IVF-PQ serving path ([[VectorOps.ivfPqProbeEachBatch]] is
+  * fold-while-serving safe because IVF-PQ folds never rewrite meta
+  * and never delete files) — the difference is visible at the call
+  * site: maintain* families reconcile layers and rewrite on compact.
   */
 object IndexMaintenance {
 
@@ -46,8 +61,31 @@ object IndexMaintenance {
     */
   val DefaultCompactThreshold = 8
 
+  /** Crash recovery, run by every maintain* entry point BEFORE its
+    * fold: restore `__old` into place when the live path is absent (a
+    * crash landed between the swap's two renames), then delete stale
+    * `__compacting`/`__old` siblings unconditionally (a crashed
+    * attempt's full-index copy must not linger while folds stay under
+    * the compaction threshold). Idempotent; no-op on a healthy index.
+    */
+  def recoverAtEntry(s: SparkSession, indexPath: String): Unit = {
+    val fs = new Path(indexPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val live = fs.makeQualified(new Path(indexPath))
+    val fresh = new Path(live.getParent, live.getName + "__compacting")
+    val old = new Path(live.getParent, live.getName + "__old")
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new IllegalStateException(
+        s"recoverAtEntry: live index $live is absent (crashed swap) and " +
+          s"restoring $old into place failed — manual restore required")
+    fs.delete(fresh, true)
+    fs.delete(old, true)
+    ()
+  }
+
   /** Run `compactTo(freshDir)` and swap the result into `indexPath`
     * iff `layers >= threshold`. Returns true when a compaction ran.
+    * NOT reader-safe — see the object Scaladoc's reader contract.
     */
   def compactIfLayered(s: SparkSession, indexPath: String, layers: Int,
       threshold: Int)(compactTo: String => Unit): Boolean = {

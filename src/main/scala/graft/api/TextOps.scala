@@ -1114,6 +1114,7 @@ object TextOps {
       indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
     foldIntoBm25Index(delta, idCol, textCol, indexPath)
     val s = delta.sparkSession
     val (_, _, _, _, layers) =

@@ -323,6 +323,7 @@ object VectorOps {
       planes: Seq[Seq[Double]], indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
     foldIntoSignIndex(delta, idCol, vecCol, planes, indexPath)
     val s = delta.sparkSession
     val (_, _, layers) = readSignMeta(s, indexPath, "maintainSignIndex")

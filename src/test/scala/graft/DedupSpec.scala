@@ -604,6 +604,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("recoverAtEntry: a crash between the swap's two renames (live " +
+      "absent, __old present) restores the index; stale siblings are " +
+      "cleared even when no compaction fires") {
+    import graft.api.{DedupOps, IndexMaintenance}
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 === 1)
+    val d1 = docs.filter(col("doc_id") % 5 === 2)
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+    def probeSet(path: String) = DedupOps.minhashPairsAgainstIndex(
+        probes, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-recov-").toString
+    DedupOps.writeMinhashIndex(c0, "doc_id", "text", s"$dir/ix")
+    // simulate the crash window: live moved aside, fresh copy dangling
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/ix"),
+      java.nio.file.Paths.get(s"$dir/ix__old"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/ix__compacting"))
+    // BEFORE the fix this was the 'rebuild it once' failure: the fold's
+    // meta read finds no live index. maintain must restore __old into
+    // place, clear both siblings, and fold normally.
+    assert(!DedupOps.maintainMinhashIndex(d1, "doc_id", "text",
+      s"$dir/ix", compactThreshold = 8))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/ix__compacting")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/ix__old")),
+      "stale siblings must be cleared unconditionally")
+    DedupOps.writeMinhashIndex(c0.unionByName(d1), "doc_id", "text",
+      s"$dir/full")
+    val want = probeSet(s"$dir/full")
+    assert(want.nonEmpty && probeSet(s"$dir/ix") == want,
+      "restored-then-folded index must probe like a from-scratch build")
+    // recoverAtEntry alone: healthy index is a no-op
+    IndexMaintenance.recoverAtEntry(spark, s"$dir/ix")
+    assert(probeSet(s"$dir/ix") == want)
+  }
+
   test("maintainCdcChunkIndex + maintainSignIndex: same policy, " +
       "other families") {
     import graft.api.{DedupOps, VectorOps}
