@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * code and re-pin AnnFloors if a minimum legitimately moved.
   *
   * Measured 2026-08-15 (three consecutive runs per SF, all three
-  * identical on every cell):
+  * identical on every cell; REMEASURED the same day at
+  * SPARK_GRAFT_CPUS=4 and =32 — every cell identical to the
+  * default-16 table below, so the minima are parallelism-invariant
+  * across the {4, 16, 32} config set [[graft.queries.AnnFloors]]
+  * accepts; any other parallelism falls back to conservative floors):
   *
   * | query (per-query minimum)      | sf0.001 | sf0.01 | sf0.1 |
   * |---|---|---|---|

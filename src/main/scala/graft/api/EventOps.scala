@@ -552,10 +552,22 @@ object EventOps {
     * Output: (user, step1_event .. stepK_event, first_ts, last_ts)
     * with the caller's `userCol` name preserved.
     */
+  // both CEP formulations stage internal temp columns on the input
+  // frame; a caller column with one of these names would be silently
+  // overwritten, so the collision is rejected by name instead
+  private def requireNoReservedCols(df: DataFrame, op: String): Unit = {
+    val reserved = df.columns.filter(_.matches("^_(ch|nx|k\\d+|i\\d+|t\\d+)$"))
+    require(reserved.isEmpty,
+      s"$op: input columns [${reserved.mkString(", ")}] collide with " +
+        "reserved internal temp names (_ch, _nx, _k<i>, _i<i>, _t<i>) — " +
+        "rename them before calling")
+  }
+
   def strictSequence(df: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String, types: Seq[String],
       horizon: Long): DataFrame = {
     require(types.size >= 2, "strictSequence needs at least two steps")
+    requireNoReservedCols(df, "strictSequence")
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol).asc, col(idCol).asc)
     val withLeads = types.indices.tail.foldLeft(df) { (acc, i) =>
@@ -605,6 +617,11 @@ object EventOps {
       "sessionFunnel steps must be distinct types (a row can carry " +
         "only one step's chain); repeated-type sequences are " +
         "strictSequence or streaming Cep territory")
+    requireNoReservedCols(df, "sessionFunnel")
+    // the id-chain element type follows the caller's idCol (hardcoding
+    // long would fail analysis — or worse, miscast — on string ids)
+    val idArrayType = org.apache.spark.sql.types.ArrayType(
+      df.schema(idCol).dataType)
     val ev = df.filter(col(typeCol).isin(types: _*))
     // rows strictly AFTER the current one in ascending (ts, id) order
     // are exactly the PRECEDING rows under descending order
@@ -632,7 +649,7 @@ object EventOps {
                 coalesce(col("_nx.ch.ok"), lit(false))).as("ok"),
               concat(array(col(idCol)),
                 coalesce(col("_nx.ch.ids"),
-                  array().cast("array<long>"))).as("ids"),
+                  array().cast(idArrayType))).as("ids"),
               col("_nx.ch.lt").as("lt")))
             .otherwise(col("_ch")))
         .drop("_nx")

@@ -9,14 +9,29 @@ package graft.queries
   * to 3/10 would have passed).
   *
   * Measured minima come from [[graft.AnnFloorMeasure]] (run it to
-  * re-derive; three consecutive runs per SF were identical — the
-  * pipelines are deterministic: seeded KMeans, sorted centroids,
-  * fixed tie-breaks — so the −1 slack absorbs only float-sum
-  * reorder, not run-to-run noise). An unknown SF dir falls back to
-  * the pre-round-11 conservative floor for that query, so ad-hoc
-  * corpora don't fail on a table miss.
+  * re-derive). MEASUREMENT CONFIG: the minima were measured at
+  * local[4]/4, local[16]/16, AND local[32]/32 shuffle partitions
+  * (SPARK_GRAFT_CPUS ∈ {4, 16, 32} — Verify's, the measurer's, and
+  * Bench's configs) and were IDENTICAL on every (query, SF) cell
+  * across all three: quantizing sims to integers BEFORE ranking makes
+  * the ranks parallelism-invariant in practice, and the −1 slack
+  * absorbs residual float-sum reorder below the quantization step.
+  * Within that measured set the per-SF table applies; a session at
+  * any OTHER parallelism falls back to the conservative pre-round-11
+  * floor (recall@10 depends on float-sum order in principle, so an
+  * unmeasured layout must not fail the oracle spuriously). Unknown SF
+  * dirs fall back the same way. Policy note: per-(query, SF) pinning
+  * can sit BELOW an old global floor where the measured minimum is
+  * genuinely low (q115@sf0.001: measured 3 → floor 2 vs the old
+  * global 3) — the floor tracks the honest measured minimum, not the
+  * loosest historical assertion.
   */
 object AnnFloors {
+
+  /** The parallelism configs the minima were measured at (see
+    * [[graft.AnnFloorMeasure]]'s Scaladoc table — identical cells at
+    * all three). */
+  private val measuredParallelism = Set(4, 16, 32)
 
   /** (query, sf-dir basename) -> floor; see the measured-minima table
     * in the Scaladoc of [[graft.AnnFloorMeasure]].
@@ -39,7 +54,8 @@ object AnnFloors {
     ("q129_passage_retrieval_ivfpq", "sf0.1") -> 5)
 
   /** Pre-round-11 conservative floors — the fallback for SF dirs not
-    * in the measured table. */
+    * in the measured table AND for sessions whose parallelism is
+    * outside the measured config set. */
   private val fallback: Map[String, Int] = Map(
     "q94_ann_pq" -> 5,
     "q99_ann_ivfpq" -> 3,
@@ -47,8 +63,11 @@ object AnnFloors {
     "q114_hybrid_retrieval_ivfpq" -> 3,
     "q129_passage_retrieval_ivfpq" -> 3)
 
-  def floor(query: String, dir: String): Int = {
+  def floor(s: org.apache.spark.sql.SparkSession, query: String,
+      dir: String): Int = {
     val sf = dir.stripSuffix("/").split('/').last
-    perSf.getOrElse((query, sf), fallback(query))
+    if (measuredParallelism(s.sparkContext.defaultParallelism))
+      perSf.getOrElse((query, sf), fallback(query))
+    else fallback(query)
   }
 }

@@ -124,7 +124,7 @@ SELECT vec_id AS qid,
        true AS recall_ok
 FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
       (s, dir) => {
-        val floor = AnnFloors.floor("q94_ann_pq", dir)
+        val floor = AnnFloors.floor(s, "q94_ann_pq", dir)
         pqRecallCounts(s, dir)
           .select(col("qid"), col("n_neighbors"), col("rn_dense"),
             (col("recall10") >= lit(floor.toLong)).as("recall_ok"))
@@ -222,7 +222,7 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
     */
   private def ivfPqRecallHarness(s: SparkSession, dir: String,
       idx: String, floorKey: String): DataFrame = {
-    val floor = AnnFloors.floor(floorKey, dir)
+    val floor = AnnFloors.floor(s, floorKey, dir)
     ivfPqRecallCounts(s, dir, idx)
       .select(col("qid"), col("n_neighbors"), col("rn_dense"),
         (col("recall10") >= lit(floor.toLong)).as("recall_ok"))

@@ -1001,7 +1001,7 @@ SELECT qid, rank, doc_id, rrf FROM (
 SELECT doc_id AS qid, true AS n_ok, true AS rn_dense, true AS overlap_ok
 FROM documents WHERE doc_id % 100 = 0"""),
       (s, dir) => overlapOracle(hybridIvfPqCounts(s, dir),
-        AnnFloors.floor("q114_hybrid_retrieval_ivfpq", dir))),
+        AnnFloors.floor(s, "q114_hybrid_retrieval_ivfpq", dir))),
 
     QueryDef(
       "q124_token_entropy",
@@ -1130,7 +1130,7 @@ FROM r WHERE rank <= 10"""),
 SELECT doc_id AS qid, true AS n_ok, true AS rn_dense, true AS overlap_ok
 FROM documents WHERE doc_id % 500 = 0"""),
       (s, dir) => overlapOracle(passageIvfPqCounts(s, dir),
-        AnnFloors.floor("q129_passage_retrieval_ivfpq", dir)))
+        AnnFloors.floor(s, "q129_passage_retrieval_ivfpq", dir)))
   )
 
   /** q114's raw overlap counts: IVF-PQ hybrid leg vs the SHARED

@@ -220,6 +220,38 @@ class CepSpec extends SparkSpec {
         s"batchOnly=${(batch -- engine).take(3)}")
   }
 
+  test("sessionFunnel on STRING event ids; reserved temp columns " +
+      "rejected by name") {
+    import spark.implicits._
+    // the id-chain element type must follow the caller's idCol — a
+    // hardcoded array<long> fails analysis (or miscasts) on string ids
+    val df = Seq(
+      (1L, "e1", 1000L, "view"),
+      (1L, "e2", 2000L, "click"),
+      (1L, "e3", 3000L, "purchase"),
+      (2L, "e4", 1000L, "view"),
+      (2L, "e5", 99999L, "click"))
+      .toDF("user_id", "event_id", "ms", "event_type")
+    val got = graft.api.EventOps.sessionFunnel(df, "user_id", "ms",
+        "event_id", "event_type", Seq("view", "click", "purchase"),
+        gap = 5000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq((1L, "e1", "e2", "e3")), got.mkString(","))
+    // a caller column named like an internal temp is rejected, not
+    // silently overwritten
+    val clash = df.withColumn("_ch", lit(1))
+    val e1 = intercept[IllegalArgumentException](
+      graft.api.EventOps.sessionFunnel(clash, "user_id", "ms",
+        "event_id", "event_type", Seq("view", "click"), gap = 5000L))
+    assert(e1.getMessage.contains("_ch"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.api.EventOps.strictSequence(df.withColumn("_k1", lit(1)),
+        "user_id", "ms", "event_id", "event_type",
+        Seq("view", "click"), horizon = 5000L))
+    assert(e2.getMessage.contains("_k1"), e2.getMessage)
+  }
+
   test("session-gap pattern: deadline advances with each accepted event") {
     // four-step chain where EVERY consecutive gap is just inside the
     // session gap — total span 3 x 1.9s; the deadline must re-arm off
