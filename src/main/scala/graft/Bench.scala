@@ -23,7 +23,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = BenchHarness.session()
-    BenchHarness.warmup(spark, SparkEntry.queries.keys)
+    // dev aid (Verify's SPARK_GRAFT_ONLY twin): restrict warmup + the
+    // timed loop to named queries for exclusive single-query profiling
+    // — the driver never sets it, so its runs stay full-catalog
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    BenchHarness.warmup(spark, selected.keys)
     // the warmup alone runs every thunk once → one session's worth of
     // leaked localCheckpoint RDDs before timing even starts
     BenchHarness.drainLocalCheckpoints(spark)
@@ -44,7 +53,7 @@ object Bench {
     // pauses masquerade as per-query regressions; the r8 q56 finding).
     var drained = 0
     val raw = ("shared_stage_build" -> Seq(stageBuild)) +:
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      selected.toSeq.sortBy(_._1).map { case (name, _) =>
         val rs = BenchHarness.timedRuns(3,
           () => SparkEntry.queries(name)(spark, sfDir))
         drained += BenchHarness.drainLocalCheckpoints(spark)

@@ -749,9 +749,17 @@ FROM rat CROSS JOIN thr"""),
         val sR = graft.api.TextOps.bigramLmScoreAgainst(
             docs, "doc_id", "text", mR)
           .select(col("doc_id"), col("sum_q2").as("_qr"))
+        // rat is consumed TWICE (the percentile broadcast AND the
+        // final projection) — without a checkpoint the whole subtree
+        // (BOTH corpus scoring rollups + their join) executes twice
+        // per run. rat is doc-count-sized (3 longs a row), so
+        // materializing it costs nothing next to recomputing the
+        // scoring passes; the r11 bench watch-item's extra second was
+        // exactly this double execution.
         val rat = sT.join(sR, Seq("doc_id"))
           .select(col("doc_id"), col("n_bigrams"),
             (col("_qt") - col("_qr")).as("ratio_x"))
+          .localCheckpoint()
         val thr = rat.filter(col("n_bigrams") > 0)
           .agg(floor(expr("percentile(ratio_x, 0.75)")).cast("long")
             .as("_p75"))
