@@ -70,7 +70,11 @@ object BenchScale {
     // q124 is the zero-exchange entropy kernel — pure scan growth;
     // q127's digest diff join carries 16 B/row, so its growth is the
     // id-keyed exchange
-    "q124_token_entropy", "q127_corpus_diff")
+    "q124_token_entropy", "q127_corpus_diff",
+    // round-12: the bucket-pruned point read — scan work tracks the
+    // key count, not the corpus, so the ratio should sit far below
+    // q121's corpus-proportional co-located read
+    "q132_bucket_pruned_read")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

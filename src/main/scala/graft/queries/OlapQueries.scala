@@ -529,6 +529,51 @@ GROUP BY 1"""),
       }),
 
     QueryDef(
+      "q132_bucket_pruned_read",
+      "Point-ish read through the SAME bucketed layout q121 joins " +
+        "over (one write serves both access patterns): look up a " +
+        "handful of orders and their lineitems by key. The lookup " +
+        "keys arrive as literal IN filters on the BUCKET column, so " +
+        "the planner prunes to the buckets those keys hash to at " +
+        "plan time — both scans read a strict subset of the 8 " +
+        "buckets' files (PlanSpec asserts SelectedBucketsCount < 8 " +
+        "on BOTH sides), and the merge join stays co-located and " +
+        "exchange-free exactly as in q121. At 100 TB with thousands " +
+        "of buckets this is the difference between a key lookup " +
+        "scanning ~1/buckets of the fact table and scanning all of " +
+        "it; the scan work tracks the KEY COUNT, not the corpus " +
+        "(SCALE row). Keys derive deterministically (5 smallest " +
+        "orderkeys divisible by 7 — a bounded 5-long driver collect " +
+        "standing in for the request's keys); decimal-exact revenue, " +
+        "layout-independent results, so the oracle is the plain join " +
+        "with the same key CTE.",
+      Some("""
+WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+           ORDER BY o_orderkey LIMIT 5)
+SELECT o_orderkey, o_orderpriority, count(*) AS n_items,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM orders JOIN k USING (o_orderkey)
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2"""),
+      (s, dir) => {
+        val (li, ord) = bucketedPair(s, dir)
+        // literal keys are what make bucket pruning PLAN-TIME: an IN
+        // over the bucketing column compiles to an optionalBucketSet
+        // on the scan; a join against a keys frame would not prune
+        val keys = s.table(ord).filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        s.table(li).filter(col("l_orderkey").isin(keys: _*)).hint("merge")
+          .join(s.table(ord).filter(col("o_orderkey").isin(keys: _*)),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(dec) *
+                (lit(1) - col("l_discount").cast(dec)))
+              .cast("double").as("revenue"))
+      }),
+
+    QueryDef(
       "q122_zorder_box",
       "2-D box query over the Z-ORDERED layout (Sinks.zorderedLayout + " +
         "the native morton2 expression): events written once ordered by " +

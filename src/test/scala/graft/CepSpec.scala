@@ -162,6 +162,20 @@ class CepSpec extends SparkSpec {
 
   test("q130 batch formulation == strict Cep engine on the real event " +
       "stream (fail-success-fail is not a match)") {
+    assertQ130Parity("cep_q130")
+  }
+
+  test("q130/q131 engine parity holds under the RocksDB state store") {
+    // the same lane the other stateful operators carry: the
+    // fMGWS-backed Cep engine must match the batch formulations with
+    // keyed state living in the out-of-heap store too
+    StateStoreVariants.withRocksDB(spark) {
+      assertQ130Parity("cep_q130_rocks")
+      assertQ131Parity("cep_q131_rocks")
+    }
+  }
+
+  private def assertQ130Parity(name: String): Unit = {
     // the catalog's EventOps.strictSequence and the streaming engine
     // must agree on the FULL events table (all five types interleaved,
     // so intervening events really exercise the partial-killing leg)
@@ -175,7 +189,7 @@ class CepSpec extends SparkSpec {
     val pat = Pattern(Seq(_.eventType == "view", _.eventType == "click",
       _.eventType == "purchase"), horizonMs, strict = true)
     val engine = runCep(evs.toSeq, pat,
-      evs.map(_.tsMs).max + 10 * horizonMs, "cep_q130")
+      evs.map(_.tsMs).max + 10 * horizonMs, name)
       .filter(_.tag == "matched").map(_.eventIds)
     val batch = graft.api.EventOps.strictSequence(
         Tables.events(spark, sf)
@@ -193,6 +207,10 @@ class CepSpec extends SparkSpec {
 
   test("q131 batch formulation == session-gap Cep engine on the real " +
       "event stream (greedy first-next advance)") {
+    assertQ131Parity("cep_q131")
+  }
+
+  private def assertQ131Parity(name: String): Unit = {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"),
         expr("ts_ns div 1000000").as("ms"), col("event_type"))
@@ -204,7 +222,7 @@ class CepSpec extends SparkSpec {
       _.eventType == "click", _.eventType == "purchase"), gapMs,
       strict = false)
     val engine = runCepSession(evs.toSeq, pat,
-      evs.map(_.tsMs).max + 10 * gapMs, "cep_q131")
+      evs.map(_.tsMs).max + 10 * gapMs, name)
       .filter(_.tag == "matched").map(_.eventIds)
     val batch = graft.api.EventOps.sessionFunnel(
         Tables.events(spark, sf)

@@ -288,6 +288,28 @@ class PlanSpec extends SparkSpec {
       "codes scan should carry cell partition filters (literal pruning)")
   }
 
+  test("q132: literal key filters prune BUCKETS on both scans; the " +
+      "co-located join stays exchange-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val nodes = collectAll(plan("q132_bucket_pruned_read"))
+    val scans = nodes.collect {
+      case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f }
+    assert(scans.size >= 2, s"expected both bucketed scans, got $scans")
+    scans.foreach { f =>
+      val sel = f.optionalBucketSet
+      assert(sel.isDefined, s"no bucket pruning on ${f.nodeName}")
+      val n = sel.get.cardinality()
+      assert(n > 0 && n < 8,
+        s"expected a strict bucket subset of 8, got $n selected")
+    }
+    // pruning must not cost the layout its co-location: the join is
+    // still a zero-exchange sort-merge over the surviving buckets
+    assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) <= 1,
+      "expected at most the final rollup exchange")
+  }
+
   test("q121: bucketed fact join plans zero join exchange; " +
       "plain parquet pays two plus sorts") {
     import org.apache.spark.sql.execution.SortExec
