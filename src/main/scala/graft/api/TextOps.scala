@@ -804,9 +804,10 @@ object TextOps {
     // codes parquet was written with the chunk pseudo-id _cid)
     val qe = embedText(queries, qidCol, textCol, d)
       .filter(expr("exists(v, x -> x != 0D)"))
-    val shortlist = VectorOps.ivfPqProbe(
-        qe.select(col(qidCol).as("_cid"), col("v")), "_cid", "v",
-        ivfPqIndexPath, adcX1000Threshold, nprobe)
+    val (probe, cells, _) = VectorOps.ivfPqProbeAndCells(
+      qe.select(col(qidCol).as("_cid"), col("v")), "_cid", "v",
+      ivfPqIndexPath, adcX1000Threshold, nprobe)
+    val shortlist = probe
       .filter(col("vec_new") =!= expr("vec_old div 100000"))
       .withColumn("_arn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_new"))
@@ -815,17 +816,14 @@ object TextOps {
       .select(col("vec_new"), col("vec_old"))
     // exact refine of the refine·|queries|-row shortlist (the q94 ADC +
     // refine shape): true chunk vectors come from the index's STORED
-    // vectors parquet, pruned to the batch's routed cells with the
-    // same isin literal the codes scan gets — every shortlisted id
-    // lives in a routed cell by construction, so the pruned read is
-    // lossless. Quantizing the exact sims identically to
-    // [[passageTopK]] makes the refined ranks tie-stable against the
-    // brute baseline (stored vectors are the embed kernel's exact
-    // doubles, so the dots are bit-identical to recomputing).
-    val model = VectorOps.readIvfPqModel(s, ivfPqIndexPath)
-    val cells = VectorOps.ivfPqRoutedCells(
-      qe.select(col(qidCol).as("_cid"), col("v")), "_cid", "v",
-      model, nprobe)
+    // vectors parquet, pruned to the SAME routed cells the probe's
+    // codes scan used (one derivation — ivfPqProbeAndCells — so the
+    // two prunings cannot diverge); every shortlisted id lives in a
+    // routed cell by construction, so the pruned read is lossless.
+    // Quantizing the exact sims identically to [[passageTopK]] makes
+    // the refined ranks tie-stable against the brute baseline (stored
+    // vectors are the embed kernel's exact doubles, so the dots are
+    // bit-identical to recomputing).
     val cvec = VectorOps.readIvfPqVectors(s, ivfPqIndexPath)
       .filter(col("cell").isin(cells: _*))
       .select(col("vid").as("vec_old"), col("vec").as("_cv"))

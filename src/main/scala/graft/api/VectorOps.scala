@@ -829,7 +829,28 @@ object VectorOps {
     VectorExpressions.register(s)
     val model = readIvfPqModel(s, indexPath)
     ivfPqProbeWith(newDf, idCol, vecCol, indexPath, model,
-      adcX1000Threshold, nprobe)
+      adcX1000Threshold, nprobe)._1
+  }
+
+  /** [[ivfPqProbe]] that ALSO returns the batch's routed cells and the
+    * model it read — for consumers whose downstream reads of the
+    * index's sibling parquets (stored vectors) reuse the SAME
+    * isin-literal pruning as the probe's codes scan, from the same
+    * derivation (one meta read, one cell-routing job; two independent
+    * derivations could silently diverge if either path drifted).
+    * Batch frames only (cells are a plan-time collect).
+    */
+  private[graft] def ivfPqProbeAndCells(newDf: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, adcX1000Threshold: Int,
+      nprobe: Int): (DataFrame, Seq[Int], IvfPqModel) = {
+    require(!newDf.isStreaming,
+      "ivfPqProbeAndCells: plan-time cell collect needs a batch frame")
+    val s = newDf.sparkSession
+    VectorExpressions.register(s)
+    val model = readIvfPqModel(s, indexPath)
+    val (probe, cells) = ivfPqProbeWith(newDf, idCol, vecCol, indexPath,
+      model, adcX1000Threshold, nprobe)
+    (probe, cells, model)
   }
 
   /** Streaming IVF-PQ probe with PER-BATCH cell pruning — the scale
@@ -868,43 +889,21 @@ object VectorOps {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
         sink(ivfPqProbeWith(batch, idCol, vecCol, indexPath, model,
-          adcX1000Threshold, nprobe), batchId)
+          adcX1000Threshold, nprobe)._1, batchId)
     }
   }
 
-  // first-nprobe cell routing over a per-row `cd` distance array —
-  // shared by the probe's explode and ivfPqRoutedCells so the two can
-  // never rank cells differently
+  // first-nprobe cell routing over a per-row `cd` distance array
   private def cellRouteExpr(nCells: Int, nprobe: Int): String =
     s"slice(transform(array_sort(transform(sequence(0, ${nCells - 1}), " +
       s"c -> struct(element_at(cd, c + 1) AS d, c AS c))), p -> p.c), " +
       s"1, $nprobe)"
 
-  /** The distinct cells a BATCH query frame routes to at `nprobe` —
-    * the same ranking the probe itself uses, surfaced so downstream
-    * reads of the index's sibling parquets (stored vectors, codes)
-    * can reuse the isin-literal partition pruning. Bounded collect:
-    * at most nCells ints regardless of query count.
-    */
-  private[graft] def ivfPqRoutedCells(newDf: DataFrame, idCol: String,
-      vecCol: String, model: IvfPqModel, nprobe: Int): Seq[Int] = {
-    require(!newDf.isStreaming,
-      "ivfPqRoutedCells: plan-time cell collect needs a batch frame")
-    require(nprobe >= 1 && nprobe <= model.coarse.k,
-      s"ivfPqRoutedCells: nprobe $nprobe outside [1, ${model.coarse.k}]")
-    VectorExpressions.register(newDf.sparkSession)
-    normalized(newDf, idCol, vecCol)
-      .withColumn("u", expr("transform(v, x -> x / nrm)"))
-      .withColumn("cd", call_function("pq_dists", col("u"),
-        typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)))
-      .select(explode(expr(cellRouteExpr(model.coarse.k, nprobe)))
-        .as("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-  }
-
+  /** Returns (probe frame, routed cells) — cells are empty for
+    * streaming frames (no plan-time collect exists there). */
   private def ivfPqProbeWith(newDf: DataFrame, idCol: String,
       vecCol: String, indexPath: String, model: IvfPqModel,
-      adcX1000Threshold: Int, nprobe: Int): DataFrame = {
+      adcX1000Threshold: Int, nprobe: Int): (DataFrame, Seq[Int]) = {
     val s = newDf.sparkSession
     require(nprobe >= 1 && nprobe <= model.coarse.k,
       s"ivfPqProbe: nprobe $nprobe outside [1, ${model.coarse.k}]")
@@ -928,17 +927,18 @@ object VectorOps {
     // time, so it falls back to the bare equi-join over the full codes
     // — at scale, route streams through ivfPqProbeEachBatch, which
     // re-enters here with a BATCH micro-batch frame and prunes.
+    val routed: Seq[Int] =
+      if (newDf.isStreaming) Seq.empty
+      else q.select(col("cell")).distinct().collect()
+        .map(_.getInt(0)).toSeq
     val scanned =
       if (newDf.isStreaming) codes
-      else {
-        val cells = q.select(col("cell")).distinct().collect()
-          .map(_.getInt(0)).toSeq
-        codes.filter(col("cell").isin(cells: _*))
-      }
-    q.join(scanned, Seq("cell"))
+      else codes.filter(col("cell").isin(routed: _*))
+    val probe = q.join(scanned, Seq("cell"))
       .select(col("vec_new"), col(idCol).as("vec_old"),
         floor(call_function("pq_adc", col("codes"), col("lut"),
           lit(model.pq.k)) * 1000).cast("long").as("asim_x1000"))
       .filter(col("asim_x1000") >= adcX1000Threshold)
+    (probe, routed)
   }
 }
