@@ -568,6 +568,61 @@ object Multimodal {
       "doc_id", "dhash64", bits = 64,
       hammingMax = hammingMax, maxBucket = maxBucket)
 
+  /** Deterministic 16×16 grayscale 24-bit BMP from a byte seed: image
+    * pixel (x, y) has gray value `seed((y*16 + x) mod seed.length)`
+    * (unsigned). A REAL image container (ImageIO's BMP reader decodes
+    * it losslessly — 24-bit BMP is uncompressed BGR, rows stored
+    * bottom-up, row stride 48 = already 4-byte aligned), so everything
+    * downstream of [[documentsAsBmpMedia]] exercises the genuine
+    * decode path while staying derivable from first principles by the
+    * DuckDB oracle (the q133/q134 contract: if the decode corrupted a
+    * single pixel, the cross-engine hash compare would catch it).
+    */
+  private[graft] def grayBmp16(seed: Array[Byte]): Array[Byte] = {
+    val w = 16; val h = 16
+    val rowBytes = w * 3
+    val dataSize = rowBytes * h
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val v =
+          if (seed.length == 0) 0
+          else seed((y * w + x) % seed.length) & 0xff
+        b.put(v.toByte).put(v.toByte).put(v.toByte)
+        x += 1
+      }
+      r += 1
+    }
+    b.array()
+  }
+
+  /** documents → REAL decodable image media: each doc's UTF-8 text
+    * bytes seed a [[grayBmp16]] payload (empty/null texts drop — no
+    * pixels to derive). The distributed builder is mapPartitions like
+    * [[decode]]; at 100 TB this stage is replaced by reading the real
+    * image bytes off the object store and the downstream hash/dedup
+    * operators are unchanged.
+    */
+  def documentsAsBmpMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id").as("docId"), lit("image/bmp").as("mediaType"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => r.copy(payload = grayBmp16(r.payload))))
+  }
+
   /** documents table → media records (text bytes standing in for image
     * payloads; at 100TB this column is the raw bytes from the object
     * store and everything downstream is unchanged).

@@ -104,6 +104,57 @@ FROM v WHERE (it * 1000) // un >= 500"""
     */
   private[queries] lazy val q21OracleSql: String = minhashPairsSql("documents")
 
+  /** First-principles derivation of the q133/q134 perceptual image
+    * hashes, shared by both oracles (the q89/q92 one-generator
+    * discipline — the hash and the pair query cannot drift). Pixel
+    * (x, y) of doc d is byte ((y*16 + x) mod n) of the doc's UTF-8
+    * bytes (exactly how Multimodal.grayBmp16 seeds the REAL BMP the
+    * Spark side decodes); every aHash/dHash bit decision reduces to
+    * an integer cross-multiplication because all the engine-side
+    * doubles are exact (gray luminance == the pixel byte; block
+    * counts are powers of two — MediaSpec pins the law).
+    */
+  private lazy val imageHashCtes: String = s"""
+WITH imgd AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 1),
+px AS (
+  SELECT doc_id, (g.j % 16) AS x, (g.j // 16) AS y,
+         ('0x' || substr(hx, 2 * (g.j % n) + 1, 2))::BIGINT AS v
+  FROM imgd CROSS JOIN generate_series(0, 255) g(j)),
+ab AS (
+  SELECT doc_id, (y // 2) * 8 + (x // 2) AS i, sum(v) AS s
+  FROM px GROUP BY 1, 2),
+atot AS (SELECT doc_id, sum(s) AS t FROM ab GROUP BY 1),
+ah AS (
+  SELECT ab.doc_id,
+         sum(CASE WHEN ab.s * 64 > atot.t THEN
+               CASE WHEN ab.i = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << ab.i::INT) END
+             ELSE 0 END)::BIGINT AS ahash64
+  FROM ab JOIN atot USING (doc_id) GROUP BY 1),
+gb AS (
+  SELECT cx, (cx * 16) // 9 AS x0,
+         least(16, greatest((cx * 16) // 9 + 1, ((cx + 1) * 16) // 9)) AS x1
+  FROM generate_series(0, 8) t(cx)),
+db AS (
+  SELECT px.doc_id, gb.cx, (px.y // 2) AS cy, sum(px.v) AS s,
+         count(*) AS c
+  FROM px JOIN gb ON px.x >= gb.x0 AND px.x < gb.x1
+  GROUP BY 1, 2, 3),
+dh AS (
+  SELECT l.doc_id,
+         sum(CASE WHEN l.s * r.c < r.s * l.c THEN
+               CASE WHEN l.cy * 8 + l.cx = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << (l.cy * 8 + l.cx)::INT) END
+             ELSE 0 END)::BIGINT AS dhash64
+  FROM db l JOIN db r ON l.doc_id = r.doc_id AND l.cy = r.cy
+        AND r.cx = l.cx + 1
+  WHERE l.cx < 8
+  GROUP BY 1)"""
+
   /** q53's full oracle SQL — shared by q90 (semantic-dedup keepers),
     * which clusters the same pair list (the q21OracleSql pattern in
     * vector space).
@@ -1005,6 +1056,71 @@ FROM documents"""),
             (col("n_bytes") % 64 + 16).as("width"),
             expr("((n_bytes div 64) % 64) + 16").as("height"),
             (col("n_bytes") % 7 + 1).as("n_frames"))),
+
+    QueryDef(
+      "q133_image_phash",
+      "Perceptual image hashes through the REAL decode path " +
+        "(operators.Multimodal.imageHashes): each doc's text bytes " +
+        "seed a genuine 16x16 grayscale 24-bit BMP (grayBmp16 — a " +
+        "real container, not a stub), javax.imageio decodes it, and " +
+        "aHash (8x8 block mean vs global mean) + dHash (9x8 " +
+        "horizontal gradient signs) come off the TRUE pixels. The " +
+        "oracle re-derives both 64-bit hashes from FIRST PRINCIPLES " +
+        "over the same bytes (pixel (x,y) = byte((y*16+x) mod n); " +
+        "block sums compare by integer cross-multiplication — every " +
+        "intermediate double is exact, see MediaSpec), so a single " +
+        "pixel corrupted anywhere in the encode->decode->downsample " +
+        "path flips the hash compare: the decode itself is " +
+        "cross-engine-gated, not just the plumbing around it. " +
+        "Map-only at any scale (mapPartitions decode, no shuffle).",
+      Some(s"""
+$imageHashCtes
+SELECT doc_id, ahash64, dhash64 FROM ah JOIN dh USING (doc_id)"""),
+      (s, dir) =>
+        graft.operators.Multimodal.imageHashes(
+          graft.operators.Multimodal.documentsAsBmpMedia(s, dir))),
+
+    QueryDef(
+      "q134_image_near_dup",
+      "Near-duplicate IMAGE pairs (operators.Multimodal." +
+        "imageNearDupPairs): dHash-64 hamming <= 6 with the same " +
+        "pigeonhole-lossless blocking + capped-bucket skew contract " +
+        "as the text simhash (q54) — 7 disjoint blocks of the 64-bit " +
+        "gradient hash, any pair within hamming 6 agrees exactly on " +
+        ">= 1 block, candidates only from capped block buckets, " +
+        "verified by exact bit_count(xor). The image sibling of the " +
+        "q54 text modality: exact-duplicate texts seed identical " +
+        "BMPs (hamming 0) and near-dup texts seed near-identical " +
+        "pixel streams, so the fixture's dup structure surfaces at " +
+        "the image level. The oracle replays blocking, caps, and " +
+        "verification over its first-principles dHash derivation.",
+      Some(s"""
+$imageHashCtes,
+blocks AS (
+  SELECT doc_id, g.b AS band,
+         CASE WHEN g.b = 6 THEN (dhash64 >> 54) & 1023
+              ELSE (dhash64 >> (9 * g.b)) & 511 END AS bkey
+  FROM dh CROSS JOIN generate_series(0, 6) g(b)),
+ok AS (
+  SELECT band, bkey FROM blocks
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+  JOIN blocks b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       bit_count(xor(da.dhash64, db.dhash64))::BIGINT AS hamming
+FROM cand
+JOIN dh da ON da.doc_id = doc_a
+JOIN dh db ON db.doc_id = doc_b
+WHERE bit_count(xor(da.dhash64, db.dhash64)) <= 6"""),
+      (s, dir) =>
+        graft.operators.Multimodal.imageNearDupPairs(
+          graft.operators.Multimodal.documentsAsBmpMedia(s, dir),
+          hammingMax = 6)),
 
     QueryDef(
       "q78_cross_source_dups",

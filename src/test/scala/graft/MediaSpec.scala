@@ -380,6 +380,59 @@ class MediaSpec extends SparkSpec {
       s"noise too close: ${java.lang.Long.bitCount(hs(1L)._2 ^ hs(3L)._2)}")
   }
 
+  test("grayBmp16 round-trips byte-exactly through the REAL BMP decode, " +
+      "and the hash doubles are exact (the q133/q134 oracle laws)") {
+    // pixel (x, y) == seed((y*16+x) mod n) AFTER the full encode ->
+    // javax.imageio decode round trip — bottom-up row order and BGR
+    // packing included. This is the law the DuckDB first-principles
+    // oracle computes from, so it must hold at the PIXEL level.
+    val seed = "The quick brown fox jumps over the lazy dog — περί"
+      .getBytes("UTF-8")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.grayBmp16(seed)))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val rgb = img.getRGB(x, y)
+      val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      val want = seed((y * 16 + x) % seed.length) & 0xff
+      assert(r == want && g == want && b == want,
+        s"pixel ($x,$y): got ($r,$g,$b), want $want")
+    }
+    // exactness of the engine-side doubles the oracle's integer
+    // cross-multiplications stand in for: gray luminance of an (v,v,v)
+    // pixel is v EXACTLY (299+587+114 = 1000), and a first-principles
+    // integer recompute of both hashes matches perceptualHash through
+    // the real decode bit for bit
+    val px = Array.tabulate(16, 16)((y, x) =>
+      (seed((y * 16 + x) % seed.length) & 0xff).toLong)
+    val blockSums = Array.tabulate(8, 8)((cy, cx) =>
+      px(2 * cy)(2 * cx) + px(2 * cy)(2 * cx + 1) +
+        px(2 * cy + 1)(2 * cx) + px(2 * cy + 1)(2 * cx + 1))
+    val total = blockSums.flatten.sum
+    var wantA = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8)
+      if (blockSums(cy)(cx) * 64 > total) wantA |= 1L << (cy * 8 + cx)
+    def dBlock(cx: Int, cy: Int): (Long, Long) = {
+      val x0 = cx * 16 / 9
+      val x1 = math.min(16, math.max(x0 + 1, (cx + 1) * 16 / 9))
+      var s = 0L; var c = 0L
+      for (x <- x0 until x1; y <- 2 * cy until 2 * cy + 2) {
+        s += px(y)(x); c += 1
+      }
+      (s, c)
+    }
+    var wantD = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val (sl, cl) = dBlock(cx, cy)
+      val (sr, cr) = dBlock(cx + 1, cy)
+      if (sl * cr < sr * cl) wantD |= 1L << (cy * 8 + cx)
+    }
+    val got = Multimodal.perceptualHash(
+      MediaRecord(9L, "image/bmp", Multimodal.grayBmp16(seed)))
+    assert(got.contains((wantA, wantD)),
+      s"decode-path hash ${got} != first-principles ($wantA, $wantD)")
+  }
+
   test("imageNearDupPairs: the brightened twin pairs, noise does not") {
     import spark.implicits._
     val recs = Seq(
