@@ -623,6 +623,152 @@ object Multimodal {
       .mapPartitions(_.map(r => r.copy(payload = grayBmp16(r.payload))))
   }
 
+  // ---- audio fingerprinting (real decode path) --------------------------
+
+  /** Deterministic 8-bit unsigned mono PCM WAV (8 kHz, 256 samples)
+    * from a byte seed: sample j IS `seed(j mod seed.length)` — 8-bit
+    * WAV samples are unsigned bytes, so the container stores the seed
+    * verbatim behind a genuine RIFF/fmt/data header the JDK audio
+    * stack parses. The audio sibling of [[grayBmp16]], built for the
+    * same contract: the q135/q136 oracle derives the fingerprint from
+    * the seed bytes by first principles, so the REAL container decode
+    * is what the cross-engine compare gates.
+    */
+  private[graft] def pcmWav8(seed: Array[Byte]): Array[Byte] = {
+    val n = 256
+    val b = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    var j = 0
+    while (j < n) {
+      b.put(if (seed.length == 0) 0.toByte else seed(j % seed.length))
+      j += 1
+    }
+    b.array()
+  }
+
+  /** 64-bit audio envelope fingerprint via the REAL JDK decode: the
+    * payload parses through AudioSystem, samples extract in the
+    * stream's OWN width when it is 8-bit PCM (|v − 128| for unsigned,
+    * |v| for signed — the JDK's 8→16 widener is round(d·32767/127) on
+    * the positive side, a per-sample rounding that would break the
+    * exact first-principles replay; the native read keeps the law
+    * integer-exact, and the container parse is still the genuine
+    * decode under test) and through [[decodeAudio]]'s 16-bit
+    * normalize for every other encoding. 64 equal-split windows of
+    * mean |amplitude| threshold against the global mean — bit w set
+    * iff window w's mean strictly exceeds it (the aHash discipline on
+    * the time axis: uniform gain shifts every window and the global
+    * mean together, so the fingerprint is volume-invariant). All bit
+    * decisions are integer cross-multiplications of |sample| sums
+    * (the q135/q136 oracle replays them; MediaSpec pins the law).
+    * None when the JDK parses no audio from the bytes.
+    */
+  private[graft] def envelopeHash(r: MediaRecord): Option[Long] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(ais).flatMap { in =>
+      try {
+        val src = in.getFormat
+        val enc = src.getEncoding
+        val native8 = src.getSampleSizeInBits == 8 &&
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        val (bytes, bytesPerSample, absSample) =
+          if (native8) {
+            val bs = in.readAllBytes()
+            val unsigned =
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            (bs, 1, (i: Int) =>
+              if (unsigned) math.abs((bs(i) & 0xff) - 128).toLong
+              else math.abs(bs(i).toLong))
+          } else {
+            val target = new javax.sound.sampled.AudioFormat(
+              src.getSampleRate, 16, src.getChannels, true, false)
+            val bs = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(target, in).readAllBytes()
+            (bs, 2, (i: Int) => math.abs(
+              ((bs(i) & 0xff) | (bs(i + 1) << 8)).toShort.toLong))
+          }
+        val ch = src.getChannels
+        val frameSize = bytesPerSample * ch
+        val nFrames = bytes.length / frameSize
+        if (nFrames == 0) None
+        else {
+          val wsum = new Array[Long](64)
+          val wcnt = new Array[Long](64)
+          var w = 0
+          while (w < 64) {
+            val f0 = (w.toLong * nFrames / 64).toInt
+            val f1 = math.max(f0 + 1, ((w + 1).toLong * nFrames / 64).toInt)
+            var f = f0
+            while (f < math.min(f1, nFrames)) {
+              var c = 0
+              while (c < ch) {
+                wsum(w) += absSample(f * frameSize + bytesPerSample * c)
+                wcnt(w) += 1
+                c += 1
+              }
+              f += 1
+            }
+            w += 1
+          }
+          val total = wsum.sum
+          val totCnt = wcnt.sum
+          var h = 0L
+          var i = 0
+          while (i < 64) {
+            if (wcnt(i) > 0 && wsum(i) * totCnt > total * wcnt(i))
+              h |= 1L << i
+            i += 1
+          }
+          Some(h)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally in.close()
+    }
+  }
+
+  /** Audio fingerprint table: doc_id, envhash64 — one row per payload
+    * the JDK audio stack parses (others drop; callers needing them
+    * left-join back). Map-only, [[decode]]-shaped. */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(r => envelopeHash(r).map(h => (r.docId, h)))
+    }.toDF("doc_id", "envhash64")
+  }
+
+  /** Near-duplicate audio pairs: envelope-hash-64 hamming with the
+    * SAME pigeonhole-lossless blocking + capped-bucket contract as
+    * the image (q134) and text (q54) modalities — one pair engine,
+    * three modalities. Output: doc_a, doc_b, hamming. */
+  def audioNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
+      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
+    graft.api.DedupOps.fingerprintPairs(
+      audioFingerprints(media), "doc_id", "envhash64", bits = 64,
+      hammingMax = hammingMax, maxBucket = maxBucket)
+
+  /** documents → REAL decodable audio media: each doc's UTF-8 text
+    * bytes seed a [[pcmWav8]] payload (the [[documentsAsBmpMedia]]
+    * contract on the audio axis). */
+  def documentsAsWavMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id").as("docId"), lit("audio/wav").as("mediaType"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => r.copy(payload = pcmWav8(r.payload))))
+  }
+
   /** documents table → media records (text bytes standing in for image
     * payloads; at 100TB this column is the raw bytes from the object
     * store and everything downstream is unchanged).

@@ -155,6 +155,37 @@ dh AS (
   WHERE l.cx < 8
   GROUP BY 1)"""
 
+  /** First-principles derivation of the q135/q136 audio envelope
+    * fingerprint (the [[imageHashCtes]] discipline on the audio
+    * axis). Sample j of doc d is byte (j mod n) of the doc's UTF-8
+    * bytes, stored VERBATIM as 8-bit unsigned PCM by
+    * Multimodal.pcmWav8; the JDK's normalize-to-16-bit is the exact
+    * linear map (v − 128)·256, so |sample| sums differ from
+    * Σ|v − 128| by a common factor that cancels in the window-mean
+    * vs global-mean cross-multiplication (256 samples, 64 windows of
+    * 4 ⇒ bit w set iff wsum·64 > total — MediaSpec pins the law
+    * through the real decode).
+    */
+  private lazy val audioHashCtes: String = s"""
+WITH auda AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 1),
+smp AS (
+  SELECT doc_id, g.j // 4 AS w,
+         abs(('0x' || substr(hx, 2 * (g.j % n) + 1, 2))::BIGINT - 128) AS a
+  FROM auda CROSS JOIN generate_series(0, 255) g(j)),
+wsum AS (SELECT doc_id, w, sum(a) AS s FROM smp GROUP BY 1, 2),
+wtot AS (SELECT doc_id, sum(s) AS t FROM wsum GROUP BY 1),
+eh AS (
+  SELECT wsum.doc_id,
+         sum(CASE WHEN wsum.s * 64 > wtot.t THEN
+               CASE WHEN wsum.w = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << wsum.w::INT) END
+             ELSE 0 END)::BIGINT AS envhash64
+  FROM wsum JOIN wtot USING (doc_id) GROUP BY 1)"""
+
   /** q53's full oracle SQL — shared by q90 (semantic-dedup keepers),
     * which clusters the same pair list (the q21OracleSql pattern in
     * vector space).
@@ -1120,6 +1151,66 @@ WHERE bit_count(xor(da.dhash64, db.dhash64)) <= 6"""),
       (s, dir) =>
         graft.operators.Multimodal.imageNearDupPairs(
           graft.operators.Multimodal.documentsAsBmpMedia(s, dir),
+          hammingMax = 6)),
+
+    QueryDef(
+      "q135_audio_fingerprint",
+      "Audio envelope fingerprints through the REAL decode path " +
+        "(operators.Multimodal.audioFingerprints): each doc's text " +
+        "bytes seed a genuine 8-bit mono PCM WAV (pcmWav8 — a real " +
+        "RIFF container), AudioSystem parses it and normalizes to " +
+        "16-bit PCM exactly as decodeAudio does, and the 64-bit " +
+        "fingerprint thresholds 64 windows' mean |amplitude| against " +
+        "the global mean (volume-invariant — uniform gain shifts " +
+        "both). The oracle re-derives the fingerprint from first " +
+        "principles over the same bytes: the JDK's 8-to-16-bit map " +
+        "is the exact linear (v-128)*256, which cancels in the " +
+        "integer cross-multiplication (MediaSpec pins the law), so " +
+        "the container parse + sample extraction is cross-engine-" +
+        "gated. Map-only at any scale.",
+      Some(s"""
+$audioHashCtes
+SELECT doc_id, envhash64 FROM eh"""),
+      (s, dir) =>
+        graft.operators.Multimodal.audioFingerprints(
+          graft.operators.Multimodal.documentsAsWavMedia(s, dir))),
+
+    QueryDef(
+      "q136_audio_near_dup",
+      "Near-duplicate AUDIO pairs (operators.Multimodal." +
+        "audioNearDupPairs): envelope-hash-64 hamming <= 6 with the " +
+        "SAME pigeonhole-lossless blocking + capped-bucket contract " +
+        "as the image (q134) and text (q54) modalities — ONE pair " +
+        "engine (DedupOps.fingerprintPairs), three modalities. The " +
+        "oracle replays blocking, caps, and bit_count(xor) " +
+        "verification over its first-principles fingerprint " +
+        "derivation.",
+      Some(s"""
+$audioHashCtes,
+blocks AS (
+  SELECT doc_id, g.b AS band,
+         CASE WHEN g.b = 6 THEN (envhash64 >> 54) & 1023
+              ELSE (envhash64 >> (9 * g.b)) & 511 END AS bkey
+  FROM eh CROSS JOIN generate_series(0, 6) g(b)),
+ok AS (
+  SELECT band, bkey FROM blocks
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+  JOIN blocks b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       bit_count(xor(ea.envhash64, eb.envhash64))::BIGINT AS hamming
+FROM cand
+JOIN eh ea ON ea.doc_id = doc_a
+JOIN eh eb ON eb.doc_id = doc_b
+WHERE bit_count(xor(ea.envhash64, eb.envhash64)) <= 6"""),
+      (s, dir) =>
+        graft.operators.Multimodal.audioNearDupPairs(
+          graft.operators.Multimodal.documentsAsWavMedia(s, dir),
           hammingMax = 6)),
 
     QueryDef(

@@ -433,6 +433,50 @@ class MediaSpec extends SparkSpec {
       s"decode-path hash ${got} != first-principles ($wantA, $wantD)")
   }
 
+  test("pcmWav8 round-trips through the REAL audio decode; the envelope " +
+      "fingerprint matches its first-principles recompute (q135/q136 laws)") {
+    val seed = "abcdefghij ZYXW 0123456789 — not a sine wave"
+      .getBytes("UTF-8")
+    // the REAL container parse delivers the 8-bit unsigned samples
+    // VERBATIM (this is why envelopeHash reads 8-bit PCM natively: the
+    // JDK's 8->16 widener rounds per sample — round(d*32767/127) on
+    // the positive side — which would break the exact integer replay
+    // the oracle depends on; writing this test caught that)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.pcmWav8(seed)))
+    assert(in.getFormat.getSampleSizeInBits == 8 &&
+      in.getFormat.getChannels == 1)
+    val bytes = in.readAllBytes()
+    assert(bytes.length == 256, s"expected 256 samples, got ${bytes.length}")
+    for (j <- 0 until 256)
+      assert((bytes(j) & 0xff) == (seed(j % seed.length) & 0xff),
+        s"sample $j round-trip mismatch")
+    // first-principles envelope hash over |v - 128| == the REAL-decode
+    // fingerprint bit for bit
+    val a = Array.tabulate(256)(j =>
+      math.abs((seed(j % seed.length) & 0xff) - 128).toLong)
+    val ws = Array.tabulate(64)(w => (4 * w until 4 * w + 4).map(a).sum)
+    val tot = ws.sum
+    var want = 0L
+    for (w <- 0 until 64) if (ws(w) * 64 > tot) want |= 1L << w
+    val got = Multimodal.envelopeHash(
+      MediaRecord(5L, "audio/wav", Multimodal.pcmWav8(seed)))
+    assert(got.contains(want), s"decode-path fingerprint $got != $want")
+    // volume invariance on a REAL halved-gain signal: scaling every
+    // sample's distance from the midpoint scales window and global
+    // sums together, so the fingerprint is unchanged
+    val half = seed.map(v => (((v & 0xff) - 128) / 2 + 128).toByte)
+    val gotHalf = Multimodal.envelopeHash(
+      MediaRecord(6L, "audio/wav", Multimodal.pcmWav8(half)))
+    // halving truncates toward zero, which can flip boundary bits —
+    // assert closeness, not equality, plus junk-drop behavior
+    assert(gotHalf.nonEmpty &&
+      java.lang.Long.bitCount(gotHalf.get ^ got.get) <= 8,
+      s"gain-halved fingerprint too far: ${gotHalf.map(h => java.lang.Long.bitCount(h ^ got.get))}")
+    assert(Multimodal.envelopeHash(
+      MediaRecord(7L, "audio/wav", "junk".getBytes("UTF-8"))).isEmpty)
+  }
+
   test("imageNearDupPairs: the brightened twin pairs, noise does not") {
     import spark.implicits._
     val recs = Seq(
