@@ -725,29 +725,55 @@ object DedupOps {
   def fingerprintPairs(fps: DataFrame, idCol: String, fpCol: String,
       bits: Int, hammingMax: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(bits >= 8 && bits <= 64,
-      s"fingerprintPairs: bits $bits outside [8, 64]")
+    fingerprintValidate("fingerprintPairs", idCol, fpCol, bits, hammingMax)
+    val bands = fingerprintBands(fps, idCol, fpCol, bits, hammingMax)
+    cappedCandidatePairs(bands, Seq(col("band"), col("bkey")),
+        idCol, maxBucket, "doc_a", "doc_b")
+      .join(fps.select(col(idCol).as("doc_a"), col(fpCol).as("sh_a")),
+        Seq("doc_a"))
+      .join(fps.select(col(idCol).as("doc_b"), col(fpCol).as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+  }
+
+  private def fingerprintValidate(op: String, idCol: String,
+      fpCol: String, bits: Int, hammingMax: Int): Unit = {
+    require(bits >= 8 && bits <= 64, s"$op: bits $bits outside [8, 64]")
     require(hammingMax >= 0 && bits / (hammingMax + 1) >= 4,
-      s"fingerprintPairs: hammingMax $hammingMax leaves blocks under 4 " +
-        s"bits at width $bits — blocking would degenerate to hot buckets")
+      s"$op: hammingMax $hammingMax leaves blocks under 4 bits at " +
+        s"width $bits — blocking would degenerate to hot buckets")
     // the OUTPUT and working names are fixed; an id column shadowing one
     // would go ambiguous deep in the plan — fail fast instead
-    val reserved = Set(fpCol, "band", "bkey", "pos", "col",
-      "doc_a", "doc_b", "sh_a", "sh_b", "hamming")
+    val reserved = Set(fpCol, "band", "bkey", "pos", "col", "doc_a",
+      "doc_b", "doc_new", "doc_old", "sh_a", "sh_b", "hamming")
     require(!reserved.contains(idCol),
-      s"fingerprintPairs: id column '$idCol' collides with an output/" +
-        s"working column (${reserved.mkString(", ")}) — rename it first")
-    val fpReserved = Set(idCol, "band", "bkey", "pos", "col",
-      "doc_a", "doc_b", "sh_a", "sh_b", "hamming")
+      s"$op: id column '$idCol' collides with an output/working column " +
+        s"(${reserved.mkString(", ")}) — rename it first")
+    val fpReserved = Set(idCol, "band", "bkey", "pos", "col", "doc_a",
+      "doc_b", "doc_new", "doc_old", "sh_a", "sh_b", "hamming")
     require(!fpReserved.contains(fpCol),
-      s"fingerprintPairs: fingerprint column '$fpCol' collides with an " +
-        s"output/working column (${fpReserved.mkString(", ")}) — rename " +
-        "it first")
+      s"$op: fingerprint column '$fpCol' collides with an output/" +
+        s"working column (${fpReserved.mkString(", ")}) — rename it first")
+  }
+
+  /** The pigeonhole block keys of a `bits`-wide fingerprint at
+    * `hammingMax`: `hammingMax + 1` disjoint blocks (the last absorbs
+    * remainder bits — any disjoint partition preserves the
+    * pigeonhole). Unsigned shifts throughout: a 64-bit hash with the
+    * sign bit set must not smear 1s into the high block. Shared by
+    * the self-join ([[fingerprintPairs]]), the incremental probe
+    * ([[fingerprintPairsAgainst]]), and the streaming gate
+    * ([[graft.streaming.FingerprintGate]]) — blocking only works if
+    * every consumer bands identically.
+    */
+  private[graft] def fingerprintBlockCols(fpCol: String, bits: Int,
+      hammingMax: Int): Seq[Column] = {
     val nBlocks = hammingMax + 1
     val w = bits / nBlocks
-    val blockCols: Seq[Column] = (0 until nBlocks).map { b =>
-      // last block absorbs the remainder bits when nBlocks doesn't
-      // divide `bits` — any disjoint partition preserves the pigeonhole
+    (0 until nBlocks).map { b =>
       val lo = w * b
       val width = if (b == nBlocks - 1) bits - lo else w
       val shifted =
@@ -757,17 +783,46 @@ object DedupOps {
       if (lo + width >= 64) shifted
       else shifted.bitwiseAND(lit((1L << width) - 1L))
     }
-    val bands = fps
-      .select(col(idCol), posexplode(array(blockCols: _*)))
+  }
+
+  /** (id, carry..., band, bkey) rows — one per pigeonhole block. */
+  private[graft] def fingerprintBands(fps: DataFrame, idCol: String,
+      fpCol: String, bits: Int, hammingMax: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    fps.select(col(idCol) +: carry.map(col) :+
+        posexplode(array(fingerprintBlockCols(fpCol, bits, hammingMax): _*)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
-    cappedCandidatePairs(bands, Seq(col("band"), col("bkey")),
-        idCol, maxBucket, "doc_a", "doc_b")
-      .join(fps.select(col(idCol).as("doc_a"), col(fpCol).as("sh_a")),
-        Seq("doc_a"))
-      .join(fps.select(col(idCol).as("doc_b"), col(fpCol).as("sh_b")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+
+  /** Incremental fingerprint dedup — [[minhashPairsAgainst]]'s shape
+    * for the 64-bit hash modalities (text simhash, image dHash, audio
+    * envelope): a DELTA of fingerprints probes the CORPUS's capped
+    * pigeonhole block buckets and verifies candidates by exact
+    * bit_count(xor). The corpus is never self-paired; probe cost is
+    * proportional to the delta (bands map-only, candidates bounded by
+    * blocks × cap per delta row). Output: doc_new, doc_old, hamming
+    * (<= hammingMax). The streaming twin is
+    * [[graft.streaming.FingerprintGate]] — same blocks, same caps,
+    * same verify, StreamingSpec-pinned parity.
+    */
+  def fingerprintPairsAgainst(newFps: DataFrame, corpusFps: DataFrame,
+      idCol: String, fpCol: String, bits: Int, hammingMax: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    fingerprintValidate("fingerprintPairsAgainst", idCol, fpCol, bits,
+      hammingMax)
+    graft.functions.SketchAggregates.register(newFps.sparkSession)
+    val buckets = bandBuckets(
+      fingerprintBands(corpusFps, idCol, fpCol, bits, hammingMax),
+      idCol, maxBucket)
+    fingerprintBands(newFps, idCol, fpCol, bits, hammingMax)
+      .join(buckets, Seq("band", "bkey"))
+      .select(col(idCol).as("doc_new"), explode(col("__cs")).as("doc_old"))
+      .dropDuplicates("doc_new", "doc_old")
+      .join(newFps.select(col(idCol).as("doc_new"), col(fpCol).as("sh_a")),
+        Seq("doc_new"))
+      .join(corpusFps.select(col(idCol).as("doc_old"),
+        col(fpCol).as("sh_b")), Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= hammingMax)

@@ -1214,6 +1214,53 @@ WHERE bit_count(xor(ea.envhash64, eb.envhash64)) <= 6"""),
           hammingMax = 6)),
 
     QueryDef(
+      "q137_image_incremental_dedup",
+      "Incremental IMAGE dedup — q59's delta-vs-corpus shape for the " +
+        "fingerprint modalities (DedupOps.fingerprintPairsAgainst): " +
+        "the delta slice's dHashes (through the q133 REAL-decode " +
+        "path) probe the corpus slice's capped pigeonhole block " +
+        "buckets, candidates verify by exact bit_count(xor), the " +
+        "corpus is never self-paired and probe cost is proportional " +
+        "to the delta. ONE banding implementation " +
+        "(fingerprintBlockCols) serves the self-join (q134), this " +
+        "probe, and the streaming FingerprintGate (StreamingSpec-" +
+        "pinned parity), so the three deploy shapes cannot block " +
+        "differently. The oracle replays corpus-side capping and the " +
+        "cross join over its first-principles dHash derivation.",
+      Some(s"""
+$imageHashCtes,
+blocks AS (
+  SELECT doc_id, g.b AS band,
+         CASE WHEN g.b = 6 THEN (dhash64 >> 54) & 1023
+              ELSE (dhash64 >> (9 * g.b)) & 511 END AS bkey
+  FROM dh CROSS JOIN generate_series(0, 6) g(b)),
+ok AS (
+  SELECT band, bkey FROM blocks WHERE doc_id % 5 <> 0
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+  FROM blocks n
+  JOIN ok k ON n.band = k.band AND n.bkey = k.bkey
+  JOIN blocks o ON o.band = n.band AND o.bkey = n.bkey
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+SELECT doc_new, doc_old,
+       bit_count(xor(a.dhash64, b.dhash64))::BIGINT AS hamming
+FROM cand
+JOIN dh a ON a.doc_id = doc_new
+JOIN dh b ON b.doc_id = doc_old
+WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 6"""),
+      (s, dir) => {
+        val dh = graft.operators.Multimodal.imageHashes(
+            graft.operators.Multimodal.documentsAsBmpMedia(s, dir))
+          .select(col("doc_id"), col("dhash64"))
+        graft.api.DedupOps.fingerprintPairsAgainst(
+          dh.filter(col("doc_id") % 5 === 0),
+          dh.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "dhash64", bits = 64, hammingMax = 6)
+      }),
+
+    QueryDef(
       "q78_cross_source_dups",
       "Cross-source duplication report: q21's near-dup pairs joined to " +
         "each doc's source, rolled up to (src_a, src_b) pair counts " +

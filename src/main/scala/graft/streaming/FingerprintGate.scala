@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.DedupOps
+
+/** Streaming incremental fingerprint-dedup gate — the unbounded twin
+  * of [[graft.api.DedupOps.fingerprintPairsAgainst]], and the
+  * fingerprint-modality sibling of [[NearDupIngest]] (shingle-MinHash):
+  * a stream of NEW fingerprints (text simhash, image dHash, audio
+  * envelope — any `bits`-wide hash) probes a STATIC corpus's capped
+  * pigeonhole block buckets and emits exact-hamming-verified pairs in
+  * append mode. A doc_new appearing in the output IS the drop
+  * decision, exactly as in the MinHash gate.
+  *
+  * Blocking, caps, and verification all come from the SAME DedupOps
+  * internals the batch paths use ([[graft.api.DedupOps]]
+  * `fingerprintBands` / `bandBuckets`), so stream and batch cannot
+  * band differently — StreamingSpec pins row-for-row parity against
+  * the batch probe on the same delta/corpus split.
+  *
+  * Static-side contract: the corpus index is built once per corpus
+  * version and PERSISTED (a stream-static join re-evaluates the static
+  * side per micro-batch; unpersisted, every batch would re-band the
+  * full corpus). Retire an index via [[FpIndex.unpersist]]. The only
+  * streaming state is the within-watermark (doc_new, doc_old) dedup.
+  */
+object FingerprintGate {
+
+  /** The corpus-side static state: capped block buckets for candidate
+    * generation, plus (doc_old, sh_old) fingerprints for the exact
+    * verify — both ids + one Long per row, never payloads.
+    */
+  case class FpIndex(buckets: DataFrame, fps: DataFrame,
+      bits: Int, hammingMax: Int) {
+    def unpersist(): Unit = {
+      buckets.unpersist()
+      fps.unpersist()
+      ()
+    }
+  }
+
+  /** Build the static index from a corpus fingerprint frame
+    * (idCol, fpCol). Both frames persist here — see the class note.
+    */
+  def index(corpusFps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, hammingMax: Int = 3,
+      maxBucket: Int = DedupOps.DefaultMaxBucket): FpIndex = {
+    graft.functions.SketchAggregates.register(corpusFps.sparkSession)
+    val buckets = DedupOps.bandBuckets(
+      DedupOps.fingerprintBands(corpusFps, idCol, fpCol, bits, hammingMax),
+      idCol, maxBucket)
+    FpIndex(buckets.persist(),
+      corpusFps.select(col(idCol).as("doc_old"), col(fpCol).as("sh_old"))
+        .persist(),
+      bits, hammingMax)
+  }
+
+  /** newFps: a STREAMING frame with (idCol, fpCol, tsCol). Emits
+    * (doc_new, doc_old, hamming) pairs verified at <= the index's
+    * hammingMax, append mode: band map-only → stream-static join on
+    * (band, bkey) → candidate explode → within-watermark pair dedup →
+    * exact bit_count(xor) verify against the static fingerprints.
+    */
+  def pairs(newFps: DataFrame, idCol: String, fpCol: String,
+      tsCol: String, delay: String, corpus: FpIndex,
+      declareWatermark: Boolean = true): DataFrame = {
+    val reserved = Set("band", "bkey", "pos", "col", "__cs",
+      "doc_new", "doc_old", "sh_a", "sh_old", "hamming")
+    Seq(idCol, fpCol, tsCol).foreach(c => require(!reserved.contains(c),
+      s"FingerprintGate.pairs: column '$c' collides with a working " +
+        s"column (${reserved.mkString(", ")}) — rename it first"))
+    val banded = DedupOps.fingerprintBands(newFps, idCol, fpCol,
+      corpus.bits, corpus.hammingMax, carry = Seq(tsCol, fpCol))
+    val probe =
+      if (declareWatermark) banded.withWatermark(tsCol, delay) else banded
+    probe
+      .join(corpus.buckets, Seq("band", "bkey"))
+      .select(col(idCol).as("doc_new"), col(tsCol),
+        col(fpCol).as("sh_a"), explode(col("__cs")).as("doc_old"))
+      .dropDuplicatesWithinWatermark("doc_new", "doc_old")
+      .join(corpus.fps, Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_old"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= corpus.hammingMax)
+  }
+}

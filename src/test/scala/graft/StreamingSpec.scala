@@ -721,6 +721,50 @@ class StreamingSpec extends SparkSpec {
         s"(diff=${got2.toSet.diff(wantPost.toSet).take(3)})")
   }
 
+  test("FingerprintGate streaming == batch fingerprintPairsAgainst on " +
+      "the real image dHashes (one banding for all three deploy shapes)") {
+    import spark.implicits._
+    val dh = graft.operators.Multimodal.imageHashes(
+        graft.operators.Multimodal.documentsAsBmpMedia(spark, sf))
+      .select(col("doc_id"), col("dhash64"))
+    val corpusFps = dh.filter(col("doc_id") % 5 =!= 0)
+    val deltaFps = dh.filter(col("doc_id") % 5 === 0)
+    val want = graft.api.DedupOps.fingerprintPairsAgainst(
+        deltaFps, corpusFps, "doc_id", "dhash64",
+        bits = 64, hammingMax = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "no batch pairs — parity would be vacuous")
+
+    val idx = streaming.FingerprintGate.index(
+      corpusFps, "doc_id", "dhash64", bits = 64, hammingMax = 6)
+    try {
+      val delta = deltaFps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val input = MemoryStream[(Long, Long, Timestamp)]
+      val base = 1558430000000L
+      val out = streaming.FingerprintGate.pairs(
+        input.toDF().toDF("doc_id", "dhash64", "ts"),
+        "doc_id", "dhash64", "ts", delay = "1 hour", idx)
+      val q = out.writeStream.format("memory").queryName("fp_gate_stream")
+        .outputMode("append").start()
+      try {
+        val recs = delta.zipWithIndex.map { case ((id, h), i) =>
+          (id, h, ts(base + i * 1000L)) }
+        val (a, b) = recs.splitAt(recs.length / 2)
+        input.addData(a.toSeq: _*); q.processAllAvailable()
+        input.addData(b.toSeq: _*); q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 48L * 3600 * 1000)))
+        q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 96L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("fp_gate_stream").filter(col("doc_new") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"stream=${got.size} batch=${want.size} " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally idx.unpersist()
+  }
+
   /** Streaming BM25 gate: the chained (window,qid,doc)-rollup →
     * (window,qid)-topk_agg aggregation over the SHARED static
     * contribution index must rank identically to the batch
