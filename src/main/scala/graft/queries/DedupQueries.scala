@@ -1251,9 +1251,13 @@ JOIN dh a ON a.doc_id = doc_new
 JOIN dh b ON b.doc_id = doc_old
 WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 6"""),
       (s, dir) => {
+        // both probe sides filter the SAME hash frame — checkpointed so
+        // the BMP build + decode pass runs once, not once per side
+        // (2 longs a row; the q93 consumed-twice discipline)
         val dh = graft.operators.Multimodal.imageHashes(
             graft.operators.Multimodal.documentsAsBmpMedia(s, dir))
           .select(col("doc_id"), col("dhash64"))
+          .localCheckpoint()
         graft.api.DedupOps.fingerprintPairsAgainst(
           dh.filter(col("doc_id") % 5 === 0),
           dh.filter(col("doc_id") % 5 =!= 0),
