@@ -828,6 +828,212 @@ object DedupOps {
       .filter(col("hamming") <= hammingMax)
   }
 
+  /** Materialize the corpus side of [[fingerprintPairsAgainstIndex]]:
+    * the [[writeMinhashIndex]] layout applied to the fingerprint
+    * modalities (text simhash, image dHash, audio envelope).
+    * `$path/buckets` = capped pigeonhole block buckets WITH over-cap
+    * tombstones, PARTITIONED by `__bp` and (band, bkey)-sorted;
+    * `$path/fps` = (doc_old, fp_old) — one Long per corpus row, never
+    * payloads; `$path/meta` = prefix/cap geometry PLUS the banding
+    * geometry (bits, hamming_max): a probe banding with different
+    * geometry would be silently meaningless, so the geometry lives in
+    * the index, not in caller code (the CDC meta contract).
+    */
+  def writeFingerprintIndex(corpusFps: DataFrame, idCol: String,
+      fpCol: String, bits: Int, hammingMax: Int, path: String,
+      maxBucket: Int = DefaultMaxBucket,
+      prefixPartitions: Int = 64): Unit = {
+    fingerprintValidate("writeFingerprintIndex", idCol, fpCol, bits,
+      hammingMax)
+    require(prefixPartitions >= 1,
+      s"writeFingerprintIndex: prefixPartitions $prefixPartitions < 1")
+    val s = corpusFps.sparkSession
+    graft.functions.SketchAggregates.register(s)
+    graft.jobs.Sinks.layout(
+      bandBucketsAll(
+        fingerprintBands(corpusFps, idCol, fpCol, bits, hammingMax),
+        idCol, maxBucket)
+        .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
+          lit(prefixPartitions.toLong))),
+      s"$path/buckets", partitionCols = Seq("__bp"),
+      sortCols = Seq("band", "bkey"), numFiles = 8)
+    graft.jobs.Sinks.layout(
+      corpusFps.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
+      s"$path/fps", partitionCols = Nil,
+      sortCols = Seq("doc_old"), numFiles = 8)
+    writeFpMeta(s, path, prefixPartitions, maxBucket, bits, hammingMax, 1)
+  }
+
+  private def writeFpMeta(s: org.apache.spark.sql.SparkSession,
+      path: String, prefixPartitions: Int, maxBucket: Int, bits: Int,
+      hammingMax: Int, layers: Int): Unit =
+    s.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(maxBucket).as("max_bucket"), lit(bits).as("bits"),
+        lit(hammingMax).as("hamming_max"), lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  /** (prefixPartitions, maxBucket, bits, hammingMax, layers) off a
+    * [[writeFingerprintIndex]] meta — every field REQUIRED with a
+    * named rebuild-once error (banding geometry AND cap arithmetic are
+    * both correctness dependencies; there is no degraded mode).
+    */
+  /** [[readFpMeta]] surfaced for the streaming gate (same named-error
+    * contract). */
+  private[graft] def readFingerprintIndexMeta(
+      s: org.apache.spark.sql.SparkSession, indexPath: String,
+      op: String): (Int, Int, Int, Int, Int) =
+    readFpMeta(s, indexPath, op)
+
+  private def readFpMeta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (Int, Int, Int, Int, Int) = {
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$op: cannot read $indexPath/meta — probes must band with " +
+            "the index's own (bits, hamming_max) geometry and folds " +
+            "must reproduce its prefix/cap arithmetic; the index is " +
+            "missing or partially copied", e)
+      }
+    Seq("prefix_partitions", "max_bucket", "bits", "hamming_max")
+      .foreach(c => require(metaDf.columns.contains(c),
+        s"$op: $indexPath/meta lacks $c — rebuild the index once with " +
+          "the current writeFingerprintIndex"))
+    val row = metaDf.head(1).headOption.getOrElse(
+      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
+    val layers =
+      if (metaDf.columns.contains("layers"))
+        row.getAs[Number]("layers").intValue()
+      else 1
+    (row.getAs[Number]("prefix_partitions").intValue(),
+      row.getAs[Number]("max_bucket").intValue(),
+      row.getAs[Number]("bits").intValue(),
+      row.getAs[Number]("hamming_max").intValue(), layers)
+  }
+
+  /** [[fingerprintPairsAgainst]] probing a PERSISTED
+    * [[writeFingerprintIndex]]: delta fingerprints band map-only with
+    * the INDEX's own geometry (read off meta — never a caller knob),
+    * the `__bp` prefix list prunes the bucket parquet to only the
+    * directories the delta's keys can hit, layered runs reconcile
+    * through the SHARED [[mergeLayeredBuckets]] cap arithmetic over
+    * just the pruned subset, and candidates verify by exact
+    * bit_count(xor) against the fps parquet. Identical output to the
+    * inline path on the same split (DedupSpec parity); per-batch cost
+    * is O(delta work + pruned index scan), never the corpus. Output:
+    * doc_new, doc_old, hamming.
+    */
+  def fingerprintPairsAgainstIndex(newFps: DataFrame, idCol: String,
+      fpCol: String, indexPath: String): DataFrame = {
+    val s = newFps.sparkSession
+    val (prefixPartitions, maxBucket, bits, hammingMax, layers) =
+      readFpMeta(s, indexPath, "fingerprintPairsAgainstIndex")
+    fingerprintValidate("fingerprintPairsAgainstIndex", idCol, fpCol,
+      bits, hammingMax)
+    val deltaBands = fingerprintBands(newFps, idCol, fpCol, bits,
+      hammingMax)
+    val prefixes = deltaBands
+      .select(pmod(xxhash64(col("band"), col("bkey")),
+        lit(prefixPartitions.toLong)).as("__bp"))
+      .distinct().collect().map(_.getLong(0).toInt).toSeq
+    val pruned = s.read.parquet(s"$indexPath/buckets")
+      .filter(col("__bp").isin(prefixes: _*)).drop("__bp")
+    val reconciled =
+      (if (layers <= 1) pruned
+       else mergeLayeredBuckets(pruned, maxBucket))
+        .filter(col("__cs").isNotNull)
+    deltaBands
+      .join(reconciled, Seq("band", "bkey"))
+      .select(col(idCol).as("doc_new"), explode(col("__cs")).as("doc_old"))
+      .dropDuplicates("doc_new", "doc_old")
+      .join(newFps.select(col(idCol).as("doc_new"), col(fpCol).as("sh_a")),
+        Seq("doc_new"))
+      .join(s.read.parquet(s"$indexPath/fps")
+        .select(col("doc_old"), col("fp_old").as("sh_b")), Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+  }
+
+  /** Fold a DELTA of fingerprints into a persisted index IN PLACE with
+    * O(delta) write bytes: the delta's capped buckets (banded with the
+    * INDEX's meta geometry) land as their own sorted layered run, fps
+    * rows append, meta bumps `layers` — the
+    * [[foldIntoMinhashIndex]] posture for the fingerprint family;
+    * probes reconcile runs through [[mergeLayeredBuckets]]. Crash
+    * consistency: single-writer, restore-on-failure (the shared fold
+    * contract, [[foldIntoMinhashIndex]]).
+    */
+  def foldIntoFingerprintIndex(delta: DataFrame, idCol: String,
+      fpCol: String, indexPath: String): Unit = {
+    val s = delta.sparkSession
+    graft.functions.SketchAggregates.register(s)
+    val (prefixPartitions, maxBucket, bits, hammingMax, layers) =
+      readFpMeta(s, indexPath, "foldIntoFingerprintIndex")
+    graft.jobs.Sinks.layoutAppend(
+      bandBucketsAll(
+        fingerprintBands(delta, idCol, fpCol, bits, hammingMax),
+        idCol, maxBucket)
+        .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
+          lit(prefixPartitions.toLong))),
+      s"$indexPath/buckets", partitionCols = Seq("__bp"),
+      sortCols = Seq("band", "bkey"), numFiles = 8)
+    graft.jobs.Sinks.layoutAppend(
+      delta.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
+      s"$indexPath/fps", partitionCols = Nil,
+      sortCols = Seq("doc_old"), numFiles = 8)
+    writeFpMeta(s, indexPath, prefixPartitions, maxBucket, bits,
+      hammingMax, layers + 1)
+  }
+
+  /** Compact a layered fingerprint index back to ONE sorted run per
+    * side (buckets reconciled through [[mergeLayeredBuckets]], fps
+    * re-laid globally sorted, meta reset to layers=1) — O(index) read
+    * and write, the [[compactMinhashIndex]] shape.
+    */
+  def compactFingerprintIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactFingerprintIndex: outPath must differ from indexPath")
+    val (prefixPartitions, maxBucket, bits, hammingMax, _) =
+      readFpMeta(s, indexPath, "compactFingerprintIndex")
+    graft.functions.SketchAggregates.register(s)
+    graft.jobs.Sinks.layout(
+      mergeLayeredBuckets(
+        s.read.parquet(s"$indexPath/buckets").drop("__bp"), maxBucket)
+        .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
+          lit(prefixPartitions.toLong))),
+      s"$outPath/buckets", partitionCols = Seq("__bp"),
+      sortCols = Seq("band", "bkey"), numFiles = 8)
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/fps"),
+      s"$outPath/fps", partitionCols = Nil,
+      sortCols = Seq("doc_old"), numFiles = 8)
+    writeFpMeta(s, outPath, prefixPartitions, maxBucket, bits,
+      hammingMax, 1)
+  }
+
+  /** [[maintainMinhashIndex]]'s fingerprint twin: crash-recover at
+    * entry, O(delta) fold, compact-and-swap iff post-fold layers reach
+    * `compactThreshold`. Returns true when this fold compacted. NOT
+    * reader-safe across the swap — see
+    * [[IndexMaintenance]]'s reader contract.
+    */
+  def maintainFingerprintIndex(delta: DataFrame, idCol: String,
+      fpCol: String, indexPath: String,
+      compactThreshold: Int =
+        IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
+    foldIntoFingerprintIndex(delta, idCol, fpCol, indexPath)
+    val s = delta.sparkSession
+    val (_, _, _, _, layers) =
+      readFpMeta(s, indexPath, "maintainFingerprintIndex")
+    IndexMaintenance.compactIfLayered(s, indexPath, layers,
+      compactThreshold)(out => compactFingerprintIndex(s, indexPath, out))
+  }
+
   /** Exact-substring duplicate SPANS (the ExactSubstr dedup of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499, re-expressed for Spark): every maximal

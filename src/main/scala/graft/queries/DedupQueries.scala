@@ -155,6 +155,35 @@ dh AS (
   WHERE l.cx < 8
   GROUP BY 1)"""
 
+  /** q137's full oracle SQL — shared VERBATIM by q138 (persisted-index
+    * fold probe): the fold's contract is that a folded index probes
+    * identically to the inline delta-vs-corpus path, so the expected
+    * rows are literally q137's (the q59/q110 shared-string pattern).
+    */
+  private lazy val q137OracleSql: String = s"""
+$imageHashCtes,
+blocks AS (
+  SELECT doc_id, g.b AS band,
+         CASE WHEN g.b = 6 THEN (dhash64 >> 54) & 1023
+              ELSE (dhash64 >> (9 * g.b)) & 511 END AS bkey
+  FROM dh CROSS JOIN generate_series(0, 6) g(b)),
+ok AS (
+  SELECT band, bkey FROM blocks WHERE doc_id % 5 <> 0
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+  FROM blocks n
+  JOIN ok k ON n.band = k.band AND n.bkey = k.bkey
+  JOIN blocks o ON o.band = n.band AND o.bkey = n.bkey
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+SELECT doc_new, doc_old,
+       bit_count(xor(a.dhash64, b.dhash64))::BIGINT AS hamming
+FROM cand
+JOIN dh a ON a.doc_id = doc_new
+JOIN dh b ON b.doc_id = doc_old
+WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 6"""
+
   /** First-principles derivation of the q135/q136 audio envelope
     * fingerprint (the [[imageHashCtes]] discipline on the audio
     * axis). Sample j of doc d is byte (j mod n) of the doc's UTF-8
@@ -1227,42 +1256,38 @@ WHERE bit_count(xor(ea.envhash64, eb.envhash64)) <= 6"""),
         "pinned parity), so the three deploy shapes cannot block " +
         "differently. The oracle replays corpus-side capping and the " +
         "cross join over its first-principles dHash derivation.",
-      Some(s"""
-$imageHashCtes,
-blocks AS (
-  SELECT doc_id, g.b AS band,
-         CASE WHEN g.b = 6 THEN (dhash64 >> 54) & 1023
-              ELSE (dhash64 >> (9 * g.b)) & 511 END AS bkey
-  FROM dh CROSS JOIN generate_series(0, 6) g(b)),
-ok AS (
-  SELECT band, bkey FROM blocks WHERE doc_id % 5 <> 0
-  GROUP BY band, bkey
-  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
-cand AS (
-  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
-  FROM blocks n
-  JOIN ok k ON n.band = k.band AND n.bkey = k.bkey
-  JOIN blocks o ON o.band = n.band AND o.bkey = n.bkey
-  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
-SELECT doc_new, doc_old,
-       bit_count(xor(a.dhash64, b.dhash64))::BIGINT AS hamming
-FROM cand
-JOIN dh a ON a.doc_id = doc_new
-JOIN dh b ON b.doc_id = doc_old
-WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 6"""),
+      Some(q137OracleSql),
       (s, dir) => {
         // both probe sides filter the SAME hash frame — checkpointed so
         // the BMP build + decode pass runs once, not once per side
         // (2 longs a row; the q93 consumed-twice discipline)
-        val dh = graft.operators.Multimodal.imageHashes(
-            graft.operators.Multimodal.documentsAsBmpMedia(s, dir))
-          .select(col("doc_id"), col("dhash64"))
-          .localCheckpoint()
+        val dh = imageDhash(s, dir).localCheckpoint()
         graft.api.DedupOps.fingerprintPairsAgainst(
           dh.filter(col("doc_id") % 5 === 0),
           dh.filter(col("doc_id") % 5 =!= 0),
           "doc_id", "dhash64", bits = 64, hammingMax = 6)
       }),
+
+    QueryDef(
+      "q138_fold_fingerprint_probe",
+      "Fingerprint-index MAINTENANCE proven end-to-end (DedupOps." +
+        "writeFingerprintIndex / foldIntoFingerprintIndex, IN-PLACE): " +
+        "the corpus slice's image dHashes indexed as v1 (40%) + a 40% " +
+        "delta folded in place — the delta's capped pigeonhole " +
+        "buckets land as their own O(delta) layered run, banded with " +
+        "the index's OWN meta geometry (bits, hamming_max live in the " +
+        "index, never caller code), and fingerprintPairsAgainstIndex " +
+        "probes with __bp prefix pruning + the SHARED " +
+        "mergeLayeredBuckets cap arithmetic. Oracle = q137's VERBATIM " +
+        "(one shared string) by the fold-equals-rebuild contract — " +
+        "the q110/q113 pattern completing the SIXTH persisted index " +
+        "family (minhash, sign, CDC, BM25, IVF-PQ, fingerprint), all " +
+        "under the same maintain* auto-compaction policy.",
+      Some(q137OracleSql),
+      (s, dir) =>
+        graft.api.DedupOps.fingerprintPairsAgainstIndex(
+          imageDhash(s, dir).filter(col("doc_id") % 5 === 0),
+          "doc_id", "dhash64", foldedFpDir(s, dir))),
 
     QueryDef(
       "q78_cross_source_dups",
@@ -1773,6 +1798,36 @@ SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
   // discipline): build v1 on the 40% slice, fold the other 40% in,
   // first consumer pays the build, every later run probes the same
   // parquet — which is the fold's own deployment story
+  /** The q133 dHash frame (doc_id, dhash64) through the real decode —
+    * shared front end of q137 (inline probe) and q138 (persisted
+    * index); callers checkpoint as needed. */
+  private def imageDhash(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Multimodal.imageHashes(
+        graft.operators.Multimodal.documentsAsBmpMedia(s, dir))
+      .select(col("doc_id"), col("dhash64"))
+
+  private val foldFpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** q138's persisted fingerprint index: v1 over the 40% slice, the
+    * other 40% folded IN PLACE as its own layered run (the
+    * foldedMinhashDir discipline for the sixth family). */
+  private def foldedFpDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldFpCache.computeIfAbsent(dir, { _ =>
+      val dh = imageDhash(s, dir).localCheckpoint()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldfp-").toString
+      graft.api.DedupOps.writeFingerprintIndex(
+        dh.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "doc_id", "dhash64", bits = 64, hammingMax = 6, s"$tmp/v1")
+      graft.api.DedupOps.foldIntoFingerprintIndex(
+        dh.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "doc_id", "dhash64", s"$tmp/v1")
+      s"$tmp/v1"
+    })
+
   private val foldMinhashCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
   private val foldCdcCache =

@@ -57,6 +57,32 @@ object FingerprintGate {
       bits, hammingMax)
   }
 
+  /** Build the static gate state from a PERSISTED
+    * [[graft.api.DedupOps.writeFingerprintIndex]] — the stream deploy
+    * matching the batch deploy
+    * ([[graft.api.DedupOps.fingerprintPairsAgainstIndex]]): geometry
+    * comes off the index's own meta, layered runs reconcile ONCE at
+    * graph-author time (the gate's static side is a snapshot — see
+    * the Bm25Gate/CdcGate fold-while-serving contract, which applies
+    * verbatim: folds landing while the gate serves are invisible
+    * until re-author, and compaction swaps require quiescing).
+    */
+  def indexFromPath(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): FpIndex = {
+    val (_, maxBucket, bits, hammingMax, layers) =
+      DedupOps.readFingerprintIndexMeta(spark, indexPath,
+        "FingerprintGate.indexFromPath")
+    val raw = spark.read.parquet(s"$indexPath/buckets").drop("__bp")
+    val buckets =
+      (if (layers <= 1) raw
+       else DedupOps.mergeLayeredBuckets(raw, maxBucket))
+        .filter(col("__cs").isNotNull)
+    FpIndex(buckets.persist(),
+      spark.read.parquet(s"$indexPath/fps")
+        .select(col("doc_old"), col("fp_old").as("sh_old")).persist(),
+      bits, hammingMax)
+  }
+
   /** newFps: a STREAMING frame with (idCol, fpCol, tsCol). Emits
     * (doc_new, doc_old, hamming) pairs verified at <= the index's
     * hammingMax, append mode: band map-only → stream-static join on

@@ -604,6 +604,61 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("maintainFingerprintIndex: O(delta) folds, geometry from meta, " +
+      "compact-and-swap at threshold, probes == inline path throughout") {
+    import graft.api.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val dh = graft.operators.Multimodal.imageHashes(
+        graft.operators.Multimodal.documentsAsBmpMedia(spark, sf))
+      .select(col("doc_id"), col("dhash64")).localCheckpoint()
+    // base = TWO slices, each delta ONE — so the O(delta) byte check
+    // compares a half-sized delta against the index, not slice==slice
+    val c0 = dh.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val deltas = (3 to 4).map(m => dh.filter(col("doc_id") % 5 === m))
+    val probes = dh.filter(col("doc_id") % 5 === 0)
+    def corpusUpTo(m: Int) = dh.filter(
+      col("doc_id") % 5 >= 1 && col("doc_id") % 5 <= m)
+    def wantVs(m: Int) = DedupOps.fingerprintPairsAgainst(
+        probes, corpusUpTo(m), "doc_id", "dhash64",
+        bits = 64, hammingMax = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got(path: String) = DedupOps.fingerprintPairsAgainstIndex(
+        probes, "doc_id", "dhash64", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def layersOf(path: String) = spark.read.parquet(s"$path/meta").head()
+      .getAs[Number]("layers").intValue()
+    def dirBytes(p: String): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpidx-").toString
+    DedupOps.writeFingerprintIndex(c0, "doc_id", "dhash64",
+      bits = 64, hammingMax = 6, s"$dir/ix")
+    assert(wantVs(2).nonEmpty, "no pairs at all — parity would be vacuous")
+    assert(got(s"$dir/ix") == wantVs(2))
+    // fold #1: layered run, O(delta) write bytes, probe == inline
+    val before = dirBytes(s"$dir/ix/buckets")
+    assert(!DedupOps.maintainFingerprintIndex(deltas(0), "doc_id",
+      "dhash64", s"$dir/ix", compactThreshold = 3))
+    val appended = dirBytes(s"$dir/ix/buckets") - before
+    assert(appended > 0 && appended < before,
+      s"fold appended $appended vs index $before — not O(delta)")
+    assert(layersOf(s"$dir/ix") == 2 && got(s"$dir/ix") == wantVs(3))
+    // fold #2 reaches threshold 3: compacts in place, probes unchanged
+    assert(DedupOps.maintainFingerprintIndex(deltas(1), "doc_id",
+      "dhash64", s"$dir/ix", compactThreshold = 3))
+    assert(layersOf(s"$dir/ix") == 1, "compaction must reset layers")
+    assert(got(s"$dir/ix") == wantVs(4))
+    // probing with geometry the caller can't override: a mismatched
+    // id column still fails by name, and a missing meta fails loudly
+    val e = intercept[IllegalStateException](
+      DedupOps.fingerprintPairsAgainstIndex(probes, "doc_id", "dhash64",
+        s"$dir/nonexistent"))
+    assert(e.getMessage.contains("meta"), e.getMessage)
+  }
+
   test("recoverAtEntry: a crash between the swap's two renames (live " +
       "absent, __old present) restores the index; stale siblings are " +
       "cleared even when no compaction fires") {

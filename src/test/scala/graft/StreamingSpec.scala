@@ -765,6 +765,53 @@ class StreamingSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("FingerprintGate over a PERSISTED LAYERED index == the batch " +
+      "index probe (stream deploy matches batch deploy)") {
+    import spark.implicits._
+    val dh = graft.operators.Multimodal.imageHashes(
+        graft.operators.Multimodal.documentsAsBmpMedia(spark, sf))
+      .select(col("doc_id"), col("dhash64")).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpgidx-").toString
+    // v1 + an in-place fold: the gate must reconcile the layered runs
+    // at author time exactly as the batch probe does at read
+    graft.api.DedupOps.writeFingerprintIndex(
+      dh.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+      "doc_id", "dhash64", bits = 64, hammingMax = 6, s"$dir/ix")
+    graft.api.DedupOps.foldIntoFingerprintIndex(
+      dh.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+      "doc_id", "dhash64", s"$dir/ix")
+    val deltaFps = dh.filter(col("doc_id") % 5 === 0)
+    val want = graft.api.DedupOps.fingerprintPairsAgainstIndex(
+        deltaFps, "doc_id", "dhash64", s"$dir/ix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "no batch pairs — parity would be vacuous")
+    val idx = streaming.FingerprintGate.indexFromPath(spark, s"$dir/ix")
+    try {
+      val delta = deltaFps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val input = MemoryStream[(Long, Long, Timestamp)]
+      val base = 1558430000000L
+      val out = streaming.FingerprintGate.pairs(
+        input.toDF().toDF("doc_id", "dhash64", "ts"),
+        "doc_id", "dhash64", "ts", delay = "1 hour", idx)
+      val q = out.writeStream.format("memory").queryName("fp_idx_gate")
+        .outputMode("append").start()
+      try {
+        input.addData(delta.zipWithIndex.map { case ((id, h), i) =>
+          (id, h, ts(base + i * 1000L)) }.toSeq: _*)
+        q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 48L * 3600 * 1000)))
+        q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 96L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("fp_idx_gate").filter(col("doc_new") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"stream=${got.size} batch=${want.size} " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally idx.unpersist()
+  }
+
   /** Streaming BM25 gate: the chained (window,qid,doc)-rollup →
     * (window,qid)-topk_agg aggregation over the SHARED static
     * contribution index must rank identically to the batch
