@@ -50,16 +50,22 @@ class BenchSpec extends SparkSpec {
     // q89 localCheckpoint bug. Work per block is sized so structural
     // growth (one full block per run) dominates local jitter.
     val leaked = collection.mutable.ArrayBuffer.empty[DataFrame]
+    // per-block digest cost must DOMINATE run-to-run jitter for the
+    // ramp to be a reliable signature: three chained sha2 rounds per
+    // row make each accreted block worth ~2s of structural work, an
+    // increment scheduler noise (a few hundred ms) cannot mask
+    def digestAll(df: DataFrame) = {
+      val h1 = sha2(concat_ws(":", col("x"), col("x") * 31), 256)
+      df.agg(count(sha2(sha2(h1, 256), 256)).as("n"))
+    }
     def leakyThunk(): DataFrame = {
       val block = spark.range(0, 4000000L, 1, 4).toDF("x").persist()
       block.count() // materialize into pinned storage
       leaked += block
-      // the read side re-derives an expensive digest over EVERY block
+      // the read side re-derives the expensive digest over EVERY block
       // cached so far — run i does i blocks of hash work, while the
       // new block's build cost stays constant and small
-      leaked.reduce(_ unionByName _)
-        .agg(count(sha2(concat_ws(":", col("x"), col("x") * 31), 256))
-          .as("n"))
+      digestAll(leaked.reduce(_ unionByName _))
     }
     try {
       // JIT/codegen warmup (Bench's discipline), on the FULL thunk
@@ -71,19 +77,26 @@ class BenchSpec extends SparkSpec {
       // that would otherwise land inside timed run 1)
       val warm = spark.range(0, 4000000L, 1, 4).toDF("x").persist()
       warm.count()
-      def digest(df: DataFrame) = df.agg(
-        count(sha2(concat_ws(":", col("x"), col("x") * 31), 256)).as("n"))
-      BenchHarness.exec(digest(warm))
-      BenchHarness.exec(digest(warm.unionByName(warm)))
+      BenchHarness.exec(digestAll(warm))
+      BenchHarness.exec(digestAll(warm.unionByName(warm)))
       warm.unpersist(blocking = true)
       val firstPass = BenchHarness.timedRuns(3, () => leakyThunk())
       assert(BenchHarness.monotoneLeak(firstPass),
         s"leaky thunk did not trip the signature: $firstPass")
-      // adjudication re-runs the SAME still-leaking thunk: blocks keep
-      // accreting (runs 4..6 do 4x..6x the work), so the signature
-      // reproduces and the flag survives
+      // adjudication re-runs the SAME leaking thunk AFTER the cleanup
+      // Bench performs before a retest (drain + GC): for a
+      // state-accretion leak the pinned state resets and the retest
+      // re-accretes from zero — ramping 1x..3x again, the signature a
+      // real leak cannot help reproducing. (Continuing to accrete
+      // 4x..6x instead would shrink the relative growth toward the
+      // heuristic's 1.2x floor, where scheduler jitter can flip a
+      // run — a flaky test, and NOT what Bench does.)
       val (confirmed, retests) = BenchHarness.adjudicateLeaks(
-        Seq("q_leaky"), _ => BenchHarness.timedRuns(3, () => leakyThunk()))
+        Seq("q_leaky"), { _ =>
+          leaked.foreach(_.unpersist(blocking = true))
+          leaked.clear()
+          BenchHarness.timedRuns(3, () => leakyThunk())
+        })
       assert(confirmed == Seq("q_leaky"),
         s"real leak exonerated: first=$firstPass retest=${retests("q_leaky")}")
     } finally leaked.foreach(_.unpersist(blocking = false))
