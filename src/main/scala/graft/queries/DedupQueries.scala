@@ -1285,8 +1285,12 @@ WHERE bit_count(xor(ea.envhash64, eb.envhash64)) <= 6"""),
         "under the same maintain* auto-compaction policy.",
       Some(q137OracleSql),
       (s, dir) =>
+        // the probe consumes the delta frame three times (prefix
+        // collect, band join, verify join) — checkpointed so the
+        // decode pass runs once (the q93/q137 discipline)
         graft.api.DedupOps.fingerprintPairsAgainstIndex(
-          imageDhash(s, dir).filter(col("doc_id") % 5 === 0),
+          imageDhash(s, dir).filter(col("doc_id") % 5 === 0)
+            .localCheckpoint(),
           "doc_id", "dhash64", foldedFpDir(s, dir))),
 
     QueryDef(
