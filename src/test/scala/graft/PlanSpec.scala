@@ -394,6 +394,15 @@ class PlanSpec extends SparkSpec {
       "chunk-codes scan should carry cell partition filters")
   }
 
+  test("q133/q135: the real-decode hash tables are map-only — zero " +
+      "exchanges at any corpus size") {
+    for (q <- Seq("q133_image_phash", "q135_audio_fingerprint")) {
+      val nodes = collectAll(plan(q))
+      assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 0,
+        s"$q should be a pure scan -> decode -> hash projection")
+    }
+  }
+
   test("q130: strict contiguity is ONE lead() window pass — a single " +
       "user-key exchange, no joins") {
     val nodes = collectAll(plan("q130_strict_sequence"))
