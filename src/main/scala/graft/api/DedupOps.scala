@@ -739,7 +739,7 @@ object DedupOps {
       .filter(col("hamming") <= hammingMax)
   }
 
-  private def fingerprintValidate(op: String, idCol: String,
+  private[graft] def fingerprintValidate(op: String, idCol: String,
       fpCol: String, bits: Int, hammingMax: Int): Unit = {
     require(bits >= 8 && bits <= 64, s"$op: bits $bits outside [8, 64]")
     require(hammingMax >= 0 && bits / (hammingMax + 1) >= 4,
@@ -849,19 +849,26 @@ object DedupOps {
       s"writeFingerprintIndex: prefixPartitions $prefixPartitions < 1")
     val s = corpusFps.sparkSession
     graft.functions.SketchAggregates.register(s)
-    graft.jobs.Sinks.layout(
-      bandBucketsAll(
-        fingerprintBands(corpusFps, idCol, fpCol, bits, hammingMax),
-        idCol, maxBucket)
-        .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
-          lit(prefixPartitions.toLong))),
-      s"$path/buckets", partitionCols = Seq("__bp"),
-      sortCols = Seq("band", "bkey"), numFiles = 8)
-    graft.jobs.Sinks.layout(
-      corpusFps.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
-      s"$path/fps", partitionCols = Nil,
-      sortCols = Seq("doc_old"), numFiles = 8)
-    writeFpMeta(s, path, prefixPartitions, maxBucket, bits, hammingMax, 1)
+    // both outputs consume the input frame; persisting it keeps an
+    // expensive upstream lineage (e.g. a real media decode) at ONE
+    // pass (the writeMinhashIndex single-scan discipline)
+    val fps = corpusFps
+      .select(col(idCol), col(fpCol)).persist()
+    try {
+      graft.jobs.Sinks.layout(
+        bandBucketsAll(
+          fingerprintBands(fps, idCol, fpCol, bits, hammingMax),
+          idCol, maxBucket)
+          .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
+            lit(prefixPartitions.toLong))),
+        s"$path/buckets", partitionCols = Seq("__bp"),
+        sortCols = Seq("band", "bkey"), numFiles = 8)
+      graft.jobs.Sinks.layout(
+        fps.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
+        s"$path/fps", partitionCols = Nil,
+        sortCols = Seq("doc_old"), numFiles = 8)
+      writeFpMeta(s, path, prefixPartitions, maxBucket, bits, hammingMax, 1)
+    } finally { fps.unpersist(); () }
   }
 
   private def writeFpMeta(s: org.apache.spark.sql.SparkSession,
@@ -920,9 +927,13 @@ object DedupOps {
     * through the SHARED [[mergeLayeredBuckets]] cap arithmetic over
     * just the pruned subset, and candidates verify by exact
     * bit_count(xor) against the fps parquet. Identical output to the
-    * inline path on the same split (DedupSpec parity); per-batch cost
-    * is O(delta work + pruned index scan), never the corpus. Output:
-    * doc_new, doc_old, hamming.
+    * inline path on the same split (DedupSpec parity). Cost shape:
+    * the BUCKETS term is prefix-pruned (directories the delta's keys
+    * can hit), while the verify join reads the fps sidecar — one id +
+    * one Long per corpus row, never text or payloads — so the
+    * per-batch cost is O(delta work + pruned buckets + fps sidecar
+    * scan); what the probe never pays is re-deriving the corpus's
+    * fingerprints or banding. Output: doc_new, doc_old, hamming.
     */
   def fingerprintPairsAgainstIndex(newFps: DataFrame, idCol: String,
       fpCol: String, indexPath: String): DataFrame = {
@@ -972,20 +983,26 @@ object DedupOps {
     graft.functions.SketchAggregates.register(s)
     val (prefixPartitions, maxBucket, bits, hammingMax, layers) =
       readFpMeta(s, indexPath, "foldIntoFingerprintIndex")
-    graft.jobs.Sinks.layoutAppend(
-      bandBucketsAll(
-        fingerprintBands(delta, idCol, fpCol, bits, hammingMax),
-        idCol, maxBucket)
-        .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
-          lit(prefixPartitions.toLong))),
-      s"$indexPath/buckets", partitionCols = Seq("__bp"),
-      sortCols = Seq("band", "bkey"), numFiles = 8)
-    graft.jobs.Sinks.layoutAppend(
-      delta.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
-      s"$indexPath/fps", partitionCols = Nil,
-      sortCols = Seq("doc_old"), numFiles = 8)
-    writeFpMeta(s, indexPath, prefixPartitions, maxBucket, bits,
-      hammingMax, layers + 1)
+    // two appends consume the delta; one persisted pass (see
+    // writeFingerprintIndex)
+    val fps = delta
+      .select(col(idCol), col(fpCol)).persist()
+    try {
+      graft.jobs.Sinks.layoutAppend(
+        bandBucketsAll(
+          fingerprintBands(fps, idCol, fpCol, bits, hammingMax),
+          idCol, maxBucket)
+          .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
+            lit(prefixPartitions.toLong))),
+        s"$indexPath/buckets", partitionCols = Seq("__bp"),
+        sortCols = Seq("band", "bkey"), numFiles = 8)
+      graft.jobs.Sinks.layoutAppend(
+        fps.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
+        s"$indexPath/fps", partitionCols = Nil,
+        sortCols = Seq("doc_old"), numFiles = 8)
+      writeFpMeta(s, indexPath, prefixPartitions, maxBucket, bits,
+        hammingMax, layers + 1)
+    } finally { fps.unpersist(); () }
   }
 
   /** Compact a layered fingerprint index back to ONE sorted run per
@@ -1430,7 +1447,7 @@ object DedupOps {
     * lack the column). Observability only for CDC: probes are
     * duplicate-insensitive regardless.
     */
-  private[graft] def readCdcLayers(s: org.apache.spark.sql.SparkSession,
+  private def readCdcLayers(s: org.apache.spark.sql.SparkSession,
       indexPath: String): Int =
     try {
       val m = s.read.parquet(s"$indexPath/meta")

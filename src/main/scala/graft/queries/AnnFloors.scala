@@ -66,7 +66,16 @@ object AnnFloors {
   def floor(s: org.apache.spark.sql.SparkSession, query: String,
       dir: String): Int = {
     val sf = dir.stripSuffix("/").split('/').last
-    if (measuredParallelism(s.sparkContext.defaultParallelism))
+    // the measured configs were local[N] WITH shuffle.partitions = N —
+    // float-sum order depends on the shuffle layout too, so a session
+    // matching only the core count (e.g. local[16] at Spark's default
+    // 200 partitions) is still an UNMEASURED layout and takes the
+    // conservative floor
+    val par = s.sparkContext.defaultParallelism
+    val shufflePartitions =
+      try s.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Exception => -1 }
+    if (measuredParallelism(par) && shufflePartitions == par)
       perSf.getOrElse((query, sf), fallback(query))
     else fallback(query)
   }

@@ -188,12 +188,14 @@ WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 6"""
     * fingerprint (the [[imageHashCtes]] discipline on the audio
     * axis). Sample j of doc d is byte (j mod n) of the doc's UTF-8
     * bytes, stored VERBATIM as 8-bit unsigned PCM by
-    * Multimodal.pcmWav8; the JDK's normalize-to-16-bit is the exact
-    * linear map (v − 128)·256, so |sample| sums differ from
-    * Σ|v − 128| by a common factor that cancels in the window-mean
-    * vs global-mean cross-multiplication (256 samples, 64 windows of
-    * 4 ⇒ bit w set iff wsum·64 > total — MediaSpec pins the law
-    * through the real decode).
+    * Multimodal.pcmWav8 and extracted NATIVELY in 8-bit by
+    * envelopeHash — NOT through the JDK's 8→16 widener, whose
+    * per-sample rounding (round(d·32767/127) on the positive side)
+    * would break the exact replay (the MediaSpec law test caught it).
+    * |sample distance from the midpoint| is therefore exactly
+    * |v − 128|, and bit w is the integer comparison wsum·64 > total
+    * (256 samples, 64 windows of 4 — MediaSpec pins the law through
+    * the real decode).
     */
   private lazy val audioHashCtes: String = s"""
 WITH auda AS (
@@ -1187,16 +1189,17 @@ WHERE bit_count(xor(da.dhash64, db.dhash64)) <= 6"""),
       "Audio envelope fingerprints through the REAL decode path " +
         "(operators.Multimodal.audioFingerprints): each doc's text " +
         "bytes seed a genuine 8-bit mono PCM WAV (pcmWav8 — a real " +
-        "RIFF container), AudioSystem parses it and normalizes to " +
-        "16-bit PCM exactly as decodeAudio does, and the 64-bit " +
-        "fingerprint thresholds 64 windows' mean |amplitude| against " +
-        "the global mean (volume-invariant — uniform gain shifts " +
-        "both). The oracle re-derives the fingerprint from first " +
-        "principles over the same bytes: the JDK's 8-to-16-bit map " +
-        "is the exact linear (v-128)*256, which cancels in the " +
-        "integer cross-multiplication (MediaSpec pins the law), so " +
-        "the container parse + sample extraction is cross-engine-" +
-        "gated. Map-only at any scale.",
+        "RIFF container), AudioSystem parses it, samples extract " +
+        "NATIVELY in the container's 8-bit width (the JDK's 8-to-16 " +
+        "widener rounds per sample — round(d*32767/127) — which " +
+        "would break the exact integer replay; the MediaSpec law " +
+        "test caught it), and the 64-bit fingerprint thresholds 64 " +
+        "windows' mean |amplitude| against the global mean " +
+        "(volume-invariant — uniform gain shifts both). The oracle " +
+        "re-derives the fingerprint from first principles over " +
+        "|v - 128| of the same bytes, so the container parse + " +
+        "sample extraction is cross-engine-gated. Map-only at any " +
+        "scale.",
       Some(s"""
 $audioHashCtes
 SELECT doc_id, envhash64 FROM eh"""),
@@ -1281,8 +1284,11 @@ WHERE bit_count(xor(ea.envhash64, eb.envhash64)) <= 6"""),
         "mergeLayeredBuckets cap arithmetic. Oracle = q137's VERBATIM " +
         "(one shared string) by the fold-equals-rebuild contract — " +
         "the q110/q113 pattern completing the SIXTH persisted index " +
-        "family (minhash, sign, CDC, BM25, IVF-PQ, fingerprint), all " +
-        "under the same maintain* auto-compaction policy.",
+        "family (minhash, sign, CDC, BM25, IVF-PQ, fingerprint); the " +
+        "five layered families share the maintain* auto-compaction " +
+        "policy, IVF-PQ staying deliberately exempt (frozen-codebook " +
+        "contract — its probes prune by cell directory, so extra " +
+        "runs are harmless).",
       Some(q137OracleSql),
       (s, dir) =>
         // the probe consumes the delta frame three times (prefix

@@ -49,8 +49,11 @@ import graft.api.DedupOps
   * never rewrite meta; CDC folds bump `layers`.)
   *
   * Output: idCol, window_end, n_chunks, n_hits, hit_x1000 (append).
-  * Per (window, doc) the layered-index branch is delivery-idempotent:
-  * a doc redelivered inside one window collapses to one chunk set.
+  * The gate is delivery-idempotent per (window, doc): a doc
+  * redelivered inside one window collapses to one chunk set (the
+  * right contract under at-least-once upstream delivery), and the
+  * same rollup shape serves single-run and layered indexes alike —
+  * compaction can never flip a stream's semantics.
   */
 object CdcGate {
 
@@ -59,16 +62,6 @@ object CdcGate {
       declareWatermark: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     val (_, modulus, w) = DedupOps.readCdcMeta(s, indexPath)
-    // LAYERED index (in-place folds appended): the chunk set is
-    // globally distinct only within each run — a chunk living in both
-    // the base and a fold run would double its _hit under the plain
-    // left join (the batch probe is immune: left_semi). layers==1
-    // keeps the single-aggregate fast path; layers>1 collapses
-    // duplicate index hits per (window, doc, chunk) first — chained
-    // watermark-bounded aggregates, the Bm25Gate layered-branch
-    // discipline. Read once at graph build, like the geometry: the
-    // static side is a graph-build snapshot (see fold note below).
-    val layers = DedupOps.readCdcLayers(s, indexPath)
     val corpus = s.read.parquet(s"$indexPath/chunks")
       .select(col("c").as("_c"), lit(1L).as("_hit"))
 
@@ -80,20 +73,26 @@ object CdcGate {
       extraCols = Seq(tsCol))
 
     val win = org.apache.spark.sql.functions.window(col(tsCol), window)
-    val joined = chunked.filter(size(col("_ch")) >= 1)
+    // ONE rollup shape for every index state: collapse per
+    // (window, doc, chunk) FIRST, then count — chained
+    // watermark-bounded aggregates (the Bm25Gate discipline). The
+    // collapse is what makes the gate correct on a LAYERED index (a
+    // chunk living in both the base and a fold run would double its
+    // _hit under a plain count/sum — the batch probe is immune via
+    // left_semi) AND delivery-idempotent (the kernel emits DISTINCT
+    // hashes per doc, so for a single delivery the collapse changes
+    // nothing; a doc redelivered inside one window collapses to one
+    // chunk set instead of double-counting). One unconditional shape
+    // also means compaction (layers → 1) + re-author can never flip
+    // a stream's semantics — branching on the layer count here did
+    // exactly that for redelivered docs (round-12 review finding).
+    val scored = chunked.filter(size(col("_ch")) >= 1)
       .select(col(idCol), col(tsCol), explode(col("_ch")).as("_c"))
       .join(corpus, Seq("_c"), "left")
-    val rolled =
-      if (layers <= 1)
-        joined.groupBy(win, col(idCol))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
-      else
-        joined.groupBy(win, col(idCol), col("_c"))
-          .agg(max(coalesce(col("_hit"), lit(0L))).as("_h"))
-          .groupBy(col("window"), col(idCol))
-          .agg(count(lit(1)).as("n_chunks"), sum(col("_h")).as("n_hits"))
-    val scored = rolled
+      .groupBy(win, col(idCol), col("_c"))
+      .agg(max(coalesce(col("_hit"), lit(0L))).as("_h"))
+      .groupBy(col("window"), col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("_h")).as("n_hits"))
       .select(col(idCol), col("window.end").as("window_end"),
         col("n_chunks"), col("n_hits"))
     // chunk-less docs go through the SAME windowed-aggregate shape as

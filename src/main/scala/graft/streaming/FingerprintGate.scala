@@ -47,6 +47,11 @@ object FingerprintGate {
   def index(corpusFps: DataFrame, idCol: String, fpCol: String,
       bits: Int, hammingMax: Int = 3,
       maxBucket: Int = DedupOps.DefaultMaxBucket): FpIndex = {
+    // the batch entry points reject degenerate geometry and reserved
+    // column collisions by name; the stream twin must too (a 2-bit
+    // block layout would silently tombstone nearly every bucket)
+    DedupOps.fingerprintValidate("FingerprintGate.index", idCol, fpCol,
+      bits, hammingMax)
     graft.functions.SketchAggregates.register(corpusFps.sparkSession)
     val buckets = DedupOps.bandBuckets(
       DedupOps.fingerprintBands(corpusFps, idCol, fpCol, bits, hammingMax),

@@ -580,6 +580,50 @@ class StreamingSpec extends SparkSpec {
     assertCdcGateParity("cdc_gate_stream")
   }
 
+  test("CdcGate is delivery-idempotent per (window, doc): a redelivered " +
+      "doc collapses to one chunk set") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcidem-").toString
+    graft.api.DedupOps.writeCdcChunkIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      s"$dir/cdc", modulus = 32, window = 4)
+    val probe = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = CdcGate.hitsGate(input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes",
+      s"$dir/cdc")
+    val q = out.writeStream.format("memory").queryName("cdc_idem_gate")
+      .outputMode("append").start()
+    val base = 1558430000000L
+    try {
+      // every doc delivered TWICE inside the same window (at-least-once
+      // upstream) — the gate must score it as one chunk set, not double
+      // every count
+      input.addData(probe.zipWithIndex.flatMap { case ((id, t), i) =>
+        Seq((id, t, ts(base + i * 1000L)),
+          (id, t, ts(base + i * 1000L + 1))) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cdc_idem_gate").filter(col("doc_id") >= 0)
+      .select("doc_id", "n_chunks", "n_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.api.DedupOps.cdcChunkHitsAgainstIndex(
+        docs.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        s"$dir/cdc")
+      .select("doc_id", "n_chunks", "n_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && want.exists(_._3 > 0), "vacuous fixture")
+    assert(got == want,
+      s"redelivery changed the scores: diff=${got.diff(want).take(3)}" +
+        s" / ${want.diff(got).take(3)}")
+  }
+
   test("CdcGate parity holds under the RocksDB state store") {
     StateStoreVariants.withRocksDB(spark) {
       assertCdcGateParity("cdc_gate_stream_rocks")
