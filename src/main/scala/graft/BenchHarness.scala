@@ -123,6 +123,129 @@ object BenchHarness {
     (candidates.filter(k => monotoneLeak(retests(k))), retests)
   }
 
+  // ---- cross-round drift adjudication (VERDICT r12 "what's wrong" #1) ----
+  //
+  // The within-run monotoneLeak heuristic is blind to CONTENTION THAT IS
+  // UNIFORM across a query's three runs: the r12 driver artifact shipped
+  // q91 at [4.99, 4.53, 4.65] — 7.5x over r11's 0.602 — and no retest
+  // fired because nothing ramped. The judge's clean run measured 0.631s:
+  // a phantom regression survived adjudication. The fix is a SECOND
+  // heuristic keyed on the previous round's committed per-query mins:
+  // any query whose current min drifts >2x over its prior min is
+  // retested after the loop exactly like a leak suspect, and the retest
+  // ships in-band so the artifact self-adjudicates.
+
+  /** Per-query steady-state mins out of a bench artifact string. Two
+    * shapes: a FULL bench line carries a `"queries"` object of scalar
+    * mins (bench_out.json, or a driver artifact whose `parsed` field
+    * captured the line); a driver artifact whose stdout tail TRUNCATED
+    * mid-line (the r12 BENCH_r12.json shape — 2000-char `tail`, parsed
+    * null) still carries per-query raw RUN arrays for the suffix of the
+    * alphabetical query loop, so the fallback mins each intact
+    * `"name":[...]` array (a leading partial array has no intact
+    * `"name":[` prefix and is skipped). Escaped quotes (`\"` inside the
+    * artifact's JSON-string tail) are normalized first.
+    */
+  def parseBenchMins(text: String): Map[String, Double] = {
+    val t = text.replace("\\\"", "\"")
+    val qObj = """"queries"\s*:\s*\{([^}]*)\}""".r
+    val pair = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r
+    qObj.findFirstMatchIn(t) match {
+      case Some(m) =>
+        pair.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      case None =>
+        val arr = """"([A-Za-z0-9_]+)"\s*:\s*\[([\-0-9.,\sEe]+)\]""".r
+        arr.findAllMatchIn(t).flatMap { m =>
+          val runs = m.group(2).split(",").toSeq
+            .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+          val mn = minOfRuns(runs)
+          if (runs.nonEmpty && mn >= 0) Some(m.group(1) -> mn) else None
+        }.toMap
+    }
+  }
+
+  /** True iff the artifact text declares the same SF as `sfBase`
+    * (e.g. "sf0.1"). Two declared forms: the bench line's
+    * `"sf":"/root/testdata/sf0.1"` (string path) and the driver
+    * artifact's top-level `"sf": 0.1` (number). An artifact declaring
+    * NEITHER is untrusted — cross-SF mins would flag every query.
+    */
+  def sfMatches(text: String, sfBase: String): Boolean = {
+    val asPath = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(m => java.nio.file.Paths.get(m.group(1)).getFileName.toString)
+    val asNum = """"sf"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(text)
+      .map(m => "sf" + m.group(1))
+    (asPath.toSeq ++ asNum.toSeq).contains(sfBase)
+  }
+
+  /** Previous-round per-query mins for drift comparison, best source
+    * first: (1) `bench_out.json` — the full line left by the most
+    * recent bench run on this checkout (driver or judge; gitignored
+    * but persistent), (2) the highest-numbered committed
+    * `BENCH_r{N}.json` driver artifact (tail-parse). Both are
+    * SF-gated. Returns (mins, source label) — empty mins disables
+    * drift adjudication rather than guessing.
+    */
+  def loadPriorMins(sfDir: String, cwd: String = "."): (Map[String, Double], String) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val sfBase = Paths.get(sfDir).getFileName.toString
+    def readIfUseful(p: java.nio.file.Path): Option[Map[String, Double]] =
+      scala.util.Try(new String(Files.readAllBytes(p), "UTF-8")).toOption
+        .filter(sfMatches(_, sfBase)).map(parseBenchMins).filter(_.nonEmpty)
+    val sidecar = Paths.get(cwd, "bench_out.json")
+    val fromSidecar =
+      if (Files.exists(sidecar)) readIfUseful(sidecar).map((_, "bench_out.json"))
+      else None
+    fromSidecar.orElse {
+      val rx = """BENCH_r(\d+)\.json""".r
+      val artifacts = scala.util.Try(
+        Files.list(Paths.get(cwd)).iterator().asScala.toSeq).getOrElse(Seq.empty)
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case rx(n) => Some((n.toInt, p))
+            case _ => None
+          }
+        }.sortBy(-_._1)
+      artifacts.view.flatMap { case (_, p) =>
+        readIfUseful(p).map((_, p.getFileName.toString))
+      }.headOption
+    }.getOrElse((Map.empty, "none"))
+  }
+
+  /** Queries whose current min drifted ≥`factor` over the prior
+    * round's min (and by ≥`absFloor` seconds absolute, so sub-100ms
+    * jitter never flags). `shared_stage_build` is excluded — a cold
+    * one-shot build legitimately varies with cache state. Failed rows
+    * (-1) are excluded — they ship in `failed` already.
+    */
+  def driftCandidates(current: Seq[(String, Double)], prior: Map[String, Double],
+      factor: Double = 2.0, absFloor: Double = 0.2): Seq[String] =
+    current.collect { case (k, cur)
+      if k != "shared_stage_build" && cur >= 0 &&
+        prior.get(k).exists(p => p > 0 && cur >= p * factor && cur - p >= absFloor) => k
+    }.sorted
+
+  /** Drift twin of [[adjudicateLeaks]]: each candidate is retested in
+    * a cleaned state and confirmed only if the RETEST min still drifts
+    * ≥`factor` over the prior min — uniform contention in the main
+    * loop (the q91 phantom) vanishes on a quiet retest, a real plan
+    * regression reproduces. A retest that FAILS (-1) stays confirmed:
+    * a query that passed the main loop but dies on retest is exactly
+    * what the artifact must not hide.
+    */
+  def adjudicateDrifts(candidates: Seq[String], prior: Map[String, Double],
+      retest: String => Seq[Double], factor: Double = 2.0,
+      absFloor: Double = 0.2): (Seq[String], Map[String, Seq[Double]]) = {
+    val retests = candidates.map(k => k -> retest(k)).toMap
+    val confirmed = candidates.filter { k =>
+      val m = minOfRuns(retests(k))
+      m < 0 || prior.get(k).exists(p => m >= p * factor && m - p >= absFloor)
+    }
+    (confirmed, retests)
+  }
+
   /** Release every locally-checkpointed RDD still pinned on the
     * context. localCheckpoint persists its RDD for the LIFE of the
     * session (the q89 round-7 lesson, generalized): a bench loop

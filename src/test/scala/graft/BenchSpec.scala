@@ -42,6 +42,109 @@ class BenchSpec extends SparkSpec {
     assert(none.isEmpty && empty.isEmpty)
   }
 
+  test("cross-round drift: the r12 q91 uniform-contention phantom is " +
+      "invisible to monotoneLeak, caught by driftCandidates, retested, " +
+      "and exonerated") {
+    // the actual r12 driver numbers: q91 [4.99, 4.53, 4.65] — uniform
+    // (non-monotone) 7.5x inflation over r11's committed 0.602 min.
+    val driverRuns = Seq(4.99, 4.53, 4.65)
+    assert(!BenchHarness.monotoneLeak(driverRuns),
+      "uniform contention must NOT trip the within-run heuristic " +
+        "(that blindness is exactly why the drift heuristic exists)")
+    val prior = Map("q91_lm_score_against_model" -> 0.602,
+      "q25_uv_approx" -> 0.5, "q56_heavy_hitters" -> 0.3)
+    val current = Seq(
+      "shared_stage_build" -> 9.9,              // excluded by design
+      "q91_lm_score_against_model" -> BenchHarness.minOfRuns(driverRuns),
+      "q25_uv_approx" -> 0.65,                  // 1.3x: under the bar
+      "q56_heavy_hitters" -> 0.45,              // 1.5x and < 0.2s abs
+      "q_new_this_round" -> 5.0,                // no prior: never flagged
+      "q_failed" -> -1.0)                       // failures ship in `failed`
+    assert(BenchHarness.driftCandidates(current, prior) ==
+      Seq("q91_lm_score_against_model"))
+    // the clean retest (judge's measured run: min 0.631) exonerates —
+    // and a retest that still drifts confirms
+    var retested = List.empty[String]
+    val (confirmed, recorded) = BenchHarness.adjudicateDrifts(
+      Seq("q91_lm_score_against_model"), prior, { k =>
+        retested ::= k; Seq(1.055, 0.655, 0.631) })
+    assert(retested == List("q91_lm_score_against_model"),
+      "a drift candidate must actually be retested")
+    assert(confirmed.isEmpty,
+      s"clean retest must exonerate the phantom: $confirmed")
+    assert(recorded("q91_lm_score_against_model") == Seq(1.055, 0.655, 0.631))
+    val (stillBad, _) = BenchHarness.adjudicateDrifts(
+      Seq("q91_lm_score_against_model"), prior,
+      _ => Seq(4.8, 4.6, 4.7))
+    assert(stillBad == Seq("q91_lm_score_against_model"),
+      "a reproducing drift is a real regression and must stay flagged")
+    // a retest that FAILS outright must stay flagged, not vanish
+    val (failConfirmed, _) = BenchHarness.adjudicateDrifts(
+      Seq("q91_lm_score_against_model"), prior, _ => Seq(-1.0))
+    assert(failConfirmed == Seq("q91_lm_score_against_model"))
+    // no candidates => retest never invoked
+    val (none, empty) = BenchHarness.adjudicateDrifts(Seq.empty, prior,
+      _ => fail("retest must not run without candidates"))
+    assert(none.isEmpty && empty.isEmpty)
+  }
+
+  test("parseBenchMins: full bench line takes the queries object; a " +
+      "truncated driver tail falls back to minning intact run arrays") {
+    val fullLine = """{"metric":"total","value":9.9,"unit":"sec",""" +
+      """"queries":{"shared_stage_build":1.5,"q01_pricing_summary":0.35,""" +
+      """"q91_lm_score_against_model":0.602},""" +
+      """"runs":{"q01_pricing_summary":[0.5,0.35,0.4],""" +
+      """"q91_lm_score_against_model":[0.7,0.602,0.61]},""" +
+      """"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchHarness.parseBenchMins(fullLine) == Map(
+      "shared_stage_build" -> 1.5, "q01_pricing_summary" -> 0.35,
+      "q91_lm_score_against_model" -> 0.602))
+    // the BENCH_r12.json shape: an escaped JSON-string tail starting
+    // MID-ARRAY (the partial leading array has no intact name prefix
+    // and must be skipped), no "queries" object in view
+    val tail = """{"n":12,"rc":0,"sf": 0.1,"tail":".62],""" +
+      """\"q58_keeper_by_quality\":[0.41,0.266,0.268],""" +
+      """\"q91_lm_score_against_model\":[4.99,4.53,4.65],""" +
+      """\"failed\":[],\"drained_checkpoints\":77","parsed":null}"""
+    val mins = BenchHarness.parseBenchMins(tail)
+    assert(mins == Map("q58_keeper_by_quality" -> 0.266,
+      "q91_lm_score_against_model" -> 4.53), s"got $mins")
+  }
+
+  test("loadPriorMins: prefers a same-SF bench_out.json sidecar, falls " +
+      "back to the highest committed driver artifact, refuses cross-SF") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prior").toFile
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        text.getBytes("UTF-8"))
+    try {
+      val cwd = dir.getAbsolutePath
+      // nothing on disk: drift adjudication disables itself
+      assert(BenchHarness.loadPriorMins("/root/testdata/sf0.1", cwd) ==
+        (Map.empty[String, Double], "none"))
+      // driver artifacts only: highest round number wins, tail-parsed
+      write("BENCH_r11.json",
+        """{"n":11,"sf": 0.1,"tail":"\"q91\":[9.0,9.0,9.0]","parsed":null}""")
+      write("BENCH_r12.json",
+        """{"n":12,"sf": 0.1,"tail":"x],\"q91\":[0.7,0.602,0.61]","parsed":null}""")
+      assert(BenchHarness.loadPriorMins("/root/testdata/sf0.1", cwd) ==
+        (Map("q91" -> 0.602), "BENCH_r12.json"))
+      // a same-SF sidecar (full line) outranks the artifacts
+      write("bench_out.json",
+        """{"metric":"total","queries":{"q91":0.631},"sf":"/root/testdata/sf0.1"}""")
+      assert(BenchHarness.loadPriorMins("/root/testdata/sf0.1", cwd) ==
+        (Map("q91" -> 0.631), "bench_out.json"))
+      // a cross-SF sidecar is untrusted — falls through to the artifact
+      write("bench_out.json",
+        """{"metric":"total","queries":{"q91":0.05},"sf":"/root/testdata/sf0.01"}""")
+      assert(BenchHarness.loadPriorMins("/root/testdata/sf0.1", cwd) ==
+        (Map("q91" -> 0.602), "BENCH_r12.json"))
+    } finally {
+      dir.listFiles.foreach(_.delete())
+      dir.delete()
+    }
+  }
+
   test("a REAL leak (intentionally-cached frames accreting) reproduces " +
       "through the retest and stays flagged") {
     // the thunk leaks deliberately: every invocation caches ANOTHER
