@@ -508,12 +508,33 @@ object Multimodal {
     g
   }
 
+  /** dHash64 of a DECODED image: horizontal gradient sign on a 9x8
+    * block grid — invariant to any monotone per-pixel tone map.
+    * Factored out of [[perceptualHash]] so the video fingerprint
+    * applies the identical per-frame hash (one dHash implementation,
+    * two modalities — the fingerprintPairs discipline one level
+    * down).
+    */
+  private[graft] def dHash64(im: java.awt.image.BufferedImage): Long = {
+    val d9 = grayGrid(im, 9, 8)
+    var dHash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (d9(y * 9 + x) < d9(y * 9 + x + 1)) dHash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    dHash
+  }
+
   /** 64-bit perceptual hashes of an image payload via the REAL JDK
     * decode: aHash (bit = 8x8 block mean above the global mean — both
     * shift equally under uniform brightness change, so the hash is
-    * brightness-invariant) and dHash (bit = horizontal gradient sign
-    * on a 9x8 grid — invariant to any monotone per-pixel tone map).
-    * None when no registered reader parses the bytes.
+    * brightness-invariant) and dHash ([[dHash64]]). None when no
+    * registered reader parses the bytes.
     */
   private[graft] def perceptualHash(r: MediaRecord): Option[(Long, Long)] = {
     val img =
@@ -528,18 +549,7 @@ object Multimodal {
         if (a8(i) > mean) aHash |= 1L << i
         i += 1
       }
-      val d9 = grayGrid(im, 9, 8)
-      var dHash = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (d9(y * 9 + x) < d9(y * 9 + x + 1)) dHash |= 1L << (y * 8 + x)
-          x += 1
-        }
-        y += 1
-      }
-      (aHash, dHash)
+      (aHash, dHash64(im))
     }
   }
 
@@ -767,6 +777,137 @@ object Multimodal {
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
       .mapPartitions(_.map(r => r.copy(payload = pcmWav8(r.payload))))
+  }
+
+  // ---- video fingerprinting (real container walk + frame decode) -------
+
+  /** 64-bit video fingerprint via the REAL container walk + frame
+    * decode: [[parseAviVideoFrames]] samples at most
+    * [[MaxSampledFrames]] video chunks off the RIFF `movi` walk
+    * (uniform `i*cnt/take` indices, first frame always included),
+    * each sampled chunk decodes through javax.imageio (MJPEG's
+    * JPEG-per-frame, or any registered reader), and bit i of the
+    * fingerprint is the strict MAJORITY of the sampled frames'
+    * [[dHash64]] bit i (`2*cnt > k` over the k frames that decoded) —
+    * stable under re-encoding or replacing a minority of frames
+    * (inserted intro/outro, transcoded stragglers), the q134
+    * tone-map-invariant gradient hash lifted to the time axis. None
+    * when no sampled frame decodes.
+    */
+  private[graft] def videoFingerprint(r: MediaRecord): Option[Long] = {
+    val frames =
+      try parseAviVideoFrames(r.payload, MaxSampledFrames)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    val hashes = frames.flatMap { fb =>
+      (try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fb)))
+       catch { case scala.util.control.NonFatal(_) => None }).map(dHash64)
+    }
+    if (hashes.isEmpty) None
+    else {
+      val k = hashes.length
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        var cnt = 0
+        hashes.foreach(x => if (((x >>> i) & 1L) == 1L) cnt += 1)
+        if (2 * cnt > k) h |= 1L << i
+        i += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Video fingerprint table: doc_id, vhash64 — one row per payload
+    * with >= 1 decodable sampled frame (others drop; callers needing
+    * them left-join back). Map-only, [[decode]]-shaped: the container
+    * walk, frame sampling, and per-frame decode all happen inside one
+    * mapPartitions — zero shuffles at any corpus size. */
+  def videoFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(r => videoFingerprint(r).map(h => (r.docId, h)))
+    }.toDF("doc_id", "vhash64")
+  }
+
+  /** Near-duplicate video pairs: majority-dHash-64 hamming with the
+    * SAME pigeonhole-lossless blocking + capped-bucket contract as
+    * the text (q54), image (q134), and audio (q136) modalities — ONE
+    * pair engine, four modalities. Output: doc_a, doc_b, hamming. */
+  def videoNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
+      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
+    graft.api.DedupOps.fingerprintPairs(
+      videoFingerprints(media), "doc_id", "vhash64", bits = 64,
+      hammingMax = hammingMax, maxBucket = maxBucket)
+
+  /** Frame count of the deterministic doc→AVI fixture: 6 frames with
+    * [[MaxSampledFrames]] = 4 makes the uniform sampler pick frames
+    * {0, 1, 3, 4} (`i*6/4`) — a GENUINE sampling decision the q139
+    * oracle replays, so a drifted sampler (off-by-one, tail-biased)
+    * flips the cross-engine compare instead of passing vacuously the
+    * way an all-frames fixture would.
+    */
+  private[graft] val VideoFixtureFrames = 6
+
+  /** Deterministic doc→AVI fixture: a genuine RIFF AVI container
+    * (hdrl/avih header + movi LIST, even-padded chunks) whose
+    * [[VideoFixtureFrames]] `00dc` video chunks are each a complete
+    * [[grayBmp16]] — frame f's pixel (x, y) is byte
+    * ((f + y*16 + x) mod n) of the seed (the seed rotated by f:
+    * consecutive frames near-identical, the way consecutive video
+    * frames are). BMP frames keep every decoded pixel derivable from
+    * first principles by the q139/q140 DuckDB oracles (the
+    * [[grayBmp16]] contract lifted to a container-of-containers),
+    * while the walk + sample + decode + majority path under test is
+    * byte-for-byte the one real MJPEG takes — MediaSpec pins
+    * [[videoFingerprint]] over ImageIO-written JPEG frames too.
+    */
+  private[graft] def bmpAvi16(seed: Array[Byte],
+      nFrames: Int = VideoFixtureFrames): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val n = seed.length
+      val rot =
+        if (n == 0) seed
+        else Array.tabulate[Byte](n)(j => seed((j + f) % n))
+      grayBmp16(rot)
+    }
+    val avihLen = 56
+    val hdrlLen = 4 + 8 + avihLen          // "hdrl" + avih chunk
+    val moviLen = 4 + frames.map(fr => 8 + fr.length + (fr.length & 1)).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen) // "AVI " + LISTs
+    val b = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def put4(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    put4("RIFF"); b.putInt(riffLen); put4("AVI ")
+    put4("LIST"); b.putInt(hdrlLen); put4("hdrl")
+    put4("avih"); b.putInt(avihLen)
+    b.putInt(40000)            // usPerFrame (25 fps)
+    b.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+    b.putInt(nFrames)          // totalFrames
+    b.putInt(0).putInt(1).putInt(0) // initialFrames, streams, bufSize
+    b.putInt(16).putInt(16)    // width, height
+    b.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    put4("LIST"); b.putInt(moviLen); put4("movi")
+    frames.foreach { fr =>
+      put4("00dc"); b.putInt(fr.length); b.put(fr)
+      if ((fr.length & 1) == 1) b.put(0.toByte) // RIFF even padding
+    }
+    b.array()
+  }
+
+  /** documents → REAL decodable video media: each doc's UTF-8 text
+    * bytes seed a [[bmpAvi16]] payload (the [[documentsAsBmpMedia]]
+    * contract on the video axis). At 100 TB this stage is replaced by
+    * reading the real video bytes off the object store; the container
+    * walk, frame sampler, and near-dup operators are unchanged. */
+  def documentsAsAviMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id").as("docId"), lit("video/avi").as("mediaType"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => r.copy(payload = bmpAvi16(r.payload))))
   }
 
   /** documents table → media records (text bytes standing in for image

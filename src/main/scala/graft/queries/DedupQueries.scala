@@ -217,6 +217,55 @@ eh AS (
              ELSE 0 END)::BIGINT AS envhash64
   FROM wsum JOIN wtot USING (doc_id) GROUP BY 1)"""
 
+  /** First-principles derivation of the q139/q140 video fingerprint
+    * (the [[imageHashCtes]] discipline lifted to a container-of-
+    * containers). Frame f of doc d is the doc's 16x16 BMP with pixel
+    * (x, y) = byte ((f + y*16 + x) mod n) — exactly how
+    * Multimodal.bmpAvi16 rotates the seed per frame — and the oracle
+    * REPLAYS THE SAMPLER: 6 container frames, 4 sampled, indices
+    * (i*6)//4 = {0, 1, 3, 4} (the `vf` CTE derives them from the
+    * formula, not a literal list, so a drifted engine-side sampler
+    * breaks the compare). Per sampled frame the dHash gradient bits
+    * re-derive by the q133 integer cross-multiplication, and the
+    * 64-bit video fingerprint takes each bit by strict majority over
+    * the 4 frames (cnt*2 > 4). Block geometry CTEs are per-frame
+    * copies of [[imageHashCtes]]'s (9-column bounds, row pairs).
+    */
+  private lazy val videoHashCtes: String = s"""
+WITH vidd AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 1),
+vf AS (SELECT (t.i * 6) // 4 AS f FROM generate_series(0, 3) t(i)),
+vpx AS (
+  SELECT doc_id, vf.f AS f, (g.j % 16) AS x, (g.j // 16) AS y,
+         ('0x' || substr(hx, 2 * ((g.j + vf.f) % n) + 1, 2))::BIGINT AS v
+  FROM vidd CROSS JOIN vf CROSS JOIN generate_series(0, 255) g(j)),
+vgb AS (
+  SELECT cx, (cx * 16) // 9 AS x0,
+         least(16, greatest((cx * 16) // 9 + 1, ((cx + 1) * 16) // 9)) AS x1
+  FROM generate_series(0, 8) t(cx)),
+vdb AS (
+  SELECT vpx.doc_id, vpx.f, vgb.cx, (vpx.y // 2) AS cy, sum(vpx.v) AS s,
+         count(*) AS c
+  FROM vpx JOIN vgb ON vpx.x >= vgb.x0 AND vpx.x < vgb.x1
+  GROUP BY 1, 2, 3, 4),
+vbit AS (
+  SELECT l.doc_id, l.cy * 8 + l.cx AS i,
+         sum(CASE WHEN l.s * r.c < r.s * l.c THEN 1 ELSE 0 END) AS cnt
+  FROM vdb l JOIN vdb r ON l.doc_id = r.doc_id AND l.f = r.f
+        AND l.cy = r.cy AND r.cx = l.cx + 1
+  WHERE l.cx < 8
+  GROUP BY 1, 2),
+vh AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt * 2 > 4 THEN
+               CASE WHEN i = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << i::INT) END
+             ELSE 0 END)::BIGINT AS vhash64
+  FROM vbit GROUP BY 1)"""
+
   /** q53's full oracle SQL — shared by q90 (semantic-dedup keepers),
     * which clusters the same pair list (the q21OracleSql pattern in
     * vector space).
@@ -1298,6 +1347,71 @@ WHERE bit_count(xor(ea.envhash64, eb.envhash64)) <= 6"""),
           imageDhash(s, dir).filter(col("doc_id") % 5 === 0)
             .localCheckpoint(),
           "doc_id", "dhash64", foldedFpDir(s, dir))),
+
+    QueryDef(
+      "q139_video_phash",
+      "Perceptual VIDEO fingerprints through the REAL container walk " +
+        "+ frame decode (operators.Multimodal.videoFingerprints): " +
+        "each doc's text bytes seed a genuine RIFF AVI (bmpAvi16 — " +
+        "hdrl/avih header, movi LIST, 6 even-padded 00dc chunks, " +
+        "each a complete 16x16 BMP with the seed rotated by the " +
+        "frame index), parseAviVideoFrames walks the container and " +
+        "UNIFORMLY SAMPLES 4 of the 6 frames (i*6/4 = {0,1,3,4} — " +
+        "work per record is bounded regardless of video length), " +
+        "javax.imageio decodes each sampled frame, and bit i of the " +
+        "64-bit fingerprint is the strict majority of the frames' " +
+        "dHash bit i (the q134 gradient hash lifted to the time " +
+        "axis). The oracle re-derives the fingerprint from FIRST " +
+        "PRINCIPLES — including the sampling indices from the " +
+        "formula, so a drifted sampler (not just a corrupted pixel) " +
+        "flips the cross-engine compare. MediaSpec pins the same " +
+        "path over ImageIO-written REAL JPEG frames (MJPEG). " +
+        "Map-only at any scale (container walk + decode inside one " +
+        "mapPartitions, zero shuffles).",
+      Some(s"""
+$videoHashCtes
+SELECT doc_id, vhash64 FROM vh"""),
+      (s, dir) =>
+        graft.operators.Multimodal.videoFingerprints(
+          graft.operators.Multimodal.documentsAsAviMedia(s, dir))),
+
+    QueryDef(
+      "q140_video_near_dup",
+      "Near-duplicate VIDEO pairs (operators.Multimodal." +
+        "videoNearDupPairs): majority-dHash-64 hamming <= 6 with the " +
+        "SAME pigeonhole-lossless blocking + capped-bucket contract " +
+        "as the text (q54), image (q134), and audio (q136) " +
+        "modalities — ONE pair engine (DedupOps.fingerprintPairs), " +
+        "FOUR modalities, so none can band differently. The oracle " +
+        "replays blocking, caps, and bit_count(xor) verification " +
+        "over its first-principles fingerprint derivation.",
+      Some(s"""
+$videoHashCtes,
+blocks AS (
+  SELECT doc_id, g.b AS band,
+         CASE WHEN g.b = 6 THEN (vhash64 >> 54) & 1023
+              ELSE (vhash64 >> (9 * g.b)) & 511 END AS bkey
+  FROM vh CROSS JOIN generate_series(0, 6) g(b)),
+ok AS (
+  SELECT band, bkey FROM blocks
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN ok o ON a.band = o.band AND a.bkey = o.bkey
+  JOIN blocks b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       bit_count(xor(va.vhash64, vb.vhash64))::BIGINT AS hamming
+FROM cand
+JOIN vh va ON va.doc_id = doc_a
+JOIN vh vb ON vb.doc_id = doc_b
+WHERE bit_count(xor(va.vhash64, vb.vhash64)) <= 6"""),
+      (s, dir) =>
+        graft.operators.Multimodal.videoNearDupPairs(
+          graft.operators.Multimodal.documentsAsAviMedia(s, dir),
+          hammingMax = 6)),
 
     QueryDef(
       "q78_cross_source_dups",

@@ -477,6 +477,153 @@ class MediaSpec extends SparkSpec {
       MediaRecord(7L, "audio/wav", "junk".getBytes("UTF-8"))).isEmpty)
   }
 
+  test("bmpAvi16 walks as a REAL AVI and videoFingerprint matches the " +
+      "first-principles majority replay (the q139/q140 oracle law)") {
+    val seed = "Video fingerprints lift dHash to the time axis — περί"
+      .getBytes("UTF-8")
+    val avi = Multimodal.bmpAvi16(seed)
+    // the container is genuinely parseable: header meta AND the movi walk
+    val meta = Multimodal.parseAviMeta(avi)
+    assert(meta.exists(m => m.width == 16 && m.height == 16 &&
+      m.nFrames == Multimodal.VideoFixtureFrames), s"avih meta: $meta")
+    val sampled = Multimodal.parseAviVideoFrames(avi, Multimodal.MaxSampledFrames)
+    assert(sampled.length == 4, s"sampled ${sampled.length} of 6")
+    // sampled frame i IS the container's frame (i*6)//4 = {0,1,3,4}:
+    // each decodes as a BMP whose pixel (x,y) is seed((f + y*16+x) mod n)
+    val wantF = Seq(0, 1, 3, 4)
+    sampled.zip(wantF).foreach { case (fb, f) =>
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      assert(im != null && im.getWidth == 16 && im.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val got = im.getRGB(x, y) & 0xff
+        val want = seed((f + y * 16 + x) % seed.length) & 0xff
+        assert(got == want, s"frame $f pixel ($x,$y): got $got, want $want")
+      }
+    }
+    // first-principles replay: per-frame dHash by integer
+    // cross-multiplication (the q133 law, seed rotated by f), then
+    // strict majority (cnt*2 > 4) per bit — the exact arithmetic the
+    // DuckDB oracle runs
+    def frameDHash(f: Int): Long = {
+      val px = Array.tabulate(16, 16)((y, x) =>
+        (seed((f + y * 16 + x) % seed.length) & 0xff).toLong)
+      def dBlock(cx: Int, cy: Int): (Long, Long) = {
+        val x0 = cx * 16 / 9
+        val x1 = math.min(16, math.max(x0 + 1, (cx + 1) * 16 / 9))
+        var s = 0L; var c = 0L
+        for (x <- x0 until x1; y <- 2 * cy until 2 * cy + 2) {
+          s += px(y)(x); c += 1
+        }
+        (s, c)
+      }
+      var d = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        val (sl, cl) = dBlock(cx, cy)
+        val (sr, cr) = dBlock(cx + 1, cy)
+        if (sl * cr < sr * cl) d |= 1L << (cy * 8 + cx)
+      }
+      d
+    }
+    val perFrame = wantF.map(frameDHash)
+    var want = 0L
+    for (i <- 0 until 64)
+      if (perFrame.count(h => ((h >>> i) & 1L) == 1L) * 2 > 4)
+        want |= 1L << i
+    val got = Multimodal.videoFingerprint(
+      MediaRecord(11L, "video/avi", avi))
+    assert(got.contains(want), s"decode-path $got != first-principles $want")
+  }
+
+  test("video fingerprint sampling law: unsampled frames {2,5} cannot " +
+      "change the fingerprint, sampled frames can") {
+    // hand-build AVIs that differ ONLY in specific frames: same movi
+    // grammar as bmpAvi16 but with per-frame seeds under test control
+    def avi(frameSeeds: Seq[Array[Byte]]): Array[Byte] = {
+      val moviPayload = fcc("movi") ++ frameSeeds.flatMap(s =>
+        riffChunk("00dc", Multimodal.grayBmp16(s))).toArray
+      val movi = fcc("LIST") ++ leInt(moviPayload.length.toLong) ++ moviPayload
+      val body = fcc("AVI ") ++ movi
+      fcc("RIFF") ++ leInt(body.length.toLong) ++ body
+    }
+    val base = "structured frame content with gradients 0123456789"
+      .getBytes("UTF-8")
+    val other = java.util.Arrays.copyOf(base, base.length)
+    for (i <- other.indices) other(i) = (~other(i)).toByte
+    val seeds = (0 until 6).map { f =>
+      Array.tabulate[Byte](base.length)(j => base((j + f) % base.length))
+    }
+    def fp(frames: Seq[Array[Byte]]): Option[Long] =
+      Multimodal.videoFingerprint(MediaRecord(1L, "video/avi", avi(frames)))
+    val ref = fp(seeds)
+    assert(ref.isDefined)
+    // replacing the UNSAMPLED frames (2 and 5 of {0,1,3,4}-sampling)
+    // is invisible by construction
+    assert(fp(seeds.updated(2, other).updated(5, other)) == ref,
+      "unsampled frames must not reach the fingerprint")
+    // replacing THREE sampled frames flips the majority wherever the
+    // replacement disagrees — the fingerprint must move
+    assert(fp(seeds.updated(0, other).updated(1, other).updated(3, other)) != ref,
+      "sampled frames must reach the fingerprint")
+  }
+
+  test("videoFingerprint through REAL MJPEG: container walk + JPEG " +
+      "frame decode agree with the directly-decoded frames' majority") {
+    // structured (gradient) JPEG frames so dHash is non-trivial; all 3
+    // frames sample (3 <= MaxSampledFrames)
+    def gradJpeg(shift: Int): Array[Byte] = {
+      val im = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 24) {
+        val v = math.min(255, (x * 8 + shift) % 256)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(gradJpeg(0), gradJpeg(4), gradJpeg(97))
+    val moviPayload = fcc("movi") ++ frames.flatMap(riffChunk("00dc", _)).toArray
+    val movi = fcc("LIST") ++ leInt(moviPayload.length.toLong) ++ moviPayload
+    val body = fcc("AVI ") ++ movi
+    val avi = fcc("RIFF") ++ leInt(body.length.toLong) ++ body
+    // expected: strict majority over the REAL JPEG decodes of the same
+    // three payloads — pins that the in-container frame decode IS the
+    // standalone image decode (no recompression, no pixel drift)
+    val perFrame = frames.map { fb =>
+      Multimodal.dHash64(
+        ImageIO.read(new java.io.ByteArrayInputStream(fb)))
+    }
+    var want = 0L
+    for (i <- 0 until 64)
+      if (perFrame.count(h => ((h >>> i) & 1L) == 1L) * 2 > 3)
+        want |= 1L << i
+    val got = Multimodal.videoFingerprint(MediaRecord(3L, "video/avi", avi))
+    assert(got.contains(want), s"MJPEG fingerprint $got != $want")
+  }
+
+  test("videoNearDupPairs: the single-byte-edit twin pairs, inverted " +
+      "content does not; junk payloads drop") {
+    import spark.implicits._
+    val base = "near duplicate videos share most sampled frames!"
+      .getBytes("UTF-8")
+    // a single-byte edit perturbs ~1 pixel per frame — the per-frame
+    // dHashes stay close, so the majority fingerprints do too
+    val tweaked = java.util.Arrays.copyOf(base, base.length)
+    tweaked(base.length - 1) = (tweaked(base.length - 1) + 3).toByte
+    val inverted = base.map(b => (~b).toByte)
+    val recs = Seq(
+      MediaRecord(1L, "video/avi", Multimodal.bmpAvi16(base)),
+      MediaRecord(2L, "video/avi", Multimodal.bmpAvi16(tweaked)),
+      MediaRecord(3L, "video/avi", Multimodal.bmpAvi16(inverted)),
+      MediaRecord(4L, "video/avi", "not an avi at all".getBytes("UTF-8"))).toDS()
+    val pairs = Multimodal.videoNearDupPairs(recs, hammingMax = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"inverted content must not pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"undecodable payloads must drop: $pairs")
+  }
+
   test("imageNearDupPairs: the brightened twin pairs, noise does not") {
     import spark.implicits._
     val recs = Seq(

@@ -394,9 +394,10 @@ class PlanSpec extends SparkSpec {
       "chunk-codes scan should carry cell partition filters")
   }
 
-  test("q133/q135: the real-decode hash tables are map-only — zero " +
+  test("q133/q135/q139: the real-decode hash tables are map-only — zero " +
       "exchanges at any corpus size") {
-    for (q <- Seq("q133_image_phash", "q135_audio_fingerprint")) {
+    for (q <- Seq("q133_image_phash", "q135_audio_fingerprint",
+        "q139_video_phash")) {
       val nodes = collectAll(plan(q))
       assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 0,
         s"$q should be a pure scan -> decode -> hash projection")
