@@ -44,11 +44,29 @@ object Bench {
     // the warmup alone runs every thunk once → one session's worth of
     // leaked localCheckpoint RDDs before timing even starts
     BenchHarness.drainLocalCheckpoints(spark)
-    val stageBuild = {
+    def timedBuild(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try queries.SharedStages.clusters(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try body catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
+    }
+    val stageBuild = timedBuild(
+      queries.SharedStages.clusters(spark, sfDir).count())
+    // The lazy per-SF temp IVF-PQ indexes (session-cached by dir) are
+    // built HERE as their own named *_index_build entries — the
+    // BenchScale discipline. Warmup runs at sf0.001, so without this
+    // q114/q129's first timed runs at the bench SF carried 9-11s of
+    // one-time index construction: min-of-3 discarded it (steady
+    // state was right) but the raw run arrays the adjudicator and
+    // SCALE read showed a 4-8x run-1 outlier per round (VERDICT r12
+    // "what's wrong" #2). Skipped when a restricted SPARK_GRAFT_ONLY
+    // run doesn't time the consumer.
+    val indexBuilds = Seq(
+      ("q114_index_build", "q114_hybrid_retrieval_ivfpq",
+        () => queries.PipelineQueries.hybridIvfPqDir(spark, sfDir)),
+      ("q129_index_build", "q129_passage_retrieval_ivfpq",
+        () => queries.PipelineQueries.passageIvfPqDir(spark, sfDir))
+    ).collect { case (buildName, consumer, build) if selected.contains(consumer) =>
+      buildName -> Seq(timedBuild(build()))
     }
     BenchHarness.drainLocalCheckpoints(spark)
     // three timed runs per query; "queries" reports the min (the
@@ -60,7 +78,7 @@ object Bench {
     // accretes pinned storage across 113×3 invocations and major-GC
     // pauses masquerade as per-query regressions; the r8 q56 finding).
     var drained = 0
-    val raw = ("shared_stage_build" -> Seq(stageBuild)) +:
+    val raw = (("shared_stage_build" -> Seq(stageBuild)) +: indexBuilds) ++
       selected.toSeq.sortBy(_._1).map { case (name, _) =>
         val rs = BenchHarness.timedRuns(3,
           () => SparkEntry.queries(name)(spark, sfDir))

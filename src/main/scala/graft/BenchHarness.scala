@@ -216,14 +216,16 @@ object BenchHarness {
 
   /** Queries whose current min drifted ≥`factor` over the prior
     * round's min (and by ≥`absFloor` seconds absolute, so sub-100ms
-    * jitter never flags). `shared_stage_build` is excluded — a cold
-    * one-shot build legitimately varies with cache state. Failed rows
-    * (-1) are excluded — they ship in `failed` already.
+    * jitter never flags). `*_build` rows (shared_stage_build, the
+    * `*_index_build` entries) are excluded — cold one-shot builds
+    * legitimately vary with cache state and run only once, so a
+    * retest could not reproduce their cost anyway. Failed rows (-1)
+    * are excluded — they ship in `failed` already.
     */
   def driftCandidates(current: Seq[(String, Double)], prior: Map[String, Double],
       factor: Double = 2.0, absFloor: Double = 0.2): Seq[String] =
     current.collect { case (k, cur)
-      if k != "shared_stage_build" && cur >= 0 &&
+      if !k.endsWith("_build") && cur >= 0 &&
         prior.get(k).exists(p => p > 0 && cur >= p * factor && cur - p >= absFloor) => k
     }.sorted
 
