@@ -439,13 +439,15 @@ object DedupOps {
       textCol: String, indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
-    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
-    foldIntoMinhashIndex(delta, idCol, textCol, indexPath)
     val s = delta.sparkSession
-    val (_, _, layers) =
-      readMinhashMeta(s, indexPath, "maintainMinhashIndex")
-    IndexMaintenance.compactIfLayered(s, indexPath, layers,
-      compactThreshold)(out => compactMinhashIndex(s, indexPath, out))
+    IndexMaintenance.withWriterLock(s, indexPath) {
+      IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoMinhashIndex(delta, idCol, textCol, indexPath)
+      val (_, _, layers) =
+        readMinhashMeta(s, indexPath, "maintainMinhashIndex")
+      IndexMaintenance.compactIfLayered(s, indexPath, layers,
+        compactThreshold)(out => compactMinhashIndex(s, indexPath, out))
+    }
   }
 
   /** Compact a layered index ([[foldIntoMinhashIndex]] in-place folds)
@@ -796,14 +798,28 @@ object DedupOps {
 
   /** Incremental fingerprint dedup — [[minhashPairsAgainst]]'s shape
     * for the 64-bit hash modalities (text simhash, image dHash, audio
-    * envelope): a DELTA of fingerprints probes the CORPUS's capped
-    * pigeonhole block buckets and verifies candidates by exact
-    * bit_count(xor). The corpus is never self-paired; probe cost is
-    * proportional to the delta (bands map-only, candidates bounded by
-    * blocks × cap per delta row). Output: doc_new, doc_old, hamming
-    * (<= hammingMax). The streaming twin is
-    * [[graft.streaming.FingerprintGate]] — same blocks, same caps,
-    * same verify, StreamingSpec-pinned parity.
+    * envelope, video majority-dHash): a DELTA of fingerprints probes
+    * the CORPUS's capped pigeonhole block buckets and verifies
+    * candidates by exact bit_count(xor). The corpus is never
+    * self-paired; probe cost is proportional to the delta (bands
+    * map-only, candidates bounded by blocks × cap per delta row).
+    * Output: doc_new, doc_old, hamming (<= hammingMax). The streaming
+    * twin is [[graft.streaming.FingerprintGate]] — same blocks, same
+    * caps, same verify, StreamingSpec-pinned parity.
+    *
+    * PRECONDITION (here, the index twin, and the gate): `newFps`
+    * carries each id AT MOST ONCE. Candidate pairs dedupe on
+    * (doc_new, doc_old) and then re-join the delta by id, so a delta
+    * holding the same id twice with DIFFERENT fingerprints would fan
+    * each candidate back out into one verify row per fingerprint
+    * while banding came only from whichever rows happened to band —
+    * duplicate, inconsistent output, not an error. Deduplicating
+    * here would cost the probe an extra delta shuffle and silently
+    * pick an arbitrary fingerprint for an id that IS a data bug
+    * upstream, so the contract is documented instead: re-emissions
+    * must collapse before the probe (the gate's within-watermark
+    * dedup handles exactly-once delivery of identical rows; differing
+    * fingerprints for one id are upstream corruption either way).
     */
   def fingerprintPairsAgainst(newFps: DataFrame, corpusFps: DataFrame,
       idCol: String, fpCol: String, bits: Int, hammingMax: Int = 3,
@@ -1042,13 +1058,15 @@ object DedupOps {
       fpCol: String, indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
-    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
-    foldIntoFingerprintIndex(delta, idCol, fpCol, indexPath)
     val s = delta.sparkSession
-    val (_, _, _, _, layers) =
-      readFpMeta(s, indexPath, "maintainFingerprintIndex")
-    IndexMaintenance.compactIfLayered(s, indexPath, layers,
-      compactThreshold)(out => compactFingerprintIndex(s, indexPath, out))
+    IndexMaintenance.withWriterLock(s, indexPath) {
+      IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoFingerprintIndex(delta, idCol, fpCol, indexPath)
+      val (_, _, _, _, layers) =
+        readFpMeta(s, indexPath, "maintainFingerprintIndex")
+      IndexMaintenance.compactIfLayered(s, indexPath, layers,
+        compactThreshold)(out => compactFingerprintIndex(s, indexPath, out))
+    }
   }
 
   /** Exact-substring duplicate SPANS (the ExactSubstr dedup of Lee et
@@ -1407,12 +1425,14 @@ object DedupOps {
       textCol: String, indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
-    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
-    foldIntoCdcChunkIndex(delta, idCol, textCol, indexPath)
     val s = delta.sparkSession
-    IndexMaintenance.compactIfLayered(s, indexPath,
-      readCdcLayers(s, indexPath), compactThreshold)(
-      out => compactCdcChunkIndex(s, indexPath, out))
+    IndexMaintenance.withWriterLock(s, indexPath) {
+      IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoCdcChunkIndex(delta, idCol, textCol, indexPath)
+      IndexMaintenance.compactIfLayered(s, indexPath,
+        readCdcLayers(s, indexPath), compactThreshold)(
+        out => compactCdcChunkIndex(s, indexPath, out))
+    }
   }
 
   /** Compact a layered CDC index (in-place [[foldIntoCdcChunkIndex]]

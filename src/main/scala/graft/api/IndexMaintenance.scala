@@ -61,12 +61,47 @@ object IndexMaintenance {
     */
   val DefaultCompactThreshold = 8
 
+  /** Best-effort single-writer guard wrapping every maintain* entry
+    * point: atomically creates `<index>__writer.lock`
+    * (FileSystem.createNewFile) and deletes it when the body
+    * completes or throws. A second concurrent maintain on the same
+    * path fails BY NAME here instead of racing [[recoverAtEntry]]'s
+    * unconditional sibling cleanup into the first writer's in-flight
+    * `__compacting` directory mid-compact (the silent-corruption
+    * shape ADVICE r12 flagged). Best-effort by design: createNewFile
+    * is atomic on HDFS-like filesystems and the local FS (object
+    * stores would want a conditional-put manifest instead — same
+    * position as the rename-swap contract above), and a hard crash
+    * strands the lock, so the error message names the exact file to
+    * delete once the operator confirms no maintain is live. The
+    * documented single-writer contract still governs; the lock turns
+    * concurrent-maintain misuse from corruption into a loud failure.
+    */
+  def withWriterLock[T](s: SparkSession, indexPath: String)(body: => T): T = {
+    val fs = new Path(indexPath).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val live = fs.makeQualified(new Path(indexPath))
+    val lock = new Path(live.getParent, live.getName + "__writer.lock")
+    val acquired =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    if (!acquired) throw new IllegalStateException(
+      s"withWriterLock: another maintain* appears to be running on " +
+        s"$live (lock file $lock exists) — maintain* is single-writer " +
+        "per index. If the previous writer crashed, delete the lock " +
+        "file and re-run; recoverAtEntry will repair any half-finished " +
+        "swap.")
+    try body finally fs.delete(lock, false)
+  }
+
   /** Crash recovery, run by every maintain* entry point BEFORE its
-    * fold: restore `__old` into place when the live path is absent (a
-    * crash landed between the swap's two renames), then delete stale
-    * `__compacting`/`__old` siblings unconditionally (a crashed
-    * attempt's full-index copy must not linger while folds stay under
-    * the compaction threshold). Idempotent; no-op on a healthy index.
+    * fold (inside [[withWriterLock]]): restore `__old` into place
+    * when the live path is absent (a crash landed between the swap's
+    * two renames), then delete stale `__compacting`/`__old` siblings
+    * unconditionally (a crashed attempt's full-index copy must not
+    * linger while folds stay under the compaction threshold).
+    * Idempotent; no-op on a healthy index. The unconditional sibling
+    * cleanup is what makes this single-writer-only — hence the lock.
     */
   def recoverAtEntry(s: SparkSession, indexPath: String): Unit = {
     val fs = new Path(indexPath).getFileSystem(

@@ -1112,13 +1112,15 @@ object TextOps {
       indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
-    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
-    foldIntoBm25Index(delta, idCol, textCol, indexPath)
     val s = delta.sparkSession
-    val (_, _, _, _, layers) =
-      readBm25FullMeta(s, indexPath, "maintainBm25Index")
-    IndexMaintenance.compactIfLayered(s, indexPath, layers,
-      compactThreshold)(out => compactBm25Index(s, indexPath, out))
+    IndexMaintenance.withWriterLock(s, indexPath) {
+      IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoBm25Index(delta, idCol, textCol, indexPath)
+      val (_, _, _, _, layers) =
+        readBm25FullMeta(s, indexPath, "maintainBm25Index")
+      IndexMaintenance.compactIfLayered(s, indexPath, layers,
+        compactThreshold)(out => compactBm25Index(s, indexPath, out))
+    }
   }
 
   def compactBm25Index(s: org.apache.spark.sql.SparkSession,

@@ -323,12 +323,14 @@ object VectorOps {
       planes: Seq[Seq[Double]], indexPath: String,
       compactThreshold: Int =
         IndexMaintenance.DefaultCompactThreshold): Boolean = {
-    IndexMaintenance.recoverAtEntry(delta.sparkSession, indexPath)
-    foldIntoSignIndex(delta, idCol, vecCol, planes, indexPath)
     val s = delta.sparkSession
-    val (_, _, layers) = readSignMeta(s, indexPath, "maintainSignIndex")
-    IndexMaintenance.compactIfLayered(s, indexPath, layers,
-      compactThreshold)(out => compactSignIndex(s, indexPath, out))
+    IndexMaintenance.withWriterLock(s, indexPath) {
+      IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoSignIndex(delta, idCol, vecCol, planes, indexPath)
+      val (_, _, layers) = readSignMeta(s, indexPath, "maintainSignIndex")
+      IndexMaintenance.compactIfLayered(s, indexPath, layers,
+        compactThreshold)(out => compactSignIndex(s, indexPath, out))
+    }
   }
 
   /** Compact a layered sign index (in-place [[foldIntoSignIndex]]

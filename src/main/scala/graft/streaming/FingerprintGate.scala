@@ -21,24 +21,49 @@ import graft.api.DedupOps
   * the batch probe on the same delta/corpus split.
   *
   * Static-side contract: the corpus index is built once per corpus
-  * version and PERSISTED (a stream-static join re-evaluates the static
-  * side per micro-batch; unpersisted, every batch would re-band the
-  * full corpus). Retire an index via [[FpIndex.unpersist]]. The only
-  * streaming state is the within-watermark (doc_new, doc_old) dedup.
+  * version and SNAPSHOTTED at author time via an eager
+  * `localCheckpoint` (a stream-static join re-evaluates the static
+  * side per micro-batch; un-materialized, every batch would re-band
+  * the full corpus). The lineage cut is load-bearing, not an
+  * optimization: a merely-`persist()`ed plan still references the
+  * index path, and a fold WRITING that path makes Spark's
+  * `refreshByPath` re-cache the plan with a fresh file listing — the
+  * fold became visible MID-SERVE, violating the reader contract the
+  * Bm25/Cdc gates document (found by the StreamingSpec
+  * fold-while-serving case, round 13). A checkpointed snapshot has no
+  * file-source relation for the refresh to match, so fold-invisible-
+  * until-re-author holds by construction. Retire an index via
+  * [[FpIndex.unpersist]]. The only streaming state is the
+  * within-watermark (doc_new, doc_old) dedup.
   */
 object FingerprintGate {
 
   /** The corpus-side static state: capped block buckets for candidate
     * generation, plus (doc_old, sh_old) fingerprints for the exact
-    * verify — both ids + one Long per row, never payloads.
+    * verify — both ids + one Long per row, never payloads. Both are
+    * eager lineage-cut snapshots (see the object note); releasing
+    * them is the caller's job once the gate's query stops.
     */
   case class FpIndex(buckets: DataFrame, fps: DataFrame,
       bits: Int, hammingMax: Int) {
     def unpersist(): Unit = {
-      buckets.unpersist()
-      fps.unpersist()
+      graft.api.Lifecycle.releaseLocalCheckpoint(buckets)
+      graft.api.Lifecycle.releaseLocalCheckpoint(fps)
       ()
     }
+  }
+
+  /** Eager author-time snapshot of a static-side frame: materialize,
+    * cut lineage, and register the blocks as cache-owned so a
+    * [[graft.BenchHarness]]-style checkpoint drain (which releases
+    * thunk-private checkpoints) cannot truncate a frame a LIVE gate
+    * still joins every micro-batch. [[FpIndex.unpersist]] both
+    * unregisters and releases.
+    */
+  private def snapshot(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    graft.api.Lifecycle.registerCacheOwned(cp)
+    cp
   }
 
   /** Build the static index from a corpus fingerprint frame
@@ -56,9 +81,9 @@ object FingerprintGate {
     val buckets = DedupOps.bandBuckets(
       DedupOps.fingerprintBands(corpusFps, idCol, fpCol, bits, hammingMax),
       idCol, maxBucket)
-    FpIndex(buckets.persist(),
-      corpusFps.select(col(idCol).as("doc_old"), col(fpCol).as("sh_old"))
-        .persist(),
+    FpIndex(snapshot(buckets),
+      snapshot(corpusFps.select(col(idCol).as("doc_old"),
+        col(fpCol).as("sh_old"))),
       bits, hammingMax)
   }
 
@@ -67,10 +92,11 @@ object FingerprintGate {
     * matching the batch deploy
     * ([[graft.api.DedupOps.fingerprintPairsAgainstIndex]]): geometry
     * comes off the index's own meta, layered runs reconcile ONCE at
-    * graph-author time (the gate's static side is a snapshot — see
-    * the Bm25Gate/CdcGate fold-while-serving contract, which applies
-    * verbatim: folds landing while the gate serves are invisible
-    * until re-author, and compaction swaps require quiescing).
+    * graph-author time, and the reconciled frames are lineage-cut
+    * snapshots (see the object note): folds landing while the gate
+    * serves are invisible until re-author — StreamingSpec pins this
+    * end-to-end — and compaction swaps still require quiescing (the
+    * Bm25Gate/CdcGate reader contract).
     */
   def indexFromPath(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): FpIndex = {
@@ -82,9 +108,9 @@ object FingerprintGate {
       (if (layers <= 1) raw
        else DedupOps.mergeLayeredBuckets(raw, maxBucket))
         .filter(col("__cs").isNotNull)
-    FpIndex(buckets.persist(),
-      spark.read.parquet(s"$indexPath/fps")
-        .select(col("doc_old"), col("fp_old").as("sh_old")).persist(),
+    FpIndex(snapshot(buckets),
+      snapshot(spark.read.parquet(s"$indexPath/fps")
+        .select(col("doc_old"), col("fp_old").as("sh_old"))),
       bits, hammingMax)
   }
 
@@ -93,6 +119,14 @@ object FingerprintGate {
     * hammingMax, append mode: band map-only → stream-static join on
     * (band, bkey) → candidate explode → within-watermark pair dedup →
     * exact bit_count(xor) verify against the static fingerprints.
+    *
+    * `declareWatermark = false` is for callers whose stream already
+    * carries an UPSTREAM watermark (e.g. the gate composes after a
+    * windowed stage); the within-watermark pair dedup still needs
+    * one, so the gate verifies the precondition at graph-author time
+    * and fails BY NAME instead of letting the query die at analysis
+    * with a raw Spark error (the named-error posture of the gate's
+    * column-collision checks).
     */
   def pairs(newFps: DataFrame, idCol: String, fpCol: String,
       tsCol: String, delay: String, corpus: FpIndex,
@@ -102,6 +136,18 @@ object FingerprintGate {
     Seq(idCol, fpCol, tsCol).foreach(c => require(!reserved.contains(c),
       s"FingerprintGate.pairs: column '$c' collides with a working " +
         s"column (${reserved.mkString(", ")}) — rename it first"))
+    if (!declareWatermark && newFps.isStreaming) {
+      val hasUpstreamWatermark = newFps.queryExecution.analyzed.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+        case _ => false
+      }
+      require(hasUpstreamWatermark,
+        "FingerprintGate.pairs: declareWatermark=false but the input " +
+          "stream declares no watermark — the within-watermark pair " +
+          s"dedup requires one. Either call .withWatermark(\"$tsCol\", " +
+          s"\"$delay\") upstream or pass declareWatermark=true to let " +
+          "the gate declare it")
+    }
     val banded = DedupOps.fingerprintBands(newFps, idCol, fpCol,
       corpus.bits, corpus.hammingMax, carry = Seq(tsCol, fpCol))
     val probe =

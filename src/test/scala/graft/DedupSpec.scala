@@ -698,6 +698,43 @@ class DedupSpec extends SparkSpec {
     assert(probeSet(s"$dir/ix") == want)
   }
 
+  test("withWriterLock: a concurrent maintain on a locked index fails " +
+      "by name; the lock releases on success and on failure") {
+    import graft.api.{DedupOps, IndexMaintenance}
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 === 1)
+    val d1 = docs.filter(col("doc_id") % 5 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wlock-").toString
+    val lockPath = java.nio.file.Paths.get(s"$dir/ix__writer.lock")
+    DedupOps.writeMinhashIndex(c0, "doc_id", "text", s"$dir/ix")
+    // while a writer holds the lock, a second maintain on the same
+    // path fails BY NAME — before the lock it would have raced
+    // recoverAtEntry's unconditional sibling cleanup into the first
+    // writer's in-flight __compacting dir (the ADVICE r12 scenario)
+    val out = IndexMaintenance.withWriterLock(spark, s"$dir/ix") {
+      val e = intercept[IllegalStateException](
+        DedupOps.maintainMinhashIndex(d1, "doc_id", "text", s"$dir/ix"))
+      assert(e.getMessage.contains("single-writer") &&
+        e.getMessage.contains("__writer.lock"), e.getMessage)
+      42
+    }
+    assert(out == 42)
+    // the holder's exit released the lock: maintain now proceeds, and
+    // cleans up after itself
+    assert(!DedupOps.maintainMinhashIndex(d1, "doc_id", "text", s"$dir/ix"))
+    assert(!java.nio.file.Files.exists(lockPath),
+      "lock must not outlive a successful maintain")
+    // a BODY failure also releases (crashed folds must not wedge the
+    // index until manual lock removal — only process death does that,
+    // and the error message names the file for that case)
+    intercept[RuntimeException](
+      IndexMaintenance.withWriterLock(spark, s"$dir/ix") {
+        throw new RuntimeException("fold blew up")
+      })
+    assert(!java.nio.file.Files.exists(lockPath),
+      "lock must release when the guarded body throws")
+  }
+
   test("maintainCdcChunkIndex + maintainSignIndex: same policy, " +
       "other families") {
     import graft.api.{DedupOps, VectorOps}

@@ -856,6 +856,133 @@ class StreamingSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("FingerprintGate fold-while-serving: pairs keep coming from the " +
+      "authored snapshot; a re-authored gate sees the fold") {
+    import spark.implicits._
+    val dh = graft.operators.Multimodal.imageHashes(
+        graft.operators.Multimodal.documentsAsBmpMedia(spark, sf))
+      .select(col("doc_id"), col("dhash64")).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpfws-").toString
+    graft.api.DedupOps.writeFingerprintIndex(
+      dh.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+      "doc_id", "dhash64", bits = 64, hammingMax = 6, s"$dir/ix")
+    // two disjoint probe cohorts, both outside the corpus (%5 == 0):
+    // A probes pre-fold, B probes post-fold — the within-watermark
+    // PAIR dedup makes re-probing the same docs vacuous (unlike the
+    // CdcGate windowed-agg shape), so the mid-serve claim rides on
+    // FRESH docs arriving after the fold landed
+    val probesA = dh.filter(col("doc_id") % 10 === 0)
+    val probesB = dh.filter(col("doc_id") % 10 === 5)
+    def batchWant(p: org.apache.spark.sql.DataFrame) =
+      graft.api.DedupOps.fingerprintPairsAgainstIndex(
+          p, "doc_id", "dhash64", s"$dir/ix")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantPreA = batchWant(probesA)
+    val wantPreB = batchWant(probesB)
+    val idx = streaming.FingerprintGate.indexFromPath(spark, s"$dir/ix")
+    val rowsOf = (p: org.apache.spark.sql.DataFrame) =>
+      p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    try {
+      val input = MemoryStream[(Long, Long, Timestamp)]
+      val base = 1558430000000L
+      val out = streaming.FingerprintGate.pairs(
+        input.toDF().toDF("doc_id", "dhash64", "ts"),
+        "doc_id", "dhash64", "ts", delay = "1 hour", idx)
+      val q = out.writeStream.format("memory").queryName("fp_fws_gate")
+        .outputMode("append").start()
+      try {
+        input.addData(rowsOf(probesA).zipWithIndex.map { case ((id, h), i) =>
+          (id, h, ts(base + i * 1000L)) }.toSeq: _*)
+        q.processAllAvailable()
+        // the fold lands WHILE the gate serves
+        graft.api.DedupOps.foldIntoFingerprintIndex(
+          dh.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+          "doc_id", "dhash64", s"$dir/ix")
+        // fresh cohort 20 minutes later: still the authored snapshot
+        input.addData(rowsOf(probesB).zipWithIndex.map { case ((id, h), i) =>
+          (id, h, ts(base + 20L * 60 * 1000 + i * 1000L)) }.toSeq: _*)
+        q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 48L * 3600 * 1000)))
+        q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 96L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val wantPostAll = batchWant(probesA.unionByName(probesB))
+      assert(wantPostAll != (wantPreA ++ wantPreB),
+        "fold changed no pairs — the while-serving claim would be vacuous")
+      val got = spark.table("fp_fws_gate").filter(col("doc_new") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == (wantPreA ++ wantPreB),
+        "gate drifted from the authored snapshot mid-serve " +
+          s"(extra=${(got -- wantPreA -- wantPreB).take(3)} " +
+          s"missing=${((wantPreA ++ wantPreB) -- got).take(3)})")
+      // a RE-AUTHORED gate (same index path) sees the folded corpus
+      val idx2 = streaming.FingerprintGate.indexFromPath(spark, s"$dir/ix")
+      try {
+        val input2 = MemoryStream[(Long, Long, Timestamp)]
+        val out2 = streaming.FingerprintGate.pairs(
+          input2.toDF().toDF("doc_id", "dhash64", "ts"),
+          "doc_id", "dhash64", "ts", delay = "1 hour", idx2)
+        val q2 = out2.writeStream.format("memory").queryName("fp_fws_gate2")
+          .outputMode("append").start()
+        try {
+          input2.addData(rowsOf(probesA.unionByName(probesB)).zipWithIndex
+            .map { case ((id, h), i) => (id, h, ts(base + i * 1000L)) }
+            .toSeq: _*)
+          q2.processAllAvailable()
+          input2.addData((-999L, 0L, ts(base + 48L * 3600 * 1000)))
+          q2.processAllAvailable()
+          input2.addData((-999L, 0L, ts(base + 96L * 3600 * 1000)))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        val got2 = spark.table("fp_fws_gate2").filter(col("doc_new") >= 0)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(got2 == wantPostAll,
+          s"re-authored gate != post-fold batch probe " +
+            s"(diff=${got2.diff(wantPostAll).take(3)})")
+      } finally idx2.unpersist()
+    } finally idx.unpersist()
+  }
+
+  test("FingerprintGate declareWatermark=false: a watermark-less input " +
+      "fails by name at author time; an upstream watermark flows through") {
+    import spark.implicits._
+    val corpusFps = Seq((1L, 0x0FL), (2L, -4096L)).toDF("doc_id", "fp")
+    val idx = streaming.FingerprintGate.index(
+      corpusFps, "doc_id", "fp", bits = 64, hammingMax = 2)
+    try {
+      val input = MemoryStream[(Long, Long, Timestamp)]
+      val noWm = input.toDF().toDF("doc_id", "fp", "ts")
+      // before the check this died at stream analysis with a raw
+      // Spark watermark error pointing at dropDuplicatesWithinWatermark
+      val e = intercept[IllegalArgumentException](
+        streaming.FingerprintGate.pairs(noWm, "doc_id", "fp", "ts",
+          delay = "1 hour", idx, declareWatermark = false))
+      assert(e.getMessage.contains("declareWatermark") &&
+        e.getMessage.contains("withWatermark"), e.getMessage)
+      // the documented caller shape — an UPSTREAM watermark — authors
+      // and answers: 0x0E is hamming-1 from corpus doc 1
+      val base = 1558430000000L
+      val out = streaming.FingerprintGate.pairs(
+        noWm.withWatermark("ts", "1 hour"), "doc_id", "fp", "ts",
+        delay = "1 hour", idx, declareWatermark = false)
+      val q = out.writeStream.format("memory").queryName("fp_gate_upwm")
+        .outputMode("append").start()
+      try {
+        input.addData((10L, 0x0EL, ts(base + 1000)))
+        q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 48L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("fp_gate_upwm").filter(col("doc_new") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == Set((10L, 1L, 1L)), s"got $got")
+    } finally idx.unpersist()
+  }
+
   /** Streaming BM25 gate: the chained (window,qid,doc)-rollup →
     * (window,qid)-topk_agg aggregation over the SHARED static
     * contribution index must rank identically to the batch
