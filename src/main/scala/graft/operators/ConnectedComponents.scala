@@ -81,20 +81,26 @@ object ConnectedComponents {
   private[graft] def minLabelWithRounds(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int = 20): (DataFrame, Int) = {
     // every round joins the edge list — persist it once, or each round
-    // re-evaluates the (possibly expensive) upstream pair computation
-    val sym = edges
+    // re-evaluates the (possibly expensive) upstream pair computation.
+    // The cache sits on the DIRECTED list and the symmetric view
+    // derives from it by column swap: a union of two selects over
+    // `edges` nominally evaluates the upstream pair pipeline once per
+    // branch before the cache materializes. (In practice Spark's
+    // ReuseExchange dedupes the branches' identical shuffle subtrees,
+    // so measured savings are small — but reuse is an optimizer
+    // outcome, not a contract, and caching upstream of the swap makes
+    // single evaluation structural.)
+    val one = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges
-        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .persist()
+    val sym = one.union(
+      one.select(col("dst").as("src"), col("src").as("dst")))
     // the long cast turns non-numeric ids (strings, UUIDs) into NULLs,
     // which would propagate to silently wrong clusters — fail loudly
     // instead; this count also materializes the edge cache up front
-    // (both input columns appear as src in the symmetric union, so one
-    // column check covers both)
-    val nullIds = sym.filter(col("src").isNull || col("dst").isNull).count()
+    val nullIds = one.filter(col("src").isNull || col("dst").isNull).count()
     if (nullIds > 0) {
-      sym.unpersist() // don't leak the edge cache on the failure path
+      one.unpersist() // don't leak the edge cache on the failure path
       throw new IllegalArgumentException(
         s"connected components needs numeric ids: $nullIds edge endpoints " +
           s"were NULL after casting ($srcCol, $dstCol) to long — map string " +
@@ -145,13 +151,13 @@ object ConnectedComponents {
     // retry must not inherit an orphaned cached frame (same contract as
     // the null-id failure path above)
     if (changed != 0) {
-      sym.unpersist()
+      one.unpersist()
       throw new IllegalArgumentException(
         s"connected components did not converge in $maxIter rounds")
     }
     // the loop's checkpoints materialized the final labels, which no
     // longer reference the edge list — safe to release it here
-    sym.unpersist()
+    one.unpersist()
     (labels.select(col("id"), col("lbl").as("cluster_id")), round)
   }
 }
