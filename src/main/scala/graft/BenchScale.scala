@@ -74,7 +74,12 @@ object BenchScale {
     // round-12: the bucket-pruned point read — scan work tracks the
     // key count, not the corpus, so the ratio should sit far below
     // q121's corpus-proportional co-located read
-    "q132_bucket_pruned_read")
+    "q132_bucket_pruned_read",
+    // round-13: the real-decode fingerprint paths — both are map-only
+    // (PlanSpec pins zero exchanges), so their 10x cost should be pure
+    // scan+decode growth with no shuffle term: the decode-throughput
+    // evidence for the media family
+    "q133_image_phash", "q139_video_phash")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
@@ -273,6 +278,32 @@ object BenchScale {
     val bPrbS = BenchHarness.minOf2Of(() => TextOps.bm25TopKAgainstIndex(
       bmQueries, "qid", "text", s"$idxDir/bm25_scaled", "doc_id"))
 
+    // fingerprint family (round 13): index the corpus slices' image
+    // dHashes (through the REAL q133 decode — the build row includes
+    // the corpus decode, honestly linear), probe with a FIXED
+    // checkpointed delta (decode runs once, not once per timed run),
+    // fold the same delta in place — completing the q59/q83/q108/q111
+    // evidence pattern for the sixth persisted family
+    import graft.operators.Multimodal
+    def corpusFps(dir: String) = Multimodal.imageHashes(
+        Multimodal.documentsAsBmpMedia(spark, dir))
+      .select(col("doc_id"), col("dhash64"))
+      .filter(col("doc_id") % 5 =!= 0)
+    val fpDelta = Multimodal.imageHashes(
+        Multimodal.documentsAsBmpMedia(spark, baseDir))
+      .select(col("doc_id"), col("dhash64"))
+      .filter(col("doc_id") % 5 === 0).localCheckpoint()
+    val fIdxB = timedUnit(DedupOps.writeFingerprintIndex(
+      corpusFps(baseDir), "doc_id", "dhash64", bits = 64, hammingMax = 6,
+      s"$idxDir/fp_base"))
+    val fIdxS = timedUnit(DedupOps.writeFingerprintIndex(
+      corpusFps(outDir), "doc_id", "dhash64", bits = 64, hammingMax = 6,
+      s"$idxDir/fp_scaled"))
+    val fPrbB = BenchHarness.minOf2Of(() => DedupOps.fingerprintPairsAgainstIndex(
+      fpDelta, "doc_id", "dhash64", s"$idxDir/fp_base"))
+    val fPrbS = BenchHarness.minOf2Of(() => DedupOps.fingerprintPairsAgainstIndex(
+      fpDelta, "doc_id", "dhash64", s"$idxDir/fp_scaled"))
+
     // ---- fold-cost rows: the O(delta) MAINTENANCE claim, measured ----
     // The round-9 verdict's standing caveat was fold write
     // amplification: the compacting folds rewrite the whole index per
@@ -318,6 +349,11 @@ object BenchScale {
       deltaDocs, "doc_id", "text", s"$idxDir/bm25_base"))
     val bFldS = timedUnit(TextOps.foldIntoBm25Index(
       deltaDocs, "doc_id", "text", s"$idxDir/bm25_scaled"))
+    val fFldB = timedUnit(DedupOps.foldIntoFingerprintIndex(
+      fpDelta, "doc_id", "dhash64", s"$idxDir/fp_base"))
+    val fFldS = timedUnit(DedupOps.foldIntoFingerprintIndex(
+      fpDelta, "doc_id", "dhash64", s"$idxDir/fp_scaled"))
+    graft.api.Lifecycle.releaseLocalCheckpoint(fpDelta)
     // compaction: the amortized index-sized operation the appends
     // defer — compacting the now-2-layer minhash indexes
     val tCmpB = timedUnit(DedupOps.compactMinhashIndex(
@@ -450,15 +486,18 @@ object BenchScale {
       ("q83_index_build", vIdxB, vIdxS, cRatio(vIdxB, vIdxS)),
       ("q108_index_build", bIdxB, bIdxS, cRatio(bIdxB, bIdxS)),
       ("q111_index_build", cIdxB, cIdxS, cRatio(cIdxB, cIdxS)),
+      ("q138_index_build", fIdxB, fIdxS, cRatio(fIdxB, fIdxS)),
       ("q110_compact_cost", tCmpB, tCmpS, cRatio(tCmpB, tCmpS)))
     val probeRows = Seq(
       ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
       ("q83_probe_const_delta", vPrbB, vPrbS, cRatio(vPrbB, vPrbS)),
       ("q108_probe_const_delta", bPrbB, bPrbS, cRatio(bPrbB, bPrbS)),
+      ("q137_probe_const_delta", fPrbB, fPrbS, cRatio(fPrbB, fPrbS)),
       ("q110_fold_const_delta", tFldB, tFldS, cRatio(tFldB, tFldS)),
       ("q113_fold_const_delta", vFldB, vFldS, cRatio(vFldB, vFldS)),
       ("q111_fold_const_delta", cFldB, cFldS, cRatio(cFldB, cFldS)),
-      ("q108_fold_const_delta", bFldB, bFldS, cRatio(bFldB, bFldS)))
+      ("q108_fold_const_delta", bFldB, bFldS, cRatio(bFldB, bFldS)),
+      ("q138_fold_const_delta", fFldB, fFldS, cRatio(fFldB, fFldS)))
 
     val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max

@@ -904,6 +904,48 @@ object TextOps {
     rrfFuse(lex, sem, idCol, k, rrfK)
   }
 
+  /** The full 100-TB hybrid-retrieval deployment shape as ONE call:
+    * BOTH legs probe persisted indexes — lexical via
+    * [[bm25TopKAgainstIndex]] (prefix-pruned contrib/postings scan +
+    * query-sized broadcast join, never the corpus) and semantic via
+    * [[graft.api.VectorOps.ivfPqProbe]] over a persisted IVF-PQ
+    * (cell-directory-pruned ADC scan), fused by the SHARED
+    * [[rrfFuse]]. No corpus frame appears anywhere in the plan: a
+    * retrieval batch touches only the two indexes' pruned slices, so
+    * per-batch cost is query-shaped — the q108/q99 probe postures
+    * composed. Because [[bm25TopKAgainstIndex]] scores identically to
+    * the in-process [[bm25TopK]] over the same corpus (the
+    * fold==rebuild q108 contract) and the semantic leg is verbatim
+    * [[hybridTopKIvfPq]]'s, the fused ranking is ROW-FOR-ROW equal to
+    * [[hybridTopKIvfPq]] on that corpus — ApiSpec pins the parity, so
+    * the deployment shape can never drift from the catalog-gated one.
+    * Output: qid, rank, idCol, rrf.
+    */
+  def hybridTopKAgainstIndexes(queries: DataFrame, qidCol: String,
+      textCol: String, bm25IndexPath: String, ivfPqIndexPath: String,
+      idCol: String, k: Int = 10, kPerList: Int = 10, d: Int = 64,
+      rrfK: Long = 60L, nprobe: Int = 2,
+      adcX1000Threshold: Int = -2000): DataFrame = {
+    require(k >= 1 && kPerList >= 1,
+      s"hybridTopKAgainstIndexes: k/kPerList must be >= 1, got $k/$kPerList")
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val lex = bm25TopKAgainstIndex(queries, qidCol, textCol,
+        bm25IndexPath, idCol, kPerList)
+      .select(col("qid"), col(idCol).as("_id"), col("rank").as("_r"))
+    val qe = embedText(queries, qidCol, textCol, d)
+      .filter(expr("exists(v, x -> x != 0D)"))
+      .select(col(qidCol).as(idCol), col("v"))
+    val sem = VectorOps.ivfPqProbe(qe, idCol, "v", ivfPqIndexPath,
+        adcX1000Threshold, nprobe)
+      .filter(col("vec_new") =!= col("vec_old"))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_new"))
+          .orderBy(col("asim_x1000").desc, col("vec_old").asc)).cast("long"))
+      .filter(col("_r") <= kPerList)
+      .select(col("vec_new").as("qid"), col("vec_old").as("_id"), col("_r"))
+    rrfFuse(lex, sem, idCol, k, rrfK)
+  }
+
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, qidCol: String, k: Int = 10): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")

@@ -1452,6 +1452,35 @@ class ApiSpec extends SparkSpec {
     assert(err.getMessage.contains("meta"))
   }
 
+  test("hybridTopKAgainstIndexes (both legs persisted) == hybridTopKIvfPq " +
+      "(in-process lexical leg) row-for-row on the same corpus") {
+    import graft.api.{TextOps, VectorOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft-hybidx-").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val qDf = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    TextOps.writeBm25Index(docs, "doc_id", "text", s"$dir/bm25")
+    val ce = TextOps.embedText(docs, "doc_id", "text", 64)
+      .filter(expr("exists(v, x -> x != 0D)"))
+    val model = VectorOps.ivfPqTrain(ce, "doc_id", "v",
+      nCells = 8, m = 16, k = 16, seed = 42L)
+    VectorOps.writeIvfPqIndex(ce, "doc_id", "v", model, s"$dir/ivfpq")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the deployment shape: NO corpus frame anywhere in the call
+    val deployed = rows(TextOps.hybridTopKAgainstIndexes(qDf, "qid",
+      "text", s"$dir/bm25", s"$dir/ivfpq", "doc_id"))
+    // the catalog-gated shape (q114): in-process lexical contribution
+    // build over the corpus, same persisted semantic leg
+    val catalogGated = rows(TextOps.hybridTopKIvfPq(docs, qDf, "doc_id",
+      "text", "qid", s"$dir/ivfpq"))
+    assert(deployed.nonEmpty && deployed == catalogGated,
+      s"deployment hybrid != catalog hybrid: " +
+        s"deployed-only=${(deployed -- catalogGated).take(3)} " +
+        s"catalog-only=${(catalogGated -- deployed).take(3)}")
+  }
+
   test("foldIntoBm25Index == from-scratch rebuild (global stats re-derived)") {
     // BM25's fold is the interesting one: every contribution depends
     // on corpus-global stats, so the fold recomputes _c from the
