@@ -64,7 +64,9 @@ object Bench {
       ("q114_index_build", "q114_hybrid_retrieval_ivfpq",
         () => queries.PipelineQueries.hybridIvfPqDir(spark, sfDir)),
       ("q129_index_build", "q129_passage_retrieval_ivfpq",
-        () => queries.PipelineQueries.passageIvfPqDir(spark, sfDir))
+        () => queries.PipelineQueries.passageIvfPqDir(spark, sfDir)),
+      ("q141_index_build", "q141_hybrid_deployed_parity",
+        () => queries.PipelineQueries.hybridBm25Dir(spark, sfDir))
     ).collect { case (buildName, consumer, build) if selected.contains(consumer) =>
       buildName -> Seq(timedBuild(build()))
     }

@@ -1138,7 +1138,60 @@ FROM r WHERE rank <= 10"""),
 SELECT doc_id AS qid, true AS n_ok, true AS rn_dense, true AS overlap_ok
 FROM documents WHERE doc_id % 500 = 0"""),
       (s, dir) => overlapOracle(passageIvfPqCounts(s, dir),
-        AnnFloors.floor(s, "q129_passage_retrieval_ivfpq", dir)))
+        AnnFloors.floor(s, "q129_passage_retrieval_ivfpq", dir))),
+
+    QueryDef(
+      "q141_hybrid_deployed_parity",
+      "The FULL-DEPLOYMENT hybrid retrieval shape in the correctness " +
+        "gate (TextOps.hybridTopKAgainstIndexes): BOTH legs probe " +
+        "persisted indexes — lexical via bm25TopKAgainstIndex " +
+        "(prefix-pruned contrib scan + query-sized broadcast join, " +
+        "q108's probe) and semantic via the SAME session-cached " +
+        "IVF-PQ index q114 probes — fused by the ONE shared rrfFuse. " +
+        "No corpus frame appears in the deployed call's plan: a " +
+        "retrieval batch touches only the two indexes' pruned " +
+        "slices. The in-band oracle is EXACT PARITY, stronger than " +
+        "q114's overlap floor: per query, the deployed ranking must " +
+        "equal the catalog-gated hybridTopKIvfPq ranking row for row " +
+        "on (rank, doc, rrf) — bm25's probe == in-process scoring is " +
+        "the fold==rebuild q108 contract, the semantic legs share " +
+        "one derivation, and rrfFuse is retriever-agnostic, so ANY " +
+        "drift between the deployment shape and the gated shape " +
+        "(stale contrib bake, layered-postings mis-reconcile, probe " +
+        "geometry skew) flips parity_ok false.",
+      Some("""
+SELECT doc_id AS qid, true AS parity_ok
+FROM documents WHERE doc_id % 100 = 0"""),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val qs = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qid"), col("text"))
+        val deployed = graft.api.TextOps.hybridTopKAgainstIndexes(
+          qs, "qid", "text", hybridBm25Dir(s, dir), hybridIvfPqDir(s, dir),
+          "doc_id", k = 10, nprobe = 3)
+        val gated = graft.api.TextOps.hybridTopKIvfPq(docs, qs,
+          "doc_id", "text", "qid", hybridIvfPqDir(s, dir),
+          k = 10, nprobe = 3)
+        val d = deployed.select(col("qid"), col("rank"), col("doc_id"),
+          col("rrf"), lit(1L).as("_dl"))
+        val g = gated.select(col("qid").as("_gq"), col("rank").as("_gr"),
+          col("doc_id").as("_gd"), col("rrf").as("_grf"), lit(1L).as("_gl"))
+        val perQ = d.join(g,
+            col("qid") === col("_gq") && col("rank") === col("_gr") &&
+              col("doc_id") === col("_gd") && col("rrf") === col("_grf"),
+            "full")
+          .groupBy(coalesce(col("qid"), col("_gq")).as("qid"))
+          .agg((sum(when(col("_dl").isNull || col("_gl").isNull, 1L)
+            .otherwise(0L)) === 0L).as("parity_ok"))
+        // one row per query doc even when both sides emit nothing for
+        // it (the overlapCounts allQids discipline — a silently empty
+        // pair of legs must not shrink the output)
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qid"))
+          .join(perQ, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("parity_ok"), lit(true)).as("parity_ok"))
+      })
   )
 
   /** q114's raw overlap counts: IVF-PQ hybrid leg vs the SHARED
@@ -1238,6 +1291,23 @@ FROM documents WHERE doc_id % 500 = 0"""),
   // the brute leg excludes them, so both legs see one corpus.
   private val hybridIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  // q141's persisted BM25 index over the same corpus (the
+  // hybridIdxCache discipline for the lexical leg): built once per
+  // SF dir, every q141 run probes the same parquet — together with
+  // hybridIvfPqDir this makes the deployed call's plan corpus-free.
+  private val hybridBm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def hybridBm25Dir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hybridBm25Cache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-hybbm25-").toString
+      graft.api.TextOps.writeBm25Index(
+        Tables.documents(s, dir), "doc_id", "text", s"$tmp/ix")
+      s"$tmp/ix"
+    })
 
   // q129's persisted CHUNK-vector IVF-PQ index (the hybridIvfPqDir
   // discipline at passage granularity): chunks become pseudo-docs
