@@ -1479,6 +1479,31 @@ class ApiSpec extends SparkSpec {
       s"deployment hybrid != catalog hybrid: " +
         s"deployed-only=${(deployed -- catalogGated).take(3)} " +
         s"catalog-only=${(catalogGated -- deployed).take(3)}")
+    // the deployment property itself: NO corpus scan anywhere in the
+    // deployed plan — every file scan reads one of the two indexes
+    // (a retrieval batch at 100 TB must touch only pruned index
+    // slices, never documents)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    // queries arrive as an in-memory batch (the deployment reality:
+    // they come off a request queue, not the corpus table), so ANY
+    // documents scan in the plan would be corpus usage
+    import spark.implicits._
+    val qMem = qDf.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.toDF("qid", "text")
+    val deployedPlan = TextOps.hybridTopKAgainstIndexes(qMem, "qid",
+      "text", s"$dir/bm25", s"$dir/ivfpq", "doc_id")
+    deployedPlan.collect()
+    val locs = scans(deployedPlan.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("Location"))
+    assert(locs.nonEmpty && locs.forall(_.contains("graft-hybidx-")),
+      s"deployed plan must scan ONLY the two indexes, got: $locs")
   }
 
   test("foldIntoBm25Index == from-scratch rebuild (global stats re-derived)") {

@@ -476,7 +476,12 @@ class PlanSpec extends SparkSpec {
       // (q112's 8-shuffle budget twice) plus the per-qid agreement
       // rollups — the shipped operator itself is hybridTopKIvfPq,
       // whose own plan is covered by the nested-loop-free assertion
-      "q114_hybrid_retrieval_ivfpq" -> 24)
+      "q114_hybrid_retrieval_ivfpq" -> 24,
+      // q141 is the same comparison-harness shape: the deployed
+      // hybrid (whose own plan ApiSpec pins as index-scans-only) vs
+      // the catalog-gated hybrid, full-outer parity join + per-qid
+      // rollup on top
+      "q141_hybrid_deployed_parity" -> 24)
     SparkEntry.catalog.foreach { q =>
       val budget = compositionBudget.getOrElse(q.name, 6)
       val shuffles = collectAll(

@@ -946,6 +946,50 @@ class StreamingSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("FingerprintGate over VIDEO fingerprints == batch " +
+      "fingerprintPairsAgainst (the fourth modality on the one gate)") {
+    import spark.implicits._
+    // the gate is fingerprint-generic by construction; this pins it on
+    // the round-13 video modality end-to-end (majority-dHash over the
+    // real AVI walk + frame decode)
+    val vh = graft.operators.Multimodal.videoFingerprints(
+        graft.operators.Multimodal.documentsAsAviMedia(spark, sf))
+      .select(col("doc_id"), col("vhash64"))
+    val corpusFps = vh.filter(col("doc_id") % 5 =!= 0)
+    val deltaFps = vh.filter(col("doc_id") % 5 === 0)
+    val want = graft.api.DedupOps.fingerprintPairsAgainst(
+        deltaFps, corpusFps, "doc_id", "vhash64",
+        bits = 64, hammingMax = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "no batch pairs — parity would be vacuous")
+    val idx = streaming.FingerprintGate.index(
+      corpusFps, "doc_id", "vhash64", bits = 64, hammingMax = 6)
+    try {
+      val delta = deltaFps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val input = MemoryStream[(Long, Long, Timestamp)]
+      val base = 1558430000000L
+      val out = streaming.FingerprintGate.pairs(
+        input.toDF().toDF("doc_id", "vhash64", "ts"),
+        "doc_id", "vhash64", "ts", delay = "1 hour", idx)
+      val q = out.writeStream.format("memory").queryName("fp_vid_gate")
+        .outputMode("append").start()
+      try {
+        input.addData(delta.zipWithIndex.map { case ((id, h), i) =>
+          (id, h, ts(base + i * 1000L)) }.toSeq: _*)
+        q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 48L * 3600 * 1000)))
+        q.processAllAvailable()
+        input.addData((-999L, 0L, ts(base + 96L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("fp_vid_gate").filter(col("doc_new") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"stream=${got.size} batch=${want.size} " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally idx.unpersist()
+  }
+
   test("FingerprintGate declareWatermark=false: a watermark-less input " +
       "fails by name at author time; an upstream watermark flows through") {
     import spark.implicits._
