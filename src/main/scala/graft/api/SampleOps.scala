@@ -161,6 +161,52 @@ object SampleOps {
       .select(col(idCol), col(stratumCol))
   }
 
+  /** TOKEN-budget mixture sampling — [[mixtureResample]] in the unit
+    * production mixtures are actually specified in: per-stratum TOKEN
+    * budgets, not doc counts (a source of long documents exhausts its
+    * share in far fewer docs). Within each stratum, docs take a
+    * deterministic shuffled order (md5-hash key — reproducible across
+    * runs/engines, no rand()) and each doc KEEPS iff the total tokens
+    * of the docs BEFORE it in that order is still under the stratum's
+    * budget — "fill to budget": the budget-crossing doc is kept (the
+    * overshoot is bounded by one document), everything after drops.
+    * `budgetX` is a per-stratum budget expression over `stratumCol`
+    * (the [[mixtureResample]] weight-expression contract).
+    *
+    * The per-stratum running sum is the [[packSequences]] TWO-PHASE
+    * prefix sum, per stratum: docs cumsum inside (stratum, hash-bucket)
+    * partitions and each bucket adds a tiny triangular offset — no
+    * stratum-wide window funnels a whole source through one task, so
+    * the plan survives sources of any size. Output: idCol, stratumCol,
+    * n_tok, tok_before (the exclusive prefix — tok_before + n_tok is
+    * this stratum's running total through the doc).
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+      nTokCol: String, budgetX: Column, buckets: Int = 32): DataFrame = {
+    val docs = df
+      .select(col(idCol), col(stratumCol),
+        col(nTokCol).cast("long").as("_nt"),
+        TextHashing.hash60(col(idCol).cast("string")).as("_h"))
+      .withColumn("_bkt", pmod(col("_h"), lit(buckets.toLong)))
+    val w = Window.partitionBy(col(stratumCol), col("_bkt"))
+      .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs.withColumn("_lc",
+      coalesce(sum(col("_nt")).over(w), lit(0L)))
+    val totals = docs.groupBy(col(stratumCol), col("_bkt"))
+      .agg(sum(col("_nt")).as("_t"))
+    val offsets = totals.join(
+        broadcast(totals.select(col(stratumCol).as("_s2"),
+          col("_bkt").as("_b2"), col("_t").as("_t2"))),
+        col("_s2") === col(stratumCol) && col("_b2") < col("_bkt"), "left")
+      .groupBy(col(stratumCol), col("_bkt"))
+      .agg(coalesce(sum(col("_t2")), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq(stratumCol, "_bkt"))
+      .filter(col("_off") + col("_lc") < budgetX.cast("long"))
+      .select(col(idCol), col(stratumCol), col("_nt").as("n_tok"),
+        (col("_off") + col("_lc")).as("tok_before"))
+  }
+
   /** Sequence packing: concat-then-chunk bin assignment. Docs are
     * ordered by (id-hash bucket, id-hash, id) and each doc's bin is its
     * start offset div `budget` — the global running sum computed as a

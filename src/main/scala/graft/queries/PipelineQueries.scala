@@ -524,6 +524,46 @@ WHERE ${graft.functions.TextHashing.hash60Sql("d.doc_id::VARCHAR")} % 1000 < rat
           expr("cast(replace(source, 'src', '') as bigint) % 3 + 1"))),
 
     QueryDef(
+      "q142_token_budget_mixture",
+      "Data mixing in the unit production mixtures are specified in " +
+        "(SampleOps.tokenBudgetSample): per-source TOKEN budgets " +
+        "(budget = (source-number mod 3 + 1) x 2000 tokens), not doc " +
+        "counts — q60's doc-proportional mixture over-weights " +
+        "long-doc sources, and q125's fertility report exists " +
+        "precisely because budgets are token-denominated. Within " +
+        "each source, docs take the deterministic md5-hash shuffle " +
+        "order and keep while the tokens BEFORE them are under " +
+        "budget (fill-to-budget: the crossing doc is kept, overshoot " +
+        "bounded by one doc). The per-source running sum is q50's " +
+        "TWO-PHASE prefix sum per stratum — per-(source, hash-bucket) " +
+        "windows + triangular bucket offsets, so no source-wide " +
+        "window funnels a whole source through one task and output " +
+        "size is BUDGET-shaped, not corpus-shaped (the property that " +
+        "makes the op usable at 100 TB: the kept set stops growing " +
+        "when the corpus does). The oracle replays hash order, " +
+        "prefix sums, and the budget cut exactly.",
+      Some(s"""
+WITH t AS (SELECT doc_id, source,
+                  len(string_split(text, ' '))::BIGINT AS n_tok,
+                  ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")} AS h
+           FROM documents),
+o AS (SELECT doc_id, source, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY h % 32, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_before
+      FROM t)
+SELECT doc_id, source, n_tok, tok_before
+FROM o
+WHERE tok_before < ((replace(source, 'src', '')::BIGINT % 3) + 1) * 2000"""),
+      (s, dir) =>
+        graft.api.SampleOps.tokenBudgetSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+          "doc_id", "source", "n_tok",
+          expr("(cast(replace(source, 'src', '') as bigint) % 3 + 1) * 2000"))),
+
+    QueryDef(
       "q55_priority_sample",
       "Deterministic uniform k-sample (SampleOps.prioritySample): the " +
         "100 docs with the smallest md5-hash60(doc_id), ties by id. " +

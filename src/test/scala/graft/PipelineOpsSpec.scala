@@ -109,6 +109,50 @@ class PipelineOpsSpec extends SparkSpec {
       "bins must be dense")
   }
 
+  test("q142: token-budget mixture — per-source prefix chain from 0, " +
+      "fill-to-budget coverage, budget-shaped under corpus growth") {
+    import spark.implicits._
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, s"src${i % 4}", 10L + (i % 7))).toDF("id", "src", "nt")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      graft.api.SampleOps.tokenBudgetSample(df, "id", "src", "nt",
+        lit(500L)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val base = mk(1 to 400)
+    val out = sample(base)
+    val totalBySrc = (1 to 400).groupBy(i => s"src${i % 4}")
+      .view.mapValues(_.map(i => 10L + (i % 7)).sum).toMap
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      // every kept doc STARTED under budget (the fill-to-budget law)
+      assert(rows.forall(_._4 < 500L), s"$src kept a doc at/over budget")
+      // the kept set is a PREFIX of the per-source order: sorted by
+      // tok_before it chains exactly from 0 (this also proves the
+      // two-phase bucket offsets stitch into one consistent prefix
+      // sum — a broken offset join would leave a gap in the chain)
+      val chain = rows.sortBy(_._4)
+      assert(chain.head._4 == 0L, s"$src prefix does not start at 0")
+      chain.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3,
+          s"$src chain gap between ${a._1} and ${b._1}")
+        case _ => ()
+      }
+      // coverage: the budget is genuinely filled (or the source ran out)
+      val last = chain.last
+      assert(last._4 + last._3 >= 500L || rows.length == 100,
+        s"$src under-filled: ${last._4 + last._3} of 500")
+      assert(totalBySrc(src) > 500L, "fixture must exceed the budget")
+    }
+    // deterministic
+    assert(sample(base).toSet == out.toSet)
+    // budget-shaped: a 2x corpus still yields ~budget tokens per
+    // source — kept token mass stays in [budget, budget + max doc)
+    sample(mk(1 to 800)).groupBy(_._2).foreach { case (src, rows) =>
+      val mass = rows.map(_._3).sum
+      assert(mass >= 500L && mass < 500L + 17L,
+        s"$src mass $mass escaped the budget band on the grown corpus")
+    }
+  }
+
   test("q47: approx quantiles inside the bound at sf0.001 too") {
     val rows = run("q47_percentiles_approx").collect()
     assert(rows.nonEmpty)
