@@ -66,7 +66,18 @@ object Bench {
       ("q129_index_build", "q129_passage_retrieval_ivfpq",
         () => queries.PipelineQueries.passageIvfPqDir(spark, sfDir)),
       ("q141_index_build", "q141_hybrid_deployed_parity",
-        () => queries.PipelineQueries.hybridBm25Dir(spark, sfDir))
+        () => queries.PipelineQueries.hybridBm25Dir(spark, sfDir)),
+      // the session-cached BRUTE contrast stages the q114/q129 in-band
+      // oracles read: built lazily on first use, which otherwise lands
+      // inside the consumer's timed run 1 (q129's r13 run-1/min was
+      // 3.6 with only the index pre-built — the brute passage stage
+      // was the remaining cold cost)
+      ("q112_stage_build", "q114_hybrid_retrieval_ivfpq",
+        () => queries.SharedStages.hybridBrute(spark, sfDir).count()),
+      ("q128_stage_build", "q129_passage_retrieval_ivfpq",
+        () => queries.SharedStages.passageBrute(spark, sfDir).count()),
+      ("q141_stage_build", "q141_hybrid_deployed_parity",
+        () => queries.SharedStages.hybridIvfPq(spark, sfDir).count())
     ).collect { case (buildName, consumer, build) if selected.contains(consumer) =>
       buildName -> Seq(timedBuild(build()))
     }

@@ -1414,6 +1414,58 @@ WHERE bit_count(xor(va.vhash64, vb.vhash64)) <= 6"""),
           hammingMax = 6)),
 
     QueryDef(
+      "q143_video_incremental_dedup",
+      "Incremental VIDEO dedup — q137's delta-vs-corpus shape on the " +
+        "round-13 video fingerprints: the delta slice's " +
+        "majority-dHashes (through the q139 REAL container walk + " +
+        "frame decode + sampler) probe the corpus slice's capped " +
+        "pigeonhole block buckets, candidates verify by exact " +
+        "bit_count(xor), the corpus is never self-paired and probe " +
+        "cost is proportional to the delta. The SAME " +
+        "fingerprintPairsAgainst engine serves image (q137) and " +
+        "video (here) — and the FingerprintGate streaming twin is " +
+        "StreamingSpec-pinned on these exact video fingerprints — " +
+        "so every modality gets every deploy shape from one " +
+        "implementation. The oracle replays corpus-side capping and " +
+        "the cross join over its first-principles video-fingerprint " +
+        "derivation (sampler included).",
+      Some(s"""
+$videoHashCtes,
+blocks AS (
+  SELECT doc_id, g.b AS band,
+         CASE WHEN g.b = 6 THEN (vhash64 >> 54) & 1023
+              ELSE (vhash64 >> (9 * g.b)) & 511 END AS bkey
+  FROM vh CROSS JOIN generate_series(0, 6) g(b)),
+ok AS (
+  SELECT band, bkey FROM blocks WHERE doc_id % 5 <> 0
+  GROUP BY band, bkey
+  HAVING count(*) <= ${graft.api.DedupOps.DefaultMaxBucket}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+  FROM blocks n
+  JOIN ok k ON n.band = k.band AND n.bkey = k.bkey
+  JOIN blocks o ON o.band = n.band AND o.bkey = n.bkey
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0)
+SELECT doc_new, doc_old,
+       bit_count(xor(a.vhash64, b.vhash64))::BIGINT AS hamming
+FROM cand
+JOIN vh a ON a.doc_id = doc_new
+JOIN vh b ON b.doc_id = doc_old
+WHERE bit_count(xor(a.vhash64, b.vhash64)) <= 6"""),
+      (s, dir) => {
+        // both probe sides filter the SAME fingerprint frame —
+        // checkpointed so the AVI build + walk + decode pass runs
+        // once, not once per side (the q137 discipline)
+        val vh = graft.operators.Multimodal.videoFingerprints(
+          graft.operators.Multimodal.documentsAsAviMedia(s, dir))
+          .localCheckpoint()
+        graft.api.DedupOps.fingerprintPairsAgainst(
+          vh.filter(col("doc_id") % 5 === 0),
+          vh.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "vhash64", bits = 64, hammingMax = 6)
+      }),
+
+    QueryDef(
       "q78_cross_source_dups",
       "Cross-source duplication report: q21's near-dup pairs joined to " +
         "each doc's source, rolled up to (src_a, src_b) pair counts " +

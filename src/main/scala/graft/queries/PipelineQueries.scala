@@ -1209,9 +1209,11 @@ FROM documents WHERE doc_id % 100 = 0"""),
         val deployed = graft.api.TextOps.hybridTopKAgainstIndexes(
           qs, "qid", "text", hybridBm25Dir(s, dir), hybridIvfPqDir(s, dir),
           "doc_id", k = 10, nprobe = 3)
-        val gated = graft.api.TextOps.hybridTopKIvfPq(docs, qs,
-          "doc_id", "text", "qid", hybridIvfPqDir(s, dir),
-          k = 10, nprobe = 3)
+        // the contrast comes from the SHARED materialized stage (q114
+        // owns the honest IVF-hybrid cost — its in-process BM25
+        // contribution build dominates; this parity check only needs
+        // the rows, the hybridBrute/q78 discipline)
+        val gated = SharedStages.hybridIvfPq(s, dir)
         val d = deployed.select(col("qid"), col("rank"), col("doc_id"),
           col("rrf"), lit(1L).as("_dl"))
         val g = gated.select(col("qid").as("_gq"), col("rank").as("_gr"),

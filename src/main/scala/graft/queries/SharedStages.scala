@@ -125,6 +125,25 @@ object SharedStages {
         "doc_id", "text", "qid", k = 10)
     }
 
+  /** The catalog-gated IVF-PQ hybrid ranking (qid, rank, doc_id,
+    * rrf) — q114's operator-under-test output, materialized once so
+    * q141's exact-parity contrast reads the persisted frame instead
+    * of re-running the in-process BM25 contribution build per run
+    * (the [[hybridBrute]] ownership discipline one level up the
+    * stack: q114's catalog entry stays the honest owner of this
+    * cost; q141 only needs the rows).
+    */
+  def hybridIvfPq(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "hybivf", Seq("qid", "rank")) {
+      val docs = Tables.documents(s, dir)
+      graft.api.TextOps.hybridTopKIvfPq(docs,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+          .select(org.apache.spark.sql.functions.col("doc_id").as("qid"),
+            org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", "qid", PipelineQueries.hybridIvfPqDir(s, dir),
+        k = 10, nprobe = 3)
+    }
+
   /** q46's transitive clusters (doc_id, cluster_id) over the shared
     * pair list — the iterative label propagation reads the persisted
     * edges, never the LSH DAG, and its own output is persisted for q58.
