@@ -78,8 +78,14 @@ object BenchScale {
     // round-13: the real-decode fingerprint paths — both are map-only
     // (PlanSpec pins zero exchanges), so their 10x cost should be pure
     // scan+decode growth with no shuffle term: the decode-throughput
-    // evidence for the media family
-    "q133_image_phash", "q139_video_phash")
+    // evidence for the media family; q140 rides the capped pair
+    // engine on top of the video decode
+    "q133_image_phash", "q139_video_phash", "q140_video_near_dup",
+    // q142's claim is that only the scan-shaped aggregate grows with
+    // the corpus — the window sorts only the bucket-pruned
+    // ~budget-sized slice, so the 10x ratio should sit well under
+    // proportional growth
+    "q142_token_budget_mixture")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

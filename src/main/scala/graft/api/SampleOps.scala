@@ -177,9 +177,16 @@ object SampleOps {
     * prefix sum, per stratum: docs cumsum inside (stratum, hash-bucket)
     * partitions and each bucket adds a tiny triangular offset — no
     * stratum-wide window funnels a whole source through one task, so
-    * the plan survives sources of any size. Output: idCol, stratumCol,
-    * n_tok, tok_before (the exclusive prefix — tok_before + n_tok is
-    * this stratum's running total through the doc).
+    * the plan survives sources of any size. The offsets also PRUNE:
+    * a bucket whose offset already reaches the budget can contain no
+    * keeper (every keeper has `_off + _lc < budget` and `_lc >= 0`),
+    * so the window's sort runs over only the ~budget-sized surviving
+    * slice — at 100 TB the corpus pays one cheap count/sum aggregate
+    * and one pruning join, while the sort cost tracks the BUDGET,
+    * not the corpus (the same cost class as the output itself).
+    * Output: idCol, stratumCol, n_tok, tok_before (the exclusive
+    * prefix — tok_before + n_tok is this stratum's running total
+    * through the doc).
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
       nTokCol: String, budgetX: Column, buckets: Int = 32): DataFrame = {
@@ -188,11 +195,6 @@ object SampleOps {
         col(nTokCol).cast("long").as("_nt"),
         TextHashing.hash60(col(idCol).cast("string")).as("_h"))
       .withColumn("_bkt", pmod(col("_h"), lit(buckets.toLong)))
-    val w = Window.partitionBy(col(stratumCol), col("_bkt"))
-      .orderBy(col("_h").asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = docs.withColumn("_lc",
-      coalesce(sum(col("_nt")).over(w), lit(0L)))
     val totals = docs.groupBy(col(stratumCol), col("_bkt"))
       .agg(sum(col("_nt")).as("_t"))
     val offsets = totals.join(
@@ -201,7 +203,15 @@ object SampleOps {
         col("_s2") === col(stratumCol) && col("_b2") < col("_bkt"), "left")
       .groupBy(col(stratumCol), col("_bkt"))
       .agg(coalesce(sum(col("_t2")), lit(0L)).as("_off"))
-    local.join(broadcast(offsets), Seq(stratumCol, "_bkt"))
+    // bucket-level prune BEFORE the window (see scaladoc): inner join
+    // against only the offsets still under budget
+    val live = docs.join(
+      broadcast(offsets.filter(col("_off") < budgetX.cast("long"))),
+      Seq(stratumCol, "_bkt"))
+    val w = Window.partitionBy(col(stratumCol), col("_bkt"))
+      .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    live.withColumn("_lc", coalesce(sum(col("_nt")).over(w), lit(0L)))
       .filter(col("_off") + col("_lc") < budgetX.cast("long"))
       .select(col(idCol), col(stratumCol), col("_nt").as("n_tok"),
         (col("_off") + col("_lc")).as("tok_before"))
