@@ -137,6 +137,113 @@ object QuotaCap {
     }
   }
 
+  // ---- token-budget admission (the q142 mixture, streaming) -----------
+
+  /** Whitespace token count of a payload — the SAME unit as the batch
+    * mixture (`size(split(text, ' ', -1))`: an empty payload counts
+    * 1, so every doc costs >= 1 token and budget arithmetic can never
+    * admit unboundedly).
+    */
+  private def nTok(d: KeyedDoc): Long =
+    if (d.payload == null) 1L else d.payload.split(" ", -1).length.toLong
+
+  /** Single streaming pass over a key's batch for a TOKEN budget:
+    * admit docs in arrival order while the tokens admitted BEFORE
+    * each doc are still under `remaining` (fill-to-budget — the
+    * crossing doc is admitted, the overshoot bounded by one doc; the
+    * q142 law on the arrival order). Bounded memory: every doc costs
+    * >= 1 token, so at most `remaining` docs can still be admitted —
+    * the candidate heap is capped there and the rest of the batch
+    * drains heap-free ([[takeFirstK]]'s discipline in token units).
+    * Returns (admitted docs in arrival order, their token sum).
+    */
+  private def takeToBudget(batch: Iterator[KeyedDoc],
+      remaining: Long): (Seq[KeyedDoc], Long) = {
+    val k = math.min(remaining, Int.MaxValue.toLong).toInt
+    val candidates = takeFirstK(batch, k)._1
+    val out = scala.collection.mutable.ArrayBuffer.empty[KeyedDoc]
+    var used = 0L
+    val it = candidates.iterator
+    while (it.hasNext && used < remaining) {
+      val d = it.next()
+      out += d
+      used += nTok(d)
+    }
+    (out.toSeq, used)
+  }
+
+  /** Streaming TOKEN-budget quota — the unbounded twin of the q142
+    * batch mixture ([[graft.api.SampleOps.tokenBudgetSample]]): admit
+    * each key's docs while the TOKENS admitted before them are under
+    * `budget`, then drop everything after — per-source admission
+    * control in the unit production mixtures are specified in
+    * (a long-doc source exhausts its share in fewer docs, which the
+    * doc-count [[firstNPerKey]] cannot express).
+    *
+    * Semantics delta vs batch, the [[firstNPerKey]] statement: the
+    * batch mixture fills the budget in deterministic id-hash order (a
+    * pure function of the final corpus); a stream fills it in ARRIVAL
+    * order (event time then id within a micro-batch). Both obey the
+    * same laws — every admitted doc starts under budget, admitted
+    * token mass lands in [budget, budget + max doc), the admitted set
+    * is a prefix of the respective order — StreamingSpec pins them.
+    * State is ONE Long (admitted tokens) per key.
+    */
+  def tokenBudgetPerKey(docs: Dataset[KeyedDoc],
+      budget: Long): Dataset[KeyedDoc] = {
+    require(budget > 0, s"tokenBudgetPerKey: budget must be positive, got $budget")
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(admitTokens(budget) _)
+  }
+
+  private def admitTokens(budget: Long)(key: String,
+      batch: Iterator[KeyedDoc],
+      state: GroupState[Long]): Iterator[KeyedDoc] = {
+    val used = state.getOption.getOrElse(0L)
+    if (used >= budget) Iterator.empty
+    else {
+      val (admitted, tokens) = takeToBudget(batch, budget - used)
+      state.update(used + tokens)
+      admitted.iterator
+    }
+  }
+
+  /** [[tokenBudgetPerKey]] on `transformWithState` (the
+    * [[firstNPerKeyTws]] migration applied to the token quota): same
+    * contract, named ValueState[Long] token counter, RocksDB-only as
+    * the engine requires. StreamingSpec asserts output parity against
+    * the fMGWS variant on identical input.
+    */
+  def tokenBudgetPerKeyTws(docs: Dataset[KeyedDoc],
+      budget: Long): Dataset[KeyedDoc] = {
+    require(budget > 0,
+      s"tokenBudgetPerKeyTws: budget must be positive, got $budget")
+    docs.groupByKey(_.key)
+      .transformWithState(new TokenBudgetProcessor(budget), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  private class TokenBudgetProcessor(budget: Long)
+      extends StatefulProcessor[String, KeyedDoc, KeyedDoc] {
+    @transient private var used: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      used = getHandle.getValueState[Long]("tokens", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedDoc],
+        timerValues: TimerValues): Iterator[KeyedDoc] = {
+      val u = if (used.exists()) used.get() else 0L
+      if (u >= budget) Iterator.empty
+      else {
+        val (admitted, tokens) = takeToBudget(rows, budget - u)
+        used.update(u + tokens)
+        admitted.iterator
+      }
+    }
+  }
+
   /** Horizon-quota state: admitted count + latest activity seen, so
     * the purge timer is MONOTONE (an out-of-order batch must never
     * move it backward). Public: Catalyst codegen instantiates it.

@@ -1285,6 +1285,76 @@ class StreamingSpec extends SparkSpec {
     assertQuotaCap("quota_stream")
   }
 
+  /** Token-budget quota (q142's streaming twin): fill-to-budget in
+    * arrival order — every admitted doc starts under budget, the
+    * crossing doc is admitted, exhaustion persists across batches.
+    */
+  private def assertTokenBudget(sinkName: String,
+      gate: org.apache.spark.sql.Dataset[KeyedDoc] =>
+        org.apache.spark.sql.Dataset[KeyedDoc]): Unit = {
+    def p(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val input = MemoryStream[KeyedDoc]
+    val q = gate(input.toDS()).writeStream.format("memory")
+      .queryName(sinkName).outputMode("append").start()
+    try {
+      // budget 10. batch 1: key a admits 4+4=8 tokens (under);
+      // key b's first doc is 12 tokens — tok_before 0 < 10, so it is
+      // the crossing doc and ADMITS (overshoot bounded by one doc),
+      // its second doc drops in the SAME batch
+      input.addData(
+        KeyedDoc("a", 1L, p(4), ts(1000)), KeyedDoc("a", 2L, p(4), ts(2000)),
+        KeyedDoc("b", 10L, p(12), ts(1000)), KeyedDoc("b", 11L, p(1), ts(2000)))
+      q.processAllAvailable()
+      // batch 2: a's 5-token doc has tok_before 8 < 10 → admits (now
+      // 13 >= 10, exhausted), its next drops; b stays exhausted
+      input.addData(
+        KeyedDoc("a", 3L, p(5), ts(3000)), KeyedDoc("a", 4L, p(1), ts(4000)),
+        KeyedDoc("b", 12L, p(1), ts(3000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sinkName).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("docId"))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L)),
+      s"got $got")
+  }
+
+  test("streaming token-budget quota: fill-to-budget across batches, " +
+      "crossing doc admitted, exhaustion persists") {
+    assertTokenBudget("tokquota_stream",
+      QuotaCap.tokenBudgetPerKey(_, budget = 10L))
+  }
+
+  test("token-budget quota under RocksDB, and the transformWithState " +
+      "twin matches the fMGWS variant") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertTokenBudget("tokquota_rocks",
+        QuotaCap.tokenBudgetPerKey(_, budget = 10L))
+      assertTokenBudget("tokquota_tws",
+        QuotaCap.tokenBudgetPerKeyTws(_, budget = 10L))
+    }
+  }
+
+  test("token-budget admission is the exact arrival-order prefix when " +
+      "the budget cuts mid-batch") {
+    def p(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val input = MemoryStream[KeyedDoc]
+    val q = QuotaCap.tokenBudgetPerKey(input.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("tokquota_midbatch")
+      .outputMode("append").start()
+    try {
+      // six 3-token docs in ONE unordered batch: exclusive prefixes in
+      // (ts, id) order are 0,3,6,9,12,15 — exactly the first four
+      // admit (9 < 10), the fifth and sixth drop
+      val rows = new scala.util.Random(11).shuffle(
+        (1 to 6).map(i => KeyedDoc("hot", i.toLong, p(3), ts(i * 1000L))))
+      input.addData(rows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tokquota_midbatch").collect()
+      .map(_.getAs[Long]("docId")).toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L, 4L), s"got $got")
+  }
+
   test("per-key quota state holds under the RocksDB state store") {
     StateStoreVariants.withRocksDB(spark) {
       assertQuotaCap("quota_stream_rocks")
