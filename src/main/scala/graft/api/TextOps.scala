@@ -207,6 +207,61 @@ object TextOps {
         col("redacted"))
   }
 
+  /** Script/style blocks INCLUDING content — the real boilerplate
+    * payload of crawled HTML. `(?s)` so the block may span lines;
+    * non-greedy so adjacent blocks don't merge. Both the dot-all flag
+    * and the lazy quantifier mean the same thing to Java's regex and
+    * DuckDB's RE2, which is what keeps the q144 oracle hash-exact.
+    */
+  val ScriptStylePattern = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+
+  /** Any remaining markup tag. */
+  val TagPattern = "<[^>]*>"
+
+  /** The five predefined XML/HTML entities (all a markup stripper can
+    * decode without an entity table).
+    */
+  val EntityPattern = "&(amp|lt|gt|quot|#39);"
+
+  /** Markup/boilerplate stripping — the HTML-to-text pass every
+    * crawled training corpus goes through before any quality or dedup
+    * stage (script/style payloads would otherwise dominate shingles
+    * and quality ratios). Three sequential stages, each on the
+    * previous stage's output so the classes stay disjoint (the
+    * [[redactPii]] discipline): (1) script/style blocks drop WITH
+    * their content, (2) remaining tags become spaces (a space, not
+    * empty — `</p><p>` must not weld two words together), (3) the
+    * five predefined entities decode (`&amp;` LAST, so `&amp;lt;`
+    * decodes to the literal `&lt;` and never double-decodes), then
+    * whitespace runs collapse and trim. Output: idCol, n_scripts,
+    * n_tags, n_entities, clean. Map-only, codegen'd regex.
+    */
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reserved = Set("n_scripts", "n_tags", "n_entities", "clean",
+      "_t0", "_t1", "_t2", "_t3")
+    require(!reserved.contains(idCol),
+      s"stripMarkup: id column '$idCol' collides with an output/working " +
+        s"column (${reserved.mkString(", ")}) — rename it first")
+    def nMatches(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(col("_t2")) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch)) }
+    df.select(col(idCol), col(textCol).as("_t0"))
+      .withColumn("n_scripts", nMatches(col("_t0"), ScriptStylePattern))
+      .withColumn("_t1",
+        regexp_replace(col("_t0"), ScriptStylePattern, " "))
+      .withColumn("n_tags", nMatches(col("_t1"), TagPattern))
+      .withColumn("_t2", regexp_replace(col("_t1"), TagPattern, " "))
+      .withColumn("n_entities", nMatches(col("_t2"), EntityPattern))
+      .withColumn("_t3", decoded)
+      .withColumn("clean",
+        trim(regexp_replace(col("_t3"), "[ \\t\\r\\n]+", " ")))
+      .select(col(idCol), col("n_scripts"), col("n_tags"),
+        col("n_entities"), col("clean"))
+  }
+
   /** Corpus documents sharing >= 1 hashed n-token gram with a benchmark
     * frame. Output: idCol, n_shared_grams (docs with zero overlap are
     * absent). Benchmark side is broadcast — at scale it is tiny.

@@ -499,6 +499,63 @@ FROM s3"""),
       }),
 
     QueryDef(
+      "q144_markup_strip",
+      "Markup/boilerplate stripping (TextOps.stripMarkup) — the " +
+        "HTML-to-text pass every crawled corpus goes through BEFORE " +
+        "any quality or dedup stage (script/style payloads would " +
+        "otherwise dominate shingles and quality ratios): " +
+        "script/style blocks drop WITH their content ((?s) lazy " +
+        "blocks — identical semantics in Java regex and DuckDB RE2), " +
+        "remaining tags become spaces (tags must not weld adjacent " +
+        "words), the five predefined entities decode (&amp; LAST so " +
+        "&amp;lt; never double-decodes), whitespace collapses. The " +
+        "corpus has no real markup, so both engines graft the same " +
+        "deterministic HTML skeleton onto each doc first (the q52 " +
+        "PII-injection discipline) and the oracle hash-compares " +
+        "md5(clean) — byte-identical cross-engine extraction, not " +
+        "just equal counts. Map-only, codegen'd regex.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id,
+         '<html><head><script type="text/javascript">var v' || doc_id ||
+         ' = 1 < 2;</script><style>.c' || (doc_id % 7) ||
+         ' {color: red}</style></head><body class="doc"><h1>Doc ' ||
+         doc_id || '</h1><p>' || text || '</p> &amp; fish &lt;' ||
+         (doc_id % 5) || '&gt;</body></html>' AS t0
+  FROM documents),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(t0, '${graft.api.TextOps.ScriptStylePattern}', 0))::BIGINT AS n_scripts,
+         regexp_replace(t0, '${graft.api.TextOps.ScriptStylePattern}', ' ', 'g') AS t1
+       FROM p),
+s2 AS (SELECT doc_id, n_scripts,
+         len(regexp_extract_all(t1, '${graft.api.TextOps.TagPattern}', 0))::BIGINT AS n_tags,
+         regexp_replace(t1, '${graft.api.TextOps.TagPattern}', ' ', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_scripts, n_tags,
+         len(regexp_extract_all(t2, '${graft.api.TextOps.EntityPattern}', 0))::BIGINT AS n_entities,
+         replace(replace(replace(replace(replace(t2,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS t3
+       FROM s2)
+SELECT doc_id, n_scripts, n_tags, n_entities,
+       md5(trim(regexp_replace(t3, '[ \t\r\n]+', ' ', 'g'))) AS clean_sig
+FROM s3"""),
+      (s, dir) => {
+        val marked = Tables.documents(s, dir).select(col("doc_id"),
+          concat(
+            lit("<html><head><script type=\"text/javascript\">var v"),
+            col("doc_id").cast("string"), lit(" = 1 < 2;</script><style>.c"),
+            (col("doc_id") % 7).cast("string"),
+            lit(" {color: red}</style></head><body class=\"doc\"><h1>Doc "),
+            col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+            lit("</p> &amp; fish &lt;"), (col("doc_id") % 5).cast("string"),
+            lit("&gt;</body></html>")).as("text"))
+        graft.api.TextOps.stripMarkup(marked, "doc_id", "text")
+          .select(col("doc_id"), col("n_scripts"), col("n_tags"),
+            col("n_entities"), md5(col("clean").cast("binary")).as("clean_sig"))
+      }),
+
+    QueryDef(
       "q60_mixture_resample",
       "Data mixing to target proportions (SampleOps.mixtureResample): " +
         "rebalance the corpus so per-source sizes follow target weights " +

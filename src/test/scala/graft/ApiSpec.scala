@@ -1506,6 +1506,27 @@ class ApiSpec extends SparkSpec {
       s"deployed plan must scan ONLY the two indexes, got: $locs")
   }
 
+  test("TextOps.stripMarkup: script content drops, tags don't weld " +
+      "words, entities decode once, counts are per-class") {
+    import spark.implicits._
+    val docs = Seq(
+      // script content (incl. a bare '<') must vanish entirely; the
+      // </p><p> boundary must NOT weld two words; &amp;lt; decodes to
+      // the literal &lt; (never double to '<')
+      (1L, "<p>alpha</p><p>beta</p><script>if (1 < 2) drop()</script>" +
+        "<style>.x{}</style> &amp;lt; &quot;q&#39;s&quot; &gt;"),
+      (2L, "no markup at all"),
+      (3L, "<div\nclass='m'>gamma</div>")) // tag spanning a newline
+      .toDF("id", "body")
+    val out = graft.api.TextOps.stripMarkup(docs, "id", "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 4L, 5L, "alpha beta &lt; \"q's\" >")),
+      s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0L, "no markup at all")))
+    assert(out(3L) == ((0L, 2L, 0L, "gamma")), s"got ${out(3L)}")
+  }
+
   test("foldIntoBm25Index == from-scratch rebuild (global stats re-derived)") {
     // BM25's fold is the interesting one: every contribution depends
     // on corpus-global stats, so the fold recomputes _c from the

@@ -103,7 +103,8 @@ class PlanSpec extends SparkSpec {
     Seq("q16_token_stats", "q17_quality_score", "q18_lang_id",
       "q19_doc_fingerprint", "q22_simhash_fingerprint", "q26_multimodal_meta",
       "q38_text_normalize", "q44_repetition_filter", "q45_stratified_sample",
-      "q52_pii_redaction", "q69_vec_quantize", "q124_token_entropy")
+      "q52_pii_redaction", "q69_vec_quantize", "q124_token_entropy",
+      "q144_markup_strip")
       .foreach { q =>
         val shuffles = collectAll(plan(q)).count(_.isInstanceOf[ShuffleExchangeLike])
         assert(shuffles == 0, s"$q: expected map-only, got $shuffles shuffles")
