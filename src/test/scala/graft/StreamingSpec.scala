@@ -2066,6 +2066,32 @@ class StreamingSpec extends SparkSpec {
       Set((1L, 4L, 0L), (2L, 4L, 2048L), (3L, 3L, 853L)))
   }
 
+  test("stripMarkup is stateless-streaming-safe (map-only regex stages)") {
+    // the extraction stage of a live crawl ingest: three sequential
+    // codegen'd regex projections, no groupBy — a raw HTML stream
+    // cleans with NO state, so the stage chains before any
+    // gate/quota in one query graph. Batch parity is value-level.
+    val docs = Seq(
+      (1L, "<p>alpha</p><script>x()</script> &amp; beta"),
+      (2L, "plain"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.api.TextOps.stripMarkup(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("markup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val got = rows(spark.table("markup_stream"))
+    val want = rows(graft.api.TextOps.stripMarkup(
+      docs.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got == want && want == Set(
+      (1L, 1L, 2L, 1L, "alpha & beta"), (2L, 0L, 0L, 0L, "plain")))
+  }
+
   test("embedText is stateless-streaming-safe since the hash_embed kernel") {
     // the map-only kernel (round 8) removed embedText's two groupBys,
     // so a raw TEXT stream now embeds with NO state — which chains the
