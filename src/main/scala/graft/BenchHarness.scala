@@ -200,8 +200,10 @@ object BenchHarness {
       else None
     fromSidecar.orElse {
       val rx = """BENCH_r(\d+)\.json""".r
-      val artifacts = scala.util.Try(
-        Files.list(Paths.get(cwd)).iterator().asScala.toSeq).getOrElse(Seq.empty)
+      val artifacts = scala.util.Try {
+        val st = Files.list(Paths.get(cwd))
+        try st.iterator().asScala.toSeq finally st.close()
+      }.getOrElse(Seq.empty)
         .flatMap { p =>
           p.getFileName.toString match {
             case rx(n) => Some((n.toInt, p))
