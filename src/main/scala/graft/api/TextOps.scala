@@ -262,6 +262,38 @@ object TextOps {
         col("n_entities"), col("clean"))
   }
 
+  /** An anchor's href value — capture group 1. Double-quoted hrefs
+    * only (the deterministic-fixture discipline: single-quoted and
+    * bare attributes exist in the wild, but a second pattern is a
+    * mechanical extension, not a new capability).
+    */
+  val HrefPattern = "href=\"([^\"]*)\""
+
+  /** The scheme+host prefix of an absolute http(s) URL — capture
+    * group 1 is the host. */
+  val HostPattern = "^https?://([^/]+)"
+
+  /** Link extraction — the crawl-frontier builder: every href in a
+    * doc's markup becomes one output row with its within-doc position
+    * and (for absolute http(s) URLs) its host, ready for the frontier
+    * rollup (host → count), politeness budgeting, or a q86-style URL
+    * canonicalization pass. Relative links carry an empty host.
+    * Output: idCol, link_idx (0-based within doc), href, host.
+    * Map-only: extract + posexplode + host projection, zero shuffles
+    * at any scale (the Generate stays in its input partition).
+    */
+  def extractLinks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reserved = Set("link_idx", "href", "host")
+    require(!reserved.contains(idCol),
+      s"extractLinks: id column '$idCol' collides with an output column " +
+        s"(${reserved.mkString(", ")}) — rename it first")
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol), lit(HrefPattern), lit(1))))
+      .select(col(idCol), col("pos").cast("long").as("link_idx"),
+        col("col").as("href"),
+        regexp_extract(col("col"), HostPattern, 1).as("host"))
+  }
+
   /** Corpus documents sharing >= 1 hashed n-token gram with a benchmark
     * frame. Output: idCol, n_shared_grams (docs with zero overlap are
     * absent). Benchmark side is broadcast — at scale it is tiny.

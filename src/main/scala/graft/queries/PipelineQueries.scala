@@ -556,6 +556,48 @@ FROM s3"""),
       }),
 
     QueryDef(
+      "q145_link_extraction",
+      "Crawl-frontier link extraction (TextOps.extractLinks): every " +
+        "href in a doc's markup becomes one row with its within-doc " +
+        "position and — for absolute http(s) URLs — its host " +
+        "(relative links carry an empty host), the input of frontier " +
+        "rollups, politeness budgets, and the q86 URL-canonicalization " +
+        "pass. The corpus has no real anchors, so both engines graft " +
+        "the same three deterministic anchors per doc (two absolute " +
+        "on different hosts + one relative — the q52/q144 injection " +
+        "discipline) and the oracle replays extraction, ordinality, " +
+        "and host parsing value-for-value. Map-only: extract + " +
+        "posexplode + host projection, zero shuffles (the Generate " +
+        "stays in its input partition).",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id,
+         '<a href="https://ex' || (doc_id % 9) || '.org/p/' || doc_id ||
+         '">x</a> ' || text || ' <a href="/rel/' || (doc_id % 4) ||
+         '">y</a><a href="http://m' || (doc_id % 3) || '.net/q?id=' ||
+         doc_id || '">z</a>' AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${graft.api.TextOps.HrefPattern}', 1) AS links
+      FROM p)
+SELECT doc_id, (g.i - 1)::BIGINT AS link_idx, links[g.i] AS href,
+       regexp_extract(links[g.i], '${graft.api.TextOps.HostPattern}', 1) AS host
+FROM l CROSS JOIN generate_series(1, 8) g(i)
+WHERE g.i <= len(links)"""),
+      (s, dir) => {
+        val marked = Tables.documents(s, dir).select(col("doc_id"),
+          concat(
+            lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+            lit(".org/p/"), col("doc_id").cast("string"),
+            lit("\">x</a> "), col("text"),
+            lit(" <a href=\"/rel/"), (col("doc_id") % 4).cast("string"),
+            lit("\">y</a><a href=\"http://m"),
+            (col("doc_id") % 3).cast("string"), lit(".net/q?id="),
+            col("doc_id").cast("string"), lit("\">z</a>")).as("text"))
+        graft.api.TextOps.extractLinks(marked, "doc_id", "text")
+      }),
+
+    QueryDef(
       "q60_mixture_resample",
       "Data mixing to target proportions (SampleOps.mixtureResample): " +
         "rebalance the corpus so per-source sizes follow target weights " +

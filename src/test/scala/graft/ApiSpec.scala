@@ -1527,6 +1527,25 @@ class ApiSpec extends SparkSpec {
     assert(out(3L) == ((0L, 2L, 0L, "gamma")), s"got ${out(3L)}")
   }
 
+  test("TextOps.extractLinks: ordinality, relative links get empty " +
+      "host, markup-free docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<a href=\"https://a.org/x\">1</a> mid " +
+        "<a href=\"/rel\">2</a><a href=\"http://b.net:8080/y?q=1\">3</a>"),
+      (2L, "no links here"),
+      (3L, "href=\"ftp://c.org/z\" not http")).toDF("id", "body")
+    val out = graft.api.TextOps.extractLinks(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 0L, "https://a.org/x", "a.org"),
+      (1L, 1L, "/rel", ""),
+      (1L, 2L, "http://b.net:8080/y?q=1", "b.net:8080"),
+      // an href outside http(s) still extracts; its host is empty
+      (3L, 0L, "ftp://c.org/z", "")), s"got $out")
+  }
+
   test("foldIntoBm25Index == from-scratch rebuild (global stats re-derived)") {
     // BM25's fold is the interesting one: every contribution depends
     // on corpus-global stats, so the fold recomputes _c from the

@@ -104,7 +104,7 @@ class PlanSpec extends SparkSpec {
       "q19_doc_fingerprint", "q22_simhash_fingerprint", "q26_multimodal_meta",
       "q38_text_normalize", "q44_repetition_filter", "q45_stratified_sample",
       "q52_pii_redaction", "q69_vec_quantize", "q124_token_entropy",
-      "q144_markup_strip")
+      "q144_markup_strip", "q145_link_extraction")
       .foreach { q =>
         val shuffles = collectAll(plan(q)).count(_.isInstanceOf[ShuffleExchangeLike])
         assert(shuffles == 0, s"$q: expected map-only, got $shuffles shuffles")
