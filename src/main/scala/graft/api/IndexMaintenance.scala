@@ -4,22 +4,26 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Opportunistic compaction for the layered persisted indexes
-  * (minhash / CDC / sign / BM25): the in-place `foldInto*` appends are
-  * O(delta) by design, so layer count — and with it per-probe
-  * reconcile work and file-open fan-out — grows one run per fold
-  * until a `compact*` folds the runs back to one. The `maintain*`
-  * entry points in each ops object wrap fold-then-compact-if-layered
-  * around this policy, turning the LSM posture ("append daily,
-  * compact weekly") into a single call whose amortized cost is
-  * O(delta + index/threshold) writes per fold.
+  * (minhash / CDC / sign / BM25 / fingerprint / IVF-PQ): the in-place
+  * `foldInto*` appends are O(delta) by design, so layer count — and
+  * with it per-probe reconcile work and file-open fan-out — grows one
+  * run per fold until a `compact*` folds the runs back to one. The
+  * `maintain*` entry points in each ops object wrap
+  * fold-then-compact-if-layered around this policy, turning the LSM
+  * posture ("append daily, compact weekly") into a single call whose
+  * amortized cost is O(delta + index/threshold) writes per fold.
   *
-  * The IVF-PQ fold is deliberately NOT under this policy: it never
-  * rewrites `meta` (the frozen-codebook contract that makes
+  * IVF-PQ is under the policy with one structural difference: its fold
+  * never rewrites `meta` (the frozen-codebook contract that makes
   * fold-while-serving safe — [[VectorOps.ivfPqProbeEachBatch]] caches
-  * the model at stream-author time), codes runs need no read-side
-  * reconcile (per-vector rows, disjoint ids), and probes prune by
-  * `cell` DIRECTORY, so extra runs only add files within already-
-  * routed cells.
+  * the model at stream-author time), so its run count lives in a
+  * `runs` sidecar no probe path reads, and its compaction is a pure
+  * re-layout: codes runs need no read-side reconcile (per-vector rows,
+  * disjoint ids) and probes prune by `cell` DIRECTORY, so what
+  * [[VectorOps.maintainIvfPqIndex]] buys is file-count — every fold
+  * adds up to `numFiles` files inside each routed cell, and a
+  * cell-pruned scan over an uncompacted year of daily folds opens
+  * 365× the files one run needs.
   *
   * Compaction-in-place mechanics: `compact*` contracts require a
   * fresh output directory (the merge reads the old index lazily while
@@ -82,9 +86,17 @@ object IndexMaintenance {
       s.sparkContext.hadoopConfiguration)
     val live = fs.makeQualified(new Path(indexPath))
     val lock = new Path(live.getParent, live.getName + "__writer.lock")
+    // Only "lock already exists" means a concurrent writer; any OTHER
+    // IOException is a real filesystem fault and must surface as
+    // itself, not as a misleading "another maintain* appears to be
+    // running" (ADVICE r13). createNewFile signals existence either by
+    // returning false or by FileAlreadyExistsException, FS-dependent.
     val acquired =
       try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
     if (!acquired) throw new IllegalStateException(
       s"withWriterLock: another maintain* appears to be running on " +
         s"$live (lock file $lock exists) — maintain* is single-writer " +

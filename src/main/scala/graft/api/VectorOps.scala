@@ -699,7 +699,12 @@ object VectorOps {
         s"$path/vectors", partitionCols = Seq("cell"),
         sortCols = Seq("vid"), numFiles = model.coarse.k)
     }
-    val s = df.sparkSession
+    writeIvfPqMeta(df.sparkSession, path, model)
+    writeIvfPqRuns(df.sparkSession, path, 1)
+  }
+
+  private def writeIvfPqMeta(s: org.apache.spark.sql.SparkSession,
+      path: String, model: IvfPqModel): Unit = {
     import s.implicits._
     Seq((model.coarse.m, model.coarse.k, model.coarse.subDim,
         model.coarse.flat.toSeq,
@@ -707,6 +712,31 @@ object VectorOps {
       .toDF("c_m", "c_k", "c_sub", "c_flat", "p_m", "p_k", "p_sub", "p_flat")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** The IVF-PQ run count lives in a `$path/runs` SIDECAR, deliberately
+    * NOT in `meta` like the other five families: the fold-while-serving
+    * contract ([[ivfPqProbeEachBatch]] caches the model at stream-author
+    * time; batch probes re-read meta per probe) rests on "folds never
+    * rewrite meta", and a layers column in meta would put every fold's
+    * overwrite in a serving probe's read path. Nothing on the probe
+    * path reads `runs` — only the maintain* compaction policy does, so
+    * folds bump it without weakening the serving contract.
+    */
+  private def writeIvfPqRuns(s: org.apache.spark.sql.SparkSession,
+      path: String, runs: Int): Unit =
+    s.range(1).select(lit(runs).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/runs")
+
+  /** Run count off the `runs` sidecar; 1 when absent (indexes written
+    * before the sidecar existed under-count until their next fold —
+    * conservative: compaction is delayed, never wrong, since IVF-PQ
+    * probes need no read-side reconcile at any layer count).
+    */
+  private def readIvfPqRuns(s: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    try s.read.parquet(s"$path/runs").head(1).headOption
+      .map(_.getAs[Number]("layers").intValue()).getOrElse(1)
+    catch { case _: org.apache.spark.sql.AnalysisException => 1 }
 
   /** Read back the raw vectors persisted by
     * [[writeIvfPqIndex]]`(..., storeVectors = true)` as
@@ -755,7 +785,9 @@ object VectorOps {
     * place — see [[DedupOps.foldIntoMinhashIndex]]'s contract note
     * (here the failure mode is mildest: codes rows are per-vector, so
     * a partial append is a partially-visible delta, not a wrong
-    * probe).
+    * probe). File-count growth per fold is [[maintainIvfPqIndex]]'s
+    * job — this fold bumps the `runs` sidecar (never `meta`) so the
+    * compaction policy can see the run count.
     */
   def foldIntoIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
       indexPath: String): Unit = {
@@ -787,6 +819,73 @@ object VectorOps {
           col("v").as("vec")),
         s"$indexPath/vectors", partitionCols = Seq("cell"),
         sortCols = Seq("vid"), numFiles = model.coarse.k)
+    }
+    // bump the runs sidecar (NOT meta — see writeIvfPqRuns): the
+    // maintain* compaction policy reads it; no probe path does
+    writeIvfPqRuns(s, indexPath, readIvfPqRuns(s, indexPath) + 1)
+  }
+
+  /** Compact a run-layered IVF-PQ index ([[foldIntoIvfPqIndex]]
+    * appends) back to ONE sorted run per cell directory — codes and,
+    * when present, the stored-vectors sibling, re-laid under the same
+    * cell partitioning; meta re-written with the SAME codebooks; runs
+    * reset to 1. Unlike the bucket families there is no read-side
+    * reconcile to fold in (codes rows are per-vector, disjoint ids), so
+    * compaction is a pure re-layout: probes are identical before and
+    * after — what it buys is file-count: every fold adds up to
+    * `numFiles` files per routed cell, and at daily-fold cadence a
+    * probe's cell-pruned scan opens `runs ×` more files than one run
+    * needs. O(index) read and write.
+    */
+  def compactIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactIvfPqIndex: outPath must differ from indexPath")
+    VectorExpressions.register(s)
+    val model = readIvfPqModel(s, indexPath)
+    val codes = s.read.parquet(s"$indexPath/codes")
+    val idCol = codes.columns.filterNot(Set("cell", "codes")).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"compactIvfPqIndex: cannot find the id column in " +
+          s"$indexPath/codes (columns: ${codes.columns.mkString(", ")})"))
+    graft.jobs.Sinks.layout(codes, s"$outPath/codes",
+      partitionCols = Seq("cell"), sortCols = Seq(idCol),
+      numFiles = model.coarse.k)
+    val vecPath = new org.apache.hadoop.fs.Path(s"$indexPath/vectors")
+    val fs = vecPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(vecPath)) {
+      graft.jobs.Sinks.layout(
+        s.read.parquet(s"$indexPath/vectors"), s"$outPath/vectors",
+        partitionCols = Seq("cell"), sortCols = Seq("vid"),
+        numFiles = model.coarse.k)
+    }
+    writeIvfPqMeta(s, outPath, model)
+    writeIvfPqRuns(s, outPath, 1)
+  }
+
+  /** [[DedupOps.maintainMinhashIndex]]'s IVF-PQ sibling — the sixth and
+    * last persisted index family under the maintain* policy:
+    * crash-recover at entry, O(delta) frozen-codebook fold
+    * ([[foldIntoIvfPqIndex]] — codes AND the stored-vectors sibling
+    * when present), compact-and-swap iff post-fold runs reach
+    * `compactThreshold`. Returns true when this fold compacted. All
+    * inside [[IndexMaintenance.withWriterLock]]; NOT reader-safe across
+    * the swap (quiesce probes and gates — see [[IndexMaintenance]]'s
+    * reader contract). Plain [[foldIntoIvfPqIndex]] remains the
+    * fold-while-serving-safe path for serving deployments that schedule
+    * compaction inside their own quiesce windows.
+    */
+  def maintainIvfPqIndex(delta: DataFrame, idCol: String, vecCol: String,
+      indexPath: String,
+      compactThreshold: Int =
+        IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    val s = delta.sparkSession
+    IndexMaintenance.withWriterLock(s, indexPath) {
+      IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoIvfPqIndex(delta, idCol, vecCol, indexPath)
+      IndexMaintenance.compactIfLayered(s, indexPath,
+        readIvfPqRuns(s, indexPath), compactThreshold)(
+        out => compactIvfPqIndex(s, indexPath, out))
     }
   }
 

@@ -161,20 +161,23 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
     QueryDef(
       "q115_fold_ivfpq_probe",
       "IVF-PQ index maintenance proven end-to-end " +
-        "(VectorOps.foldIntoIvfPqIndex) — completing the fold family " +
-        "across all five persisted indexes: v1 trains its codebooks " +
-        "and encodes 80% of the vectors, the 20% delta is folded IN " +
-        "PLACE (frozen codebooks, map-only encode, O(delta) appended " +
-        "run in the cell directories — the FAISS add contract), and " +
-        "the q99 recall harness runs VERBATIM (one shared function) " +
-        "against the folded index: per-query exact-cosine re-rank of " +
-        "the pruned ADC candidates must be rank-dense with in-band " +
-        "recall@10 >= 3/10 vs the global exact top-10. The fold " +
-        "itself introduces ZERO approximation beyond PQ (same " +
-        "codebooks => same codes — ApiSpec asserts exact probe-set " +
-        "equality vs a same-model rebuild); what this catalog row " +
-        "gates is the deployed composition: fold -> route -> prune -> " +
-        "ADC -> re-rank on the driver-checked oracle.",
+        "(VectorOps.maintainIvfPqIndex) — the sixth and last persisted " +
+        "family under the maintain* policy: v1 trains its codebooks " +
+        "and encodes 80% of the vectors, the 20% delta goes through " +
+        "the FULL maintain path (writer lock, recoverAtEntry, frozen-" +
+        "codebook O(delta) fold — the FAISS add contract — then, at " +
+        "compactThreshold 2, the compact-and-swap back to one sorted " +
+        "run per cell), and the q99 recall harness runs VERBATIM (one " +
+        "shared function) against the COMPACTED index: per-query " +
+        "exact-cosine re-rank of the pruned ADC candidates must be " +
+        "rank-dense with in-band recall@10 >= 3/10 vs the global " +
+        "exact top-10. Fold and compaction introduce ZERO " +
+        "approximation beyond PQ (same codebooks => same codes; " +
+        "compaction is a pure re-layout — ApiSpec asserts exact " +
+        "probe-set equality vs a same-model rebuild at every stage); " +
+        "what this catalog row gates is the deployed composition: " +
+        "maintain -> swap -> route -> prune -> ADC -> re-rank on the " +
+        "driver-checked oracle.",
       Some("""
 SELECT vec_id AS qid,
        10::BIGINT AS n_neighbors,
@@ -269,11 +272,17 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
           .as("recall10"))
   }
 
-  // session-scoped FOLDED IVF-PQ index (the q110/q111/q113 fixture
+  // session-scoped MAINTAINED IVF-PQ index (the q110/q111/q113 fixture
   // pattern for the vector-codes family): codebooks train on the 80%
-  // slice, v1 encodes it, the 20% delta folds in place with the
-  // frozen model — first consumer pays the build, later runs probe
-  // the same parquet.
+  // slice, v1 encodes it, the 20% delta goes through the FULL
+  // maintain* policy — writer lock, crash recovery at entry, O(delta)
+  // frozen-codebook fold, and (threshold 2) the compact-and-swap, so
+  // the q115 oracle gates a probe over a COMPACTED index. Compaction
+  // is a pure re-layout for IVF-PQ (no read-side reconcile exists),
+  // so probe results are identical to the layered state ApiSpec pins
+  // exactly — what the catalog row adds is the deployed composition:
+  // maintain -> swap -> route -> prune -> ADC -> re-rank. First
+  // consumer pays the build, later runs probe the same parquet.
   private val foldedIvfPqCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -288,8 +297,11 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
         .createTempDirectory("graft-ivfpqfold-").toString
       graft.api.VectorOps.writeIvfPqIndex(
         c0, "vec_id", "embedding", model, tmp)
-      graft.api.VectorOps.foldIntoIvfPqIndex(
-        delta, "vec_id", "embedding", tmp)
+      val compacted = graft.api.VectorOps.maintainIvfPqIndex(
+        delta, "vec_id", "embedding", tmp, compactThreshold = 2)
+      require(compacted,
+        "foldedIvfPqDir: maintain at threshold 2 must compact — the " +
+          "q115 row is specified to gate a probe over a compacted index")
       tmp
     })
 }

@@ -1213,6 +1213,79 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("maintainIvfPqIndex: sixth family under the maintain* policy — " +
+      "below threshold a layered fold, at threshold compact-and-swap " +
+      "re-lays codes AND stored vectors, probes EXACTLY equal to a " +
+      "same-model rebuild at every stage") {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val c0 = emb.filter(col("vec_id") % 5 >= 2)
+    val d1 = emb.filter(col("vec_id") % 5 === 1)
+    val d2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 10)
+    val probes = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqm-").toString
+    // ONE frozen model throughout (the FAISS add contract) — rebuilds
+    // under the same model are the exact-parity oracle
+    val model = VectorOps.ivfPqTrain(c0, "vec_id", "embedding",
+      nCells = 4, m = 8, k = 8, seed = 7L)
+    def rebuild(df: org.apache.spark.sql.DataFrame, p: String) =
+      VectorOps.writeIvfPqIndex(df, "vec_id", "embedding", model, p,
+        storeVectors = true)
+    def probeSet(path: String) = VectorOps.ivfPqProbe(
+        probes, "vec_id", "embedding", path,
+        adcX1000Threshold = -2000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def runsOf(path: String) = spark.read.parquet(s"$path/runs").head()
+      .getAs[Number]("layers").intValue()
+    def fileCount(p: String): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(f => f.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    rebuild(c0, s"$dir/ix")
+    assert(runsOf(s"$dir/ix") == 1)
+    // fold #1 stays below threshold 3: layered (runs=2), no compaction,
+    // probe set exactly a same-model rebuild's on c0 ∪ d1
+    assert(!VectorOps.maintainIvfPqIndex(d1, "vec_id", "embedding",
+      s"$dir/ix", compactThreshold = 3))
+    assert(runsOf(s"$dir/ix") == 2)
+    rebuild(c0.unionByName(d1), s"$dir/r1")
+    val want1 = probeSet(s"$dir/r1")
+    assert(want1.nonEmpty && probeSet(s"$dir/ix") == want1)
+    // fold #2 reaches threshold 3: compact-and-swap fires, runs reset
+    // to 1, the codes AND vectors siblings come back as one sorted run
+    // per cell (fewer files than the layered state), and probes are
+    // STILL exactly the same-model rebuild's — compaction is a pure
+    // re-layout, no reconcile arithmetic exists to get wrong
+    val filesBefore = fileCount(s"$dir/ix/codes")
+    assert(VectorOps.maintainIvfPqIndex(d2, "vec_id", "embedding",
+      s"$dir/ix", compactThreshold = 3))
+    assert(runsOf(s"$dir/ix") == 1, "compaction must reset the runs sidecar")
+    assert(fileCount(s"$dir/ix/codes") < filesBefore,
+      s"compaction must shrink the codes file count (was $filesBefore)")
+    rebuild(c0.unionByName(d1).unionByName(d2), s"$dir/r2")
+    assert(probeSet(s"$dir/ix") == probeSet(s"$dir/r2"))
+    // the stored-vectors sibling survived the swap in sync: exactly
+    // the union's raw doubles, still joinable by the refine leg
+    val stored = VectorOps.readIvfPqVectors(spark, s"$dir/ix").collect()
+      .map(r => r.getAs[Long]("vid") ->
+        r.getSeq[Double](r.fieldIndex("vec"))).toMap
+    val input = c0.unionByName(d1).unionByName(d2)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(stored.keySet == input.keySet,
+      "compacted vectors sibling lost or invented ids")
+    stored.foreach { case (id, v) =>
+      assert(v == input(id), s"vector drift at $id across the swap") }
+    // meta survived byte-equal in effect: the model read back off the
+    // compacted index encodes identically (frozen-codebook contract)
+    val m2 = VectorOps.readIvfPqModel(spark, s"$dir/ix")
+    assert(m2.coarse.flat.toSeq == model.coarse.flat.toSeq &&
+      m2.pq.flat.toSeq == model.pq.flat.toSeq,
+      "compaction must carry the codebooks through unchanged")
+  }
+
   test("EventOps.distinctState: persisted HLL state folds through parquet, " +
       "duplicate-insensitive, estimates bounded") {
     import spark.implicits._

@@ -735,6 +735,30 @@ class DedupSpec extends SparkSpec {
       "lock must release when the guarded body throws")
   }
 
+  test("maintainIvfPqIndex: a concurrent maintain on a locked index " +
+      "fails by name (the sixth family under the writer lock)") {
+    import graft.api.{IndexMaintenance, VectorOps}
+    val emb = Tables.embeddings(spark, sf)
+    val c0 = emb.filter(col("vec_id") % 3 === 0)
+    val d1 = emb.filter(col("vec_id") % 3 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpql-").toString
+    val model = VectorOps.ivfPqTrain(c0, "vec_id", "embedding",
+      nCells = 4, m = 8, k = 8, seed = 7L)
+    VectorOps.writeIvfPqIndex(c0, "vec_id", "embedding", model, s"$dir/ix")
+    IndexMaintenance.withWriterLock(spark, s"$dir/ix") {
+      val e = intercept[IllegalStateException](
+        VectorOps.maintainIvfPqIndex(d1, "vec_id", "embedding", s"$dir/ix"))
+      assert(e.getMessage.contains("single-writer") &&
+        e.getMessage.contains("__writer.lock"), e.getMessage)
+    }
+    // lock released: the same maintain now proceeds and cleans up
+    assert(!VectorOps.maintainIvfPqIndex(d1, "vec_id", "embedding",
+      s"$dir/ix"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/ix__writer.lock")),
+      "lock must not outlive a successful maintain")
+  }
+
   test("maintainCdcChunkIndex + maintainSignIndex: same policy, " +
       "other families") {
     import graft.api.{DedupOps, VectorOps}

@@ -271,4 +271,42 @@ class RecoverySpec extends SparkSpec {
       assertIngestDedupSurvivesRestart()
     }
   }
+
+  test("maintainIvfPqIndex recovers a crashed compact-and-swap at entry: " +
+      "live absent + __old present restores, stale siblings cleared, " +
+      "the fold proceeds, probes == a same-model rebuild") {
+    // the batch-side recovery guarantee of the same 100TB posture the
+    // streaming cases above pin: a maintain* that died between the
+    // swap's two renames must not strand the index absent
+    import org.apache.spark.sql.functions.col
+    import graft.api.VectorOps
+    val emb = Tables.embeddings(spark, sf)
+    val c0 = emb.filter(col("vec_id") % 5 >= 2)
+    val d1 = emb.filter(col("vec_id") % 5 === 1)
+    val probes = emb.filter(col("vec_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft-ivfpqr-").toString
+    val model = VectorOps.ivfPqTrain(c0, "vec_id", "embedding",
+      nCells = 4, m = 8, k = 8, seed = 7L)
+    VectorOps.writeIvfPqIndex(c0, "vec_id", "embedding", model, s"$dir/ix")
+    // simulate the crash window: live moved aside, fresh copy dangling
+    Files.move(
+      java.nio.file.Paths.get(s"$dir/ix"),
+      java.nio.file.Paths.get(s"$dir/ix__old"))
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/ix__compacting"))
+    assert(!VectorOps.maintainIvfPqIndex(d1, "vec_id", "embedding",
+      s"$dir/ix", compactThreshold = 8))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/ix__compacting")) &&
+      !Files.exists(java.nio.file.Paths.get(s"$dir/ix__old")),
+      "stale siblings must be cleared unconditionally")
+    VectorOps.writeIvfPqIndex(c0.unionByName(d1), "vec_id", "embedding",
+      model, s"$dir/full")
+    def probeSet(path: String) = VectorOps.ivfPqProbe(
+        probes, "vec_id", "embedding", path,
+        adcX1000Threshold = -2000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = probeSet(s"$dir/full")
+    assert(want.nonEmpty && probeSet(s"$dir/ix") == want,
+      "restored-then-folded index must probe like a from-scratch build")
+  }
 }
