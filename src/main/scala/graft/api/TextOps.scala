@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextHashExpressions, TextHashing}
@@ -209,13 +210,21 @@ object TextOps {
 
   /** Script/style blocks INCLUDING content — the real boilerplate
     * payload of crawled HTML. `(?s)` so the block may span lines;
-    * non-greedy so adjacent blocks don't merge. Both the dot-all flag
-    * and the lazy quantifier mean the same thing to Java's regex and
+    * `(?i)` because real crawled HTML carries `<SCRIPT>` as often as
+    * `<script>` and an uppercase block keeping its JS payload defeats
+    * the stripper's whole purpose (ADVICE r13); non-greedy so adjacent
+    * blocks don't merge. Each tag pairs with ITS OWN close tag via
+    * alternation — backreferences are unavailable in RE2, and the old
+    * combined close-tag class consumed `<script>..</style>` as one
+    * block. All three constructs (inline flags, lazy quantifier,
+    * top-level alternation) mean the same thing to Java's regex and
     * DuckDB's RE2, which is what keeps the q144 oracle hash-exact.
     */
-  val ScriptStylePattern = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+  val ScriptStylePattern =
+    "(?si)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>)"
 
-  /** Any remaining markup tag. */
+  /** Any remaining markup tag ((?i) would be a no-op here — the
+    * pattern has no cased literal). */
   val TagPattern = "<[^>]*>"
 
   /** The five predefined XML/HTML entities (all a markup stripper can
@@ -262,12 +271,24 @@ object TextOps {
         col("n_entities"), col("clean"))
   }
 
-  /** An anchor's href value — capture group 1. Double-quoted hrefs
-    * only (the deterministic-fixture discipline: single-quoted and
-    * bare attributes exist in the wild, but a second pattern is a
-    * mechanical extension, not a new capability).
+  /** An anchor's href value — capture group 1, STILL WRAPPED in its
+    * quotes when it had any. All three HTML quoting styles match:
+    * double-quoted, single-quoted, and bare (no whitespace/quote/`>`
+    * per the HTML attribute grammar). The alternation lives INSIDE the
+    * one capture group, so group 1 participates in every alternative
+    * and `regexp_extract_all(_, _, 1)` keeps document order across
+    * mixed quoting — unwrap with [[HrefUnquotePattern]].
     */
-  val HrefPattern = "href=\"([^\"]*)\""
+  val HrefPattern = "href=(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+
+  /** Strips the quote wrapper a [[HrefPattern]] group-1 match kept:
+    * replacement `$1$2` (DuckDB: `\1\2`) — the alternative that didn't
+    * participate substitutes empty in both engines, and requiring the
+    * SAME quote char at both ends means a trailing inner quote of the
+    * other kind is never eaten. Bare values match neither alternative
+    * and pass through unchanged.
+    */
+  val HrefUnquotePattern = "^\"(.*)\"$|^'(.*)'$"
 
   /** The scheme+host prefix of an absolute http(s) URL — capture
     * group 1 is the host. */
@@ -276,22 +297,96 @@ object TextOps {
   /** Link extraction — the crawl-frontier builder: every href in a
     * doc's markup becomes one output row with its within-doc position
     * and (for absolute http(s) URLs) its host, ready for the frontier
-    * rollup (host → count), politeness budgeting, or a q86-style URL
-    * canonicalization pass. Relative links carry an empty host.
+    * rollup + politeness budget ([[frontierBudget]]) or a q86-style
+    * URL canonicalization pass. Double-quoted, single-quoted, and bare
+    * href values all extract, with ordinality stable across mixed
+    * quoting ([[HrefPattern]]); relative links carry an empty host.
     * Output: idCol, link_idx (0-based within doc), href, host.
-    * Map-only: extract + posexplode + host projection, zero shuffles
-    * at any scale (the Generate stays in its input partition).
+    * Map-only: extract + posexplode + unquote + host projection, zero
+    * shuffles at any scale (the Generate stays in its input partition).
     */
   def extractLinks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val reserved = Set("link_idx", "href", "host")
+    // pos/col are posexplode's intermediate output names — an idCol
+    // named either would ambiguate the projection below (ADVICE r13)
+    val reserved = Set("link_idx", "href", "host", "pos", "col")
     require(!reserved.contains(idCol),
-      s"extractLinks: id column '$idCol' collides with an output column " +
-        s"(${reserved.mkString(", ")}) — rename it first")
+      s"extractLinks: id column '$idCol' collides with an output or " +
+        s"intermediate column (${reserved.mkString(", ")}) — rename it first")
+    def unquote(c: Column): Column =
+      regexp_replace(c, HrefUnquotePattern, "$1$2")
     df.select(col(idCol),
         posexplode(regexp_extract_all(col(textCol), lit(HrefPattern), lit(1))))
       .select(col(idCol), col("pos").cast("long").as("link_idx"),
-        col("col").as("href"),
-        regexp_extract(col("col"), HostPattern, 1).as("host"))
+        unquote(col("col")).as("href"),
+        regexp_extract(unquote(col("col")), HostPattern, 1).as("host"))
+  }
+
+  /** Frontier rollup + politeness budget — the consumer of
+    * [[extractLinks]] that turns raw anchors into a crawl schedule:
+    * absolute links aggregate per (host, href) with their in-link
+    * count, each host's URLs rank most-referenced-first (ties by href
+    * — deterministic, replayable), and the per-host fetch budget keeps
+    * only the first `budgetPerHost` (politeness: a crawler issues at
+    * most that many fetches per host per cycle). Each kept URL carries
+    * its host's frontier rollup: host_urls (distinct URLs seen),
+    * host_links (total anchor occurrences), host_docs (distinct
+    * documents linking into the host). Output: hostCol, href, n_refs,
+    * fetch_rank, host_urls, host_links, host_docs.
+    *
+    * Scale shape — exactly ONE host-keyed exchange on URL-sized rows,
+    * in ONE linear pipeline (PlanSpec-asserted): the explicit
+    * repartition on `hostCol` is the only shuffle, and every
+    * downstream stage — the (host, href, doc) dedup aggregate, the
+    * host-level stats, the rank cut — runs partition-local on that
+    * clustering. The host stats are WINDOW aggregates over the same
+    * frame rather than a groupBy + self-join: a branching DAG here
+    * would re-plan the scan → extract → exchange subtree once per
+    * consumer (column pruning specializes each branch's copy below
+    * the exchange, which defeats exchange reuse), where the window
+    * formulation keeps a single subtree — one scan, one shuffle, a
+    * few per-host sorts of URL-sized rows. The rank filter keeps
+    * `budgetPerHost` rows per host, so the output is budget-shaped:
+    * O(hosts × budget), never link-count-shaped. The unit-weight
+    * specialization of the q50/q142 fill-to-budget discipline —
+    * fetches all cost 1, so the exclusive prefix sum IS rank−1 and
+    * the cut `rank <= budget`. A pathological mega-host lands on one
+    * task (inherent to any per-host contract); its sorts spill rather
+    * than fail, and the budget bounds what survives.
+    */
+  def frontierBudget(links: DataFrame, idCol: String, hostCol: String,
+      hrefCol: String, budgetPerHost: Int): DataFrame = {
+    require(budgetPerHost >= 1,
+      s"frontierBudget: budgetPerHost must be >= 1, got $budgetPerHost")
+    val wHost = Window.partitionBy(col(hostCol))
+    val abs = links
+      .filter(col(hostCol) =!= "")
+      .select(col(idCol), col(hostCol), col(hrefCol))
+      .repartition(col(hostCol))
+    // one row per (host, href, doc) with its anchor multiplicity —
+    // clustering already satisfied, partition-local
+    val perUrlDoc = abs
+      .groupBy(col(hostCol), col(hrefCol), col(idCol))
+      .agg(count(lit(1)).as("_n"))
+    // distinct-doc count per host via dense_rank + max (window
+    // count-distinct doesn't exist); host_links as a whole-partition
+    // window sum
+    val withHostStats = perUrlDoc
+      .withColumn("_rd", dense_rank().over(wHost.orderBy(col(idCol).asc)))
+      .withColumn("host_docs", max(col("_rd")).over(wHost).cast("long"))
+      .withColumn("host_links", sum(col("_n")).over(wHost))
+    val perUrl = withHostStats
+      .groupBy(col(hostCol), col(hrefCol))
+      .agg(sum(col("_n")).as("n_refs"),
+        // constants per host — max just carries them through the agg
+        max(col("host_docs")).as("host_docs"),
+        max(col("host_links")).as("host_links"))
+    perUrl
+      .withColumn("host_urls", count(lit(1)).over(wHost))
+      .withColumn("fetch_rank", row_number().over(
+        wHost.orderBy(col("n_refs").desc, col(hrefCol).asc)).cast("long"))
+      .filter(col("fetch_rank") <= budgetPerHost)
+      .select(col(hostCol), col(hrefCol), col("n_refs"), col("fetch_rank"),
+        col("host_urls"), col("host_links"), col("host_docs"))
   }
 
   /** Corpus documents sharing >= 1 hashed n-token gram with a benchmark

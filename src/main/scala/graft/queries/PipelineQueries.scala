@@ -20,6 +20,58 @@ object PipelineQueries {
   private def occSql(c: String, w: String): String =
     s"(length($c) - length(replace($c, '$w', ''))) // ${w.length}"
 
+  /** Escapes a regex for embedding in a single-quoted DuckDB string
+    * literal (HrefPattern and its unquote twin carry single quotes). */
+  private def sqlQuoted(pat: String): String = pat.replace("'", "''")
+
+  /** The q145/q146 anchor fixture — the documents table carries no
+    * real markup, so ONE generator grafts five deterministic anchors
+    * per doc across all three HTML quoting styles (double-quoted
+    * absolute, single-quoted relative, double-quoted absolute on a
+    * second host, bare relative, single-quoted absolute on a third
+    * host), with [[linkFixtureSqlExpr]] the character-identical DuckDB
+    * spelling — the q89/q92 shared-fragment discipline so the two
+    * engines' fixtures cannot drift by edit. `withHub = true` (q146)
+    * appends a SHARED hub anchor (doc_id mod 5 per host) so in-link
+    * counts exceed 1 and the frontier's priority order is exercised.
+    */
+  private def linkFixture(docs: org.apache.spark.sql.DataFrame,
+      withHub: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val base = concat(
+      lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+      lit(".org/p/"), col("doc_id").cast("string"),
+      lit("\">x</a> "), col("text"),
+      lit(" <a href='/rel/"), (col("doc_id") % 4).cast("string"),
+      lit("'>y</a><a href=\"http://m"), (col("doc_id") % 3).cast("string"),
+      lit(".net/q?id="), col("doc_id").cast("string"),
+      lit("\">z</a><a href=bare"), (col("doc_id") % 6).cast("string"),
+      lit(".html>b</a><a href='https://sq"),
+      (col("doc_id") % 5).cast("string"),
+      lit(".io/s/"), col("doc_id").cast("string"), lit("'>s</a>"))
+    val t0 = if (withHub) concat(base,
+      lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+      lit(".org/hub/"), (col("doc_id") % 5).cast("string"), lit("\">h</a>"))
+    else base
+    docs.select(col("doc_id"), t0.as("text"))
+  }
+
+  /** [[linkFixture]]'s DuckDB spelling: a SQL expression over
+    * documents' (doc_id, text) producing the same grafted markup
+    * byte-for-byte. */
+  private def linkFixtureSqlExpr(withHub: Boolean): String = {
+    val base =
+      """'<a href="https://ex' || (doc_id % 9) || '.org/p/' || doc_id ||
+         '">x</a> ' || text || ' <a href=''/rel/' || (doc_id % 4) ||
+         '''>y</a><a href="http://m' || (doc_id % 3) || '.net/q?id=' ||
+         doc_id || '">z</a><a href=bare' || (doc_id % 6) ||
+         '.html>b</a><a href=''https://sq' || (doc_id % 5) || '.io/s/' ||
+         doc_id || '''>s</a>'"""
+    if (withHub) base +
+      """ || '<a href="https://ex' || (doc_id % 9) || '.org/hub/' ||
+         (doc_id % 5) || '">h</a>'"""
+    else base
+  }
+
   /** q86's URL fixture: the documents table carries no URL column, so
     * ONE deterministic URL-per-doc generator is emitted into BOTH
     * engines (`castT` = string/varchar, `div` = div|`//` — the only
@@ -560,41 +612,97 @@ FROM s3"""),
       "Crawl-frontier link extraction (TextOps.extractLinks): every " +
         "href in a doc's markup becomes one row with its within-doc " +
         "position and — for absolute http(s) URLs — its host " +
-        "(relative links carry an empty host), the input of frontier " +
-        "rollups, politeness budgets, and the q86 URL-canonicalization " +
-        "pass. The corpus has no real anchors, so both engines graft " +
-        "the same three deterministic anchors per doc (two absolute " +
-        "on different hosts + one relative — the q52/q144 injection " +
-        "discipline) and the oracle replays extraction, ordinality, " +
-        "and host parsing value-for-value. Map-only: extract + " +
-        "posexplode + host projection, zero shuffles (the Generate " +
-        "stays in its input partition).",
+        "(relative links carry an empty host), the input of the q146 " +
+        "frontier rollup / politeness budget and the q86 " +
+        "URL-canonicalization pass. All three HTML quoting styles " +
+        "extract — double-quoted, single-quoted, bare — with " +
+        "ordinality stable across mixed quoting (the alternation " +
+        "lives inside one capture group). The corpus has no real " +
+        "anchors, so both engines graft the same five deterministic " +
+        "anchors per doc (absolute x3 across quoting styles on " +
+        "different hosts, relative single-quoted, bare relative — " +
+        "the q52/q144 injection discipline) and the oracle replays " +
+        "extraction, unquoting, ordinality, and host parsing " +
+        "value-for-value. Map-only: extract + posexplode + unquote + " +
+        "host projection, zero shuffles (the Generate stays in its " +
+        "input partition).",
       Some(s"""
 WITH p AS (
-  SELECT doc_id,
-         '<a href="https://ex' || (doc_id % 9) || '.org/p/' || doc_id ||
-         '">x</a> ' || text || ' <a href="/rel/' || (doc_id % 4) ||
-         '">y</a><a href="http://m' || (doc_id % 3) || '.net/q?id=' ||
-         doc_id || '">z</a>' AS t0
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = false)} AS t0
   FROM documents),
 l AS (SELECT doc_id,
-             regexp_extract_all(t0, '${graft.api.TextOps.HrefPattern}', 1) AS links
-      FROM p)
-SELECT doc_id, (g.i - 1)::BIGINT AS link_idx, links[g.i] AS href,
-       regexp_extract(links[g.i], '${graft.api.TextOps.HostPattern}', 1) AS host
-FROM l CROSS JOIN generate_series(1, 8) g(i)
-WHERE g.i <= len(links)"""),
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+e AS (SELECT doc_id, (g.i - 1)::BIGINT AS link_idx,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links))
+SELECT doc_id, link_idx, href,
+       regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS host
+FROM e"""),
       (s, dir) => {
-        val marked = Tables.documents(s, dir).select(col("doc_id"),
-          concat(
-            lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
-            lit(".org/p/"), col("doc_id").cast("string"),
-            lit("\">x</a> "), col("text"),
-            lit(" <a href=\"/rel/"), (col("doc_id") % 4).cast("string"),
-            lit("\">y</a><a href=\"http://m"),
-            (col("doc_id") % 3).cast("string"), lit(".net/q?id="),
-            col("doc_id").cast("string"), lit("\">z</a>")).as("text"))
-        graft.api.TextOps.extractLinks(marked, "doc_id", "text")
+        graft.api.TextOps.extractLinks(
+          linkFixture(Tables.documents(s, dir)), "doc_id", "text")
+      }),
+
+    QueryDef(
+      "q146_frontier_budget",
+      "Frontier rollup + politeness budget (TextOps.frontierBudget) — " +
+        "the consumer of q145's extraction that closes the crawl " +
+        "front door end-to-end (strip -> extract -> rollup -> " +
+        "budget): absolute links aggregate per (host, href) with " +
+        "their in-link count, each host's URLs rank " +
+        "most-referenced-first (ties by href), and the per-host fetch " +
+        "budget (7) keeps only the first 7 — politeness: at most 7 " +
+        "fetches per host per cycle. Kept URLs carry their host's " +
+        "rollup (distinct URLs, total anchors, distinct referring " +
+        "docs). The fixture grafts a SHARED hub anchor (doc_id mod 5 " +
+        "per host — n_refs > 1, exercising the priority order) plus " +
+        "unique per-doc anchors across all three quoting styles; the " +
+        "oracle replays extraction, rollup, ranking, and the budget " +
+        "cut exactly. Scale shape (PlanSpec-asserted): exactly ONE " +
+        "host-keyed exchange on URL-sized rows — the explicit " +
+        "repartition is the only shuffle; both aggregates, the rank " +
+        "window, and the rollup join reuse its clustering, and the " +
+        "output is budget-shaped (O(hosts x 7)), never " +
+        "link-count-shaped. The unit-weight specialization of the " +
+        "q50/q142 fill-to-budget discipline (fetches cost 1, so the " +
+        "exclusive prefix sum IS rank-1).",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = true)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+e AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+a AS (SELECT doc_id, href,
+             regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS host
+      FROM e
+      WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+g AS (SELECT host, href, count(*)::BIGINT AS n_refs FROM a GROUP BY 1, 2),
+h AS (SELECT host, count(DISTINCT href)::BIGINT AS host_urls,
+             count(*)::BIGINT AS host_links,
+             count(DISTINCT doc_id)::BIGINT AS host_docs
+      FROM a GROUP BY 1),
+r AS (SELECT host, href, n_refs,
+             row_number() OVER (PARTITION BY host
+               ORDER BY n_refs DESC, href)::BIGINT AS fetch_rank
+      FROM g)
+SELECT r.host, r.href, r.n_refs, r.fetch_rank,
+       h.host_urls, h.host_links, h.host_docs
+FROM r JOIN h USING (host)
+WHERE r.fetch_rank <= 7"""),
+      (s, dir) => {
+        val marked = linkFixture(Tables.documents(s, dir), withHub = true)
+        graft.api.TextOps.frontierBudget(
+          graft.api.TextOps.extractLinks(marked, "doc_id", "text"),
+          "doc_id", "host", "href", budgetPerHost = 7)
       }),
 
     QueryDef(

@@ -1589,7 +1589,13 @@ class ApiSpec extends SparkSpec {
       (1L, "<p>alpha</p><p>beta</p><script>if (1 < 2) drop()</script>" +
         "<style>.x{}</style> &amp;lt; &quot;q&#39;s&quot; &gt;"),
       (2L, "no markup at all"),
-      (3L, "<div\nclass='m'>gamma</div>")) // tag spanning a newline
+      (3L, "<div\nclass='m'>gamma</div>"), // tag spanning a newline
+      // real crawled HTML carries uppercase tags — an unmatched-case
+      // <SCRIPT> keeping its JS payload defeats the stripper (ADVICE
+      // r13); and a mismatched <script>..</style> pair must NOT be
+      // consumed as one block (each tag pairs with its own close tag)
+      (4L, "<SCRIPT>drop();</SCRIPT>kept <Style>.y{}</STYLE>also"),
+      (5L, "<script>a</style>b</script>c <style>d</style>e"))
       .toDF("id", "body")
     val out = graft.api.TextOps.stripMarkup(docs, "id", "body")
       .collect().map(r => r.getLong(0) ->
@@ -1598,16 +1604,27 @@ class ApiSpec extends SparkSpec {
       s"got ${out(1L)}")
     assert(out(2L) == ((0L, 0L, 0L, "no markup at all")))
     assert(out(3L) == ((0L, 2L, 0L, "gamma")), s"got ${out(3L)}")
+    assert(out(4L) == ((2L, 0L, 0L, "kept also")), s"got ${out(4L)}")
+    // the script block runs to ITS close tag (swallowing the stray
+    // </style> inside); the style block strips independently
+    assert(out(5L) == ((2L, 0L, 0L, "c e")), s"got ${out(5L)}")
   }
 
-  test("TextOps.extractLinks: ordinality, relative links get empty " +
-      "host, markup-free docs emit nothing") {
+  test("TextOps.extractLinks: ordinality stable across MIXED quoting " +
+      "(double/single/bare), relative links get empty host, " +
+      "markup-free docs emit nothing") {
     import spark.implicits._
     val docs = Seq(
       (1L, "<a href=\"https://a.org/x\">1</a> mid " +
         "<a href=\"/rel\">2</a><a href=\"http://b.net:8080/y?q=1\">3</a>"),
       (2L, "no links here"),
-      (3L, "href=\"ftp://c.org/z\" not http")).toDF("id", "body")
+      (3L, "href=\"ftp://c.org/z\" not http"),
+      // all three quoting styles in ONE doc: link_idx must follow
+      // document order, not group by style; a single quote INSIDE a
+      // double-quoted value survives the unquote (same-char anchoring)
+      (4L, "<a href='https://s.io/p'>s</a><a href=bare.html>b</a>" +
+        "<a href=\"https://d.com/it's\">d</a><a href=''>e</a>")
+    ).toDF("id", "body")
     val out = graft.api.TextOps.extractLinks(docs, "id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getString(3))).toSet
@@ -1616,7 +1633,40 @@ class ApiSpec extends SparkSpec {
       (1L, 1L, "/rel", ""),
       (1L, 2L, "http://b.net:8080/y?q=1", "b.net:8080"),
       // an href outside http(s) still extracts; its host is empty
-      (3L, 0L, "ftp://c.org/z", "")), s"got $out")
+      (3L, 0L, "ftp://c.org/z", ""),
+      (4L, 0L, "https://s.io/p", "s.io"),
+      (4L, 1L, "bare.html", ""),
+      (4L, 2L, "https://d.com/it's", "d.com"),
+      (4L, 3L, "", "")), s"got $out")
+    // posexplode's intermediate names are reserved, by name (ADVICE r13)
+    val e = intercept[IllegalArgumentException](
+      graft.api.TextOps.extractLinks(docs.withColumnRenamed("id", "pos"),
+        "pos", "body"))
+    assert(e.getMessage.contains("pos"), e.getMessage)
+  }
+
+  test("TextOps.frontierBudget: in-link priority order, budget cut per " +
+      "host, rollup columns replay by hand") {
+    import spark.implicits._
+    // 3 docs linking host h1: u1 referenced by all three (one twice),
+    // u2 by two, u3 by one; h2 has a single URL; relative links drop
+    val links = Seq(
+      (1L, "h1", "https://h1/u1"), (1L, "h1", "https://h1/u1"),
+      (1L, "h1", "https://h1/u3"),
+      (2L, "h1", "https://h1/u1"), (2L, "h1", "https://h1/u2"),
+      (3L, "h1", "https://h1/u1"), (3L, "h1", "https://h1/u2"),
+      (9L, "h2", "https://h2/only"),
+      (9L, "", "/relative")).toDF("doc", "host", "href")
+    val out = graft.api.TextOps.frontierBudget(
+        links, "doc", "host", "href", budgetPerHost = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(out == Set(
+      // h1: u1 (4 refs) ranks first, u2 (2 refs) second; u3 falls to
+      // the budget. Rollup: 3 URLs, 7 anchors, 3 docs.
+      ("h1", "https://h1/u1", 4L, 1L, 3L, 7L, 3L),
+      ("h1", "https://h1/u2", 2L, 2L, 3L, 7L, 3L),
+      ("h2", "https://h2/only", 1L, 1L, 1L, 1L, 1L)), s"got $out")
   }
 
   test("foldIntoBm25Index == from-scratch rebuild (global stats re-derived)") {

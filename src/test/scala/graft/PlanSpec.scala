@@ -111,6 +111,22 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q146: exactly ONE host-keyed exchange on URL-sized rows — the " +
+      "branch-free window formulation keeps the dedup aggregate, host " +
+      "stats, and rank cut partition-local on the one repartition") {
+    val df = SparkEntry.queries("q146_frontier_budget")(spark, sf)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(exchanges.nonEmpty, "no exchange at all — not the claimed plan")
+    assert(exchanges.map(_.id).distinct.size == 1,
+      s"expected ONE distinct host exchange (reused), got " +
+        s"${exchanges.map(_.id).distinct.size}:\n" +
+        df.queryExecution.executedPlan)
+    assert(exchanges.head.outputPartitioning.toString.contains("host"),
+      s"exchange not keyed on host: ${exchanges.head.outputPartitioning}")
+  }
+
   test("q64 latest-state is one shuffle of partial-agg survivors, no sort") {
     // the latest_by formulation's whole point: no rank window (which
     // would sort every key's full history) AND no SortAggregate (which
