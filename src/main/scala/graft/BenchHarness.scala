@@ -144,7 +144,12 @@ object BenchHarness {
     * alphabetical query loop, so the fallback mins each intact
     * `"name":[...]` array (a leading partial array has no intact
     * `"name":[` prefix and is skipped). Escaped quotes (`\"` inside the
-    * artifact's JSON-string tail) are normalized first.
+    * artifact's JSON-string tail) are normalized first, and the
+    * `leak_retests` object is STRIPPED before the fallback scan — its
+    * entries are also query-keyed numeric arrays and would otherwise
+    * be ingested as that query's runs (benign while retests are real
+    * runs, fragile the moment any non-runs numeric-array field lands
+    * in the artifact — ADVICE r13).
     */
   def parseBenchMins(text: String): Map[String, Double] = {
     val t = text.replace("\\\"", "\"")
@@ -155,8 +160,10 @@ object BenchHarness {
         pair.findAllMatchIn(m.group(1))
           .map(p => p.group(1) -> p.group(2).toDouble).toMap
       case None =>
+        val noRetests =
+          """"leak_retests"\s*:\s*\{[^}]*\}""".r.replaceAllIn(t, "")
         val arr = """"([A-Za-z0-9_]+)"\s*:\s*\[([\-0-9.,\sEe]+)\]""".r
-        arr.findAllMatchIn(t).flatMap { m =>
+        arr.findAllMatchIn(noRetests).flatMap { m =>
           val runs = m.group(2).split(",").toSeq
             .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
           val mn = minOfRuns(runs)

@@ -1068,14 +1068,30 @@ object TextOps {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val lex = bm25TopK(corpus, queries, idCol, textCol, qidCol, kPerList)
       .select(col("qid"), col(idCol).as("_id"), col("rank").as("_r"))
-    // ivfPqProbe addresses both sides by the INDEX's id column (the
-    // codes parquet was written with the corpus idCol), so the query
-    // embeddings adopt it for the probe; the output is renamed columns
-    // (vec_new/vec_old) either way
+    rrfFuse(lex, semanticLeg(queries, qidCol, textCol, ivfPqIndexPath,
+      idCol, kPerList, d, nprobe, adcX1000Threshold), idCol, k, rrfK)
+  }
+
+  /** The IVF-PQ semantic leg shared by [[hybridTopKIvfPq]] and
+    * [[hybridTopKAgainstIndexes]] — embed → zero-vector filter →
+    * cell-pruned ADC probe → per-query kPerList rank cut, emitting the
+    * (qid, _id, _r) triple [[rrfFuse]] consumes. ONE implementation
+    * (the [[bm25Rank]] discipline for the lexical back half), so
+    * q141's exact row-for-row parity between the two deployment
+    * shapes is structural, not edit-parallel. ivfPqProbe addresses
+    * both sides by the INDEX's id column (the codes parquet was
+    * written with the corpus idCol), so the query embeddings adopt it
+    * for the probe; the probe outputs renamed columns
+    * (vec_new/vec_old) either way.
+    */
+  private def semanticLeg(queries: DataFrame, qidCol: String,
+      textCol: String, ivfPqIndexPath: String, idCol: String,
+      kPerList: Int, d: Int, nprobe: Int,
+      adcX1000Threshold: Int): DataFrame = {
     val qe = embedText(queries, qidCol, textCol, d)
       .filter(expr("exists(v, x -> x != 0D)"))
       .select(col(qidCol).as(idCol), col("v"))
-    val sem = VectorOps.ivfPqProbe(qe, idCol, "v", ivfPqIndexPath,
+    VectorOps.ivfPqProbe(qe, idCol, "v", ivfPqIndexPath,
         adcX1000Threshold, nprobe)
       .filter(col("vec_new") =!= col("vec_old"))
       .withColumn("_r", row_number().over(
@@ -1083,7 +1099,6 @@ object TextOps {
           .orderBy(col("asim_x1000").desc, col("vec_old").asc)).cast("long"))
       .filter(col("_r") <= kPerList)
       .select(col("vec_new").as("qid"), col("vec_old").as("_id"), col("_r"))
-    rrfFuse(lex, sem, idCol, k, rrfK)
   }
 
   /** The full 100-TB hybrid-retrieval deployment shape as ONE call:
@@ -1097,8 +1112,8 @@ object TextOps {
     * per-batch cost is query-shaped — the q108/q99 probe postures
     * composed. Because [[bm25TopKAgainstIndex]] scores identically to
     * the in-process [[bm25TopK]] over the same corpus (the
-    * fold==rebuild q108 contract) and the semantic leg is verbatim
-    * [[hybridTopKIvfPq]]'s, the fused ranking is ROW-FOR-ROW equal to
+    * fold==rebuild q108 contract) and the semantic leg is the SHARED
+    * [[semanticLeg]], the fused ranking is ROW-FOR-ROW equal to
     * [[hybridTopKIvfPq]] on that corpus — ApiSpec pins the parity, so
     * the deployment shape can never drift from the catalog-gated one.
     * Output: qid, rank, idCol, rrf.
@@ -1114,18 +1129,8 @@ object TextOps {
     val lex = bm25TopKAgainstIndex(queries, qidCol, textCol,
         bm25IndexPath, idCol, kPerList)
       .select(col("qid"), col(idCol).as("_id"), col("rank").as("_r"))
-    val qe = embedText(queries, qidCol, textCol, d)
-      .filter(expr("exists(v, x -> x != 0D)"))
-      .select(col(qidCol).as(idCol), col("v"))
-    val sem = VectorOps.ivfPqProbe(qe, idCol, "v", ivfPqIndexPath,
-        adcX1000Threshold, nprobe)
-      .filter(col("vec_new") =!= col("vec_old"))
-      .withColumn("_r", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_new"))
-          .orderBy(col("asim_x1000").desc, col("vec_old").asc)).cast("long"))
-      .filter(col("_r") <= kPerList)
-      .select(col("vec_new").as("qid"), col("vec_old").as("_id"), col("_r"))
-    rrfFuse(lex, sem, idCol, k, rrfK)
+    rrfFuse(lex, semanticLeg(queries, qidCol, textCol, ivfPqIndexPath,
+      idCol, kPerList, d, nprobe, adcX1000Threshold), idCol, k, rrfK)
   }
 
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -35,6 +35,20 @@ import graft.api.DedupOps
   * until-re-author holds by construction. Retire an index via
   * [[FpIndex.unpersist]]. The only streaming state is the
   * within-watermark (doc_new, doc_old) dedup.
+  *
+  * The trade the lineage cut buys snapshot isolation with: the
+  * checkpointed blocks are NON-RECOMPUTABLE. Where a `persist()`ed
+  * static side could rebuild a block lost to executor death
+  * mid-serve, losing a `localCheckpoint` block permanently fails the
+  * gate query — acceptable in `local[n]` (one JVM: losing an executor
+  * IS losing the driver) and for restart-supervised streams (the
+  * re-author rebuilds the snapshot from the index path, picking up
+  * any folds that landed — the documented re-author semantics). A
+  * long-lived multi-executor deployment that cannot tolerate
+  * query-level restarts should instead snapshot by COPYING the index
+  * slice to a path-stable location and authoring the gate against the
+  * copy: same isolation (folds target the live path, not the copy),
+  * executor loss recomputes from the copied files.
   */
 object FingerprintGate {
 

@@ -109,6 +109,16 @@ class BenchSpec extends SparkSpec {
     val mins = BenchHarness.parseBenchMins(tail)
     assert(mins == Map("q58_keeper_by_quality" -> 0.266,
       "q91_lm_score_against_model" -> 4.53), s"got $mins")
+    // a truncated tail that carries a COMPLETE leak_retests object: its
+    // query-keyed numeric arrays must NOT be ingested as runs (here the
+    // retest [9.9] would otherwise mask q58's real run array) — the
+    // fallback strips the known non-runs object first (ADVICE r13)
+    val tailWithRetests = """{"n":13,"rc":0,"sf": 0.1,"tail":".62],""" +
+      """\"q58_keeper_by_quality\":[0.41,0.266,0.268]},""" +
+      """\"failed\":[],\"leak_retests\":{\"q58_keeper_by_quality\":[9.9]},""" +
+      """\"drained_checkpoints\":77","parsed":null}"""
+    val mins2 = BenchHarness.parseBenchMins(tailWithRetests)
+    assert(mins2 == Map("q58_keeper_by_quality" -> 0.266), s"got $mins2")
   }
 
   test("loadPriorMins: prefers a same-SF bench_out.json sidecar, falls " +
