@@ -2221,4 +2221,153 @@ class StreamingSpec extends SparkSpec {
     assert(ranked == want)
     assert(want.nonEmpty)
   }
+
+  test("RetrievalGate.hybridEachBatch: per-batch parity with the batch " +
+      "deployed hybrid, and a fold landing between batches is visible " +
+      "from the next batch on (the freshness contract)") {
+    import graft.api.{TextOps, VectorOps}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-retgate-").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val delta = docs.filter(col("doc_id") % 10 === 3)
+    TextOps.writeBm25Index(corpus, "doc_id", "text", s"$dir/bm25")
+    val ce = TextOps.embedText(corpus, "doc_id", "text", 64)
+      .filter(expr("exists(v, x -> x != 0D)"))
+    val model = VectorOps.ivfPqTrain(ce, "doc_id", "v",
+      nCells = 8, m = 16, k = 16, seed = 42L)
+    VectorOps.writeIvfPqIndex(ce, "doc_id", "v", model, s"$dir/ivfpq")
+
+    val qRows = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (q1, q2) = qRows.splitAt(qRows.length / 2)
+    assert(q1.nonEmpty && q2.nonEmpty)
+    def want(qs: Array[(Long, String)]) = TextOps.hybridTopKAgainstIndexes(
+        qs.toSeq.toDF("qid", "text"), "qid", "text",
+        s"$dir/bm25", s"$dir/ivfpq", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val perBatch = collection.mutable.ArrayBuffer
+      .empty[Set[(Long, Long, Long, Long)]]
+    val input = MemoryStream[(Long, String)]
+    val writer = graft.streaming.RetrievalGate.hybridEachBatch(
+      input.toDF().toDF("qid", "text"), "qid", "text",
+      s"$dir/bm25", s"$dir/ivfpq", "doc_id") { (fused, _) =>
+      perBatch += fused.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      ()
+    }
+    val q = writer.queryName("retrieval_gate").start()
+    try {
+      // batch 1 against the authored indexes
+      input.addData(q1.toSeq); q.processAllAvailable()
+      val want1 = want(q1)
+      assert(want1.nonEmpty && perBatch.head == want1,
+        s"batch-1 parity: stream=${perBatch.head.size} batch=${want1.size}")
+      // fold the delta into BOTH indexes while the gate is live
+      TextOps.foldIntoBm25Index(delta, "doc_id", "text", s"$dir/bm25")
+      VectorOps.foldIntoIvfPqIndex(
+        TextOps.embedText(delta, "doc_id", "text", 64)
+          .filter(expr("exists(v, x -> x != 0D)")),
+        "doc_id", "v", s"$dir/ivfpq")
+      // batch 2 must match the batch call over the FOLDED indexes —
+      // the freshness contract: folds are visible from the next batch
+      input.addData(q2.toSeq); q.processAllAvailable()
+      val want2Folded = want(q2)
+      assert(perBatch.size == 2 && perBatch(1) == want2Folded,
+        s"batch-2 parity over folded indexes: stream=${perBatch(1).size} " +
+          s"batch=${want2Folded.size}")
+      // non-vacuous: the fold actually moved the ranking — delta docs
+      // are retrievable (BM25 stats shifted AND new codes are probed),
+      // so batch 2 differs from what the authored indexes would give
+      assert(want2Folded.exists(_._3 % 10 == 3),
+        "no delta doc in batch-2 output — fold visibility is vacuous")
+    } finally q.stop()
+  }
+
+  test("maintain*-while-serving: a compaction swap under a live gate " +
+      "breaks the reader contract EXECUTABLY — the gate fails its next " +
+      "batch instead of serving wrong answers; re-authoring serves the " +
+      "compacted corpus") {
+    // the IndexMaintenance reader contract in one runnable fact: the
+    // gate's static side is a graph-build snapshot of the index's FILE
+    // LISTING, and maintainBm25Index's compact-and-swap deletes the
+    // files that listing points at — so a live gate must QUIESCE across
+    // maintain*. Plain folds are different (append-only; the layered
+    // gate test above serves them after re-author); the swap is what
+    // invalidates a running graph.
+    val docs = Tables.documents(spark, sf)
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft_bm25_qgate").toString
+    graft.api.TextOps.writeBm25Index(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", idxPath)
+    val qDf = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val qRows = qDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = 1558430000000L
+    def recsAt(t0: Long) = qRows.zipWithIndex.map { case ((id, t), i) =>
+      (id, t, ts(t0 + i * 1000L))
+    }
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = streaming.Bm25Gate.topKGateAgainstIndex(
+      input.toDF().toDF("qid", "text", "ts"), "qid", "text", "ts",
+      delay = "1 hour", window = "10 minutes", idxPath, "doc_id", k = 10)
+    val q = out.writeStream.format("memory").queryName("bm25_quiesce_gate")
+      .outputMode("append").start()
+    val failed =
+      try {
+        // batch 1 serves against the authored listing
+        input.addData(recsAt(base).toSeq: _*); q.processAllAvailable()
+        // a maintain* compacts UNDER the live gate (threshold 2: the
+        // very first fold triggers the swap — old contrib files gone)
+        assert(graft.api.TextOps.maintainBm25Index(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          idxPath, compactThreshold = 2))
+        // the next batch re-reads the authored listing's deleted files:
+        // the gate fails LOUDLY (never a silent wrong ranking)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          input.addData(recsAt(base + 7200000L).toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(failed).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).toLowerCase.contains("does not exist") ||
+        String.valueOf(c.getMessage).toLowerCase.contains("file not found")),
+      s"expected a missing-file failure, got: ${chain(failed).map(_.getClass.getName)}")
+    // re-authoring AFTER the maintain serves the compacted corpus —
+    // parity with the batch probe over the same (folded + compacted)
+    // index, the documented quiesce-then-re-author recovery
+    val input2 = MemoryStream[(Long, String, Timestamp)]
+    val out2 = streaming.Bm25Gate.topKGateAgainstIndex(
+      input2.toDF().toDF("qid", "text", "ts"), "qid", "text", "ts",
+      delay = "1 hour", window = "10 minutes", idxPath, "doc_id", k = 10)
+    val q2 = out2.writeStream.format("memory").queryName("bm25_reauth_gate")
+      .outputMode("append").start()
+    try {
+      input2.addData(recsAt(base).toSeq: _*); q2.processAllAvailable()
+      input2.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q2.processAllAvailable()
+      input2.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.table("bm25_reauth_gate").filter(col("qid") >= 0)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = graft.api.TextOps.bm25TopKAgainstIndex(qDf, "qid", "text",
+        idxPath, "doc_id", k = 10)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty && got == want,
+      s"re-authored gate != batch probe on the compacted index: " +
+        s"stream=${got.size} batch=${want.size}")
+  }
 }
