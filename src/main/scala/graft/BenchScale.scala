@@ -310,6 +310,30 @@ object BenchScale {
     val fPrbS = BenchHarness.minOf2Of(() => DedupOps.fingerprintPairsAgainstIndex(
       fpDelta, "doc_id", "dhash64", s"$idxDir/fp_scaled"))
 
+    // video family (round 14): q143 rides the q137 engine but pays the
+    // RIFF AVI container walk + frame decode on the DELTA side every
+    // ingest — so unlike fpDelta the decode stays INSIDE the timed
+    // probe thunk (a fresh fingerprint frame per run): the honest
+    // per-ingest cost is decode + probe, and with a FIXED delta both
+    // are corpus-independent, so the ratio must stay ~flat. The index
+    // builds include the corpus-side decode, honestly linear.
+    def corpusVfps(dir: String) = Multimodal.videoFingerprints(
+        Multimodal.documentsAsAviMedia(spark, dir))
+      .filter(col("doc_id") % 5 =!= 0)
+    def deltaVfps() = Multimodal.videoFingerprints(
+        Multimodal.documentsAsAviMedia(spark, baseDir))
+      .filter(col("doc_id") % 5 === 0)
+    val vfIdxB = timedUnit(DedupOps.writeFingerprintIndex(
+      corpusVfps(baseDir), "doc_id", "vhash64", bits = 64, hammingMax = 6,
+      s"$idxDir/vfp_base"))
+    val vfIdxS = timedUnit(DedupOps.writeFingerprintIndex(
+      corpusVfps(outDir), "doc_id", "vhash64", bits = 64, hammingMax = 6,
+      s"$idxDir/vfp_scaled"))
+    val vfPrbB = BenchHarness.minOf2Of(() => DedupOps.fingerprintPairsAgainstIndex(
+      deltaVfps(), "doc_id", "vhash64", s"$idxDir/vfp_base"))
+    val vfPrbS = BenchHarness.minOf2Of(() => DedupOps.fingerprintPairsAgainstIndex(
+      deltaVfps(), "doc_id", "vhash64", s"$idxDir/vfp_scaled"))
+
     // ---- fold-cost rows: the O(delta) MAINTENANCE claim, measured ----
     // The round-9 verdict's standing caveat was fold write
     // amplification: the compacting folds rewrite the whole index per
@@ -493,12 +517,14 @@ object BenchScale {
       ("q108_index_build", bIdxB, bIdxS, cRatio(bIdxB, bIdxS)),
       ("q111_index_build", cIdxB, cIdxS, cRatio(cIdxB, cIdxS)),
       ("q138_index_build", fIdxB, fIdxS, cRatio(fIdxB, fIdxS)),
+      ("q143_index_build", vfIdxB, vfIdxS, cRatio(vfIdxB, vfIdxS)),
       ("q110_compact_cost", tCmpB, tCmpS, cRatio(tCmpB, tCmpS)))
     val probeRows = Seq(
       ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
       ("q83_probe_const_delta", vPrbB, vPrbS, cRatio(vPrbB, vPrbS)),
       ("q108_probe_const_delta", bPrbB, bPrbS, cRatio(bPrbB, bPrbS)),
       ("q137_probe_const_delta", fPrbB, fPrbS, cRatio(fPrbB, fPrbS)),
+      ("q143_probe_const_delta", vfPrbB, vfPrbS, cRatio(vfPrbB, vfPrbS)),
       ("q110_fold_const_delta", tFldB, tFldS, cRatio(tFldB, tFldS)),
       ("q113_fold_const_delta", vFldB, vFldS, cRatio(vFldB, vFldS)),
       ("q111_fold_const_delta", cFldB, cFldS, cRatio(cFldB, cFldS)),
