@@ -85,7 +85,14 @@ object BenchScale {
     // the corpus — the window sorts only the bucket-pruned
     // ~budget-sized slice, so the 10x ratio should sit well under
     // proportional growth
-    "q142_token_budget_mixture")
+    "q142_token_budget_mixture",
+    // round-14: the frontier rollup — ONE host-keyed exchange
+    // (PlanSpec), so 10x growth is the extract scan + the per-host
+    // partition-local sorts; the OUTPUT stays budget-shaped (hosts x
+    // budget = 119 rows at every SF) but the sort input is honestly
+    // corpus-proportional, concentrated on 17 fixture hosts — the
+    // mega-host posture measured, not argued
+    "q146_frontier_budget")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
