@@ -55,6 +55,37 @@ object PipelineQueries {
     docs.select(col("doc_id"), t0.as("text"))
   }
 
+  /** q147's anchor fixture: every doc grafts a DIRTY shared hub
+    * anchor (uppercase scheme+host, per-doc utm param, fragment —
+    * canonicalizes to one of 45 clean hub URLs; the hub index is
+    * doc_id div 5 mod 5, DECOUPLED from the corpus/delta doc_id mod 5
+    * split so both sides cover all hub forms) plus a clean unique
+    * per-doc page anchor and a relative link. The point: delta hub
+    * links are suppressed by the visited set ONLY through canonical
+    * equivalence — every raw hub string differs (utm varies per doc),
+    * so a drifted canonicalizer floods the frontier with re-crawls.
+    */
+  private def discoveryFixture(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<a href=\"HTTPS://EX"), (col("doc_id") % 9).cast("string"),
+      lit(".ORG/hub/"), expr("(doc_id div 5) % 5").cast("string"),
+      lit("?utm_src=a"), (col("doc_id") % 7).cast("string"),
+      lit("#f"), (col("doc_id") % 3).cast("string"),
+      lit("\">h</a><a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+      lit(".org/p/"), col("doc_id").cast("string"),
+      lit("\">x</a> "), col("text"),
+      lit(" <a href='/rel/"), (col("doc_id") % 4).cast("string"),
+      lit("'>y</a>")).as("text"))
+
+  /** [[discoveryFixture]]'s DuckDB spelling. */
+  private val discoveryFixtureSqlExpr: String =
+    """'<a href="HTTPS://EX' || (doc_id % 9) || '.ORG/hub/' ||
+       ((doc_id // 5) % 5) || '?utm_src=a' || (doc_id % 7) || '#f' ||
+       (doc_id % 3) || '">h</a><a href="https://ex' || (doc_id % 9) ||
+       '.org/p/' || doc_id || '">x</a> ' || text ||
+       ' <a href=''/rel/' || (doc_id % 4) || '''>y</a>'"""
+
   /** [[linkFixture]]'s DuckDB spelling: a SQL expression over
     * documents' (doc_id, text) producing the same grafted markup
     * byte-for-byte. */
@@ -166,9 +197,14 @@ FROM $table d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
     * the canonicalization cannot drift between the standalone query
     * and the composition. Output: canonical_url, keeper_id, n_copies.
     */
-  private[queries] def urlDedupSql(table: String): String = s"""
-WITH u AS (SELECT doc_id, ${urlFixtureSql("varchar", "//")} AS url FROM $table),
-c0 AS (SELECT doc_id, url,
+  /** The DuckDB spelling of [[graft.api.TextOps.canonicalUrl]] as a
+    * CTE chain: reads a CTE `u(doc_id, url)`, ends at
+    * `canon(doc_id, canonical_url)`. ONE generator shared by q86's
+    * dedup oracle and q147's frontier-discovery oracle — the shared-
+    * fragment discipline so the two cannot drift in what
+    * "canonical" means.
+    */
+  private[queries] val urlCanonCtes: String = s"""c0 AS (SELECT doc_id, url,
   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
   FROM u),
@@ -199,7 +235,11 @@ canon AS (SELECT doc_id,
             path1 ||
             (CASE WHEN query1 = '' THEN '' ELSE '?' || query1 END)
   END AS canonical_url
-  FROM c6)
+  FROM c6)"""
+
+  private[queries] def urlDedupSql(table: String): String = s"""
+WITH u AS (SELECT doc_id, ${urlFixtureSql("varchar", "//")} AS url FROM $table),
+$urlCanonCtes
 SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM canon GROUP BY 1"""
 
@@ -703,6 +743,80 @@ WHERE r.fetch_rank <= 7"""),
         graft.api.TextOps.frontierBudget(
           graft.api.TextOps.extractLinks(marked, "doc_id", "text"),
           "doc_id", "host", "href", budgetPerHost = 7)
+      }),
+
+    QueryDef(
+      "q147_frontier_discovery",
+      "Incremental frontier discovery — the crawl loop's stateful " +
+        "step, closing strip (q144) -> extract (q145) -> canonicalize " +
+        "(q86) -> discover-new (this) -> budget (q146) end-to-end: " +
+        "the DELTA batch's extracted links canonicalize " +
+        "(TextOps.canonicalUrl) and anti-join the CORPUS's canonical " +
+        "link set (the visited set — at 100 TB a persisted frontier " +
+        "table probed per ingest, the q59 posture), and only genuinely " +
+        "NEW URLs reach the politeness budget (frontierBudget, 5 per " +
+        "host). Canonical equivalence does the suppression work: " +
+        "every raw hub anchor differs (uppercase scheme/host, per-doc " +
+        "utm param, fragment), so a drifted canonicalizer floods the " +
+        "frontier with re-crawls of already-visited URLs — the oracle " +
+        "replays extraction, the full canonicalization chain (the " +
+        "SHARED q86 CTE generator), the anti-join, and the budget cut " +
+        "exactly. Physically: map-only extract+canonicalize on both " +
+        "sides, one distinct on the visited set, one anti-join keyed " +
+        "on canonical URL (URL-sized rows, broadcastable when the " +
+        "delta's candidate set is small), then q146's one host-keyed " +
+        "exchange.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id, $discoveryFixtureSqlExpr AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+e AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 4) g(i)
+      WHERE g.i <= len(links)),
+u AS (SELECT doc_id, href AS url FROM e
+      WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+$urlCanonCtes,
+seen AS (SELECT DISTINCT canonical_url FROM canon WHERE doc_id % 5 <> 0),
+fresh AS (SELECT c.doc_id, c.canonical_url AS href,
+                 regexp_extract(c.canonical_url,
+                   '${graft.api.TextOps.HostPattern}', 1) AS host
+          FROM canon c
+          WHERE c.doc_id % 5 = 0
+            AND c.canonical_url NOT IN (SELECT canonical_url FROM seen)),
+g AS (SELECT host, href, count(*)::BIGINT AS n_refs FROM fresh GROUP BY 1, 2),
+h AS (SELECT host, count(DISTINCT href)::BIGINT AS host_urls,
+             count(*)::BIGINT AS host_links,
+             count(DISTINCT doc_id)::BIGINT AS host_docs
+      FROM fresh GROUP BY 1),
+r AS (SELECT host, href, n_refs,
+             row_number() OVER (PARTITION BY host
+               ORDER BY n_refs DESC, href)::BIGINT AS fetch_rank
+      FROM g)
+SELECT r.host, r.href, r.n_refs, r.fetch_rank,
+       h.host_urls, h.host_links, h.host_docs
+FROM r JOIN h USING (host)
+WHERE r.fetch_rank <= 5"""),
+      (s, dir) => {
+        val links = graft.api.TextOps.extractLinks(
+            discoveryFixture(Tables.documents(s, dir)), "doc_id", "text")
+          .filter(col("host") =!= "")
+          .select(col("doc_id"),
+            graft.api.TextOps.canonicalUrl(col("href")).as("curl"))
+        val seen = links.filter(col("doc_id") % 5 =!= 0)
+          .select(col("curl")).distinct()
+        val fresh = links.filter(col("doc_id") % 5 === 0)
+          .join(seen, Seq("curl"), "left_anti")
+          .select(col("doc_id"),
+            regexp_extract(col("curl"),
+              graft.api.TextOps.HostPattern, 1).as("host"),
+            col("curl").as("href"))
+        graft.api.TextOps.frontierBudget(fresh, "doc_id", "host", "href",
+          budgetPerHost = 5)
       }),
 
     QueryDef(
