@@ -353,6 +353,59 @@ object TextOps {
     * task (inherent to any per-host contract); its sorts spill rather
     * than fail, and the budget bounds what survives.
     */
+  /** Robots-exclusion filtering over extracted/discovered URLs — the
+    * compliance step between frontier discovery and the fetch queue.
+    * `rules` is a (host, prefix, allow) frame (one row per
+    * Allow/Disallow line, pre-resolved per user-agent — parsing
+    * robots.txt bodies is an I/O concern upstream of the engine);
+    * verdict per URL follows the robots REP longest-match semantics:
+    * the longest rule prefix matching the URL's path (query included,
+    * as in the spec's string model) decides, an Allow and a Disallow
+    * of EQUAL length resolve to allow, and a URL matching no rule —
+    * including relative/non-http(s) URLs, which carry no host — is
+    * allowed. Output: idCol, hrefCol, allowed, matched_prefix ('' when
+    * no rule matched); one verdict row per input row, nothing dropped
+    * (the caller chooses to filter — keeping verdicts makes the op
+    * auditable, which a crawler's compliance layer must be).
+    *
+    * Scale shape: the rules frame is tiny by nature (robots lines per
+    * host) and BROADCASTS; match + longest-match ranking shuffle only
+    * (id, href)-keyed candidate rows — never document payloads — and
+    * the rank window partitions per URL, so no host-level skew point
+    * exists (a mega-host's URLs spread across tasks).
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, hrefCol: String,
+      rules: DataFrame, ruleHostCol: String = "host",
+      rulePrefixCol: String = "prefix",
+      ruleAllowCol: String = "allow"): DataFrame = {
+    val reserved = Set("allowed", "matched_prefix", "_h", "_p", "_rn")
+    require(!reserved.contains(idCol) && !reserved.contains(hrefCol),
+      s"robotsFilter: id/href column collides with an output/working " +
+        s"column (${reserved.mkString(", ")}) — rename it first")
+    val base = urls.select(col(idCol), col(hrefCol),
+      regexp_extract(col(hrefCol), HostPattern, 1).as("_h"),
+      regexp_replace(col(hrefCol), "^https?://[^/]+", "").as("_p"))
+    val r = rules.select(col(ruleHostCol).as("_h"),
+      col(rulePrefixCol).as("_prefix"),
+      col(ruleAllowCol).cast("boolean").as("_allow"))
+    val verdicts = base
+      .filter(col("_h") =!= "")
+      .join(broadcast(r), Seq("_h"))
+      .filter(col("_p").startsWith(col("_prefix")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol), col(hrefCol))
+          .orderBy(length(col("_prefix")).desc, col("_allow").desc,
+            col("_prefix").asc)))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(hrefCol), col("_allow").as("__a"),
+        col("_prefix").as("__mp"))
+    urls.select(col(idCol), col(hrefCol))
+      .join(verdicts, Seq(idCol, hrefCol), "left")
+      .select(col(idCol), col(hrefCol),
+        coalesce(col("__a"), lit(true)).as("allowed"),
+        coalesce(col("__mp"), lit("")).as("matched_prefix"))
+  }
+
   def frontierBudget(links: DataFrame, idCol: String, hostCol: String,
       hrefCol: String, budgetPerHost: Int): DataFrame = {
     require(budgetPerHost >= 1,

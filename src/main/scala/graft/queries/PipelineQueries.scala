@@ -820,6 +820,80 @@ WHERE r.fetch_rank <= 5"""),
       }),
 
     QueryDef(
+      "q148_robots_filter",
+      "Robots-exclusion filtering (TextOps.robotsFilter) — the " +
+        "compliance step between frontier discovery and the fetch " +
+        "queue, with the robots REP longest-match semantics: per URL, " +
+        "the LONGEST rule prefix matching its path decides, an Allow " +
+        "and a Disallow of equal length resolve to ALLOW, and " +
+        "unmatched URLs (including relative links, which carry no " +
+        "host) are allowed. One verdict row per input link, nothing " +
+        "dropped — a crawler's compliance layer must be auditable. " +
+        "The rules fixture exercises every branch: a blanket /hub/ " +
+        "Disallow on all 9 hosts with an equal-length Allow on even " +
+        "hosts (the tie), a /p/ Disallow on every 3rd host with a " +
+        "LONGER /p/1 Allow carve-out (longest-match override — ids " +
+        "starting with 1 stay fetchable), and unruled hosts. Rules " +
+        "broadcast (tiny by nature); the rank window partitions per " +
+        "URL, so no host-level skew point exists. The oracle replays " +
+        "extraction, matching, the longest-match rank, and both " +
+        "coalesces exactly.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = true)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+e AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+u AS (SELECT doc_id, href,
+             regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS h,
+             regexp_replace(href, '^https?://[^/]+', '') AS pth
+      FROM e),
+rules AS (
+  SELECT 'ex' || k || '.org' AS rh, '/hub/' AS prefix, false AS allow
+  FROM range(9) t(k)
+  UNION ALL
+  SELECT 'ex' || k || '.org', '/hub/', true FROM range(9) t(k) WHERE k % 2 = 0
+  UNION ALL
+  SELECT 'ex' || k || '.org', '/p/', false FROM range(9) t(k) WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'ex' || k || '.org', '/p/1', true FROM range(9) t(k) WHERE k % 3 = 0),
+m AS (SELECT doc_id, href, allow, prefix,
+             row_number() OVER (PARTITION BY doc_id, href
+               ORDER BY len(prefix) DESC, allow DESC, prefix) AS rn
+      FROM u JOIN rules ON u.h = rules.rh AND starts_with(pth, prefix)
+      WHERE u.h <> '')
+SELECT u.doc_id, u.href,
+       COALESCE(m.allow, true) AS allowed,
+       COALESCE(m.prefix, '') AS matched_prefix
+FROM u LEFT JOIN (SELECT doc_id, href, allow, prefix FROM m WHERE rn = 1) m
+  USING (doc_id, href)"""),
+      (s, dir) => {
+        val ks = s.range(9).select(col("id").as("k"),
+          concat(lit("ex"), col("id").cast("string"), lit(".org")).as("host"))
+        def rule(f: org.apache.spark.sql.DataFrame, prefix: String,
+            allow: Boolean) = f.select(col("host"),
+          lit(prefix).as("prefix"), lit(allow).as("allow"))
+        val rules = rule(ks, "/hub/", allow = false)
+          .unionByName(rule(ks.filter(col("k") % 2 === 0), "/hub/",
+            allow = true))
+          .unionByName(rule(ks.filter(col("k") % 3 === 0), "/p/",
+            allow = false))
+          .unionByName(rule(ks.filter(col("k") % 3 === 0), "/p/1",
+            allow = true))
+        graft.api.TextOps.robotsFilter(
+          graft.api.TextOps.extractLinks(
+            linkFixture(Tables.documents(s, dir), withHub = true),
+            "doc_id", "text"),
+          "doc_id", "href", rules)
+      }),
+
+    QueryDef(
       "q60_mixture_resample",
       "Data mixing to target proportions (SampleOps.mixtureResample): " +
         "rebalance the corpus so per-source sizes follow target weights " +

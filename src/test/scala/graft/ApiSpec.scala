@@ -1645,6 +1645,36 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("pos"), e.getMessage)
   }
 
+  test("TextOps.robotsFilter: longest match decides, equal-length " +
+      "Allow beats Disallow, unmatched and host-less URLs pass") {
+    import spark.implicits._
+    val rules = Seq(
+      ("a.org", "/private/", false),
+      ("a.org", "/private/public/", true), // longer Allow carve-out
+      ("b.net", "/x/", false),
+      ("b.net", "/x/", true) // equal length: Allow wins (REP tie rule)
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "https://a.org/private/secret"),       // Disallow matches
+      (2L, "https://a.org/private/public/page"),  // longer Allow wins
+      (3L, "https://a.org/open/page"),            // no rule -> allowed
+      (4L, "https://b.net/x/1"),                  // tie -> Allow wins
+      (5L, "https://c.io/anything"),              // unruled host
+      (6L, "/relative/path")                      // no host -> allowed
+    ).toDF("id", "href")
+    val out = graft.api.TextOps.robotsFilter(urls, "id", "href", rules)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getString(3)))).toMap
+    assert(out(1L) == ((false, "/private/")), s"got ${out(1L)}")
+    assert(out(2L) == ((true, "/private/public/")), s"got ${out(2L)}")
+    assert(out(3L) == ((true, "")), s"got ${out(3L)}")
+    assert(out(4L) == ((true, "/x/")), s"got ${out(4L)}")
+    assert(out(5L) == ((true, "")), s"got ${out(5L)}")
+    assert(out(6L) == ((true, "")), s"got ${out(6L)}")
+    // nothing dropped: one verdict per input row
+    assert(out.size == 6)
+  }
+
   test("TextOps.frontierBudget: in-link priority order, budget cut per " +
       "host, rollup columns replay by hand") {
     import spark.implicits._
