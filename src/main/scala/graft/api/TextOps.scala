@@ -305,20 +305,22 @@ object TextOps {
     * Map-only: extract + posexplode + unquote + host projection, zero
     * shuffles at any scale (the Generate stays in its input partition).
     */
-  def extractLinks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def extractLinks(df: DataFrame, idCol: String, textCol: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
     // pos/col are posexplode's intermediate output names — an idCol
     // named either would ambiguate the projection below (ADVICE r13)
     val reserved = Set("link_idx", "href", "host", "pos", "col")
-    require(!reserved.contains(idCol),
-      s"extractLinks: id column '$idCol' collides with an output or " +
+    require((idCol +: extraCols).forall(!reserved.contains(_)),
+      s"extractLinks: id/extra column collides with an output or " +
         s"intermediate column (${reserved.mkString(", ")}) — rename it first")
     def unquote(c: Column): Column =
       regexp_replace(c, HrefUnquotePattern, "$1$2")
-    df.select(col(idCol),
-        posexplode(regexp_extract_all(col(textCol), lit(HrefPattern), lit(1))))
-      .select(col(idCol), col("pos").cast("long").as("link_idx"),
+    val carried = (idCol +: extraCols).map(col)
+    df.select(carried :+
+        posexplode(regexp_extract_all(col(textCol), lit(HrefPattern), lit(1))): _*)
+      .select(carried ++ Seq(col("pos").cast("long").as("link_idx"),
         unquote(col("col")).as("href"),
-        regexp_extract(unquote(col("col")), HostPattern, 1).as("host"))
+        regexp_extract(unquote(col("col")), HostPattern, 1).as("host")): _*)
   }
 
   /** Frontier rollup + politeness budget — the consumer of

@@ -2370,4 +2370,77 @@ class StreamingSpec extends SparkSpec {
       s"re-authored gate != batch probe on the compacted index: " +
         s"stream=${got.size} batch=${want.size}")
   }
+
+  test("FrontierGate: discoveries == the q147 batch composition on the " +
+      "same split; a URL discovered once does not re-emit within the " +
+      "watermark; visited URLs never emit") {
+    import graft.api.TextOps
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // the q147 shape: corpus (mod-5 != 0) links are the visited set,
+    // delta docs stream in. Anchors: one shared hub per (host, doc%3)
+    // — discovered by MANY delta docs, so the within-stream dedup has
+    // real work — plus a unique per-doc page link.
+    def marked(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      concat(
+        lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+        lit(".org/hub/"), (col("doc_id") % 3).cast("string"),
+        lit("\">h</a><a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit("\">x</a>")).as("text"))
+    val corpus = marked(docs.filter(col("doc_id") % 5 =!= 0))
+    val deltaDf = marked(docs.filter(col("doc_id") % 5 === 0))
+    val visitedDir =
+      java.nio.file.Files.createTempDirectory("graft-frontier-v-").toString
+    TextOps.extractLinks(corpus, "doc_id", "text")
+      .filter(col("host") =!= "")
+      .select(TextOps.canonicalUrl(col("href")).as("canonical_url"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$visitedDir/visited")
+
+    // batch twin: q147's composition, distinct canonical survivors
+    val want = TextOps.extractLinks(deltaDf, "doc_id", "text")
+      .filter(col("host") =!= "")
+      .select(TextOps.canonicalUrl(col("href")).as("curl"))
+      .join(spark.read.parquet(s"$visitedDir/visited")
+        .select(col("canonical_url").as("curl")), Seq("curl"), "left_anti")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(want.nonEmpty, "no discoveries at all — parity would be vacuous")
+
+    val rows = deltaDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val base = 1558430000000L
+    def recs(part: Array[(Long, String)], t0: Long) =
+      part.zipWithIndex.map { case ((id, t), i) => (id, t, ts(t0 + i * 1000L)) }
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = graft.streaming.FrontierGate.discoveries(
+      input.toDF().toDF("doc_id", "text", "at"), "doc_id", "text",
+      "at", delay = "2 hours", s"$visitedDir/visited")
+    val q = out.writeStream.format("memory").queryName("frontier_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(recs(a, base).toSeq: _*); q.processAllAvailable()
+      // batch 2: fresh docs PLUS a replay of batch 1's docs (the same
+      // URLs re-discovered within the watermark) — no re-emission
+      input.addData((recs(b, base + 600000L) ++ recs(a, base + 900000L)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("frontier_gate").collect()
+    val gotUrls = got.map(_.getString(0))
+    assert(gotUrls.length == gotUrls.distinct.length,
+      "a canonical URL emitted twice — within-watermark dedup lost state")
+    assert(gotUrls.toSet == want,
+      s"stream=${gotUrls.toSet.size} batch=${want.size} " +
+        s"missing=${(want -- gotUrls.toSet).take(3)} " +
+        s"extra=${(gotUrls.toSet -- want).take(3)}")
+    // the visited set actually suppressed (hub URLs shared with the
+    // corpus are all visited): nothing emitted may sit in visited
+    val visitedSet = spark.read.parquet(s"$visitedDir/visited")
+      .collect().map(_.getString(0)).toSet
+    assert(gotUrls.forall(u => !visitedSet.contains(u)),
+      "a visited URL leaked through the anti-join")
+    assert(visitedSet.exists(_.contains("/hub/")),
+      "fixture regression: no shared hub URL in visited — the " +
+        "suppression leg would be vacuous")
+  }
 }
