@@ -272,6 +272,68 @@ class RecoverySpec extends SparkSpec {
     }
   }
 
+  private def assertFrontierDedupSurvivesRestart(): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ckpt = Files.createTempDirectory("graft_frontier_ckpt").toString
+    val visitedDir = Files.createTempDirectory("graft_frontier_vis").toString
+    Seq("https://old.org/seen").toDF("canonical_url")
+      .write.mode("overwrite").parquet(s"$visitedDir/v")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val collected =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def startQuery() = graft.streaming.FrontierGate.discoveries(
+        input.toDF().toDF("doc_id", "text", "at"),
+        "doc_id", "text", "at", "1 hour", s"$visitedDir/v")
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          batch.collect().foreach(r => collected.add(r.getString(0)))
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    def doc(id: Long, url: String, t: Long) =
+      (id, s"""<a href="$url">x</a>""", ts(base + t))
+
+    // query 1: one fresh discovery; the visited URL stays suppressed
+    val q1 = startQuery()
+    try {
+      input.addData(
+        doc(1L, "https://new.org/a", 1000),
+        doc(2L, "https://old.org/seen", 2000))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: REPLAY the discovery (must stay suppressed by the
+    // RECOVERED within-watermark state — same canonical URL from a
+    // different doc) plus one genuinely new URL
+    val q2 = startQuery()
+    try {
+      input.addData(
+        doc(3L, "https://new.org/a", 3000),
+        doc(4L, "https://new.org/b", 4000))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    // multiset compare: a lost-state re-emission is a duplicate element
+    assert(collected.asScala.toSeq.sorted ==
+      Seq("https://new.org/a", "https://new.org/b"),
+      s"frontier dedup state lost across restart: " +
+        s"${collected.asScala.toSeq.sorted}")
+  }
+
+  test("frontier-discovery URL-dedup state survives a checkpointed restart") {
+    assertFrontierDedupSurvivesRestart()
+  }
+
+  test("frontier-discovery restart also recovers under RocksDB") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertFrontierDedupSurvivesRestart()
+    }
+  }
+
   test("maintainIvfPqIndex recovers a crashed compact-and-swap at entry: " +
       "live absent + __old present restores, stale siblings cleared, " +
       "the fold proceeds, probes == a same-model rebuild") {
