@@ -67,6 +67,8 @@ object Bench {
         () => queries.PipelineQueries.passageIvfPqDir(spark, sfDir)),
       ("q141_index_build", "q141_hybrid_deployed_parity",
         () => queries.PipelineQueries.hybridBm25Dir(spark, sfDir)),
+      ("q150_index_build", "q150_fold_gram_probe",
+        () => queries.DedupQueries.foldedGramDir(spark, sfDir)),
       // the session-cached BRUTE contrast stages the q114/q129 in-band
       // oracles read: built lazily on first use, which otherwise lands
       // inside the consumer's timed run 1 (q129's r13 run-1/min was

@@ -341,6 +341,21 @@ object BenchScale {
     val vfPrbS = BenchHarness.minOf2Of(() => DedupOps.fingerprintPairsAgainstIndex(
       deltaVfps(), "doc_id", "vhash64", s"$idxDir/vfp_scaled"))
 
+    // gram-count family (round 14): the q149/q150 decontamination
+    // posture — a fixed delta's substring-span probe against 1x and
+    // kx gram indexes must cost ~the same (the delta's gram explode
+    // is fixed; the prefix-pruned count scan must not track the
+    // corpus behind the index); the builds are the one-shot
+    // corpus-linear gram aggregations
+    val gIdxB = timedUnit(DedupOps.writeGramIndex(
+      corpusDocs(baseDir), "doc_id", "text", s"$idxDir/gram_base"))
+    val gIdxS = timedUnit(DedupOps.writeGramIndex(
+      corpusDocs(outDir), "doc_id", "text", s"$idxDir/gram_scaled"))
+    val gPrbB = BenchHarness.minOf2Of(() => DedupOps.exactSubstringSpansAgainstIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/gram_base"))
+    val gPrbS = BenchHarness.minOf2Of(() => DedupOps.exactSubstringSpansAgainstIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/gram_scaled"))
+
     // ---- fold-cost rows: the O(delta) MAINTENANCE claim, measured ----
     // The round-9 verdict's standing caveat was fold write
     // amplification: the compacting folds rewrite the whole index per
@@ -390,6 +405,10 @@ object BenchScale {
       fpDelta, "doc_id", "dhash64", s"$idxDir/fp_base"))
     val fFldS = timedUnit(DedupOps.foldIntoFingerprintIndex(
       fpDelta, "doc_id", "dhash64", s"$idxDir/fp_scaled"))
+    val gFldB = timedUnit(DedupOps.foldIntoGramIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/gram_base"))
+    val gFldS = timedUnit(DedupOps.foldIntoGramIndex(
+      deltaDocs, "doc_id", "text", s"$idxDir/gram_scaled"))
     graft.api.Lifecycle.releaseLocalCheckpoint(fpDelta)
     // compaction: the amortized index-sized operation the appends
     // defer — compacting the now-2-layer minhash indexes
@@ -525,6 +544,7 @@ object BenchScale {
       ("q111_index_build", cIdxB, cIdxS, cRatio(cIdxB, cIdxS)),
       ("q138_index_build", fIdxB, fIdxS, cRatio(fIdxB, fIdxS)),
       ("q143_index_build", vfIdxB, vfIdxS, cRatio(vfIdxB, vfIdxS)),
+      ("q150_index_build", gIdxB, gIdxS, cRatio(gIdxB, gIdxS)),
       ("q110_compact_cost", tCmpB, tCmpS, cRatio(tCmpB, tCmpS)))
     val probeRows = Seq(
       ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
@@ -532,11 +552,13 @@ object BenchScale {
       ("q108_probe_const_delta", bPrbB, bPrbS, cRatio(bPrbB, bPrbS)),
       ("q137_probe_const_delta", fPrbB, fPrbS, cRatio(fPrbB, fPrbS)),
       ("q143_probe_const_delta", vfPrbB, vfPrbS, cRatio(vfPrbB, vfPrbS)),
+      ("q150_probe_const_delta", gPrbB, gPrbS, cRatio(gPrbB, gPrbS)),
       ("q110_fold_const_delta", tFldB, tFldS, cRatio(tFldB, tFldS)),
       ("q113_fold_const_delta", vFldB, vFldS, cRatio(vFldB, vFldS)),
       ("q111_fold_const_delta", cFldB, cFldS, cRatio(cFldB, cFldS)),
       ("q108_fold_const_delta", bFldB, bFldS, cRatio(bFldB, bFldS)),
-      ("q138_fold_const_delta", fFldB, fFldS, cRatio(fFldB, fFldS)))
+      ("q138_fold_const_delta", fFldB, fFldS, cRatio(fFldB, fFldS)),
+      ("q150_fold_const_delta", gFldB, gFldS, cRatio(gFldB, gFldS)))
 
     val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max

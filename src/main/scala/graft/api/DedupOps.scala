@@ -1119,8 +1119,27 @@ object DedupOps {
     require(maxDocsPerGram >= minDocs,
       s"exactSubstringSpans: maxDocsPerGram $maxDocsPerGram < minDocs " +
         s"$minDocs — the cap would reject every shared gram")
-    val grams = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("__tk"))
+    val grams = gramPositions(df, idCol, textCol, gramTokens)
+      .repartition(col("__gh"))
+    val shared = grams.select(col("__gh"), col("doc_id")).distinct()
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs && col("__nd") <= maxDocsPerGram)
+      .select(col("__gh"))
+    mergeSpans(grams.join(shared, Seq("__gh"), "left_semi")
+      .select(col("doc_id"), col("pos")), gramTokens)
+  }
+
+  /** (doc_id, pos, __gh) token-gram position rows — the ONE definition
+    * of the gram hashing (single-space split keeping empty tokens,
+    * hash60 of the space-joined gram), shared by the self-join
+    * ([[exactSubstringSpans]]), incremental
+    * ([[exactSubstringSpansAgainst]]), and persisted-index
+    * ([[writeGramIndex]] / [[exactSubstringSpansAgainstIndex]]) paths
+    * so corpus and delta can never gram differently.
+    */
+  private def gramPositions(df: DataFrame, idCol: String, textCol: String,
+      gramTokens: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("__tk"))
       .filter(size(col("__tk")) >= gramTokens)
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("__tk")) - gramTokens)).as("__p"),
@@ -1129,17 +1148,18 @@ object DedupOps {
         TextHashing.hash60(concat_ws(" ",
           slice(col("__tk"), col("__p") + 1, lit(gramTokens))))
           .as("__gh"))
-      .repartition(col("__gh"))
-    val shared = grams.select(col("__gh"), col("doc_id")).distinct()
-      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs && col("__nd") <= maxDocsPerGram)
-      .select(col("__gh"))
+
+  /** The island-merge back half: maximal intervals over covered
+    * positions — intervals [p, p+k) sorted by start merge iff
+    * next − prev <= k (overlap or exact adjacency = contiguous
+    * duplicated coverage). Windows only the SHARED positions per doc
+    * (output-sized, not corpus-sized). Output: doc_id, span_start,
+    * span_end, span_tokens.
+    */
+  private def mergeSpans(positions: DataFrame, gramTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    // intervals [p, p+k) sorted by start merge iff next - prev <= k
-    // (overlap or exact adjacency = contiguous duplicated coverage)
-    grams.join(shared, Seq("__gh"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+    positions
       .withColumn("__brk",
         when(lag(col("pos"), 1).over(w).isNull ||
           col("pos") - lag(col("pos"), 1).over(w) > gramTokens, 1L)
@@ -1150,6 +1170,202 @@ object DedupOps {
         (max(col("pos")) + gramTokens).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Exact-substring DECONTAMINATION spans — [[exactSubstringSpans]]'s
+    * incremental posture (the q59/q91 train-vs-delta split applied to
+    * ExactSubstr): every maximal token interval of a NEW document
+    * covered by `gramTokens`-token runs that appear VERBATIM in at
+    * least `minCorpusDocs` CORPUS documents. minCorpusDocs defaults to
+    * 1 — "appears anywhere in the training corpus" is the
+    * decontamination question; the self-join's minDocs >= 2 exists
+    * because there a gram trivially appears in its own document.
+    * Grams in more than `maxDocsPerGram` CORPUS docs are dropped (the
+    * capped contract — corpus-wide boilerplate is q70's O(n) job).
+    * The corpus is never self-paired and the delta never counts toward
+    * the threshold; at 100 TB the corpus side is materialized once
+    * ([[writeGramIndex]]) and probed per ingest batch
+    * ([[exactSubstringSpansAgainstIndex]]). Output: doc_id (the NEW
+    * doc), span_start, span_end, span_tokens.
+    */
+  def exactSubstringSpansAgainst(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, gramTokens: Int = 8,
+      minCorpusDocs: Int = 1, maxDocsPerGram: Int = 1000): DataFrame = {
+    require(gramTokens >= 2,
+      s"exactSubstringSpansAgainst: gramTokens $gramTokens < 2")
+    require(minCorpusDocs >= 1,
+      s"exactSubstringSpansAgainst: minCorpusDocs $minCorpusDocs < 1")
+    require(maxDocsPerGram >= minCorpusDocs,
+      s"exactSubstringSpansAgainst: maxDocsPerGram $maxDocsPerGram < " +
+        s"minCorpusDocs $minCorpusDocs — the cap would reject every gram")
+    val shared = gramPositions(corpusDf, idCol, textCol, gramTokens)
+      .select(col("__gh"), col("doc_id")).distinct()
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minCorpusDocs && col("__nd") <= maxDocsPerGram)
+      .select(col("__gh"))
+    mergeSpans(
+      gramPositions(newDf, idCol, textCol, gramTokens)
+        .join(shared, Seq("__gh"), "left_semi")
+        .select(col("doc_id"), col("pos")), gramTokens)
+  }
+
+  /** Materialize the corpus side of [[exactSubstringSpansAgainst]] to
+    * parquet — the SEVENTH persisted index family, and the simplest:
+    * `$path/grams` = (gh, n_docs) per-gram distinct-corpus-doc COUNTS,
+    * partitioned by `__gp = hash60-mod-prefixPartitions` (the `__bp`
+    * prefix-pruning discipline) and sorted by gh; `$path/meta` carries
+    * the gram geometry (gram_tokens, prefix_partitions, layers). RAW
+    * counts are stored — the probe applies min/cap thresholds at read,
+    * so one index serves any (minCorpusDocs, maxDocsPerGram) policy.
+    * Build once per corpus version, probe per ingest batch.
+    */
+  def writeGramIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, gramTokens: Int = 8,
+      prefixPartitions: Int = 64): Unit = {
+    require(gramTokens >= 2, s"writeGramIndex: gramTokens $gramTokens < 2")
+    graft.jobs.Sinks.layout(
+      gramPositions(corpus, idCol, textCol, gramTokens)
+        .select(col("__gh").as("gh"), col("doc_id")).distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong))),
+      s"$path/grams", partitionCols = Seq("__gp"),
+      sortCols = Seq("gh"), numFiles = 8)
+    writeGramMeta(corpus.sparkSession, path, gramTokens, prefixPartitions, 1)
+  }
+
+  private def writeGramMeta(s: org.apache.spark.sql.SparkSession,
+      path: String, gramTokens: Int, prefixPartitions: Int,
+      layers: Int): Unit =
+    s.range(1)
+      .select(lit(gramTokens).as("gram_tokens"),
+        lit(prefixPartitions).as("prefix_partitions"),
+        lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  /** (gramTokens, prefixPartitions, layers) off a [[writeGramIndex]]
+    * meta — REQUIRED with a named rebuild-once error (the delta must
+    * gram with the index's own geometry; mismatched gram widths would
+    * silently match nothing).
+    */
+  private def readGramMeta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (Int, Int, Int) = {
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$op: cannot read $indexPath/meta — probes and folds must " +
+            "use the index's own gram geometry (indexes written before " +
+            "the meta existed must be rebuilt once)", e)
+      }
+    val row = metaDf.head(1).headOption.getOrElse(
+      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
+    (row.getAs[Number]("gram_tokens").intValue(),
+      row.getAs[Number]("prefix_partitions").intValue(),
+      row.getAs[Number]("layers").intValue())
+  }
+
+  /** Fold a DELTA of new documents into a persisted [[writeGramIndex]]
+    * IN PLACE with O(delta) write bytes: the delta's per-gram
+    * distinct-doc counts land as their own sorted run, meta bumps
+    * `layers`. Reconcile is EXACT BY ADDITIVITY — delta doc ids are
+    * disjoint from indexed ids (the incremental contract everywhere in
+    * this api), so the total distinct-doc count of a gram is simply
+    * the SUM of its per-run counts; no cap arithmetic or tombstones
+    * exist in this family because the cap is a PROBE-side threshold
+    * over the reconciled total, not a storage contract. Crash
+    * consistency: single-writer, restore-on-failure — the shared fold
+    * contract ([[foldIntoMinhashIndex]]).
+    */
+  def foldIntoGramIndex(delta: DataFrame, idCol: String, textCol: String,
+      indexPath: String): Unit = {
+    val s = delta.sparkSession
+    val (gramTokens, prefixPartitions, layers) =
+      readGramMeta(s, indexPath, "foldIntoGramIndex")
+    graft.jobs.Sinks.layoutAppend(
+      gramPositions(delta, idCol, textCol, gramTokens)
+        .select(col("__gh").as("gh"), col("doc_id")).distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong))),
+      s"$indexPath/grams", partitionCols = Seq("__gp"),
+      sortCols = Seq("gh"), numFiles = 8)
+    writeGramMeta(s, indexPath, gramTokens, prefixPartitions, layers + 1)
+  }
+
+  /** Compact a layered gram index back to ONE sorted run: per-gram
+    * counts summed across runs (the exact reconcile arithmetic),
+    * meta reset to layers=1. Identical probe results before and after.
+    */
+  def compactGramIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactGramIndex: outPath must differ from indexPath")
+    val (gramTokens, prefixPartitions, _) =
+      readGramMeta(s, indexPath, "compactGramIndex")
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/grams").drop("__gp")
+        .groupBy(col("gh")).agg(sum(col("n_docs")).as("n_docs"))
+        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong))),
+      s"$outPath/grams", partitionCols = Seq("__gp"),
+      sortCols = Seq("gh"), numFiles = 8)
+    writeGramMeta(s, outPath, gramTokens, prefixPartitions, 1)
+  }
+
+  /** [[maintainMinhashIndex]]'s gram-count twin: crash-recover at
+    * entry, O(delta) fold, compact-and-swap iff post-fold layers reach
+    * `compactThreshold`. All inside [[IndexMaintenance.withWriterLock]];
+    * NOT reader-safe across the swap.
+    */
+  def maintainGramIndex(delta: DataFrame, idCol: String, textCol: String,
+      indexPath: String,
+      compactThreshold: Int =
+        IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    val s = delta.sparkSession
+    IndexMaintenance.withWriterLock(s, indexPath) {
+      IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoGramIndex(delta, idCol, textCol, indexPath)
+      val (_, _, layers) = readGramMeta(s, indexPath, "maintainGramIndex")
+      IndexMaintenance.compactIfLayered(s, indexPath, layers,
+        compactThreshold)(out => compactGramIndex(s, indexPath, out))
+    }
+  }
+
+  /** [[exactSubstringSpansAgainst]] probing a PERSISTED
+    * [[writeGramIndex]]: the delta's grams derive with the INDEX's own
+    * geometry (meta-required), the delta's distinct `__gp` prefixes
+    * become an `isin` literal the scan planner turns into partition-
+    * directory pruning (decisive for the primary use — an eval set's
+    * handful of documents touches a handful of prefixes, never the
+    * corpus-wide gram table), layered runs reconcile by per-gram SUM,
+    * and the min/cap thresholds apply to the reconciled totals. Output
+    * identical to the inline path on the same split (DedupSpec parity;
+    * q150 gates fold==rebuild on the driver's hash).
+    */
+  def exactSubstringSpansAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, indexPath: String, minCorpusDocs: Int = 1,
+      maxDocsPerGram: Int = 1000): DataFrame = {
+    require(minCorpusDocs >= 1,
+      s"exactSubstringSpansAgainstIndex: minCorpusDocs $minCorpusDocs < 1")
+    require(maxDocsPerGram >= minCorpusDocs,
+      s"exactSubstringSpansAgainstIndex: maxDocsPerGram $maxDocsPerGram " +
+        s"< minCorpusDocs $minCorpusDocs — the cap would reject every gram")
+    val s = newDf.sparkSession
+    val (gramTokens, prefixPartitions, layers) =
+      readGramMeta(s, indexPath, "exactSubstringSpansAgainstIndex")
+    val deltaGrams = gramPositions(newDf, idCol, textCol, gramTokens)
+    val prefixes = deltaGrams
+      .select(pmod(col("__gh"), lit(prefixPartitions.toLong)).as("__gp"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = s.read.parquet(s"$indexPath/grams")
+      .filter(col("__gp").isin(prefixes: _*)).drop("__gp")
+    val reconciled =
+      if (layers <= 1) pruned
+      else pruned.groupBy(col("gh")).agg(sum(col("n_docs")).as("n_docs"))
+    val shared = reconciled
+      .filter(col("n_docs") >= minCorpusDocs &&
+        col("n_docs") <= maxDocsPerGram)
+      .select(col("gh").as("__gh"))
+    mergeSpans(deltaGrams.join(shared, Seq("__gh"), "left_semi")
+      .select(col("doc_id"), col("pos")), gramTokens)
   }
 
   /** Transitive near-dup clusters over a pair frame. Output: doc_id,

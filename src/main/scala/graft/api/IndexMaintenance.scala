@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Opportunistic compaction for the layered persisted indexes
-  * (minhash / CDC / sign / BM25 / fingerprint / IVF-PQ): the in-place
+  * (minhash / CDC / sign / BM25 / fingerprint / IVF-PQ /
+  * gram-count): the in-place
   * `foldInto*` appends are O(delta) by design, so layer count — and
   * with it per-probe reconcile work and file-open fan-out — grows one
   * run per fold until a `compact*` folds the runs back to one. The

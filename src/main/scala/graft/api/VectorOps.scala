@@ -863,8 +863,8 @@ object VectorOps {
     writeIvfPqRuns(s, outPath, 1)
   }
 
-  /** [[DedupOps.maintainMinhashIndex]]'s IVF-PQ sibling — the sixth and
-    * last persisted index family under the maintain* policy:
+  /** [[DedupOps.maintainMinhashIndex]]'s IVF-PQ sibling — the sixth
+    * persisted index family under the maintain* policy:
     * crash-recover at entry, O(delta) frozen-codebook fold
     * ([[foldIntoIvfPqIndex]] — codes AND the stored-vectors sibling
     * when present), compact-and-swap iff post-fold runs reach

@@ -566,6 +566,60 @@ FROM i GROUP BY doc_id, grp"""),
           gramTokens = 8, minDocs = 2, maxDocsPerGram = 1000)),
 
     QueryDef(
+      "q149_substring_decontamination",
+      "Exact-substring DECONTAMINATION spans " +
+        "(DedupOps.exactSubstringSpansAgainst) — q87's incremental " +
+        "posture, and the decontamination question proper: every " +
+        "maximal token interval of a NEW document (the 20% doc_id%5=0 " +
+        "delta) covered by 8-token runs appearing VERBATIM anywhere " +
+        "in the CORPUS (minCorpusDocs=1 — the self-join needs >= 2 " +
+        "only because a gram trivially appears in its own doc). Grams " +
+        "in > 1000 corpus docs drop (boilerplate is q70's O(n) job). " +
+        "The corpus is never self-paired and the delta never counts " +
+        "toward the threshold; the SAME gramPositions + mergeSpans " +
+        "internals as q87, so self-join and incremental paths cannot " +
+        "gram or merge differently. The oracle replays gram hashing, " +
+        "the corpus-side count thresholds, and the island merge " +
+        "value-for-value.",
+      Some(substringDecontSql),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.api.DedupOps.exactSubstringSpansAgainst(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", gramTokens = 8, minCorpusDocs = 1,
+          maxDocsPerGram = 1000)
+      }),
+
+    QueryDef(
+      "q150_fold_gram_probe",
+      "Gram-count index maintenance proven end-to-end " +
+        "(DedupOps.writeGramIndex / maintainGramIndex / " +
+        "exactSubstringSpansAgainstIndex) — the SEVENTH persisted " +
+        "family, and the simplest reconcile in the LSM stable: the " +
+        "index stores per-gram distinct-CORPUS-doc COUNTS partitioned " +
+        "by a 64-way gram-hash prefix; v1 indexes the doc_id%5 in " +
+        "{1,2} slice, the {3,4} slice folds IN PLACE through the full " +
+        "maintain* policy (writer lock, recoverAtEntry, O(delta) " +
+        "appended run — layers stays under the default threshold, so " +
+        "the probe exercises the LAYERED path), and reconcile is " +
+        "exact BY ADDITIVITY (disjoint delta doc ids => a gram's " +
+        "total count is the sum of its per-run counts — no cap " +
+        "tombstones exist; the cap is a probe-side threshold over " +
+        "reconciled totals). The probe derives the delta's grams with " +
+        "the INDEX's meta geometry, prunes the gram table to the " +
+        "delta's hash prefixes (isin partition literals — decisive " +
+        "when the probe is an eval set's handful of documents), and " +
+        "must emit EXACTLY q149's spans: fold==rebuild is literally " +
+        "the driver-checked hash, on the q110/q113/q138 pattern.",
+      Some(substringDecontSql),
+      (s, dir) =>
+        graft.api.DedupOps.exactSubstringSpansAgainstIndex(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", foldedGramDir(s, dir),
+          minCorpusDocs = 1, maxDocsPerGram = 1000)),
+
+    QueryDef(
       "q29_ngram_jaccard",
       "Exact n-gram Jaccard dedup via rare-gram inverted index: distinct " +
         "token bigrams per doc → document-frequency per gram → candidate " +
@@ -2001,6 +2055,64 @@ SELECT cluster_id, doc_id AS keeper_id, n_members, keeper_score FROM (
       graft.api.DedupOps.foldIntoFingerprintIndex(
         dh.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
         "doc_id", "dhash64", s"$tmp/v1")
+      s"$tmp/v1"
+    })
+
+  /** The q149/q150 oracle: ONE SQL generator for the inline and
+    * persisted-index probes (the q59/q110 discipline — fold==rebuild
+    * IS the driver's hash compare). Corpus side = doc_id % 5 <> 0,
+    * delta = % 5 = 0; thresholds replay the engine's
+    * (minCorpusDocs=1, maxDocsPerGram=1000) over CORPUS-side counts.
+    */
+  private def substringDecontSql: String = s"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ix AS (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 8)) AS pos
+       FROM toks WHERE len(tk) >= 8),
+g AS (SELECT doc_id, pos,
+             ${hash60Sql("array_to_string(tk[pos+1:pos+8], ' ')")} AS gh
+      FROM ix),
+sh AS (SELECT gh
+       FROM (SELECT DISTINCT gh, doc_id FROM g WHERE doc_id % 5 <> 0)
+       GROUP BY gh HAVING count(*) >= 1 AND count(*) <= 1000),
+p AS (SELECT doc_id, pos FROM g
+      WHERE doc_id % 5 = 0 AND gh IN (SELECT gh FROM sh)),
+b AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM p),
+i AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM b)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+       max(pos) + 8 - min(pos) AS span_tokens
+FROM i GROUP BY doc_id, grp"""
+
+  private val foldGramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** q150's persisted gram-count index: v1 over the 40% slice, the
+    * other 40% folded IN PLACE through the FULL maintain* policy
+    * (writer lock + recoverAtEntry + O(delta) run; the default
+    * threshold keeps it LAYERED, so the probe exercises the
+    * sum-reconcile path — the foldedMinhashDir discipline for the
+    * seventh family).
+    */
+  private[graft] def foldedGramDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldGramCache.computeIfAbsent(dir, { _ =>
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldgram-").toString
+      graft.api.DedupOps.writeGramIndex(
+        docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "doc_id", "text", s"$tmp/v1")
+      val compacted = graft.api.DedupOps.maintainGramIndex(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "doc_id", "text", s"$tmp/v1")
+      require(!compacted,
+        "foldedGramDir: the fixture is specified to stay LAYERED " +
+          "(probe must exercise the sum-reconcile path)")
       s"$tmp/v1"
     })
 

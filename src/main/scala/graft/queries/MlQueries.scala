@@ -161,8 +161,8 @@ FROM embeddings WHERE vec_id >= 100 AND vec_id < 110"""),
     QueryDef(
       "q115_fold_ivfpq_probe",
       "IVF-PQ index maintenance proven end-to-end " +
-        "(VectorOps.maintainIvfPqIndex) — the sixth and last persisted " +
-        "family under the maintain* policy: v1 trains its codebooks " +
+        "(VectorOps.maintainIvfPqIndex) — the sixth persisted family " +
+        "under the maintain* policy: v1 trains its codebooks " +
         "and encodes 80% of the vectors, the 20% delta goes through " +
         "the FULL maintain path (writer lock, recoverAtEntry, frozen-" +
         "codebook O(delta) fold — the FAISS add contract — then, at " +

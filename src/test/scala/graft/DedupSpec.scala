@@ -735,6 +735,89 @@ class DedupSpec extends SparkSpec {
       "lock must release when the guarded body throws")
   }
 
+  test("maintainGramIndex: O(delta) layered folds reconcile by SUM, " +
+      "compact-and-swap at threshold, probes == the inline " +
+      "exactSubstringSpansAgainst throughout") {
+    import graft.api.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val deltas = (3 to 4).map(m => docs.filter(col("doc_id") % 5 === m))
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+    def corpusUpTo(m: Int) = docs.filter(
+      col("doc_id") % 5 >= 1 && col("doc_id") % 5 <= m)
+    def want(m: Int) = DedupOps.exactSubstringSpansAgainst(
+        probes, corpusUpTo(m), "doc_id", "text",
+        minCorpusDocs = 1, maxDocsPerGram = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def got(path: String) = DedupOps.exactSubstringSpansAgainstIndex(
+        probes, "doc_id", "text", path,
+        minCorpusDocs = 1, maxDocsPerGram = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def layersOf(path: String) = spark.read.parquet(s"$path/meta").head()
+      .getAs[Number]("layers").intValue()
+    def dirBytes(p: String): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramix-").toString
+    DedupOps.writeGramIndex(c0, "doc_id", "text", s"$dir/ix")
+    assert(want(2).nonEmpty, "no spans at all — parity would be vacuous")
+    assert(got(s"$dir/ix") == want(2))
+    // fold #1: layered run, O(delta) write bytes, probe == inline
+    val before = dirBytes(s"$dir/ix/grams")
+    assert(!DedupOps.maintainGramIndex(deltas(0), "doc_id", "text",
+      s"$dir/ix", compactThreshold = 3))
+    val appended = dirBytes(s"$dir/ix/grams") - before
+    assert(appended > 0 && appended < before,
+      s"fold appended $appended vs index $before — not O(delta)")
+    assert(layersOf(s"$dir/ix") == 2 && got(s"$dir/ix") == want(3))
+    // (fold VISIBILITY — a folded gram changing the answer — is pinned
+    // by the synthetic cross-run-sum test below; at this SF the real
+    // table's delta slices may add no new probe-shared grams)
+    // fold #2 reaches threshold 3: compact-and-swap, probes unchanged
+    assert(DedupOps.maintainGramIndex(deltas(1), "doc_id", "text",
+      s"$dir/ix", compactThreshold = 3))
+    assert(layersOf(s"$dir/ix") == 1, "compaction must reset layers")
+    assert(got(s"$dir/ix") == want(4))
+    // geometry is the index's, not the caller's: missing meta fails
+    val e = intercept[IllegalStateException](
+      DedupOps.exactSubstringSpansAgainstIndex(probes, "doc_id", "text",
+        s"$dir/nonexistent"))
+    assert(e.getMessage.contains("meta"), e.getMessage)
+  }
+
+  test("gram-index layered reconcile SUMS counts across runs: a gram " +
+      "at count 1 in v1 and 1 in the fold qualifies at minCorpusDocs=2 " +
+      "ONLY through the cross-run sum") {
+    import spark.implicits._
+    import graft.api.DedupOps
+    val gram = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val v1 = Seq((10L, s"$gram tailA one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val delta = Seq((20L, s"$gram tailB one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val probe = Seq((1L, s"$gram probe one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramsum-").toString
+    DedupOps.writeGramIndex(v1, "doc_id", "text", s"$dir/ix")
+    def spansAt(min: Int) = DedupOps.exactSubstringSpansAgainstIndex(
+        probe, "doc_id", "text", s"$dir/ix", minCorpusDocs = min)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // before the fold: the shared gram exists once — min=2 finds nothing
+    assert(spansAt(1) == Set((1L, 0L, 8L)) && spansAt(2).isEmpty)
+    assert(!DedupOps.maintainGramIndex(delta, "doc_id", "text", s"$dir/ix"))
+    // after the fold: count 1 (v1 run) + 1 (delta run) = 2 — a probe
+    // that thresholded per run instead of summing would still miss it
+    assert(spansAt(2) == Set((1L, 0L, 8L)),
+      "cross-run SUM reconcile failed: 1 + 1 did not reach minCorpusDocs=2")
+  }
+
   test("maintainIvfPqIndex: a concurrent maintain on a locked index " +
       "fails by name (the sixth family under the writer lock)") {
     import graft.api.{IndexMaintenance, VectorOps}
