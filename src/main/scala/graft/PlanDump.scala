@@ -48,7 +48,7 @@ object PlanDump {
       "q105_centroid_classifier", "q106_cdc_chunk_shares",
       "q107_cdc_incremental_dedup", "q108_bm25_retrieval",
       "q110_fold_minhash_probe", "q111_fold_cdc_probe", "q113_fold_sign_probe",
-      "q112_hybrid_retrieval")
+      "q112_hybrid_retrieval", "q151_line_dedup", "q152_host_centrality")
     val pw = new PrintWriter(out)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)

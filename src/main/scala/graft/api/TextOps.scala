@@ -607,6 +607,72 @@ object TextOps {
       .select(col(idCol), col("n_grams"), col("n_common"), col("common_x1000"))
   }
 
+  /** Corpus-level duplicated-line removal — the CCNet/RefinedWeb
+    * "line-wise correction" pass (Wenzek et al. 2020 §3.1 dedupe lines
+    * across shards; Penedo et al. 2023 §5.2 remove repeated lines):
+    * a line whose NORMALIZED form (trim + lowercase — the CCNet
+    * normalization, so `"  Cookie Notice"` and `"COOKIE NOTICE  "`
+    * are one key) occurs in MORE than `maxDocFreq` distinct documents
+    * is boilerplate (cookie banners, nav chrome, license footers) and
+    * is dropped from EVERY document; surviving lines re-assemble in
+    * their original order. Unlike [[commonGramRatio]], which only
+    * SCORES boilerplate, this REWRITES the corpus — the stage between
+    * markup stripping ([[stripMarkup]]) and document-level dedup in a
+    * crawled-corpus pipeline. Lines whose normalized form is empty
+    * are structure, not content: always kept, never counted (an
+    * empty-line key shared by every doc must not evict blank lines).
+    * Output: idCol, n_lines, n_dropped, clean (kept lines joined by
+    * '\n'; empty string when every line dropped — the doc row is
+    * KEPT so callers can length-filter explicitly, the q70 absence
+    * discipline inverted).
+    *
+    * Shape at 100 TB: lines explode with their ordinal (the Generate
+    * stays in its input partition — no shuffle to split); the
+    * document-frequency aggregate shuffles ONLY (id, hash60) longs —
+    * never line text (the [[commonGramRatio]] discipline) — with
+    * countDistinct's two-phase partial dedup collapsing repeats
+    * map-side; the common set (keys over `maxDocFreq`) is tiny by
+    * construction — boilerplate cardinality, not corpus cardinality —
+    * so AQE broadcasts the marker join back onto the unshuffled line
+    * stream; re-assembly is the single doc-keyed exchange, memory
+    * bounded by one document's lines. A 60-bit collision merges two
+    * line keys corpus-wide (P(collision) ~ n²/2^61) — acceptable for
+    * a boilerplate filter and exactly replayed by the oracle, which
+    * computes the same hashes.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int = 4): DataFrame = {
+    require(maxDocFreq >= 1, s"dedupLines: maxDocFreq $maxDocFreq < 1")
+    // pos/col are posexplode's intermediate output names (the
+    // extractLinks discipline)
+    val reserved = Set("n_lines", "n_dropped", "clean", "pos", "col",
+      "_line", "_kh", "_hit")
+    require(!reserved.contains(idCol),
+      s"dedupLines: id column '$idCol' collides with an output/working " +
+        s"column (${reserved.mkString(", ")}) — rename it first")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("_line"),
+        when(lower(trim(col("col"))) =!= "",
+          TextHashing.hash60(lower(trim(col("col"))))).as("_kh"))
+    val common = lines.filter(col("_kh").isNotNull)
+      .groupBy(col("_kh"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("_kh"), lit(1).as("_hit"))
+    // presence via the marker column, never payload null-ness (the
+    // q65 discipline); a null _kh (blank line) joins nothing => kept
+    lines.join(common, Seq("_kh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("_hit")).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+            when(col("_hit").isNull, struct(col("pos"), col("_line"))))),
+          s => s.getField("_line")), "\n").as("clean"))
+      .select(col(idCol), col("n_lines"), col("n_dropped"), col("clean"))
+  }
+
   /** Quantized bigram language-model quality score — the CCNet/KenLM
     * perplexity filter (Wenzek et al. 2020, "CCNet: Extracting High
     * Quality Monolingual Datasets from Web Crawl Data") re-expressed

@@ -131,4 +131,51 @@ object PageRank {
     deg.unpersist()
     rank
   }
+
+  /** [[ranks]] over STRING-keyed vertices — hosts, canonical URLs,
+    * tokens: the domain-centrality shape of a crawl scheduler (rank
+    * hosts by their position in the host link graph, the signal
+    * Common-Crawl-style domain ranking feeds back into frontier
+    * priority). Keys map to 60-bit md5-prefix ids
+    * ([[graft.functions.TextHashing.hash60]] — the corpus-wide
+    * cross-engine hash discipline, so catalog oracles replay the
+    * mapping exactly), the power iteration runs in Long space over
+    * the SIMPLE undirected graph (distinct unordered key pairs; a
+    * host pair linked from a thousand pages is ONE edge, and
+    * self-links drop — centrality here measures the host's position
+    * in the graph, not its in-link volume, which
+    * [[graft.api.TextOps.frontierBudget]] already counts), and the
+    * final ranks join the key back. A 60-bit collision merges two
+    * vertices (P ≈ n²/2^61 — one in a billion at n = 2M hosts);
+    * acceptable for a priority signal, replayed exactly by oracles
+    * computing the same hashes.
+    *
+    * Cost shape at 100 TB: the edge distinct is one exchange keyed on
+    * the (a, b) hash pair of HOST-sized rows (web-graph edges are ~
+    * millions of hosts, not billions of pages — the whole point of
+    * aggregating to host granularity before iterating); each round
+    * then moves vertex-count rows exactly as [[ranks]] does; the
+    * key join-back is one broadcast-sized vertex map.
+    *
+    * @return one row per vertex with at least one non-loop edge:
+    *         (key, degree, rank).
+    */
+  def ranksByKey(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = Scale): DataFrame = {
+    val h = edges.select(
+        graft.functions.TextHashing.hash60(col(srcCol)).as("s"),
+        col(srcCol).as("_sk"),
+        graft.functions.TextHashing.hash60(col(dstCol)).as("t"),
+        col(dstCol).as("_tk"))
+      .filter(col("s") =!= col("t"))
+    val undirected = h.select(least(col("s"), col("t")).as("a"),
+      greatest(col("s"), col("t")).as("b")).distinct()
+    val vertices = h.select(col("s").as("id"), col("_sk").as("key"))
+      .union(h.select(col("t").as("id"), col("_tk").as("key")))
+      .distinct()
+    ranks(undirected, "a", "b", iterations, dampingPct, scale)
+      .join(vertices, Seq("id"))
+      .select(col("key"), col("degree"), col("rank"))
+  }
 }

@@ -1892,10 +1892,17 @@ SELECT id AS doc_id, w_degree, r AS rank FROM r5"""
     * round's rank is cast back to BIGINT so both engines carry the
     * same type.
     */
-  private[queries] lazy val pagerankOracleSql: String = {
+  /** The unrolled integer-PageRank round CTEs `r1..r{iterations}`
+    * over pre-existing CTEs `e(s, t)` (symmetrized distinct edges),
+    * `deg(id, degree)`, and `r0(id, degree, r)` — ONE generator for
+    * every pagerank oracle (q123's doc graph, q152's host graph),
+    * the shared-fragment discipline: the round arithmetic cannot
+    * drift between consumers by edit.
+    */
+  private[queries] def pagerankRoundsSql(iterations: Int = 5): String = {
     val scale = graft.operators.PageRank.Scale
     val base = 15L * scale / 100L
-    val rounds = (1 to 5).map { k =>
+    (1 to iterations).map { k =>
       s"""r$k AS (
   SELECT deg.id, deg.degree,
          ($base + (85 * agg.c) // 100)::BIGINT AS r
@@ -1904,13 +1911,17 @@ SELECT id AS doc_id, w_degree, r AS rank FROM r5"""
     FROM e JOIN r${k - 1} ON e.s = r${k - 1}.id
     GROUP BY e.t) agg ON deg.id = agg.id)"""
     }.mkString(",\n")
+  }
+
+  private[queries] lazy val pagerankOracleSql: String = {
+    val scale = graft.operators.PageRank.Scale
     s"""
 WITH p AS ($q21OracleSql),
 e AS (SELECT doc_a AS s, doc_b AS t FROM p
       UNION SELECT doc_b, doc_a FROM p),
 deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY 1),
 r0 AS (SELECT id, degree, $scale::BIGINT AS r FROM deg),
-$rounds
+${pagerankRoundsSql(5)}
 SELECT id AS doc_id, degree, r AS rank FROM r5"""
   }
 

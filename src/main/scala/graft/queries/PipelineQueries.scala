@@ -1628,6 +1628,140 @@ FROM documents WHERE doc_id % 100 = 0"""),
           .join(perQ, Seq("qid"), "left")
           .select(col("qid"),
             coalesce(col("parity_ok"), lit(true)).as("parity_ok"))
+      }),
+
+    QueryDef(
+      "q151_line_dedup",
+      "Corpus-level duplicated-line removal (TextOps.dedupLines) — " +
+        "the CCNet/RefinedWeb line-wise correction pass, and the one " +
+        "REWRITING boilerplate stage the engine was missing (q70 " +
+        "SCORES boilerplate; this removes it): a line whose " +
+        "normalized form (trim + lowercase) appears in > 4 distinct " +
+        "docs drops from EVERY doc, survivors re-assemble in original " +
+        "order, and blank lines are structure — always kept, never " +
+        "counted. The corpus is single-line, so both engines graft " +
+        "the same 6-line skeleton (the q52/q144 injection " +
+        "discipline): a 3-variant license line (df ~ N/3 — dropped), " +
+        "a cookie banner whose CASE and PADDING vary by doc parity " +
+        "(one key only through normalization — a drifted normalizer " +
+        "under-counts and ships boilerplate), the doc's own text " +
+        "(df 1 — kept), a shared paragraph keyed doc_id mod 120 that " +
+        "STRADDLES the threshold at 500 docs (residues 0-19 hit df 5 " +
+        "> 4 and drop, 20-119 sit AT df 4 and stay — an off-by-one " +
+        "in the > comparison flips 400 docs), a blank line (kept), " +
+        "a unique footer (kept). Oracle hash-compares " +
+        "md5(clean) — byte-identical re-assembly, not just counts. " +
+        "Scale shape: the df aggregate shuffles only (id, hash60) " +
+        "longs, the common set is boilerplate-sized (AQE broadcasts " +
+        "the marker join), re-assembly is the one doc-keyed exchange.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id,
+         'All Rights Reserved. Site ' || (doc_id % 3) || chr(10) ||
+         (CASE WHEN doc_id % 2 = 0 THEN '  Cookie Notice'
+               ELSE 'COOKIE NOTICE  ' END) || chr(10) ||
+         text || chr(10) ||
+         'Shared para ' || (doc_id % 120) || chr(10) || chr(10) ||
+         'Doc ' || doc_id || ' footer' AS t0
+  FROM documents),
+l AS (SELECT doc_id, (g.i - 1)::BIGINT AS pos,
+             string_split(t0, chr(10))[g.i] AS line
+      FROM p CROSS JOIN generate_series(1, 6) g(i)
+      WHERE g.i <= len(string_split(t0, chr(10)))),
+k AS (SELECT doc_id, pos, line,
+             CASE WHEN trim(line) <> ''
+                  THEN ${graft.functions.TextHashing.hash60Sql("lower(trim(line))")}
+             END AS kh
+      FROM l),
+d AS (SELECT kh, 1 AS hit
+      FROM (SELECT kh, count(DISTINCT doc_id) AS df
+            FROM k WHERE kh IS NOT NULL GROUP BY 1)
+      WHERE df > 4),
+m AS (SELECT k.doc_id, k.pos, k.line, d.hit
+      FROM k LEFT JOIN d ON k.kh = d.kh)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       count(hit)::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN hit IS NULL THEN line END,
+         chr(10) ORDER BY pos), '')) AS clean_sig
+FROM m GROUP BY doc_id"""),
+      (s, dir) => {
+        val lined = Tables.documents(s, dir).select(col("doc_id"),
+          concat(
+            lit("All Rights Reserved. Site "),
+            (col("doc_id") % 3).cast("string"), lit("\n"),
+            when(col("doc_id") % 2 === 0, lit("  Cookie Notice"))
+              .otherwise(lit("COOKIE NOTICE  ")), lit("\n"),
+            col("text"), lit("\nShared para "),
+            (col("doc_id") % 120).cast("string"), lit("\n\nDoc "),
+            col("doc_id").cast("string"), lit(" footer")).as("text"))
+        graft.api.TextOps.dedupLines(lined, "doc_id", "text",
+            maxDocFreq = 4)
+          .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+            md5(col("clean").cast("binary")).as("clean_sig"))
+      }),
+
+    QueryDef(
+      "q152_host_centrality",
+      "Host-graph centrality (PageRank.ranksByKey) — the " +
+        "domain-ranking signal a crawl scheduler feeds back into " +
+        "frontier priority (Common-Crawl-style domain ranks): the " +
+        "q145 extraction's absolute links become host->host edges " +
+        "(each doc lives on its own host — the fixture places doc i " +
+        "on ex(i mod 9).org, so the residue arithmetic yields a " +
+        "genuinely NON-uniform simple graph: each ex host links ONE " +
+        "m host (3 | 9 forces m = k mod 3) and all five sq hosts, " +
+        "self-links from the own-page anchor drop), string keys map " +
+        "through the shared 60-bit hash, and 5 integer-exact " +
+        "power-iteration rounds run in Long space — the q123 " +
+        "arithmetic over the SIMPLE undirected host graph, replayed " +
+        "by the oracle through the SAME unrolled round generator " +
+        "(pagerankRoundsSql) q123 uses, so the round math cannot " +
+        "drift between the doc-graph and host-graph consumers. " +
+        "Scale shape: link rows collapse to distinct host PAIRS " +
+        "before any iteration (the edge distinct is the one " +
+        "link-volume-sized exchange — web graphs have millions of " +
+        "hosts, not billions of pages), rounds move host-count rows, " +
+        "the key join-back is a broadcast-sized vertex map.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = false)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+x AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
+              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
+       FROM x
+       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
+              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
+       FROM th),
+ed AS (SELECT DISTINCT least(hs, ht) AS a, greatest(hs, ht) AS b
+       FROM hh WHERE hs <> ht),
+e AS (SELECT a AS s, b AS t FROM ed UNION SELECT b, a FROM ed),
+deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY 1),
+r0 AS (SELECT id, degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM deg),
+${DedupQueries.pagerankRoundsSql(5)},
+v AS (SELECT DISTINCT src AS host FROM th
+      UNION SELECT DISTINCT dst FROM th)
+SELECT v.host, r5.degree, r5.r AS rank
+FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id"""),
+      (s, dir) => {
+        val links = graft.api.TextOps.extractLinks(
+          linkFixture(Tables.documents(s, dir)), "doc_id", "text")
+        val edges = links.filter(col("host") =!= "")
+          .select(
+            concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+              lit(".org")).as("src_host"),
+            col("host").as("dst_host"))
+        graft.operators.PageRank.ranksByKey(edges, "src_host", "dst_host",
+            iterations = 5)
+          .select(col("key").as("host"), col("degree"), col("rank"))
       })
   )
 

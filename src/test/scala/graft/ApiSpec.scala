@@ -1645,6 +1645,43 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("pos"), e.getMessage)
   }
 
+  test("TextOps.dedupLines: over-threshold lines drop everywhere " +
+      "through trim+lower normalization, blank lines always keep, " +
+      "order survives re-assembly, all-boilerplate docs stay") {
+    import spark.implicits._
+    // 'cookie notice' normalizes to ONE key across five case/padding
+    // variants (df 5 > 2 -> dropped); 'KEEP me' has df 2 <= 2 (kept);
+    // every unique line and every blank line survives
+    val docs = Seq(
+      (1L, "KEEP me\nCookie Notice\nunique one"),
+      (2L, "  cookie notice  \nunique two\n\ntail"),
+      (3L, "COOKIE NOTICE\nunique three"),
+      (4L, "Cookie Notice\nunique four"),
+      (5L, "Cookie Notice\n\nKEEP me"),
+      (6L, "cookie notice")).toDF("id", "body")
+    val out = graft.api.TextOps.dedupLines(docs, "id", "body",
+        maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "KEEP me\nunique one")), s"got ${out(1L)}")
+    // the padded variant drops by its NORMALIZED key; its blank
+    // neighbor stays
+    assert(out(2L) == ((4L, 1L, "unique two\n\ntail")), s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 1L, "unique three")))
+    assert(out(4L) == ((2L, 1L, "unique four")))
+    // leading blank line survives re-assembly in position
+    assert(out(5L) == ((3L, 1L, "\nKEEP me")), s"got ${out(5L)}")
+    // a doc that was ALL boilerplate is kept with empty clean text —
+    // callers length-filter explicitly, never lose the row silently
+    assert(out(6L) == ((1L, 1L, "")), s"got ${out(6L)}")
+
+    // posexplode's intermediate names are reserved, by name
+    val e = intercept[IllegalArgumentException](
+      graft.api.TextOps.dedupLines(docs.withColumnRenamed("id", "col"),
+        "col", "body"))
+    assert(e.getMessage.contains("col"), e.getMessage)
+  }
+
   test("TextOps.robotsFilter: longest match decides, equal-length " +
       "Allow beats Disallow, unmatched and host-less URLs pass") {
     import spark.implicits._

@@ -159,6 +159,35 @@ class DedupSpec extends SparkSpec {
     assert(wr == ur, s"uniform-weight ranks must equal unweighted: $wr vs $ur")
   }
 
+  test("pagerank ranksByKey: string vertices rank exactly as their " +
+      "numeric twin; parallel/reversed edges collapse to ONE simple " +
+      "edge; self-loops drop") {
+    import spark.implicits._
+    // the same star as the numeric test — hub-{a,b,c} — but keyed by
+    // string, with a duplicate anchor (hub->a twice), a REVERSED
+    // duplicate (a->hub), and a self-link (hub->hub): the simple-graph
+    // contract collapses all three, so degrees and ranks must equal
+    // the numeric 0-{1,2,3} star's exactly
+    val edges = Seq(
+      ("hub.org", "a.net"), ("hub.org", "a.net"), ("a.net", "hub.org"),
+      ("hub.org", "b.net"), ("hub.org", "c.net"), ("hub.org", "hub.org"))
+      .toDF("src", "dst")
+    val byKey = graft.operators.PageRank
+      .ranksByKey(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val numeric = graft.operators.PageRank
+      .ranks(Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b"),
+        "a", "b", iterations = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(byKey.keySet ==
+      Set("hub.org", "a.net", "b.net", "c.net"), s"got ${byKey.keySet}")
+    assert(byKey("hub.org") == numeric(0L), s"got ${byKey("hub.org")}")
+    assert(byKey("a.net") == numeric(1L) && byKey("b.net") == numeric(2L)
+      && byKey("c.net") == numeric(3L), s"got $byKey")
+  }
+
   test("connected components == union-find on seeded random graphs (shortcut engaged)") {
     import spark.implicits._
     // sparse random graphs have long chains (diameter > ShortcutAfter),
