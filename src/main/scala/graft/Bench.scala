@@ -69,6 +69,8 @@ object Bench {
         () => queries.PipelineQueries.hybridBm25Dir(spark, sfDir)),
       ("q150_index_build", "q150_fold_gram_probe",
         () => queries.DedupQueries.foldedGramDir(spark, sfDir)),
+      ("q153_index_build", "q153_fold_line_probe",
+        () => queries.PipelineQueries.foldedLineDir(spark, sfDir)),
       // the session-cached BRUTE contrast stages the q114/q129 in-band
       // oracles read: built lazily on first use, which otherwise lands
       // inside the consumer's timed run 1 (q129's r13 run-1/min was

@@ -643,19 +643,8 @@ object TextOps {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Int = 4): DataFrame = {
     require(maxDocFreq >= 1, s"dedupLines: maxDocFreq $maxDocFreq < 1")
-    // pos/col are posexplode's intermediate output names (the
-    // extractLinks discipline)
-    val reserved = Set("n_lines", "n_dropped", "clean", "pos", "col",
-      "_line", "_kh", "_hit")
-    require(!reserved.contains(idCol),
-      s"dedupLines: id column '$idCol' collides with an output/working " +
-        s"column (${reserved.mkString(", ")}) — rename it first")
-    val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        col("col").as("_line"),
-        when(lower(trim(col("col"))) =!= "",
-          TextHashing.hash60(lower(trim(col("col"))))).as("_kh"))
+    requireLineCols(idCol, "dedupLines")
+    val lines = linePositions(df, idCol, textCol)
     val common = lines.filter(col("_kh").isNotNull)
       .groupBy(col("_kh"))
       .agg(countDistinct(col(idCol)).as("_df"))
@@ -663,14 +652,225 @@ object TextOps {
       .select(col("_kh"), lit(1).as("_hit"))
     // presence via the marker column, never payload null-ness (the
     // q65 discipline); a null _kh (blank line) joins nothing => kept
-    lines.join(common, Seq("_kh"), "left")
-      .groupBy(col(idCol))
+    reassembleLines(lines.join(common, Seq("_kh"), "left"), idCol)
+  }
+
+  // pos/col are posexplode's intermediate output names (the
+  // extractLinks discipline)
+  private val LineReserved = Set("n_lines", "n_dropped", "clean", "pos",
+    "col", "_line", "_kh", "_hit")
+
+  private def requireLineCols(idCol: String, op: String): Unit =
+    require(!LineReserved.contains(idCol),
+      s"$op: id column '$idCol' collides with an output/working " +
+        s"column (${LineReserved.mkString(", ")}) — rename it first")
+
+  /** (idCol, pos, _line, _kh) line rows — the ONE definition of line
+    * splitting and key normalization (split on '\n', key =
+    * lower(trim(line)), blank keys carry a NULL hash), shared by
+    * [[dedupLines]], the incremental [[dedupLinesAgainst]], and the
+    * persisted-index ([[writeLineIndex]] /
+    * [[dedupLinesAgainstIndex]]) paths so corpus and delta can never
+    * normalize differently (the gramPositions discipline).
+    */
+  private def linePositions(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("col").as("_line"),
+        when(lower(trim(col("col"))) =!= "",
+          TextHashing.hash60(lower(trim(col("col"))))).as("_kh"))
+
+  /** The re-assembly back half shared by every line-dedup path:
+    * (id, pos, _line, _hit) marked rows → (id, n_lines, n_dropped,
+    * clean) — kept lines re-join in original order, one doc-keyed
+    * exchange, memory bounded by one document's lines.
+    */
+  private def reassembleLines(marked: DataFrame, idCol: String): DataFrame =
+    marked.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         count(col("_hit")).as("n_dropped"),
         array_join(transform(array_sort(collect_list(
             when(col("_hit").isNull, struct(col("pos"), col("_line"))))),
           s => s.getField("_line")), "\n").as("clean"))
       .select(col(idCol), col("n_lines"), col("n_dropped"), col("clean"))
+
+  /** [[dedupLines]]' incremental posture (the q59/q149 train-vs-delta
+    * split applied to line dedup): lines of NEW documents drop when
+    * their normalized key appears in more than `maxDocFreq` distinct
+    * CORPUS documents. The corpus is never rewritten and the delta
+    * never counts toward the threshold — delta-internal repetition is
+    * [[dedupLines]]' job, run over the batch itself when wanted. At
+    * 100 TB the corpus side is materialized once ([[writeLineIndex]])
+    * and probed per ingest batch ([[dedupLinesAgainstIndex]]); this
+    * inline form is the contract both are held to. Output: the
+    * [[dedupLines]] schema over the NEW docs only.
+    */
+  def dedupLinesAgainst(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, maxDocFreq: Int = 4): DataFrame = {
+    require(maxDocFreq >= 1, s"dedupLinesAgainst: maxDocFreq $maxDocFreq < 1")
+    requireLineCols(idCol, "dedupLinesAgainst")
+    val common = linePositions(corpusDf, idCol, textCol)
+      .filter(col("_kh").isNotNull)
+      .groupBy(col("_kh"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("_kh"), lit(1).as("_hit"))
+    reassembleLines(
+      linePositions(newDf, idCol, textCol)
+        .join(common, Seq("_kh"), "left"), idCol)
+  }
+
+  /** Materialize the corpus side of [[dedupLinesAgainst]] to parquet —
+    * the EIGHTH persisted index family, sharing the gram-count
+    * family's reconcile algebra (exact BY ADDITIVITY): `$path/lines` =
+    * (lh, n_docs) per-normalized-line distinct-corpus-doc counts,
+    * partitioned by `__lp = lh mod prefixPartitions` (the `__bp`/
+    * `__gp` prefix-pruning discipline) and sorted by lh; `$path/meta`
+    * carries (prefix_partitions, layers). RAW counts are stored — the
+    * probe applies `maxDocFreq` at read, so one index serves any
+    * threshold policy. Build once per corpus version, fold deltas
+    * daily ([[foldIntoLineIndex]] / [[maintainLineIndex]]), probe per
+    * ingest batch.
+    */
+  def writeLineIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, prefixPartitions: Int = 64): Unit = {
+    requireLineCols(idCol, "writeLineIndex")
+    graft.jobs.Sinks.layout(
+      lineCounts(corpus, idCol, textCol, prefixPartitions),
+      s"$path/lines", partitionCols = Seq("__lp"),
+      sortCols = Seq("lh"), numFiles = 8)
+    writeLineMeta(corpus.sparkSession, path, prefixPartitions, 1)
+  }
+
+  private def lineCounts(df: DataFrame, idCol: String, textCol: String,
+      prefixPartitions: Int): DataFrame =
+    linePositions(df, idCol, textCol)
+      .filter(col("_kh").isNotNull)
+      .select(col("_kh").as("lh"), col(idCol)).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__lp", pmod(col("lh"), lit(prefixPartitions.toLong)))
+
+  private def writeLineMeta(s: org.apache.spark.sql.SparkSession,
+      path: String, prefixPartitions: Int, layers: Int): Unit =
+    s.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  /** (prefixPartitions, layers) off a [[writeLineIndex]] meta —
+    * REQUIRED with a named rebuild-once error (the probe must prune
+    * with the index's own prefix modulus; a mismatched modulus would
+    * silently prune away real postings).
+    */
+  private def readLineMeta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (Int, Int) = {
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$op: cannot read $indexPath/meta — probes and folds must " +
+            "use the index's own prefix modulus (indexes written " +
+            "before the meta existed must be rebuilt once)", e)
+      }
+    val row = metaDf.head(1).headOption.getOrElse(
+      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
+    (row.getAs[Number]("prefix_partitions").intValue(),
+      row.getAs[Number]("layers").intValue())
+  }
+
+  /** Fold a DELTA of new documents into a persisted [[writeLineIndex]]
+    * IN PLACE with O(delta) write bytes: the delta's per-line
+    * distinct-doc counts land as their own sorted run, meta bumps
+    * `layers`. Reconcile is EXACT BY ADDITIVITY — delta doc ids are
+    * disjoint from indexed ids (the incremental contract everywhere
+    * in this api), so a line's total distinct-doc count is the SUM of
+    * its per-run counts; no cap tombstones exist in this family
+    * because `maxDocFreq` is a probe-side threshold over reconciled
+    * totals, not a storage contract (the gram-count discipline).
+    */
+  def foldIntoLineIndex(delta: DataFrame, idCol: String, textCol: String,
+      indexPath: String): Unit = {
+    val s = delta.sparkSession
+    val (prefixPartitions, layers) =
+      readLineMeta(s, indexPath, "foldIntoLineIndex")
+    graft.jobs.Sinks.layoutAppend(
+      lineCounts(delta, idCol, textCol, prefixPartitions),
+      s"$indexPath/lines", partitionCols = Seq("__lp"),
+      sortCols = Seq("lh"), numFiles = 8)
+    writeLineMeta(s, indexPath, prefixPartitions, layers + 1)
+  }
+
+  /** Compact a layered line index back to ONE sorted run: per-line
+    * counts summed across runs (the exact reconcile arithmetic), meta
+    * reset to layers=1. Identical probe results before and after.
+    */
+  def compactLineIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactLineIndex: outPath must differ from indexPath")
+    val (prefixPartitions, _) =
+      readLineMeta(s, indexPath, "compactLineIndex")
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/lines").drop("__lp")
+        .groupBy(col("lh")).agg(sum(col("n_docs")).as("n_docs"))
+        .withColumn("__lp", pmod(col("lh"), lit(prefixPartitions.toLong))),
+      s"$outPath/lines", partitionCols = Seq("__lp"),
+      sortCols = Seq("lh"), numFiles = 8)
+    writeLineMeta(s, outPath, prefixPartitions, 1)
+  }
+
+  /** [[graft.api.DedupOps.maintainGramIndex]]'s line-count twin:
+    * crash-recover at entry, O(delta) fold, compact-and-swap iff
+    * post-fold layers reach `compactThreshold`. All inside
+    * [[IndexMaintenance.withWriterLock]]; NOT reader-safe across the
+    * swap.
+    */
+  def maintainLineIndex(delta: DataFrame, idCol: String, textCol: String,
+      indexPath: String,
+      compactThreshold: Int =
+        IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    val s = delta.sparkSession
+    IndexMaintenance.withWriterLock(s, indexPath) {
+      IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoLineIndex(delta, idCol, textCol, indexPath)
+      val (_, layers) = readLineMeta(s, indexPath, "maintainLineIndex")
+      IndexMaintenance.compactIfLayered(s, indexPath, layers,
+        compactThreshold)(out => compactLineIndex(s, indexPath, out))
+    }
+  }
+
+  /** [[dedupLinesAgainst]] probing a PERSISTED [[writeLineIndex]]:
+    * the delta's lines normalize with the shared [[linePositions]]
+    * definition, the delta's distinct `__lp` prefixes become an
+    * `isin` literal the scan planner turns into partition-directory
+    * pruning (an ingest batch's line keys touch a handful of
+    * prefixes, never the corpus-wide line table), layered runs
+    * reconcile by per-line SUM, and `maxDocFreq` applies to the
+    * reconciled totals. Output identical to the inline path on the
+    * same split (DedupSpec parity; q153 gates fold==rebuild on the
+    * driver's hash).
+    */
+  def dedupLinesAgainstIndex(newDf: DataFrame, idCol: String,
+      textCol: String, indexPath: String, maxDocFreq: Int = 4): DataFrame = {
+    require(maxDocFreq >= 1,
+      s"dedupLinesAgainstIndex: maxDocFreq $maxDocFreq < 1")
+    requireLineCols(idCol, "dedupLinesAgainstIndex")
+    val s = newDf.sparkSession
+    val (prefixPartitions, layers) =
+      readLineMeta(s, indexPath, "dedupLinesAgainstIndex")
+    val lines = linePositions(newDf, idCol, textCol)
+    val prefixes = lines.filter(col("_kh").isNotNull)
+      .select(pmod(col("_kh"), lit(prefixPartitions.toLong)).as("__lp"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = s.read.parquet(s"$indexPath/lines")
+      .filter(col("__lp").isin(prefixes: _*)).drop("__lp")
+    val reconciled =
+      if (layers <= 1) pruned
+      else pruned.groupBy(col("lh")).agg(sum(col("n_docs")).as("n_docs"))
+    val common = reconciled.filter(col("n_docs") > maxDocFreq)
+      .select(col("lh").as("_kh"), lit(1).as("_hit"))
+    reassembleLines(lines.join(common, Seq("_kh"), "left"), idCol)
   }
 
   /** Quantized bigram language-model quality score — the CCNet/KenLM

@@ -1762,8 +1762,120 @@ FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id""")
         graft.operators.PageRank.ranksByKey(edges, "src_host", "dst_host",
             iterations = 5)
           .select(col("key").as("host"), col("degree"), col("rank"))
+      }),
+
+    QueryDef(
+      "q153_fold_line_probe",
+      "Line-count index maintenance proven end-to-end " +
+        "(TextOps.writeLineIndex / maintainLineIndex / " +
+        "dedupLinesAgainstIndex) — the EIGHTH persisted family, " +
+        "q151's 100-TB daily-ingest posture: the index stores " +
+        "per-normalized-line distinct-CORPUS-doc counts partitioned " +
+        "by a 64-way line-hash prefix; v1 indexes the doc_id%5 in " +
+        "{1,2} slice, the {3,4} slice folds IN PLACE through the " +
+        "full maintain* policy (writer lock, recoverAtEntry, " +
+        "O(delta) appended run — layers stays under the threshold, " +
+        "so the probe exercises the LAYERED sum-reconcile path), and " +
+        "the %5=0 delta probes with maxDocFreq=16 — chosen to " +
+        "STRADDLE the fixture's shared-paragraph frequencies (the " +
+        "(doc_id div 5) mod 24 line hits corpus df 20 for residues " +
+        "0-3, exactly 16 for 4-23: an off-by-one in the threshold or " +
+        "ONE mis-summed run flips 80 docs). Reconcile is exact BY " +
+        "ADDITIVITY (disjoint delta doc ids — a line's total count " +
+        "is the sum of its per-run counts; the threshold is " +
+        "probe-side over reconciled totals). The probe prunes the " +
+        "line table to the delta's hash prefixes (isin partition " +
+        "literals) and must hash-match the oracle's single-count " +
+        "replay over the union corpus: fold==rebuild is literally " +
+        "the driver-checked hash, on the q110/q150 pattern.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id, $lineIndexFixtureSqlExpr AS t0
+  FROM documents),
+l AS (SELECT doc_id, (g.i - 1)::BIGINT AS pos,
+             string_split(t0, chr(10))[g.i] AS line
+      FROM p CROSS JOIN generate_series(1, 5) g(i)
+      WHERE g.i <= len(string_split(t0, chr(10)))),
+k AS (SELECT doc_id, pos, line,
+             CASE WHEN trim(line) <> ''
+                  THEN ${graft.functions.TextHashing.hash60Sql("lower(trim(line))")}
+             END AS kh
+      FROM l),
+d AS (SELECT kh, 1 AS hit
+      FROM (SELECT kh, count(DISTINCT doc_id) AS df FROM k
+            WHERE doc_id % 5 <> 0 AND kh IS NOT NULL GROUP BY 1)
+      WHERE df > 16),
+m AS (SELECT k.doc_id, k.pos, k.line, d.hit
+      FROM k LEFT JOIN d ON k.kh = d.kh
+      WHERE k.doc_id % 5 = 0)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       count(hit)::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN hit IS NULL THEN line END,
+         chr(10) ORDER BY pos), '')) AS clean_sig
+FROM m GROUP BY doc_id"""),
+      (s, dir) => {
+        val lined = lineIndexFixture(Tables.documents(s, dir))
+        graft.api.TextOps.dedupLinesAgainstIndex(
+            lined.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+            foldedLineDir(s, dir), maxDocFreq = 16)
+          .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+            md5(col("clean").cast("binary")).as("clean_sig"))
       })
   )
+
+  /** q153's line fixture — the q151 skeleton minus the license line,
+    * with the shared paragraph keyed `(doc_id div 5) mod 24` (the
+    * q147 hub-decoupling trick: independent of the corpus/delta
+    * doc_id mod 5 split, so delta lines DO hit corpus counts, and the
+    * residue arithmetic lands corpus df exactly ON and OVER the q153
+    * threshold). One generator emitted into both engines.
+    */
+  private def lineIndexFixture(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, lit("  Cookie Notice"))
+        .otherwise(lit("COOKIE NOTICE  ")), lit("\n"),
+      col("text"), lit("\nShared para "),
+      expr("(doc_id div 5) % 24").cast("string"), lit("\n\nDoc "),
+      col("doc_id").cast("string"), lit(" footer")).as("text"))
+
+  /** [[lineIndexFixture]]'s DuckDB spelling (a def — the catalog val
+    * interpolates it during its own initializer, before this object's
+    * trailing vals would exist). */
+  private def lineIndexFixtureSqlExpr: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN '  Cookie Notice'
+             ELSE 'COOKIE NOTICE  ' END) || chr(10) ||
+       text || chr(10) ||
+       'Shared para ' || ((doc_id // 5) % 24) || chr(10) || chr(10) ||
+       'Doc ' || doc_id || ' footer'"""
+
+  private val foldLineCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** q153's persisted line-count index: v1 over the 40% slice, the
+    * other 40% folded IN PLACE through the FULL maintain* policy
+    * (writer lock + recoverAtEntry + O(delta) run; the default
+    * threshold keeps it LAYERED, so the probe exercises the
+    * sum-reconcile path — the foldedGramDir discipline for the
+    * eighth family).
+    */
+  private[graft] def foldedLineDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldLineCache.computeIfAbsent(dir, { _ =>
+      val lined = lineIndexFixture(Tables.documents(s, dir))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldline-").toString
+      graft.api.TextOps.writeLineIndex(
+        lined.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "doc_id", "text", s"$tmp/v1")
+      val compacted = graft.api.TextOps.maintainLineIndex(
+        lined.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "doc_id", "text", s"$tmp/v1")
+      require(!compacted,
+        "foldedLineDir: the fixture is specified to stay LAYERED " +
+          "(probe must exercise the sum-reconcile path)")
+      s"$tmp/v1"
+    })
 
   /** q114's raw overlap counts: IVF-PQ hybrid leg vs the SHARED
     * materialized brute stage, per-query (qid, _n, _bn, rn_dense,

@@ -847,6 +847,90 @@ class DedupSpec extends SparkSpec {
       "cross-run SUM reconcile failed: 1 + 1 did not reach minCorpusDocs=2")
   }
 
+  test("maintainLineIndex: O(delta) layered folds reconcile by SUM, " +
+      "folds are VISIBLE (threshold crossings flip), compact-and-swap " +
+      "at threshold, probes == the inline dedupLinesAgainst throughout") {
+    import graft.api.TextOps
+    val docs = Tables.documents(spark, sf)
+    // 3-line docs: a banner every doc shares (always over threshold),
+    // the unique text, and a shared line keyed (doc_id div 5) % 8 —
+    // DECOUPLED from the %5 corpus/delta split, and sized so
+    // maxDocFreq=25 sits INSIDE the v1 frequency band (residues 0-3
+    // hit df 26 > 25, 4-7 hit 24 <= 25) and folds push every residue
+    // over: the fold must VISIBLY flip probe lines, not just not-break
+    val lined = docs.select(col("doc_id"), concat_ws("\n",
+      lit("COMMON banner"), col("text"),
+      concat(lit("Shared "), expr("(doc_id div 5) % 8").cast("string")))
+      .as("text"))
+    val c0 = lined.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+    val deltas = (3 to 4).map(m => lined.filter(col("doc_id") % 5 === m))
+    val probes = lined.filter(col("doc_id") % 5 === 0)
+    def corpusUpTo(m: Int) = lined.filter(
+      col("doc_id") % 5 >= 1 && col("doc_id") % 5 <= m)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    def want(m: Int) = asSet(TextOps.dedupLinesAgainst(
+      probes, corpusUpTo(m), "doc_id", "text", maxDocFreq = 25))
+    def got(path: String) = asSet(TextOps.dedupLinesAgainstIndex(
+      probes, "doc_id", "text", path, maxDocFreq = 25))
+    def layersOf(path: String) = spark.read.parquet(s"$path/meta").head()
+      .getAs[Number]("layers").intValue()
+    def dirBytes(p: String): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-lineix-").toString
+    TextOps.writeLineIndex(c0, "doc_id", "text", s"$dir/ix")
+    assert(want(2).nonEmpty && got(s"$dir/ix") == want(2))
+    // fold #1: layered run, O(delta) write bytes, probe == inline —
+    // and the fold CHANGES answers (every Shared residue crosses 25)
+    val before = dirBytes(s"$dir/ix/lines")
+    assert(!TextOps.maintainLineIndex(deltas(0), "doc_id", "text",
+      s"$dir/ix", compactThreshold = 3))
+    val appended = dirBytes(s"$dir/ix/lines") - before
+    assert(appended > 0 && appended < before,
+      s"fold appended $appended vs index $before — not O(delta)")
+    assert(layersOf(s"$dir/ix") == 2 && got(s"$dir/ix") == want(3))
+    assert(want(2) != want(3),
+      "fixture must make the fold visible — threshold crossings flip")
+    // fold #2 reaches threshold 3: compact-and-swap, probes unchanged
+    assert(TextOps.maintainLineIndex(deltas(1), "doc_id", "text",
+      s"$dir/ix", compactThreshold = 3))
+    assert(layersOf(s"$dir/ix") == 1, "compaction must reset layers")
+    assert(got(s"$dir/ix") == want(4))
+    // the prefix modulus is the index's, not the caller's: missing
+    // meta fails by name
+    val e = intercept[IllegalStateException](
+      TextOps.dedupLinesAgainstIndex(probes, "doc_id", "text",
+        s"$dir/nonexistent"))
+    assert(e.getMessage.contains("meta"), e.getMessage)
+  }
+
+  test("line-index layered reconcile SUMS counts across runs: a line " +
+      "at count 1 in v1 and 1 in the fold crosses maxDocFreq=1 ONLY " +
+      "through the cross-run sum") {
+    import spark.implicits._
+    import graft.api.TextOps
+    val v1 = Seq((10L, "dup line\nunique a")).toDF("doc_id", "text")
+    val delta = Seq((20L, "dup line\nunique b")).toDF("doc_id", "text")
+    val probe = Seq((1L, "DUP LINE \nmine")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-linesum-").toString
+    TextOps.writeLineIndex(v1, "doc_id", "text", s"$dir/ix")
+    def cleanOf() = TextOps.dedupLinesAgainstIndex(probe, "doc_id",
+        "text", s"$dir/ix", maxDocFreq = 1)
+      .collect().map(r => r.getString(3)).head
+    // before the fold: corpus df 1 <= 1 — the (normalized) dup keeps
+    assert(cleanOf() == "DUP LINE \nmine")
+    assert(!TextOps.maintainLineIndex(delta, "doc_id", "text", s"$dir/ix"))
+    // after: 1 (v1 run) + 1 (delta run) = 2 > 1 — dropped; a probe
+    // thresholding per run instead of summing would keep it
+    assert(cleanOf() == "mine",
+      "cross-run SUM reconcile failed: 1 + 1 did not cross maxDocFreq=1")
+  }
+
   test("maintainIvfPqIndex: a concurrent maintain on a locked index " +
       "fails by name (the sixth family under the writer lock)") {
     import graft.api.{IndexMaintenance, VectorOps}

@@ -371,4 +371,38 @@ class RecoverySpec extends SparkSpec {
     assert(want.nonEmpty && probeSet(s"$dir/ix") == want,
       "restored-then-folded index must probe like a from-scratch build")
   }
+
+  test("maintainLineIndex recovers a crashed compact-and-swap at entry: " +
+      "live absent + __old present restores, the fold proceeds, probes " +
+      "== the inline dedupLinesAgainst (the eighth family's crash case)") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    import graft.api.TextOps
+    val lined = Tables.documents(spark, sf).select(col("doc_id"),
+      concat_ws("\n", lit("COMMON banner"), col("text")).as("text"))
+    val c0 = lined.filter(col("doc_id") % 5 >= 2)
+    val d1 = lined.filter(col("doc_id") % 5 === 1)
+    val probes = lined.filter(col("doc_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft-liner-").toString
+    TextOps.writeLineIndex(c0, "doc_id", "text", s"$dir/ix")
+    // simulate the crash window: live moved aside, fresh copy dangling
+    Files.move(
+      java.nio.file.Paths.get(s"$dir/ix"),
+      java.nio.file.Paths.get(s"$dir/ix__old"))
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/ix__compacting"))
+    assert(!TextOps.maintainLineIndex(d1, "doc_id", "text",
+      s"$dir/ix", compactThreshold = 8))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/ix__compacting")) &&
+      !Files.exists(java.nio.file.Paths.get(s"$dir/ix__old")),
+      "stale siblings must be cleared unconditionally")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val want = asSet(TextOps.dedupLinesAgainst(probes,
+      lined.filter(col("doc_id") % 5 >= 1), "doc_id", "text",
+      maxDocFreq = 100))
+    assert(want.nonEmpty && asSet(TextOps.dedupLinesAgainstIndex(probes,
+      "doc_id", "text", s"$dir/ix", maxDocFreq = 100)) == want,
+      "restored-then-folded index must probe like a from-scratch build")
+  }
 }
