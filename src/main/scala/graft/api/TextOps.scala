@@ -645,15 +645,25 @@ object TextOps {
     require(maxDocFreq >= 1, s"dedupLines: maxDocFreq $maxDocFreq < 1")
     requireLineCols(idCol, "dedupLines")
     val lines = linePositions(df, idCol, textCol)
-    val common = lines.filter(col("_kh").isNotNull)
-      .groupBy(col("_kh"))
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .filter(col("_df") > maxDocFreq)
-      .select(col("_kh"), lit(1).as("_hit"))
+    val common = commonLineKeys(df, idCol, textCol, maxDocFreq)
+      .withColumn("_hit", lit(1))
     // presence via the marker column, never payload null-ness (the
     // q65 discipline); a null _kh (blank line) joins nothing => kept
     reassembleLines(lines.join(common, Seq("_kh"), "left"), idCol)
   }
+
+  /** The over-threshold normalized-line keys of a corpus — ONE
+    * derivation shared by [[dedupLines]], [[dedupLinesAgainst]], and
+    * the streaming gate ([[graft.streaming.LineGate]]). Output: _kh.
+    */
+  private[graft] def commonLineKeys(df: DataFrame, idCol: String,
+      textCol: String, maxDocFreq: Int): DataFrame =
+    linePositions(df, idCol, textCol)
+      .filter(col("_kh").isNotNull)
+      .groupBy(col("_kh"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("_kh"))
 
   // pos/col are posexplode's intermediate output names (the
   // extractLinks discipline)
@@ -673,7 +683,7 @@ object TextOps {
     * [[dedupLinesAgainstIndex]]) paths so corpus and delta can never
     * normalize differently (the gramPositions discipline).
     */
-  private def linePositions(df: DataFrame, idCol: String,
+  private[graft] def linePositions(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
       .select(col(idCol), col("pos").cast("long").as("pos"),
@@ -710,12 +720,8 @@ object TextOps {
       idCol: String, textCol: String, maxDocFreq: Int = 4): DataFrame = {
     require(maxDocFreq >= 1, s"dedupLinesAgainst: maxDocFreq $maxDocFreq < 1")
     requireLineCols(idCol, "dedupLinesAgainst")
-    val common = linePositions(corpusDf, idCol, textCol)
-      .filter(col("_kh").isNotNull)
-      .groupBy(col("_kh"))
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .filter(col("_df") > maxDocFreq)
-      .select(col("_kh"), lit(1).as("_hit"))
+    val common = commonLineKeys(corpusDf, idCol, textCol, maxDocFreq)
+      .withColumn("_hit", lit(1))
     reassembleLines(
       linePositions(newDf, idCol, textCol)
         .join(common, Seq("_kh"), "left"), idCol)
@@ -865,12 +871,35 @@ object TextOps {
       .distinct().collect().map(_.getLong(0)).toSeq
     val pruned = s.read.parquet(s"$indexPath/lines")
       .filter(col("__lp").isin(prefixes: _*)).drop("__lp")
-    val reconciled =
-      if (layers <= 1) pruned
-      else pruned.groupBy(col("lh")).agg(sum(col("n_docs")).as("n_docs"))
-    val common = reconciled.filter(col("n_docs") > maxDocFreq)
+    val common = reconcileLineRuns(pruned, layers)
+      .filter(col("n_docs") > maxDocFreq)
       .select(col("lh").as("_kh"), lit(1).as("_hit"))
     reassembleLines(lines.join(common, Seq("_kh"), "left"), idCol)
+  }
+
+  /** Layered-run reconcile — per-line counts SUM across runs (exact
+    * by additivity); ONE definition shared by the batch probe and the
+    * streaming gate's author-time read. */
+  private[graft] def reconcileLineRuns(raw: DataFrame,
+      layers: Int): DataFrame =
+    if (layers <= 1) raw
+    else raw.groupBy(col("lh")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** The streaming gate's author-time read of a persisted
+    * [[writeLineIndex]]: full reconciled counts (no delta exists yet
+    * to prune by), thresholded to the over-threshold key set.
+    * Output: _kh.
+    */
+  private[graft] def commonLinesFromIndex(
+      s: org.apache.spark.sql.SparkSession, indexPath: String,
+      maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1,
+      s"commonLinesFromIndex: maxDocFreq $maxDocFreq < 1")
+    val (_, layers) = readLineMeta(s, indexPath, "commonLinesFromIndex")
+    reconcileLineRuns(
+        s.read.parquet(s"$indexPath/lines").drop("__lp"), layers)
+      .filter(col("n_docs") > maxDocFreq)
+      .select(col("lh").as("_kh"))
   }
 
   /** Quantized bigram language-model quality score — the CCNet/KenLM

@@ -856,6 +856,96 @@ class StreamingSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("LineGate streaming drops == the batch index probe over a " +
+      "LAYERED index (parity by independent re-assembly); folds are " +
+      "invisible until re-author, visible after") {
+    import graft.api.TextOps
+    val lined = Tables.documents(spark, sf).select(col("doc_id"),
+      concat_ws("\n", lit("COMMON banner"), col("text"),
+        concat(lit("Shared "), expr("(doc_id div 5) % 8").cast("string")))
+        .as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lng-").toString
+    TextOps.writeLineIndex(
+      lined.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+      "doc_id", "text", s"$dir/ix")
+    // layered: the gate's author-time read must SUM-reconcile runs
+    TextOps.foldIntoLineIndex(lined.filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", s"$dir/ix")
+    val cohortA = lined.filter(col("doc_id") % 10 === 0)
+    val cohortB = lined.filter(col("doc_id") % 10 === 5)
+    def docsOf(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the batch contract, captured as (id -> (n_lines, n_dropped,
+    // clean)); the stream side is compared through an INDEPENDENT
+    // re-assembly of its per-line drop decisions
+    def batchWant(p: org.apache.spark.sql.DataFrame) =
+      TextOps.dedupLinesAgainstIndex(p, "doc_id", "text", s"$dir/ix",
+          maxDocFreq = 40)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+    def reassemble(docs: Map[Long, String], drops: Set[(Long, Long)]) =
+      docs.map { case (id, text) =>
+        val ls = text.split("\n", -1)
+        val kept = ls.zipWithIndex.collect {
+          case (l, i) if !drops.contains((id, i.toLong)) => l }
+        id -> ((ls.length.toLong, (ls.length - kept.length).toLong,
+          kept.mkString("\n")))
+      }
+    val wantA = batchWant(cohortA)
+    val wantBPre = batchWant(cohortB) // pre-fold: the snapshot's view
+    assert(wantA.values.exists(_._2 > 0), "no drops — parity vacuous")
+    val gate = LineGate.indexFromPath(spark, s"$dir/ix", maxDocFreq = 40)
+    try {
+      val input = MemoryStream[(Long, String)]
+      val out = LineGate.drops(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", gate)
+      val q = out.writeStream.format("memory").queryName("line_gate")
+        .outputMode("append").start()
+      try {
+        input.addData(docsOf(cohortA).toSeq: _*)
+        q.processAllAvailable()
+        val gotA = spark.table("line_gate").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(reassemble(docsOf(cohortA), gotA) == wantA,
+          "stream drops must re-assemble to the batch probe's output")
+        // a fold lands WHILE the gate serves: cohort B (fresh docs)
+        // must still be judged by the AUTHOR-TIME snapshot
+        TextOps.foldIntoLineIndex(lined.filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", s"$dir/ix")
+        input.addData(docsOf(cohortB).toSeq: _*)
+        q.processAllAvailable()
+        val gotB = spark.table("line_gate").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet -- gotA
+        assert(reassemble(docsOf(cohortB), gotB) == wantBPre,
+          "fold must be INVISIBLE to the serving gate's snapshot")
+      } finally q.stop()
+    } finally gate.unpersist()
+    // re-author: the fold is now visible, and the live index differs
+    // from the snapshot's view: the fold pushes the Shared lines
+    // over 40 (36/39 -> 48/52), and ONLY the cross-run SUM sees it
+    // (no single run exceeds 26)
+    val wantBPost = batchWant(cohortB)
+    assert(wantBPost != wantBPre,
+      "fixture must make the fold change cohort B's answers")
+    val gate2 = LineGate.indexFromPath(spark, s"$dir/ix", maxDocFreq = 40)
+    try {
+      val input2 = MemoryStream[(Long, String)]
+      val out2 = LineGate.drops(input2.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", gate2)
+      val q2 = out2.writeStream.format("memory").queryName("line_gate2")
+        .outputMode("append").start()
+      try {
+        input2.addData(docsOf(cohortB).toSeq: _*)
+        q2.processAllAvailable()
+        val gotB2 = spark.table("line_gate2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(reassemble(docsOf(cohortB), gotB2) == wantBPost,
+          "a re-authored gate must see the fold")
+      } finally q2.stop()
+    } finally gate2.unpersist()
+  }
+
   test("FingerprintGate fold-while-serving: pairs keep coming from the " +
       "authored snapshot; a re-authored gate sees the fold") {
     import spark.implicits._
