@@ -92,7 +92,14 @@ object BenchScale {
     // budget = 119 rows at every SF) but the sort input is honestly
     // corpus-proportional, concentrated on 17 fixture hosts — the
     // mega-host posture measured, not argued
-    "q146_frontier_budget")
+    "q146_frontier_budget",
+    // round-14: q151 is corpus-rewriting — the df aggregate and the
+    // doc-keyed re-assembly both grow with the scan (the marker join
+    // stays a broadcast, PlanSpec); q152 collapses link rows to host
+    // PAIRS before iterating, so its 10x growth is the one edge
+    // distinct — the rounds move host-count rows (17 hosts at every
+    // SF) and should be corpus-INDEPENDENT
+    "q151_line_dedup", "q152_host_centrality")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
@@ -356,6 +363,27 @@ object BenchScale {
     val gPrbS = BenchHarness.minOf2Of(() => DedupOps.exactSubstringSpansAgainstIndex(
       deltaDocs, "doc_id", "text", s"$idxDir/gram_scaled"))
 
+    // line-count family (round 14): the q151/q153 boilerplate posture
+    // — a fixed delta's line probe against 1x and kx line indexes must
+    // cost ~the same (the delta's line explode is fixed; the
+    // prefix-pruned count scan must not track the corpus behind the
+    // index); docs get the q153 multi-line shape so the index holds
+    // real line structure, not one line per doc
+    def linedDocs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), concat_ws("\n",
+        lit("COMMON banner"), col("text"),
+        concat(lit("Shared "), expr("(doc_id div 5) % 24").cast("string")))
+        .as("text"))
+    val linedDelta = linedDocs(deltaDocs)
+    val lIdxB = timedUnit(TextOps.writeLineIndex(
+      linedDocs(corpusDocs(baseDir)), "doc_id", "text", s"$idxDir/line_base"))
+    val lIdxS = timedUnit(TextOps.writeLineIndex(
+      linedDocs(corpusDocs(outDir)), "doc_id", "text", s"$idxDir/line_scaled"))
+    val lPrbB = BenchHarness.minOf2Of(() => TextOps.dedupLinesAgainstIndex(
+      linedDelta, "doc_id", "text", s"$idxDir/line_base"))
+    val lPrbS = BenchHarness.minOf2Of(() => TextOps.dedupLinesAgainstIndex(
+      linedDelta, "doc_id", "text", s"$idxDir/line_scaled"))
+
     // ---- fold-cost rows: the O(delta) MAINTENANCE claim, measured ----
     // The round-9 verdict's standing caveat was fold write
     // amplification: the compacting folds rewrite the whole index per
@@ -409,6 +437,10 @@ object BenchScale {
       deltaDocs, "doc_id", "text", s"$idxDir/gram_base"))
     val gFldS = timedUnit(DedupOps.foldIntoGramIndex(
       deltaDocs, "doc_id", "text", s"$idxDir/gram_scaled"))
+    val lFldB = timedUnit(TextOps.foldIntoLineIndex(
+      linedDelta, "doc_id", "text", s"$idxDir/line_base"))
+    val lFldS = timedUnit(TextOps.foldIntoLineIndex(
+      linedDelta, "doc_id", "text", s"$idxDir/line_scaled"))
     graft.api.Lifecycle.releaseLocalCheckpoint(fpDelta)
     // compaction: the amortized index-sized operation the appends
     // defer — compacting the now-2-layer minhash indexes
@@ -545,6 +577,7 @@ object BenchScale {
       ("q138_index_build", fIdxB, fIdxS, cRatio(fIdxB, fIdxS)),
       ("q143_index_build", vfIdxB, vfIdxS, cRatio(vfIdxB, vfIdxS)),
       ("q150_index_build", gIdxB, gIdxS, cRatio(gIdxB, gIdxS)),
+      ("q153_index_build", lIdxB, lIdxS, cRatio(lIdxB, lIdxS)),
       ("q110_compact_cost", tCmpB, tCmpS, cRatio(tCmpB, tCmpS)))
     val probeRows = Seq(
       ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
@@ -558,7 +591,9 @@ object BenchScale {
       ("q111_fold_const_delta", cFldB, cFldS, cRatio(cFldB, cFldS)),
       ("q108_fold_const_delta", bFldB, bFldS, cRatio(bFldB, bFldS)),
       ("q138_fold_const_delta", fFldB, fFldS, cRatio(fFldB, fFldS)),
-      ("q150_fold_const_delta", gFldB, gFldS, cRatio(gFldB, gFldS)))
+      ("q150_fold_const_delta", gFldB, gFldS, cRatio(gFldB, gFldS)),
+      ("q153_probe_const_delta", lPrbB, lPrbS, cRatio(lPrbB, lPrbS)),
+      ("q153_fold_const_delta", lFldB, lFldS, cRatio(lFldB, lFldS)))
 
     val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max

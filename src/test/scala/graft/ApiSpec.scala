@@ -1682,6 +1682,30 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("col"), e.getMessage)
   }
 
+  test("TextOps.dedupLines is a FIXED POINT: re-running the pass over " +
+      "its own output drops nothing (surviving lines kept their df)") {
+    import spark.implicits._
+    // removing lines never removes DOCS, so a surviving line's
+    // document frequency is unchanged — the cleaned corpus must pass
+    // through a second identical pass untouched (the law that makes
+    // the pass safe to re-run in a pipeline restart)
+    val docs = Seq(
+      (1L, "banner\nalpha\nshared"), (2L, "banner\nbeta\nshared"),
+      (3L, "banner\ngamma"), (4L, "banner\n\ndelta"))
+      .toDF("id", "body")
+    val once = graft.api.TextOps.dedupLines(docs, "id", "body",
+      maxDocFreq = 2)
+    val twice = graft.api.TextOps.dedupLines(
+      once.select(col("id"), col("clean").as("body")), "id", "body",
+      maxDocFreq = 2)
+    val a = once.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = twice.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(b.forall(_._2 == 0L), s"second pass dropped lines: ${b.toSeq}")
+    assert(b.map(r => r._1 -> r._3).toMap == a,
+      "second pass must reproduce the first pass's text verbatim")
+  }
+
   test("TextOps.robotsFilter: longest match decides, equal-length " +
       "Allow beats Disallow, unmatched and host-less URLs pass") {
     import spark.implicits._

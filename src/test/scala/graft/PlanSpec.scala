@@ -111,6 +111,23 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q151: the boilerplate marker join BROADCASTS — the corpus-sized " +
+      "line stream reaches its re-assembly exchange unshuffled") {
+    val df = SparkEntry.queries("q151_line_dedup")(spark, sf)
+    df.collect() // finalize AQE
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    // the left-outer marker join must be a broadcast (the common set
+    // is boilerplate-sized); a shuffled join here would move the whole
+    // exploded line stream twice
+    val joins = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.exists(_.joinType.toString == "LeftOuter"),
+      s"expected a broadcast LeftOuter marker join, got:\n" +
+        df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "marker join regressed to a shuffled sort-merge join")
+  }
+
   test("q146: exactly ONE host-keyed exchange on URL-sized rows — the " +
       "branch-free window formulation keeps the dedup aggregate, host " +
       "stats, and rank cut partition-local on the one repartition") {
