@@ -1820,6 +1820,82 @@ FROM m GROUP BY doc_id"""),
             foldedLineDir(s, dir), maxDocFreq = 16)
           .select(col("doc_id"), col("n_lines"), col("n_dropped"),
             md5(col("clean").cast("binary")).as("clean_sig"))
+      }),
+
+    QueryDef(
+      "q154_frontier_priority",
+      "The crawl SCHEDULER's output — q146's politeness-budgeted " +
+        "frontier joined with q152's host centrality, the composition " +
+        "that closes crawl prioritization end-to-end: every kept URL " +
+        "carries its in-link count, within-host fetch rank, AND its " +
+        "host's integer-exact PageRank (the cross-host priority " +
+        "signal Common-Crawl-style schedulers order their queues by). " +
+        "ONE extraction feeds both legs (the hub fixture's extra " +
+        "anchor is a same-host self-link, so the host graph is " +
+        "identical to q152's — both engines must agree on that " +
+        "subtlety); the budget leg is q146's one host-keyed exchange, " +
+        "the rank leg is q152's host-pair distinct + 5 Long rounds, " +
+        "and the final join is host-keyed on a host-count frame — " +
+        "broadcast-sized. No global ordering column is emitted (a " +
+        "global window would be the one unpartitioned sort in the " +
+        "catalog); the scheduler's ORDER BY (host_rank DESC, n_refs " +
+        "DESC) is derivable from the carried columns, which the " +
+        "oracle value-checks row for row.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = true)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+x AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+a AS (SELECT doc_id, href,
+             regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS host
+      FROM x
+      WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+g AS (SELECT host, href, count(*)::BIGINT AS n_refs FROM a GROUP BY 1, 2),
+r AS (SELECT host, href, n_refs,
+             row_number() OVER (PARTITION BY host
+               ORDER BY n_refs DESC, href)::BIGINT AS fetch_rank
+      FROM g),
+th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src, host AS dst FROM a),
+hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
+              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
+       FROM th),
+ed AS (SELECT DISTINCT least(hs, ht) AS a, greatest(hs, ht) AS b
+       FROM hh WHERE hs <> ht),
+e AS (SELECT a AS s, b AS t FROM ed UNION SELECT b, a FROM ed),
+deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY 1),
+r0 AS (SELECT id, degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM deg),
+${DedupQueries.pagerankRoundsSql(5)},
+v AS (SELECT DISTINCT src AS host FROM th
+      UNION SELECT DISTINCT dst FROM th),
+hr AS (SELECT v.host, r5.r AS host_rank
+       FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id)
+SELECT r.host, r.href, r.n_refs, r.fetch_rank, hr.host_rank
+FROM r JOIN hr ON r.host = hr.host
+WHERE r.fetch_rank <= 7"""),
+      (s, dir) => {
+        val links = graft.api.TextOps.extractLinks(
+          linkFixture(Tables.documents(s, dir), withHub = true),
+          "doc_id", "text")
+        val budget = graft.api.TextOps.frontierBudget(links,
+          "doc_id", "host", "href", budgetPerHost = 7)
+        val edges = links.filter(col("host") =!= "")
+          .select(
+            concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+              lit(".org")).as("src_host"),
+            col("host").as("dst_host"))
+        val ranks = graft.operators.PageRank
+          .ranksByKey(edges, "src_host", "dst_host", iterations = 5)
+          .select(col("key").as("host"), col("rank").as("host_rank"))
+        budget.join(ranks, Seq("host"))
+          .select(col("host"), col("href"), col("n_refs"),
+            col("fetch_rank"), col("host_rank"))
       })
   )
 
