@@ -323,6 +323,48 @@ object TextOps {
         regexp_extract(unquote(col("col")), HostPattern, 1).as("host")): _*)
   }
 
+  /** A full plain-text anchor element: group 1 the href value (still
+    * quote-wrapped when quoted — the [[HrefPattern]] alternation
+    * verbatim), group 2 the anchor TEXT. `[^<]*` bounds the text at
+    * the next tag, so anchors with nested markup (`<a ...><b>x</b>
+    * </a>`) deliberately do NOT match — anchor-text aggregation wants
+    * the plain-text label, and a nested-markup label is [[stripMarkup]]
+    * territory. RE2-compatible (no backrefs, no lazy quantifiers), so
+    * DuckDB replays it exactly.
+    */
+  val AnchorPattern =
+    "<a[^>]*href=(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)[^>]*>([^<]*)</a>"
+
+  /** Anchor-text extraction — [[extractLinks]]' labeled sibling: every
+    * PLAIN-TEXT anchor element becomes one row with its within-doc
+    * position, unquoted href, host, and the anchor text (the label the
+    * linking page gave the target — the classic relevance/title signal
+    * an anchor-text rollup aggregates per URL). Both capture groups
+    * extract from ONE pattern pass, zipped positionally, so href and
+    * text can never mis-align across mixed quoting. Map-only: two
+    * regexp_extract_all passes over the same codegen'd pattern +
+    * arrays_zip + posexplode, zero shuffles (the Generate stays in its
+    * input partition). Output: idCol, link_idx, href, host, anchor.
+    */
+  def extractAnchors(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val reserved = Set("link_idx", "href", "host", "anchor", "pos", "col",
+      "_z")
+    require(!reserved.contains(idCol),
+      s"extractAnchors: id column '$idCol' collides with an output or " +
+        s"intermediate column (${reserved.mkString(", ")}) — rename it first")
+    def unquote(c: Column): Column =
+      regexp_replace(c, HrefUnquotePattern, "$1$2")
+    df.select(col(idCol), posexplode(arrays_zip(
+        regexp_extract_all(col(textCol), lit(AnchorPattern), lit(1)),
+        regexp_extract_all(col(textCol), lit(AnchorPattern), lit(2)))
+        .as("_z")))
+      .select(col(idCol), col("pos").cast("long").as("link_idx"),
+        unquote(col("col.0")).as("href"),
+        regexp_extract(unquote(col("col.0")), HostPattern, 1).as("host"),
+        col("col.1").as("anchor"))
+  }
+
   /** Frontier rollup + politeness budget — the consumer of
     * [[extractLinks]] that turns raw anchors into a crawl schedule:
     * absolute links aggregate per (host, href) with their in-link

@@ -1896,6 +1896,95 @@ WHERE r.fetch_rank <= 7"""),
         budget.join(ranks, Seq("host"))
           .select(col("host"), col("href"), col("n_refs"),
             col("fetch_rank"), col("host_rank"))
+      }),
+
+    QueryDef(
+      "q155_anchor_text",
+      "Anchor-text aggregation (TextOps.extractAnchors) — the label " +
+        "signal a link graph carries beside its edges: every " +
+        "plain-text <a> element extracts (href, anchor text) from ONE " +
+        "pattern pass (two capture groups zipped positionally — href " +
+        "and label can never mis-align across mixed quoting), and the " +
+        "rollup reports per (host, href) the anchor count, distinct " +
+        "label count, and the MOST-FREQUENT label (ties lexicographic " +
+        "— deterministic, replayable), the classic relevance/title " +
+        "signal for crawled-corpus curation. The fixture grafts two " +
+        "anchors per doc: one whose label varies by doc_id mod 4 " +
+        "(12/6/6 per URL group — the top label wins by count, not by " +
+        "order) and one single-quoted to a second page family. Scale " +
+        "shape: extract is map-only; the (host, href, anchor) rollup " +
+        "collapses map-side; the top-label window rides the rollup's " +
+        "(host, href)-compatible exchange on GROUP-sized rows, never " +
+        "anchors.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id,
+         '<a href="https://h' || (doc_id % 7) || '.org/p/' || (doc_id % 21) ||
+         '">' || (CASE WHEN doc_id % 4 < 2 THEN 'Read more'
+                       WHEN doc_id % 4 = 2 THEN 'click here'
+                       ELSE 'Read More' END) ||
+         '</a> ' || text || ' <a href=''https://h' || (doc_id % 7) ||
+         '.org/q/' || (doc_id % 14) || '''>details ' || (doc_id % 2) ||
+         '</a>' AS t0
+  FROM documents),
+x AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.AnchorPattern)}', 1) AS hrefs,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.AnchorPattern)}', 2) AS texts
+      FROM p),
+e AS (SELECT doc_id,
+             regexp_replace(hrefs[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href,
+             texts[g.i] AS anchor
+      FROM x CROSS JOIN generate_series(1, 4) g(i)
+      WHERE g.i <= len(hrefs)),
+a AS (SELECT regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS host,
+             href, anchor
+      FROM e
+      WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+g AS (SELECT host, href, anchor, count(*)::BIGINT AS cnt
+      FROM a GROUP BY 1, 2, 3),
+t AS (SELECT host, href, anchor, cnt,
+             row_number() OVER (PARTITION BY host, href
+               ORDER BY cnt DESC, anchor) AS rn
+      FROM g),
+s AS (SELECT host, href, sum(cnt)::BIGINT AS n_anchors,
+             count(*)::BIGINT AS n_texts
+      FROM g GROUP BY 1, 2)
+SELECT s.host, s.href, s.n_anchors, s.n_texts, t.anchor AS top_anchor
+FROM s JOIN t ON s.host = t.host AND s.href = t.href AND t.rn = 1"""),
+      (s, dir) => {
+        val marked = Tables.documents(s, dir).select(col("doc_id"),
+          concat(
+            lit("<a href=\"https://h"), (col("doc_id") % 7).cast("string"),
+            lit(".org/p/"), (col("doc_id") % 21).cast("string"), lit("\">"),
+            when(col("doc_id") % 4 < 2, lit("Read more"))
+              .when(col("doc_id") % 4 === 2, lit("click here"))
+              .otherwise(lit("Read More")),
+            lit("</a> "), col("text"),
+            lit(" <a href='https://h"), (col("doc_id") % 7).cast("string"),
+            lit(".org/q/"), (col("doc_id") % 14).cast("string"),
+            lit("'>details "), (col("doc_id") % 2).cast("string"),
+            lit("</a>")).as("text"))
+        val anchors = graft.api.TextOps.extractAnchors(marked,
+            "doc_id", "text")
+          .filter(col("host") =!= "")
+        val grouped = anchors.groupBy(col("host"), col("href"),
+            col("anchor"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"), col("href"))
+          .orderBy(col("cnt").desc, col("anchor"))
+        grouped
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_anchors",
+            sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("host"), col("href"))))
+          .withColumn("n_texts",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("host"), col("href"))))
+          .filter(col("rn") === 1)
+          .select(col("host"), col("href"), col("n_anchors"),
+            col("n_texts"), col("anchor").as("top_anchor"))
       })
   )
 

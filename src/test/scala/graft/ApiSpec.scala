@@ -1645,6 +1645,29 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("pos"), e.getMessage)
   }
 
+  test("TextOps.extractAnchors: href and label zip positionally " +
+      "across mixed quoting, nested-markup anchors are excluded by " +
+      "contract, empty labels extract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<a href=\"https://a.org/x\">first</a> mid " +
+        "<a href='/rel'>second label</a><a href=bare.html></a>"),
+      // nested markup: the plain-text pattern must NOT match (the
+      // label is stripMarkup territory); the plain sibling still does
+      (2L, "<a href=\"https://b.net/y\"><b>bold</b></a>" +
+        "<a href=\"https://b.net/z\">plain</a>"),
+      (3L, "no anchors, just href=\"https://c.io/loose\" text"))
+      .toDF("id", "body")
+    val out = graft.api.TextOps.extractAnchors(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(out == Set(
+      (1L, 0L, "https://a.org/x", "a.org", "first"),
+      (1L, 1L, "/rel", "", "second label"),
+      (1L, 2L, "bare.html", "", ""),
+      (2L, 0L, "https://b.net/z", "b.net", "plain")), s"got $out")
+  }
+
   test("TextOps.dedupLines: over-threshold lines drop everywhere " +
       "through trim+lower normalization, blank lines always keep, " +
       "order survives re-assembly, all-boilerplate docs stay") {
