@@ -919,6 +919,34 @@ object TextOps {
     reassembleLines(lines.join(common, Seq("_kh"), "left"), idCol)
   }
 
+  /** Apply a frame of per-line DROP DECISIONS — (idCol, pos) rows,
+    * e.g. collected from [[graft.streaming.LineGate.drops]]'s append
+    * sink — to the original documents: the consumer-side re-assembly
+    * that turns the gate's stateless decisions back into cleaned
+    * text, through the SAME [[linePositions]] split and
+    * [[reassembleLines]] back half as every batch path (so
+    * gate-decisions-then-apply is exactly [[dedupLinesAgainstIndex]]
+    * — ApiSpec pins the law). Decisions for (id, pos) pairs the
+    * documents don't have are ignored; docs with no decisions pass
+    * through with n_dropped = 0. Output: the [[dedupLines]] schema.
+    *
+    * Shape at 100 TB: one (id, pos)-keyed join of line rows against
+    * decision rows (decision frames are drop-sized, so AQE
+    * broadcasts them in the common case), then the one doc-keyed
+    * re-assembly exchange.
+    */
+  def applyLineDrops(df: DataFrame, idCol: String, textCol: String,
+      drops: DataFrame, dropsIdCol: String = "doc_id",
+      dropsPosCol: String = "pos"): DataFrame = {
+    requireLineCols(idCol, "applyLineDrops")
+    val marks = drops.select(col(dropsIdCol).as(idCol),
+      col(dropsPosCol).cast("long").as("pos"), lit(1).as("_hit"))
+      .distinct()
+    reassembleLines(
+      linePositions(df, idCol, textCol)
+        .join(marks, Seq(idCol, "pos"), "left"), idCol)
+  }
+
   /** Layered-run reconcile — per-line counts SUM across runs (exact
     * by additivity); ONE definition shared by the batch probe and the
     * streaming gate's author-time read. */

@@ -1705,6 +1705,38 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("col"), e.getMessage)
   }
 
+  test("TextOps.applyLineDrops(gate decisions) == dedupLinesAgainst: " +
+      "the decisions-then-apply path reproduces the one-shot batch " +
+      "rewrite; unknown decisions ignored, undecided docs untouched") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "banner\none"), (11L, "banner\ntwo"), (12L, "banner\nthree"))
+      .toDF("id", "body")
+    val delta = Seq(
+      (1L, "banner\nkeep me\n\ntail"), (2L, "all mine"))
+      .toDF("id", "body")
+    val want = graft.api.TextOps.dedupLinesAgainst(delta, corpus,
+        "id", "body", maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // the gate's decision shape, derived in batch: delta lines whose
+    // key is in the corpus's over-threshold set (LineGate.drops is
+    // the same inner join over a snapshot)
+    val gate = graft.streaming.LineGate.fromCorpus(corpus, "id", "body",
+      maxDocFreq = 2)
+    try {
+      val drops = graft.streaming.LineGate.drops(delta, "id", "body", gate)
+        .select(col("id").as("doc_id"), col("pos"))
+        // a decision for a doc/pos the input doesn't have is ignored
+        .unionByName(Seq((999L, 0L)).toDF("doc_id", "pos"))
+      val got = graft.api.TextOps.applyLineDrops(delta, "id", "body",
+          drops)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got == want, s"got $got\nwant $want")
+    } finally gate.unpersist()
+  }
+
   test("TextOps.dedupLines is a FIXED POINT: re-running the pass over " +
       "its own output drops nothing (surviving lines kept their df)") {
     import spark.implicits._
