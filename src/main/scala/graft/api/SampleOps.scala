@@ -190,6 +190,24 @@ object SampleOps {
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
       nTokCol: String, budgetX: Column, buckets: Int = 32): DataFrame = {
+    // budgetX is an expression over stratumCol (the mixtureResample
+    // weight contract), so evaluating it on the distinct-strata frame
+    // yields the per-stratum budget table fillToBudget consumes.
+    val budgets = df.select(col(stratumCol)).distinct()
+      .select(col(stratumCol), budgetX.cast("long").as("_budget"))
+    fillToBudget(df, idCol, stratumCol, nTokCol, budgets, buckets)
+  }
+
+  /** The shared fill-to-budget core behind [[tokenBudgetSample]] and
+    * [[temperatureResample]] — ONE implementation of the two-phase
+    * prefix sum + bucket prune + budget cut, so the closed-form-budget
+    * and data-derived-budget entry points cannot drift (the bm25Rank /
+    * semanticLeg shared-back-half discipline). `budgets` is one row
+    * per stratum: (stratumCol, _budget: Long); strata absent from it
+    * keep nothing.
+    */
+  private def fillToBudget(df: DataFrame, idCol: String, stratumCol: String,
+      nTokCol: String, budgets: DataFrame, buckets: Int): DataFrame = {
     val docs = df
       .select(col(idCol), col(stratumCol),
         col(nTokCol).cast("long").as("_nt"),
@@ -203,18 +221,124 @@ object SampleOps {
         col("_s2") === col(stratumCol) && col("_b2") < col("_bkt"), "left")
       .groupBy(col(stratumCol), col("_bkt"))
       .agg(coalesce(sum(col("_t2")), lit(0L)).as("_off"))
+      .join(broadcast(budgets), Seq(stratumCol))
     // bucket-level prune BEFORE the window (see scaladoc): inner join
     // against only the offsets still under budget
     val live = docs.join(
-      broadcast(offsets.filter(col("_off") < budgetX.cast("long"))),
+      broadcast(offsets.filter(col("_off") < col("_budget"))),
       Seq(stratumCol, "_bkt"))
     val w = Window.partitionBy(col(stratumCol), col("_bkt"))
       .orderBy(col("_h").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     live.withColumn("_lc", coalesce(sum(col("_nt")).over(w), lit(0L)))
-      .filter(col("_off") + col("_lc") < budgetX.cast("long"))
+      .filter(col("_off") + col("_lc") < col("_budget"))
       .select(col(idCol), col(stratumCol), col("_nt").as("n_tok"),
         (col("_off") + col("_lc")).as("tok_before"))
+  }
+
+  /** Exact integer square root — floor(√x) for non-negative Longs,
+    * engine-independent: IEEE-754 double sqrt is correctly rounded in
+    * both Spark and DuckDB, so `floor(sqrt(double(x)))` lands within
+    * ±1 of the true isqrt at any int64 magnitude; the three-candidate
+    * CASE collapses both engines onto the exact value regardless of
+    * which side of the truth the float landed on. [[isqrtSql]] is the
+    * character-identical DuckDB spelling (the hash60/hash60Sql
+    * discipline) so catalog oracles replay the arithmetic exactly.
+    */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    // candidate squares compare in decimal(38,0): near Long.MaxValue
+    // (s0+1)² is ~9.2e18 + 6e9 — past Long, so a Long square wraps in
+    // the default lane and raises in the ANSI lane; 128-bit stays
+    // exact (DuckDB mirrors in HUGEINT)
+    def sq(c: Column): Column = c.cast("decimal(38,0)") * c
+    when(sq(s0 + 1) <= x.cast("decimal(38,0)"), s0 + 1)
+      .when(sq(s0) <= x.cast("decimal(38,0)"), s0)
+      .otherwise(s0 - 1)
+  }
+
+  /** [[isqrt]]'s DuckDB spelling; `x` must be a side-effect-free
+    * expression (it is interpolated several times).
+    */
+  def isqrtSql(x: String): String = {
+    val s0 = s"floor(sqrt(($x)::DOUBLE))::BIGINT"
+    s"(CASE WHEN ($s0 + 1)::HUGEINT * ($s0 + 1) <= ($x)::HUGEINT THEN $s0 + 1 " +
+      s"WHEN ($s0)::HUGEINT * $s0 <= ($x)::HUGEINT THEN $s0 ELSE $s0 - 1 END)"
+  }
+
+  /** Temperature-rebalanced mixture sampling at α = 1/2 — the
+    * multilingual/multi-source rebalance of mT5/XLM-R (sample
+    * probability ∝ (source share)^α, α < 1 flattens the head and
+    * up-weights the tail) composed from the engine's two existing
+    * mixture disciplines, in exact integer arithmetic:
+    *
+    *  - per-stratum token mass m_s (one tiny aggregate);
+    *  - temperature weight w_s = isqrt(m_s) — m^(1/2) is the one
+    *    sub-linear power with an EXACT integer form ([[isqrt]]), so
+    *    the rebalance stays engine-identical (arbitrary α needs float
+    *    pow and would demote the catalog check to approximate);
+    *  - the largest feasible global scale, [[mixtureResample]]'s
+    *    arithmetic in token units: k1000 = min_s floor(1000·m_s/w_s),
+    *    budget B_s = floor(k1000·w_s/1000) ≤ m_s — the binding
+    *    stratum keeps ~all its tokens, every other stratum keeps
+    *    tokens proportional to √(its mass);
+    *  - fill-to-budget within each stratum in deterministic id-hash
+    *    order — [[tokenBudgetSample]]'s exact keep rule through the
+    *    same shared two-phase-prefix core ([[fillToBudget]]).
+    *
+    * Strata with zero token mass keep nothing (their weight would be
+    * 0; they cannot bind the min). Cost shape at 100 TB: two tiny
+    * per-stratum aggregates + one 1-row global min, then the
+    * fill-to-budget plan whose sort tracks the BUDGET, not the
+    * corpus. Output: idCol, stratumCol, n_tok, tok_before.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, stratumCol: String,
+      nTokCol: String, buckets: Int = 32): DataFrame = {
+    val masses = df.groupBy(col(stratumCol))
+      .agg(sum(col(nTokCol).cast("long")).as("_m"))
+      .filter(col("_m") > 0L)
+      .withColumn("_w", isqrt(col("_m")))
+    val k = masses.agg(min(expr("_m * 1000 div _w")).as("_k1000"))
+    val budgets = masses.crossJoin(broadcast(k))
+      .select(col(stratumCol), expr("_k1000 * _w div 1000").as("_budget"))
+    fillToBudget(df, idCol, stratumCol, nTokCol, budgets, buckets)
+  }
+
+  /** Balanced shard assignment by token mass — the training-data
+    * shard writer's placement rule: distribute docs over `shards`
+    * output shards so every shard carries near-equal TOKEN mass (a
+    * doc-count round-robin over skewed doc lengths yields shards a
+    * long-doc tail makes 2–3× heavier — stragglers in every data-
+    * parallel training epoch). Deterministic boustrophedon ("snake")
+    * over the token-descending global order: rank docs by
+    * (n_tok DESC, seeded-hash, id), then row r goes to shard
+    * `r mod K` on even passes and `K-1 - r mod K` on odd passes —
+    * each K-row pass places exactly one doc per shard with the
+    * pass-to-pass direction flip canceling the within-pass descent,
+    * so the max-min shard imbalance is bounded by ONE document's
+    * tokens per pass pair and in practice lands within the largest
+    * single doc (PipelineOpsSpec pins the bound).
+    *
+    * The global rank is [[epochOrder]] with tier = −n_tok — literally
+    * the same two-phase prefix count (per-(tier, hash-bucket) rank +
+    * triangular offsets, no global-order window at any corpus size),
+    * so the shard assigner and the curriculum orderer CANNOT rank
+    * differently. Equal-length docs sub-bucket by seeded hash, so a
+    * corpus of mostly short equal-length docs still fans out across
+    * `buckets` window partitions instead of funneling one task.
+    * Output: idCol, n_tok, pos (the global 0-based rank), shard.
+    */
+  def shardByTokens(df: DataFrame, idCol: String, nTokCol: String,
+      shards: Int, seed: String, buckets: Int = 32): DataFrame = {
+    require(shards >= 1, s"shardByTokens: shards must be >= 1, got $shards")
+    val tiers = df.select(col(idCol),
+      (-col(nTokCol).cast("long")).as("_negtok"))
+    val k = lit(shards.toLong)
+    epochOrder(tiers, idCol, "_negtok", seed, buckets)
+      .select(col(idCol), (-col("_negtok")).as("n_tok"), col("pos"),
+        when(pmod(expr(s"pos div $shards"), lit(2L)) === 0L,
+            pmod(col("pos"), k))
+          .otherwise(k - 1L - pmod(col("pos"), k)).as("shard"))
   }
 
   /** Sequence packing: concat-then-chunk bin assignment. Docs are

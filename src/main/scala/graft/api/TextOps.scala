@@ -42,21 +42,71 @@ object TextOps {
         .cast("long").as("n_tokens_re"),
       length(col(textCol)).cast("long").as("text_len"))
 
-  /** Integer fixed-point quality score + bucket. Output: idCol, n_tok,
-    * tok_len_x1000, stop_x1000, quality.
+  /** Integer fixed-point quality score + bucket. Output: idCol,
+    * `keep` columns passed through unchanged, n_tok, tok_len_x1000,
+    * stop_x1000, quality. ONE formula serves q17, q109's curriculum
+    * tiers and [[datasetCard]]'s composition axis — `keep` exists so
+    * rollup consumers carry their grouping columns through the same
+    * map-only pass instead of re-deriving (and possibly drifting) the
+    * bucket rule.
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
-      stopword: String = " the "): DataFrame =
-    df.select(col(idCol), length(col(textCol)).cast("long").as("n_char"),
+      stopword: String = " the ", keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    df.select(col(idCol) +: kept ++: Seq(
+        length(col(textCol)).cast("long").as("n_char"),
         size(split(col(textCol), " ", -1)).cast("long").as("n_tok"),
-        occurrences(col(textCol), stopword).as("n_stop"))
-      .select(col(idCol), col("n_tok"),
+        occurrences(col(textCol), stopword).as("n_stop")): _*)
+      .select(col(idCol) +: kept ++: Seq(col("n_tok"),
         expr("((n_char - (n_tok - 1)) * 1000) div n_tok").as("tok_len_x1000"),
         expr("(n_stop * 1000) div n_tok").as("stop_x1000"),
         when(col("n_tok") >= 40 &&
             expr("(n_stop * 1000) div n_tok") >= 20, "high")
           .when(col("n_tok") >= 15, "medium")
-          .otherwise("low").as("quality"))
+          .otherwise("low").as("quality")): _*)
+  }
+
+  /** Dataset-card composition report — the drill-down a training-data
+    * release documents (and the dashboard a curation run is judged
+    * by): doc and token counts per (source, lang, quality-bucket)
+    * with ROLLUP subtotals at every level and each group's token
+    * share of the whole corpus in exact ppm. The quality axis is
+    * [[qualityScore]]'s bucket — the SAME formula the curriculum
+    * orderer (q109) and the quality gate (q17) use, carried through
+    * via `keep`, so the card cannot disagree with the pipeline it
+    * describes.
+    *
+    * Shape at 100 TB: one map-only scoring pass, ONE Expand + hash
+    * aggregate for all four grouping levels (partial+final — the
+    * q32 grouping-sets surface), and a 1-row total broadcast. The
+    * ppm share multiplies in decimal(38,0) — Long×1e6 would wrap
+    * past ~9.2e12 tokens, i.e. mid-double-digit-TB corpora; 128-bit
+    * keeps the arithmetic exact at any real corpus size (DuckDB
+    * replays it in HUGEINT). Output: sourceCol, langCol, quality
+    * (subtotal rows render '(all)'), n_docs, n_tokens, tok_ppm.
+    */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String,
+      stopword: String = " the "): DataFrame = {
+    val scored = qualityScore(df, idCol, textCol, stopword,
+      keep = Seq(sourceCol, langCol))
+    val total = scored.agg(sum(col("n_tok")).as("_tot"))
+    scored.rollup(col(sourceCol), col(langCol), col("quality"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        grouping(col(sourceCol)).as("_gs"), grouping(col(langCol)).as("_gl"),
+        grouping(col("quality")).as("_gq"))
+      .crossJoin(broadcast(total))
+      .select(
+        when(col("_gs") === 1, lit("(all)")).otherwise(col(sourceCol))
+          .as(sourceCol),
+        when(col("_gl") === 1, lit("(all)")).otherwise(col(langCol))
+          .as(langCol),
+        when(col("_gq") === 1, lit("(all)")).otherwise(col("quality"))
+          .as("quality"),
+        col("n_docs"), col("n_tokens"),
+        expr("(cast(n_tokens as decimal(38,0)) * 1000000) div _tot")
+          .as("tok_ppm"))
+  }
 
   /** Per-document unigram token-entropy quality signal in EXACT
     * milli-bit fixed point — the distributional filter the ratio

@@ -132,6 +132,111 @@ object PageRank {
     rank
   }
 
+  /** Integer-exact HITS (Kleinberg hubs-and-authorities) over a
+    * DIRECTED edge list — the second classic link-analysis signal a
+    * crawl scheduler wants next to [[ranks]]' PageRank: an AUTHORITY
+    * score (pointed to by good hubs — fetch its pages sooner) and a
+    * HUB score (points at good authorities — mine its outlinks
+    * harder). PageRank's single score cannot separate the two roles;
+    * directory-style hub hosts and content-authority hosts are
+    * exactly the split a frontier scheduler acts on differently.
+    *
+    * Same engine-exact discipline as [[ranks]], adapted to HITS'
+    * mutual recursion: every vertex starts at hub = `scale`; each
+    * round computes raw authority in-sums `a_raw(t) = Σ_{(s,t)} h(s)`
+    * and renormalizes by the round's MAX — `a = a_raw·scale div
+    * max(a_raw)` — then the same for hubs off the new authorities.
+    * L∞ normalization instead of the textbook L2: the max is one
+    * integer row (exact, broadcast), where an L2 norm needs a square
+    * root of a sum of squares — float, order-sensitive, not
+    * oracle-replayable. Ranking-equivalent per round (both are a
+    * positive scalar rescale of the same vector; only the fixed-point
+    * rounding differs and it is identical in both engines).
+    * Vertices with no in-edges hold authority 0; no out-edges, hub 0.
+    * The in-sums and the `raw × scale` renormalization products run
+    * in decimal(38,0) — Long would wrap at in-degree × scale ≈ 2^63,
+    * i.e. at ~9M in-links for the default scale, which real web-graph
+    * authorities exceed; 128-bit keeps the arithmetic exact at any
+    * graph size (the oracle replays it in DuckDB HUGEINT), and the
+    * normalized scores themselves are ≤ `scale`, safely Long.
+    *
+    * Cost shape at 100 TB: edges persist once; each round is two
+    * edge⋈vertex joins with partial-aggregated sums (vertex-count
+    * rows on the wire) plus two 1-row max broadcasts; per-round
+    * state localCheckpoints exactly as [[ranks]].
+    *
+    * @return one row per vertex of `edges`: (id, hub, auth) on the
+    *         integer `scale`.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, scale: Long = Scale): DataFrame = {
+    require(iterations >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .distinct()
+      .persist()
+    val v = e.select(col("s").as("id")).union(e.select(col("t").as("id")))
+      .distinct().persist()
+
+    var hub = v.withColumn("h", lit(scale))
+    var auth = v.withColumn("a", lit(0L))
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub.withColumnRenamed("id", "s"), Seq("s"))
+        .groupBy(col("t").as("id"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("_ar"))
+      val aMax = aRaw.agg(max(col("_ar")).as("_am"))
+      auth = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aMax))
+        .select(col("id"),
+          coalesce(expr(s"(_ar * $scale) div _am"), lit(0L)).as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth.withColumnRenamed("id", "t"), Seq("t"))
+        .groupBy(col("s").as("id"))
+        .agg(sum(col("a").cast("decimal(38,0)")).as("_hr"))
+      val hMax = hRaw.agg(max(col("_hr")).as("_hm"))
+      hub = v.join(hRaw, Seq("id"), "left").crossJoin(broadcast(hMax))
+        .select(col("id"),
+          coalesce(expr(s"(_hr * $scale) div _hm"), lit(0L)).as("h"))
+        .localCheckpoint()
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+      .localCheckpoint()
+    e.unpersist()
+    v.unpersist()
+    out
+  }
+
+  /** [[hits]] over STRING-keyed vertices — the [[ranksByKey]] shape
+    * for the directed host graph: keys map through the shared 60-bit
+    * hash (oracle-replayable), edges collapse to DISTINCT directed
+    * host pairs before any iteration (a hub linked from a thousand
+    * pages is still one edge — in-link VOLUME is
+    * [[graft.api.TextOps.frontierBudget]]'s signal; HITS measures
+    * graph position), self-links drop, and the final scores join the
+    * key back through a broadcast-sized vertex map. Unlike
+    * [[ranksByKey]] the graph stays DIRECTED — hub/authority duality
+    * IS the direction structure; symmetrizing would collapse the two
+    * scores into one.
+    *
+    * @return one row per vertex: (key, hub, auth).
+    */
+  def hitsByKey(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, scale: Long = Scale): DataFrame = {
+    val h = edges.select(
+        graft.functions.TextHashing.hash60(col(srcCol)).as("s"),
+        col(srcCol).as("_sk"),
+        graft.functions.TextHashing.hash60(col(dstCol)).as("t"),
+        col(dstCol).as("_tk"))
+      .filter(col("s") =!= col("t"))
+    val vertices = h.select(col("s").as("id"), col("_sk").as("key"))
+      .union(h.select(col("t").as("id"), col("_tk").as("key")))
+      .distinct()
+    hits(h.select(col("s"), col("t")), "s", "t", iterations, scale)
+      .join(vertices, Seq("id"))
+      .select(col("key"), col("hub"), col("auth"))
+  }
+
   /** [[ranks]] over STRING-keyed vertices — hosts, canonical URLs,
     * tokens: the domain-centrality shape of a crawl scheduler (rank
     * hosts by their position in the host link graph, the signal

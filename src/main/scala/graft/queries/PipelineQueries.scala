@@ -103,6 +103,34 @@ object PipelineQueries {
     else base
   }
 
+  /** q159's unrolled HITS rounds (the pagerankRoundsSql discipline):
+    * round k derives authority in-sums off h(k-1) over the directed
+    * edges `e`, renormalizes by the round max to the PageRank scale,
+    * then hubs off the new authorities. DuckDB's sum() over BIGINT is
+    * HUGEINT, so the `raw * scale` products are 128-bit exact —
+    * mirroring the Spark side's decimal(38,0) arithmetic. Vertices
+    * missing from a raw-sum (no in-/out-edges) coalesce to 0.
+    */
+  private def hitsRoundsSql(iterations: Int): String = {
+    val scale = graft.operators.PageRank.Scale
+    (1 to iterations).map { k =>
+      s"""ar$k AS (
+  SELECT e.t AS id, sum(h${k - 1}.h) AS ar
+  FROM e JOIN h${k - 1} ON e.s = h${k - 1}.id GROUP BY 1),
+am$k AS (SELECT max(ar) AS m FROM ar$k),
+a$k AS (SELECT v.id,
+               coalesce((ar$k.ar * $scale) // am$k.m, 0)::BIGINT AS a
+        FROM v LEFT JOIN ar$k ON v.id = ar$k.id CROSS JOIN am$k),
+hr$k AS (
+  SELECT e.s AS id, sum(a$k.a) AS hr
+  FROM e JOIN a$k ON e.t = a$k.id GROUP BY 1),
+hm$k AS (SELECT max(hr) AS m FROM hr$k),
+h$k AS (SELECT v.id,
+               coalesce((hr$k.hr * $scale) // hm$k.m, 0)::BIGINT AS h
+        FROM v LEFT JOIN hr$k ON v.id = hr$k.id CROSS JOIN hm$k)"""
+    }.mkString(",\n")
+  }
+
   /** q86's URL fixture: the documents table carries no URL column, so
     * ONE deterministic URL-per-doc generator is emitted into BOTH
     * engines (`castT` = string/varchar, `div` = div|`//` — the only
@@ -1985,6 +2013,191 @@ FROM s JOIN t ON s.host = t.host AND s.href = t.href AND t.rn = 1"""),
           .filter(col("rn") === 1)
           .select(col("host"), col("href"), col("n_anchors"),
             col("n_texts"), col("anchor").as("top_anchor"))
+      }),
+
+    QueryDef(
+      "q156_shard_by_tokens",
+      "Balanced shard assignment by token mass " +
+        "(SampleOps.shardByTokens): distribute the corpus over 8 " +
+        "training shards so every shard carries near-equal TOKENS " +
+        "(a doc-count round-robin over skewed doc lengths leaves the " +
+        "long-doc shard 2-3x heavier - a straggler every epoch). " +
+        "Deterministic boustrophedon over the token-descending global " +
+        "order: rank by (n_tok DESC, seeded hash, id), shard = snake " +
+        "of rank - each 8-row pass places one doc per shard and the " +
+        "direction flip cancels the within-pass descent, so max-min " +
+        "imbalance is bounded by one document (PipelineOpsSpec pins " +
+        "it). The global rank IS epochOrder with tier = -n_tok - the " +
+        "same two-phase prefix count (per-(tier, hash-bucket) rank + " +
+        "triangular offsets), so no global-order window exists at any " +
+        "corpus size and the shard assigner cannot rank differently " +
+        "from the curriculum orderer. The oracle's single-node " +
+        "row_number spells the same total order declaratively.",
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+         ${graft.functions.TextHashing.hash60Sql("'shard1:' || doc_id")} AS hh
+  FROM documents),
+p AS (SELECT doc_id, n_tok,
+             (row_number() OVER (ORDER BY -n_tok, hh % 32, hh, doc_id)
+               - 1)::BIGINT AS pos
+      FROM t)
+SELECT doc_id, n_tok, pos,
+       (CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8
+             ELSE 7 - (pos % 8) END)::BIGINT AS shard
+FROM p"""),
+      (s, dir) =>
+        graft.api.SampleOps.shardByTokens(
+          Tables.documents(s, dir).select(col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+          "doc_id", "n_tok", shards = 8, seed = "shard1")),
+
+    QueryDef(
+      "q157_temperature_mixture",
+      "Temperature-rebalanced mixture at alpha = 1/2 " +
+        "(SampleOps.temperatureResample) - the multilingual/" +
+        "multi-source rebalance of mT5/XLM-R (sample share ~ " +
+        "mass^alpha: flatten the head, up-weight the tail), in EXACT " +
+        "integer arithmetic: per-source token mass m, temperature " +
+        "weight w = isqrt(m) (m^(1/2) is the one sub-linear power " +
+        "with an exact integer form - the three-candidate CASE " +
+        "collapses both engines' float sqrt onto true isqrt at any " +
+        "int64 magnitude), largest feasible scale k1000 = " +
+        "min(1000*m/w) (the q60 arithmetic in token units - the " +
+        "binding source keeps ~all its tokens), per-source budget " +
+        "k1000*w/1000, then q142's fill-to-budget keep rule in " +
+        "deterministic hash order through the SAME shared two-phase " +
+        "prefix core (one fillToBudget implementation serves both " +
+        "entry points - the semanticLeg discipline). Scale shape: " +
+        "two tiny per-source aggregates + a 1-row min broadcast; the " +
+        "window sort tracks the BUDGET, not the corpus.",
+      Some(s"""
+WITH t AS (SELECT doc_id, source,
+                  len(string_split(text, ' '))::BIGINT AS n_tok,
+                  ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")} AS h
+           FROM documents),
+m AS (SELECT source, sum(n_tok)::BIGINT AS mt FROM t GROUP BY 1),
+w AS (SELECT source, mt, ${graft.api.SampleOps.isqrtSql("mt")} AS wt
+      FROM m WHERE mt > 0),
+k AS (SELECT min(mt * 1000 // wt) AS k1000 FROM w),
+b AS (SELECT source, (k1000 * wt) // 1000 AS budget FROM w, k),
+o AS (SELECT doc_id, source, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY h % 32, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_before
+      FROM t)
+SELECT o.doc_id, o.source, o.n_tok, o.tok_before
+FROM o JOIN b USING (source)
+WHERE o.tok_before < b.budget"""),
+      (s, dir) =>
+        graft.api.SampleOps.temperatureResample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+          "doc_id", "source", "n_tok")),
+
+    QueryDef(
+      "q158_dataset_card",
+      "Dataset-card composition report (TextOps.datasetCard) - the " +
+        "drill-down a training-data release documents: doc and token " +
+        "counts per (source, lang, quality-bucket) with ROLLUP " +
+        "subtotals at every level ('(all)' markers, the q32 " +
+        "grouping-sets surface) and each group's token share of the " +
+        "corpus in exact ppm. The quality axis is q17's bucket " +
+        "formula carried through qualityScore's keep columns - ONE " +
+        "formula for the gate, the curriculum tiers and the card. " +
+        "The ppm share multiplies in decimal(38,0)/HUGEINT - Long x " +
+        "1e6 wraps past ~9.2e12 tokens (mid-double-digit-TB " +
+        "corpora); 128-bit stays exact at any corpus size. Scale " +
+        "shape: one map-only scoring pass, ONE Expand + partial-" +
+        "aggregated hash aggregate for all four grouping levels, a " +
+        "1-row total broadcast.",
+      Some(s"""
+WITH t AS (
+  SELECT source, lang, length(text) AS n_char,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         ${occSql("text", " the ")} AS n_stop
+  FROM documents),
+q AS (SELECT source, lang, n_tok,
+             CASE WHEN n_tok >= 40 AND (n_stop * 1000) // n_tok >= 20
+                    THEN 'high'
+                  WHEN n_tok >= 15 THEN 'medium' ELSE 'low' END AS quality
+      FROM t),
+g AS (SELECT sum(n_tok)::HUGEINT AS tot FROM q)
+SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+       CASE WHEN GROUPING(quality) = 1 THEN '(all)' ELSE quality END
+         AS quality,
+       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       ((sum(n_tok)::HUGEINT * 1000000) // (SELECT tot FROM g))::BIGINT
+         AS tok_ppm
+FROM q GROUP BY ROLLUP (source, lang, quality)"""),
+      (s, dir) =>
+        graft.api.TextOps.datasetCard(
+          Tables.documents(s, dir), "doc_id", "text", "source", "lang")),
+
+    QueryDef(
+      "q159_host_hits",
+      "Host-graph hubs and authorities (PageRank.hitsByKey) - the " +
+        "second link-analysis signal a crawl scheduler wants next to " +
+        "q152's PageRank, and one PageRank cannot express: an " +
+        "AUTHORITY score (pointed to by good hubs - fetch its pages " +
+        "sooner) and a HUB score (points at good authorities - mine " +
+        "its outlinks harder), the two roles a frontier acts on " +
+        "differently. The q152 fixture's directed host graph stays " +
+        "DIRECTED (symmetrizing would collapse the duality): ex " +
+        "hosts link m/sq hosts and get no in-links, so the fixture " +
+        "genuinely separates pure hubs (auth 0) from pure " +
+        "authorities (hub 0). Three integer-exact mutual-recursion " +
+        "rounds with L-infinity renormalization (round max as a " +
+        "1-row broadcast - exact integer, where the textbook L2 norm " +
+        "is float and not oracle-replayable); in-sums and the " +
+        "raw x scale products run in decimal(38,0)/HUGEINT so a " +
+        "10M-in-link authority cannot wrap Long. The oracle replays " +
+        "all three rounds as unrolled CTEs (hitsRoundsSql - the " +
+        "pagerankRoundsSql discipline). Scale shape: link rows " +
+        "collapse to distinct DIRECTED host pairs before any " +
+        "iteration; rounds move host-count rows; the key join-back " +
+        "is a broadcast-sized vertex map.",
+      Some(s"""
+WITH p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = false)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+x AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
+              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
+       FROM x
+       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
+              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
+       FROM th),
+f AS (SELECT src, dst, hs, ht FROM hh WHERE hs <> ht),
+e AS (SELECT DISTINCT hs AS s, ht AS t FROM f),
+v AS (SELECT DISTINCT s AS id FROM e UNION SELECT DISTINCT t FROM e),
+h0 AS (SELECT id, ${graft.operators.PageRank.Scale}::BIGINT AS h FROM v),
+${hitsRoundsSql(3)},
+kk AS (SELECT DISTINCT src AS host, hs AS id FROM f
+       UNION SELECT DISTINCT dst, ht FROM f)
+SELECT kk.host, h3.h AS hub, a3.a AS auth
+FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""),
+      (s, dir) => {
+        val links = graft.api.TextOps.extractLinks(
+          linkFixture(Tables.documents(s, dir)), "doc_id", "text")
+        val edges = links.filter(col("host") =!= "")
+          .select(
+            concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+              lit(".org")).as("src_host"),
+            col("host").as("dst_host"))
+        graft.operators.PageRank.hitsByKey(edges, "src_host", "dst_host",
+            iterations = 3)
+          .select(col("key").as("host"), col("hub"), col("auth"))
       })
   )
 

@@ -188,6 +188,98 @@ class DedupSpec extends SparkSpec {
       && byKey("c.net") == numeric(3L), s"got $byKey")
   }
 
+  /** In-JVM BigInt reference model of [[graft.operators.PageRank.hits]]
+    * — the differential ground truth: same L∞ renormalization, same
+    * floor division, arbitrary-precision throughout.
+    */
+  private def refHits(edges: Set[(Long, Long)], iterations: Int,
+      scale: Long): Map[Long, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2)
+    val v = e.flatMap(p => Seq(p._1, p._2))
+    val s = BigInt(scale)
+    var hub = v.map(_ -> s).toMap
+    var auth = v.map(_ -> BigInt(0)).toMap
+    for (_ <- 1 to iterations) {
+      // .toSeq before mapping: a Set of edges mapped to hub VALUES
+      // would dedup equal contributions and silently under-sum
+      val aRaw = e.groupBy(_._2).map { case (t, g) =>
+        t -> g.toSeq.map(p => hub(p._1)).sum }
+      val am = aRaw.values.max
+      auth = v.map(id => id -> aRaw.get(id).map(_ * s / am).getOrElse(BigInt(0))).toMap
+      val hRaw = e.groupBy(_._1).map { case (f, g) =>
+        f -> g.toSeq.map(p => auth(p._2)).sum }
+      val hm = hRaw.values.max
+      hub = v.map(id => id -> hRaw.get(id).map(_ * s / hm).getOrElse(BigInt(0))).toMap
+    }
+    v.map(id => id -> ((hub(id).toLong, auth(id).toLong))).toMap
+  }
+
+  test("hits: pure hubs score auth 0 and pure authorities hub 0; the " +
+      "two-authority split is exact vs the BigInt reference model") {
+    import spark.implicits._
+    val S = graft.operators.PageRank.Scale
+    // 1->3, 2->3, 2->4: vertex 2 is the better hub (points at both
+    // authorities), 3 the better authority (pointed at by both hubs);
+    // 1/2 have no in-links (auth 0), 3/4 no out-links (hub 0)
+    val e = Set((1L, 3L), (2L, 3L), (2L, 4L))
+    val got = graft.operators.PageRank
+      .hits(e.toSeq.toDF("s", "t"), "s", "t", iterations = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == refHits(e, 3, S), s"got $got")
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L, "sources must have auth 0")
+    assert(got(3L)._1 == 0L && got(4L)._1 == 0L, "sinks must have hub 0")
+    assert(got(2L)._1 == S && got(3L)._2 == S,
+      "the round max renormalizes the best hub/authority to scale")
+    assert(got(1L)._1 < got(2L)._1 && got(4L)._2 < got(3L)._2)
+  }
+
+  test("hits == BigInt reference model on seeded random directed graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 3).foreach { trial =>
+      val n = 40
+      val e = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).toSet
+      val got = graft.operators.PageRank
+        .hits(e.toSeq.toDF("s", "t"), "s", "t", iterations = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val want = refHits(e, 3, graft.operators.PageRank.Scale)
+      assert(got == want, s"trial $trial diverged from the reference model")
+    }
+  }
+
+  test("hitsByKey: duplicate directed edges collapse, self-links drop, " +
+      "and DIRECTION is preserved (a->b and b->a are two edges, not one)") {
+    import spark.implicits._
+    // hub.org points at a.net twice (one edge), at itself (dropped),
+    // and a.net points BACK at hub.org — so unlike ranksByKey's
+    // symmetrized graph, hub.org must also carry authority here
+    val edges = Seq(
+      ("hub.org", "a.net"), ("hub.org", "a.net"), ("hub.org", "hub.org"),
+      ("a.net", "hub.org"), ("hub.org", "b.net")).toDF("src", "dst")
+    val got = graft.operators.PageRank
+      .hitsByKey(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == Set("hub.org", "a.net", "b.net"))
+    val h = graft.functions.TextHashing
+    val keyed = Seq("hub.org", "a.net", "b.net")
+      .map(k => k -> spark.range(1).select(
+        h.hash60(org.apache.spark.sql.functions.lit(k))).head.getLong(0))
+      .toMap
+    val want = refHits(Set(
+        (keyed("hub.org"), keyed("a.net")),
+        (keyed("a.net"), keyed("hub.org")),
+        (keyed("hub.org"), keyed("b.net"))),
+      3, graft.operators.PageRank.Scale)
+    assert(got.view.mapValues(identity).toMap ==
+      want.map { case (id, v) => keyed.map(_.swap).apply(id) -> v })
+    assert(got("hub.org")._2 > 0L,
+      "direction preserved: the back-link makes hub.org an authority too")
+  }
+
   test("connected components == union-find on seeded random graphs (shortcut engaged)") {
     import spark.implicits._
     // sparse random graphs have long chains (diameter > ShortcutAfter),

@@ -199,4 +199,142 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("stratum")))
     assert(sampled.sorted.sameElements(again.sorted))
   }
+
+  test("isqrt: exact floor(sqrt) at every int64 magnitude (incl. the " +
+      "float-rounding danger zone near Long.MaxValue)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    // perfect squares, off-by-one neighbors, random draws per decade,
+    // and the top of the Long range where double sqrt loses ulps
+    val xs = (Seq(0L, 1L, 2L, 3L, 4L, Long.MaxValue,
+        Long.MaxValue - 1, 3037000499L * 3037000499L) ++
+      (1 to 18).flatMap { d =>
+        val base = math.pow(10, d).toLong
+        Seq(base, base - 1, base + 1,
+          (rnd.nextDouble() * base).toLong.max(0L))
+      } ++
+      (1 to 40).map(_ => rnd.nextLong().abs)).distinct
+    val got = xs.toDF("x")
+      .select(col("x"), graft.api.SampleOps.isqrt(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val s = BigInt(got(x))
+      assert(s * s <= x && (s + 1) * (s + 1) > BigInt(x),
+        s"isqrt($x) = $s is not floor(sqrt)")
+    }
+  }
+
+  test("q156 shardByTokens: pos is a bijection, shard token masses are " +
+      "near-equal (max-min within the largest doc), snake replays a " +
+      "local sort, deterministic") {
+    val rows = run("q156_shard_by_tokens").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("pos"), r.getAs[Long]("shard")))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    // pos is a 0-based global bijection
+    assert(rows.map(_._3).sorted.sameElements(0L until n))
+    // every shard used, snake bound holds: max-min token mass within
+    // the largest single doc
+    val byShard = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    assert(byShard.keySet == (0L until 8L).toSet, s"got ${byShard.keySet}")
+    val imbalance = byShard.values.max - byShard.values.min
+    val maxDoc = rows.map(_._2).max
+    assert(imbalance <= maxDoc,
+      s"imbalance $imbalance exceeds largest doc $maxDoc: $byShard")
+    // pos replays the (n_tok DESC, seeded-hash-order) local sort: token
+    // counts must be non-increasing along pos
+    val along = rows.sortBy(_._3).map(_._2)
+    assert(along.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "n_tok must be non-increasing along pos")
+    // snake arithmetic
+    rows.foreach { case (_, _, pos, shard) =>
+      val want = if ((pos / 8) % 2 == 0) pos % 8 else 7 - pos % 8
+      assert(shard == want, s"pos $pos -> shard $shard, want $want")
+    }
+    val again = run("q156_shard_by_tokens").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard")))
+    assert(rows.map(r => (r._1, r._4)).sorted.sameElements(again.sorted))
+  }
+
+  test("q157 temperatureResample: per-source kept tokens respect the " +
+      "sqrt-law budgets, the binding source keeps everything, and the " +
+      "rebalance genuinely flattens the mixture") {
+    val kept = run("q157_temperature_mixture").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("tok_before")))
+    val masses = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ", -1)).cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def isqrt(x: Long): Long = {
+      val s = math.sqrt(x.toDouble).toLong
+      Seq(s - 1, s, s + 1).filter(c => BigInt(c) * c <= x).max
+    }
+    val k1000 = masses.values.map(m => m * 1000L / isqrt(m)).min
+    val budgets = masses.view.mapValues(m => k1000 * isqrt(m) / 1000L).toMap
+    // keep rule: every kept doc started under its source's budget
+    kept.foreach { case (_, src, _, before) =>
+      assert(before < budgets(src), s"$src: tok_before $before >= budget")
+    }
+    // the binding source keeps ~everything: its budget is within
+    // (w + 998)/1000 + 1 tokens of its full mass (two floor losses),
+    // so with multi-token docs the whole source survives
+    val binding = masses.minBy(m => m._2 * 1000L / isqrt(m._2))._1
+    assert(budgets(binding) >= masses(binding) - isqrt(masses(binding)) / 1000L - 2,
+      s"binding budget ${budgets(binding)} too far under mass ${masses(binding)}")
+    val keptBySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val popBySrc = Tables.documents(spark, sf).groupBy(col("source"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBySrc(binding) == popBySrc(binding),
+      s"binding source $binding must keep everything " +
+        s"(budget ${budgets(binding)}, mass ${masses(binding)})")
+    // flattening law: kept-token ratios follow sqrt(mass), so for the
+    // extreme sources the kept ratio must sit strictly between 1 and
+    // the raw mass ratio
+    val keptTokBySrc = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      .toMap
+    val (big, small) = (masses.maxBy(_._2)._1, masses.minBy(_._2)._1)
+    if (masses(big) > masses(small) * 3 / 2) {
+      val massRatio = masses(big).toDouble / masses(small)
+      val keptRatio = keptTokBySrc(big).toDouble / keptTokBySrc(small)
+      assert(keptRatio < massRatio && keptRatio < math.sqrt(massRatio) * 1.3,
+        s"kept ratio $keptRatio should flatten mass ratio $massRatio")
+    }
+  }
+
+  test("q158 datasetCard: grand total covers the corpus at ppm 1e6, " +
+      "leaves sum to every subtotal, markers consistent") {
+    val rows = run("q158_dataset_card").collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[String]("quality")),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("tok_ppm")))).toMap
+    val n = Tables.documents(spark, sf).count()
+    val grand = rows(("(all)", "(all)", "(all)"))
+    assert(grand._1 == n && grand._3 == 1000000L, s"grand = $grand")
+    // rollup consistency: leaves sum to the (source, lang, all) level,
+    // those to (source, all, all), those to the grand total
+    val leaves = rows.filterNot { case ((s, l, q), _) =>
+      s == "(all)" || l == "(all)" || q == "(all)" }
+    assert(leaves.nonEmpty)
+    leaves.groupBy { case ((s, l, _), _) => (s, l) }.foreach {
+      case ((s, l), grp) =>
+        val sub = rows((s, l, "(all)"))
+        assert(grp.values.map(_._1).sum == sub._1 &&
+          grp.values.map(_._2).sum == sub._2, s"($s, $l) subtotal mismatch")
+    }
+    assert(leaves.values.map(_._2).sum == grand._2)
+    // ppm shares: each leaf's ppm is exactly (tokens * 1e6) div total
+    leaves.foreach { case (k, (_, tok, ppm)) =>
+      assert(ppm == (BigInt(tok) * 1000000 / grand._2).toLong,
+        s"$k ppm drifted")
+    }
+    // a rollup marker never carries a finer-level split: no row with
+    // source '(all)' but a concrete lang
+    rows.keys.foreach { case (s, l, q) =>
+      if (s == "(all)") assert(l == "(all)" && q == "(all)")
+      if (l == "(all)") assert(q == "(all)")
+    }
+  }
 }

@@ -111,6 +111,52 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q156/q157: the two-phase rank/budget offset joins BROADCAST — " +
+      "the corpus never meets a sort-merge join, and no global sort " +
+      "exists") {
+    Seq("q156_shard_by_tokens", "q157_temperature_mixture").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize AQE
+      val nodes = collectAll(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+        s"$q: offset/budget join regressed to a shuffled sort-merge join")
+      // the only sorts are the window's per-partition sorts
+      val globalSorts = nodes.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, s"$q: global sort found — the " +
+        s"two-phase prefix discipline exists to avoid exactly this")
+    }
+  }
+
+  test("q158: ONE Expand feeds all four rollup levels; the corpus-side " +
+      "work is two aggregates and a broadcast total") {
+    val df = SparkEntry.queries("q158_dataset_card")(spark, sf)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.ExpandExec]) == 1,
+      "expected exactly one Expand for the grouping sets")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 2,
+      s"expected <=2 shuffles (rollup agg + 1-row total), got $shuffles:\n" +
+        df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the total must broadcast, not cartesian")
+  }
+
+  test("q159: HITS rounds move vertex-count rows — no cartesian " +
+      "product, every renorm max is a broadcast") {
+    val df = SparkEntry.queries("q159_host_hits")(spark, sf)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "round-max renorm must be a broadcast nested loop, not cartesian")
+  }
+
   test("q151: the boilerplate marker join BROADCASTS — the corpus-sized " +
       "line stream reaches its re-assembly exchange unshuffled") {
     val df = SparkEntry.queries("q151_line_dedup")(spark, sf)
