@@ -99,7 +99,18 @@ object BenchScale {
     // PAIRS before iterating, so its 10x growth is the one edge
     // distinct — the rounds move host-count rows (17 hosts at every
     // SF) and should be corpus-INDEPENDENT
-    "q151_line_dedup", "q152_host_centrality")
+    "q151_line_dedup", "q152_host_centrality",
+    // round-14 additions: q156's two-phase global rank is scan-shaped
+    // (windows per (tier, bucket), offsets are tiny broadcasts);
+    // q157's fixture sources are near-uniform so the sqrt rebalance
+    // keeps ~everything — its 10x cost is honestly corpus-shaped
+    // (the budget prune only bites on SKEWED mixtures, unlike q142's
+    // fixed budgets); q158 is one scan + one Expand aggregate over
+    // group-count rows; q159 collapses links to distinct DIRECTED
+    // host pairs before iterating — like q152 the rounds move
+    // host-count rows, so it should be corpus-INDEPENDENT
+    "q156_shard_by_tokens", "q157_temperature_mixture",
+    "q158_dataset_card", "q159_host_hits")
 
   private def load(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")

@@ -283,4 +283,191 @@ object PageRank {
       .join(vertices, Seq("id"))
       .select(col("key"), col("degree"), col("rank"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted host-graph EDGE INDEX — the NINTH persisted index family,
+  // giving link analysis the same O(delta)-daily-ingest posture as the
+  // dedup/retrieval families: re-extracting and re-distincting a
+  // 100 TB crawl's links for every re-rank is corpus work, but the
+  // distinct DIRECTED host-pair set is host-graph-sized and ADDITIVE
+  // under set union — a day's crawl folds in as its own sorted run and
+  // layered runs reconcile by DISTINCT (the set-semantics sibling of
+  // the gram/line families' reconcile-by-SUM). Both consumers
+  // ([[ranksByKeyAgainstIndex]] PageRank, [[hitsByKeyAgainstIndex]]
+  // HITS) read one reconciled graph, so the two crawl signals can
+  // never rank different edge sets.
+  // ------------------------------------------------------------------
+
+  /** Shared write-side derivation: distinct directed hash pairs
+    * (self-loops dropped) + the vertex key map, both prefix-
+    * partitioned for the layout discipline. ONE definition serves
+    * write and fold, so a fold cannot band edges differently from the
+    * index it folds into.
+    */
+  private def edgeRows(edges: DataFrame, srcCol: String, dstCol: String,
+      prefixPartitions: Int): (DataFrame, DataFrame) = {
+    val h = edges.select(
+        graft.functions.TextHashing.hash60(col(srcCol)).as("s"),
+        col(srcCol).as("_sk"),
+        graft.functions.TextHashing.hash60(col(dstCol)).as("t"),
+        col(dstCol).as("_tk"))
+      .filter(col("s") =!= col("t"))
+    val e = h.select(col("s"), col("t")).distinct()
+      .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong)))
+    val v = h.select(col("s").as("id"), col("_sk").as("key"))
+      .union(h.select(col("t").as("id"), col("_tk").as("key")))
+      .distinct()
+      .withColumn("__vp", pmod(col("id"), lit(prefixPartitions.toLong)))
+    (e, v)
+  }
+
+  private def writeEdgeMeta(s: org.apache.spark.sql.SparkSession,
+      path: String, prefixPartitions: Int, layers: Int): Unit =
+    s.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  private def readEdgeMeta(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (Int, Int) = {
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$op: cannot read $indexPath/meta — folds and reads must " +
+            "use the index's own prefix modulus (indexes written " +
+            "before the meta existed must be rebuilt once)", e)
+      }
+    val row = metaDf.head(1).headOption.getOrElse(
+      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
+    (row.getAs[Number]("prefix_partitions").intValue(),
+      row.getAs[Number]("layers").intValue())
+  }
+
+  /** Materialize a link stream's distinct directed host graph to
+    * parquet: `$path/edges` = (s, t) 60-bit hash pairs partitioned by
+    * `__ep = s mod prefixPartitions` and sorted by (s, t);
+    * `$path/vertices` = (id, key) the hash→key map;
+    * `$path/meta` = (prefix_partitions, layers). Build once per
+    * corpus version, fold daily ([[foldIntoEdgeIndex]] /
+    * [[maintainEdgeIndex]]), rank any time
+    * ([[ranksByKeyAgainstIndex]] / [[hitsByKeyAgainstIndex]]).
+    */
+  def writeEdgeIndex(edges: DataFrame, srcCol: String, dstCol: String,
+      path: String, prefixPartitions: Int = 16): Unit = {
+    val (e, v) = edgeRows(edges, srcCol, dstCol, prefixPartitions)
+    graft.jobs.Sinks.layout(e, s"$path/edges",
+      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
+    graft.jobs.Sinks.layout(v, s"$path/vertices",
+      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    writeEdgeMeta(edges.sparkSession, path, prefixPartitions, 1)
+  }
+
+  /** Fold a DELTA of links into a persisted [[writeEdgeIndex]] IN
+    * PLACE with O(delta) write bytes: the delta's distinct pairs and
+    * vertices land as their own sorted runs, meta bumps `layers`.
+    * Reconcile is EXACT BY SET UNION — an edge present in several
+    * runs is still ONE edge after the read-side distinct (unlike the
+    * count families nothing sums, so duplicate-ACROSS-runs edges are
+    * the reconcile hazard: without the distinct they would inflate
+    * degrees and corrupt every rank). Same single-writer
+    * restore-on-failure crash contract as every in-place fold.
+    */
+  def foldIntoEdgeIndex(edges: DataFrame, srcCol: String, dstCol: String,
+      indexPath: String): Unit = {
+    val s = edges.sparkSession
+    val (prefixPartitions, layers) =
+      readEdgeMeta(s, indexPath, "foldIntoEdgeIndex")
+    val (e, v) = edgeRows(edges, srcCol, dstCol, prefixPartitions)
+    graft.jobs.Sinks.layoutAppend(e, s"$indexPath/edges",
+      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
+    graft.jobs.Sinks.layoutAppend(v, s"$indexPath/vertices",
+      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    writeEdgeMeta(s, indexPath, prefixPartitions, layers + 1)
+  }
+
+  /** Compact a layered edge index back to ONE sorted run per table
+    * (the set-union reconcile made durable), meta reset to layers=1.
+    * Identical reads before and after.
+    */
+  def compactEdgeIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactEdgeIndex: outPath must differ from indexPath")
+    val (prefixPartitions, _) =
+      readEdgeMeta(s, indexPath, "compactEdgeIndex")
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/edges").drop("__ep").distinct()
+        .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong))),
+      s"$outPath/edges",
+      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/vertices").drop("__vp").distinct()
+        .withColumn("__vp", pmod(col("id"), lit(prefixPartitions.toLong))),
+      s"$outPath/vertices",
+      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    writeEdgeMeta(s, outPath, prefixPartitions, 1)
+  }
+
+  /** The edge family's maintain* entry point — crash-recover at
+    * entry, O(delta) fold, compact-and-swap iff post-fold layers
+    * reach `compactThreshold`; all inside
+    * [[graft.api.IndexMaintenance.withWriterLock]]. NOT reader-safe
+    * across the swap (the family reader contract).
+    */
+  def maintainEdgeIndex(edges: DataFrame, srcCol: String, dstCol: String,
+      indexPath: String,
+      compactThreshold: Int =
+        graft.api.IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    val s = edges.sparkSession
+    graft.api.IndexMaintenance.withWriterLock(s, indexPath) {
+      graft.api.IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoEdgeIndex(edges, srcCol, dstCol, indexPath)
+      val (_, layers) = readEdgeMeta(s, indexPath, "maintainEdgeIndex")
+      graft.api.IndexMaintenance.compactIfLayered(s, indexPath, layers,
+        compactThreshold)(out => compactEdgeIndex(s, indexPath, out))
+    }
+  }
+
+  /** Reconciled reads: (directed distinct edges (s, t), vertex map
+    * (id, key)). The distinct is skipped at layers=1 — one compacted
+    * run is distinct by construction.
+    */
+  private def edgesFromIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (DataFrame, DataFrame) = {
+    val (_, layers) = readEdgeMeta(s, indexPath, op)
+    val e0 = s.read.parquet(s"$indexPath/edges").select(col("s"), col("t"))
+    val v0 = s.read.parquet(s"$indexPath/vertices")
+      .select(col("id"), col("key"))
+    if (layers <= 1) (e0, v0) else (e0.distinct(), v0.distinct())
+  }
+
+  /** [[ranksByKey]] over a persisted [[writeEdgeIndex]] — identical
+    * output to ranking the raw link stream the index was built+folded
+    * from, at INDEX-sized cost (no link re-extraction, no
+    * corpus-sized edge distinct: the one big exchange already
+    * happened at write/fold time).
+    */
+  def ranksByKeyAgainstIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = Scale): DataFrame = {
+    val (e, v) = edgesFromIndex(s, indexPath, "ranksByKeyAgainstIndex")
+    val undirected = e.select(least(col("s"), col("t")).as("a"),
+      greatest(col("s"), col("t")).as("b")).distinct()
+    ranks(undirected, "a", "b", iterations, dampingPct, scale)
+      .join(v, Seq("id"))
+      .select(col("key"), col("degree"), col("rank"))
+  }
+
+  /** [[hitsByKey]] over a persisted [[writeEdgeIndex]] — the directed
+    * consumer of the same reconciled graph.
+    */
+  def hitsByKeyAgainstIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, iterations: Int = 3,
+      scale: Long = Scale): DataFrame = {
+    val (e, v) = edgesFromIndex(s, indexPath, "hitsByKeyAgainstIndex")
+    hits(e, "s", "t", iterations, scale)
+      .join(v, Seq("id"))
+      .select(col("key"), col("hub"), col("auth"))
+  }
 }

@@ -131,6 +131,101 @@ h$k AS (SELECT v.id,
     }.mkString(",\n")
   }
 
+  /** q152's full-corpus host-centrality oracle — ONE definition shared
+    * with q160 (PageRank over the FOLDED edge index), so fold==rebuild
+    * is checked against literally the same SQL.
+    */
+  private lazy val hostCentralityOracleSql: String = s"""
+WITH p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = false)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+x AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
+              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
+       FROM x
+       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
+              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
+       FROM th),
+ed AS (SELECT DISTINCT least(hs, ht) AS a, greatest(hs, ht) AS b
+       FROM hh WHERE hs <> ht),
+e AS (SELECT a AS s, b AS t FROM ed UNION SELECT b, a FROM ed),
+deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY 1),
+r0 AS (SELECT id, degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM deg),
+${DedupQueries.pagerankRoundsSql(5)},
+v AS (SELECT DISTINCT src AS host FROM th
+      UNION SELECT DISTINCT dst FROM th)
+SELECT v.host, r5.degree, r5.r AS rank
+FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id"""
+
+  /** q159's full-corpus HITS oracle — shared with q161 (HITS over the
+    * folded edge index), the [[hostCentralityOracleSql]] discipline.
+    */
+  private lazy val hostHitsOracleSql: String = s"""
+WITH p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = false)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+x AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
+              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
+       FROM x
+       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
+              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
+       FROM th),
+f AS (SELECT src, dst, hs, ht FROM hh WHERE hs <> ht),
+e AS (SELECT DISTINCT hs AS s, ht AS t FROM f),
+v AS (SELECT DISTINCT s AS id FROM e UNION SELECT DISTINCT t FROM e),
+h0 AS (SELECT id, ${graft.operators.PageRank.Scale}::BIGINT AS h FROM v),
+${hitsRoundsSql(3)},
+kk AS (SELECT DISTINCT src AS host, hs AS id FROM f
+       UNION SELECT DISTINCT dst, ht FROM f)
+SELECT kk.host, h3.h AS hub, a3.a AS auth
+FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""
+
+  /** The materialized FOLDED edge index per SF dir (SharedStages
+    * discipline — q160 and q161 consume the identical artifact): v1 =
+    * links of docs with doc_id % 5 != 0, then the %5==0 slice's links
+    * maintain-fold in. Ranking over this index must equal ranking the
+    * FULL link stream — the driver checks it against
+    * [[hostCentralityOracleSql]]/[[hostHitsOracleSql]] verbatim.
+    */
+  private val foldedEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def foldedEdgeDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldedEdgeCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldededge-").toString + "/ix"
+      val links = graft.api.TextOps.extractLinks(
+        linkFixture(Tables.documents(s, dir)), "doc_id", "text")
+      val edges = links.filter(col("host") =!= "")
+        .select(col("doc_id"),
+          concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+            lit(".org")).as("src_host"),
+          col("host").as("dst_host"))
+      graft.operators.PageRank.writeEdgeIndex(
+        edges.filter(col("doc_id") % 5 =!= 0), "src_host", "dst_host", tmp)
+      graft.operators.PageRank.maintainEdgeIndex(
+        edges.filter(col("doc_id") % 5 === 0), "src_host", "dst_host", tmp)
+      tmp
+    })
+
   /** q86's URL fixture: the documents table carries no URL column, so
     * ONE deterministic URL-per-doc generator is emitted into BOTH
     * engines (`castT` = string/varchar, `div` = div|`//` — the only
@@ -1750,35 +1845,7 @@ FROM m GROUP BY doc_id"""),
         "link-volume-sized exchange — web graphs have millions of " +
         "hosts, not billions of pages), rounds move host-count rows, " +
         "the key join-back is a broadcast-sized vertex map.",
-      Some(s"""
-WITH p AS (
-  SELECT doc_id, ${linkFixtureSqlExpr(withHub = false)} AS t0
-  FROM documents),
-l AS (SELECT doc_id,
-             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
-      FROM p),
-x AS (SELECT doc_id,
-             regexp_replace(links[g.i],
-               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
-      FROM l CROSS JOIN generate_series(1, 8) g(i)
-      WHERE g.i <= len(links)),
-th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
-              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
-       FROM x
-       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
-hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
-              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
-       FROM th),
-ed AS (SELECT DISTINCT least(hs, ht) AS a, greatest(hs, ht) AS b
-       FROM hh WHERE hs <> ht),
-e AS (SELECT a AS s, b AS t FROM ed UNION SELECT b, a FROM ed),
-deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY 1),
-r0 AS (SELECT id, degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM deg),
-${DedupQueries.pagerankRoundsSql(5)},
-v AS (SELECT DISTINCT src AS host FROM th
-      UNION SELECT DISTINCT dst FROM th)
-SELECT v.host, r5.degree, r5.r AS rank
-FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id"""),
+      Some(hostCentralityOracleSql),
       (s, dir) => {
         val links = graft.api.TextOps.extractLinks(
           linkFixture(Tables.documents(s, dir)), "doc_id", "text")
@@ -2159,34 +2226,7 @@ FROM q GROUP BY ROLLUP (source, lang, quality)"""),
         "collapse to distinct DIRECTED host pairs before any " +
         "iteration; rounds move host-count rows; the key join-back " +
         "is a broadcast-sized vertex map.",
-      Some(s"""
-WITH p AS (
-  SELECT doc_id, ${linkFixtureSqlExpr(withHub = false)} AS t0
-  FROM documents),
-l AS (SELECT doc_id,
-             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
-      FROM p),
-x AS (SELECT doc_id,
-             regexp_replace(links[g.i],
-               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
-      FROM l CROSS JOIN generate_series(1, 8) g(i)
-      WHERE g.i <= len(links)),
-th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
-              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
-       FROM x
-       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
-hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
-              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
-       FROM th),
-f AS (SELECT src, dst, hs, ht FROM hh WHERE hs <> ht),
-e AS (SELECT DISTINCT hs AS s, ht AS t FROM f),
-v AS (SELECT DISTINCT s AS id FROM e UNION SELECT DISTINCT t FROM e),
-h0 AS (SELECT id, ${graft.operators.PageRank.Scale}::BIGINT AS h FROM v),
-${hitsRoundsSql(3)},
-kk AS (SELECT DISTINCT src AS host, hs AS id FROM f
-       UNION SELECT DISTINCT dst, ht FROM f)
-SELECT kk.host, h3.h AS hub, a3.a AS auth
-FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""),
+      Some(hostHitsOracleSql),
       (s, dir) => {
         val links = graft.api.TextOps.extractLinks(
           linkFixture(Tables.documents(s, dir)), "doc_id", "text")
@@ -2198,7 +2238,49 @@ FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""),
         graft.operators.PageRank.hitsByKey(edges, "src_host", "dst_host",
             iterations = 3)
           .select(col("key").as("host"), col("hub"), col("auth"))
-      })
+      }),
+
+    QueryDef(
+      "q160_fold_edge_rank",
+      "Host-graph index maintenance proven end-to-end for PageRank " +
+        "(PageRank.writeEdgeIndex / maintainEdgeIndex / " +
+        "ranksByKeyAgainstIndex) - the NINTH persisted index family: " +
+        "re-extracting and re-distincting a 100 TB crawl's links for " +
+        "every re-rank is corpus work, but the distinct host-pair set " +
+        "is host-graph-sized and ADDITIVE under set union, so a day's " +
+        "links fold in as their own sorted run (O(delta) write bytes) " +
+        "and layered runs reconcile by DISTINCT at read - the " +
+        "set-semantics sibling of the gram/line families' " +
+        "reconcile-by-SUM, where the hazard is an edge present in " +
+        "SEVERAL runs: without the distinct it would inflate degrees " +
+        "and corrupt every rank (the fixture guarantees such overlap: " +
+        "the %5==0 delta re-links mostly-existing host pairs). The " +
+        "engine builds v1 from docs %5!=0, maintain-folds the %5==0 " +
+        "slice, and ranks over the INDEX; the oracle is q152's " +
+        "full-corpus SQL VERBATIM (one shared definition) - " +
+        "fold==rebuild is literally the driver-checked hash.",
+      Some(hostCentralityOracleSql),
+      (s, dir) =>
+        graft.operators.PageRank.ranksByKeyAgainstIndex(
+            s, foldedEdgeDir(s, dir))
+          .select(col("key").as("host"), col("degree"), col("rank"))),
+
+    QueryDef(
+      "q161_fold_edge_hits",
+      "The folded edge index's DIRECTED consumer: HITS over the SAME " +
+        "maintained artifact q160 ranks (one foldedEdgeDir per SF - " +
+        "the SharedStages discipline), against q159's full-corpus " +
+        "oracle VERBATIM. Both crawl signals - undirected PageRank " +
+        "and directed hub/authority - read one reconciled graph, so " +
+        "the frontier scheduler's two priority inputs can never rank " +
+        "different edge sets; the index stores DIRECTED pairs and " +
+        "q160's symmetrization happens at read, which is what lets " +
+        "one artifact serve both.",
+      Some(hostHitsOracleSql),
+      (s, dir) =>
+        graft.operators.PageRank.hitsByKeyAgainstIndex(
+            s, foldedEdgeDir(s, dir))
+          .select(col("key").as("host"), col("hub"), col("auth")))
   )
 
   /** q153's line fixture — the q151 skeleton minus the license line,

@@ -1023,6 +1023,68 @@ class DedupSpec extends SparkSpec {
       "cross-run SUM reconcile failed: 1 + 1 did not cross maxDocFreq=1")
   }
 
+  test("maintainEdgeIndex: the NINTH family — layered folds reconcile " +
+      "by SET UNION (a cross-run duplicate edge stays ONE edge), folds " +
+      "are visible, compact-and-swap at threshold, and BOTH consumers " +
+      "(ranks + HITS) over the index == their raw-link twins throughout") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // v1: a->b, b->c. delta1 re-links a->b (the reconcile hazard: a
+    // probe that skipped the read-side distinct would double b's
+    // degree) AND adds c->d (the fold must be VISIBLE). delta2: d->a —
+    // crosses compactThreshold=3, so maintain compacts-and-swaps.
+    val v1 = Seq(("a.org", "b.org"), ("b.org", "c.org")).toDF("src", "dst")
+    val d1 = Seq(("a.org", "b.org"), ("c.org", "d.org")).toDF("src", "dst")
+    val d2 = Seq(("d.org", "a.org")).toDF("src", "dst")
+    def rankSet(links: org.apache.spark.sql.DataFrame) =
+      PageRank.ranksByKey(links, "src", "dst").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def hitsSet(links: org.apache.spark.sql.DataFrame) =
+      PageRank.hitsByKey(links, "src", "dst").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def gotRank(path: String) =
+      PageRank.ranksByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def gotHits(path: String) =
+      PageRank.hitsByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def layersOf(path: String) = spark.read.parquet(s"$path/meta").head()
+      .getAs[Number]("layers").intValue()
+    val dir = java.nio.file.Files.createTempDirectory("graft-edgeix-").toString
+    PageRank.writeEdgeIndex(v1, "src", "dst", s"$dir/ix")
+    assert(gotRank(s"$dir/ix") == rankSet(v1))
+    assert(gotHits(s"$dir/ix") == hitsSet(v1))
+    // fold #1: layered run; the dup edge must NOT change b's degree,
+    // the new edge MUST change the answer
+    assert(!PageRank.maintainEdgeIndex(d1, "src", "dst", s"$dir/ix",
+      compactThreshold = 3))
+    val all1 = v1.union(d1)
+    assert(layersOf(s"$dir/ix") == 2)
+    assert(gotRank(s"$dir/ix") == rankSet(all1),
+      "set-union reconcile failed: duplicate-across-runs edge inflated " +
+        "a degree or the folded edge is invisible")
+    assert(rankSet(v1) != rankSet(all1), "fixture must make the fold visible")
+    assert(gotHits(s"$dir/ix") == hitsSet(all1))
+    // fold #2 reaches threshold 3: compact-and-swap, reads unchanged
+    assert(PageRank.maintainEdgeIndex(d2, "src", "dst", s"$dir/ix",
+      compactThreshold = 3))
+    val all2 = all1.union(d2)
+    assert(layersOf(s"$dir/ix") == 1, "compaction must reset layers")
+    assert(gotRank(s"$dir/ix") == rankSet(all2))
+    assert(gotHits(s"$dir/ix") == hitsSet(all2))
+    // geometry is the index's own: missing meta fails by name
+    val e = intercept[IllegalStateException](
+      PageRank.ranksByKeyAgainstIndex(spark, s"$dir/nonexistent"))
+    assert(e.getMessage.contains("meta"), e.getMessage)
+    // and the family honors the writer lock: a held lock fails by name
+    val lock = java.nio.file.Paths.get(s"$dir/ix__writer.lock")
+    java.nio.file.Files.createFile(lock)
+    val e2 = intercept[IllegalStateException](
+      PageRank.maintainEdgeIndex(d2, "src", "dst", s"$dir/ix"))
+    assert(e2.getMessage.contains("__writer.lock"), e2.getMessage)
+    java.nio.file.Files.delete(lock)
+  }
+
   test("maintainIvfPqIndex: a concurrent maintain on a locked index " +
       "fails by name (the sixth family under the writer lock)") {
     import graft.api.{IndexMaintenance, VectorOps}

@@ -405,4 +405,32 @@ class RecoverySpec extends SparkSpec {
       "doc_id", "text", s"$dir/ix", maxDocFreq = 100)) == want,
       "restored-then-folded index must probe like a from-scratch build")
   }
+
+  test("maintainEdgeIndex recovers a crashed compact-and-swap at entry: " +
+      "live absent + __old present restores, the fold proceeds, ranks " +
+      "== the raw-link twin (the ninth family's crash case)") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val v1 = Seq(("a.org", "b.org"), ("b.org", "c.org")).toDF("src", "dst")
+    val d1 = Seq(("c.org", "d.org")).toDF("src", "dst")
+    val dir = Files.createTempDirectory("graft-edger-").toString
+    PageRank.writeEdgeIndex(v1, "src", "dst", s"$dir/ix")
+    // simulate the crash window: live moved aside, fresh copy dangling
+    Files.move(
+      java.nio.file.Paths.get(s"$dir/ix"),
+      java.nio.file.Paths.get(s"$dir/ix__old"))
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/ix__compacting"))
+    assert(!PageRank.maintainEdgeIndex(d1, "src", "dst", s"$dir/ix",
+      compactThreshold = 8))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/ix__compacting")) &&
+      !Files.exists(java.nio.file.Paths.get(s"$dir/ix__old")),
+      "stale siblings must be cleared unconditionally")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = asSet(PageRank.ranksByKey(v1.union(d1), "src", "dst"))
+    assert(want.nonEmpty &&
+      asSet(PageRank.ranksByKeyAgainstIndex(spark, s"$dir/ix")) == want,
+      "restored-then-folded index must rank like a from-scratch build")
+  }
 }
