@@ -226,6 +226,49 @@ FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""
       tmp
     })
 
+  /** q154's full scheduler oracle — ONE definition shared with q162
+    * (the deployed twin ranking off the MAINTAINED edge index), the
+    * [[hostCentralityOracleSql]] discipline.
+    */
+  private lazy val frontierPriorityOracleSql: String = s"""
+WITH p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = true)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+x AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+a AS (SELECT doc_id, href,
+             regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS host
+      FROM x
+      WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+g AS (SELECT host, href, count(*)::BIGINT AS n_refs FROM a GROUP BY 1, 2),
+r AS (SELECT host, href, n_refs,
+             row_number() OVER (PARTITION BY host
+               ORDER BY n_refs DESC, href)::BIGINT AS fetch_rank
+      FROM g),
+th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src, host AS dst FROM a),
+hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
+              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
+       FROM th),
+ed AS (SELECT DISTINCT least(hs, ht) AS a, greatest(hs, ht) AS b
+       FROM hh WHERE hs <> ht),
+e AS (SELECT a AS s, b AS t FROM ed UNION SELECT b, a FROM ed),
+deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY 1),
+r0 AS (SELECT id, degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM deg),
+${DedupQueries.pagerankRoundsSql(5)},
+v AS (SELECT DISTINCT src AS host FROM th
+      UNION SELECT DISTINCT dst FROM th),
+hr AS (SELECT v.host, r5.r AS host_rank
+       FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id)
+SELECT r.host, r.href, r.n_refs, r.fetch_rank, hr.host_rank
+FROM r JOIN hr ON r.host = hr.host
+WHERE r.fetch_rank <= 7"""
+
   /** q86's URL fixture: the documents table carries no URL column, so
     * ONE deterministic URL-per-doc generator is emitted into BOTH
     * engines (`castT` = string/varchar, `div` = div|`//` — the only
@@ -1936,44 +1979,7 @@ FROM m GROUP BY doc_id"""),
         "catalog); the scheduler's ORDER BY (host_rank DESC, n_refs " +
         "DESC) is derivable from the carried columns, which the " +
         "oracle value-checks row for row.",
-      Some(s"""
-WITH p AS (
-  SELECT doc_id, ${linkFixtureSqlExpr(withHub = true)} AS t0
-  FROM documents),
-l AS (SELECT doc_id,
-             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
-      FROM p),
-x AS (SELECT doc_id,
-             regexp_replace(links[g.i],
-               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
-      FROM l CROSS JOIN generate_series(1, 8) g(i)
-      WHERE g.i <= len(links)),
-a AS (SELECT doc_id, href,
-             regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS host
-      FROM x
-      WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
-g AS (SELECT host, href, count(*)::BIGINT AS n_refs FROM a GROUP BY 1, 2),
-r AS (SELECT host, href, n_refs,
-             row_number() OVER (PARTITION BY host
-               ORDER BY n_refs DESC, href)::BIGINT AS fetch_rank
-      FROM g),
-th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src, host AS dst FROM a),
-hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
-              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
-       FROM th),
-ed AS (SELECT DISTINCT least(hs, ht) AS a, greatest(hs, ht) AS b
-       FROM hh WHERE hs <> ht),
-e AS (SELECT a AS s, b AS t FROM ed UNION SELECT b, a FROM ed),
-deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY 1),
-r0 AS (SELECT id, degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM deg),
-${DedupQueries.pagerankRoundsSql(5)},
-v AS (SELECT DISTINCT src AS host FROM th
-      UNION SELECT DISTINCT dst FROM th),
-hr AS (SELECT v.host, r5.r AS host_rank
-       FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id)
-SELECT r.host, r.href, r.n_refs, r.fetch_rank, hr.host_rank
-FROM r JOIN hr ON r.host = hr.host
-WHERE r.fetch_rank <= 7"""),
+      Some(frontierPriorityOracleSql),
       (s, dir) => {
         val links = graft.api.TextOps.extractLinks(
           linkFixture(Tables.documents(s, dir), withHub = true),
@@ -2280,7 +2286,39 @@ FROM q GROUP BY ROLLUP (source, lang, quality)"""),
       (s, dir) =>
         graft.operators.PageRank.hitsByKeyAgainstIndex(
             s, foldedEdgeDir(s, dir))
-          .select(col("key").as("host"), col("hub"), col("auth")))
+          .select(col("key").as("host"), col("hub"), col("auth"))),
+
+    QueryDef(
+      "q162_frontier_priority_deployed",
+      "q154's DEPLOYED twin (the q141 discipline applied to the crawl " +
+        "scheduler): the politeness-budget leg computes from TODAY'S " +
+        "extraction (in-link counts are batch-shaped by nature), but " +
+        "the host-priority leg reads the MAINTAINED edge index " +
+        "(ranksByKeyAgainstIndex over q160's foldedEdgeDir artifact) " +
+        "instead of re-distincting and re-ranking the corpus's links " +
+        "in the scheduling path - per-schedule cost is extraction + " +
+        "host-graph-sized rank rounds, with the link-volume distinct " +
+        "amortized into the daily maintain* fold. The hub fixture's " +
+        "extra anchor is a same-host self-link, so the maintained " +
+        "graph (built hub-free) is identical to q154's rank leg - the " +
+        "subtlety both engines must agree on. Oracle = q154's " +
+        "full-scheduler SQL VERBATIM (one shared definition): " +
+        "row-for-row parity between the in-process and deployed " +
+        "compositions is the driver-checked hash.",
+      Some(frontierPriorityOracleSql),
+      (s, dir) => {
+        val links = graft.api.TextOps.extractLinks(
+          linkFixture(Tables.documents(s, dir), withHub = true),
+          "doc_id", "text")
+        val budget = graft.api.TextOps.frontierBudget(links,
+          "doc_id", "host", "href", budgetPerHost = 7)
+        val ranks = graft.operators.PageRank
+          .ranksByKeyAgainstIndex(s, foldedEdgeDir(s, dir))
+          .select(col("key").as("host"), col("rank").as("host_rank"))
+        budget.join(ranks, Seq("host"))
+          .select(col("host"), col("href"), col("n_refs"),
+            col("fetch_rank"), col("host_rank"))
+      })
   )
 
   /** q153's line fixture — the q151 skeleton minus the license line,
