@@ -452,6 +452,39 @@ object BenchScale {
       linedDelta, "doc_id", "text", s"$idxDir/line_base"))
     val lFldS = timedUnit(TextOps.foldIntoLineIndex(
       linedDelta, "doc_id", "text", s"$idxDir/line_scaled"))
+
+    // edge family (round 14): the q160/q161 host-graph posture — the
+    // build pays the one link-volume-sized distinct (honestly linear
+    // in link rows; the OUTPUT is host-pair-sized), folding a FIXED
+    // delta's links is O(delta) and must not track the corpus, and
+    // ranking over the index must not track the corpus behind it
+    // either (mod-keyed fixture hosts: 10x the links, same host
+    // graph — the web's shape, where pages grow far faster than
+    // hosts)
+    import graft.operators.PageRank
+    def edgeLinksOf(dir: String) = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+          lit(".org")).as("src"),
+        concat(lit("m"), (col("doc_id") % 29).cast("string"),
+          lit(".net")).as("dst"))
+    val edgeDelta = edgeLinksOf(baseDir)
+      .filter(col("doc_id") % 5 === 0).localCheckpoint()
+    val eIdxB = timedUnit(PageRank.writeEdgeIndex(
+      edgeLinksOf(baseDir).filter(col("doc_id") % 5 =!= 0),
+      "src", "dst", s"$idxDir/edge_base"))
+    val eIdxS = timedUnit(PageRank.writeEdgeIndex(
+      edgeLinksOf(outDir).filter(col("doc_id") % 5 =!= 0),
+      "src", "dst", s"$idxDir/edge_scaled"))
+    val ePrbB = BenchHarness.minOf2Of(() =>
+      PageRank.ranksByKeyAgainstIndex(spark, s"$idxDir/edge_base"))
+    val ePrbS = BenchHarness.minOf2Of(() =>
+      PageRank.ranksByKeyAgainstIndex(spark, s"$idxDir/edge_scaled"))
+    val eFldB = timedUnit(PageRank.foldIntoEdgeIndex(
+      edgeDelta, "src", "dst", s"$idxDir/edge_base"))
+    val eFldS = timedUnit(PageRank.foldIntoEdgeIndex(
+      edgeDelta, "src", "dst", s"$idxDir/edge_scaled"))
+    graft.api.Lifecycle.releaseLocalCheckpoint(edgeDelta)
     graft.api.Lifecycle.releaseLocalCheckpoint(fpDelta)
     // compaction: the amortized index-sized operation the appends
     // defer — compacting the now-2-layer minhash indexes
@@ -589,6 +622,7 @@ object BenchScale {
       ("q143_index_build", vfIdxB, vfIdxS, cRatio(vfIdxB, vfIdxS)),
       ("q150_index_build", gIdxB, gIdxS, cRatio(gIdxB, gIdxS)),
       ("q153_index_build", lIdxB, lIdxS, cRatio(lIdxB, lIdxS)),
+      ("q160_index_build", eIdxB, eIdxS, cRatio(eIdxB, eIdxS)),
       ("q110_compact_cost", tCmpB, tCmpS, cRatio(tCmpB, tCmpS)))
     val probeRows = Seq(
       ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
@@ -604,7 +638,9 @@ object BenchScale {
       ("q138_fold_const_delta", fFldB, fFldS, cRatio(fFldB, fFldS)),
       ("q150_fold_const_delta", gFldB, gFldS, cRatio(gFldB, gFldS)),
       ("q153_probe_const_delta", lPrbB, lPrbS, cRatio(lPrbB, lPrbS)),
-      ("q153_fold_const_delta", lFldB, lFldS, cRatio(lFldB, lFldS)))
+      ("q153_fold_const_delta", lFldB, lFldS, cRatio(lFldB, lFldS)),
+      ("q160_probe_const_delta", ePrbB, ePrbS, cRatio(ePrbB, ePrbS)),
+      ("q160_fold_const_delta", eFldB, eFldS, cRatio(eFldB, eFldS)))
 
     val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max
