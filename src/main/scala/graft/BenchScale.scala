@@ -485,6 +485,10 @@ object BenchScale {
     val eFldS = timedUnit(PageRank.foldIntoEdgeIndex(
       edgeDelta, "src", "dst", s"$idxDir/edge_scaled"))
     graft.api.Lifecycle.releaseLocalCheckpoint(edgeDelta)
+    // the rank probes localCheckpoint per round — drain them before
+    // the compaction/throughput measurements (the Heavy-loop leak
+    // hygiene rule applies to this block too)
+    BenchHarness.drainLocalCheckpoints(spark)
     graft.api.Lifecycle.releaseLocalCheckpoint(fpDelta)
     // compaction: the amortized index-sized operation the appends
     // defer — compacting the now-2-layer minhash indexes

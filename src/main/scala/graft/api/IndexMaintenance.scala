@@ -57,6 +57,42 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexMaintenance {
 
+  /** Shared meta writer for the (prefix_partitions, layers)-shaped
+    * index families (line-count, edge) — one schema and one
+    * rebuild-once error message instead of a per-family clone that
+    * can drift. Families with richer metas (gram's max_bucket,
+    * fingerprint's bits/hamming_max) keep their own.
+    */
+  def writeIndexMeta(s: SparkSession, path: String,
+      prefixPartitions: Int, layers: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    s.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(layers).as("layers"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (prefixPartitions, layers) off a [[writeIndexMeta]] meta —
+    * REQUIRED with a named rebuild-once error (probes and folds must
+    * use the index's own prefix modulus; a mismatched modulus would
+    * silently prune away real postings).
+    */
+  def readIndexMeta(s: SparkSession, indexPath: String,
+      op: String): (Int, Int) = {
+    val metaDf =
+      try s.read.parquet(s"$indexPath/meta")
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$op: cannot read $indexPath/meta — probes and folds must " +
+            "use the index's own prefix modulus (indexes written " +
+            "before the meta existed must be rebuilt once)", e)
+      }
+    val row = metaDf.head(1).headOption.getOrElse(
+      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
+    (row.getAs[Number]("prefix_partitions").intValue(),
+      row.getAs[Number]("layers").intValue())
+  }
+
   /** Compact once layer count reaches this many appended runs.
     * 8 runs ≈ a week of daily folds; read-side reconcile cost and
     * file-open fan-out both scale with the run count, so the

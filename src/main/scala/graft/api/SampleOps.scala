@@ -189,25 +189,28 @@ object SampleOps {
     * through the doc).
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
-      nTokCol: String, budgetX: Column, buckets: Int = 32): DataFrame = {
+      nTokCol: String, budgetX: Column, buckets: Int = 32): DataFrame =
     // budgetX is an expression over stratumCol (the mixtureResample
-    // weight contract), so evaluating it on the distinct-strata frame
-    // yields the per-stratum budget table fillToBudget consumes.
-    val budgets = df.select(col(stratumCol)).distinct()
-      .select(col(stratumCol), budgetX.cast("long").as("_budget"))
-    fillToBudget(df, idCol, stratumCol, nTokCol, budgets, buckets)
-  }
+    // weight contract), so it attaches to the tiny offsets frame as a
+    // plain column — no extra corpus scan
+    fillToBudget(df, idCol, stratumCol, nTokCol,
+      off => off.withColumn("_budget", budgetX.cast("long")), buckets)
 
   /** The shared fill-to-budget core behind [[tokenBudgetSample]] and
     * [[temperatureResample]] — ONE implementation of the two-phase
     * prefix sum + bucket prune + budget cut, so the closed-form-budget
     * and data-derived-budget entry points cannot drift (the bm25Rank /
-    * semanticLeg shared-back-half discipline). `budgets` is one row
-    * per stratum: (stratumCol, _budget: Long); strata absent from it
-    * keep nothing.
+    * semanticLeg shared-back-half discipline). `attachBudget` receives
+    * the TINY per-(stratum, bucket) offsets frame (it carries
+    * stratumCol) and must return it with a `_budget` Long column —
+    * a closed-form expression attaches for free, a data-derived budget
+    * table joins as a broadcast; either way the corpus is scanned
+    * exactly once. Rows of strata left without a budget (inner-join
+    * attachment) keep nothing.
     */
   private def fillToBudget(df: DataFrame, idCol: String, stratumCol: String,
-      nTokCol: String, budgets: DataFrame, buckets: Int): DataFrame = {
+      nTokCol: String, attachBudget: DataFrame => DataFrame,
+      buckets: Int): DataFrame = {
     val docs = df
       .select(col(idCol), col(stratumCol),
         col(nTokCol).cast("long").as("_nt"),
@@ -215,13 +218,12 @@ object SampleOps {
       .withColumn("_bkt", pmod(col("_h"), lit(buckets.toLong)))
     val totals = docs.groupBy(col(stratumCol), col("_bkt"))
       .agg(sum(col("_nt")).as("_t"))
-    val offsets = totals.join(
+    val offsets = attachBudget(totals.join(
         broadcast(totals.select(col(stratumCol).as("_s2"),
           col("_bkt").as("_b2"), col("_t").as("_t2"))),
         col("_s2") === col(stratumCol) && col("_b2") < col("_bkt"), "left")
       .groupBy(col(stratumCol), col("_bkt"))
-      .agg(coalesce(sum(col("_t2")), lit(0L)).as("_off"))
-      .join(broadcast(budgets), Seq(stratumCol))
+      .agg(coalesce(sum(col("_t2")), lit(0L)).as("_off")))
     // bucket-level prune BEFORE the window (see scaladoc): inner join
     // against only the offsets still under budget
     val live = docs.join(
@@ -298,10 +300,16 @@ object SampleOps {
       .agg(sum(col(nTokCol).cast("long")).as("_m"))
       .filter(col("_m") > 0L)
       .withColumn("_w", isqrt(col("_m")))
-    val k = masses.agg(min(expr("_m * 1000 div _w")).as("_k1000"))
+    // the ×1000 products run in decimal(38,0): m·1000 wraps Long past
+    // ~9.2e15 tokens per stratum, and k1000·w past ~9.2e18/w — the
+    // isqrt/HITS overflow discipline (DuckDB mirrors in HUGEINT)
+    val k = masses.agg(
+      min(expr("cast(_m as decimal(38,0)) * 1000 div _w")).as("_k1000"))
     val budgets = masses.crossJoin(broadcast(k))
-      .select(col(stratumCol), expr("_k1000 * _w div 1000").as("_budget"))
-    fillToBudget(df, idCol, stratumCol, nTokCol, budgets, buckets)
+      .select(col(stratumCol),
+        expr("cast(_k1000 as decimal(38,0)) * _w div 1000").as("_budget"))
+    fillToBudget(df, idCol, stratumCol, nTokCol,
+      off => off.join(broadcast(budgets), Seq(stratumCol)), buckets)
   }
 
   /** Balanced shard assignment by token mass — the training-data

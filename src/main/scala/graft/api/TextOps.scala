@@ -52,6 +52,16 @@ object TextOps {
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
       stopword: String = " the ", keep: Seq[String] = Nil): DataFrame = {
+    // a keep column shadowing an internal/output name would emit
+    // duplicate columns and fail downstream with a raw
+    // ambiguous-reference error — fail by name instead
+    val reserved =
+      Set("n_char", "n_tok", "n_stop", "tok_len_x1000", "stop_x1000",
+        "quality") ++ Set(idCol)
+    val clash = keep.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"qualityScore: keep column(s) ${clash.mkString(", ")} collide " +
+        "with the op's internal/output columns — rename before passing")
     val kept = keep.map(col)
     df.select(col(idCol) +: kept ++: Seq(
         length(col(textCol)).cast("long").as("n_char"),
@@ -90,11 +100,25 @@ object TextOps {
       stopword: String = " the "): DataFrame = {
     val scored = qualityScore(df, idCol, textCol, stopword,
       keep = Seq(sourceCol, langCol))
-    val total = scored.agg(sum(col("n_tok")).as("_tot"))
-    scored.rollup(col(sourceCol), col(langCol), col("quality"))
+    // the rollup's own grand-total row IS the corpus total. The
+    // rolled frame is consumed twice (card rows + the broadcast
+    // total), so it localCheckpoints — the q93/q137 consumed-twice
+    // discipline: without the eager cut, Catalyst pushes the
+    // grand-row filter BELOW the final aggregate into its own Expand
+    // branch (breaking exchange reuse) and the corpus is scanned and
+    // re-tokenized twice; the checkpoint pins the one corpus pass
+    // and both consumers read group-count rows (PlanSpec: the final
+    // plan contains no corpus scan at all).
+    val rolled = scored
+      .rollup(col(sourceCol), col(langCol), col("quality"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         grouping(col(sourceCol)).as("_gs"), grouping(col(langCol)).as("_gl"),
         grouping(col("quality")).as("_gq"))
+      .localCheckpoint()
+    val total = rolled
+      .filter(col("_gs") === 1 && col("_gl") === 1 && col("_gq") === 1)
+      .select(col("n_tokens").as("_tot"))
+    rolled
       .crossJoin(broadcast(total))
       .select(
         when(col("_gs") === 1, lit("(all)")).otherwise(col(sourceCol))
@@ -849,33 +873,16 @@ object TextOps {
       .groupBy(col("lh")).agg(count(lit(1)).as("n_docs"))
       .withColumn("__lp", pmod(col("lh"), lit(prefixPartitions.toLong)))
 
+  // meta read/write is the shared (prefix_partitions, layers) pair in
+  // IndexMaintenance — one schema + one rebuild-once error for every
+  // family of this shape, no per-family clone to drift
   private def writeLineMeta(s: org.apache.spark.sql.SparkSession,
       path: String, prefixPartitions: Int, layers: Int): Unit =
-    s.range(1)
-      .select(lit(prefixPartitions).as("prefix_partitions"),
-        lit(layers).as("layers"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    IndexMaintenance.writeIndexMeta(s, path, prefixPartitions, layers)
 
-  /** (prefixPartitions, layers) off a [[writeLineIndex]] meta —
-    * REQUIRED with a named rebuild-once error (the probe must prune
-    * with the index's own prefix modulus; a mismatched modulus would
-    * silently prune away real postings).
-    */
   private def readLineMeta(s: org.apache.spark.sql.SparkSession,
-      indexPath: String, op: String): (Int, Int) = {
-    val metaDf =
-      try s.read.parquet(s"$indexPath/meta")
-      catch {
-        case e: Exception => throw new IllegalStateException(
-          s"$op: cannot read $indexPath/meta — probes and folds must " +
-            "use the index's own prefix modulus (indexes written " +
-            "before the meta existed must be rebuilt once)", e)
-      }
-    val row = metaDf.head(1).headOption.getOrElse(
-      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
-    (row.getAs[Number]("prefix_partitions").intValue(),
-      row.getAs[Number]("layers").intValue())
-  }
+      indexPath: String, op: String): (Int, Int) =
+    IndexMaintenance.readIndexMeta(s, indexPath, op)
 
   /** Fold a DELTA of new documents into a persisted [[writeLineIndex]]
     * IN PLACE with O(delta) write bytes: the delta's per-line

@@ -221,19 +221,41 @@ object PageRank {
     *
     * @return one row per vertex: (key, hub, auth).
     */
-  def hitsByKey(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, scale: Long = Scale): DataFrame = {
-    val h = edges.select(
+  /** Shared key→hash derivation — (s, _sk, t, _tk) rows with
+    * self-loops dropped. ONE definition behind [[ranksByKey]],
+    * [[hitsByKey]] and the persisted [[writeEdgeIndex]] family, so the
+    * inline consumers and the index can never key, hash or
+    * self-loop-filter differently (the edgeRows/bm25Rank shared-front
+    * discipline).
+    */
+  private def keyedEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(
         graft.functions.TextHashing.hash60(col(srcCol)).as("s"),
         col(srcCol).as("_sk"),
         graft.functions.TextHashing.hash60(col(dstCol)).as("t"),
         col(dstCol).as("_tk"))
       .filter(col("s") =!= col("t"))
-    val vertices = h.select(col("s").as("id"), col("_sk").as("key"))
+
+  /** The hash→key join-back map off a [[keyedEdges]] frame. */
+  private def vertexMap(h: DataFrame): DataFrame =
+    h.select(col("s").as("id"), col("_sk").as("key"))
       .union(h.select(col("t").as("id"), col("_tk").as("key")))
       .distinct()
+
+  /** Distinct unordered pairs — the SIMPLE undirected graph every
+    * PageRank consumer ranks, whether the (s, t) rows came inline or
+    * from the persisted index.
+    */
+  private def symmetrized(e: DataFrame): DataFrame =
+    e.select(least(col("s"), col("t")).as("a"),
+      greatest(col("s"), col("t")).as("b")).distinct()
+
+  def hitsByKey(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, scale: Long = Scale): DataFrame = {
+    val h = keyedEdges(edges, srcCol, dstCol)
     hits(h.select(col("s"), col("t")), "s", "t", iterations, scale)
-      .join(vertices, Seq("id"))
+      .join(vertexMap(h), Seq("id"))
       .select(col("key"), col("hub"), col("auth"))
   }
 
@@ -268,19 +290,10 @@ object PageRank {
   def ranksByKey(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampingPct: Int = 85,
       scale: Long = Scale): DataFrame = {
-    val h = edges.select(
-        graft.functions.TextHashing.hash60(col(srcCol)).as("s"),
-        col(srcCol).as("_sk"),
-        graft.functions.TextHashing.hash60(col(dstCol)).as("t"),
-        col(dstCol).as("_tk"))
-      .filter(col("s") =!= col("t"))
-    val undirected = h.select(least(col("s"), col("t")).as("a"),
-      greatest(col("s"), col("t")).as("b")).distinct()
-    val vertices = h.select(col("s").as("id"), col("_sk").as("key"))
-      .union(h.select(col("t").as("id"), col("_tk").as("key")))
-      .distinct()
-    ranks(undirected, "a", "b", iterations, dampingPct, scale)
-      .join(vertices, Seq("id"))
+    val h = keyedEdges(edges, srcCol, dstCol)
+    ranks(symmetrized(h.select(col("s"), col("t"))), "a", "b",
+        iterations, dampingPct, scale)
+      .join(vertexMap(h), Seq("id"))
       .select(col("key"), col("degree"), col("rank"))
   }
 
@@ -306,43 +319,23 @@ object PageRank {
     */
   private def edgeRows(edges: DataFrame, srcCol: String, dstCol: String,
       prefixPartitions: Int): (DataFrame, DataFrame) = {
-    val h = edges.select(
-        graft.functions.TextHashing.hash60(col(srcCol)).as("s"),
-        col(srcCol).as("_sk"),
-        graft.functions.TextHashing.hash60(col(dstCol)).as("t"),
-        col(dstCol).as("_tk"))
-      .filter(col("s") =!= col("t"))
+    val h = keyedEdges(edges, srcCol, dstCol)
     val e = h.select(col("s"), col("t")).distinct()
       .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong)))
-    val v = h.select(col("s").as("id"), col("_sk").as("key"))
-      .union(h.select(col("t").as("id"), col("_tk").as("key")))
-      .distinct()
+    val v = vertexMap(h)
       .withColumn("__vp", pmod(col("id"), lit(prefixPartitions.toLong)))
     (e, v)
   }
 
+  // meta read/write is the shared (prefix_partitions, layers) pair in
+  // IndexMaintenance — the line family's exact shape, no clone
   private def writeEdgeMeta(s: org.apache.spark.sql.SparkSession,
       path: String, prefixPartitions: Int, layers: Int): Unit =
-    s.range(1)
-      .select(lit(prefixPartitions).as("prefix_partitions"),
-        lit(layers).as("layers"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.api.IndexMaintenance.writeIndexMeta(s, path, prefixPartitions, layers)
 
   private def readEdgeMeta(s: org.apache.spark.sql.SparkSession,
-      indexPath: String, op: String): (Int, Int) = {
-    val metaDf =
-      try s.read.parquet(s"$indexPath/meta")
-      catch {
-        case e: Exception => throw new IllegalStateException(
-          s"$op: cannot read $indexPath/meta — folds and reads must " +
-            "use the index's own prefix modulus (indexes written " +
-            "before the meta existed must be rebuilt once)", e)
-      }
-    val row = metaDf.head(1).headOption.getOrElse(
-      throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
-    (row.getAs[Number]("prefix_partitions").intValue(),
-      row.getAs[Number]("layers").intValue())
-  }
+      indexPath: String, op: String): (Int, Int) =
+    graft.api.IndexMaintenance.readIndexMeta(s, indexPath, op)
 
   /** Materialize a link stream's distinct directed host graph to
     * parquet: `$path/edges` = (s, t) 60-bit hash pairs partitioned by
@@ -452,9 +445,7 @@ object PageRank {
       indexPath: String, iterations: Int = 5, dampingPct: Int = 85,
       scale: Long = Scale): DataFrame = {
     val (e, v) = edgesFromIndex(s, indexPath, "ranksByKeyAgainstIndex")
-    val undirected = e.select(least(col("s"), col("t")).as("a"),
-      greatest(col("s"), col("t")).as("b")).distinct()
-    ranks(undirected, "a", "b", iterations, dampingPct, scale)
+    ranks(symmetrized(e), "a", "b", iterations, dampingPct, scale)
       .join(v, Seq("id"))
       .select(col("key"), col("degree"), col("rank"))
   }

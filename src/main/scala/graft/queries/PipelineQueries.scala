@@ -2152,8 +2152,8 @@ WITH t AS (SELECT doc_id, source,
 m AS (SELECT source, sum(n_tok)::BIGINT AS mt FROM t GROUP BY 1),
 w AS (SELECT source, mt, ${graft.api.SampleOps.isqrtSql("mt")} AS wt
       FROM m WHERE mt > 0),
-k AS (SELECT min(mt * 1000 // wt) AS k1000 FROM w),
-b AS (SELECT source, (k1000 * wt) // 1000 AS budget FROM w, k),
+k AS (SELECT min((mt::HUGEINT * 1000) // wt) AS k1000 FROM w),
+b AS (SELECT source, (k1000::HUGEINT * wt) // 1000 AS budget FROM w, k),
 o AS (SELECT doc_id, source, n_tok,
              COALESCE(sum(n_tok) OVER (PARTITION BY source
                ORDER BY h % 32, h, doc_id

@@ -303,6 +303,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityScore keep: a keep column shadowing an internal/output " +
+      "name fails by name, not with a raw ambiguous-reference error") {
+    val docs = Tables.documents(spark, sf)
+    val e = intercept[IllegalArgumentException](
+      graft.api.TextOps.qualityScore(docs, "doc_id", "text",
+        keep = Seq("n_tok")))
+    assert(e.getMessage.contains("n_tok") &&
+      e.getMessage.contains("collide"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.api.TextOps.qualityScore(docs, "doc_id", "text",
+        keep = Seq("quality")))
+    assert(e2.getMessage.contains("quality"), e2.getMessage)
+  }
+
   test("q158 datasetCard: grand total covers the corpus at ppm 1e6, " +
       "leaves sum to every subtotal, markers consistent") {
     val rows = run("q158_dataset_card").collect()
