@@ -1137,17 +1137,22 @@ object DedupOps {
     * ([[writeGramIndex]] / [[exactSubstringSpansAgainstIndex]]) paths
     * so corpus and delta can never gram differently.
     */
-  private def gramPositions(df: DataFrame, idCol: String, textCol: String,
-      gramTokens: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), split(col(textCol), " ", -1).as("__tk"))
+  private[graft] def gramPositions(df: DataFrame, idCol: String,
+      textCol: String, gramTokens: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val extras = extraCols.map(col)
+    df.select(col(idCol).as("doc_id") +: extras :+
+        split(col(textCol), " ", -1).as("__tk"): _*)
       .filter(size(col("__tk")) >= gramTokens)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("__tk")) - gramTokens)).as("__p"),
-        col("__tk"))
-      .select(col("doc_id"), col("__p").cast("long").as("pos"),
+      .select(col("doc_id") +: extras :+
+        explode(sequence(lit(0), size(col("__tk")) - gramTokens)).as("__p") :+
+        col("__tk"): _*)
+      .select(col("doc_id") +: extras :+
+        col("__p").cast("long").as("pos") :+
         TextHashing.hash60(concat_ws(" ",
           slice(col("__tk"), col("__p") + 1, lit(gramTokens))))
-          .as("__gh"))
+          .as("__gh"): _*)
+  }
 
   /** The island-merge back half: maximal intervals over covered
     * positions — intervals [p, p+k) sorted by start merge iff
@@ -1247,7 +1252,7 @@ object DedupOps {
     * gram with the index's own geometry; mismatched gram widths would
     * silently match nothing).
     */
-  private def readGramMeta(s: org.apache.spark.sql.SparkSession,
+  private[graft] def readGramMeta(s: org.apache.spark.sql.SparkSession,
       indexPath: String, op: String): (Int, Int, Int) = {
     val metaDf =
       try s.read.parquet(s"$indexPath/meta")
@@ -1357,16 +1362,23 @@ object DedupOps {
       .distinct().collect().map(_.getLong(0)).toSeq
     val pruned = s.read.parquet(s"$indexPath/grams")
       .filter(col("__gp").isin(prefixes: _*)).drop("__gp")
-    val reconciled =
-      if (layers <= 1) pruned
-      else pruned.groupBy(col("gh")).agg(sum(col("n_docs")).as("n_docs"))
-    val shared = reconciled
+    val shared = reconcileGramRuns(pruned, layers)
       .filter(col("n_docs") >= minCorpusDocs &&
         col("n_docs") <= maxDocsPerGram)
       .select(col("gh").as("__gh"))
     mergeSpans(deltaGrams.join(shared, Seq("__gh"), "left_semi")
       .select(col("doc_id"), col("pos")), gramTokens)
   }
+
+  /** Layered-run reconcile for the gram index — per-gram counts SUM
+    * across runs (exact by additivity); ONE definition shared by the
+    * batch probe and the streaming gate's author-time read (the
+    * reconcileLineRuns discipline).
+    */
+  private[graft] def reconcileGramRuns(raw: DataFrame,
+      layers: Int): DataFrame =
+    if (layers <= 1) raw
+    else raw.groupBy(col("gh")).agg(sum(col("n_docs")).as("n_docs"))
 
   /** Transitive near-dup clusters over a pair frame. Output: doc_id,
     * cluster_id (= component min). See ConnectedComponents for rounds.

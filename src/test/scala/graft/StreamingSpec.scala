@@ -624,6 +624,107 @@ class StreamingSpec extends SparkSpec {
         s" / ${want.diff(got).take(3)}")
   }
 
+  /** In-JVM ground truth for the gram gate: per delta doc, gram
+    * positions whose 8-gram appears in [min, cap] corpus docs, island-
+    * merged with mergeSpans' exact break rule — independent of BOTH
+    * the batch probe and the gate.
+    */
+  private def bruteGramTruth(corpus: Seq[String], deltas: Seq[(Long, String)],
+      k: Int): Map[Long, (Long, Long, Long, Long)] = {
+    def grams(t: String): Seq[String] = {
+      val tk = t.split(" ", -1).toSeq
+      if (tk.length < k) Seq.empty
+      else (0 to tk.length - k).map(i => tk.slice(i, i + k).mkString(" "))
+    }
+    val df = corpus.map(t => grams(t).toSet)
+      .foldLeft(Map.empty[String, Int]) { (m, gs) =>
+        gs.foldLeft(m)((mm, g) => mm.updated(g, mm.getOrElse(g, 0) + 1)) }
+    val shared = df.filter { case (_, c) => c >= 1 && c <= 1000 }.keySet
+    deltas.map { case (id, t) =>
+      val gs = grams(t)
+      val hits = gs.zipWithIndex.collect {
+        case (g, p) if shared(g) => p.toLong }
+      var (cov, pe, spans) = (0L, -1L, 0L)
+      hits.foreach { p =>
+        cov += math.max(0L, p + k - math.max(pe, p))
+        if (p > pe) spans += 1
+        pe = math.max(pe, p + k)
+      }
+      id -> ((gs.length.toLong, hits.length.toLong, spans, cov))
+    }.toMap
+  }
+
+  private def assertGramGateParity(sinkName: String,
+      redeliver: Boolean = false): Unit = {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramgate-").toString
+    graft.api.DedupOps.writeGramIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", s"$dir/ix")
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = GramGate.spansGate(input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes",
+      s"$dir/ix")
+    val q = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val base = 1558430000000L
+      val recs = delta.zipWithIndex.map { case ((id, t), i) =>
+        (id, t, ts(base + i * 1000L)) }
+      val fed = if (redeliver) recs.flatMap(r => Seq(r, r)) else recs
+      val (a, b) = fed.splitAt(fed.length / 2)
+      input.addData(a.toSeq: _*); q.processAllAvailable()
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(sinkName).filter(col("doc_id") >= 0)
+      .select("doc_id", "n_grams", "n_hit", "n_spans", "covered_tokens")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val want = bruteGramTruth(corpus, delta, k = 8)
+    assert(want.exists(_._2._3 > 0), "no contaminated doc — vacuous")
+    assert(got == want,
+      s"stream=${got.size} brute=${want.size} " +
+        s"diff=${(want.toSet -- got.toSet).take(2)} / " +
+        s"${(got.toSet -- want.toSet).take(2)}")
+    // the gate's island totals must also equal the batch index probe's
+    // per-doc span rollup (three-way agreement)
+    val batch = graft.api.DedupOps.exactSubstringSpansAgainstIndex(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", s"$dir/ix")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ns"), sum(col("span_tokens")).as("cov"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    got.foreach { case (id, (_, _, ns, cov)) =>
+      val w = batch.getOrElse(id, (0L, 0L))
+      assert((ns, cov) == w, s"doc $id: gate ($ns, $cov) vs batch $w")
+    }
+  }
+
+  test("GramGate: streaming exact-substring decontamination == brute " +
+      "truth AND the batch index probe's island totals") {
+    assertGramGateParity("gram_gate_stream")
+  }
+
+  test("GramGate is delivery-idempotent per (window, doc): a " +
+      "redelivered doc collapses to one position set") {
+    assertGramGateParity("gram_gate_idem", redeliver = true)
+  }
+
+  test("GramGate parity holds under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertGramGateParity("gram_gate_rocks")
+    }
+  }
+
   test("CdcGate parity holds under the RocksDB state store") {
     StateStoreVariants.withRocksDB(spark) {
       assertCdcGateParity("cdc_gate_stream_rocks")
