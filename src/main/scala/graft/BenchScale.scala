@@ -487,9 +487,11 @@ object BenchScale {
     graft.api.Lifecycle.releaseLocalCheckpoint(edgeDelta)
     // the rank probes localCheckpoint per round — drain them before
     // the compaction/throughput measurements (the Heavy-loop leak
-    // hygiene rule applies to this block too)
-    BenchHarness.drainLocalCheckpoints(spark)
+    // hygiene rule applies to this block too); fpDelta's release must
+    // precede the drain — after it the release would be a no-op on an
+    // already-unpersisted frame
     graft.api.Lifecycle.releaseLocalCheckpoint(fpDelta)
+    BenchHarness.drainLocalCheckpoints(spark)
     // compaction: the amortized index-sized operation the appends
     // defer — compacting the now-2-layer minhash indexes
     val tCmpB = timedUnit(DedupOps.compactMinhashIndex(

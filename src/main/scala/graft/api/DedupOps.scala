@@ -1139,11 +1139,22 @@ object DedupOps {
     */
   private[graft] def gramPositions(df: DataFrame, idCol: String,
       textCol: String, gramTokens: Int,
+      extraCols: Seq[String] = Nil): DataFrame =
+    gramPositionsTokens(
+      df.select(col(idCol).as("doc_id") +: extraCols.map(col) :+
+        split(col(textCol), " ", -1).as("__tk"): _*),
+      gramTokens, extraCols)
+
+  /** [[gramPositions]] off a PRE-SPLIT frame carrying
+    * (doc_id, extraCols..., __tk) — the streaming gate tokenizes once
+    * for both its gram-less-branch length check and the gram explode
+    * instead of paying the split twice per micro-batch. One body
+    * behind both entry points.
+    */
+  private[graft] def gramPositionsTokens(pre: DataFrame, gramTokens: Int,
       extraCols: Seq[String] = Nil): DataFrame = {
     val extras = extraCols.map(col)
-    df.select(col(idCol).as("doc_id") +: extras :+
-        split(col(textCol), " ", -1).as("__tk"): _*)
-      .filter(size(col("__tk")) >= gramTokens)
+    pre.filter(size(col("__tk")) >= gramTokens)
       .select(col("doc_id") +: extras :+
         explode(sequence(lit(0), size(col("__tk")) - gramTokens)).as("__p") :+
         col("__tk"): _*)

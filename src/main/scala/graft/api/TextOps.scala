@@ -98,8 +98,6 @@ object TextOps {
   def datasetCard(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, langCol: String,
       stopword: String = " the "): DataFrame = {
-    val scored = qualityScore(df, idCol, textCol, stopword,
-      keep = Seq(sourceCol, langCol))
     // the rollup's own grand-total row IS the corpus total. The
     // rolled frame is consumed twice (card rows + the broadcast
     // total), so it localCheckpoints — the q93/q137 consumed-twice
@@ -107,14 +105,11 @@ object TextOps {
     // grand-row filter BELOW the final aggregate into its own Expand
     // branch (breaking exchange reuse) and the corpus is scanned and
     // re-tokenized twice; the checkpoint pins the one corpus pass
-    // and both consumers read group-count rows (PlanSpec: the final
-    // plan contains no corpus scan at all).
-    val rolled = scored
-      .rollup(col(sourceCol), col(langCol), col("quality"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-        grouping(col(sourceCol)).as("_gs"), grouping(col(langCol)).as("_gl"),
-        grouping(col("quality")).as("_gq"))
-      .localCheckpoint()
+    // and both consumers read group-count rows (PlanSpec pins the
+    // pre-checkpoint pass shape AND that the final plan contains no
+    // corpus scan).
+    val rolled = datasetCardRolled(df, idCol, textCol, sourceCol,
+      langCol, stopword).localCheckpoint()
     val total = rolled
       .filter(col("_gs") === 1 && col("_gl") === 1 && col("_gq") === 1)
       .select(col("n_tokens").as("_tot"))
@@ -130,6 +125,31 @@ object TextOps {
         col("n_docs"), col("n_tokens"),
         expr("(cast(n_tokens as decimal(38,0)) * 1000000) div _tot")
           .as("tok_ppm"))
+  }
+
+  /** The card's ONE corpus pass (pre-checkpoint): scoring + rollup +
+    * grouping markers. Factored so PlanSpec can pin the pass's shape
+    * (one Expand, one scan, one exchange) — the localCheckpoint in
+    * [[datasetCard]] makes that subtree invisible in the final plan.
+    */
+  private[graft] def datasetCardRolled(df: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, langCol: String,
+      stopword: String): DataFrame = {
+    // qualityScore guards its own names; the card's downstream names
+    // need the same fail-by-name protection for the grouping columns
+    val reserved = Set("n_docs", "n_tokens", "_gs", "_gl", "_gq",
+      "_tot", "tok_ppm")
+    val clash = Seq(sourceCol, langCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"datasetCard: grouping column(s) ${clash.mkString(", ")} collide " +
+        "with the card's output/working columns — rename before passing")
+    val scored = qualityScore(df, idCol, textCol, stopword,
+      keep = Seq(sourceCol, langCol))
+    scored
+      .rollup(col(sourceCol), col(langCol), col("quality"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        grouping(col(sourceCol)).as("_gs"), grouping(col(langCol)).as("_gl"),
+        grouping(col("quality")).as("_gq"))
   }
 
   /** Per-document unigram token-entropy quality signal in EXACT

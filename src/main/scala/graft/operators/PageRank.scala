@@ -207,20 +207,6 @@ object PageRank {
     out
   }
 
-  /** [[hits]] over STRING-keyed vertices — the [[ranksByKey]] shape
-    * for the directed host graph: keys map through the shared 60-bit
-    * hash (oracle-replayable), edges collapse to DISTINCT directed
-    * host pairs before any iteration (a hub linked from a thousand
-    * pages is still one edge — in-link VOLUME is
-    * [[graft.api.TextOps.frontierBudget]]'s signal; HITS measures
-    * graph position), self-links drop, and the final scores join the
-    * key back through a broadcast-sized vertex map. Unlike
-    * [[ranksByKey]] the graph stays DIRECTED — hub/authority duality
-    * IS the direction structure; symmetrizing would collapse the two
-    * scores into one.
-    *
-    * @return one row per vertex: (key, hub, auth).
-    */
   /** Shared key→hash derivation — (s, _sk, t, _tk) rows with
     * self-loops dropped. ONE definition behind [[ranksByKey]],
     * [[hitsByKey]] and the persisted [[writeEdgeIndex]] family, so the
@@ -251,6 +237,20 @@ object PageRank {
     e.select(least(col("s"), col("t")).as("a"),
       greatest(col("s"), col("t")).as("b")).distinct()
 
+  /** [[hits]] over STRING-keyed vertices — the [[ranksByKey]] shape
+    * for the directed host graph: keys map through the shared 60-bit
+    * hash (oracle-replayable), edges collapse to DISTINCT directed
+    * host pairs before any iteration (a hub linked from a thousand
+    * pages is still one edge — in-link VOLUME is
+    * [[graft.api.TextOps.frontierBudget]]'s signal; HITS measures
+    * graph position), self-links drop, and the final scores join the
+    * key back through a broadcast-sized vertex map. Unlike
+    * [[ranksByKey]] the graph stays DIRECTED — hub/authority duality
+    * IS the direction structure; symmetrizing would collapse the two
+    * scores into one.
+    *
+    * @return one row per vertex: (key, hub, auth).
+    */
   def hitsByKey(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, scale: Long = Scale): DataFrame = {
     val h = keyedEdges(edges, srcCol, dstCol)

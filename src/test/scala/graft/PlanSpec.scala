@@ -152,6 +152,22 @@ class PlanSpec extends SparkSpec {
       "post-checkpoint card work should be broadcast-only")
     assert(!nodes.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // and the checkpointed pass ITSELF (invisible above) keeps its
+    // shape: one Expand feeding all four grouping levels, one corpus
+    // scan, one exchange — pinned on the factored pre-checkpoint frame
+    val pre = graft.api.TextOps.datasetCardRolled(
+      Tables.documents(spark, sf), "doc_id", "text", "source", "lang",
+      " the ")
+    pre.collect()
+    val preNodes = collectAll(pre.queryExecution.executedPlan)
+    assert(preNodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.ExpandExec]) == 1,
+      "expected exactly one Expand in the corpus pass")
+    assert(preNodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.FileSourceScanExec]) == 1,
+      "the corpus pass must scan documents exactly once")
+    assert(preNodes.count(_.isInstanceOf[ShuffleExchangeLike]) <= 1,
+      "the corpus pass is one partial+final aggregate")
   }
 
   test("q159: HITS rounds move vertex-count rows — no cartesian " +

@@ -664,9 +664,10 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     val input = MemoryStream[(Long, String, Timestamp)]
+    val gramSet = GramGate.indexFromPath(spark, s"$dir/ix")
     val out = GramGate.spansGate(input.toDF().toDF("doc_id", "text", "ts"),
       "doc_id", "text", "ts", delay = "1 hour", window = "10 minutes",
-      s"$dir/ix")
+      gramSet)
     val q = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
@@ -681,7 +682,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); gramSet.unpersist() }
     val got = spark.table(sinkName).filter(col("doc_id") >= 0)
       .select("doc_id", "n_grams", "n_hit", "n_spans", "covered_tokens")
       .collect()
@@ -723,6 +724,53 @@ class StreamingSpec extends SparkSpec {
     StateStoreVariants.withRocksDB(spark) {
       assertGramGateParity("gram_gate_rocks")
     }
+  }
+
+  test("GramGate authors over a LAYERED index with cross-run SUM " +
+      "reconcile: a gram at count 1 in v1 and 1 in the fold crosses " +
+      "minCorpusDocs=2 ONLY through the sum (the gram family's " +
+      "discipline, pinned on the streaming read)") {
+    import spark.implicits._
+    import graft.api.DedupOps
+    val gram = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val v1 = Seq((10L, s"$gram tailA one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val delta = Seq((20L, s"$gram tailB one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gramgate-sum-").toString
+    DedupOps.writeGramIndex(v1, "doc_id", "text", s"$dir/ix")
+    assert(!DedupOps.maintainGramIndex(delta, "doc_id", "text", s"$dir/ix"))
+    // layers == 2 now; at minCorpusDocs=2 the shared gram qualifies
+    // only if the author-time read SUMS across runs
+    def gateHits(min: Int): Long = {
+      val set = GramGate.indexFromPath(spark, s"$dir/ix",
+        minCorpusDocs = min)
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val out = GramGate.spansGate(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", "1 hour", "10 minutes", set)
+      val sink = s"gram_gate_sum_$min"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val base = 1558430000000L
+        input.addData((1L, s"$gram probe one two three four five six seven",
+          ts(base)))
+        q.processAllAvailable()
+        input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+        q.processAllAvailable()
+        input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+        q.processAllAvailable()
+      } finally { q.stop(); set.unpersist() }
+      spark.table(sink).filter(col("doc_id") === 1L)
+        .select("n_hit").head().getLong(0)
+    }
+    assert(gateHits(2) == 1L,
+      "cross-run SUM reconcile failed on the gate's author-time read: " +
+        "1 + 1 did not reach minCorpusDocs=2")
+    assert(gateHits(3) == 0L,
+      "threshold must apply to the reconciled total, not per run")
   }
 
   test("CdcGate parity holds under the RocksDB state store") {
