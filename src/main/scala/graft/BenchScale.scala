@@ -485,6 +485,31 @@ object BenchScale {
     val eFldS = timedUnit(PageRank.foldIntoEdgeIndex(
       edgeDelta, "src", "dst", s"$idxDir/edge_scaled"))
     graft.api.Lifecycle.releaseLocalCheckpoint(edgeDelta)
+    // weighted edge family (round 15): the q165 posture — the same
+    // mod-keyed host graph with unit link weights (per-pair counts).
+    // 10x the links means 10x the WEIGHTS but the same host-pair row
+    // count, so the probe (weighted rank over the index) and the
+    // fixed delta's fold must both stay flat while the one-shot build
+    // tracks link volume.
+    def wEdgeLinksOf(dir: String) =
+      edgeLinksOf(dir).withColumn("w1", lit(1L))
+    val wEdgeDelta = wEdgeLinksOf(baseDir)
+      .filter(col("doc_id") % 5 === 0).localCheckpoint()
+    val weIdxB = timedUnit(PageRank.writeWeightedEdgeIndex(
+      wEdgeLinksOf(baseDir).filter(col("doc_id") % 5 =!= 0),
+      "src", "dst", "w1", s"$idxDir/wedge_base"))
+    val weIdxS = timedUnit(PageRank.writeWeightedEdgeIndex(
+      wEdgeLinksOf(outDir).filter(col("doc_id") % 5 =!= 0),
+      "src", "dst", "w1", s"$idxDir/wedge_scaled"))
+    val wePrbB = BenchHarness.minOf2Of(() =>
+      PageRank.weightedRanksByKeyAgainstIndex(spark, s"$idxDir/wedge_base"))
+    val wePrbS = BenchHarness.minOf2Of(() =>
+      PageRank.weightedRanksByKeyAgainstIndex(spark, s"$idxDir/wedge_scaled"))
+    val weFldB = timedUnit(PageRank.foldIntoWeightedEdgeIndex(
+      wEdgeDelta, "src", "dst", "w1", s"$idxDir/wedge_base"))
+    val weFldS = timedUnit(PageRank.foldIntoWeightedEdgeIndex(
+      wEdgeDelta, "src", "dst", "w1", s"$idxDir/wedge_scaled"))
+    graft.api.Lifecycle.releaseLocalCheckpoint(wEdgeDelta)
     // the rank probes localCheckpoint per round — drain them before
     // the compaction/throughput measurements (the Heavy-loop leak
     // hygiene rule applies to this block too); fpDelta's release must
@@ -629,6 +654,7 @@ object BenchScale {
       ("q150_index_build", gIdxB, gIdxS, cRatio(gIdxB, gIdxS)),
       ("q153_index_build", lIdxB, lIdxS, cRatio(lIdxB, lIdxS)),
       ("q160_index_build", eIdxB, eIdxS, cRatio(eIdxB, eIdxS)),
+      ("q165_index_build", weIdxB, weIdxS, cRatio(weIdxB, weIdxS)),
       ("q110_compact_cost", tCmpB, tCmpS, cRatio(tCmpB, tCmpS)))
     val probeRows = Seq(
       ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
@@ -646,7 +672,9 @@ object BenchScale {
       ("q153_probe_const_delta", lPrbB, lPrbS, cRatio(lPrbB, lPrbS)),
       ("q153_fold_const_delta", lFldB, lFldS, cRatio(lFldB, lFldS)),
       ("q160_probe_const_delta", ePrbB, ePrbS, cRatio(ePrbB, ePrbS)),
-      ("q160_fold_const_delta", eFldB, eFldS, cRatio(eFldB, eFldS)))
+      ("q160_fold_const_delta", eFldB, eFldS, cRatio(eFldB, eFldS)),
+      ("q165_probe_const_delta", wePrbB, wePrbS, cRatio(wePrbB, wePrbS)),
+      ("q165_fold_const_delta", weFldB, weFldS, cRatio(weFldB, weFldS)))
 
     val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max

@@ -66,7 +66,8 @@ object PageRank {
     val base = (100L - dampingPct) * scale / 100L
 
     var rank = deg.withColumn("rank", lit(scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
+      val prev = rank
       val incoming = sym
         .join(rank.withColumnRenamed("id", "s"), Seq("s"))
         .select(col("t").as("id"), expr("rank div degree").as("c"))
@@ -76,8 +77,17 @@ object PageRank {
           (lit(base) + expr(s"($dampingPct * in_sum) div 100")).as("rank"))
         // one job per round; truncates the nested-round lineage
         .localCheckpoint()
+      // the new round materialized eagerly off the old one, so the
+      // previous round's checkpoint blocks are dead — release them
+      // (i > 1 only: round 1's prev is the caller-derived seed, not a
+      // checkpoint this loop created). Long-lived sessions calling
+      // rank-any-time serving paths would otherwise pin one cached
+      // frame per round per call forever (ADVICE r14).
+      if (i > 1) graft.api.Lifecycle.releaseLocalCheckpoint(prev)
     }
-    // the final checkpointed ranks no longer reference either cache
+    // the final checkpointed ranks no longer reference either cache;
+    // the final round's checkpoint itself is the RETURN value and
+    // stays live for the caller.
     sym.unpersist()
     deg.unpersist()
     rank
@@ -116,7 +126,8 @@ object PageRank {
     val base = (100L - dampingPct) * scale / 100L
 
     var rank = deg.withColumn("rank", lit(scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
+      val prev = rank
       val incoming = sym
         .join(rank.withColumnRenamed("id", "s"), Seq("s"))
         .select(col("t").as("id"),
@@ -126,6 +137,8 @@ object PageRank {
         .select(col("id"), col("w_degree"),
           (lit(base) + expr(s"($dampingPct * in_sum) div 100")).as("rank"))
         .localCheckpoint()
+      // release the dead previous round (the [[ranks]] discipline)
+      if (i > 1) graft.api.Lifecycle.releaseLocalCheckpoint(prev)
     }
     sym.unpersist()
     deg.unpersist()
@@ -181,7 +194,8 @@ object PageRank {
 
     var hub = v.withColumn("h", lit(scale))
     var auth = v.withColumn("a", lit(0L))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
+      val (prevHub, prevAuth) = (hub, auth)
       val aRaw = e.join(hub.withColumnRenamed("id", "s"), Seq("s"))
         .groupBy(col("t").as("id"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("_ar"))
@@ -198,10 +212,22 @@ object PageRank {
         .select(col("id"),
           coalesce(expr(s"(_hr * $scale) div _hm"), lit(0L)).as("h"))
         .localCheckpoint()
+      // round k's auth derives from hub(k-1) and round k's hub from
+      // auth(k) — once hub(k) materialized (eager checkpoint), the
+      // PREVIOUS round's pair is dead; release it so a long-lived
+      // serving session does not pin 2×iterations frames per call
+      // (ADVICE r14). Round 1's prevs are the non-checkpointed seeds.
+      if (i > 1) {
+        graft.api.Lifecycle.releaseLocalCheckpoint(prevHub)
+        graft.api.Lifecycle.releaseLocalCheckpoint(prevAuth)
+      }
     }
     val out = hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("auth"))
       .localCheckpoint()
+    // `out` materialized eagerly: the final round's frames are dead too
+    graft.api.Lifecycle.releaseLocalCheckpoint(hub)
+    graft.api.Lifecycle.releaseLocalCheckpoint(auth)
     e.unpersist()
     v.unpersist()
     out
@@ -364,19 +390,33 @@ object PageRank {
     * count families nothing sums, so duplicate-ACROSS-runs edges are
     * the reconcile hazard: without the distinct they would inflate
     * degrees and corrupt every rank). Same single-writer
-    * restore-on-failure crash contract as every in-place fold.
+    * restore-on-failure crash contract as every in-place fold — but
+    * the meta bump deliberately lands BEFORE the appends (ADVICE
+    * r14): under SET-UNION reconcile a bumped layer count with a
+    * missing or partial run is harmless (distinct is idempotent and
+    * any readable subset of the delta is a consistent edge set),
+    * whereas appends landing before the bump would leave layers=1
+    * with duplicate cross-run rows that [[edgesFromIndex]]'s
+    * layers<=1 fast path reads WITHOUT the distinct — silently
+    * inflated degrees until the next successful fold. A crashed fold
+    * still means the delta is partially applied and must be retried
+    * (re-folding the same delta is safe: duplicates collapse in the
+    * read-side distinct). This ordering is exclusive to the SET
+    * families; the SUM-reconciled count families (gram/line/weighted
+    * edge) cannot use it — for them a partial run corrupts totals
+    * either way, so only restore-on-failure covers the window.
     */
   def foldIntoEdgeIndex(edges: DataFrame, srcCol: String, dstCol: String,
       indexPath: String): Unit = {
     val s = edges.sparkSession
     val (prefixPartitions, layers) =
       readEdgeMeta(s, indexPath, "foldIntoEdgeIndex")
+    writeEdgeMeta(s, indexPath, prefixPartitions, layers + 1)
     val (e, v) = edgeRows(edges, srcCol, dstCol, prefixPartitions)
     graft.jobs.Sinks.layoutAppend(e, s"$indexPath/edges",
       partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
     graft.jobs.Sinks.layoutAppend(v, s"$indexPath/vertices",
       partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
-    writeEdgeMeta(s, indexPath, prefixPartitions, layers + 1)
   }
 
   /** Compact a layered edge index back to ONE sorted run per table
@@ -460,5 +500,217 @@ object PageRank {
     hits(e, "s", "t", iterations, scale)
       .join(v, Seq("id"))
       .select(col("key"), col("hub"), col("auth"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted WEIGHTED edge index — the TENTH persisted family, giving
+  // [[weightedRanks]] the deployed posture [[writeEdgeIndex]] gives
+  // [[ranks]]: the unweighted family deliberately collapses a thousand
+  // anchors into ONE edge (graph position, not in-link volume), so
+  // anchor-count/in-link-weighted centrality — the signal
+  // [[graft.api.TextOps.extractAnchors]] already extracts — cannot run
+  // at index-sized cost against it. Edge WEIGHTS are SUM-additive
+  // across runs (today's anchors between two hosts add to
+  // yesterday's), so the gram/line families' reconcile-by-SUM algebra
+  // carries directly: a day's links fold in as their own per-run
+  // (s, t, w) partial sums, and the reconciled weight of an edge is
+  // the sum of its per-run weights.
+  //
+  // Unlike the count families there is NO layers<=1 fast path to
+  // protect: the weighted consumer must aggregate to canonical
+  // unordered pairs anyway ([[weightedPairs]] — one row per pair,
+  // total weight, the form [[weightedRanks]]' floor divisions are
+  // exact over), and that aggregation IS the cross-run SUM reconcile.
+  // `layers` therefore only schedules compaction; reads are correct at
+  // any layer count by construction.
+  // ------------------------------------------------------------------
+
+  /** [[keyedEdges]] carrying a Long weight — ONE derivation behind
+    * [[weightedRanksByKey]] and the persisted weighted family, so the
+    * inline and deployed consumers can never key, hash, weight-cast or
+    * self-loop-filter differently. Weights must be >= 1 (a zero total
+    * incident weight would divide by zero in the power iteration).
+    */
+  private def keyedWeightedEdges(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String): DataFrame =
+    edges.select(
+        graft.functions.TextHashing.hash60(col(srcCol)).as("s"),
+        col(srcCol).as("_sk"),
+        graft.functions.TextHashing.hash60(col(dstCol)).as("t"),
+        col(dstCol).as("_tk"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("s") =!= col("t"))
+
+  /** Canonical UNDIRECTED weighted pairs off (s, t, w) rows: one row
+    * per unordered pair with the SUMMED weight — the exact form
+    * [[weightedRanks]] iterates over (feeding it duplicate rows for
+    * one pair would change the floor-division rounding:
+    * floor(r·w1/D) + floor(r·w2/D) ≠ floor(r·(w1+w2)/D)). Shared by
+    * the inline and index read paths; over a layered index this
+    * aggregation doubles as the cross-run SUM reconcile.
+    */
+  private def weightedPairs(e: DataFrame): DataFrame =
+    e.select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+
+  /** [[weightedRanks]] over STRING-keyed vertices — the [[ranksByKey]]
+    * shape for weighted host graphs: keys map through the shared
+    * 60-bit hash, per-occurrence link rows (or pre-aggregated weighted
+    * edges) collapse to canonical unordered pairs with SUMMED weight
+    * ([[weightedPairs]]), self-links drop, and the final scores join
+    * the key back through the broadcast-sized vertex map. With one
+    * input row per unordered pair this is EXACTLY [[weightedRanks]]
+    * on the raw pair list (the aggregation is the identity), which is
+    * what lets the q163 catalog query check the deployed path against
+    * q126's oracle verbatim.
+    *
+    * @return one row per vertex: (key, w_degree, rank).
+    */
+  def weightedRanksByKey(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = Scale): DataFrame = {
+    val h = keyedWeightedEdges(edges, srcCol, dstCol, weightCol)
+    weightedRanks(weightedPairs(h), "a", "b", "w", iterations,
+        dampingPct, scale)
+      .join(vertexMap(h), Seq("id"))
+      .select(col("key"), col("w_degree"), col("rank"))
+  }
+
+  /** Shared write-side derivation for the weighted family: per-run
+    * partial sums over distinct DIRECTED hash pairs (self-loops
+    * dropped) + the vertex key map, prefix-partitioned. Directed like
+    * [[edgeRows]] — orientation is preserved in storage (a future
+    * weighted-HITS consumer needs it) and the undirected consumer
+    * collapses at read.
+    */
+  private def weightedEdgeRows(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String,
+      prefixPartitions: Int): (DataFrame, DataFrame) = {
+    val h = keyedWeightedEdges(edges, srcCol, dstCol, weightCol)
+    val e = h.groupBy(col("s"), col("t")).agg(sum(col("w")).as("w"))
+      .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong)))
+    val v = vertexMap(h)
+      .withColumn("__vp", pmod(col("id"), lit(prefixPartitions.toLong)))
+    (e, v)
+  }
+
+  /** Materialize a link stream's weighted directed host graph to
+    * parquet: `$path/edges` = (s, t, w) with w the summed weight per
+    * directed 60-bit hash pair, partitioned by `__ep = s mod
+    * prefixPartitions` and sorted by (s, t); `$path/vertices` and
+    * `$path/meta` as in [[writeEdgeIndex]]. Build once per corpus
+    * version, fold daily ([[foldIntoWeightedEdgeIndex]] /
+    * [[maintainWeightedEdgeIndex]]), rank any time
+    * ([[weightedRanksByKeyAgainstIndex]]). Pass `lit(1)`-style unit
+    * weights for anchor-count semantics: the per-run partial sum
+    * makes w the occurrence count.
+    */
+  def writeWeightedEdgeIndex(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, path: String,
+      prefixPartitions: Int = 16): Unit = {
+    val (e, v) = weightedEdgeRows(edges, srcCol, dstCol, weightCol,
+      prefixPartitions)
+    graft.jobs.Sinks.layout(e, s"$path/edges",
+      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
+    graft.jobs.Sinks.layout(v, s"$path/vertices",
+      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    writeEdgeMeta(edges.sparkSession, path, prefixPartitions, 1)
+  }
+
+  /** Fold a DELTA of weighted links into a persisted
+    * [[writeWeightedEdgeIndex]] IN PLACE with O(delta) write bytes:
+    * the delta's per-pair partial sums land as their own sorted runs,
+    * meta bumps `layers`. Reconcile is EXACT BY SUM-ADDITIVITY — an
+    * edge present in several runs totals the sum of its run weights
+    * (the gram/line algebra with DISTINCT swapped for SUM), applied
+    * at read inside the consumer's canonical pair aggregation. Meta
+    * bumps AFTER the appends (the count families' order — a partial
+    * run corrupts totals either way under SUM, so only the documented
+    * single-writer restore-on-failure contract covers the crash
+    * window; the SET family's harmless meta-first trick does not
+    * apply here).
+    */
+  def foldIntoWeightedEdgeIndex(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, indexPath: String): Unit = {
+    val s = edges.sparkSession
+    val (prefixPartitions, layers) =
+      readEdgeMeta(s, indexPath, "foldIntoWeightedEdgeIndex")
+    val (e, v) = weightedEdgeRows(edges, srcCol, dstCol, weightCol,
+      prefixPartitions)
+    graft.jobs.Sinks.layoutAppend(e, s"$indexPath/edges",
+      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
+    graft.jobs.Sinks.layoutAppend(v, s"$indexPath/vertices",
+      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    writeEdgeMeta(s, indexPath, prefixPartitions, layers + 1)
+  }
+
+  /** Compact a layered weighted edge index back to ONE run per table
+    * (per-pair sums and the vertex distinct made durable), meta reset
+    * to layers=1. Identical reads before and after.
+    */
+  def compactWeightedEdgeIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, outPath: String): Unit = {
+    require(indexPath != outPath,
+      "compactWeightedEdgeIndex: outPath must differ from indexPath")
+    val (prefixPartitions, _) =
+      readEdgeMeta(s, indexPath, "compactWeightedEdgeIndex")
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/edges").drop("__ep")
+        .groupBy(col("s"), col("t")).agg(sum(col("w")).as("w"))
+        .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong))),
+      s"$outPath/edges",
+      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
+    graft.jobs.Sinks.layout(
+      s.read.parquet(s"$indexPath/vertices").drop("__vp").distinct()
+        .withColumn("__vp", pmod(col("id"), lit(prefixPartitions.toLong))),
+      s"$outPath/vertices",
+      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    writeEdgeMeta(s, outPath, prefixPartitions, 1)
+  }
+
+  /** The weighted family's maintain* entry point — the
+    * [[maintainEdgeIndex]] policy verbatim: crash-recover at entry,
+    * O(delta) fold, compact-and-swap iff post-fold layers reach
+    * `compactThreshold`, all inside the writer lock. NOT reader-safe
+    * across the swap.
+    */
+  def maintainWeightedEdgeIndex(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, indexPath: String,
+      compactThreshold: Int =
+        graft.api.IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    val s = edges.sparkSession
+    graft.api.IndexMaintenance.withWriterLock(s, indexPath) {
+      graft.api.IndexMaintenance.recoverAtEntry(s, indexPath)
+      foldIntoWeightedEdgeIndex(edges, srcCol, dstCol, weightCol, indexPath)
+      val (_, layers) =
+        readEdgeMeta(s, indexPath, "maintainWeightedEdgeIndex")
+      graft.api.IndexMaintenance.compactIfLayered(s, indexPath, layers,
+        compactThreshold)(out => compactWeightedEdgeIndex(s, indexPath, out))
+    }
+  }
+
+  /** [[weightedRanksByKey]] over a persisted
+    * [[writeWeightedEdgeIndex]] — identical output to weighted-ranking
+    * the raw link stream the index was built+folded from, at
+    * INDEX-sized cost: the canonical pair aggregation
+    * ([[weightedPairs]]) both collapses the stored directed pairs to
+    * unordered form AND sum-reconciles the layered runs in one
+    * host-pair-sized exchange. The vertex map always distincts —
+    * layered runs repeat keys, and the map is broadcast-sized.
+    */
+  def weightedRanksByKeyAgainstIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = Scale): DataFrame = {
+    // meta is read for the rebuild-once error contract (and geometry)
+    readEdgeMeta(s, indexPath, "weightedRanksByKeyAgainstIndex")
+    val e = s.read.parquet(s"$indexPath/edges")
+      .select(col("s"), col("t"), col("w"))
+    val v = s.read.parquet(s"$indexPath/vertices")
+      .select(col("id"), col("key")).distinct()
+    weightedRanks(weightedPairs(e), "a", "b", "w", iterations,
+        dampingPct, scale)
+      .join(v, Seq("id"))
+      .select(col("key"), col("w_degree"), col("rank"))
   }
 }

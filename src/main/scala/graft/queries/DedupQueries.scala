@@ -1829,7 +1829,37 @@ GROUP BY 1, 2"""),
             carry = Seq("source"))
           .groupBy(col("source"), col("status"))
           .agg(count(lit(1)).as("n_docs"))
-      })
+      }),
+
+    QueryDef(
+      "q163_fold_weighted_edge_rank",
+      "Weighted-edge index maintenance proven end-to-end " +
+        "(PageRank.writeWeightedEdgeIndex / maintainWeightedEdgeIndex " +
+        "/ weightedRanksByKeyAgainstIndex) - the TENTH persisted " +
+        "family, giving q126's similarity-weighted centrality the " +
+        "q160 deployed posture: the unweighted edge family stores " +
+        "DISTINCT pairs (graph position, not tie strength), so " +
+        "weighted centrality could not run at index-sized cost. Edge " +
+        "weights are SUM-additive across layered runs (the gram/line " +
+        "reconcile algebra where the unweighted family's is " +
+        "set-union), and the read-side canonical pair aggregation - " +
+        "one row per unordered pair with summed weight, the exact " +
+        "form the floor divisions are defined over - doubles as the " +
+        "cross-run reconcile, so no layers fast path exists to " +
+        "corrupt. The engine builds v1 from the doc_a%5!=0 pairs of " +
+        "the SHARED q21 list, maintain-folds the %5==0 slice (writer " +
+        "lock + recoverAtEntry + O(delta) appended run), and ranks " +
+        "over the INDEX; the oracle is q126's weighted-pagerank SQL " +
+        "VERBATIM (one shared definition) - fold==rebuild is " +
+        "literally the driver-checked hash. Keys travel as strings " +
+        "through the shared 60-bit hash and join back through the " +
+        "vertex map, so the output doc_ids are exact.",
+      Some(weightedPagerankOracleSql),
+      (s, dir) =>
+        graft.operators.PageRank.weightedRanksByKeyAgainstIndex(
+            s, foldedWeightedDir(s, dir))
+          .select(col("key").cast("long").as("doc_id"),
+            col("w_degree"), col("rank")))
   )
 
   /** The hash-embedding CTE chain (the q101 arithmetic — identical
@@ -1858,15 +1888,20 @@ ${pfx}e AS MATERIALIZED (
   FROM ${pfx}dense dense JOIN ${pfx}n2 n2 ON n2.id = dense.id
   WHERE n2.n2 > 0 GROUP BY 1)"""
 
-  /** q126's oracle: the q123 unrolled chain with weighted splits —
-    * contribution = (r × w) // w_degree, w_degree = summed incident
-    * weight — over the SHARED q21 pair SQL (jaccard_x1000 is the
-    * edge weight).
+  /** The unrolled WEIGHTED-PageRank round CTEs `r1..r{iterations}`
+    * over pre-existing CTEs `e(s, t, w)` (symmetrized weighted
+    * edges), `deg(id, w_degree)`, and `r0(id, w_degree, r)` —
+    * contribution = (r × w) // w_degree. ONE generator for every
+    * weighted-pagerank oracle (q126's jaccard-weighted doc graph,
+    * q164/q165's anchor-count-weighted host graph), the
+    * [[pagerankRoundsSql]] shared-fragment discipline: the weighted
+    * round arithmetic cannot drift between consumers by edit.
     */
-  private[queries] lazy val weightedPagerankOracleSql: String = {
+  private[queries] def weightedPagerankRoundsSql(
+      iterations: Int = 5): String = {
     val scale = graft.operators.PageRank.Scale
     val base = 15L * scale / 100L
-    val rounds = (1 to 5).map { k =>
+    (1 to iterations).map { k =>
       s"""r$k AS (
   SELECT deg.id, deg.w_degree,
          ($base + (85 * agg.c) // 100)::BIGINT AS r
@@ -1875,15 +1910,53 @@ ${pfx}e AS MATERIALIZED (
     FROM e JOIN r${k - 1} ON e.s = r${k - 1}.id
     GROUP BY e.t) agg ON deg.id = agg.id)"""
     }.mkString(",\n")
+  }
+
+  /** q126's oracle: the q123 unrolled chain with weighted splits —
+    * contribution = (r × w) // w_degree, w_degree = summed incident
+    * weight — over the SHARED q21 pair SQL (jaccard_x1000 is the
+    * edge weight). Shared VERBATIM with q163 (weighted ranks over
+    * the FOLDED weighted edge index), the q152/q160 discipline:
+    * fold==rebuild is checked against literally the same SQL.
+    */
+  private[queries] lazy val weightedPagerankOracleSql: String = {
+    val scale = graft.operators.PageRank.Scale
     s"""
 WITH p AS ($q21OracleSql),
 e AS (SELECT doc_a AS s, doc_b AS t, jaccard_x1000 AS w FROM p
       UNION ALL SELECT doc_b, doc_a, jaccard_x1000 FROM p),
 deg AS (SELECT s AS id, sum(w)::BIGINT AS w_degree FROM e GROUP BY 1),
 r0 AS (SELECT id, w_degree, $scale::BIGINT AS r FROM deg),
-$rounds
+${weightedPagerankRoundsSql(5)}
 SELECT id AS doc_id, w_degree, r AS rank FROM r5"""
   }
+
+  /** The materialized FOLDED weighted edge index per SF dir (the
+    * foldedEdgeDir pattern): v1 = the pairs of docs with doc_a % 5
+    * != 0, the doc_a % 5 == 0 slice maintain-folds in. Disjoint pair
+    * runs, so the SUM reconcile is exercised as pure additivity;
+    * the OVERLAPPING-run sum lives in q165's host fixture and the
+    * DedupSpec law. Keys pass as STRINGS (hash60 casts to binary —
+    * a Long key would be an ANSI-mode cast violation).
+    */
+  private val foldedWeightedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def foldedWeightedDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldedWeightedCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldedwedge-").toString + "/ix"
+      val pairs = SharedStages.minhashPairs(s, dir)
+        .select(col("doc_a").cast("string").as("ka"),
+          col("doc_b").cast("string").as("kb"),
+          col("jaccard_x1000").as("w"), col("doc_a").as("_da"))
+      graft.operators.PageRank.writeWeightedEdgeIndex(
+        pairs.filter(pmod(col("_da"), lit(5)) =!= 0), "ka", "kb", "w", tmp)
+      graft.operators.PageRank.maintainWeightedEdgeIndex(
+        pairs.filter(pmod(col("_da"), lit(5)) === 0), "ka", "kb", "w", tmp)
+      tmp
+    })
 
   /** q123's oracle: the identical integer power iteration unrolled as
     * a CTE chain over the SHARED q21 pair SQL (the BpeOps unrolled-

@@ -103,6 +103,36 @@ object PipelineQueries {
     else base
   }
 
+  /** q164/q165's WEIGHTED host fixture: each doc (living on
+    * ex(doc_id mod 9).org) links its own page (self-loop — must
+    * drop), its residue's m host REPEATED 1 + (doc_id mod 9) mod 4
+    * times (anchor VOLUME varies by source host — the weighted
+    * signal; 3 | 9 forces m = k mod 3, so the multiplicity is a
+    * genuine per-edge weight, not noise), and one single-quoted sq
+    * anchor. [[weightedLinkFixtureSqlExpr]] is the
+    * character-identical DuckDB spelling (the linkFixture
+    * discipline).
+    */
+  private def weightedLinkFixture(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+      lit(".org/p/"), col("doc_id").cast("string"), lit("\">x</a>"),
+      expr("repeat('<a href=\"http://m' || cast(doc_id % 3 as string) || " +
+        "'.net/q/' || cast(doc_id % 9 as string) || '\">z</a>', " +
+        "cast(1 + (doc_id % 9) % 4 as int))"),
+      lit(" "), col("text"),
+      lit(" <a href='https://sq"), (col("doc_id") % 5).cast("string"),
+      lit(".io/s'>s</a>")).as("text"))
+
+  /** [[weightedLinkFixture]]'s DuckDB spelling. */
+  private val weightedLinkFixtureSqlExpr: String =
+    """'<a href="https://ex' || (doc_id % 9) || '.org/p/' || doc_id ||
+       '">x</a>' || repeat('<a href="http://m' || (doc_id % 3) ||
+       '.net/q/' || (doc_id % 9) || '">z</a>',
+       (1 + (doc_id % 9) % 4)::INT) || ' ' || text ||
+       ' <a href=''https://sq' || (doc_id % 5) || '.io/s''>s</a>'"""
+
   /** q159's unrolled HITS rounds (the pagerankRoundsSql discipline):
     * round k derives authority in-sums off h(k-1) over the directed
     * edges `e`, renormalizes by the round max to the PageRank scale,
@@ -196,6 +226,79 @@ kk AS (SELECT DISTINCT src AS host, hs AS id FROM f
        UNION SELECT DISTINCT dst, ht FROM f)
 SELECT kk.host, h3.h AS hub, a3.a AS auth
 FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""
+
+  /** q164's anchor-volume-weighted host-centrality oracle — ONE
+    * definition shared with q165 (weighted ranks over the FOLDED
+    * weighted edge index), the [[hostCentralityOracleSql]]
+    * discipline: the weighted rounds come from the SAME generator
+    * q126's doc-graph oracle unrolls
+    * (DedupQueries.weightedPagerankRoundsSql), so the weighted round
+    * arithmetic cannot drift between the doc-graph and host-graph
+    * consumers.
+    */
+  private lazy val weightedHostRankOracleSql: String = s"""
+WITH p AS (
+  SELECT doc_id, $weightedLinkFixtureSqlExpr AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+x AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 7) g(i)
+      WHERE g.i <= len(links)),
+th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
+              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
+       FROM x
+       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
+              ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
+       FROM th),
+e0 AS (SELECT least(hs, ht) AS a, greatest(hs, ht) AS b,
+              count(*)::BIGINT AS w
+       FROM hh WHERE hs <> ht GROUP BY 1, 2),
+e AS (SELECT a AS s, b AS t, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+deg AS (SELECT s AS id, sum(w)::BIGINT AS w_degree FROM e GROUP BY 1),
+r0 AS (SELECT id, w_degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM deg),
+${DedupQueries.weightedPagerankRoundsSql(5)},
+v AS (SELECT DISTINCT src AS host FROM th
+      UNION SELECT DISTINCT dst FROM th)
+SELECT v.host, r5.w_degree, r5.r AS rank
+FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id"""
+
+  /** The materialized FOLDED weighted edge index per SF dir (the
+    * [[foldedEdgeDir]] pattern): v1 = the %5!=0 docs' weighted link
+    * occurrences, the %5==0 slice's maintain-fold in. Unlike the doc
+    * graph's disjoint pair split, the host pairs here OVERLAP across
+    * the two slices by construction (residues span both), so the
+    * oracle-checked fold==rebuild hash exercises the cross-run SUM
+    * reconcile with genuinely split weights.
+    */
+  private val foldedWeightedHostCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def foldedWeightedHostDir(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    foldedWeightedHostCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldedwhost-").toString + "/ix"
+      val links = graft.api.TextOps.extractLinks(
+        weightedLinkFixture(Tables.documents(s, dir)), "doc_id", "text")
+      val edges = links.filter(col("host") =!= "")
+        .select(col("doc_id"),
+          concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+            lit(".org")).as("src_host"),
+          col("host").as("dst_host"))
+        .withColumn("w1", lit(1L))
+      graft.operators.PageRank.writeWeightedEdgeIndex(
+        edges.filter(col("doc_id") % 5 =!= 0), "src_host", "dst_host",
+        "w1", tmp)
+      graft.operators.PageRank.maintainWeightedEdgeIndex(
+        edges.filter(col("doc_id") % 5 === 0), "src_host", "dst_host",
+        "w1", tmp)
+      tmp
+    })
 
   /** The materialized FOLDED edge index per SF dir (SharedStages
     * discipline — q160 and q161 consume the identical artifact): v1 =
@@ -2318,7 +2421,68 @@ FROM q GROUP BY ROLLUP (source, lang, quality)"""),
         budget.join(ranks, Seq("host"))
           .select(col("host"), col("href"), col("n_refs"),
             col("fetch_rank"), col("host_rank"))
-      })
+      }),
+
+    QueryDef(
+      "q164_weighted_host_rank",
+      "Anchor-VOLUME-weighted host centrality " +
+        "(PageRank.weightedRanksByKey) - the signal the unweighted " +
+        "q152 deliberately discards: there a thousand anchors " +
+        "between two hosts collapse to ONE edge (graph position), " +
+        "here each link occurrence adds unit weight and a host " +
+        "splits its rank proportionally to tie VOLUME - rank x w " +
+        "div summed-incident-weight, q126's weighted power " +
+        "iteration lifted to string keys. The fixture varies anchor " +
+        "multiplicity BY SOURCE HOST (1 + (doc_id mod 9) mod 4 " +
+        "repeats of the m-host anchor), so edge weights genuinely " +
+        "differ and the weighted order diverges from the unweighted " +
+        "one; the self-link drops, and per-occurrence rows collapse " +
+        "to canonical unordered pairs with SUMMED weight - the one " +
+        "exact form for the floor divisions (duplicate rows per " +
+        "pair would round differently: floor(rw1/D) + floor(rw2/D) " +
+        "!= floor(r(w1+w2)/D)). Oracle unrolls the SAME weighted " +
+        "round generator as q126 (weightedPagerankRoundsSql - the " +
+        "shared-fragment discipline). Scale shape: link rows " +
+        "collapse to weighted host PAIRS before any iteration, " +
+        "rounds move host-count rows, key join-back is a " +
+        "broadcast-sized vertex map.",
+      Some(weightedHostRankOracleSql),
+      (s, dir) => {
+        val links = graft.api.TextOps.extractLinks(
+          weightedLinkFixture(Tables.documents(s, dir)), "doc_id", "text")
+        val edges = links.filter(col("host") =!= "")
+          .select(
+            concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+              lit(".org")).as("src_host"),
+            col("host").as("dst_host"))
+          .withColumn("w1", lit(1L))
+        graft.operators.PageRank.weightedRanksByKey(edges,
+            "src_host", "dst_host", "w1", iterations = 5)
+          .select(col("key").as("host"), col("w_degree"), col("rank"))
+      }),
+
+    QueryDef(
+      "q165_fold_weighted_host_rank",
+      "The weighted edge family's OVERLAPPING-fold proof: q164's " +
+        "anchor-volume-weighted centrality over the MAINTAINED " +
+        "weighted index, where the v1 (%5!=0 docs) and delta (%5==0 " +
+        "docs) runs both carry partial counts for the SAME host " +
+        "pairs - every reconciled edge weight is a genuine cross-run " +
+        "SUM (unlike q163's disjoint doc-pair split, and unlike " +
+        "q160's set-union where overlap must NOT add). A probe that " +
+        "read one run, double-counted, or distinct-ed instead of " +
+        "summing shifts every w_degree and every rank; the oracle is " +
+        "q164's full-corpus SQL VERBATIM (one shared definition) - " +
+        "fold==rebuild is literally the driver-checked hash, on the " +
+        "q160/q153 pattern. Per-rank cost is index-sized: the " +
+        "canonical pair aggregation that the consumer needs anyway " +
+        "IS the run reconcile, so the layered read adds no extra " +
+        "exchange.",
+      Some(weightedHostRankOracleSql),
+      (s, dir) =>
+        graft.operators.PageRank.weightedRanksByKeyAgainstIndex(
+            s, foldedWeightedHostDir(s, dir))
+          .select(col("key").as("host"), col("w_degree"), col("rank")))
   )
 
   /** q153's line fixture — the q151 skeleton minus the license line,

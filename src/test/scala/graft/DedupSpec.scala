@@ -1268,4 +1268,140 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/vc/buckets")
       .groupBy("band", "bkey").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("maintainWeightedEdgeIndex: the TENTH family — layered folds " +
+      "reconcile by SUM (a cross-run edge's weights ADD), folds are " +
+      "visible, compact-and-swap at threshold, and the consumer over " +
+      "the index == the raw-link weightedRanksByKey twin throughout") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // v1: a-b w2, b-c w1. delta1 RE-WEIGHTS a->b with w3 (the SUM
+    // hazard: set-union semantics would keep a-b at 2; a per-run
+    // threshold would see 3; only the cross-run sum yields 5) AND adds
+    // c->d w4 (fold visibility). delta2: d->a w1 — crosses
+    // compactThreshold=3, so maintain compacts-and-swaps.
+    val v1 = Seq(("a.org", "b.org", 2L), ("b.org", "c.org", 1L))
+      .toDF("src", "dst", "w")
+    val d1 = Seq(("a.org", "b.org", 3L), ("c.org", "d.org", 4L))
+      .toDF("src", "dst", "w")
+    val d2 = Seq(("d.org", "a.org", 1L)).toDF("src", "dst", "w")
+    def inlineSet(links: org.apache.spark.sql.DataFrame) =
+      PageRank.weightedRanksByKey(links, "src", "dst", "w").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def gotSet(path: String) =
+      PageRank.weightedRanksByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def layersOf(path: String) = spark.read.parquet(s"$path/meta").head()
+      .getAs[Number]("layers").intValue()
+    val dir = java.nio.file.Files.createTempDirectory("graft-wedgeix-")
+      .toString
+    PageRank.writeWeightedEdgeIndex(v1, "src", "dst", "w", s"$dir/ix")
+    assert(gotSet(s"$dir/ix") == inlineSet(v1))
+    // a-b must reconcile to weight 5 = 2 (v1 run) + 3 (delta run)
+    assert(!PageRank.maintainWeightedEdgeIndex(d1, "src", "dst", "w",
+      s"$dir/ix", compactThreshold = 3))
+    val all1 = v1.union(d1)
+    assert(layersOf(s"$dir/ix") == 2)
+    assert(gotSet(s"$dir/ix") == inlineSet(all1),
+      "cross-run SUM reconcile failed: an overlapping edge's weights " +
+        "did not add (or the folded edge is invisible)")
+    assert(inlineSet(v1) != inlineSet(all1),
+      "fixture must make the fold visible")
+    // w_degree of a.org must be exactly 5 post-fold (2+3)
+    assert(gotSet(s"$dir/ix").collect {
+      case ("a.org", wd, _) => wd }.head == 5L)
+    // fold #2 reaches threshold 3: compact-and-swap, reads unchanged
+    assert(PageRank.maintainWeightedEdgeIndex(d2, "src", "dst", "w",
+      s"$dir/ix", compactThreshold = 3))
+    val all2 = all1.union(d2)
+    assert(layersOf(s"$dir/ix") == 1, "compaction must reset layers")
+    assert(gotSet(s"$dir/ix") == inlineSet(all2))
+    // compaction made the per-pair sums durable: one row per (s, t)
+    assert(spark.read.parquet(s"$dir/ix/edges")
+      .groupBy("s", "t").count().filter(col("count") > 1).count() == 0)
+    // geometry is the index's own: missing meta fails by name
+    val e = intercept[IllegalStateException](
+      PageRank.weightedRanksByKeyAgainstIndex(spark, s"$dir/nonexistent"))
+    assert(e.getMessage.contains("meta"), e.getMessage)
+    // the family honors the writer lock: a held lock fails by name
+    val lock = java.nio.file.Paths.get(s"$dir/ix__writer.lock")
+    java.nio.file.Files.createFile(lock)
+    val e2 = intercept[IllegalStateException](
+      PageRank.maintainWeightedEdgeIndex(d2, "src", "dst", "w", s"$dir/ix"))
+    assert(e2.getMessage.contains("__writer.lock"), e2.getMessage)
+    java.nio.file.Files.delete(lock)
+  }
+
+  test("weightedRanksByKey with unit weights listed once per edge == " +
+      "ranksByKey exactly (floor(r*1/d) = floor(r/d)), and duplicate " +
+      "occurrence rows SUM into the pair weight") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val once = Seq(("a.org", "b.org"), ("b.org", "c.org"),
+      ("c.org", "a.org"), ("c.org", "d.org")).toDF("src", "dst")
+      .withColumn("w", lit(1L))
+    val unweighted = PageRank.ranksByKey(once, "src", "dst").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val weighted = PageRank.weightedRanksByKey(once, "src", "dst", "w")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(weighted == unweighted,
+      "unit weights must reproduce the unweighted ranks exactly")
+    // the same edge listed twice (any orientation) doubles the pair
+    // weight: w_degree doubles for every vertex of a doubled edge
+    val doubled = once.union(
+      once.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val wd = PageRank.weightedRanksByKey(doubled, "src", "dst", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wu = PageRank.weightedRanksByKey(once, "src", "dst", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wd == wu.map { case (k, v) => k -> 2 * v },
+      "occurrence rows must SUM into the canonical pair weight")
+  }
+
+  test("edge-index fold meta-first contract: a bumped layer count " +
+      "with the delta run missing (the crash window ADVICE r14 named) " +
+      "is harmless — set-union reconcile reads the same graph") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val v1 = Seq(("a.org", "b.org"), ("b.org", "c.org")).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft-edgemf-")
+      .toString
+    PageRank.writeEdgeIndex(v1, "src", "dst", s"$dir/ix")
+    def got() = PageRank.ranksByKeyAgainstIndex(spark, s"$dir/ix")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val healthy = got()
+    // simulate a fold that crashed right after the meta bump: layers=2
+    // with no appended run — the read-side distinct is idempotent, so
+    // the graph must be unchanged (the reason the SET family bumps
+    // meta BEFORE its appends)
+    graft.api.IndexMaintenance.writeIndexMeta(spark, s"$dir/ix", 16, 2)
+    assert(got() == healthy,
+      "layers=2 with a missing run must read identically (distinct is " +
+        "idempotent) — the meta-first crash window is harmless")
+  }
+
+  test("PageRank serving paths release their per-round checkpoints " +
+      "(ADVICE r14): repeated ranks/hits calls pin O(1) cached RDDs " +
+      "each, not O(iterations)") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val edges = Seq(("a.org", "b.org"), ("b.org", "c.org"),
+      ("c.org", "d.org"), ("d.org", "a.org")).toDF("src", "dst")
+    // warm once (first call may cache fixture/session frames)
+    PageRank.hitsByKey(edges, "src", "dst", iterations = 4).collect()
+    PageRank.ranksByKey(edges, "src", "dst", iterations = 4).collect()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    PageRank.hitsByKey(edges, "src", "dst", iterations = 4).collect()
+    val afterHits = spark.sparkContext.getPersistentRDDs.size
+    // one surviving checkpoint (the returned frame) — not 2*4+1
+    assert(afterHits - before <= 2,
+      s"hits pinned ${afterHits - before} RDDs for 4 iterations — " +
+        "per-round checkpoints are not being released")
+    PageRank.ranksByKey(edges, "src", "dst", iterations = 4).collect()
+    val afterRanks = spark.sparkContext.getPersistentRDDs.size
+    assert(afterRanks - afterHits <= 2,
+      s"ranks pinned ${afterRanks - afterHits} RDDs for 4 iterations — " +
+        "per-round checkpoints are not being released")
+  }
 }

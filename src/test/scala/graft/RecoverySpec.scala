@@ -433,4 +433,38 @@ class RecoverySpec extends SparkSpec {
       asSet(PageRank.ranksByKeyAgainstIndex(spark, s"$dir/ix")) == want,
       "restored-then-folded index must rank like a from-scratch build")
   }
+
+  test("maintainWeightedEdgeIndex recovers a crashed compact-and-swap " +
+      "at entry: live absent + __old present restores, the fold " +
+      "proceeds, weighted ranks == the raw-link twin (the tenth " +
+      "family's crash case)") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val v1 = Seq(("a.org", "b.org", 2L), ("b.org", "c.org", 1L))
+      .toDF("src", "dst", "w")
+    val d1 = Seq(("a.org", "b.org", 3L), ("c.org", "d.org", 4L))
+      .toDF("src", "dst", "w")
+    val dir = Files.createTempDirectory("graft-wedger-").toString
+    PageRank.writeWeightedEdgeIndex(v1, "src", "dst", "w", s"$dir/ix")
+    // simulate the crash window: live moved aside, fresh copy dangling
+    Files.move(
+      java.nio.file.Paths.get(s"$dir/ix"),
+      java.nio.file.Paths.get(s"$dir/ix__old"))
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/ix__compacting"))
+    assert(!PageRank.maintainWeightedEdgeIndex(d1, "src", "dst", "w",
+      s"$dir/ix", compactThreshold = 8))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/ix__compacting")) &&
+      !Files.exists(java.nio.file.Paths.get(s"$dir/ix__old")),
+      "stale siblings must be cleared unconditionally")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = asSet(PageRank.weightedRanksByKey(v1.union(d1),
+      "src", "dst", "w"))
+    assert(want.nonEmpty &&
+      asSet(PageRank.weightedRanksByKeyAgainstIndex(spark,
+        s"$dir/ix")) == want,
+      "restored-then-folded weighted index must rank like a " +
+        "from-scratch build (the overlapping a-b weights must sum to 5)")
+  }
 }
