@@ -491,6 +491,80 @@ object TextOps {
     * task (inherent to any per-host contract); its sorts spill rather
     * than fail, and the budget bounds what survives.
     */
+  /** Parses raw robots.txt BODIES into the (host, prefix, allow)
+    * rules frame [[robotsFilter]] consumes — the text→rules step
+    * between fetching `/robots.txt` and enforcing it, so the crawl
+    * front door no longer needs pre-parsed rules from outside the
+    * engine. One body per host; output: hostCol, prefix, allow
+    * (distinct rules for the ONE agent's applicable groups).
+    *
+    * REP semantics implemented (the parse the spec's group model
+    * defines, replayable in SQL): lines split on '\n' (the
+    * [[dedupLines]] split discipline applied to robots bodies);
+    * `#`-comments strip to end of line and surrounding whitespace —
+    * including the CR of CRLF bodies — trims away; field names
+    * (`User-agent` / `Allow` / `Disallow`) match case-insensitively
+    * with optional whitespace around the colon. A group is one or
+    * more CONSECUTIVE User-agent lines followed by rules; a
+    * User-agent line after a rule line starts a new group, and rules
+    * before any User-agent line belong to no group (ignored, per the
+    * spec). Group selection is two-tier like the spec's
+    * most-specific-match: if any group on the host names `agent`
+    * exactly (case-insensitive), only those groups apply; otherwise
+    * the `*` groups apply. Allow/Disallow lines with EMPTY values
+    * emit nothing (an empty Disallow means allow-everything — the
+    * absence of a rule already encodes it, and [[robotsFilter]]
+    * allows unmatched URLs).
+    *
+    * Scale shape: one body-keyed line explode (map-only) and ONE
+    * host-keyed exchange for the per-host group windows — robots
+    * bodies are small by nature (the spec caps parse obligation at
+    * 500 KiB) and one host's lines always fit a task. The output is
+    * rules-sized and broadcasts into [[robotsFilter]].
+    */
+  def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String,
+      agent: String = "*"): DataFrame = {
+    val reserved = Set("prefix", "allow", "pos", "col", "_ln", "_f",
+      "_v", "_isua", "_prevua", "_gstart", "_grp", "_gexact", "_gstar",
+      "_hexact")
+    require(!reserved.contains(hostCol),
+      s"parseRobots: host column '$hostCol' collides with an output/" +
+        s"working column (${reserved.mkString(", ")}) — rename it first")
+    val fieldPat = "^([A-Za-z-]+)\\s*:\\s*(.*)$"
+    val lines = robots
+      .select(col(hostCol), posexplode(split(col(bodyCol), "\n", -1)))
+      .select(col(hostCol), col("pos").cast("long").as("pos"),
+        // strip comment, then trim whitespace (CR of CRLF included)
+        regexp_replace(regexp_replace(col("col"), "#.*", ""),
+          "^\\s+|\\s+$", "").as("_ln"))
+    val parsed = lines.select(col(hostCol), col("pos"),
+      lower(regexp_extract(col("_ln"), fieldPat, 1)).as("_f"),
+      regexp_extract(col("_ln"), fieldPat, 2).as("_v"))
+    val wPos = Window.partitionBy(col(hostCol)).orderBy(col("pos"))
+    val wGrp = Window.partitionBy(col(hostCol), col("_grp"))
+    val wHost = Window.partitionBy(col(hostCol))
+    parsed
+      .withColumn("_isua", col("_f") === "user-agent")
+      .withColumn("_prevua", lag(col("_isua"), 1, false).over(wPos))
+      .withColumn("_grp",
+        sum((col("_isua") && !col("_prevua")).cast("int")).over(
+          wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_gexact", max(
+        when(col("_isua") &&
+          lower(col("_v")) === lit(agent.toLowerCase(java.util.Locale.ROOT)),
+          1).otherwise(0)).over(wGrp))
+      .withColumn("_gstar", max(
+        when(col("_isua") && col("_v") === "*", 1).otherwise(0)).over(wGrp))
+      .withColumn("_hexact", max(col("_gexact")).over(wHost))
+      .filter(col("_grp") >= 1 &&
+        when(col("_hexact") === 1, col("_gexact") === 1)
+          .otherwise(col("_gstar") === 1))
+      .filter(col("_f").isin("allow", "disallow") && col("_v") =!= "")
+      .select(col(hostCol), col("_v").as("prefix"),
+        (col("_f") === "allow").as("allow"))
+      .distinct()
+  }
+
   /** Robots-exclusion filtering over extracted/discovered URLs — the
     * compliance step between frontier discovery and the fetch queue.
     * `rules` is a (host, prefix, allow) frame (one row per

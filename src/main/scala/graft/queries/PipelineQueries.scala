@@ -2482,7 +2482,131 @@ FROM q GROUP BY ROLLUP (source, lang, quality)"""),
       (s, dir) =>
         graft.operators.PageRank.weightedRanksByKeyAgainstIndex(
             s, foldedWeightedHostDir(s, dir))
-          .select(col("key").as("host"), col("w_degree"), col("rank")))
+          .select(col("key").as("host"), col("w_degree"), col("rank"))),
+
+    QueryDef(
+      "q166_robots_parse",
+      "robots.txt parsing closed end-to-end (TextOps.parseRobots -> " +
+        "robotsFilter): q148 consumed PRE-PARSED rules; real crawls " +
+        "fetch robots BODIES, and this is the text->rules step - " +
+        "comment stripping ('#' to end of line), CRLF tolerance, " +
+        "case-insensitive field names with whitespace around the " +
+        "colon, the REP group model (consecutive User-agent lines " +
+        "share a group, a UA line after a rule starts a NEW group, " +
+        "rules before any group are ignored), two-tier agent " +
+        "selection (exact-match groups beat '*' groups - here the " +
+        "'*' agent), and empty-value rules emitting nothing. The " +
+        "per-host bodies are BUILT so the parsed '*' rules equal " +
+        "q148's fixture rules exactly - but wrapped in a BadBot " +
+        "group (blanket Disallow /), an OtherBot group on odd hosts, " +
+        "comments, a CRLF line, and an empty Disallow: ANY group " +
+        "leakage, comment mishandling, or empty-rule emission flips " +
+        "verdicts corpus-wide (a leaked 'Disallow: /' disallows " +
+        "everything). The oracle replays line split, comment strip, " +
+        "field parse, group windows, two-tier selection, AND q148's " +
+        "longest-match verdict SQL - the whole front-door step in " +
+        "one driver-checked hash. Scale shape: parse is one " +
+        "host-keyed window pass over rules-sized rows; the parsed " +
+        "frame broadcasts into the filter like q148's.",
+      Some(s"""
+WITH bodies AS (
+  SELECT 'ex' || k || '.org' AS host,
+         '# robots for ex' || k || '.org' || chr(10) ||
+         'User-agent: BadBot' || chr(10) || 'Disallow: /' || chr(10) ||
+         chr(10) ||
+         'User-Agent: *' || chr(13) || chr(10) ||
+         'Disallow: /hub/  # boilerplate' || chr(10) ||
+         (CASE WHEN k % 2 = 0 THEN 'Allow: /hub/' || chr(10) ELSE '' END) ||
+         (CASE WHEN k % 3 = 0
+               THEN 'Disallow: /p/' || chr(10) || 'Allow: /p/1' || chr(10)
+               ELSE '' END) ||
+         'Disallow:' || chr(10) ||
+         (CASE WHEN k % 2 = 1
+               THEN 'User-agent: OtherBot' || chr(10) || 'Allow: /' ||
+                    chr(10) || 'Disallow: /private/' || chr(10)
+               ELSE '' END) AS body
+  FROM range(9) t(k)),
+ln AS (SELECT host, g.i::BIGINT AS pos,
+              regexp_replace(regexp_replace(
+                string_split(body, chr(10))[g.i], '#.*', ''),
+                '^\\s+|\\s+$$', '') AS lnn
+       FROM bodies CROSS JOIN generate_series(1, 16) g(i)
+       WHERE g.i <= len(string_split(body, chr(10)))),
+f AS (SELECT host, pos,
+             lower(regexp_extract(lnn, '^([A-Za-z-]+)\\s*:\\s*(.*)$$', 1)) AS fld,
+             regexp_extract(lnn, '^([A-Za-z-]+)\\s*:\\s*(.*)$$', 2) AS val
+      FROM ln),
+g1 AS (SELECT host, pos, fld, val, (fld = 'user-agent') AS isua,
+              COALESCE(lag(fld = 'user-agent')
+                OVER (PARTITION BY host ORDER BY pos), false) AS prevua
+       FROM f),
+g2 AS (SELECT *, sum(CASE WHEN isua AND NOT prevua THEN 1 ELSE 0 END)
+         OVER (PARTITION BY host ORDER BY pos
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS grp
+       FROM g1),
+g3 AS (SELECT *,
+              max(CASE WHEN isua AND lower(val) = '*' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY host, grp) AS gexact,
+              max(CASE WHEN isua AND val = '*' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY host, grp) AS gstar
+       FROM g2),
+g4 AS (SELECT *, max(gexact) OVER (PARTITION BY host) AS hexact FROM g3),
+rules AS (SELECT DISTINCT host AS rh, val AS prefix,
+                 (fld = 'allow') AS allow
+          FROM g4
+          WHERE grp >= 1
+            AND (CASE WHEN hexact = 1 THEN gexact = 1 ELSE gstar = 1 END)
+            AND fld IN ('allow', 'disallow') AND val <> ''),
+p AS (
+  SELECT doc_id, ${linkFixtureSqlExpr(withHub = true)} AS t0
+  FROM documents),
+l AS (SELECT doc_id,
+             regexp_extract_all(t0, '${sqlQuoted(graft.api.TextOps.HrefPattern)}', 1) AS links
+      FROM p),
+e AS (SELECT doc_id,
+             regexp_replace(links[g.i],
+               '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
+      FROM l CROSS JOIN generate_series(1, 8) g(i)
+      WHERE g.i <= len(links)),
+u AS (SELECT doc_id, href,
+             regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS h,
+             regexp_replace(href, '^https?://[^/]+', '') AS pth
+      FROM e),
+m AS (SELECT doc_id, href, allow, prefix,
+             row_number() OVER (PARTITION BY doc_id, href
+               ORDER BY len(prefix) DESC, allow DESC, prefix) AS rn
+      FROM u JOIN rules ON u.h = rules.rh AND starts_with(pth, prefix)
+      WHERE u.h <> '')
+SELECT u.doc_id, u.href,
+       COALESCE(m.allow, true) AS allowed,
+       COALESCE(m.prefix, '') AS matched_prefix
+FROM u LEFT JOIN (SELECT doc_id, href, allow, prefix FROM m WHERE rn = 1) m
+  USING (doc_id, href)"""),
+      (s, dir) => {
+        val bodies = s.range(9).select(
+          concat(lit("ex"), col("id").cast("string"), lit(".org"))
+            .as("host"),
+          concat(
+            lit("# robots for ex"), col("id").cast("string"),
+            lit(".org\n"),
+            lit("User-agent: BadBot\nDisallow: /\n\n"),
+            lit("User-Agent: *\r\n"),
+            lit("Disallow: /hub/  # boilerplate\n"),
+            when(col("id") % 2 === 0, lit("Allow: /hub/\n"))
+              .otherwise(lit("")),
+            when(col("id") % 3 === 0,
+              lit("Disallow: /p/\nAllow: /p/1\n")).otherwise(lit("")),
+            lit("Disallow:\n"),
+            when(col("id") % 2 === 1,
+              lit("User-agent: OtherBot\nAllow: /\nDisallow: /private/\n"))
+              .otherwise(lit(""))).as("body"))
+        val rules = graft.api.TextOps.parseRobots(bodies, "host", "body")
+        graft.api.TextOps.robotsFilter(
+          graft.api.TextOps.extractLinks(
+            linkFixture(Tables.documents(s, dir), withHub = true),
+            "doc_id", "text"),
+          "doc_id", "href", rules)
+      })
   )
 
   /** q153's line fixture — the q151 skeleton minus the license line,

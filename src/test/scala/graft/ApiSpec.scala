@@ -1791,6 +1791,63 @@ class ApiSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("TextOps.parseRobots: comments/CRLF/case handling, the REP " +
+      "group model (consecutive UA lines share a group, headerless " +
+      "rules ignored), empty values emit nothing, and exact-agent " +
+      "groups beat '*' groups") {
+    import spark.implicits._
+    import graft.api.TextOps
+    val body =
+      "Disallow: /headerless/\n" + // before any group: ignored
+      "# policy\n" +
+      "User-agent: BadBot\n" +
+      "Disallow: /\n" +
+      "\n" +
+      "user-AGENT: *\r\n" + // case-insensitive field, CRLF line
+      "User-agent: AlsoStar\n" + // consecutive UA: same group
+      "Disallow: /hub/  # trailing comment\n" +
+      "Allow:/hub/open/\n" + // no space after colon
+      "Disallow:\n" + // empty value: nothing emitted
+      "User-agent: GraftBot\n" + // UA after rules: NEW group
+      "Allow: /\n" +
+      "Disallow: /private/\n"
+    val bodies = Seq(("h.org", body)).toDF("host", "body")
+    def rulesFor(agent: String) =
+      TextOps.parseRobots(bodies, "host", "body", agent).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    // '*' agent: only the star group's non-empty rules; BadBot's
+    // blanket Disallow and GraftBot's rules must NOT leak
+    assert(rulesFor("*") == Set(
+      ("h.org", "/hub/", false), ("h.org", "/hub/open/", true)))
+    // the consecutive-UA group also answers to AlsoStar by exact match
+    assert(rulesFor("alsostar") == Set(
+      ("h.org", "/hub/", false), ("h.org", "/hub/open/", true)))
+    // exact-match selection beats the star group entirely
+    assert(rulesFor("GraftBot") == Set(
+      ("h.org", "/", true), ("h.org", "/private/", false)))
+    assert(rulesFor("graftbot") == rulesFor("GraftBot"),
+      "agent matching must be case-insensitive")
+    // unknown agent falls back to the star group
+    assert(rulesFor("SomeOtherBot") == rulesFor("*"))
+    // a host with no star group and no exact match yields no rules —
+    // robotsFilter then allows everything (the REP default)
+    val only = Seq(("x.org", "User-agent: BadBot\nDisallow: /\n"))
+      .toDF("host", "body")
+    assert(TextOps.parseRobots(only, "host", "body").count() == 0)
+    // parse -> filter composition: the star rules actually enforce
+    val verdicts = TextOps.robotsFilter(
+        Seq((1L, "https://h.org/hub/x"), (2L, "https://h.org/hub/open/y"),
+          (3L, "https://h.org/other")).toDF("id", "href"),
+        "id", "href", TextOps.parseRobots(bodies, "host", "body"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdicts == Map(1L -> false, 2L -> true, 3L -> true))
+    // reserved-name guard fails by name
+    val e = intercept[IllegalArgumentException](
+      TextOps.parseRobots(bodies.withColumnRenamed("host", "prefix"),
+        "prefix", "body"))
+    assert(e.getMessage.contains("prefix"), e.getMessage)
+  }
+
   test("TextOps.frontierBudget: in-link priority order, budget cut per " +
       "host, rollup columns replay by hand") {
     import spark.implicits._
