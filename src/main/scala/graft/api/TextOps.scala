@@ -618,6 +618,53 @@ object TextOps {
         coalesce(col("__mp"), lit("")).as("matched_prefix"))
   }
 
+  /** [[robotsFilter]] re-expressed MAP-ONLY — the same verdict
+    * contract (one row per input URL: allowed + matched_prefix under
+    * REP longest-match, equal-length Allow wins, unmatched/host-less
+    * URLs allowed) evaluated per row over a per-host rule ARRAY
+    * instead of a candidate join + rank window: rules group once into
+    * (host, array<(prefix, allow)>) at plan time (rules are tiny by
+    * nature), broadcast-join on host, and the winning rule is
+    * `array_min` over the matching entries ordered by
+    * (-len(prefix), NOT allow, prefix) — exactly the window's
+    * (len DESC, allow DESC, prefix ASC). Zero shuffles on the URL
+    * side and NO window operator, which is what makes this form legal
+    * inside a STREAMING plan ([[graft.streaming.SchedulerGate]] —
+    * non-time windows cannot run on streaming frames); batch callers
+    * keep [[robotsFilter]], whose declarative join+window shape is
+    * what the q148/q166 oracles replay. ApiSpec pins row-for-row
+    * equality between the two forms on the branch-covering fixture.
+    * `extraCols` carry through untouched (one row in, one row out).
+    */
+  def robotsFilterMapOnly(urls: DataFrame, idCol: String, hrefCol: String,
+      rules: DataFrame, ruleHostCol: String = "host",
+      rulePrefixCol: String = "prefix", ruleAllowCol: String = "allow",
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("allowed", "matched_prefix", "_h", "_pth", "_rs",
+      "_best")
+    require((idCol +: hrefCol +: extraCols).forall(!reserved.contains(_)),
+      s"robotsFilterMapOnly: id/href/extra column collides with an " +
+        s"output/working column (${reserved.mkString(", ")}) — rename " +
+        "it first")
+    val r = rules.select(col(ruleHostCol).as("_h"),
+        struct(col(rulePrefixCol).cast("string").as("p"),
+          col(ruleAllowCol).cast("boolean").as("a")).as("_r"))
+      .groupBy(col("_h")).agg(collect_list(col("_r")).as("_rs"))
+    val carried = (Seq(idCol, hrefCol) ++ extraCols).map(col)
+    urls.select(carried :+
+        regexp_extract(col(hrefCol), HostPattern, 1).as("_h") :+
+        regexp_replace(col(hrefCol), "^https?://[^/]+", "").as("_pth"): _*)
+      .join(broadcast(r), Seq("_h"), "left")
+      .withColumn("_best", expr(
+        """array_min(transform(
+             filter(_rs, x -> startswith(_pth, x.p)),
+             x -> named_struct('nl', -length(x.p), 'na', NOT x.a,
+                               'p', x.p, 'a', x.a)))"""))
+      .select(carried :+
+        coalesce(col("_best.a"), lit(true)).as("allowed") :+
+        coalesce(col("_best.p"), lit("")).as("matched_prefix"): _*)
+  }
+
   def frontierBudget(links: DataFrame, idCol: String, hostCol: String,
       hrefCol: String, budgetPerHost: Int): DataFrame = {
     require(budgetPerHost >= 1,

@@ -1789,6 +1789,20 @@ class ApiSpec extends SparkSpec {
     assert(out(6L) == ((true, "")), s"got ${out(6L)}")
     // nothing dropped: one verdict per input row
     assert(out.size == 6)
+    // the MAP-ONLY form (the streaming-legal longest-match — array_min
+    // over per-host rule arrays instead of a rank window) must agree
+    // row for row on the same branch-covering fixture, extras carried
+    val flat = graft.api.TextOps.robotsFilterMapOnly(
+        urls.withColumn("extra", col("id") * 10), "id", "href", rules,
+        extraCols = Seq("extra"))
+      .collect()
+      // columns: id, href, extra (carried), allowed, matched_prefix
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getString(4), r.getLong(2)))).toMap
+    assert(flat.view.mapValues(v => (v._1, v._2)).toMap == out,
+      "robotsFilterMapOnly diverged from robotsFilter")
+    assert(flat.forall { case (id, (_, _, extra)) => extra == id * 10 },
+      "extraCols must carry through untouched")
   }
 
   test("TextOps.parseRobots: comments/CRLF/case handling, the REP " +

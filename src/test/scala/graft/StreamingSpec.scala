@@ -2682,4 +2682,156 @@ class StreamingSpec extends SparkSpec {
       "fixture regression: no shared hub URL in visited — the " +
         "suppression leg would be vacuous")
   }
+
+  test("SchedulerGate: stream == the batch front-door composition " +
+      "(discover -> robots -> rank join) where the budget does not " +
+      "bind; the per-(host, window) budget admits first-N arrivals " +
+      "and resets across windows; the rank snapshot is fold-INVISIBLE " +
+      "until re-author") {
+    import graft.api.TextOps
+    import graft.operators.PageRank
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    def marked(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      concat(
+        lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+        lit(".org/hub/"), (col("doc_id") % 3).cast("string"),
+        lit("\">h</a><a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit("\">x</a>")).as("text"))
+    val corpus = marked(docs.filter(col("doc_id") % 5 =!= 0))
+    val deltaDf = marked(docs.filter(col("doc_id") % 5 === 0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sched-").toString
+    TextOps.extractLinks(corpus, "doc_id", "text")
+      .filter(col("host") =!= "")
+      .select(TextOps.canonicalUrl(col("href")).as("canonical_url"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/visited")
+    // robots: /p/ pages of hosts ex0/ex3/ex6 are off-limits — acts on
+    // exactly the NON-visited leg (hub URLs are already visited)
+    val rules = Seq("ex0.org", "ex3.org", "ex6.org")
+      .toDF("host").select(col("host"), lit("/p/").as("prefix"),
+        lit(false).as("allow"))
+    // host graph: ex hosts link m(k%3).net — ranked via the edge index
+    val edges = Seq.tabulate(9)(k => (s"ex$k.org", s"m${k % 3}.net"))
+      .toDF("src", "dst")
+    PageRank.writeEdgeIndex(edges, "src", "dst", s"$dir/ix")
+    val state = SchedulerGate.author(spark, rules, s"$dir/ix")
+
+    // batch twin of the whole composition (budget non-binding):
+    // discover (q147 shape) -> batch robotsFilter -> LEFT rank join
+    val snapshotRanks = state.ranks.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val discovered = TextOps.extractLinks(deltaDf, "doc_id", "text")
+      .filter(col("host") =!= "")
+      .select(TextOps.canonicalUrl(col("href")).as("curl"))
+      .join(spark.read.parquet(s"$dir/visited")
+        .select(col("canonical_url").as("curl")), Seq("curl"), "left_anti")
+      .distinct()
+    val want = TextOps.robotsFilter(
+        discovered.withColumn("id", col("curl")), "id", "curl", rules)
+      .filter(col("allowed"))
+      .collect().map { r =>
+        val curl = r.getString(1)
+        val host = curl.replaceAll("^https?://", "").takeWhile(_ != '/')
+        (curl, host, snapshotRanks.get(host))
+      }.toSet
+    assert(want.nonEmpty, "no scheduled URLs — parity would be vacuous")
+    assert(discovered.count() > want.size,
+      "robots must actually drop something or the compliance leg is " +
+        "vacuous")
+
+    val rows = deltaDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = 1558430000000L
+    def recs(part: Array[(Long, String)], t0: Long) =
+      part.zipWithIndex.map { case ((id, t), i) => (id, t, ts(t0 + i * 1000L)) }
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = SchedulerGate.schedule(
+      input.toDF().toDF("doc_id", "text", "at"), "doc_id", "text", "at",
+      delay = "2 hours", window = "1 hour", s"$dir/visited", state,
+      budgetPerWindow = 100000)
+    val q = out.writeStream.format("memory").queryName("sched_gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(recs(a, base).toSeq: _*); q.processAllAvailable()
+      input.addData(recs(b, base + 60000L).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sched_gate").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    assert(got == want,
+      s"stream=${got.size} batch=${want.size} " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+
+    // ---- budget law: first-N per (host, window), reset across windows
+    val input2 = MemoryStream[(Long, String, Timestamp)]
+    val out2 = SchedulerGate.schedule(
+      input2.toDF().toDF("doc_id", "text", "at"), "doc_id", "text", "at",
+      delay = "4 hours", window = "1 hour", s"$dir/visited", state,
+      budgetPerWindow = 2)
+    val q2 = out2.writeStream.format("memory").queryName("sched_budget")
+      .outputMode("append").start()
+    // 5 fresh URLs on one host in window A (staggered event times),
+    // then 3 more in window B
+    def page(i: Int) =
+      s"""<a href="https://ex1.org/fresh/$i">f</a>"""
+    val winA = (0 until 5).map(i => (1000L + i, page(i), ts(base + i * 1000L)))
+    val winB = (0 until 3).map(i =>
+      (2000L + i, page(100 + i), ts(base + 7200000L + i * 1000L)))
+    try {
+      input2.addData(winA: _*); q2.processAllAvailable()
+      input2.addData(winB: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val byWindow = spark.table("sched_budget").collect()
+      .map(r => (r.getTimestamp(4), r.getString(0))).groupBy(_._1)
+    assert(byWindow.size == 2, s"expected 2 windows, got ${byWindow.keys}")
+    val admitted = byWindow.map { case (w, us) => w -> us.map(_._2).toSet }
+    val sizes = admitted.values.map(_.size).toSeq.sorted
+    assert(sizes == Seq(2, 2),
+      s"budget=2 per (host, window) violated: $admitted")
+    // first-arrivals-win: window A admitted the two EARLIEST fresh URLs
+    val aAdmitted = admitted(byWindow.keys.minBy(_.getTime))
+    assert(aAdmitted == Set("https://ex1.org/fresh/0",
+      "https://ex1.org/fresh/1"),
+      s"first-N-arrivals order violated: $aAdmitted")
+
+    // ---- fold-while-serving: the rank snapshot must not move
+    val input3 = MemoryStream[(Long, String, Timestamp)]
+    val out3 = SchedulerGate.schedule(
+      input3.toDF().toDF("doc_id", "text", "at"), "doc_id", "text", "at",
+      delay = "4 hours", window = "1 hour", s"$dir/visited", state,
+      budgetPerWindow = 100000)
+    val q3 = out3.writeStream.format("memory").queryName("sched_fold")
+      .outputMode("append").start()
+    def freshAt(id: Long, i: Int, t0: Long) =
+      (id, s"""<a href="https://ex2.org/n/$i">n</a>""", ts(t0))
+    try {
+      input3.addData(freshAt(3000L, 0, base)); q3.processAllAvailable()
+      // fold new edges that change ex2.org's degree/rank
+      PageRank.foldIntoEdgeIndex(
+        Seq(("ex2.org", "q7.net"), ("ex2.org", "q8.net"), ("q7.net", "q8.net"))
+          .toDF("src", "dst"), "src", "dst", s"$dir/ix")
+      input3.addData(freshAt(3001L, 1, base + 60000L))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val foldRows = spark.table("sched_fold").collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(foldRows.size == 2)
+    assert(foldRows.values.toSet.size == 1,
+      "a fold landing mid-serve changed the served rank — the authored " +
+        s"snapshot leaked: $foldRows")
+    assert(foldRows("https://ex2.org/n/0") == snapshotRanks("ex2.org"))
+    // re-author: the folded graph becomes visible, and ex2's rank moved
+    val state2 = SchedulerGate.author(spark, rules, s"$dir/ix")
+    val newRank = state2.ranks.filter(col("host") === "ex2.org")
+      .head().getLong(1)
+    assert(newRank != snapshotRanks("ex2.org"),
+      "fixture regression: the fold did not change ex2.org's rank — " +
+        "the snapshot assertion above would be vacuous")
+    state2.unpersist()
+    state.unpersist()
+  }
 }
