@@ -48,7 +48,11 @@ import graft.api.DedupOps
   * query-level restarts should instead snapshot by COPYING the index
   * slice to a path-stable location and authoring the gate against the
   * copy: same isolation (folds target the live path, not the copy),
-  * executor loss recomputes from the copied files.
+  * executor loss recomputes from the copied files. That alternative
+  * is built: pass `snapshotPath` to [[indexFromPath]] (the
+  * [[GateSnapshot.toPath]] strategy — also on Gram/Line;
+  * StreamingSpec pins that the copy survives an explicit unpersist
+  * AND a checkpoint drain mid-serve).
   */
 object FingerprintGate {
 
@@ -67,18 +71,15 @@ object FingerprintGate {
     }
   }
 
-  /** Eager author-time snapshot of a static-side frame: materialize,
-    * cut lineage, and register the blocks as cache-owned so a
+  /** Eager author-time snapshot of a static-side frame (shared
+    * [[GateSnapshot.inMemory]]): materialize, cut lineage, and
+    * register the blocks as cache-owned so a
     * [[graft.BenchHarness]]-style checkpoint drain (which releases
     * thunk-private checkpoints) cannot truncate a frame a LIVE gate
     * still joins every micro-batch. [[FpIndex.unpersist]] both
     * unregisters and releases.
     */
-  private def snapshot(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
-    graft.api.Lifecycle.registerCacheOwned(cp)
-    cp
-  }
+  private def snapshot(df: DataFrame): DataFrame = GateSnapshot.inMemory(df)
 
   /** Build the static index from a corpus fingerprint frame
     * (idCol, fpCol). Both frames persist here — see the class note.
@@ -113,7 +114,7 @@ object FingerprintGate {
     * Bm25Gate/CdcGate reader contract).
     */
   def indexFromPath(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): FpIndex = {
+      indexPath: String, snapshotPath: Option[String] = None): FpIndex = {
     val (_, maxBucket, bits, hammingMax, layers) =
       DedupOps.readFingerprintIndexMeta(spark, indexPath,
         "FingerprintGate.indexFromPath")
@@ -122,9 +123,11 @@ object FingerprintGate {
       (if (layers <= 1) raw
        else DedupOps.mergeLayeredBuckets(raw, maxBucket))
         .filter(col("__cs").isNotNull)
-    FpIndex(snapshot(buckets),
-      snapshot(spark.read.parquet(s"$indexPath/fps")
-        .select(col("doc_old"), col("fp_old").as("sh_old"))),
+    FpIndex(
+      GateSnapshot.of(buckets, snapshotPath.map(p => s"$p/buckets")),
+      GateSnapshot.of(spark.read.parquet(s"$indexPath/fps")
+        .select(col("doc_old"), col("fp_old").as("sh_old")),
+        snapshotPath.map(p => s"$p/fps")),
       bits, hammingMax)
   }
 

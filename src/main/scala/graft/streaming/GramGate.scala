@@ -78,10 +78,16 @@ object GramGate {
 
   /** Author the gate state from a persisted
     * [[graft.api.DedupOps.writeGramIndex]]: reconcile layered runs by
-    * SUM, threshold the reconciled totals, snapshot eagerly.
+    * SUM, threshold the reconciled totals, snapshot. `snapshotPath`
+    * picks the strategy ([[GateSnapshot]]): None (default) = eager
+    * localCheckpoint (non-recomputable — the local[n]/supervised
+    * trade); Some(path) = copy the reconciled set to the caller-owned
+    * stable location and serve the files — executor-loss-recomputable
+    * and drain-proof, same fold isolation.
     */
   def indexFromPath(spark: SparkSession, indexPath: String,
-      minCorpusDocs: Int = 1, maxDocsPerGram: Int = 1000): GramSet = {
+      minCorpusDocs: Int = 1, maxDocsPerGram: Int = 1000,
+      snapshotPath: Option[String] = None): GramSet = {
     require(minCorpusDocs >= 1,
       s"GramGate.indexFromPath: minCorpusDocs $minCorpusDocs < 1")
     require(maxDocsPerGram >= minCorpusDocs,
@@ -89,13 +95,11 @@ object GramGate {
         s"minCorpusDocs $minCorpusDocs — the cap would reject every gram")
     val (gramTokens, _, layers) =
       DedupOps.readGramMeta(spark, indexPath, "GramGate.indexFromPath")
-    val cp = DedupOps.reconcileGramRuns(
+    val cp = GateSnapshot.of(DedupOps.reconcileGramRuns(
         spark.read.parquet(s"$indexPath/grams").drop("__gp"), layers)
       .filter(col("n_docs") >= minCorpusDocs &&
         col("n_docs") <= maxDocsPerGram)
-      .select(col("gh").as("__gh"), lit(1L).as("_hit"))
-      .localCheckpoint()
-    graft.api.Lifecycle.registerCacheOwned(cp)
+      .select(col("gh").as("__gh"), lit(1L).as("_hit")), snapshotPath)
     GramSet(cp, gramTokens)
   }
 

@@ -53,23 +53,13 @@ object LineGate {
     }
   }
 
-  /** Eager author-time snapshot (the FingerprintGate discipline):
-    * materialize, cut lineage, register cache-owned so a checkpoint
-    * drain cannot truncate a frame a live gate still joins.
-    */
-  private def snapshot(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
-    graft.api.Lifecycle.registerCacheOwned(cp)
-    cp
-  }
-
   /** Author the gate state from a corpus FRAME (the
     * [[graft.api.TextOps.dedupLinesAgainst]] static side). */
   def fromCorpus(corpus: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Int = 4): LineSet = {
     require(maxDocFreq >= 1, s"LineGate.fromCorpus: maxDocFreq " +
       s"$maxDocFreq < 1")
-    LineSet(snapshot(
+    LineSet(GateSnapshot.inMemory(
       TextOps.commonLineKeys(corpus, idCol, textCol, maxDocFreq)),
       maxDocFreq)
   }
@@ -79,13 +69,15 @@ object LineGate {
     * matching the batch deploy: layered runs reconcile by per-line
     * SUM once at author time, the threshold applies to reconciled
     * totals, and only the over-threshold hashes snapshot
-    * (boilerplate-sized, broadcast at join time).
+    * (boilerplate-sized, broadcast at join time). `snapshotPath`
+    * picks the [[GateSnapshot]] strategy: None = localCheckpoint,
+    * Some(path) = the path-stable recomputable copy.
     */
   def indexFromPath(spark: SparkSession, indexPath: String,
-      maxDocFreq: Int = 4): LineSet =
-    LineSet(snapshot(
-      TextOps.commonLinesFromIndex(spark, indexPath, maxDocFreq)),
-      maxDocFreq)
+      maxDocFreq: Int = 4, snapshotPath: Option[String] = None): LineSet =
+    LineSet(GateSnapshot.of(
+      TextOps.commonLinesFromIndex(spark, indexPath, maxDocFreq),
+      snapshotPath), maxDocFreq)
 
   /** newDocs: a STREAMING frame with (idCol, textCol). Emits
     * (idCol, pos, line) boilerplate hits, append mode, stateless —

@@ -32,12 +32,30 @@ import graft.api.{TextOps, VectorOps}
   * (frozen codebooks; codes rows are per-vector appends) and BM25
   * folds leave the baked `contrib/` stale while appending postings —
   * the flip to the new corpus is the meta's `layers` bump, one small
-  * overwritten file. The races that remain are the documented
-  * maintain-vs-reader ones: a batch reading meta DURING its overwrite
-  * can fail transiently, a compaction swap deletes files mid-read,
-  * and the two legs of one batch read two indexes independently (a
-  * fold to one index mid-batch fuses mixed corpus versions for that
-  * batch). Quiesce the gate across maintain* (the
+  * overwritten file.
+  *
+  * MID-BATCH FOLD ISOLATION (StreamingSpec-pinned): each batch's
+  * `hybridTopKAgainstIndexes` call reads both metas and builds both
+  * scans — eager parquet file listings, the driver-side `__bp`
+  * prefix collect — BEFORE anything materializes, so a plain fold
+  * landing between plan authoring and materialization cannot tint
+  * that batch: the bm25 leg's ONE meta read chose its path while
+  * layers was pre-fold (the compacted posture reads baked `contrib/`,
+  * which folds never touch; a layered read's postings listing
+  * predates the appended run), the IVF codes listing predates the
+  * fold's appended files, and the fold flips in atomically at the
+  * NEXT batch's meta reads. A fold landing between the two LEGS' plan
+  * constructions (a narrower window: driver-side, microseconds) mixes
+  * leg-level corpus versions — each leg still pure, the fusion
+  * stale×fresh, exactly a production retrieval tier's staleness
+  * blip, never an invalid ranking. The one same-leg skew window is a
+  * fold under an ALREADY-LAYERED bm25 index (meta read pre-bump +
+  * postings listing post-append would pair old stats with new
+  * postings); serve compacted indexes (the production posture) or
+  * quiesce plain folds too when serving layered. The remaining races
+  * are the documented maintain-vs-reader ones: a batch reading meta
+  * DURING its overwrite can fail transiently, and a compaction swap
+  * deletes files mid-read. Quiesce the gate across maintain* (the
   * [[graft.api.IndexMaintenance]] reader contract); plain folds
   * between batches need no quiesce.
   */

@@ -715,6 +715,65 @@ class StreamingSpec extends SparkSpec {
     assertGramGateParity("gram_gate_stream")
   }
 
+  test("path-stable gate snapshots (GateSnapshot.toPath): the authored " +
+      "set survives an explicit unpersist AND a checkpoint drain " +
+      "mid-serve, and stays fold-invisible until re-author — the r14 " +
+      "localCheckpoint-ownership trade, resolved for long-lived " +
+      "deployments") {
+    import spark.implicits._
+    import graft.api.DedupOps
+    val g = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val f = "f1 f2 f3 f4 f5 f6 f7 f8"
+    val v1 = Seq((10L, s"$g tail one two three")).toDF("doc_id", "text")
+    val delta = Seq((20L, s"$f tail one two three")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snapgate-").toString
+    DedupOps.writeGramIndex(v1, "doc_id", "text", s"$dir/ix")
+    val set = GramGate.indexFromPath(spark, s"$dir/ix",
+      snapshotPath = Some(s"$dir/snap"))
+    // a path snapshot holds NO checkpoint blocks — nothing to lose
+    assert(graft.api.Lifecycle.checkpointRdds(set.shared).isEmpty,
+      "path-stable snapshot must not be localCheckpoint-backed")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = GramGate.spansGate(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", "1 hour", "10 minutes", set)
+    val q = out.writeStream.format("memory").queryName("snap_gate")
+      .outputMode("append").start()
+    val base = 1558430000000L
+    try {
+      input.addData((1L, s"$g probe one two", ts(base)))
+      q.processAllAvailable()
+      // hostile mid-serve sequence: explicit unpersist (a no-op on
+      // files), a FULL checkpoint drain (which would truncate an
+      // unregistered localCheckpoint snapshot), and an in-place fold
+      set.unpersist()
+      graft.BenchHarness.drainLocalCheckpoints(spark)
+      DedupOps.foldIntoGramIndex(delta, "doc_id", "text", s"$dir/ix")
+      input.addData((2L, s"$g probe one two", ts(base + 1200000L)),
+        (3L, s"$f probe one two", ts(base + 1200000L)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 48L * 3600 * 1000)))
+      q.processAllAvailable()
+      input.addData((-999L, "x", ts(base + 96L * 3600 * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("snap_gate").filter(col("doc_id") >= 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_hit")).toMap
+    assert(got(1L) > 0, "pre-hostility batch must hit — vacuous fixture")
+    assert(got(2L) == got(1L),
+      "the path snapshot did not survive unpersist + drain mid-serve")
+    assert(got(3L) == 0L,
+      "a fold leaked into a path-stable snapshot mid-serve — " +
+        "isolation must hold for the copy exactly as for checkpoints")
+    // re-authoring (to a FRESH path — overwriting a served path is the
+    // compaction-swap hazard in miniature) picks the fold up
+    val set2 = GramGate.indexFromPath(spark, s"$dir/ix",
+      snapshotPath = Some(s"$dir/snap2"))
+    assert(set2.shared.count() > set.shared.count(),
+      "re-author must surface the folded grams")
+  }
+
   test("GramGate is delivery-idempotent per (window, doc): a " +
       "redelivered doc collapses to one position set") {
     assertGramGateParity("gram_gate_idem", redeliver = true)
@@ -2526,6 +2585,79 @@ class StreamingSpec extends SparkSpec {
       assert(want2Folded.exists(_._3 % 10 == 3),
         "no delta doc in batch-2 output — fold visibility is vacuous")
     } finally q.stop()
+  }
+
+  test("RetrievalGate mid-batch fold isolation: a fold landing AFTER " +
+      "the batch's plans are authored but BEFORE materialization " +
+      "leaves that batch byte-equal to the PRE-fold ranking (never " +
+      "corrupt, never tinted); the fold surfaces at the next batch") {
+    // the r14 watch item pinned: each batch's hybridTopKAgainstIndexes
+    // call reads both metas and builds both scans (eager parquet file
+    // listings, driver-side prefix collect) BEFORE the sink sees the
+    // frame — so a plain fold interleaving with the batch's
+    // MATERIALIZATION cannot mix versions: the bm25 leg's one meta
+    // read chose the baked contrib path (folds never touch contrib),
+    // and the IVF codes listing predates the fold's appended files.
+    // The fold flips in atomically at the NEXT batch's meta reads.
+    import graft.api.{TextOps, VectorOps}
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-retgate-mid-").toString
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val delta = docs.filter(col("doc_id") % 10 === 3)
+    TextOps.writeBm25Index(corpus, "doc_id", "text", s"$dir/bm25")
+    val ce = TextOps.embedText(corpus, "doc_id", "text", 64)
+      .filter(expr("exists(v, x -> x != 0D)"))
+    val model = VectorOps.ivfPqTrain(ce, "doc_id", "v",
+      nCells = 8, m = 16, k = 16, seed = 42L)
+    VectorOps.writeIvfPqIndex(ce, "doc_id", "v", model, s"$dir/ivfpq")
+    val qRows = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def want() = TextOps.hybridTopKAgainstIndexes(
+        qRows.toSeq.toDF("qid", "text"), "qid", "text",
+        s"$dir/bm25", s"$dir/ivfpq", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val wantPre = want() // computed against the authored indexes
+    val perBatch = collection.mutable.ArrayBuffer
+      .empty[Set[(Long, Long, Long, Long)]]
+    val input = MemoryStream[(Long, String)]
+    val writer = graft.streaming.RetrievalGate.hybridEachBatch(
+      input.toDF().toDF("qid", "text"), "qid", "text",
+      s"$dir/bm25", s"$dir/ivfpq", "doc_id") { (fused, batchId) =>
+      if (batchId == 0) {
+        // the mid-batch interleaving, made deterministic: the batch's
+        // plans exist (the fused frame in hand), nothing materialized
+        TextOps.foldIntoBm25Index(delta, "doc_id", "text", s"$dir/bm25")
+        VectorOps.foldIntoIvfPqIndex(
+          TextOps.embedText(delta, "doc_id", "text", 64)
+            .filter(expr("exists(v, x -> x != 0D)")),
+          "doc_id", "v", s"$dir/ivfpq")
+      }
+      perBatch += fused.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      ()
+    }
+    val q = writer.queryName("retrieval_gate_mid").start()
+    try {
+      input.addData(qRows.toSeq); q.processAllAvailable()
+      // SAME queries again: the folded indexes must now answer
+      input.addData(qRows.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size == 2)
+    assert(perBatch.head == wantPre,
+      "a fold landing mid-batch tinted that batch's output — the " +
+        "plan-time snapshot (meta read + eager file listings) leaked")
+    val wantPost = want()
+    assert(perBatch(1) == wantPost,
+      "the fold did not surface at the next batch (freshness contract)")
+    assert(wantPost != wantPre && wantPost.exists(_._3 % 10 == 3),
+      "fixture regression: the fold did not move the ranking — the " +
+        "isolation assertion above would be vacuous")
   }
 
   test("maintain*-while-serving: a compaction swap under a live gate " +
