@@ -574,9 +574,25 @@ object Multimodal {
   def imageNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
       maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
     graft.api.DedupOps.fingerprintPairs(
-      imageHashes(media).select(col("doc_id"), col("dhash64")),
+      materializedFps(imageHashes(media)
+        .select(col("doc_id"), col("dhash64"))),
       "doc_id", "dhash64", bits = 64,
       hammingMax = hammingMax, maxBucket = maxBucket)
+
+  /** Materialize a (doc_id, hash) fingerprint frame ONCE before the
+    * pair engine: [[graft.api.DedupOps.fingerprintPairs]] reads its
+    * input THREE times (band explode + both verify sides), and for
+    * the media modalities that input is a mapPartitions DECODE — not
+    * below any exchange, so nothing dedupes the re-evaluations and
+    * the full container-walk + frame-decode would run up to 3× per
+    * pair query (and a nondeterministic 1–3× across runs as join
+    * strategies shift — the round-15 q140 SCALE-band adjudication
+    * caught exactly this). The frame is 2 longs/doc; blocks release
+    * under the session's checkpoint-drain discipline like every
+    * operator-internal checkpoint.
+    */
+  private def materializedFps(fps: DataFrame): DataFrame =
+    fps.localCheckpoint()
 
   /** Deterministic 16×16 grayscale 24-bit BMP from a byte seed: image
     * pixel (x, y) has gray value `seed((y*16 + x) mod seed.length)`
@@ -763,8 +779,8 @@ object Multimodal {
   def audioNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
       maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
     graft.api.DedupOps.fingerprintPairs(
-      audioFingerprints(media), "doc_id", "envhash64", bits = 64,
-      hammingMax = hammingMax, maxBucket = maxBucket)
+      materializedFps(audioFingerprints(media)), "doc_id", "envhash64",
+      bits = 64, hammingMax = hammingMax, maxBucket = maxBucket)
 
   /** documents → REAL decodable audio media: each doc's UTF-8 text
     * bytes seed a [[pcmWav8]] payload (the [[documentsAsBmpMedia]]
@@ -837,8 +853,8 @@ object Multimodal {
   def videoNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
       maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
     graft.api.DedupOps.fingerprintPairs(
-      videoFingerprints(media), "doc_id", "vhash64", bits = 64,
-      hammingMax = hammingMax, maxBucket = maxBucket)
+      materializedFps(videoFingerprints(media)), "doc_id", "vhash64",
+      bits = 64, hammingMax = hammingMax, maxBucket = maxBucket)
 
   /** Frame count of the deterministic doc→AVI fixture: 6 frames with
     * [[MaxSampledFrames]] = 4 makes the uniform sampler pick frames
