@@ -236,8 +236,14 @@ FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""
     * arithmetic cannot drift between the doc-graph and host-graph
     * consumers.
     */
-  private lazy val weightedHostRankOracleSql: String = s"""
-WITH p AS (
+  /** The shared CTE PREFIX of the weighted-host-graph oracles
+    * (q164/q165's rank, q167's scheduler composition): fixture →
+    * per-occurrence links `a(doc_id, href, host)` → weighted edges →
+    * the q126-generator rounds → `v` (all hosts). One text, three
+    * consumers — the fixture, extraction, weighting and round
+    * arithmetic cannot drift by edit.
+    */
+  private lazy val weightedHostRankCtes: String = s"""p AS (
   SELECT doc_id, $weightedLinkFixtureSqlExpr AS t0
   FROM documents),
 l AS (SELECT doc_id,
@@ -248,10 +254,11 @@ x AS (SELECT doc_id,
                '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
       FROM l CROSS JOIN generate_series(1, 7) g(i)
       WHERE g.i <= len(links)),
-th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
-              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
-       FROM x
-       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+a AS (SELECT doc_id, href,
+             regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS host
+      FROM x
+      WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src, host AS dst FROM a),
 hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
               ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
        FROM th),
@@ -263,9 +270,30 @@ deg AS (SELECT s AS id, sum(w)::BIGINT AS w_degree FROM e GROUP BY 1),
 r0 AS (SELECT id, w_degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM deg),
 ${DedupQueries.weightedPagerankRoundsSql(5)},
 v AS (SELECT DISTINCT src AS host FROM th
-      UNION SELECT DISTINCT dst FROM th)
+      UNION SELECT DISTINCT dst FROM th)"""
+
+  private lazy val weightedHostRankOracleSql: String = s"""
+WITH $weightedHostRankCtes
 SELECT v.host, r5.w_degree, r5.r AS rank
 FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id"""
+
+  /** q167's oracle: the [[weightedHostRankCtes]] prefix composed with
+    * q146's budget rollup over the SAME per-occurrence link rows —
+    * the q154 one-extraction-feeds-both-legs discipline at anchor-
+    * volume granularity.
+    */
+  private lazy val weightedFrontierPriorityOracleSql: String = s"""
+WITH $weightedHostRankCtes,
+gg AS (SELECT host, href, count(*)::BIGINT AS n_refs FROM a GROUP BY 1, 2),
+rb AS (SELECT host, href, n_refs,
+              row_number() OVER (PARTITION BY host
+                ORDER BY n_refs DESC, href)::BIGINT AS fetch_rank
+       FROM gg),
+hr AS (SELECT v.host, r5.r AS host_rank
+       FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id)
+SELECT rb.host, rb.href, rb.n_refs, rb.fetch_rank, hr.host_rank
+FROM rb JOIN hr ON rb.host = hr.host
+WHERE rb.fetch_rank <= 7"""
 
   /** The materialized FOLDED weighted edge index per SF dir (the
     * [[foldedEdgeDir]] pattern): v1 = the %5!=0 docs' weighted link
@@ -2606,6 +2634,40 @@ FROM u LEFT JOIN (SELECT doc_id, href, allow, prefix FROM m WHERE rn = 1) m
             linkFixture(Tables.documents(s, dir), withHub = true),
             "doc_id", "text"),
           "doc_id", "href", rules)
+      }),
+
+    QueryDef(
+      "q167_weighted_frontier_priority",
+      "The crawl scheduler at anchor-VOLUME granularity, deployed " +
+        "(q162's shape with the weighted leg): q154/q162 rank hosts " +
+        "by graph POSITION (distinct pairs - a thousand anchors " +
+        "collapse to one edge); this composition orders the same " +
+        "politeness-budgeted frontier by the anchor-volume-weighted " +
+        "centrality instead - the host-priority leg reads the " +
+        "MAINTAINED weighted edge index (q165's foldedWeightedHostDir " +
+        "artifact, weightedRanksByKeyAgainstIndex), so in-link VOLUME " +
+        "feeds the queue order at index-sized per-schedule cost with " +
+        "the link-volume aggregation amortized into the daily " +
+        "maintain* fold. ONE extraction feeds both legs (the q154 " +
+        "discipline): the budget rollup and the weighted edges derive " +
+        "from the same per-occurrence link rows, which the oracle " +
+        "makes structural by composing q146's budget SQL and the " +
+        "q126-generator weighted rounds over ONE shared CTE prefix. " +
+        "Scale shape: budget leg = q146's one host-keyed exchange; " +
+        "rank leg = index read + host-count rounds; closing join " +
+        "host-keyed on a host-count frame.",
+      Some(weightedFrontierPriorityOracleSql),
+      (s, dir) => {
+        val links = graft.api.TextOps.extractLinks(
+          weightedLinkFixture(Tables.documents(s, dir)), "doc_id", "text")
+        val budget = graft.api.TextOps.frontierBudget(links,
+          "doc_id", "host", "href", budgetPerHost = 7)
+        val ranks = graft.operators.PageRank
+          .weightedRanksByKeyAgainstIndex(s, foldedWeightedHostDir(s, dir))
+          .select(col("key").as("host"), col("rank").as("host_rank"))
+        budget.join(ranks, Seq("host"))
+          .select(col("host"), col("href"), col("n_refs"),
+            col("fetch_rank"), col("host_rank"))
       })
   )
 

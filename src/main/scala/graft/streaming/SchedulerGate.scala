@@ -86,17 +86,26 @@ object SchedulerGate {
     * (host, prefix, allow) — parseRobots' output contract.
     */
   def author(spark: SparkSession, rules: DataFrame, edgeIndexPath: String,
-      iterations: Int = 5): SchedulerState = {
+      iterations: Int = 5): SchedulerState =
+    authorWith(rules, graft.operators.PageRank
+      .ranksByKeyAgainstIndex(spark, edgeIndexPath, iterations)
+      .select(col("key").as("host"), col("rank").as("host_rank")))
+
+  /** [[author]] from ANY precomputed (host, host_rank) frame — e.g.
+    * `weightedRanksByKeyAgainstIndex` output off the WEIGHTED edge
+    * index when the queue should order by anchor VOLUME (q167's
+    * deployed signal) instead of graph position, or an externally
+    * blended priority. Same author-once snapshot semantics: both
+    * frames materialize here and stay fixed until re-author.
+    */
+  def authorWith(rules: DataFrame, ranks: DataFrame): SchedulerState = {
     val r = rules.select(col("host"), col("prefix").cast("string"),
         col("allow").cast("boolean"))
       .localCheckpoint()
     graft.api.Lifecycle.registerCacheOwned(r)
-    val ranks = graft.operators.PageRank
-      .ranksByKeyAgainstIndex(spark, edgeIndexPath, iterations)
-      .select(col("key").as("host"), col("rank").as("host_rank"))
-      .localCheckpoint()
-    graft.api.Lifecycle.registerCacheOwned(ranks)
-    SchedulerState(r, ranks)
+    val rk = ranks.select(col("host"), col("host_rank")).localCheckpoint()
+    graft.api.Lifecycle.registerCacheOwned(rk)
+    SchedulerState(r, rk)
   }
 
   /** docs: a STREAMING frame with (idCol: Long doc ids, textCol,

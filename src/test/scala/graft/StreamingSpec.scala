@@ -2965,5 +2965,17 @@ class StreamingSpec extends SparkSpec {
         "the snapshot assertion above would be vacuous")
     state2.unpersist()
     state.unpersist()
+    // authorWith: ANY (host, host_rank) frame can drive the queue —
+    // the weighted index's output is q167's deployed signal
+    val wr = PageRank.weightedRanksByKey(
+        edges.withColumn("w", lit(1L)), "src", "dst", "w")
+      .select(col("key").as("host"), col("rank").as("host_rank"))
+    val wWant = wr.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val stateW = SchedulerGate.authorWith(rules, wr)
+    assert(wWant.nonEmpty && stateW.ranks.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == wWant,
+      "authorWith must snapshot the provided rank frame verbatim")
+    stateW.unpersist()
   }
 }
