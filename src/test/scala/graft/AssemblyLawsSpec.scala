@@ -147,4 +147,40 @@ class AssemblyLawsSpec extends SparkSpec {
       "HITS diverged under repartitioning — an ordered-float smell " +
         "the integer arithmetic exists to rule out")
   }
+
+  test("weightedRanksByKey laws on seeded random weighted graphs: " +
+      "ranks are EXACTLY invariant under uniform weight scaling " +
+      "(floor((r·cw)/(cD)) = floor((rw)/D) — c cancels inside every " +
+      "division), w_degree scales linearly, and the result is " +
+      "partitioning-invariant") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 3).foreach { trial =>
+      val nV = 5 + rnd.nextInt(20)
+      val nE = nV + rnd.nextInt(3 * nV)
+      val edges = (0 until nE).map { _ =>
+        val a = rnd.nextInt(nV); var b = rnd.nextInt(nV)
+        if (b == a) b = (a + 1) % nV
+        (s"h$a.org", s"h$b.org", 1L + rnd.nextInt(9))
+      }
+      val c = 2L + rnd.nextInt(999)
+      def run(w: Long => Long, parts: Int) = graft.operators.PageRank
+        .weightedRanksByKey(
+          edges.map { case (s, t, ww) => (s, t, w(ww)) }
+            .toDF("s", "t", "w").repartition(parts),
+          "s", "t", "w", iterations = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val base = run(identity, 4)
+      val scaled = run(_ * c, 4)
+      assert(base.nonEmpty)
+      assert(scaled.map(x => (x._1, x._3)).toSet ==
+        base.map(x => (x._1, x._3)).toSet,
+        s"trial $trial: ranks moved under a uniform ×$c weight " +
+          "scaling — the floor divisions are not scale-exact")
+      assert(scaled.map(x => (x._1, x._2)).toMap ==
+        base.map(x => (x._1, x._2 * c)).toMap,
+        s"trial $trial: w_degree did not scale linearly by $c")
+      assert(run(identity, 32).toSet == base.toSet,
+        s"trial $trial: weighted ranks diverged under repartitioning")
+    }
+  }
 }

@@ -213,6 +213,41 @@ class PlanSpec extends SparkSpec {
       s"exchange not keyed on host: ${exchanges.head.outputPartitioning}")
   }
 
+  test("parseRobots plans exactly ONE exchange (the host-keyed group " +
+      "windows) — the text→rules step is rules-sized work, and the " +
+      "parsed frame stays broadcastable") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val bodies = spark.range(9).select(
+      concat(lit("ex"), col("id").cast("string"), lit(".org")).as("host"),
+      concat(lit("User-agent: *\nDisallow: /hub/\nAllow: /hub/"),
+        col("id").cast("string"), lit("\n")).as("body"))
+    val df = graft.api.TextOps.parseRobots(bodies, "host", "body")
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    val exchanges = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(exchanges.map(_.id).distinct.size <= 1,
+      s"parseRobots should reuse ONE host exchange, got " +
+        s"${exchanges.map(_.id).distinct.size}:\n" +
+        df.queryExecution.executedPlan)
+    exchanges.headOption.foreach(e =>
+      assert(e.outputPartitioning.toString.contains("host"),
+        s"exchange not keyed on host: ${e.outputPartitioning}"))
+  }
+
+  test("q167: the weighted deployed scheduler joins without cartesian " +
+      "or nested-loop shapes; the closing host join broadcasts") {
+    val df = SparkEntry.queries("q167_weighted_frontier_priority")(spark, sf)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "cartesian product in the weighted scheduler")
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "nested-loop join in the weighted scheduler")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the host-count rank frame should broadcast into the budget leg")
+  }
+
   test("q64 latest-state is one shuffle of partial-agg survivors, no sort") {
     // the latest_by formulation's whole point: no rank window (which
     // would sort every key's full history) AND no SortAggregate (which
