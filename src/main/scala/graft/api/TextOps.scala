@@ -646,9 +646,15 @@ object TextOps {
       s"robotsFilterMapOnly: id/href/extra column collides with an " +
         s"output/working column (${reserved.mkString(", ")}) — rename " +
         "it first")
+    // drop empty-host rule rows BEFORE grouping: host-less URLs (and
+    // rules) key to _h = '', and the batch form's URL-side `_h != ''`
+    // filter guarantees host-less URLs are ALWAYS allowed — without
+    // this guard an ''-keyed rule group would join those rows here and
+    // could flip their verdict (the two forms must agree row-for-row)
     val r = rules.select(col(ruleHostCol).as("_h"),
         struct(col(rulePrefixCol).cast("string").as("p"),
           col(ruleAllowCol).cast("boolean").as("a")).as("_r"))
+      .filter(col("_h") =!= "")
       .groupBy(col("_h")).agg(collect_list(col("_r")).as("_rs"))
     val carried = (Seq(idCol, hrefCol) ++ extraCols).map(col)
     urls.select(carried :+

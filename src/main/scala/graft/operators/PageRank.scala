@@ -404,7 +404,15 @@ object PageRank {
     * read-side distinct). This ordering is exclusive to the SET
     * families; the SUM-reconciled count families (gram/line/weighted
     * edge) cannot use it — for them a partial run corrupts totals
-    * either way, so only restore-on-failure covers the window.
+    * either way, so they carry per-run manifests instead (see
+    * [[foldIntoWeightedEdgeIndex]]). One cost of meta-first, stated
+    * for operators: a fold whose delta job fails BEFORE any append
+    * still bumped `layers`, so repeated failed folds creep the layer
+    * count toward the compaction threshold without adding data —
+    * reads stay correct throughout (distinct is idempotent and a
+    * bumped count merely disables the layers<=1 fast path until the
+    * next compaction), i.e. a layered meta does NOT imply layered
+    * data. DedupSpec pins the harmless-bump property.
     */
   def foldIntoEdgeIndex(edges: DataFrame, srcCol: String, dstCol: String,
       indexPath: String): Unit = {

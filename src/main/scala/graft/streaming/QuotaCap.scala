@@ -266,10 +266,27 @@ object QuotaCap {
     * `dropDuplicatesWithinWatermark`.
     */
   def firstNPerKeyWithinHorizon(docs: Dataset[KeyedDoc], cap: Int,
-      delay: String): Dataset[KeyedDoc] = {
+      delay: String): Dataset[KeyedDoc] =
+    firstNPerKeyWithinHorizon(docs, cap, delay, declareWatermark = true)
+
+  /** [[firstNPerKeyWithinHorizon]] with the watermark declaration
+    * under caller control: Spark disallows REDEFINING a watermark, so
+    * a caller whose chain already declared one upstream (e.g.
+    * [[graft.streaming.SchedulerGate]] — FrontierGate declares it on
+    * the event-time column, and the metadata rides the `ts` alias
+    * into [[KeyedDoc]]) passes `declareWatermark = false` and the
+    * stage inherits the upstream watermark; `delay` then serves only
+    * as the purge horizon for the timeout timer. Purge safety is
+    * monotone in the watermark delay: a TIGHTER upstream delay only
+    * makes the watermark pass a retired key's horizon sooner, and the
+    * no-readmission argument (rows behind the watermark are dropped
+    * before the state function) is unchanged.
+    */
+  def firstNPerKeyWithinHorizon(docs: Dataset[KeyedDoc], cap: Int,
+      delay: String, declareWatermark: Boolean): Dataset[KeyedDoc] = {
     require(cap > 0, s"firstNPerKeyWithinHorizon: cap must be positive, got $cap")
-    docs.withWatermark("ts", delay)
-      .groupByKey(_.key)
+    val src = if (declareWatermark) docs.withWatermark("ts", delay) else docs
+    src.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(admitWithTimeout(cap, delay) _)
   }

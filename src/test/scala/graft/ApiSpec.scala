@@ -1768,7 +1768,12 @@ class ApiSpec extends SparkSpec {
       ("a.org", "/private/", false),
       ("a.org", "/private/public/", true), // longer Allow carve-out
       ("b.net", "/x/", false),
-      ("b.net", "/x/", true) // equal length: Allow wins (REP tie rule)
+      ("b.net", "/x/", true), // equal length: Allow wins (REP tie rule)
+      // a malformed EMPTY-host rule row: host-less URLs key to '' too,
+      // and the contract says they are ALWAYS allowed — this row must
+      // be inert in BOTH forms (the map-only form drops ''-host rules
+      // before grouping; the batch form filters ''-host URLs pre-join)
+      ("", "/", false)
     ).toDF("host", "prefix", "allow")
     val urls = Seq(
       (1L, "https://a.org/private/secret"),       // Disallow matches

@@ -2978,4 +2978,203 @@ class StreamingSpec extends SparkSpec {
       "authorWith must snapshot the provided rank frame verbatim")
     stateW.unpersist()
   }
+
+  /** All single-string state keys visible through the state-store
+    * reader across the checkpoint's operators. The scheduler's quota
+    * keys are `host|windowStartSec`, so callers filter on the `|`
+    * shape; the dedup operator's canonical-URL keys (also one string)
+    * never collide with it. Under the tws lane the quota state lives
+    * in the named variable `quota`; operators/variants that don't
+    * match are skipped.
+    */
+  private def quotaStateKeys(ckpt: String, useTws: Boolean): Seq[String] =
+    (0 to 3).flatMap { op =>
+      try {
+        val rd = spark.read.format("statestore")
+          .option("operatorId", op)
+        val df = (if (useTws) rd.option("stateVarName", "quota") else rd)
+          .load(ckpt)
+        val keyFields = df.select(col("key.*")).schema.fields
+        if (keyFields.length == 1 &&
+            keyFields(0).dataType == org.apache.spark.sql.types.StringType)
+          df.select(col("key.*")).collect().map(_.getString(0)).toSeq
+        else Seq.empty[String]
+      } catch { case _: Exception => Seq.empty[String] }
+    }
+
+  private def assertSchedulerQuotaExpiry(useTws: Boolean,
+      sink: String): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-schedx-").toString
+    Seq.empty[String].toDF("canonical_url")
+      .write.mode("overwrite").parquet(s"$dir/visited")
+    val rules = Seq.empty[(String, String, Boolean)]
+      .toDF("host", "prefix", "allow")
+    val state = SchedulerGate.authorWith(rules,
+      Seq(("ex1.org", 7L)).toDF("host", "host_rank"))
+    val base = 1558430000000L
+    def page(host: String, i: Int) = s"""<a href="https://$host/f/$i">f</a>"""
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = SchedulerGate.schedule(
+      input.toDF().toDF("doc_id", "text", "at"), "doc_id", "text", "at",
+      delay = "10 seconds", window = "1 hour", s"$dir/visited", state,
+      budgetPerWindow = 2, useTws = useTws)
+    val q = out.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      // window A on ex1.org: 3 URLs, budget 2 -> first 2 admitted
+      input.addData((0 until 3).map(i =>
+        (100L + i, page("ex1.org", i), ts(base + i * 1000L))): _*)
+      q.processAllAvailable()
+      // far-future events on another host advance the watermark past
+      // window A's horizon (activity + window + delay); pump twice —
+      // the watermark computed from batch 2 only takes effect for
+      // batch 3, whose processing fires A's purge timer
+      val far = base + 8 * 3600000L
+      input.addData((200L, page("zz9.net", 0), ts(far)))
+      q.processAllAvailable()
+      input.addData((201L, page("zz9.net", 1), ts(far + 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // budget law unchanged across windows
+    val got = spark.table(sink).collect()
+    assert(got.count(_.getString(1) == "ex1.org") == 2,
+      s"budget=2 violated in the closed window")
+    assert(got.count(_.getString(1) == "zz9.net") == 2,
+      "far-window arrivals lost — purge must not drop live admissions")
+    // state read-back: the closed window's quota counter is GONE, the
+    // live window's counter is still there (non-vacuity: the reader
+    // does see quota state)
+    val keys = quotaStateKeys(s"$dir/ckpt", useTws)
+    assert(keys.exists(_.startsWith("zz9.net|")),
+      s"state read-back vacuous — no live quota key visible: $keys")
+    assert(!keys.exists(_.startsWith("ex1.org|")),
+      s"closed-window quota key never purged — unbounded state: $keys")
+    state.unpersist()
+  }
+
+  test("SchedulerGate quota state is BOUNDED: the closed (host, window) " +
+      "counter is purged once the watermark passes its horizon (state-" +
+      "store read-back), the budget law is unchanged across windows — " +
+      "fMGWS lane") {
+    assertSchedulerQuotaExpiry(useTws = false, "sched_expiry_fmgws")
+  }
+
+  test("SchedulerGate quota expiry holds on the transformWithState lane " +
+      "under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertSchedulerQuotaExpiry(useTws = true, "sched_expiry_tws")
+    }
+  }
+
+  test("SchedulerGate weighted leg end-to-end: parseRobots bodies -> " +
+      "authorWith(weighted ranks off the maintained weighted index) -> " +
+      "schedule == the batch composition on a budget-non-binding split") {
+    import graft.api.TextOps
+    import graft.operators.PageRank
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // anchor-VOLUME fixture: each doc links its host's m(k%3).net page
+    // 1 + k%4 times (k = doc_id%9) — weights genuinely differ by edge
+    def marked(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      concat(
+        expr("repeat('<a href=\"https://m' || cast(doc_id % 3 as string) || " +
+          "'.net/q/' || cast(doc_id % 9 as string) || '\">z</a>', " +
+          "cast(1 + (doc_id % 9) % 4 as int))"),
+        lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit("\">x</a>")).as("text"))
+    val corpus = marked(docs.filter(col("doc_id") % 5 =!= 0))
+    val deltaDf = marked(docs.filter(col("doc_id") % 5 === 0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-schedw-").toString
+    TextOps.extractLinks(corpus, "doc_id", "text")
+      .filter(col("host") =!= "")
+      .select(TextOps.canonicalUrl(col("href")).as("canonical_url"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/visited")
+    // weighted edge index: per-occurrence unit weights, corpus written
+    // then the delta maintain-folded (overlapping host pairs — the SUM
+    // reconcile is genuinely exercised on the serving path)
+    val allLinks = TextOps.extractLinks(
+      marked(docs), "doc_id", "text").filter(col("host") =!= "")
+      .select(col("doc_id"),
+        concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+          lit(".org")).as("src_host"),
+        col("host").as("dst_host"))
+      .withColumn("w1", lit(1L))
+    PageRank.writeWeightedEdgeIndex(
+      allLinks.filter(col("doc_id") % 5 =!= 0), "src_host", "dst_host",
+      "w1", s"$dir/wix")
+    PageRank.maintainWeightedEdgeIndex(
+      allLinks.filter(col("doc_id") % 5 === 0), "src_host", "dst_host",
+      "w1", s"$dir/wix")
+    // robots BODIES -> parsed rules: ex0/ex3/ex6.org disallow their
+    // /p/ pages for '*' (the delta's NON-visited leg — every m-host
+    // /q/ URL is already in visited, so rules there would be vacuous),
+    // wrapped in a BadBot group that must NOT leak
+    val bodies = Seq(0, 3, 6).toDF("k").select(
+      concat(lit("ex"), col("k").cast("string"), lit(".org")).as("host"),
+      concat(
+        lit("# crawl policy\n"),
+        lit("User-agent: BadBot\nDisallow: /\n\n"),
+        lit("User-Agent: *\r\n"),
+        lit("Disallow: /p/  # page namespace\n")).as("body"))
+    val rules = TextOps.parseRobots(bodies, "host", "body")
+    val ranks = PageRank
+      .weightedRanksByKeyAgainstIndex(spark, s"$dir/wix")
+      .select(col("key").as("host"), col("rank").as("host_rank"))
+    val stateW = SchedulerGate.authorWith(rules, ranks)
+
+    // batch twin: discover -> batch robotsFilter(parsed rules) -> LEFT
+    // join of the SNAPSHOT ranks
+    val snapshotRanks = stateW.ranks.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val discovered = TextOps.extractLinks(deltaDf, "doc_id", "text")
+      .filter(col("host") =!= "")
+      .select(TextOps.canonicalUrl(col("href")).as("curl"))
+      .join(spark.read.parquet(s"$dir/visited")
+        .select(col("canonical_url").as("curl")), Seq("curl"), "left_anti")
+      .distinct()
+    val want = TextOps.robotsFilter(
+        discovered.withColumn("id", col("curl")), "id", "curl", rules)
+      .filter(col("allowed"))
+      .collect().map { r =>
+        val curl = r.getString(1)
+        val host = curl.replaceAll("^https?://", "").takeWhile(_ != '/')
+        (curl, host, snapshotRanks.get(host))
+      }.toSet
+    assert(want.nonEmpty, "no scheduled URLs — parity would be vacuous")
+    assert(discovered.count() > want.size,
+      "parsed robots must actually drop something — compliance leg vacuous")
+    assert(want.exists(_._3.isDefined),
+      "no scheduled URL carries a weighted rank — the rank leg is vacuous")
+
+    val rows = deltaDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = 1558430000000L
+    def recs(part: Array[(Long, String)], t0: Long) =
+      part.zipWithIndex.map { case ((id, t), i) => (id, t, ts(t0 + i * 1000L)) }
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = SchedulerGate.schedule(
+      input.toDF().toDF("doc_id", "text", "at"), "doc_id", "text", "at",
+      delay = "2 hours", window = "1 hour", s"$dir/visited", stateW,
+      budgetPerWindow = 100000)
+    val q = out.writeStream.format("memory").queryName("sched_weighted")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(recs(a, base).toSeq: _*); q.processAllAvailable()
+      input.addData(recs(b, base + 60000L).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sched_weighted").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    assert(got == want,
+      s"stream=${got.size} batch=${want.size} " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    stateW.unpersist()
+  }
 }
