@@ -505,6 +505,13 @@ object BenchScale {
       PageRank.weightedRanksByKeyAgainstIndex(spark, s"$idxDir/wedge_base"))
     val wePrbS = BenchHarness.minOf2Of(() =>
       PageRank.weightedRanksByKeyAgainstIndex(spark, s"$idxDir/wedge_scaled"))
+    // weighted HITS (round 16): the directed consumer over the SAME
+    // indexes — host-pair-sized rounds, so it must stay as flat as the
+    // weighted-rank probe under 10x the links behind the index
+    val whPrbB = BenchHarness.minOf2Of(() =>
+      PageRank.weightedHitsByKeyAgainstIndex(spark, s"$idxDir/wedge_base"))
+    val whPrbS = BenchHarness.minOf2Of(() =>
+      PageRank.weightedHitsByKeyAgainstIndex(spark, s"$idxDir/wedge_scaled"))
     val weFldB = timedUnit(PageRank.foldIntoWeightedEdgeIndex(
       wEdgeDelta, "src", "dst", "w1", s"$idxDir/wedge_base"))
     val weFldS = timedUnit(PageRank.foldIntoWeightedEdgeIndex(
@@ -674,7 +681,8 @@ object BenchScale {
       ("q160_probe_const_delta", ePrbB, ePrbS, cRatio(ePrbB, ePrbS)),
       ("q160_fold_const_delta", eFldB, eFldS, cRatio(eFldB, eFldS)),
       ("q165_probe_const_delta", wePrbB, wePrbS, cRatio(wePrbB, wePrbS)),
-      ("q165_fold_const_delta", weFldB, weFldS, cRatio(weFldB, weFldS)))
+      ("q165_fold_const_delta", weFldB, weFldS, cRatio(weFldB, weFldS)),
+      ("q168_probe_const_delta", whPrbB, whPrbS, cRatio(whPrbB, whPrbS)))
 
     val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max

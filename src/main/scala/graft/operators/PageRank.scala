@@ -588,9 +588,9 @@ object PageRank {
   /** Shared write-side derivation for the weighted family: per-run
     * partial sums over distinct DIRECTED hash pairs (self-loops
     * dropped) + the vertex key map, prefix-partitioned. Directed like
-    * [[edgeRows]] — orientation is preserved in storage (a future
-    * weighted-HITS consumer needs it) and the undirected consumer
-    * collapses at read.
+    * [[edgeRows]] — orientation is preserved in storage (the
+    * [[weightedHitsByKeyAgainstIndex]] consumer iterates the directed
+    * graph) and the undirected consumer collapses at read.
     */
   private def weightedEdgeRows(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String,
@@ -720,5 +720,126 @@ object PageRank {
         dampingPct, scale)
       .join(v, Seq("id"))
       .select(col("key"), col("w_degree"), col("rank"))
+  }
+
+  /** Weight-scaled HITS over a DIRECTED weighted edge list — the
+    * [[hits]] mutual recursion with each hop multiplied by the edge
+    * weight: `a_raw(t) = Σ_{(s,t)} w · h(s)` and `h_raw(s) =
+    * Σ_{(s,t)} w · a(t)`, renormalized per round by the integer max
+    * exactly as [[hits]]. On the anchor-count host graph this is the
+    * volume-aware split of the two crawl roles the unweighted [[hits]]
+    * cannot see: a host pointed to by a thousand anchors from one good
+    * hub outranks a host the same hub mentions once.
+    *
+    * Input rows need NOT be pre-aggregated: edges first collapse to
+    * canonical DIRECTED pairs with SUMMED weight — for the raw sums
+    * themselves this is a no-op (multiplication distributes over the
+    * sum, unlike the weighted-PageRank floor divisions), but it fixes
+    * the iterated graph at pair-count size and IS the cross-run SUM
+    * reconcile when the rows come from a layered
+    * [[writeWeightedEdgeIndex]]. Self-loops drop ([[hits]]'
+    * discipline). With one row per directed pair and unit weights this
+    * is EXACTLY [[hits]]: every product is h·1 — DedupSpec pins the
+    * equality. Arithmetic: the h·w products and their sums run in
+    * decimal(38,0) (h ≤ scale = 10^12 and Σw·scale must stay under
+    * 10^38 — anchor-count weights leave ~10^14 total-weight headroom;
+    * the oracle replays the same products in DuckDB HUGEINT), and the
+    * renormalized scores are ≤ `scale`, safely Long.
+    *
+    * @return one row per vertex: (id, hub, auth) on the integer
+    *         `scale`.
+    */
+  def weightedHits(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 3,
+      scale: Long = Scale): DataFrame = {
+    require(iterations >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("t"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("s") =!= col("t"))
+      .groupBy(col("s"), col("t")).agg(sum(col("w")).as("w"))
+      .persist()
+    val v = e.select(col("s").as("id")).union(e.select(col("t").as("id")))
+      .distinct().persist()
+
+    var hub = v.withColumn("h", lit(scale))
+    var auth = v.withColumn("a", lit(0L))
+    for (i <- 1 to iterations) {
+      val (prevHub, prevAuth) = (hub, auth)
+      val aRaw = e.join(hub.withColumnRenamed("id", "s"), Seq("s"))
+        .groupBy(col("t").as("id"))
+        .agg(sum(col("h").cast("decimal(38,0)") * col("w")).as("_ar"))
+      val aMax = aRaw.agg(max(col("_ar")).as("_am"))
+      auth = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aMax))
+        .select(col("id"),
+          coalesce(expr(s"(_ar * $scale) div _am"), lit(0L)).as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth.withColumnRenamed("id", "t"), Seq("t"))
+        .groupBy(col("s").as("id"))
+        .agg(sum(col("a").cast("decimal(38,0)") * col("w")).as("_hr"))
+      val hMax = hRaw.agg(max(col("_hr")).as("_hm"))
+      hub = v.join(hRaw, Seq("id"), "left").crossJoin(broadcast(hMax))
+        .select(col("id"),
+          coalesce(expr(s"(_hr * $scale) div _hm"), lit(0L)).as("h"))
+        .localCheckpoint()
+      // release the dead previous round (the [[hits]] discipline)
+      if (i > 1) {
+        graft.api.Lifecycle.releaseLocalCheckpoint(prevHub)
+        graft.api.Lifecycle.releaseLocalCheckpoint(prevAuth)
+      }
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+      .localCheckpoint()
+    graft.api.Lifecycle.releaseLocalCheckpoint(hub)
+    graft.api.Lifecycle.releaseLocalCheckpoint(auth)
+    e.unpersist()
+    v.unpersist()
+    out
+  }
+
+  /** [[weightedHits]] over STRING-keyed vertices — the [[hitsByKey]]
+    * shape at anchor-volume granularity: keys map through the shared
+    * 60-bit hash, per-occurrence (src, dst, w) rows collapse to
+    * directed pairs with SUMMED weight inside [[weightedHits]], and
+    * the scores join the key back through the broadcast-sized vertex
+    * map. The graph stays DIRECTED ([[hitsByKey]]'s reasoning —
+    * hub/authority duality IS the direction structure).
+    *
+    * @return one row per vertex: (key, hub, auth).
+    */
+  def weightedHitsByKey(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 3,
+      scale: Long = Scale): DataFrame = {
+    val h = keyedWeightedEdges(edges, srcCol, dstCol, weightCol)
+    weightedHits(h.select(col("s"), col("t"), col("w")), "s", "t", "w",
+        iterations, scale)
+      .join(vertexMap(h), Seq("id"))
+      .select(col("key"), col("hub"), col("auth"))
+  }
+
+  /** [[weightedHitsByKey]] over a persisted [[writeWeightedEdgeIndex]]
+    * — the DIRECTED consumer the family stores its orientation for:
+    * identical output to weighted-HITS-ing the raw link stream the
+    * index was built+folded from, at index-sized cost. The canonical
+    * directed pair aggregation inside [[weightedHits]] doubles as the
+    * cross-run SUM reconcile (the [[weightedRanksByKeyAgainstIndex]]
+    * argument, directed), so reads are correct at any layer count and
+    * both weighted consumers — undirected rank and directed
+    * hub/authority — rank ONE reconciled graph.
+    */
+  def weightedHitsByKeyAgainstIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, iterations: Int = 3,
+      scale: Long = Scale): DataFrame = {
+    // meta is read for the rebuild-once error contract (and geometry)
+    readEdgeMeta(s, indexPath, "weightedHitsByKeyAgainstIndex")
+    val e = s.read.parquet(s"$indexPath/edges")
+      .select(col("s"), col("t"), col("w"))
+    val v = s.read.parquet(s"$indexPath/vertices")
+      .select(col("id"), col("key")).distinct()
+    weightedHits(e, "s", "t", "w", iterations, scale)
+      .join(v, Seq("id"))
+      .select(col("key"), col("hub"), col("auth"))
   }
 }

@@ -236,14 +236,14 @@ FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""
     * arithmetic cannot drift between the doc-graph and host-graph
     * consumers.
     */
-  /** The shared CTE PREFIX of the weighted-host-graph oracles
-    * (q164/q165's rank, q167's scheduler composition): fixture →
-    * per-occurrence links `a(doc_id, href, host)` → weighted edges →
-    * the q126-generator rounds → `v` (all hosts). One text, three
-    * consumers — the fixture, extraction, weighting and round
-    * arithmetic cannot drift by edit.
+  /** The weighted host FIXTURE prefix shared by every weighted-host-
+    * graph oracle (the rank chain below, and q168's weighted HITS):
+    * fixture → per-occurrence links `a(doc_id, href, host)` → directed
+    * host rows `th` → hashed rows `hh`. One text — the fixture,
+    * extraction and hashing cannot drift between the undirected-rank
+    * and directed-HITS consumers by edit.
     */
-  private lazy val weightedHostRankCtes: String = s"""p AS (
+  private lazy val weightedHostFixtureCtes: String = s"""p AS (
   SELECT doc_id, $weightedLinkFixtureSqlExpr AS t0
   FROM documents),
 l AS (SELECT doc_id,
@@ -261,7 +261,16 @@ a AS (SELECT doc_id, href,
 th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src, host AS dst FROM a),
 hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
               ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
-       FROM th),
+       FROM th)"""
+
+  /** The shared CTE PREFIX of the weighted-host-RANK oracles
+    * (q164/q165's rank, q167's scheduler composition): the
+    * [[weightedHostFixtureCtes]] fixture → weighted unordered edges →
+    * the q126-generator rounds → `v` (all hosts). One text, three
+    * consumers — the weighting and round arithmetic cannot drift by
+    * edit.
+    */
+  private lazy val weightedHostRankCtes: String = s"""$weightedHostFixtureCtes,
 e0 AS (SELECT least(hs, ht) AS a, greatest(hs, ht) AS b,
               count(*)::BIGINT AS w
        FROM hh WHERE hs <> ht GROUP BY 1, 2),
@@ -271,6 +280,53 @@ r0 AS (SELECT id, w_degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM 
 ${DedupQueries.weightedPagerankRoundsSql(5)},
 v AS (SELECT DISTINCT src AS host FROM th
       UNION SELECT DISTINCT dst FROM th)"""
+
+  /** q168's unrolled WEIGHTED-HITS rounds — [[hitsRoundsSql]] with
+    * each hop's contribution multiplied by the edge weight
+    * (`sum(h·w)` / `sum(a·w)`), the same generator discipline as
+    * DedupQueries.weightedPagerankRoundsSql vs pagerankRoundsSql.
+    * Products are forced to HUGEINT (`h::HUGEINT * w`) mirroring the
+    * Spark side's decimal(38,0) — a BIGINT product would wrap at
+    * h × w ≈ 2^63.
+    */
+  private def weightedHitsRoundsSql(iterations: Int): String = {
+    val scale = graft.operators.PageRank.Scale
+    (1 to iterations).map { k =>
+      s"""ar$k AS (
+  SELECT e.t AS id, sum(h${k - 1}.h::HUGEINT * e.w) AS ar
+  FROM e JOIN h${k - 1} ON e.s = h${k - 1}.id GROUP BY 1),
+am$k AS (SELECT max(ar) AS m FROM ar$k),
+a$k AS (SELECT v.id,
+               coalesce((ar$k.ar * $scale) // am$k.m, 0)::BIGINT AS a
+        FROM v LEFT JOIN ar$k ON v.id = ar$k.id CROSS JOIN am$k),
+hr$k AS (
+  SELECT e.s AS id, sum(a$k.a::HUGEINT * e.w) AS hr
+  FROM e JOIN a$k ON e.t = a$k.id GROUP BY 1),
+hm$k AS (SELECT max(hr) AS m FROM hr$k),
+h$k AS (SELECT v.id,
+               coalesce((hr$k.hr * $scale) // hm$k.m, 0)::BIGINT AS h
+        FROM v LEFT JOIN hr$k ON v.id = hr$k.id CROSS JOIN hm$k)"""
+    }.mkString(",\n")
+  }
+
+  /** q168's full-corpus weighted-HITS oracle over the SHARED weighted
+    * host fixture ([[weightedHostFixtureCtes]] — the same text
+    * q164/q165/q167 rank): directed hash pairs with SUMMED
+    * per-occurrence weight, three weighted mutual-recursion rounds,
+    * key join-back — the [[hostHitsOracleSql]] shape at anchor-volume
+    * granularity.
+    */
+  private lazy val weightedHostHitsOracleSql: String = s"""
+WITH $weightedHostFixtureCtes,
+f AS (SELECT src, dst, hs, ht FROM hh WHERE hs <> ht),
+e AS (SELECT hs AS s, ht AS t, count(*)::BIGINT AS w FROM f GROUP BY 1, 2),
+v AS (SELECT DISTINCT s AS id FROM e UNION SELECT DISTINCT t FROM e),
+h0 AS (SELECT id, ${graft.operators.PageRank.Scale}::BIGINT AS h FROM v),
+${weightedHitsRoundsSql(3)},
+kk AS (SELECT DISTINCT src AS host, hs AS id FROM f
+       UNION SELECT DISTINCT dst, ht FROM f)
+SELECT kk.host, h3.h AS hub, a3.a AS auth
+FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""
 
   private lazy val weightedHostRankOracleSql: String = s"""
 WITH $weightedHostRankCtes
@@ -2668,7 +2724,39 @@ FROM u LEFT JOIN (SELECT doc_id, href, allow, prefix FROM m WHERE rn = 1) m
         budget.join(ranks, Seq("host"))
           .select(col("host"), col("href"), col("n_refs"),
             col("fetch_rank"), col("host_rank"))
-      })
+      }),
+
+    QueryDef(
+      "q168_fold_weighted_host_hits",
+      "Anchor-VOLUME-weighted hubs and authorities over the MAINTAINED " +
+        "weighted edge index (PageRank.weightedHitsByKeyAgainstIndex) " +
+        "- the DIRECTED consumer the 10th family stores its " +
+        "orientation for: q159's HITS deliberately collapses a " +
+        "thousand anchors to one edge (graph position), here each " +
+        "hop's contribution is multiplied by the edge's summed anchor " +
+        "count, so a host cited by a thousand anchors from one good " +
+        "hub outranks a host that hub mentions once - the two crawl " +
+        "roles at in-link-volume granularity. Reads q165's " +
+        "foldedWeightedHostDir artifact (v1 + OVERLAPPING maintain-" +
+        "fold), so this is ALSO the directed fold-parity proof: the " +
+        "canonical directed-pair aggregation inside weightedHits IS " +
+        "the cross-run SUM reconcile, and the oracle is the FULL-" +
+        "corpus weighted-HITS SQL over the shared fixture prefix " +
+        "(weightedHostFixtureCtes - the exact text q164/q165/q167 " +
+        "rank from), with three weighted mutual-recursion rounds " +
+        "unrolled (weightedHitsRoundsSql, the hitsRoundsSql shape " +
+        "with h*w products in HUGEINT mirroring Spark's " +
+        "decimal(38,0)). Unit weights on distinct pairs reproduce " +
+        "q159's unweighted HITS exactly (DedupSpec law - " +
+        "multiplication distributes over the raw sums, so only the " +
+        "weights differentiate). Scale shape: index read + host-" +
+        "count-row rounds, no corpus re-extraction; the key join-" +
+        "back is the broadcast-sized vertex map.",
+      Some(weightedHostHitsOracleSql),
+      (s, dir) =>
+        graft.operators.PageRank.weightedHitsByKeyAgainstIndex(
+            s, foldedWeightedHostDir(s, dir))
+          .select(col("key").as("host"), col("hub"), col("auth")))
   )
 
   /** q153's line fixture — the q151 skeleton minus the license line,

@@ -1359,6 +1359,71 @@ class DedupSpec extends SparkSpec {
       "occurrence rows must SUM into the canonical pair weight")
   }
 
+  test("weightedHitsByKey: unit weights on distinct directed pairs == " +
+      "hitsByKey exactly; uniform weight scaling is invariant; " +
+      "occurrence rows SUM into the pair weight (and genuinely move " +
+      "the scores); self-links drop; and the index consumer == the " +
+      "raw twin over the maintained weighted index") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    def hitsSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val once = Seq(("a.org", "x.net"), ("a.org", "y.net"),
+      ("b.org", "x.net"), ("c.org", "y.net"), ("x.net", "y.net"))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    // unit weights, one row per directed pair: every product is h*1,
+    // so the mutual recursion is bit-identical to the unweighted op
+    val unweighted = hitsSet(PageRank.hitsByKey(once, "src", "dst"))
+    val weighted = hitsSet(
+      PageRank.weightedHitsByKey(once, "src", "dst", "w"))
+    assert(weighted == unweighted,
+      "unit weights must reproduce the unweighted HITS exactly")
+    // uniform x7 scaling is invariant: floor(7x*s / 7m) = floor(x*s/m)
+    assert(hitsSet(PageRank.weightedHitsByKey(
+        once.withColumn("w", lit(7L)), "src", "dst", "w")) == weighted,
+      "uniformly scaled weights must leave every score unchanged")
+    // self-links are inert
+    assert(hitsSet(PageRank.weightedHitsByKey(
+        once.union(Seq(("a.org", "a.org")).toDF("src", "dst")
+          .withColumn("w", lit(9L))), "src", "dst", "w")) == weighted,
+      "a self-link must drop before iteration")
+    // occurrence rows SUM — and anchor volume genuinely moves the
+    // scores: a.org cites x.net three times but y.net once, so x's
+    // authority must now exceed y's, where the unweighted op (and the
+    // unit-weight graph) cannot tell them apart
+    val vol = Seq(("a.org", "x.net"), ("a.org", "x.net"),
+      ("a.org", "x.net"), ("a.org", "y.net")).toDF("src", "dst")
+      .withColumn("w", lit(1L))
+    val volAuth = PageRank.weightedHitsByKey(vol, "src", "dst", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(volAuth("x.net") > volAuth("y.net"),
+      s"anchor volume must raise authority: $volAuth")
+    val volOnce = PageRank.hitsByKey(vol, "src", "dst").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(volOnce("x.net") == volOnce("y.net"),
+      "fixture regression: the unweighted op must NOT separate them " +
+        "(distinct pairs) or the volume assertion above is vacuous")
+    // the persisted consumer == the raw twin across an OVERLAPPING
+    // maintain-fold (the directed cross-run SUM reconcile)
+    val v1 = Seq(("a.org", "x.net", 2L), ("x.net", "y.net", 1L))
+      .toDF("src", "dst", "w")
+    val d1 = Seq(("a.org", "x.net", 3L), ("y.net", "a.org", 4L))
+      .toDF("src", "dst", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft-whits-")
+      .toString
+    PageRank.writeWeightedEdgeIndex(v1, "src", "dst", "w", s"$dir/ix")
+    PageRank.maintainWeightedEdgeIndex(d1, "src", "dst", "w", s"$dir/ix")
+    val gotIx = hitsSet(
+      PageRank.weightedHitsByKeyAgainstIndex(spark, s"$dir/ix"))
+    val want = hitsSet(
+      PageRank.weightedHitsByKey(v1.union(d1), "src", "dst", "w"))
+    assert(gotIx == want,
+      s"index consumer diverged from the raw twin: $gotIx vs $want")
+    assert(want != hitsSet(
+        PageRank.weightedHitsByKey(v1, "src", "dst", "w")),
+      "fixture must make the fold visible or fold-parity is vacuous")
+  }
+
   test("edge-index fold meta-first contract: a bumped layer count " +
       "with the delta run missing (the crash window ADVICE r14 named) " +
       "is harmless — set-union reconcile reads the same graph") {
