@@ -1239,32 +1239,43 @@ object DedupOps {
       path: String, gramTokens: Int = 8,
       prefixPartitions: Int = 64): Unit = {
     require(gramTokens >= 2, s"writeGramIndex: gramTokens $gramTokens < 2")
+    val run = IndexMaintenance.newRunId()
     graft.jobs.Sinks.layout(
       gramPositions(corpus, idCol, textCol, gramTokens)
         .select(col("__gh").as("gh"), col("doc_id")).distinct()
         .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong))),
+        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong)))
+        .withColumn("__run", lit(run)),
       s"$path/grams", partitionCols = Seq("__gp"),
       sortCols = Seq("gh"), numFiles = 8)
-    writeGramMeta(corpus.sparkSession, path, gramTokens, prefixPartitions, 1)
+    writeGramMeta(corpus.sparkSession, path, gramTokens, prefixPartitions,
+      1, Seq(run))
   }
 
-  private def writeGramMeta(s: org.apache.spark.sql.SparkSession,
+  // the gram family's richer meta (gram geometry) carries the same
+  // committed-run manifest as the shared SUM-family meta
+  // (IndexMaintenance.writeIndexMetaRuns) — reads filter to committed
+  // runs, so the append-before-commit crash window is structural here
+  // too
+  private[graft] def writeGramMeta(s: org.apache.spark.sql.SparkSession,
       path: String, gramTokens: Int, prefixPartitions: Int,
-      layers: Int): Unit =
+      layers: Int, runs: Seq[String]): Unit = {
+    require(runs.nonEmpty, "writeGramMeta: empty run manifest")
     s.range(1)
       .select(lit(gramTokens).as("gram_tokens"),
         lit(prefixPartitions).as("prefix_partitions"),
-        lit(layers).as("layers"))
+        lit(layers).as("layers"),
+        array(runs.map(lit(_)): _*).as("committed_runs"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 
-  /** (gramTokens, prefixPartitions, layers) off a [[writeGramIndex]]
-    * meta — REQUIRED with a named rebuild-once error (the delta must
-    * gram with the index's own geometry; mismatched gram widths would
-    * silently match nothing).
+  /** (gramTokens, prefixPartitions, layers, committedRuns) off a
+    * [[writeGramIndex]] meta — REQUIRED with a named rebuild-once
+    * error (the delta must gram with the index's own geometry;
+    * mismatched gram widths would silently match nothing).
     */
   private[graft] def readGramMeta(s: org.apache.spark.sql.SparkSession,
-      indexPath: String, op: String): (Int, Int, Int) = {
+      indexPath: String, op: String): (Int, Int, Int, Seq[String]) = {
     val metaDf =
       try s.read.parquet(s"$indexPath/meta")
       catch {
@@ -1277,7 +1288,8 @@ object DedupOps {
       throw new IllegalStateException(s"$op: $indexPath/meta is empty"))
     (row.getAs[Number]("gram_tokens").intValue(),
       row.getAs[Number]("prefix_partitions").intValue(),
-      row.getAs[Number]("layers").intValue())
+      row.getAs[Number]("layers").intValue(),
+      IndexMaintenance.committedRunsOf(s, indexPath, op))
   }
 
   /** Fold a DELTA of new documents into a persisted [[writeGramIndex]]
@@ -1289,41 +1301,52 @@ object DedupOps {
     * the SUM of its per-run counts; no cap arithmetic or tombstones
     * exist in this family because the cap is a PROBE-side threshold
     * over the reconciled total, not a storage contract. Crash
-    * consistency: single-writer, restore-on-failure — the shared fold
-    * contract ([[foldIntoMinhashIndex]]).
+    * consistency: the run lands under a fresh `__run` id and the meta
+    * — written AFTER the append — commits it: a crash between append
+    * and commit leaves orphan files every reader filters out, and the
+    * retry's fresh id can never merge with them (RecoverySpec pins
+    * it). Single-writer still governs (the lock).
     */
   def foldIntoGramIndex(delta: DataFrame, idCol: String, textCol: String,
       indexPath: String): Unit = {
     val s = delta.sparkSession
-    val (gramTokens, prefixPartitions, layers) =
+    val (gramTokens, prefixPartitions, layers, runs) =
       readGramMeta(s, indexPath, "foldIntoGramIndex")
+    val run = IndexMaintenance.newRunId()
     graft.jobs.Sinks.layoutAppend(
       gramPositions(delta, idCol, textCol, gramTokens)
         .select(col("__gh").as("gh"), col("doc_id")).distinct()
         .groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
-        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong))),
+        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong)))
+        .withColumn("__run", lit(run)),
       s"$indexPath/grams", partitionCols = Seq("__gp"),
       sortCols = Seq("gh"), numFiles = 8)
-    writeGramMeta(s, indexPath, gramTokens, prefixPartitions, layers + 1)
+    writeGramMeta(s, indexPath, gramTokens, prefixPartitions, layers + 1,
+      runs :+ run)
   }
 
   /** Compact a layered gram index back to ONE sorted run: per-gram
-    * counts summed across runs (the exact reconcile arithmetic),
-    * meta reset to layers=1. Identical probe results before and after.
+    * counts summed across COMMITTED runs (the exact reconcile
+    * arithmetic — orphan rows from crashed folds are dropped from
+    * disk here), meta reset to layers=1 with a single-run manifest.
+    * Identical probe results before and after.
     */
   def compactGramIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String, outPath: String): Unit = {
     require(indexPath != outPath,
       "compactGramIndex: outPath must differ from indexPath")
-    val (gramTokens, prefixPartitions, _) =
+    val (gramTokens, prefixPartitions, _, runs) =
       readGramMeta(s, indexPath, "compactGramIndex")
+    val run = IndexMaintenance.newRunId()
     graft.jobs.Sinks.layout(
-      s.read.parquet(s"$indexPath/grams").drop("__gp")
+      IndexMaintenance.committedOnly(
+          s.read.parquet(s"$indexPath/grams").drop("__gp"), runs)
         .groupBy(col("gh")).agg(sum(col("n_docs")).as("n_docs"))
-        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong))),
+        .withColumn("__gp", pmod(col("gh"), lit(prefixPartitions.toLong)))
+        .withColumn("__run", lit(run)),
       s"$outPath/grams", partitionCols = Seq("__gp"),
       sortCols = Seq("gh"), numFiles = 8)
-    writeGramMeta(s, outPath, gramTokens, prefixPartitions, 1)
+    writeGramMeta(s, outPath, gramTokens, prefixPartitions, 1, Seq(run))
   }
 
   /** [[maintainMinhashIndex]]'s gram-count twin: crash-recover at
@@ -1339,7 +1362,8 @@ object DedupOps {
     IndexMaintenance.withWriterLock(s, indexPath) {
       IndexMaintenance.recoverAtEntry(s, indexPath)
       foldIntoGramIndex(delta, idCol, textCol, indexPath)
-      val (_, _, layers) = readGramMeta(s, indexPath, "maintainGramIndex")
+      val (_, _, layers, _) =
+        readGramMeta(s, indexPath, "maintainGramIndex")
       IndexMaintenance.compactIfLayered(s, indexPath, layers,
         compactThreshold)(out => compactGramIndex(s, indexPath, out))
     }
@@ -1365,14 +1389,15 @@ object DedupOps {
       s"exactSubstringSpansAgainstIndex: maxDocsPerGram $maxDocsPerGram " +
         s"< minCorpusDocs $minCorpusDocs — the cap would reject every gram")
     val s = newDf.sparkSession
-    val (gramTokens, prefixPartitions, layers) =
+    val (gramTokens, prefixPartitions, layers, runs) =
       readGramMeta(s, indexPath, "exactSubstringSpansAgainstIndex")
     val deltaGrams = gramPositions(newDf, idCol, textCol, gramTokens)
     val prefixes = deltaGrams
       .select(pmod(col("__gh"), lit(prefixPartitions.toLong)).as("__gp"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pruned = s.read.parquet(s"$indexPath/grams")
-      .filter(col("__gp").isin(prefixes: _*)).drop("__gp")
+    val pruned = IndexMaintenance.committedOnly(
+      s.read.parquet(s"$indexPath/grams")
+        .filter(col("__gp").isin(prefixes: _*)).drop("__gp"), runs)
     val shared = reconcileGramRuns(pruned, layers)
       .filter(col("n_docs") >= minCorpusDocs &&
         col("n_docs") <= maxDocsPerGram)

@@ -93,6 +93,86 @@ object IndexMaintenance {
       row.getAs[Number]("layers").intValue())
   }
 
+  // ---- per-run manifests (the SUM-reconciled families) ---------------
+  //
+  // The SET-reconciled families bump meta BEFORE their appends (a
+  // partial run is harmless under distinct); the SUM-reconciled
+  // families (gram / line / weighted edge) cannot — a partial run
+  // would corrupt totals — so their crash window between append and
+  // meta bump was covered only by the single-writer
+  // restore-on-failure contract. Per-run manifests close it
+  // STRUCTURALLY: every appended file set carries a fresh `__run` id
+  // column, the meta lists the COMMITTED run ids (written atomically
+  // with `layers`, AFTER the append), and readers filter to committed
+  // runs — a crash between append and meta bump leaves orphan files
+  // that are INVISIBLE to every read instead of contractually
+  // excluded. A retried fold mints a NEW id (so a partial first
+  // attempt can never merge into the retry's committed run), and
+  // compaction — which rewrites from the committed rows only — drops
+  // orphan bytes from disk. Cost: one dictionary-encoded constant
+  // string column per row and one pushed-down `isin` filter per read.
+
+  /** A fresh run id for one appended file set. */
+  def newRunId(): String = java.util.UUID.randomUUID().toString
+
+  /** [[writeIndexMeta]] with the committed-run manifest — the meta
+    * shape of the SUM-reconciled (prefix_partitions, layers) families
+    * (line-count, weighted edge). `layers` stays authoritative for
+    * compaction scheduling; `committed_runs` is authoritative for
+    * reads.
+    */
+  def writeIndexMetaRuns(s: SparkSession, path: String,
+      prefixPartitions: Int, layers: Int, runs: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{array, lit}
+    require(runs.nonEmpty, "writeIndexMetaRuns: empty run manifest")
+    s.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(layers).as("layers"),
+        array(runs.map(lit(_)): _*).as("committed_runs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (prefixPartitions, layers, committedRuns) off a
+    * [[writeIndexMetaRuns]] meta — the [[readIndexMeta]] error
+    * contract, plus a named rebuild-once error for a manifest-less
+    * meta (an index written before the manifest existed must be
+    * rebuilt once; reading it WITHOUT the run filter would resurrect
+    * any orphan rows a past crash left behind).
+    */
+  def readIndexMetaRuns(s: SparkSession, indexPath: String,
+      op: String): (Int, Int, Seq[String]) = {
+    val (prefixPartitions, layers) = readIndexMeta(s, indexPath, op)
+    (prefixPartitions, layers, committedRunsOf(s, indexPath, op))
+  }
+
+  /** The committed-run manifest off any meta frame that carries one —
+    * shared by the (prefix_partitions, layers) families and the gram
+    * family's richer meta.
+    */
+  def committedRunsOf(s: SparkSession, indexPath: String,
+      op: String): Seq[String] = {
+    val row = s.read.parquet(s"$indexPath/meta").head()
+    if (!row.schema.fieldNames.contains("committed_runs"))
+      throw new IllegalStateException(
+        s"$op: $indexPath/meta carries no committed_runs manifest — " +
+          "SUM-reconciled indexes written before the per-run manifest " +
+          "existed must be rebuilt once (reading without the run " +
+          "filter would resurrect orphan rows from crashed folds)")
+    val runs = row.getSeq[String](row.fieldIndex("committed_runs"))
+    require(runs.nonEmpty, s"$op: $indexPath/meta has an empty run manifest")
+    runs
+  }
+
+  /** Keep only committed rows and drop the manifest column — the ONE
+    * read-side filter every SUM-family consumer applies before its
+    * reconcile aggregation.
+    */
+  def committedOnly(df: org.apache.spark.sql.DataFrame,
+      runs: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.filter(col("__run").isin(runs: _*)).drop("__run")
+  }
+
   /** Compact once layer count reaches this many appended runs.
     * 8 runs ≈ a week of daily folds; read-side reconcile cost and
     * file-open fan-out both scale with the run count, so the

@@ -996,7 +996,10 @@ object TextOps {
     * (lh, n_docs) per-normalized-line distinct-corpus-doc counts,
     * partitioned by `__lp = lh mod prefixPartitions` (the `__bp`/
     * `__gp` prefix-pruning discipline) and sorted by lh; `$path/meta`
-    * carries (prefix_partitions, layers). RAW counts are stored — the
+    * carries (prefix_partitions, layers, committed_runs — the per-run
+    * manifest of [[IndexMaintenance.writeIndexMetaRuns]], closing the
+    * SUM family's append-before-commit crash window structurally).
+    * RAW counts are stored — the
     * probe applies `maxDocFreq` at read, so one index serves any
     * threshold policy. Build once per corpus version, fold deltas
     * daily ([[foldIntoLineIndex]] / [[maintainLineIndex]]), probe per
@@ -1005,11 +1008,14 @@ object TextOps {
   def writeLineIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, prefixPartitions: Int = 64): Unit = {
     requireLineCols(idCol, "writeLineIndex")
+    val run = IndexMaintenance.newRunId()
     graft.jobs.Sinks.layout(
-      lineCounts(corpus, idCol, textCol, prefixPartitions),
+      lineCounts(corpus, idCol, textCol, prefixPartitions)
+        .withColumn("__run", lit(run)),
       s"$path/lines", partitionCols = Seq("__lp"),
       sortCols = Seq("lh"), numFiles = 8)
-    writeLineMeta(corpus.sparkSession, path, prefixPartitions, 1)
+    IndexMaintenance.writeIndexMetaRuns(corpus.sparkSession, path,
+      prefixPartitions, 1, Seq(run))
   }
 
   private def lineCounts(df: DataFrame, idCol: String, textCol: String,
@@ -1020,16 +1026,12 @@ object TextOps {
       .groupBy(col("lh")).agg(count(lit(1)).as("n_docs"))
       .withColumn("__lp", pmod(col("lh"), lit(prefixPartitions.toLong)))
 
-  // meta read/write is the shared (prefix_partitions, layers) pair in
-  // IndexMaintenance — one schema + one rebuild-once error for every
-  // family of this shape, no per-family clone to drift
-  private def writeLineMeta(s: org.apache.spark.sql.SparkSession,
-      path: String, prefixPartitions: Int, layers: Int): Unit =
-    IndexMaintenance.writeIndexMeta(s, path, prefixPartitions, layers)
-
+  // meta read/write is the shared (prefix_partitions, layers,
+  // committed_runs) triple in IndexMaintenance — one schema + one
+  // rebuild-once error for every SUM family of this shape
   private def readLineMeta(s: org.apache.spark.sql.SparkSession,
-      indexPath: String, op: String): (Int, Int) =
-    IndexMaintenance.readIndexMeta(s, indexPath, op)
+      indexPath: String, op: String): (Int, Int, Seq[String]) =
+    IndexMaintenance.readIndexMetaRuns(s, indexPath, op)
 
   /** Fold a DELTA of new documents into a persisted [[writeLineIndex]]
     * IN PLACE with O(delta) write bytes: the delta's per-line
@@ -1040,36 +1042,51 @@ object TextOps {
     * its per-run counts; no cap tombstones exist in this family
     * because `maxDocFreq` is a probe-side threshold over reconciled
     * totals, not a storage contract (the gram-count discipline).
+    * Crash consistency: the run lands under a fresh `__run` id and
+    * the meta — bumped AFTER the append — commits it
+    * ([[IndexMaintenance.writeIndexMetaRuns]]): a crash between
+    * append and commit leaves orphan files every reader filters out,
+    * and the retry's fresh id can never merge with them
+    * (RecoverySpec pins it).
     */
   def foldIntoLineIndex(delta: DataFrame, idCol: String, textCol: String,
       indexPath: String): Unit = {
     val s = delta.sparkSession
-    val (prefixPartitions, layers) =
+    val (prefixPartitions, layers, runs) =
       readLineMeta(s, indexPath, "foldIntoLineIndex")
+    val run = IndexMaintenance.newRunId()
     graft.jobs.Sinks.layoutAppend(
-      lineCounts(delta, idCol, textCol, prefixPartitions),
+      lineCounts(delta, idCol, textCol, prefixPartitions)
+        .withColumn("__run", lit(run)),
       s"$indexPath/lines", partitionCols = Seq("__lp"),
       sortCols = Seq("lh"), numFiles = 8)
-    writeLineMeta(s, indexPath, prefixPartitions, layers + 1)
+    IndexMaintenance.writeIndexMetaRuns(s, indexPath, prefixPartitions,
+      layers + 1, runs :+ run)
   }
 
   /** Compact a layered line index back to ONE sorted run: per-line
-    * counts summed across runs (the exact reconcile arithmetic), meta
-    * reset to layers=1. Identical probe results before and after.
+    * counts summed across COMMITTED runs (the exact reconcile
+    * arithmetic — orphan rows from crashed folds are dropped from
+    * disk here), meta reset to layers=1 with a single-run manifest.
+    * Identical probe results before and after.
     */
   def compactLineIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String, outPath: String): Unit = {
     require(indexPath != outPath,
       "compactLineIndex: outPath must differ from indexPath")
-    val (prefixPartitions, _) =
+    val (prefixPartitions, _, runs) =
       readLineMeta(s, indexPath, "compactLineIndex")
+    val run = IndexMaintenance.newRunId()
     graft.jobs.Sinks.layout(
-      s.read.parquet(s"$indexPath/lines").drop("__lp")
+      IndexMaintenance.committedOnly(
+          s.read.parquet(s"$indexPath/lines").drop("__lp"), runs)
         .groupBy(col("lh")).agg(sum(col("n_docs")).as("n_docs"))
-        .withColumn("__lp", pmod(col("lh"), lit(prefixPartitions.toLong))),
+        .withColumn("__lp", pmod(col("lh"), lit(prefixPartitions.toLong)))
+        .withColumn("__run", lit(run)),
       s"$outPath/lines", partitionCols = Seq("__lp"),
       sortCols = Seq("lh"), numFiles = 8)
-    writeLineMeta(s, outPath, prefixPartitions, 1)
+    IndexMaintenance.writeIndexMetaRuns(s, outPath, prefixPartitions, 1,
+      Seq(run))
   }
 
   /** [[graft.api.DedupOps.maintainGramIndex]]'s line-count twin:
@@ -1086,7 +1103,7 @@ object TextOps {
     IndexMaintenance.withWriterLock(s, indexPath) {
       IndexMaintenance.recoverAtEntry(s, indexPath)
       foldIntoLineIndex(delta, idCol, textCol, indexPath)
-      val (_, layers) = readLineMeta(s, indexPath, "maintainLineIndex")
+      val (_, layers, _) = readLineMeta(s, indexPath, "maintainLineIndex")
       IndexMaintenance.compactIfLayered(s, indexPath, layers,
         compactThreshold)(out => compactLineIndex(s, indexPath, out))
     }
@@ -1109,14 +1126,15 @@ object TextOps {
       s"dedupLinesAgainstIndex: maxDocFreq $maxDocFreq < 1")
     requireLineCols(idCol, "dedupLinesAgainstIndex")
     val s = newDf.sparkSession
-    val (prefixPartitions, layers) =
+    val (prefixPartitions, layers, runs) =
       readLineMeta(s, indexPath, "dedupLinesAgainstIndex")
     val lines = linePositions(newDf, idCol, textCol)
     val prefixes = lines.filter(col("_kh").isNotNull)
       .select(pmod(col("_kh"), lit(prefixPartitions.toLong)).as("__lp"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pruned = s.read.parquet(s"$indexPath/lines")
-      .filter(col("__lp").isin(prefixes: _*)).drop("__lp")
+    val pruned = IndexMaintenance.committedOnly(
+      s.read.parquet(s"$indexPath/lines")
+        .filter(col("__lp").isin(prefixes: _*)).drop("__lp"), runs)
     val common = reconcileLineRuns(pruned, layers)
       .filter(col("n_docs") > maxDocFreq)
       .select(col("lh").as("_kh"), lit(1).as("_hit"))
@@ -1169,9 +1187,11 @@ object TextOps {
       maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1,
       s"commonLinesFromIndex: maxDocFreq $maxDocFreq < 1")
-    val (_, layers) = readLineMeta(s, indexPath, "commonLinesFromIndex")
+    val (_, layers, runs) =
+      readLineMeta(s, indexPath, "commonLinesFromIndex")
     reconcileLineRuns(
-        s.read.parquet(s"$indexPath/lines").drop("__lp"), layers)
+        IndexMaintenance.committedOnly(
+          s.read.parquet(s"$indexPath/lines").drop("__lp"), runs), layers)
       .filter(col("n_docs") > maxDocFreq)
       .select(col("lh").as("_kh"))
   }

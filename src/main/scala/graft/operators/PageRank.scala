@@ -619,11 +619,15 @@ object PageRank {
       prefixPartitions: Int = 16): Unit = {
     val (e, v) = weightedEdgeRows(edges, srcCol, dstCol, weightCol,
       prefixPartitions)
-    graft.jobs.Sinks.layout(e, s"$path/edges",
+    val run = graft.api.IndexMaintenance.newRunId()
+    graft.jobs.Sinks.layout(e.withColumn("__run", lit(run)),
+      s"$path/edges",
       partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
-    graft.jobs.Sinks.layout(v, s"$path/vertices",
+    graft.jobs.Sinks.layout(v.withColumn("__run", lit(run)),
+      s"$path/vertices",
       partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
-    writeEdgeMeta(edges.sparkSession, path, prefixPartitions, 1)
+    graft.api.IndexMaintenance.writeIndexMetaRuns(edges.sparkSession,
+      path, prefixPartitions, 1, Seq(run))
   }
 
   /** Fold a DELTA of weighted links into a persisted
@@ -634,47 +638,65 @@ object PageRank {
     * (the gram/line algebra with DISTINCT swapped for SUM), applied
     * at read inside the consumer's canonical pair aggregation. Meta
     * bumps AFTER the appends (the count families' order — a partial
-    * run corrupts totals either way under SUM, so only the documented
-    * single-writer restore-on-failure contract covers the crash
-    * window; the SET family's harmless meta-first trick does not
-    * apply here).
+    * run corrupts totals either way under SUM, so the SET family's
+    * harmless meta-first trick does not apply here) — and the meta
+    * COMMITS the run: both tables' appended rows carry a fresh
+    * `__run` id that only becomes readable once
+    * [[graft.api.IndexMaintenance.writeIndexMetaRuns]] lists it, so a
+    * crash between append and commit leaves orphan files every
+    * consumer filters out, and the retried fold's fresh id can never
+    * merge with them (RecoverySpec pins it). Single-writer still
+    * governs (the lock).
     */
   def foldIntoWeightedEdgeIndex(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String, indexPath: String): Unit = {
     val s = edges.sparkSession
-    val (prefixPartitions, layers) =
-      readEdgeMeta(s, indexPath, "foldIntoWeightedEdgeIndex")
+    val (prefixPartitions, layers, runs) = graft.api.IndexMaintenance
+      .readIndexMetaRuns(s, indexPath, "foldIntoWeightedEdgeIndex")
     val (e, v) = weightedEdgeRows(edges, srcCol, dstCol, weightCol,
       prefixPartitions)
-    graft.jobs.Sinks.layoutAppend(e, s"$indexPath/edges",
+    val run = graft.api.IndexMaintenance.newRunId()
+    graft.jobs.Sinks.layoutAppend(e.withColumn("__run", lit(run)),
+      s"$indexPath/edges",
       partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
-    graft.jobs.Sinks.layoutAppend(v, s"$indexPath/vertices",
+    graft.jobs.Sinks.layoutAppend(v.withColumn("__run", lit(run)),
+      s"$indexPath/vertices",
       partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
-    writeEdgeMeta(s, indexPath, prefixPartitions, layers + 1)
+    graft.api.IndexMaintenance.writeIndexMetaRuns(s, indexPath,
+      prefixPartitions, layers + 1, runs :+ run)
   }
 
   /** Compact a layered weighted edge index back to ONE run per table
-    * (per-pair sums and the vertex distinct made durable), meta reset
-    * to layers=1. Identical reads before and after.
+    * (per-pair sums over COMMITTED runs and the vertex distinct made
+    * durable — orphan rows from crashed folds are dropped from disk
+    * here), meta reset to layers=1 with a single-run manifest.
+    * Identical reads before and after.
     */
   def compactWeightedEdgeIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String, outPath: String): Unit = {
     require(indexPath != outPath,
       "compactWeightedEdgeIndex: outPath must differ from indexPath")
-    val (prefixPartitions, _) =
-      readEdgeMeta(s, indexPath, "compactWeightedEdgeIndex")
+    val (prefixPartitions, _, runs) = graft.api.IndexMaintenance
+      .readIndexMetaRuns(s, indexPath, "compactWeightedEdgeIndex")
+    val run = graft.api.IndexMaintenance.newRunId()
     graft.jobs.Sinks.layout(
-      s.read.parquet(s"$indexPath/edges").drop("__ep")
+      graft.api.IndexMaintenance.committedOnly(
+          s.read.parquet(s"$indexPath/edges").drop("__ep"), runs)
         .groupBy(col("s"), col("t")).agg(sum(col("w")).as("w"))
-        .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong))),
+        .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong)))
+        .withColumn("__run", lit(run)),
       s"$outPath/edges",
       partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
     graft.jobs.Sinks.layout(
-      s.read.parquet(s"$indexPath/vertices").drop("__vp").distinct()
-        .withColumn("__vp", pmod(col("id"), lit(prefixPartitions.toLong))),
+      graft.api.IndexMaintenance.committedOnly(
+          s.read.parquet(s"$indexPath/vertices").drop("__vp"), runs)
+        .distinct()
+        .withColumn("__vp", pmod(col("id"), lit(prefixPartitions.toLong)))
+        .withColumn("__run", lit(run)),
       s"$outPath/vertices",
       partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
-    writeEdgeMeta(s, outPath, prefixPartitions, 1)
+    graft.api.IndexMaintenance.writeIndexMetaRuns(s, outPath,
+      prefixPartitions, 1, Seq(run))
   }
 
   /** The weighted family's maintain* entry point — the
@@ -691,8 +713,8 @@ object PageRank {
     graft.api.IndexMaintenance.withWriterLock(s, indexPath) {
       graft.api.IndexMaintenance.recoverAtEntry(s, indexPath)
       foldIntoWeightedEdgeIndex(edges, srcCol, dstCol, weightCol, indexPath)
-      val (_, layers) =
-        readEdgeMeta(s, indexPath, "maintainWeightedEdgeIndex")
+      val (_, layers, _) = graft.api.IndexMaintenance
+        .readIndexMetaRuns(s, indexPath, "maintainWeightedEdgeIndex")
       graft.api.IndexMaintenance.compactIfLayered(s, indexPath, layers,
         compactThreshold)(out => compactWeightedEdgeIndex(s, indexPath, out))
     }
@@ -707,15 +729,29 @@ object PageRank {
     * host-pair-sized exchange. The vertex map always distincts —
     * layered runs repeat keys, and the map is broadcast-sized.
     */
+  /** Committed reads of a weighted index's two tables: rows filter to
+    * the meta's run manifest (orphans from crashed folds are
+    * invisible), then project to the consumer columns. ONE definition
+    * behind both weighted consumers.
+    */
+  private def weightedFromIndex(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): (DataFrame, DataFrame) = {
+    val (_, _, runs) =
+      graft.api.IndexMaintenance.readIndexMetaRuns(s, indexPath, op)
+    val e = graft.api.IndexMaintenance.committedOnly(
+        s.read.parquet(s"$indexPath/edges"), runs)
+      .select(col("s"), col("t"), col("w"))
+    val v = graft.api.IndexMaintenance.committedOnly(
+        s.read.parquet(s"$indexPath/vertices"), runs)
+      .select(col("id"), col("key")).distinct()
+    (e, v)
+  }
+
   def weightedRanksByKeyAgainstIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String, iterations: Int = 5, dampingPct: Int = 85,
       scale: Long = Scale): DataFrame = {
-    // meta is read for the rebuild-once error contract (and geometry)
-    readEdgeMeta(s, indexPath, "weightedRanksByKeyAgainstIndex")
-    val e = s.read.parquet(s"$indexPath/edges")
-      .select(col("s"), col("t"), col("w"))
-    val v = s.read.parquet(s"$indexPath/vertices")
-      .select(col("id"), col("key")).distinct()
+    val (e, v) =
+      weightedFromIndex(s, indexPath, "weightedRanksByKeyAgainstIndex")
     weightedRanks(weightedPairs(e), "a", "b", "w", iterations,
         dampingPct, scale)
       .join(v, Seq("id"))
@@ -832,12 +868,8 @@ object PageRank {
   def weightedHitsByKeyAgainstIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String, iterations: Int = 3,
       scale: Long = Scale): DataFrame = {
-    // meta is read for the rebuild-once error contract (and geometry)
-    readEdgeMeta(s, indexPath, "weightedHitsByKeyAgainstIndex")
-    val e = s.read.parquet(s"$indexPath/edges")
-      .select(col("s"), col("t"), col("w"))
-    val v = s.read.parquet(s"$indexPath/vertices")
-      .select(col("id"), col("key")).distinct()
+    val (e, v) =
+      weightedFromIndex(s, indexPath, "weightedHitsByKeyAgainstIndex")
     weightedHits(e, "s", "t", "w", iterations, scale)
       .join(v, Seq("id"))
       .select(col("key"), col("hub"), col("auth"))

@@ -93,10 +93,12 @@ object GramGate {
     require(maxDocsPerGram >= minCorpusDocs,
       s"GramGate.indexFromPath: maxDocsPerGram $maxDocsPerGram < " +
         s"minCorpusDocs $minCorpusDocs — the cap would reject every gram")
-    val (gramTokens, _, layers) =
+    val (gramTokens, _, layers, runs) =
       DedupOps.readGramMeta(spark, indexPath, "GramGate.indexFromPath")
     val cp = GateSnapshot.of(DedupOps.reconcileGramRuns(
-        spark.read.parquet(s"$indexPath/grams").drop("__gp"), layers)
+        graft.api.IndexMaintenance.committedOnly(
+          spark.read.parquet(s"$indexPath/grams").drop("__gp"), runs),
+        layers)
       .filter(col("n_docs") >= minCorpusDocs &&
         col("n_docs") <= maxDocsPerGram)
       .select(col("gh").as("__gh"), lit(1L).as("_hit")), snapshotPath)

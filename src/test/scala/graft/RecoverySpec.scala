@@ -467,4 +467,185 @@ class RecoverySpec extends SparkSpec {
       "restored-then-folded weighted index must rank like a " +
         "from-scratch build (the overlapping a-b weights must sum to 5)")
   }
+
+  // ---- per-run manifests: the SUM families' append-before-commit
+  // crash window, closed STRUCTURALLY (round 16). Each case simulates
+  // the crash with the REAL append path — run the fold, then restore
+  // the pre-fold meta, which is byte-for-byte the state a crash
+  // between append and the meta commit leaves (data files present,
+  // run id never committed) — and pins: (a) every read is unchanged,
+  // (b) the orphan rows physically exist and WOULD corrupt totals if
+  // read unfiltered (non-vacuity), (c) a retried fold's fresh run id
+  // never merges with the orphan (the poison delta IS the retried
+  // delta, so any double-count surfaces), (d) compaction drops the
+  // orphan's bytes from disk.
+
+  test("line-family per-run manifest: an appended-but-uncommitted run " +
+      "is invisible, the retried fold cannot double-count with it, " +
+      "compaction drops its bytes") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, sum => sqlSum}
+    import graft.api.{IndexMaintenance, TextOps}
+    val lined = Tables.documents(spark, sf).select(col("doc_id"),
+      concat_ws("\n", lit("COMMON banner"), col("text")).as("text"))
+    val c0 = lined.filter(col("doc_id") % 5 >= 2)
+    val d1 = lined.filter(col("doc_id") % 5 === 1)
+    val probes = lined.filter(col("doc_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft-linemf-").toString
+    TextOps.writeLineIndex(c0, "doc_id", "text", s"$dir/ix")
+    def probeSet(path: String) = TextOps.dedupLinesAgainstIndex(probes,
+        "doc_id", "text", path, maxDocFreq = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val before = probeSet(s"$dir/ix")
+    val (pp, layers0, runs0) = IndexMaintenance.readIndexMetaRuns(
+      spark, s"$dir/ix", "test")
+    TextOps.foldIntoLineIndex(d1, "doc_id", "text", s"$dir/ix")
+    IndexMaintenance.writeIndexMetaRuns(spark, s"$dir/ix", pp, layers0, runs0)
+    assert(probeSet(s"$dir/ix") == before,
+      "an uncommitted run changed a read — the crash window is open")
+    // non-vacuity: the orphan rows physically exist and carry counts
+    // that would inflate totals if read without the manifest filter
+    val raw = spark.read.parquet(s"$dir/ix/lines")
+    assert(raw.select("__run").distinct().count() == 2,
+      "crash simulation vacuous — no orphan run on disk")
+    val allTotal = raw.agg(sqlSum("n_docs")).head().getLong(0)
+    val committedTotal = IndexMaintenance.committedOnly(
+      raw.drop("__lp"), runs0).agg(sqlSum("n_docs")).head().getLong(0)
+    assert(allTotal > committedTotal,
+      "orphan rows carry no mass — the invisibility assertion is vacuous")
+    // the RETRY folds the same delta under a fresh id: if the orphan
+    // merged in, every shared line's count would double
+    assert(!TextOps.maintainLineIndex(d1, "doc_id", "text", s"$dir/ix",
+      compactThreshold = 8))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val want = asSet(TextOps.dedupLinesAgainst(probes,
+      lined.filter(col("doc_id") % 5 >= 1), "doc_id", "text",
+      maxDocFreq = 100))
+    assert(want.nonEmpty && probeSet(s"$dir/ix") == want,
+      "retried fold double-counted the orphan run (or lost the delta)")
+    // compaction rewrites from committed rows only — orphan bytes gone
+    TextOps.compactLineIndex(spark, s"$dir/ix", s"$dir/ixc")
+    val rawC = spark.read.parquet(s"$dir/ixc/lines")
+    assert(rawC.select("__run").distinct().count() == 1)
+    val (_, _, runs2) = IndexMaintenance.readIndexMetaRuns(
+      spark, s"$dir/ix", "test")
+    val committedNow = IndexMaintenance.committedOnly(
+        spark.read.parquet(s"$dir/ix/lines").drop("__lp"), runs2)
+      .agg(sqlSum("n_docs")).head().getLong(0)
+    assert(rawC.agg(sqlSum("n_docs")).head().getLong(0) == committedNow,
+      "compaction kept orphan mass")
+    assert(probeSet(s"$dir/ixc") == want)
+  }
+
+  test("gram-family per-run manifest: uncommitted run invisible, retry " +
+      "clean, compaction drops orphan bytes") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, sum => sqlSum}
+    import graft.api.{DedupOps, IndexMaintenance}
+    // every doc shares one 8-token span with the probes, so per-gram
+    // corpus counts are load-bearing for the span output
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      concat_ws(" ", lit("alpha beta gamma delta epsilon zeta eta theta"),
+        col("text")).as("text"))
+    val c0 = docs.filter(col("doc_id") % 5 >= 2)
+    val d1 = docs.filter(col("doc_id") % 5 === 1)
+    val probes = docs.filter(col("doc_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft-grammf-").toString
+    DedupOps.writeGramIndex(c0, "doc_id", "text", s"$dir/ix")
+    // maxDocsPerGram sits between the committed corpus's count and
+    // the double-counted one, so an orphan merging in FLIPS the shared
+    // span off (cap exceeded) — the strongest corruption signal
+    val nShared = c0.count().toInt + d1.count().toInt
+    def probeSet(path: String) = DedupOps.exactSubstringSpansAgainstIndex(
+        probes, "doc_id", "text", path, minCorpusDocs = 1,
+        maxDocsPerGram = nShared + d1.count().toInt / 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val before = probeSet(s"$dir/ix")
+    val (gt, pp, layers0, runs0) = DedupOps.readGramMeta(
+      spark, s"$dir/ix", "test")
+    DedupOps.foldIntoGramIndex(d1, "doc_id", "text", s"$dir/ix")
+    DedupOps.writeGramMeta(spark, s"$dir/ix", gt, pp, layers0, runs0)
+    assert(probeSet(s"$dir/ix") == before,
+      "an uncommitted gram run changed a probe — the crash window is open")
+    val raw = spark.read.parquet(s"$dir/ix/grams")
+    assert(raw.select("__run").distinct().count() == 2,
+      "crash simulation vacuous — no orphan run on disk")
+    assert(raw.agg(sqlSum("n_docs")).head().getLong(0) >
+      IndexMaintenance.committedOnly(raw.drop("__gp"), runs0)
+        .agg(sqlSum("n_docs")).head().getLong(0))
+    // retry: same delta, fresh id — a double-count crosses the cap and
+    // kills the shared span
+    assert(!DedupOps.maintainGramIndex(d1, "doc_id", "text", s"$dir/ix",
+      compactThreshold = 8))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = asSet(DedupOps.exactSubstringSpansAgainst(probes,
+      docs.filter(col("doc_id") % 5 >= 1), "doc_id", "text",
+      minCorpusDocs = 1,
+      maxDocsPerGram = nShared + d1.count().toInt / 2))
+    assert(want.nonEmpty && probeSet(s"$dir/ix") == want,
+      "retried gram fold double-counted the orphan run (or lost the delta)")
+    DedupOps.compactGramIndex(spark, s"$dir/ix", s"$dir/ixc")
+    assert(spark.read.parquet(s"$dir/ixc/grams")
+      .select("__run").distinct().count() == 1)
+    assert(probeSet(s"$dir/ixc") == want)
+  }
+
+  test("weighted-edge per-run manifest: uncommitted run invisible to " +
+      "BOTH weighted consumers, retry clean, compaction drops orphan " +
+      "bytes from both tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => sqlSum}
+    import graft.api.IndexMaintenance
+    import graft.operators.PageRank
+    val v1 = Seq(("a.org", "b.org", 2L), ("b.org", "c.org", 1L))
+      .toDF("src", "dst", "w")
+    val d1 = Seq(("a.org", "b.org", 3L), ("c.org", "d.org", 4L))
+      .toDF("src", "dst", "w")
+    val dir = Files.createTempDirectory("graft-wedgemf-").toString
+    PageRank.writeWeightedEdgeIndex(v1, "src", "dst", "w", s"$dir/ix")
+    def rankSet(path: String) =
+      PageRank.weightedRanksByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def hitsSet(path: String) =
+      PageRank.weightedHitsByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val (rank0, hits0) = (rankSet(s"$dir/ix"), hitsSet(s"$dir/ix"))
+    val (pp, layers0, runs0) = IndexMaintenance.readIndexMetaRuns(
+      spark, s"$dir/ix", "test")
+    PageRank.foldIntoWeightedEdgeIndex(d1, "src", "dst", "w", s"$dir/ix")
+    IndexMaintenance.writeIndexMetaRuns(spark, s"$dir/ix", pp, layers0, runs0)
+    assert(rankSet(s"$dir/ix") == rank0 && hitsSet(s"$dir/ix") == hits0,
+      "an uncommitted weighted run changed a consumer — window open")
+    val rawE = spark.read.parquet(s"$dir/ix/edges")
+    assert(rawE.select("__run").distinct().count() == 2,
+      "crash simulation vacuous — no orphan edge run on disk")
+    assert(rawE.agg(sqlSum("w")).head().getLong(0) >
+      IndexMaintenance.committedOnly(rawE.drop("__ep"), runs0)
+        .agg(sqlSum("w")).head().getLong(0))
+    // retry the SAME delta: the overlapping a-b weight must land at
+    // 2+3 = 5, not 2+3+3 (orphan merged) — both consumers checked
+    assert(!PageRank.maintainWeightedEdgeIndex(d1, "src", "dst", "w",
+      s"$dir/ix", compactThreshold = 8))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val wantRank = asSet(PageRank.weightedRanksByKey(v1.union(d1),
+      "src", "dst", "w"))
+    val wantHits = asSet(PageRank.weightedHitsByKey(v1.union(d1),
+      "src", "dst", "w"))
+    assert(wantRank.nonEmpty && rankSet(s"$dir/ix") == wantRank,
+      "retried weighted fold double-counted the orphan (rank consumer)")
+    assert(hitsSet(s"$dir/ix") == wantHits,
+      "retried weighted fold double-counted the orphan (HITS consumer)")
+    PageRank.compactWeightedEdgeIndex(spark, s"$dir/ix", s"$dir/ixc")
+    assert(spark.read.parquet(s"$dir/ixc/edges")
+      .select("__run").distinct().count() == 1)
+    assert(spark.read.parquet(s"$dir/ixc/vertices")
+      .select("__run").distinct().count() == 1)
+    assert(rankSet(s"$dir/ixc") == wantRank &&
+      hitsSet(s"$dir/ixc") == wantHits)
+  }
 }
