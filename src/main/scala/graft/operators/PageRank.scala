@@ -379,7 +379,69 @@ object PageRank {
       partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
     graft.jobs.Sinks.layout(v, s"$path/vertices",
       partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    // the (empty) tombstone table — one schema-bearing file, so reads
+    // are unconditional (no absent-dir fallback to get silently wrong)
+    e.select(col("s"), col("t")).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/removals")
     writeEdgeMeta(edges.sparkSession, path, prefixPartitions, 1)
+  }
+
+  /** Fold edge TOMBSTONES into a persisted [[writeEdgeIndex]] — the
+    * delete path a robots change or host takedown needs (without it
+    * only a full rebuild honors a removal). Tombstones are (src, dst)
+    * rows in the STORED orientation; they land as their own run in
+    * `$indexPath/removals` and reconcile BY ANTI-JOIN at read: a
+    * tombstoned pair is invisible no matter how many edge runs assert
+    * it — including runs folded AFTER the tombstone — until a
+    * compaction makes the removal durable and CLEARS the tombstone
+    * set, after which a re-fold re-adds (the LSM delete contract
+    * without sequence numbers, stated honestly: tombstones are
+    * absolute within a compaction epoch). Set semantics make this
+    * crash-shaped like [[foldIntoEdgeIndex]]: the meta bumps FIRST
+    * (a partial tombstone run read early is a consistent
+    * partially-applied removal; anti-join is idempotent, so the retry
+    * completes it). To take down a whole host use
+    * [[removeKeysFromEdgeIndex]], which derives the incident pairs
+    * from the index itself.
+    */
+  def foldRemovalsIntoEdgeIndex(removals: DataFrame, srcCol: String,
+      dstCol: String, indexPath: String): Unit = {
+    val s = removals.sparkSession
+    val (prefixPartitions, layers) =
+      readEdgeMeta(s, indexPath, "foldRemovalsIntoEdgeIndex")
+    writeEdgeMeta(s, indexPath, prefixPartitions, layers + 1)
+    keyedEdges(removals, srcCol, dstCol)
+      .select(col("s"), col("t")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/removals")
+  }
+
+  /** Take DOWN whole hosts (keys): every stored edge incident to any
+    * of `keys` — either endpoint, any run — tombstones in one call,
+    * the removal a robots Disallow-all or a de-listing demands. The
+    * incident pairs derive from the index's own reconciled edge set
+    * (one index-sized scan, tombstone-sized write), so the caller
+    * needs no link re-extraction. Runs under the writer lock with
+    * crash recovery at entry (it is a maintain*-class mutation).
+    */
+  def removeKeysFromEdgeIndex(s: org.apache.spark.sql.SparkSession,
+      keys: Seq[String], indexPath: String): Unit = {
+    require(keys.nonEmpty, "removeKeysFromEdgeIndex: no keys")
+    graft.api.IndexMaintenance.withWriterLock(s, indexPath) {
+      graft.api.IndexMaintenance.recoverAtEntry(s, indexPath)
+      val (prefixPartitions, layers) =
+        readEdgeMeta(s, indexPath, "removeKeysFromEdgeIndex")
+      writeEdgeMeta(s, indexPath, prefixPartitions, layers + 1)
+      import s.implicits._
+      val kid = broadcast(keys.toDF("key")
+        .select(graft.functions.TextHashing.hash60(col("key")).as("kid")))
+      val (e, _) = edgesFromIndex(s, indexPath, "removeKeysFromEdgeIndex")
+      e.join(kid, col("s") === col("kid"), "left_semi")
+        .union(e.join(kid, col("t") === col("kid"), "left_semi"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("append").parquet(s"$indexPath/removals")
+    }
   }
 
   /** Fold a DELTA of links into a persisted [[writeEdgeIndex]] IN
@@ -428,8 +490,11 @@ object PageRank {
   }
 
   /** Compact a layered edge index back to ONE sorted run per table
-    * (the set-union reconcile made durable), meta reset to layers=1.
-    * Identical reads before and after.
+    * (the set-union reconcile AND the tombstone anti-join made
+    * durable — removed edges' bytes drop from disk and the tombstone
+    * set RESETS to empty, opening the next compaction epoch: a fold
+    * after this point may re-add a previously removed edge), meta
+    * reset to layers=1. Identical reads before and after.
     */
   def compactEdgeIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String, outPath: String): Unit = {
@@ -437,8 +502,10 @@ object PageRank {
       "compactEdgeIndex: outPath must differ from indexPath")
     val (prefixPartitions, _) =
       readEdgeMeta(s, indexPath, "compactEdgeIndex")
+    val removals = removalsOf(s, indexPath, "compactEdgeIndex")
     graft.jobs.Sinks.layout(
       s.read.parquet(s"$indexPath/edges").drop("__ep").distinct()
+        .join(removals, Seq("s", "t"), "left_anti")
         .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong))),
       s"$outPath/edges",
       partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
@@ -447,6 +514,8 @@ object PageRank {
         .withColumn("__vp", pmod(col("id"), lit(prefixPartitions.toLong))),
       s"$outPath/vertices",
       partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    removals.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outPath/removals")
     writeEdgeMeta(s, outPath, prefixPartitions, 1)
   }
 
@@ -470,9 +539,12 @@ object PageRank {
     }
   }
 
-  /** Reconciled reads: (directed distinct edges (s, t), vertex map
-    * (id, key)). The distinct is skipped at layers=1 — one compacted
-    * run is distinct by construction.
+  /** Reconciled reads: (directed distinct edges (s, t) minus the
+    * tombstone set, vertex map (id, key)). The distinct is skipped at
+    * layers=1 — one compacted run is distinct by construction. The
+    * tombstone anti-join always applies (the removals table is
+    * takedown-sized; a missing table means the index predates the
+    * delete path and must be rebuilt once — the named error below).
     */
   private def edgesFromIndex(s: org.apache.spark.sql.SparkSession,
       indexPath: String, op: String): (DataFrame, DataFrame) = {
@@ -480,8 +552,26 @@ object PageRank {
     val e0 = s.read.parquet(s"$indexPath/edges").select(col("s"), col("t"))
     val v0 = s.read.parquet(s"$indexPath/vertices")
       .select(col("id"), col("key"))
-    if (layers <= 1) (e0, v0) else (e0.distinct(), v0.distinct())
+    val e1 = e0.join(removalsOf(s, indexPath, op), Seq("s", "t"),
+      "left_anti")
+    if (layers <= 1) (e1, v0) else (e1.distinct(), v0.distinct())
   }
+
+  /** The tombstone table of a [[writeEdgeIndex]], with the
+    * rebuild-once error contract (an index written before the delete
+    * path existed has no removals table; silently treating that as
+    * empty would be correct TODAY but would hide a path typo
+    * forever).
+    */
+  private def removalsOf(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, op: String): DataFrame =
+    try s.read.parquet(s"$indexPath/removals").select(col("s"), col("t"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"$op: cannot read $indexPath/removals — indexes written " +
+            "before the tombstone path existed must be rebuilt once", e)
+    }
 
   /** [[ranksByKey]] over a persisted [[writeEdgeIndex]] — identical
     * output to ranking the raw link stream the index was built+folded
@@ -555,12 +645,17 @@ object PageRank {
     * one pair would change the floor-division rounding:
     * floor(r·w1/D) + floor(r·w2/D) ≠ floor(r·(w1+w2)/D)). Shared by
     * the inline and index read paths; over a layered index this
-    * aggregation doubles as the cross-run SUM reconcile.
+    * aggregation doubles as the cross-run SUM reconcile — and the
+    * net-positive filter IS the delete path: a signed removal run
+    * ([[foldRemovalsIntoWeightedEdgeIndex]]) nets a fully-removed
+    * pair to 0, which drops here (a no-op for the all-positive inline
+    * paths).
     */
   private def weightedPairs(e: DataFrame): DataFrame =
     e.select(least(col("s"), col("t")).as("a"),
         greatest(col("s"), col("t")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
 
   /** [[weightedRanks]] over STRING-keyed vertices — the [[ranksByKey]]
     * shape for weighted host graphs: keys map through the shared
@@ -666,10 +761,74 @@ object PageRank {
       prefixPartitions, layers + 1, runs :+ run)
   }
 
+  /** The weighted family's DELETE path — a SIGNED run the existing
+    * SUM reconcile absorbs for free: the removal rows fold in with
+    * NEGATED weights, so a fully-removed edge nets to 0 and drops at
+    * every consumer's net-positive filter ([[weightedPairs]] /
+    * [[weightedHits]]), while a partial removal (an anchor retracted,
+    * not a takedown) just lowers the weight. Removal rows must mirror
+    * the ORIGINAL (src, dst, weight) orientation and must not exceed
+    * the added weight — over-removal is a caller error whose residual
+    * negative net reads as absent and is DROPPED at compaction (the
+    * balance does not carry across epochs). Crash shape = the fold's
+    * (per-run manifest; an uncommitted removal run is invisible). To
+    * take down whole hosts use [[removeKeysFromWeightedEdgeIndex]].
+    */
+  def foldRemovalsIntoWeightedEdgeIndex(removals: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String,
+      indexPath: String): Unit =
+    foldIntoWeightedEdgeIndex(
+      removals.withColumn("__negw", -col(weightCol).cast("long")),
+      srcCol, dstCol, "__negw", indexPath)
+
+  /** Take DOWN whole hosts (keys) in the weighted index: every stored
+    * directed pair incident to any of `keys` folds back in at its
+    * NEGATED reconciled net weight, so the pair nets to exactly 0 —
+    * gone from both weighted consumers — with no link re-extraction
+    * (one index-sized scan, tombstone-sized write). Runs under the
+    * writer lock with crash recovery at entry.
+    */
+  def removeKeysFromWeightedEdgeIndex(s: org.apache.spark.sql.SparkSession,
+      keys: Seq[String], indexPath: String): Unit = {
+    require(keys.nonEmpty, "removeKeysFromWeightedEdgeIndex: no keys")
+    graft.api.IndexMaintenance.withWriterLock(s, indexPath) {
+      graft.api.IndexMaintenance.recoverAtEntry(s, indexPath)
+      import s.implicits._
+      val kid = broadcast(keys.toDF("key")
+        .select(graft.functions.TextHashing.hash60(col("key")).as("kid")))
+      val (e, _) = weightedFromIndex(s, indexPath,
+        "removeKeysFromWeightedEdgeIndex")
+      // reconciled net per directed pair, incident to any key
+      val nets = e.groupBy(col("s"), col("t")).agg(sum(col("w")).as("w"))
+        .filter(col("w") > 0)
+      val incident = nets
+        .join(kid, col("s") === col("kid"), "left_semi")
+        .union(nets.join(kid, col("t") === col("kid"), "left_semi"))
+        .distinct()
+      // fold the negation as its own (manifested) run — the meta
+      // commit inside makes the takedown atomic
+      val (prefixPartitions, layers, runs) = graft.api.IndexMaintenance
+        .readIndexMetaRuns(s, indexPath, "removeKeysFromWeightedEdgeIndex")
+      val run = graft.api.IndexMaintenance.newRunId()
+      graft.jobs.Sinks.layoutAppend(
+        incident.select(col("s"), col("t"), (-col("w")).as("w"))
+          .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong)))
+          .withColumn("__run", lit(run)),
+        s"$indexPath/edges",
+        partitionCols = Seq("__ep"), sortCols = Seq("s", "t"),
+        numFiles = 4)
+      graft.api.IndexMaintenance.writeIndexMetaRuns(s, indexPath,
+        prefixPartitions, layers + 1, runs :+ run)
+    }
+  }
+
   /** Compact a layered weighted edge index back to ONE run per table
     * (per-pair sums over COMMITTED runs and the vertex distinct made
     * durable — orphan rows from crashed folds are dropped from disk
-    * here), meta reset to layers=1 with a single-run manifest.
+    * here, and so are pairs whose net weight is <= 0: signed removal
+    * runs become durable deletions, their bytes gone and any
+    * over-removal's residual negative balance NOT carried into the
+    * next epoch), meta reset to layers=1 with a single-run manifest.
     * Identical reads before and after.
     */
   def compactWeightedEdgeIndex(s: org.apache.spark.sql.SparkSession,
@@ -683,6 +842,7 @@ object PageRank {
       graft.api.IndexMaintenance.committedOnly(
           s.read.parquet(s"$indexPath/edges").drop("__ep"), runs)
         .groupBy(col("s"), col("t")).agg(sum(col("w")).as("w"))
+        .filter(col("w") > 0)
         .withColumn("__ep", pmod(col("s"), lit(prefixPartitions.toLong)))
         .withColumn("__run", lit(run)),
       s"$outPath/edges",
@@ -795,6 +955,10 @@ object PageRank {
         col(weightCol).cast("long").as("w"))
       .filter(col("s") =!= col("t"))
       .groupBy(col("s"), col("t")).agg(sum(col("w")).as("w"))
+      // net-positive only: the directed twin of [[weightedPairs]]'
+      // delete-path filter — a signed removal run nets a removed
+      // directed pair to 0 and it drops here
+      .filter(col("w") > 0)
       .persist()
     val v = e.select(col("s").as("id")).union(e.select(col("t").as("id")))
       .distinct().persist()

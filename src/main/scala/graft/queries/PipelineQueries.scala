@@ -161,11 +161,14 @@ h$k AS (SELECT v.id,
     }.mkString(",\n")
   }
 
-  /** q152's full-corpus host-centrality oracle — ONE definition shared
-    * with q160 (PageRank over the FOLDED edge index), so fold==rebuild
-    * is checked against literally the same SQL.
+  /** q152's full-corpus host-centrality oracle, parameterized by a
+    * directed-host-row filter — ONE definition shared by q152, q160
+    * (PageRank over the FOLDED edge index; fold==rebuild is checked
+    * against literally the same SQL) and q169 (the takedown twin,
+    * whose filter EXCLUDES the removed host's rows — tombstoning
+    * every edge incident to a host is exactly deleting its th rows).
     */
-  private lazy val hostCentralityOracleSql: String = s"""
+  private def hostCentralityOracleSqlFor(thWhere: String): String = s"""
 WITH p AS (
   SELECT doc_id, ${linkFixtureSqlExpr(withHub = false)} AS t0
   FROM documents),
@@ -177,10 +180,11 @@ x AS (SELECT doc_id,
                '${sqlQuoted(graft.api.TextOps.HrefUnquotePattern)}', '\\1\\2') AS href
       FROM l CROSS JOIN generate_series(1, 8) g(i)
       WHERE g.i <= len(links)),
-th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
+th0 AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src,
               regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS dst
        FROM x
        WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
+th AS (SELECT * FROM th0 $thWhere),
 hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
               ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
        FROM th),
@@ -194,6 +198,9 @@ v AS (SELECT DISTINCT src AS host FROM th
       UNION SELECT DISTINCT dst FROM th)
 SELECT v.host, r5.degree, r5.r AS rank
 FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id"""
+
+  private lazy val hostCentralityOracleSql: String =
+    hostCentralityOracleSqlFor("")
 
   /** q159's full-corpus HITS oracle — shared with q161 (HITS over the
     * folded edge index), the [[hostCentralityOracleSql]] discipline.
@@ -243,7 +250,7 @@ FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""
     * extraction and hashing cannot drift between the undirected-rank
     * and directed-HITS consumers by edit.
     */
-  private lazy val weightedHostFixtureCtes: String = s"""p AS (
+  private def weightedHostFixtureCtesFor(thWhere: String): String = s"""p AS (
   SELECT doc_id, $weightedLinkFixtureSqlExpr AS t0
   FROM documents),
 l AS (SELECT doc_id,
@@ -258,10 +265,14 @@ a AS (SELECT doc_id, href,
              regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) AS host
       FROM x
       WHERE regexp_extract(href, '${graft.api.TextOps.HostPattern}', 1) <> ''),
-th AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src, host AS dst FROM a),
+th0 AS (SELECT 'ex' || (doc_id % 9) || '.org' AS src, host AS dst FROM a),
+th AS (SELECT * FROM th0 $thWhere),
 hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
               ${graft.functions.TextHashing.hash60Sql("dst")} AS ht
        FROM th)"""
+
+  private lazy val weightedHostFixtureCtes: String =
+    weightedHostFixtureCtesFor("")
 
   /** The shared CTE PREFIX of the weighted-host-RANK oracles
     * (q164/q165's rank, q167's scheduler composition): the
@@ -270,7 +281,8 @@ hh AS (SELECT src, dst, ${graft.functions.TextHashing.hash60Sql("src")} AS hs,
     * consumers — the weighting and round arithmetic cannot drift by
     * edit.
     */
-  private lazy val weightedHostRankCtes: String = s"""$weightedHostFixtureCtes,
+  private def weightedHostRankCtesFor(thWhere: String): String =
+    s"""${weightedHostFixtureCtesFor(thWhere)},
 e0 AS (SELECT least(hs, ht) AS a, greatest(hs, ht) AS b,
               count(*)::BIGINT AS w
        FROM hh WHERE hs <> ht GROUP BY 1, 2),
@@ -280,6 +292,8 @@ r0 AS (SELECT id, w_degree, ${graft.operators.PageRank.Scale}::BIGINT AS r FROM 
 ${DedupQueries.weightedPagerankRoundsSql(5)},
 v AS (SELECT DISTINCT src AS host FROM th
       UNION SELECT DISTINCT dst FROM th)"""
+
+  private lazy val weightedHostRankCtes: String = weightedHostRankCtesFor("")
 
   /** q168's unrolled WEIGHTED-HITS rounds — [[hitsRoundsSql]] with
     * each hop's contribution multiplied by the edge weight
@@ -328,10 +342,18 @@ kk AS (SELECT DISTINCT src AS host, hs AS id FROM f
 SELECT kk.host, h3.h AS hub, a3.a AS auth
 FROM kk JOIN h3 ON kk.id = h3.id JOIN a3 ON kk.id = a3.id"""
 
-  private lazy val weightedHostRankOracleSql: String = s"""
-WITH $weightedHostRankCtes
+  /** The weighted host-rank oracle, parameterized like
+    * [[hostCentralityOracleSqlFor]] — "" for q164/q165, the
+    * removed-host exclusion for q170 (netting every incident directed
+    * pair to 0 is exactly deleting the host's th rows).
+    */
+  private def weightedHostRankOracleSqlFor(thWhere: String): String = s"""
+WITH ${weightedHostRankCtesFor(thWhere)}
 SELECT v.host, r5.w_degree, r5.r AS rank
 FROM r5 JOIN v ON ${graft.functions.TextHashing.hash60Sql("v.host")} = r5.id"""
+
+  private lazy val weightedHostRankOracleSql: String =
+    weightedHostRankOracleSqlFor("")
 
   /** q167's oracle: the [[weightedHostRankCtes]] prefix composed with
     * q146's budget rollup over the SAME per-occurrence link rows —
@@ -2756,8 +2778,126 @@ FROM u LEFT JOIN (SELECT doc_id, href, allow, prefix FROM m WHERE rn = 1) m
       (s, dir) =>
         graft.operators.PageRank.weightedHitsByKeyAgainstIndex(
             s, foldedWeightedHostDir(s, dir))
-          .select(col("key").as("host"), col("hub"), col("auth")))
+          .select(col("key").as("host"), col("hub"), col("auth"))),
+
+    QueryDef(
+      "q169_edge_takedown_rank",
+      "The edge family's DELETE path (PageRank.foldRemovalsInto" +
+        "EdgeIndex / removeKeysFromEdgeIndex): a robots change or " +
+        "host de-listing must REMOVE edges, and until round 16 only " +
+        "a full rebuild honored it. Tombstones land as their own " +
+        "(s, t) run in $ix/removals and reconcile BY ANTI-JOIN at " +
+        "read - a tombstoned pair is invisible no matter how many " +
+        "edge runs assert it, until a compaction makes the removal " +
+        "durable and clears the tombstone set (the LSM delete " +
+        "contract, stated honestly: absolute within a compaction " +
+        "epoch). Here the q160 fixture's index (v1 + maintain-fold) " +
+        "takes DOWN host m1.net via removeKeysFromEdgeIndex - the " +
+        "incident pairs derive from the index's own reconciled edge " +
+        "set (one index-sized scan, tombstone-sized write, no link " +
+        "re-extraction), under the writer lock. The oracle is q152's " +
+        "full-corpus SQL with the removed host's directed rows " +
+        "EXCLUDED (one shared parameterized generator - tombstoning " +
+        "every incident edge IS deleting the host's rows): the " +
+        "removed host vanishes from the rank output and every " +
+        "neighbor's degree drops exactly. Scale shape: q160's plan + " +
+        "one takedown-sized anti-join below the distinct.",
+      Some(hostCentralityOracleSqlFor(
+        "WHERE src <> 'm1.net' AND dst <> 'm1.net'")),
+      (s, dir) =>
+        graft.operators.PageRank.ranksByKeyAgainstIndex(
+            s, takedownEdgeDir(s, dir))
+          .select(col("key").as("host"), col("degree"), col("rank"))),
+
+    QueryDef(
+      "q170_weighted_takedown_rank",
+      "The weighted family's DELETE path (PageRank.foldRemovalsInto" +
+        "WeightedEdgeIndex / removeKeysFromWeightedEdgeIndex): a " +
+        "SIGNED run the existing SUM reconcile absorbs for free - " +
+        "removal rows fold in with negated weights, a fully-removed " +
+        "pair nets to 0 and drops at the consumers' net-positive " +
+        "filter, and compaction makes the deletion durable (non-" +
+        "positive nets' bytes gone). Here the q165 fixture's " +
+        "weighted index (v1 + OVERLAPPING maintain-fold) takes down " +
+        "host m1.net via removeKeysFromWeightedEdgeIndex, which " +
+        "negates each incident directed pair's RECONCILED net weight " +
+        "in one manifested run (index-sized scan, tombstone-sized " +
+        "write, atomic via the per-run manifest commit). The oracle " +
+        "is q164's full-corpus SQL with the removed host's rows " +
+        "EXCLUDED (the shared parameterized generator - netting " +
+        "every incident pair to 0 IS deleting the host's rows); " +
+        "partial removals (an anchor retracted, not a takedown) are " +
+        "DedupSpec-pinned separately. Scale shape: q165's plan - " +
+        "the canonical pair aggregation absorbs the signed run at " +
+        "zero extra exchanges.",
+      Some(weightedHostRankOracleSqlFor(
+        "WHERE src <> 'm1.net' AND dst <> 'm1.net'")),
+      (s, dir) =>
+        graft.operators.PageRank.weightedRanksByKeyAgainstIndex(
+            s, takedownWeightedHostDir(s, dir))
+          .select(col("key").as("host"), col("w_degree"), col("rank")))
   )
+
+  /** q169's artifact: the q160-shape maintained edge index with host
+    * m1.net taken down through the tombstone path. Independent of
+    * [[foldedEdgeDir]] — q160/q161/q162 must keep reading the
+    * un-removed graph.
+    */
+  private val takedownEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def takedownEdgeDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    takedownEdgeCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-takedownedge-").toString + "/ix"
+      val links = graft.api.TextOps.extractLinks(
+        linkFixture(Tables.documents(s, dir)), "doc_id", "text")
+      val edges = links.filter(col("host") =!= "")
+        .select(col("doc_id"),
+          concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+            lit(".org")).as("src_host"),
+          col("host").as("dst_host"))
+      graft.operators.PageRank.writeEdgeIndex(
+        edges.filter(col("doc_id") % 5 =!= 0), "src_host", "dst_host", tmp)
+      graft.operators.PageRank.maintainEdgeIndex(
+        edges.filter(col("doc_id") % 5 === 0), "src_host", "dst_host", tmp)
+      graft.operators.PageRank.removeKeysFromEdgeIndex(
+        s, Seq("m1.net"), tmp)
+      tmp
+    })
+
+  /** q170's artifact: the q165-shape maintained WEIGHTED index with
+    * host m1.net taken down through the signed-run path. Independent
+    * of [[foldedWeightedHostDir]] — q165/q167/q168 must keep reading
+    * the un-removed graph.
+    */
+  private val takedownWeightedHostCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def takedownWeightedHostDir(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    takedownWeightedHostCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-takedownwhost-").toString + "/ix"
+      val links = graft.api.TextOps.extractLinks(
+        weightedLinkFixture(Tables.documents(s, dir)), "doc_id", "text")
+      val edges = links.filter(col("host") =!= "")
+        .select(col("doc_id"),
+          concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+            lit(".org")).as("src_host"),
+          col("host").as("dst_host"))
+        .withColumn("w1", lit(1L))
+      graft.operators.PageRank.writeWeightedEdgeIndex(
+        edges.filter(col("doc_id") % 5 =!= 0), "src_host", "dst_host",
+        "w1", tmp)
+      graft.operators.PageRank.maintainWeightedEdgeIndex(
+        edges.filter(col("doc_id") % 5 === 0), "src_host", "dst_host",
+        "w1", tmp)
+      graft.operators.PageRank.removeKeysFromWeightedEdgeIndex(
+        s, Seq("m1.net"), tmp)
+      tmp
+    })
 
   /** q153's line fixture — the q151 skeleton minus the license line,
     * with the shared paragraph keyed `(doc_id div 5) mod 24` (the

@@ -1424,6 +1424,122 @@ class DedupSpec extends SparkSpec {
       "fixture must make the fold visible or fold-parity is vacuous")
   }
 
+  test("edge tombstones: foldRemovals anti-joins at read and " +
+      "suppresses even LATER re-folds of the pair, removeKeys takes " +
+      "a host down entirely, compaction makes removals durable and " +
+      "clears the tombstone set (post-compaction re-folds re-add)") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val v1 = Seq(("a.org", "b.org"), ("b.org", "c.org"),
+      ("c.org", "d.org")).toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft-edgetomb-")
+      .toString
+    PageRank.writeEdgeIndex(v1, "src", "dst", s"$dir/ix")
+    def got(path: String) = PageRank.ranksByKeyAgainstIndex(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def inline(edges: org.apache.spark.sql.DataFrame) =
+      PageRank.ranksByKey(edges, "src", "dst").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // tombstone one edge: reads == the graph without it
+    PageRank.foldRemovalsIntoEdgeIndex(
+      Seq(("b.org", "c.org")).toDF("src", "dst"), "src", "dst", s"$dir/ix")
+    val minusBc = inline(Seq(("a.org", "b.org"), ("c.org", "d.org"))
+      .toDF("src", "dst"))
+    assert(got(s"$dir/ix") == minusBc,
+      "tombstoned edge still ranked (or removal took neighbors with it)")
+    assert(minusBc != inline(v1), "fixture must make the removal visible")
+    // a LATER re-fold of the same pair stays suppressed — tombstones
+    // are absolute within a compaction epoch
+    PageRank.foldIntoEdgeIndex(
+      Seq(("b.org", "c.org")).toDF("src", "dst"), "src", "dst", s"$dir/ix")
+    assert(got(s"$dir/ix") == minusBc,
+      "a re-folded pair resurrected past its tombstone mid-epoch")
+    // compaction: removal durable, tombstone set cleared, reads equal
+    PageRank.compactEdgeIndex(spark, s"$dir/ix", s"$dir/ixc")
+    assert(got(s"$dir/ixc") == minusBc)
+    assert(spark.read.parquet(s"$dir/ixc/removals").count() == 0,
+      "compaction must clear the tombstone set")
+    val cId = Seq("c.org").toDF("k")
+      .select(graft.functions.TextHashing.hash60(col("k")))
+      .head().getLong(0)
+    assert(spark.read.parquet(s"$dir/ixc/edges")
+      .filter(col("t") === cId || col("s") === cId).count() == 1,
+      "removed edge's bytes must be gone from the compacted run " +
+        "(only c-d remains incident to c.org)")
+    // the next epoch may re-add
+    PageRank.foldIntoEdgeIndex(
+      Seq(("b.org", "c.org")).toDF("src", "dst"), "src", "dst",
+      s"$dir/ixc")
+    assert(got(s"$dir/ixc") == inline(v1),
+      "post-compaction re-fold must re-add the pair")
+    // host takedown: every edge incident to b.org goes in one call —
+    // b.org AND its now-isolated neighbor a.org vanish from the ranks
+    PageRank.removeKeysFromEdgeIndex(spark, Seq("b.org"), s"$dir/ixc")
+    val cdOnly = inline(Seq(("c.org", "d.org")).toDF("src", "dst"))
+    assert(got(s"$dir/ixc") == cdOnly,
+      s"host takedown incomplete: ${got(s"$dir/ixc")}")
+  }
+
+  test("weighted signed-run removals: a partial removal lowers the " +
+      "weight, a full removal nets to 0 and drops from BOTH weighted " +
+      "consumers, compaction drops non-positive nets durably, and " +
+      "removeKeys nets a whole host out") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    def rankSet(path: String) =
+      PageRank.weightedRanksByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def hitsSet(path: String) =
+      PageRank.weightedHitsByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def inlineRank(edges: org.apache.spark.sql.DataFrame) =
+      PageRank.weightedRanksByKey(edges, "src", "dst", "w").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def inlineHits(edges: org.apache.spark.sql.DataFrame) =
+      PageRank.weightedHitsByKey(edges, "src", "dst", "w").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val v1 = Seq(("a.org", "b.org", 5L), ("b.org", "c.org", 2L),
+      ("c.org", "d.org", 4L)).toDF("src", "dst", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wtomb-")
+      .toString
+    PageRank.writeWeightedEdgeIndex(v1, "src", "dst", "w", s"$dir/ix")
+    // partial removal: retract 2 of a-b's 5 anchors
+    PageRank.foldRemovalsIntoWeightedEdgeIndex(
+      Seq(("a.org", "b.org", 2L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", s"$dir/ix")
+    val after1 = Seq(("a.org", "b.org", 3L), ("b.org", "c.org", 2L),
+      ("c.org", "d.org", 4L)).toDF("src", "dst", "w")
+    assert(rankSet(s"$dir/ix") == inlineRank(after1),
+      "partial removal must lower the pair weight to 3")
+    // full removal of b-c: nets to 0, gone from BOTH consumers
+    PageRank.foldRemovalsIntoWeightedEdgeIndex(
+      Seq(("b.org", "c.org", 2L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", s"$dir/ix")
+    val after2 = Seq(("a.org", "b.org", 3L), ("c.org", "d.org", 4L))
+      .toDF("src", "dst", "w")
+    assert(rankSet(s"$dir/ix") == inlineRank(after2),
+      "a fully-removed pair still ranked")
+    assert(hitsSet(s"$dir/ix") == inlineHits(after2),
+      "a fully-removed pair still in the HITS graph")
+    // compaction: deletion durable, no non-positive nets on disk
+    PageRank.compactWeightedEdgeIndex(spark, s"$dir/ix", s"$dir/ixc")
+    assert(rankSet(s"$dir/ixc") == inlineRank(after2) &&
+      hitsSet(s"$dir/ixc") == inlineHits(after2))
+    val disk = spark.read.parquet(s"$dir/ixc/edges")
+    assert(disk.count() == 2 &&
+      disk.agg(org.apache.spark.sql.functions.min(col("w")))
+        .head().getLong(0) > 0,
+      "compaction must drop netted-out pairs' bytes")
+    // host takedown: c.org nets out entirely -> only a-b remains
+    PageRank.removeKeysFromWeightedEdgeIndex(spark, Seq("c.org"),
+      s"$dir/ixc")
+    val abOnly = Seq(("a.org", "b.org", 3L)).toDF("src", "dst", "w")
+    assert(rankSet(s"$dir/ixc") == inlineRank(abOnly) &&
+      hitsSet(s"$dir/ixc") == inlineHits(abOnly),
+      s"weighted host takedown incomplete: ${rankSet(s"$dir/ixc")}")
+  }
+
   test("edge-index fold meta-first contract: a bumped layer count " +
       "with the delta run missing (the crash window ADVICE r14 named) " +
       "is harmless — set-union reconcile reads the same graph") {

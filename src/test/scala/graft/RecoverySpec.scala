@@ -648,4 +648,55 @@ class RecoverySpec extends SparkSpec {
     assert(rankSet(s"$dir/ixc") == wantRank &&
       hitsSet(s"$dir/ixc") == wantHits)
   }
+
+  test("REMOVAL runs are crash-safe under each family's discipline: " +
+      "an uncommitted signed run is invisible (weighted, manifest) " +
+      "and a meta bump with the tombstone run missing is harmless " +
+      "(set family, meta-first idempotence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.IndexMaintenance
+    import graft.operators.PageRank
+    // weighted: crash between the signed run's append and its commit
+    val v1 = Seq(("a.org", "b.org", 5L), ("b.org", "c.org", 2L))
+      .toDF("src", "dst", "w")
+    val dir = Files.createTempDirectory("graft-tombr-").toString
+    PageRank.writeWeightedEdgeIndex(v1, "src", "dst", "w", s"$dir/wix")
+    def rankSet(path: String) =
+      PageRank.weightedRanksByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val healthy = rankSet(s"$dir/wix")
+    val (pp, layers0, runs0) = IndexMaintenance.readIndexMetaRuns(
+      spark, s"$dir/wix", "test")
+    PageRank.foldRemovalsIntoWeightedEdgeIndex(
+      Seq(("a.org", "b.org", 5L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", s"$dir/wix")
+    IndexMaintenance.writeIndexMetaRuns(spark, s"$dir/wix", pp, layers0,
+      runs0)
+    assert(rankSet(s"$dir/wix") == healthy,
+      "an uncommitted signed removal run changed a read")
+    // the retried removal then applies exactly once
+    PageRank.foldRemovalsIntoWeightedEdgeIndex(
+      Seq(("a.org", "b.org", 5L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", s"$dir/wix")
+    val want = PageRank.weightedRanksByKey(
+        Seq(("b.org", "c.org", 2L)).toDF("src", "dst", "w"),
+        "src", "dst", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rankSet(s"$dir/wix") == want,
+      "retried removal double-applied (orphan merged) or was lost")
+    // set family: the meta-first shape — a bumped layer count whose
+    // tombstone run never landed reads the same graph
+    val e1 = Seq(("a.org", "b.org"), ("b.org", "c.org")).toDF("src", "dst")
+    PageRank.writeEdgeIndex(e1, "src", "dst", s"$dir/eix")
+    def eGot() = PageRank.ranksByKeyAgainstIndex(spark, s"$dir/eix")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val eHealthy = eGot()
+    val (epp, elayers) = IndexMaintenance.readIndexMeta(
+      spark, s"$dir/eix", "test")
+    IndexMaintenance.writeIndexMeta(spark, s"$dir/eix", epp, elayers + 1)
+    assert(eGot() == eHealthy,
+      "a bumped meta with no tombstone run changed the set-family read")
+  }
 }
