@@ -570,12 +570,17 @@ object Multimodal {
     * dHash over aHash for the pair key: gradient signs survive global
     * tone/brightness edits that move aHash's mean threshold on
     * near-uniform images. Output: doc_a, doc_b, hamming.
+    * Fingerprint-cache lifecycle: see [[materializedFps]] —
+    * `snapshotPath = None` (default) holds one localCheckpoint per
+    * call until the session's checkpoint drain; pass a path for
+    * long-lived or multi-executor sessions.
     */
   def imageNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
-      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
+      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket,
+      snapshotPath: Option[String] = None): DataFrame =
     graft.api.DedupOps.fingerprintPairs(
       materializedFps(imageHashes(media)
-        .select(col("doc_id"), col("dhash64"))),
+        .select(col("doc_id"), col("dhash64")), snapshotPath),
       "doc_id", "dhash64", bits = 64,
       hammingMax = hammingMax, maxBucket = maxBucket)
 
@@ -587,12 +592,28 @@ object Multimodal {
     * the full container-walk + frame-decode would run up to 3× per
     * pair query (and a nondeterministic 1–3× across runs as join
     * strategies shift — the round-15 q140 SCALE-band adjudication
-    * caught exactly this). The frame is 2 longs/doc; blocks release
-    * under the session's checkpoint-drain discipline like every
-    * operator-internal checkpoint.
+    * caught exactly this). The frame is 2 longs/doc. Two strategies,
+    * the [[graft.streaming.GateSnapshot]] pair:
+    *
+    *   - `None` (default): `localCheckpoint` — right for bench loops
+    *     and short sessions, but NON-RECOMPUTABLE (an executor lost
+    *     mid-query fails the job) and the blocks release only under
+    *     the session's checkpoint-drain discipline
+    *     ([[graft.BenchHarness.drainLocalCheckpoints]]) — a
+    *     long-lived session calling the nearDupPairs entry points
+    *     repeatedly WITHOUT draining pins one cached frame per call.
+    *   - `Some(path)`: the fingerprint frame writes to the
+    *     caller-owned path and the pair engine reads the FILES —
+    *     executor loss recomputes from parquet, a checkpoint drain
+    *     cannot touch it, and releasing is deleting the path. The
+    *     deployment shape for long-lived sessions.
     */
-  private def materializedFps(fps: DataFrame): DataFrame =
-    fps.localCheckpoint()
+  private def materializedFps(fps: DataFrame,
+      snapshotPath: Option[String]): DataFrame =
+    snapshotPath match {
+      case Some(p) => graft.streaming.GateSnapshot.toPath(fps, p)
+      case None    => fps.localCheckpoint()
+    }
 
   /** Deterministic 16×16 grayscale 24-bit BMP from a byte seed: image
     * pixel (x, y) has gray value `seed((y*16 + x) mod seed.length)`
@@ -775,11 +796,14 @@ object Multimodal {
   /** Near-duplicate audio pairs: envelope-hash-64 hamming with the
     * SAME pigeonhole-lossless blocking + capped-bucket contract as
     * the image (q134) and text (q54) modalities — one pair engine,
-    * three modalities. Output: doc_a, doc_b, hamming. */
+    * three modalities. Output: doc_a, doc_b, hamming.
+    * Fingerprint-cache lifecycle: see [[materializedFps]]. */
   def audioNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
-      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
+      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket,
+      snapshotPath: Option[String] = None): DataFrame =
     graft.api.DedupOps.fingerprintPairs(
-      materializedFps(audioFingerprints(media)), "doc_id", "envhash64",
+      materializedFps(audioFingerprints(media), snapshotPath),
+      "doc_id", "envhash64",
       bits = 64, hammingMax = hammingMax, maxBucket = maxBucket)
 
   /** documents → REAL decodable audio media: each doc's UTF-8 text
@@ -849,11 +873,14 @@ object Multimodal {
   /** Near-duplicate video pairs: majority-dHash-64 hamming with the
     * SAME pigeonhole-lossless blocking + capped-bucket contract as
     * the text (q54), image (q134), and audio (q136) modalities — ONE
-    * pair engine, four modalities. Output: doc_a, doc_b, hamming. */
+    * pair engine, four modalities. Output: doc_a, doc_b, hamming.
+    * Fingerprint-cache lifecycle: see [[materializedFps]]. */
   def videoNearDupPairs(media: Dataset[MediaRecord], hammingMax: Int = 6,
-      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket): DataFrame =
+      maxBucket: Int = graft.api.DedupOps.DefaultMaxBucket,
+      snapshotPath: Option[String] = None): DataFrame =
     graft.api.DedupOps.fingerprintPairs(
-      materializedFps(videoFingerprints(media)), "doc_id", "vhash64",
+      materializedFps(videoFingerprints(media), snapshotPath),
+      "doc_id", "vhash64",
       bits = 64, hammingMax = hammingMax, maxBucket = maxBucket)
 
   /** Frame count of the deterministic doc→AVI fixture: 6 frames with

@@ -27,7 +27,7 @@ import org.apache.spark.sql.DataFrame
   *     an in-place overwrite is the compaction-swap hazard in
   *     miniature.
   */
-private[streaming] object GateSnapshot {
+private[graft] object GateSnapshot {
 
   /** Eager lineage-cut snapshot: materialize, cut lineage, register
     * cache-owned so a checkpoint drain cannot truncate a frame a live

@@ -636,4 +636,30 @@ class MediaSpec extends SparkSpec {
       s"got ${pairs.toSeq}")
     assert(pairs.head._3 == 0L) // exact dHash match under brightness shift
   }
+
+  test("nearDupPairs snapshotPath: the path-stable fingerprint cache " +
+      "equals the default and survives a checkpoint drain mid-query " +
+      "(the long-lived-session shape — no checkpoint block in the plan)") {
+    import spark.implicits._
+    val recs = Seq(
+      MediaRecord(1L, "image/png", gradientPng(64, 48, 0)),
+      MediaRecord(2L, "image/png", gradientPng(64, 48, 8)),
+      MediaRecord(3L, "image/png", noisePng(64, 48, 7L))).toDS()
+    val want = Multimodal.imageNearDupPairs(recs, hammingMax = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpsnap-").toString
+    // authoring is eager (the fingerprints land on disk here); the
+    // returned frame reads FILES, so a drain between authoring and
+    // materialization must be harmless — exactly what kills the
+    // default localCheckpoint variant's blocks
+    val viaPath = Multimodal.imageNearDupPairs(recs, hammingMax = 6,
+      snapshotPath = Some(s"$dir/fps"))
+    BenchHarness.drainLocalCheckpoints(spark)
+    assert(viaPath.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want,
+      "path-stable fingerprint cache diverged from the default (or " +
+        "the drain broke it)")
+    assert(want.nonEmpty, "fixture regression: no pairs at all")
+  }
 }
