@@ -517,6 +517,36 @@ object BenchScale {
     val weFldS = timedUnit(PageRank.foldIntoWeightedEdgeIndex(
       wEdgeDelta, "src", "dst", "w1", s"$idxDir/wedge_scaled"))
     graft.api.Lifecycle.releaseLocalCheckpoint(wEdgeDelta)
+    // card family (round 16): corpus-stats leaf sums — the build pays
+    // one map-only scoring pass (honestly linear in docs; the OUTPUT
+    // is leaf-count-sized), folding a FIXED delta is O(delta), and
+    // the card render reads leaf rows only (corpus-INDEPENDENT: 10x
+    // the docs behind the index leave the leaf set ~unchanged, so the
+    // probe must sit flat like the edge-rank rounds)
+    import graft.api.CardOps
+    def cardDocsOf(dir: String) = load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+    val cardDelta = cardDocsOf(baseDir)
+      .filter(col("doc_id") % 7 === 0).localCheckpoint()
+    val cdIdxB = timedUnit(CardOps.writeCardIndex(
+      cardDocsOf(baseDir).filter(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", "source", "lang", s"$idxDir/card_base"))
+    val cdIdxS = timedUnit(CardOps.writeCardIndex(
+      cardDocsOf(outDir).filter(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", "source", "lang", s"$idxDir/card_scaled"))
+    val cdPrbB = BenchHarness.minOf2Of(() =>
+      CardOps.datasetCardAgainstIndex(spark, s"$idxDir/card_base"))
+    val cdPrbS = BenchHarness.minOf2Of(() =>
+      CardOps.datasetCardAgainstIndex(spark, s"$idxDir/card_scaled"))
+    val cdFldB = timedUnit {
+      CardOps.foldIntoCardIndex(cardDelta, "doc_id", "text",
+        "source", "lang", s"$idxDir/card_base"); ()
+    }
+    val cdFldS = timedUnit {
+      CardOps.foldIntoCardIndex(cardDelta, "doc_id", "text",
+        "source", "lang", s"$idxDir/card_scaled"); ()
+    }
+    graft.api.Lifecycle.releaseLocalCheckpoint(cardDelta)
     // the rank probes localCheckpoint per round — drain them before
     // the compaction/throughput measurements (the Heavy-loop leak
     // hygiene rule applies to this block too); fpDelta's release must
@@ -662,6 +692,7 @@ object BenchScale {
       ("q153_index_build", lIdxB, lIdxS, cRatio(lIdxB, lIdxS)),
       ("q160_index_build", eIdxB, eIdxS, cRatio(eIdxB, eIdxS)),
       ("q165_index_build", weIdxB, weIdxS, cRatio(weIdxB, weIdxS)),
+      ("q171_index_build", cdIdxB, cdIdxS, cRatio(cdIdxB, cdIdxS)),
       ("q110_compact_cost", tCmpB, tCmpS, cRatio(tCmpB, tCmpS)))
     val probeRows = Seq(
       ("q59_probe_const_delta", tPrbB, tPrbS, cRatio(tPrbB, tPrbS)),
@@ -682,7 +713,9 @@ object BenchScale {
       ("q160_fold_const_delta", eFldB, eFldS, cRatio(eFldB, eFldS)),
       ("q165_probe_const_delta", wePrbB, wePrbS, cRatio(wePrbB, wePrbS)),
       ("q165_fold_const_delta", weFldB, weFldS, cRatio(weFldB, weFldS)),
-      ("q168_probe_const_delta", whPrbB, whPrbS, cRatio(whPrbB, whPrbS)))
+      ("q168_probe_const_delta", whPrbB, whPrbS, cRatio(whPrbB, whPrbS)),
+      ("q171_probe_const_delta", cdPrbB, cdPrbS, cRatio(cdPrbB, cdPrbS)),
+      ("q171_fold_const_delta", cdFldB, cdFldS, cRatio(cdFldB, cdFldS)))
 
     val linearRows = rows ++ buildRows ++ heapsRows
     val worst = linearRows.map(_._4).max

@@ -173,6 +173,62 @@ object IndexMaintenance {
     df.filter(col("__run").isin(runs: _*)).drop("__run")
   }
 
+  // ---- logical batch tags (exactly-once streaming folds) -------------
+  //
+  // The per-run manifest makes a CRASHED append invisible, but a
+  // RETRIED fold still lands as a new committed run — correct for a
+  // caller that retries deliberately, double-counting for a streaming
+  // engine that re-delivers a whole micro-batch after a failure
+  // (foreachBatch's at-least-once contract). Families maintained FROM
+  // a stream therefore carry a second, LOGICAL manifest next to the
+  // physical one: `committed_tags` lists the batch tags whose fold
+  // has committed, a tagged fold is a NO-OP when its tag is already
+  // listed, and the physical run id stays fresh per attempt (so a
+  // crashed attempt's orphan can never merge into the retry). The two
+  // manifests answer different questions — "which FILES are real"
+  // (runs; reset to one at compaction) vs "which BATCHES are applied"
+  // (tags; preserved ACROSS compaction, else a replay after compact
+  // would re-apply its batch).
+
+  /** [[writeIndexMetaRuns]] plus the logical `committed_tags`
+    * manifest. `tags` may be empty (a batch-built index that has seen
+    * no tagged folds yet).
+    */
+  def writeIndexMetaRunsTags(s: SparkSession, path: String,
+      prefixPartitions: Int, layers: Int, runs: Seq[String],
+      tags: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{array, lit}
+    require(runs.nonEmpty, "writeIndexMetaRunsTags: empty run manifest")
+    s.range(1)
+      .select(lit(prefixPartitions).as("prefix_partitions"),
+        lit(layers).as("layers"),
+        array(runs.map(lit(_)): _*).as("committed_runs"),
+        (if (tags.isEmpty) array().cast("array<string>")
+         else array(tags.map(lit(_)): _*)).as("committed_tags"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (prefixPartitions, layers, committedRuns, committedTags) off a
+    * [[writeIndexMetaRunsTags]] meta. The tag manifest is REQUIRED by
+    * name — an index written without it cannot answer "was this batch
+    * applied", so a tagged fold against it must fail loudly rather
+    * than default to re-applying.
+    */
+  def readIndexMetaRunsTags(s: SparkSession, indexPath: String,
+      op: String): (Int, Int, Seq[String], Seq[String]) = {
+    val (prefixPartitions, layers, runs) =
+      readIndexMetaRuns(s, indexPath, op)
+    val row = s.read.parquet(s"$indexPath/meta").head()
+    if (!row.schema.fieldNames.contains("committed_tags"))
+      throw new IllegalStateException(
+        s"$op: $indexPath/meta carries no committed_tags manifest — " +
+          "tag-folded indexes written before the tag manifest existed " +
+          "must be rebuilt once (folding without it would re-apply " +
+          "re-delivered batches)")
+    (prefixPartitions, layers, runs,
+      row.getSeq[String](row.fieldIndex("committed_tags")))
+  }
+
   /** Compact once layer count reaches this many appended runs.
     * 8 runs ≈ a week of daily folds; read-side reconcile cost and
     * file-open fan-out both scale with the run count, so the

@@ -108,8 +108,24 @@ object TextOps {
     // and both consumers read group-count rows (PlanSpec pins the
     // pre-checkpoint pass shape AND that the final plan contains no
     // corpus scan).
-    val rolled = datasetCardRolled(df, idCol, textCol, sourceCol,
-      langCol, stopword).localCheckpoint()
+    renderCard(datasetCardRolled(df, idCol, textCol, sourceCol,
+      langCol, stopword), sourceCol, langCol)
+  }
+
+  /** The card's render half — grouping markers to '(all)' labels plus
+    * the exact-ppm share off the rollup's own grand-total row. ONE
+    * implementation behind [[datasetCard]] (rollup over per-doc rows)
+    * and [[CardOps.datasetCardAgainstIndex]] (rollup over the
+    * persisted index's reconciled leaf sums), so the deployed card
+    * cannot render differently from the batch op it mirrors. Input:
+    * any frame with (sourceCol, langCol, quality, n_docs, n_tokens,
+    * _gs, _gl, _gq); it is consumed twice (card rows + the broadcast
+    * total), hence the eager checkpoint — see [[datasetCard]]'s
+    * consumed-twice note.
+    */
+  private[graft] def renderCard(rolledRaw: DataFrame, sourceCol: String,
+      langCol: String): DataFrame = {
+    val rolled = rolledRaw.localCheckpoint()
     val total = rolled
       .filter(col("_gs") === 1 && col("_gl") === 1 && col("_gq") === 1)
       .select(col("n_tokens").as("_tot"))

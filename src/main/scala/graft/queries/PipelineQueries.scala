@@ -20,6 +20,34 @@ object PipelineQueries {
   private def occSql(c: String, w: String): String =
     s"(length($c) - length(replace($c, '$w', ''))) // ${w.length}"
 
+  /** The q158 dataset-card SQL, parameterized by a corpus predicate —
+    * ONE generator behind the batch card (q158, empty predicate), the
+    * maintained card index's fold parity (q171 — the index over
+    * corpus + folded delta must equal the card over their union) and
+    * the takedown twin (q172 — the removed source's docs excluded),
+    * so the three queries and the two engines cannot drift by edit.
+    */
+  private def datasetCardOracleSql(where: String = ""): String = s"""
+WITH t AS (
+  SELECT source, lang, length(text) AS n_char,
+         len(string_split(text, ' '))::BIGINT AS n_tok,
+         ${occSql("text", " the ")} AS n_stop
+  FROM documents $where),
+q AS (SELECT source, lang, n_tok,
+             CASE WHEN n_tok >= 40 AND (n_stop * 1000) // n_tok >= 20
+                    THEN 'high'
+                  WHEN n_tok >= 15 THEN 'medium' ELSE 'low' END AS quality
+      FROM t),
+g AS (SELECT sum(n_tok)::HUGEINT AS tot FROM q)
+SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+       CASE WHEN GROUPING(quality) = 1 THEN '(all)' ELSE quality END
+         AS quality,
+       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       ((sum(n_tok)::HUGEINT * 1000000) // (SELECT tot FROM g))::BIGINT
+         AS tok_ppm
+FROM q GROUP BY ROLLUP (source, lang, quality)"""
+
   /** Escapes a regex for embedding in a single-quoted DuckDB string
     * literal (HrefPattern and its unquote twin carry single quotes). */
   private def sqlQuoted(pat: String): String = pat.replace("'", "''")
@@ -2394,26 +2422,7 @@ WHERE o.tok_before < b.budget"""),
         "shape: one map-only scoring pass, ONE Expand + partial-" +
         "aggregated hash aggregate for all four grouping levels, a " +
         "1-row total broadcast.",
-      Some(s"""
-WITH t AS (
-  SELECT source, lang, length(text) AS n_char,
-         len(string_split(text, ' '))::BIGINT AS n_tok,
-         ${occSql("text", " the ")} AS n_stop
-  FROM documents),
-q AS (SELECT source, lang, n_tok,
-             CASE WHEN n_tok >= 40 AND (n_stop * 1000) // n_tok >= 20
-                    THEN 'high'
-                  WHEN n_tok >= 15 THEN 'medium' ELSE 'low' END AS quality
-      FROM t),
-g AS (SELECT sum(n_tok)::HUGEINT AS tot FROM q)
-SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
-       CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
-       CASE WHEN GROUPING(quality) = 1 THEN '(all)' ELSE quality END
-         AS quality,
-       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
-       ((sum(n_tok)::HUGEINT * 1000000) // (SELECT tot FROM g))::BIGINT
-         AS tok_ppm
-FROM q GROUP BY ROLLUP (source, lang, quality)"""),
+      Some(datasetCardOracleSql()),
       (s, dir) =>
         graft.api.TextOps.datasetCard(
           Tables.documents(s, dir), "doc_id", "text", "source", "lang")),
@@ -2835,8 +2844,121 @@ FROM u LEFT JOIN (SELECT doc_id, href, allow, prefix FROM m WHERE rn = 1) m
       (s, dir) =>
         graft.operators.PageRank.weightedRanksByKeyAgainstIndex(
             s, takedownWeightedHostDir(s, dir))
-          .select(col("key").as("host"), col("w_degree"), col("rank")))
+          .select(col("key").as("host"), col("w_degree"), col("rank"))),
+
+    QueryDef(
+      "q171_fold_dataset_card",
+      "The dataset card off the MAINTAINED corpus-stats index " +
+        "(CardOps.datasetCardAgainstIndex) - the ELEVENTH persisted " +
+        "family, generalizing the LSM fold discipline from retrieval " +
+        "structures to release ACCOUNTING: q158's per-(source, lang, " +
+        "quality) doc/token counts are SUM-additive, so the index " +
+        "stores leaf partial sums, a delta folds in as its own " +
+        "manifested run at O(delta) cost (one map-only scoring pass + " +
+        "one partial aggregate - never a corpus rescan), and the card " +
+        "renders from group-count rows through the SAME renderCard " +
+        "the batch op uses (rollup-over-leaves == rollup-over-docs " +
+        "identically, because counts are additive). The fixture " +
+        "builds v1 over the mod-7 6/7 slice and maintain-folds the " +
+        "1/7 delta IN PLACE (writer lock + recovery + per-run " +
+        "manifest; the split is deliberately COPRIME to the corpus's " +
+        "source derivation so most delta leaves OVERLAP corpus " +
+        "leaves and the probe genuinely exercises the cross-run SUM " +
+        "reconcile - CardSpec pins the overlap non-vacuously), and the oracle is " +
+        "q158's full-corpus SQL VERBATIM (the shared parameterized " +
+        "generator) - fold == rebuild, checked against the batch " +
+        "card's own oracle. Scale shape: the probe reads ONLY the " +
+        "leaf-count-sized stats parquet - no documents scan exists " +
+        "in the plan (PlanSpec pins it); leaves number |sources| x " +
+        "|langs| x 3, broadcast-sized at any corpus size.",
+      Some(datasetCardOracleSql()),
+      (s, dir) =>
+        graft.api.CardOps.datasetCardAgainstIndex(
+          s, foldedCardDir(s, dir))),
+
+    QueryDef(
+      "q172_card_takedown",
+      "The card family's DELETE path (CardOps." +
+        "foldRemovalsIntoCardIndex) - a source-level takedown (a " +
+        "license retraction, a de-listed crawl source) folds the " +
+        "removed documents' leaf stats in as a SIGNED run the SUM " +
+        "reconcile absorbs for free: src3's leaves net to EXACTLY 0 " +
+        "docs and drop at the consumers' net-positive filter (full " +
+        "removal - the whole source vanishes from the card), every " +
+        "'(all)' subtotal and the exact-ppm denominators adjust, and " +
+        "the card tracks the post-takedown corpus at O(removed) cost " +
+        "with no rescan. Partial removals (a dedup pass's drops) are " +
+        "CardSpec-pinned separately; compaction makes deletions " +
+        "durable (net-<=-0 leaves' bytes gone). The fixture is " +
+        "q171's index shape with documents WHERE source = 'src3' " +
+        "removal-folded; the oracle is the SAME shared generator " +
+        "with that source's docs excluded - netting a leaf to 0 IS " +
+        "deleting its docs. Scale shape: q171's probe plan " +
+        "unchanged - the signed run is absorbed by the same leaf " +
+        "aggregation at zero extra exchanges.",
+      Some(datasetCardOracleSql("WHERE source <> 'src3'")),
+      (s, dir) =>
+        graft.api.CardOps.datasetCardAgainstIndex(
+          s, takedownCardDir(s, dir)))
   )
+
+  /** q171's persisted corpus-stats (dataset-card) index: v1 over the
+    * mod-7 6/7 slice, the 1/7 delta maintain-folded IN PLACE through
+    * the FULL maintain* policy (writer lock + recoverAtEntry +
+    * O(delta) manifested run; the default threshold keeps it LAYERED,
+    * so the probe exercises the cross-run SUM reconcile). The split
+    * modulus is deliberately NOT 5: the synthetic corpus derives
+    * `source` from doc_id mod #sources (a multiple of 5), so a mod-5
+    * split would give every run DISJOINT sources and no leaf would
+    * ever overlap — mod 7 is coprime to the derivation and the runs
+    * genuinely share leaves (CardSpec pins it).
+    */
+  private val foldCardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def foldedCardDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    foldCardCache.computeIfAbsent(dir, { _ =>
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-foldcard-").toString + "/ix"
+      graft.api.CardOps.writeCardIndex(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        "source", "lang", tmp)
+      val compacted = graft.api.CardOps.maintainCardIndex(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        "source", "lang", tmp)
+      require(!compacted,
+        "foldedCardDir: the fixture is specified to stay LAYERED " +
+          "(probe must exercise the sum-reconcile path)")
+      tmp
+    })
+
+  /** q172's artifact: the q171-shape maintained card index with ALL
+    * of source src3's documents removal-folded (full removal — the
+    * source's leaves net to exactly 0). Independent of
+    * [[foldedCardDir]] — q171 must keep reading the un-removed card.
+    */
+  private val takedownCardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def takedownCardDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    takedownCardCache.computeIfAbsent(dir, { _ =>
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-takedowncard-").toString + "/ix"
+      graft.api.CardOps.writeCardIndex(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        "source", "lang", tmp)
+      graft.api.CardOps.maintainCardIndex(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        "source", "lang", tmp)
+      graft.api.CardOps.foldRemovalsIntoCardIndex(
+        docs.filter(col("source") === "src3"), "doc_id", "text",
+        "source", "lang", tmp)
+      tmp
+    })
 
   /** q169's artifact: the q160-shape maintained edge index with host
     * m1.net taken down through the tombstone path. Independent of

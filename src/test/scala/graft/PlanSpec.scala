@@ -170,6 +170,37 @@ class PlanSpec extends SparkSpec {
       "the corpus pass is one partial+final aggregate")
   }
 
+  test("q171: the maintained card probe never scans the corpus — " +
+      "every file scan in the pre-render pass reads the leaf-stats " +
+      "parquet, one Expand feeds all grouping levels, and the " +
+      "rendered plan is checkpoint+broadcast only") {
+    val ix = graft.queries.PipelineQueries.foldedCardDir(spark, sf)
+    val df = graft.api.CardOps.datasetCardAgainstIndex(spark, ix)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    // post-checkpoint: the q158 render contract verbatim
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      "rendered card plan re-reads files")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 0,
+      "post-checkpoint card work should be broadcast-only")
+    // pre-render: leaf-stats scan only — a documents scan here means
+    // the 'no corpus rescan' claim of the whole family is false
+    val pre = graft.api.CardOps.cardRolledFromIndex(spark, ix,
+      "source", "lang")
+    pre.collect()
+    val preNodes = collectAll(pre.queryExecution.executedPlan)
+    val scans = preNodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(
+        _.relation.location.rootPaths.forall(_.toString.contains(ix))),
+      s"card probe scans outside the index:\n$scans")
+    assert(preNodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.ExpandExec]) == 1,
+      "expected exactly one Expand in the leaf rollup")
+  }
+
   test("q159: HITS rounds move vertex-count rows — no cartesian " +
       "product, every renorm max is a broadcast") {
     val df = SparkEntry.queries("q159_host_hits")(spark, sf)

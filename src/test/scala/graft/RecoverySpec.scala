@@ -699,4 +699,59 @@ class RecoverySpec extends SparkSpec {
     assert(eGot() == eHealthy,
       "a bumped meta with no tombstone run changed the set-family read")
   }
+
+  test("card-family per-run manifest: uncommitted run invisible, retry " +
+      "clean (no double-count on overlapping leaves), compaction drops " +
+      "orphan bytes, and the crash cannot lose the TAG manifest") {
+    import org.apache.spark.sql.functions.{col, sum => sqlSum}
+    import graft.api.{CardOps, IndexMaintenance}
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(col("doc_id") % 5 >= 2)
+    val d1 = docs.filter(col("doc_id") % 5 === 1)
+    val dir = Files.createTempDirectory("graft-cardmf-").toString
+    CardOps.writeCardIndex(c0, "doc_id", "text", "source", "lang",
+      s"$dir/ix")
+    def cardNow(path: String) = CardOps
+      .datasetCardAgainstIndex(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val before = cardNow(s"$dir/ix")
+    val (pp, layers0, runs0, tags0) = IndexMaintenance
+      .readIndexMetaRunsTags(spark, s"$dir/ix", "test")
+    // crash between append and commit: fold lands, meta restored —
+    // the TAGGED form, so a lost tag would also be visible
+    CardOps.foldIntoCardIndex(d1, "doc_id", "text", "source", "lang",
+      s"$dir/ix", tag = Some("day-1"))
+    IndexMaintenance.writeIndexMetaRunsTags(spark, s"$dir/ix", pp,
+      layers0, runs0, tags0)
+    assert(cardNow(s"$dir/ix") == before,
+      "an uncommitted card run changed a read — the crash window is open")
+    val raw = spark.read.parquet(s"$dir/ix/stats")
+    assert(raw.select("__run").distinct().count() == 2,
+      "crash simulation vacuous — no orphan run on disk")
+    assert(raw.agg(sqlSum("n_docs")).head().getLong(0) >
+      IndexMaintenance.committedOnly(raw, runs0)
+        .agg(sqlSum("n_docs")).head().getLong(0),
+      "orphan rows carry no mass — the invisibility assertion is vacuous")
+    // the tag died with the uncommitted meta, so the RETRY of the same
+    // logical batch must APPLY (fresh physical run, no orphan merge)
+    assert(CardOps.maintainCardIndexTagged(d1, "doc_id", "text",
+      "source", "lang", s"$dir/ix", tag = "day-1"),
+      "retry of a crashed tagged fold must apply")
+    def batchCard(d: org.apache.spark.sql.DataFrame) = graft.api.TextOps
+      .datasetCard(d, "doc_id", "text", "source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val want = batchCard(c0.union(d1))
+    assert(want.nonEmpty && cardNow(s"$dir/ix") == want,
+      "retried card fold double-counted the orphan run (or lost the delta)")
+    // and NOW the replay no-ops — the commit carried the tag
+    assert(!CardOps.maintainCardIndexTagged(d1, "doc_id", "text",
+      "source", "lang", s"$dir/ix", tag = "day-1"))
+    // compaction rewrites from committed rows only — orphan bytes gone
+    CardOps.compactCardIndex(spark, s"$dir/ix", s"$dir/ixc")
+    val rawC = spark.read.parquet(s"$dir/ixc/stats")
+    assert(rawC.select("__run").distinct().count() == 1)
+    assert(cardNow(s"$dir/ixc") == want)
+  }
 }

@@ -3072,6 +3072,18 @@ class StreamingSpec extends SparkSpec {
   test("SchedulerGate weighted leg end-to-end: parseRobots bodies -> " +
       "authorWith(weighted ranks off the maintained weighted index) -> " +
       "schedule == the batch composition on a budget-non-binding split") {
+    assertWeightedSchedulerParity(useTws = false, "sched_weighted")
+  }
+
+  test("SchedulerGate weighted leg parity holds on the " +
+      "transformWithState quota lane under the RocksDB state store") {
+    StateStoreVariants.withRocksDB(spark) {
+      assertWeightedSchedulerParity(useTws = true, "sched_weighted_tws")
+    }
+  }
+
+  private def assertWeightedSchedulerParity(useTws: Boolean,
+      sinkName: String): Unit = {
     import graft.api.TextOps
     import graft.operators.PageRank
     import spark.implicits._
@@ -3160,8 +3172,8 @@ class StreamingSpec extends SparkSpec {
     val out = SchedulerGate.schedule(
       input.toDF().toDF("doc_id", "text", "at"), "doc_id", "text", "at",
       delay = "2 hours", window = "1 hour", s"$dir/visited", stateW,
-      budgetPerWindow = 100000)
-    val q = out.writeStream.format("memory").queryName("sched_weighted")
+      budgetPerWindow = 100000, useTws = useTws)
+    val q = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
       val (a, b) = rows.splitAt(rows.length / 2)
@@ -3169,12 +3181,60 @@ class StreamingSpec extends SparkSpec {
       input.addData(recs(b, base + 60000L).toSeq: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.table("sched_weighted").collect()
+    val got = spark.table(sinkName).collect()
       .map(r => (r.getString(0), r.getString(1),
         if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
     assert(got == want,
       s"stream=${got.size} batch=${want.size} " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     stateW.unpersist()
+  }
+
+  test("CardGate maintains the persisted dataset card from a stream " +
+      "EXACTLY ONCE: per-epoch folds land through the tag manifest, " +
+      "the final card equals the batch card over every row, and a " +
+      "re-delivered epoch no-ops instead of double-counting") {
+    import graft.api.CardOps
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val (seed, rest) = rows.splitAt(rows.length / 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cardgate-").toString
+    // the index exists before the stream (the gate validates at
+    // author time) — seeded from the batch build path
+    CardOps.writeCardIndex(
+      seed.toSeq.toDF("doc_id", "text", "source", "lang"),
+      "doc_id", "text", "source", "lang", s"$dir/ix")
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = graft.streaming.CardGate.maintainEachBatch(
+        input.toDF().toDF("doc_id", "text", "source", "lang"),
+        "doc_id", "text", "source", "lang", s"$dir/ix")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      val (b1, b2) = rest.splitAt(rest.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def cardSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val got = cardSet(CardOps.datasetCardAgainstIndex(spark, s"$dir/ix"))
+    val want = cardSet(graft.api.TextOps.datasetCard(docs,
+      "doc_id", "text", "source", "lang"))
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // the at-least-once shape: the engine re-delivers epoch 0 after a
+    // failure — the gate's tag ("card-0") must make the re-fold a
+    // structural no-op
+    val (b1, _) = rest.splitAt(rest.length / 2)
+    assert(!CardOps.maintainCardIndexTagged(
+      b1.toSeq.toDF("doc_id", "text", "source", "lang"),
+      "doc_id", "text", "source", "lang", s"$dir/ix", tag = "card-0"),
+      "replayed epoch applied — the gate double-counts re-deliveries")
+    assert(cardSet(CardOps.datasetCardAgainstIndex(spark, s"$dir/ix"))
+      == want, "a replayed epoch changed the card")
   }
 }
