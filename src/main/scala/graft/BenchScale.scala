@@ -512,10 +512,14 @@ object BenchScale {
       PageRank.weightedHitsByKeyAgainstIndex(spark, s"$idxDir/wedge_base"))
     val whPrbS = BenchHarness.minOf2Of(() =>
       PageRank.weightedHitsByKeyAgainstIndex(spark, s"$idxDir/wedge_scaled"))
-    val weFldB = timedUnit(PageRank.foldIntoWeightedEdgeIndex(
-      wEdgeDelta, "src", "dst", "w1", s"$idxDir/wedge_base"))
-    val weFldS = timedUnit(PageRank.foldIntoWeightedEdgeIndex(
-      wEdgeDelta, "src", "dst", "w1", s"$idxDir/wedge_scaled"))
+    val weFldB = timedUnit {
+      PageRank.foldIntoWeightedEdgeIndex(
+        wEdgeDelta, "src", "dst", "w1", s"$idxDir/wedge_base"); ()
+    }
+    val weFldS = timedUnit {
+      PageRank.foldIntoWeightedEdgeIndex(
+        wEdgeDelta, "src", "dst", "w1", s"$idxDir/wedge_scaled"); ()
+    }
     graft.api.Lifecycle.releaseLocalCheckpoint(wEdgeDelta)
     // card family (round 16): corpus-stats leaf sums — the build pays
     // one map-only scoring pass (honestly linear in docs; the OUTPUT

@@ -721,8 +721,8 @@ object PageRank {
     graft.jobs.Sinks.layout(v.withColumn("__run", lit(run)),
       s"$path/vertices",
       partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
-    graft.api.IndexMaintenance.writeIndexMetaRuns(edges.sparkSession,
-      path, prefixPartitions, 1, Seq(run))
+    graft.api.IndexMaintenance.writeIndexMetaRunsTags(edges.sparkSession,
+      path, prefixPartitions, 1, Seq(run), Seq.empty)
   }
 
   /** Fold a DELTA of weighted links into a persisted
@@ -741,24 +741,35 @@ object PageRank {
     * crash between append and commit leaves orphan files every
     * consumer filters out, and the retried fold's fresh id can never
     * merge with them (RecoverySpec pins it). Single-writer still
-    * governs (the lock).
+    * governs (the lock). `tag = Some(t)` is the exactly-once form
+    * (the card family's discipline): a tag already in the meta's
+    * logical `committed_tags` manifest makes the fold a NO-OP
+    * (returns false) — the streaming maintainer's re-delivery
+    * protection ([[graft.streaming.EdgeGate]]).
+    *
+    * @return true iff the fold applied (always, when untagged).
     */
   def foldIntoWeightedEdgeIndex(edges: DataFrame, srcCol: String,
-      dstCol: String, weightCol: String, indexPath: String): Unit = {
+      dstCol: String, weightCol: String, indexPath: String,
+      tag: Option[String] = None): Boolean = {
     val s = edges.sparkSession
-    val (prefixPartitions, layers, runs) = graft.api.IndexMaintenance
-      .readIndexMetaRuns(s, indexPath, "foldIntoWeightedEdgeIndex")
-    val (e, v) = weightedEdgeRows(edges, srcCol, dstCol, weightCol,
-      prefixPartitions)
-    val run = graft.api.IndexMaintenance.newRunId()
-    graft.jobs.Sinks.layoutAppend(e.withColumn("__run", lit(run)),
-      s"$indexPath/edges",
-      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
-    graft.jobs.Sinks.layoutAppend(v.withColumn("__run", lit(run)),
-      s"$indexPath/vertices",
-      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
-    graft.api.IndexMaintenance.writeIndexMetaRuns(s, indexPath,
-      prefixPartitions, layers + 1, runs :+ run)
+    val (prefixPartitions, layers, runs, tags) = graft.api.IndexMaintenance
+      .readIndexMetaRunsTags(s, indexPath, "foldIntoWeightedEdgeIndex")
+    if (tag.exists(tags.contains)) false
+    else {
+      val (e, v) = weightedEdgeRows(edges, srcCol, dstCol, weightCol,
+        prefixPartitions)
+      val run = graft.api.IndexMaintenance.newRunId()
+      graft.jobs.Sinks.layoutAppend(e.withColumn("__run", lit(run)),
+        s"$indexPath/edges",
+        partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
+      graft.jobs.Sinks.layoutAppend(v.withColumn("__run", lit(run)),
+        s"$indexPath/vertices",
+        partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+      graft.api.IndexMaintenance.writeIndexMetaRunsTags(s, indexPath,
+        prefixPartitions, layers + 1, runs :+ run, tags ++ tag)
+      true
+    }
   }
 
   /** The weighted family's DELETE path — a SIGNED run the existing
@@ -776,10 +787,12 @@ object PageRank {
     */
   def foldRemovalsIntoWeightedEdgeIndex(removals: DataFrame,
       srcCol: String, dstCol: String, weightCol: String,
-      indexPath: String): Unit =
+      indexPath: String): Unit = {
     foldIntoWeightedEdgeIndex(
       removals.withColumn("__negw", -col(weightCol).cast("long")),
       srcCol, dstCol, "__negw", indexPath)
+    ()
+  }
 
   /** Take DOWN whole hosts (keys) in the weighted index: every stored
     * directed pair incident to any of `keys` folds back in at its
@@ -806,9 +819,11 @@ object PageRank {
         .union(nets.join(kid, col("t") === col("kid"), "left_semi"))
         .distinct()
       // fold the negation as its own (manifested) run — the meta
-      // commit inside makes the takedown atomic
-      val (prefixPartitions, layers, runs) = graft.api.IndexMaintenance
-        .readIndexMetaRuns(s, indexPath, "removeKeysFromWeightedEdgeIndex")
+      // commit inside makes the takedown atomic; the logical tag
+      // manifest carries through untouched
+      val (prefixPartitions, layers, runs, tags) =
+        graft.api.IndexMaintenance.readIndexMetaRunsTags(s, indexPath,
+          "removeKeysFromWeightedEdgeIndex")
       val run = graft.api.IndexMaintenance.newRunId()
       graft.jobs.Sinks.layoutAppend(
         incident.select(col("s"), col("t"), (-col("w")).as("w"))
@@ -817,8 +832,8 @@ object PageRank {
         s"$indexPath/edges",
         partitionCols = Seq("__ep"), sortCols = Seq("s", "t"),
         numFiles = 4)
-      graft.api.IndexMaintenance.writeIndexMetaRuns(s, indexPath,
-        prefixPartitions, layers + 1, runs :+ run)
+      graft.api.IndexMaintenance.writeIndexMetaRunsTags(s, indexPath,
+        prefixPartitions, layers + 1, runs :+ run, tags)
     }
   }
 
@@ -835,8 +850,8 @@ object PageRank {
       indexPath: String, outPath: String): Unit = {
     require(indexPath != outPath,
       "compactWeightedEdgeIndex: outPath must differ from indexPath")
-    val (prefixPartitions, _, runs) = graft.api.IndexMaintenance
-      .readIndexMetaRuns(s, indexPath, "compactWeightedEdgeIndex")
+    val (prefixPartitions, _, runs, tags) = graft.api.IndexMaintenance
+      .readIndexMetaRunsTags(s, indexPath, "compactWeightedEdgeIndex")
     val run = graft.api.IndexMaintenance.newRunId()
     graft.jobs.Sinks.layout(
       graft.api.IndexMaintenance.committedOnly(
@@ -855,8 +870,10 @@ object PageRank {
         .withColumn("__run", lit(run)),
       s"$outPath/vertices",
       partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
-    graft.api.IndexMaintenance.writeIndexMetaRuns(s, outPath,
-      prefixPartitions, 1, Seq(run))
+    // the tag manifest SURVIVES the rewrite — a streaming epoch
+    // replayed after a compaction must still no-op
+    graft.api.IndexMaintenance.writeIndexMetaRunsTags(s, outPath,
+      prefixPartitions, 1, Seq(run), tags)
   }
 
   /** The weighted family's maintain* entry point — the
@@ -873,11 +890,39 @@ object PageRank {
     graft.api.IndexMaintenance.withWriterLock(s, indexPath) {
       graft.api.IndexMaintenance.recoverAtEntry(s, indexPath)
       foldIntoWeightedEdgeIndex(edges, srcCol, dstCol, weightCol, indexPath)
-      val (_, layers, _) = graft.api.IndexMaintenance
-        .readIndexMetaRuns(s, indexPath, "maintainWeightedEdgeIndex")
-      graft.api.IndexMaintenance.compactIfLayered(s, indexPath, layers,
-        compactThreshold)(out => compactWeightedEdgeIndex(s, indexPath, out))
+      compactWeightedIfDue(s, indexPath, compactThreshold)
     }
+  }
+
+  /** [[maintainWeightedEdgeIndex]] with the exactly-once logical tag
+    * (the [[graft.api.CardOps.maintainCardIndexTagged]] discipline for
+    * the weighted family — [[graft.streaming.EdgeGate]]'s per-epoch
+    * fold): a tag already in the meta's `committed_tags` manifest
+    * makes the whole call a NO-OP (returns false, no run appended, no
+    * compaction — a no-op must be a no-op), a fresh tag folds under a
+    * fresh physical run id and commits run + tag atomically, and the
+    * manifest survives compaction. Returns true iff the fold APPLIED.
+    */
+  def maintainWeightedEdgeIndexTagged(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, indexPath: String, tag: String,
+      compactThreshold: Int =
+        graft.api.IndexMaintenance.DefaultCompactThreshold): Boolean = {
+    val s = edges.sparkSession
+    graft.api.IndexMaintenance.withWriterLock(s, indexPath) {
+      graft.api.IndexMaintenance.recoverAtEntry(s, indexPath)
+      val applied = foldIntoWeightedEdgeIndex(edges, srcCol, dstCol,
+        weightCol, indexPath, Some(tag))
+      if (applied) compactWeightedIfDue(s, indexPath, compactThreshold)
+      applied
+    }
+  }
+
+  private def compactWeightedIfDue(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, compactThreshold: Int): Boolean = {
+    val (_, layers, _) = graft.api.IndexMaintenance
+      .readIndexMetaRuns(s, indexPath, "maintainWeightedEdgeIndex")
+    graft.api.IndexMaintenance.compactIfLayered(s, indexPath, layers,
+      compactThreshold)(out => compactWeightedEdgeIndex(s, indexPath, out))
   }
 
   /** [[weightedRanksByKey]] over a persisted

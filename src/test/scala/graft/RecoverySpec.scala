@@ -614,10 +614,11 @@ class RecoverySpec extends SparkSpec {
       PageRank.weightedHitsByKeyAgainstIndex(spark, path).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val (rank0, hits0) = (rankSet(s"$dir/ix"), hitsSet(s"$dir/ix"))
-    val (pp, layers0, runs0) = IndexMaintenance.readIndexMetaRuns(
-      spark, s"$dir/ix", "test")
+    val (pp, layers0, runs0, tags0) = IndexMaintenance
+      .readIndexMetaRunsTags(spark, s"$dir/ix", "test")
     PageRank.foldIntoWeightedEdgeIndex(d1, "src", "dst", "w", s"$dir/ix")
-    IndexMaintenance.writeIndexMetaRuns(spark, s"$dir/ix", pp, layers0, runs0)
+    IndexMaintenance.writeIndexMetaRunsTags(spark, s"$dir/ix", pp,
+      layers0, runs0, tags0)
     assert(rankSet(s"$dir/ix") == rank0 && hitsSet(s"$dir/ix") == hits0,
       "an uncommitted weighted run changed a consumer — window open")
     val rawE = spark.read.parquet(s"$dir/ix/edges")
@@ -666,13 +667,13 @@ class RecoverySpec extends SparkSpec {
       PageRank.weightedRanksByKeyAgainstIndex(spark, path).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val healthy = rankSet(s"$dir/wix")
-    val (pp, layers0, runs0) = IndexMaintenance.readIndexMetaRuns(
-      spark, s"$dir/wix", "test")
+    val (pp, layers0, runs0, tags0) = IndexMaintenance
+      .readIndexMetaRunsTags(spark, s"$dir/wix", "test")
     PageRank.foldRemovalsIntoWeightedEdgeIndex(
       Seq(("a.org", "b.org", 5L)).toDF("src", "dst", "w"),
       "src", "dst", "w", s"$dir/wix")
-    IndexMaintenance.writeIndexMetaRuns(spark, s"$dir/wix", pp, layers0,
-      runs0)
+    IndexMaintenance.writeIndexMetaRunsTags(spark, s"$dir/wix", pp,
+      layers0, runs0, tags0)
     assert(rankSet(s"$dir/wix") == healthy,
       "an uncommitted signed removal run changed a read")
     // the retried removal then applies exactly once

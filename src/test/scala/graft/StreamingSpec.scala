@@ -3237,4 +3237,84 @@ class StreamingSpec extends SparkSpec {
     assert(cardSet(CardOps.datasetCardAgainstIndex(spark, s"$dir/ix"))
       == want, "a replayed epoch changed the card")
   }
+
+  test("EdgeGate maintains the weighted host graph from the fetched-" +
+      "document stream EXACTLY ONCE: streamed folds == the batch " +
+      "build over all links (weights sum across epochs), and a " +
+      "re-delivered epoch no-ops — under SUM a replay would DOUBLE " +
+      "its edge weights, so the tag manifest is load-bearing") {
+    import graft.api.TextOps
+    import graft.operators.PageRank
+    import spark.implicits._
+    // the weighted fixture shape: each page links m(k%3).net 1 + k%4
+    // times — per-occurrence weights genuinely differ by edge
+    val pages = Tables.documents(spark, sf).select(
+      concat(lit("ex"), (col("doc_id") % 9).cast("string"),
+        lit(".org")).as("src_host"),
+      expr("repeat('<a href=\"https://m' || cast(doc_id % 3 as string) || " +
+        "'.net/q/' || cast(doc_id % 9 as string) || '\">z</a>', " +
+        "cast(1 + (doc_id % 9) % 4 as int))").as("text"),
+      col("doc_id"))
+    // seed/stream split on mod 5 — COPRIME to the dst derivation
+    // (doc_id % 3), so seed and streamed epochs genuinely share
+    // (src, dst) pairs and the cross-run SUM reconcile is exercised
+    val seed = pages.filter(col("doc_id") % 5 === 0)
+    val streamed = pages.filter(col("doc_id") % 5 =!= 0)
+    def linksOf(d: org.apache.spark.sql.DataFrame) =
+      TextOps.extractLinks(d, "src_host", "text")
+        .filter(col("host") =!= "")
+        .select(col("src_host"), col("host"), lit(1L).as("__w1"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-edgegate-").toString
+    PageRank.writeWeightedEdgeIndex(linksOf(seed), "src_host", "host",
+      "__w1", s"$dir/ix")
+    val rows = streamed.select("src_host", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.EdgeGate.maintainEachBatch(
+        input.toDF().toDF("src_host", "text"), "src_host", "text",
+        s"$dir/ix")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val (e0, e1) = rows.splitAt(rows.length / 2)
+    try {
+      input.addData(e0.toSeq: _*); q.processAllAvailable()
+      input.addData(e1.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rankSet(path: String) =
+      PageRank.weightedRanksByKeyAgainstIndex(spark, path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rankSet(s"$dir/ix")
+    val want = PageRank.weightedRanksByKey(linksOf(pages), "src_host",
+        "host", "__w1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // epoch 0 re-delivered: must no-op — if it applied, every epoch-0
+    // edge weight doubles and the rank set shifts
+    assert(!PageRank.maintainWeightedEdgeIndexTagged(
+      linksOf(e0.toSeq.toDF("src_host", "text")),
+      "src_host", "host", "__w1", s"$dir/ix", tag = "edges-0"),
+      "replayed epoch applied — the gate double-counts re-deliveries")
+    assert(rankSet(s"$dir/ix") == want, "a replayed epoch moved the ranks")
+    // the tag manifest survives compaction: force one with a fresh
+    // epoch at threshold 2, then replay BOTH old epochs
+    assert(PageRank.maintainWeightedEdgeIndexTagged(
+      linksOf(e1.toSeq.toDF("src_host", "text")),
+      "src_host", "host", "__w1", s"$dir/ix", tag = "edges-9",
+      compactThreshold = 2), "fresh tag must apply")
+    val (_, layersC, runsC, tagsC) = graft.api.IndexMaintenance
+      .readIndexMetaRunsTags(spark, s"$dir/ix", "test")
+    assert(layersC == 1 && runsC.size == 1, "threshold-2 fold must compact")
+    assert(tagsC.toSet == Set("edges-0", "edges-1", "edges-9"),
+      "compaction dropped the tag manifest — replays would re-apply")
+    val afterC = rankSet(s"$dir/ix")
+    assert(!PageRank.maintainWeightedEdgeIndexTagged(
+      linksOf(e0.toSeq.toDF("src_host", "text")),
+      "src_host", "host", "__w1", s"$dir/ix", tag = "edges-0"))
+    assert(!PageRank.maintainWeightedEdgeIndexTagged(
+      linksOf(e1.toSeq.toDF("src_host", "text")),
+      "src_host", "host", "__w1", s"$dir/ix", tag = "edges-1"))
+    assert(rankSet(s"$dir/ix") == afterC,
+      "a replay after compaction changed the graph")
+  }
 }
