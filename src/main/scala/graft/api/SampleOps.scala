@@ -349,6 +349,74 @@ object SampleOps {
           .otherwise(k - 1L - pmod(col("pos"), k)).as("shard"))
   }
 
+  /** PUBLISH the corpus as train-ready shards — the export step
+    * between [[shardByTokens]]' assignment and a training run's data
+    * loader, which until this op existed only as a query result.
+    * Writes two tables under `path`:
+    *
+    *   - `$path/data`: (idCol, textCol, n_tok, shard), directory-
+    *     partitioned BY SHARD ([[graft.jobs.Sinks.layout]] — each
+    *     shard is a self-contained directory a loader mounts directly;
+    *     within a shard, files sort by id for deterministic iteration
+    *     order), with the token-balance guarantee shardByTokens
+    *     proves: max−min shard token mass bounded by one document.
+    *   - `$path/manifest`: one row per shard (shard, n_docs,
+    *     n_tokens) — the release accounting a loader checks BEFORE
+    *     reading data (steps-per-epoch, balance verification), and
+    *     the COMMIT MARKER: it is written LAST, so a crashed publish
+    *     leaves data files with no manifest and [[readShardManifest]]
+    *     fails by name instead of a loader silently training on a
+    *     partial release (the index families' append-then-commit
+    *     posture, applied to the export surface). Re-publishing to
+    *     the same path overwrites atomically per-table in that same
+    *     order.
+    *
+    * `nTokCol` is caller-supplied (the tokenization is the caller's
+    * policy, as in [[shardByTokens]]); the assignment join back to
+    * the payload is id-keyed. Scale shape: the assignment's two-phase
+    * prefix count (no global-order window), one id-keyed join of
+    * assignment (2 longs/doc) back to the payload, one range-
+    * partitioned write, and a shard-count-sized aggregate for the
+    * manifest.
+    */
+  def publishShards(df: DataFrame, idCol: String, textCol: String,
+      nTokCol: String, path: String, shards: Int, seed: String,
+      buckets: Int = 32, numFiles: Int = 0): Unit = {
+    val asg = shardByTokens(df.select(col(idCol), col(nTokCol)),
+      idCol, nTokCol, shards, seed, buckets)
+    val data = df.select(col(idCol), col(textCol))
+      .join(asg.select(col(idCol), col("n_tok"), col("shard")), Seq(idCol))
+    graft.jobs.Sinks.layout(
+      data.select(col(idCol), col(textCol), col("n_tok"), col("shard")),
+      s"$path/data", partitionCols = Seq("shard"),
+      sortCols = Seq(idCol),
+      numFiles = if (numFiles > 0) numFiles else shards)
+    // manifest LAST — the commit marker; computed from the written
+    // data so it attests what is actually on disk
+    df.sparkSession.read.parquet(s"$path/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** The published release's per-shard accounting — REQUIRED with a
+    * named error when absent: data files without a manifest are an
+    * uncommitted (crashed) publish and must not be read as a release.
+    */
+  def readShardManifest(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    try {
+      val m = s.read.parquet(s"$path/manifest")
+      m.head(1) // force existence/readability now, not at first action
+      m
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"readShardManifest: cannot read $path/manifest — a data " +
+          "directory without a manifest is an UNCOMMITTED publish " +
+          "(crashed before its commit marker); re-run publishShards " +
+          "rather than reading partial data as a release", e)
+    }
+
   /** Sequence packing: concat-then-chunk bin assignment. Docs are
     * ordered by (id-hash bucket, id-hash, id) and each doc's bin is its
     * start offset div `budget` — the global running sum computed as a

@@ -20,6 +20,25 @@ object PipelineQueries {
   private def occSql(c: String, w: String): String =
     s"(length($c) - length(replace($c, '$w', ''))) // ${w.length}"
 
+  /** q156's boustrophedon shard-assignment SQL — ONE generator behind
+    * the assignment query (q156) and the published release's manifest
+    * (q173 aggregates it per shard), so the export surface cannot
+    * drift from the assignment it publishes.
+    */
+  private def shardByTokensOracleSql: String = s"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+         ${graft.functions.TextHashing.hash60Sql("'shard1:' || doc_id")} AS hh
+  FROM documents),
+p AS (SELECT doc_id, n_tok,
+             (row_number() OVER (ORDER BY -n_tok, hh % 32, hh, doc_id)
+               - 1)::BIGINT AS pos
+      FROM t)
+SELECT doc_id, n_tok, pos,
+       (CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8
+             ELSE 7 - (pos % 8) END)::BIGINT AS shard
+FROM p"""
+
   /** The q158 dataset-card SQL, parameterized by a corpus predicate —
     * ONE generator behind the batch card (q158, empty predicate), the
     * maintained card index's fold parity (q171 — the index over
@@ -2343,19 +2362,7 @@ FROM s JOIN t ON s.host = t.host AND s.href = t.href AND t.rn = 1"""),
         "corpus size and the shard assigner cannot rank differently " +
         "from the curriculum orderer. The oracle's single-node " +
         "row_number spells the same total order declaratively.",
-      Some(s"""
-WITH t AS (
-  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
-         ${graft.functions.TextHashing.hash60Sql("'shard1:' || doc_id")} AS hh
-  FROM documents),
-p AS (SELECT doc_id, n_tok,
-             (row_number() OVER (ORDER BY -n_tok, hh % 32, hh, doc_id)
-               - 1)::BIGINT AS pos
-      FROM t)
-SELECT doc_id, n_tok, pos,
-       (CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8
-             ELSE 7 - (pos % 8) END)::BIGINT AS shard
-FROM p"""),
+      Some(shardByTokensOracleSql),
       (s, dir) =>
         graft.api.SampleOps.shardByTokens(
           Tables.documents(s, dir).select(col("doc_id"),
@@ -2899,8 +2906,53 @@ FROM u LEFT JOIN (SELECT doc_id, href, allow, prefix FROM m WHERE rn = 1) m
       Some(datasetCardOracleSql("WHERE source <> 'src3'")),
       (s, dir) =>
         graft.api.CardOps.datasetCardAgainstIndex(
-          s, takedownCardDir(s, dir)))
+          s, takedownCardDir(s, dir))),
+
+    QueryDef(
+      "q173_shard_manifest",
+      "The published training release's per-shard manifest " +
+        "(SampleOps.publishShards / readShardManifest) - the EXPORT " +
+        "step q156's assignment lacked: data lands directory-" +
+        "partitioned BY SHARD (each shard a self-contained directory " +
+        "a loader mounts; files sorted by doc_id inside), and the " +
+        "manifest - one (shard, n_docs, n_tokens) row per shard - is " +
+        "written LAST as the COMMIT MARKER, so a crashed publish " +
+        "leaves data a reader refuses by name instead of a loader " +
+        "silently training on a partial release (the index families' " +
+        "append-then-commit posture applied to the export surface; " +
+        "AssemblyLawsSpec pins the refusal and that the manifest " +
+        "attests the bytes actually on disk). The oracle aggregates " +
+        "q156's assignment SQL per shard - ONE shared generator, so " +
+        "the manifest cannot drift from the assignment law q156 " +
+        "already proves (token balance bounded by one document). " +
+        "Scale shape: the assignment's two-phase prefix count, one " +
+        "id-keyed join back to the payload, one range-partitioned " +
+        "write, a shard-count-sized manifest aggregate.",
+      Some(s"""
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+FROM ($shardByTokensOracleSql)
+GROUP BY shard"""),
+      (s, dir) =>
+        graft.api.SampleOps.readShardManifest(s, publishedShardsDir(s, dir)))
   )
+
+  /** q173's artifact: the corpus published as 8 token-balanced shards
+    * (q156's assignment written out with its committed manifest).
+    */
+  private val publishShardsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def publishedShardsDir(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    publishShardsCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-pubshards-").toString + "/rel"
+      graft.api.SampleOps.publishShards(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+        "doc_id", "text", "n_tok", tmp, shards = 8, seed = "shard1")
+      tmp
+    })
 
   /** q171's persisted corpus-stats (dataset-card) index: v1 over the
     * mod-7 6/7 slice, the 1/7 delta maintain-folded IN PLACE through

@@ -46,6 +46,54 @@ class AssemblyLawsSpec extends SparkSpec {
     }
   }
 
+  test("publishShards: the release round-trips (data == input, shard-" +
+      "partitioned), the manifest attests the on-disk bytes exactly, " +
+      "and a publish without its commit marker is REFUSED by name") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      col("text"), size(split(col("text"), " ", -1)).cast("long")
+        .as("n_tok"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pubspec-").toString + "/rel"
+    SampleOps.publishShards(docs, "doc_id", "text", "n_tok", dir,
+      shards = 8, seed = "shard1")
+    val data = spark.read.parquet(s"$dir/data")
+    // round-trip: every doc lands exactly once with its text intact
+    val got = data.select("doc_id", "text", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "published data drifted from the input corpus")
+    // the data directory is genuinely shard-partitioned (a loader
+    // mounts one directory per shard)
+    val shardDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(shardDirs == (0 to 7).map(i => s"shard=$i").toSet,
+      s"expected 8 shard directories, got $shardDirs")
+    // manifest == per-shard aggregate of the on-disk data, and the
+    // token-balance law carries through to what was published
+    val man = SampleOps.readShardManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromDisk = data.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(man == fromDisk, "manifest does not attest the on-disk bytes")
+    val masses = man.toSeq.map(_._3)
+    val maxDocTok = docs.agg(max("n_tok")).head().getLong(0)
+    assert(masses.max - masses.min <= maxDocTok,
+      "published shards lost the one-document balance bound")
+    // commit marker: data without a manifest must refuse by name
+    val crashed = java.nio.file.Files
+      .createTempDirectory("graft-pubcrash-").toString + "/rel"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$crashed/data"))
+    data.limit(3).write.parquet(s"$crashed/data/part")
+    val e = intercept[IllegalStateException] {
+      SampleOps.readShardManifest(spark, crashed)
+    }
+    assert(e.getMessage.contains("UNCOMMITTED"),
+      s"refusal must name the crash shape, got: ${e.getMessage}")
+  }
+
   test("temperatureResample laws on seeded skewed corpora: every " +
       "kept prefix respects its budget, kept mass is monotone in " +
       "stratum mass (within one doc), and the rebalance flattens " +
