@@ -20,16 +20,18 @@ object PipelineQueries {
   private def occSql(c: String, w: String): String =
     s"(length($c) - length(replace($c, '$w', ''))) // ${w.length}"
 
-  /** q156's boustrophedon shard-assignment SQL — ONE generator behind
-    * the assignment query (q156) and the published release's manifest
-    * (q173 aggregates it per shard), so the export surface cannot
-    * drift from the assignment it publishes.
+  /** q156's boustrophedon shard-assignment SQL over any (doc_id,
+    * text) relation — ONE generator behind the assignment query
+    * (q156, over `documents`), the published release's manifest (q173
+    * aggregates it per shard) and the curated-release composition
+    * (q174, over the temperature-resampled keep set), so the export
+    * surface cannot drift from the assignment it publishes.
     */
-  private def shardByTokensOracleSql: String = s"""
+  private def shardByTokensOracleSqlFrom(fromSql: String): String = s"""
 WITH t AS (
   SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
          ${graft.functions.TextHashing.hash60Sql("'shard1:' || doc_id")} AS hh
-  FROM documents),
+  FROM $fromSql),
 p AS (SELECT doc_id, n_tok,
              (row_number() OVER (ORDER BY -n_tok, hh % 32, hh, doc_id)
                - 1)::BIGINT AS pos
@@ -38,6 +40,33 @@ SELECT doc_id, n_tok, pos,
        (CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8
              ELSE 7 - (pos % 8) END)::BIGINT AS shard
 FROM p"""
+
+  private def shardByTokensOracleSql: String =
+    shardByTokensOracleSqlFrom("documents")
+
+  /** q157's temperature-resample SQL — the q156-generator discipline:
+    * ONE text behind the mixture query (q157) and the curated-release
+    * composition (q174 publishes exactly this keep set).
+    */
+  private def temperatureResampleOracleSql: String = s"""
+WITH t AS (SELECT doc_id, source,
+                  len(string_split(text, ' '))::BIGINT AS n_tok,
+                  ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")} AS h
+           FROM documents),
+m AS (SELECT source, sum(n_tok)::BIGINT AS mt FROM t GROUP BY 1),
+w AS (SELECT source, mt, ${graft.api.SampleOps.isqrtSql("mt")} AS wt
+      FROM m WHERE mt > 0),
+k AS (SELECT min((mt::HUGEINT * 1000) // wt) AS k1000 FROM w),
+b AS (SELECT source, (k1000::HUGEINT * wt) // 1000 AS budget FROM w, k),
+o AS (SELECT doc_id, source, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY h % 32, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_before
+      FROM t)
+SELECT o.doc_id, o.source, o.n_tok, o.tok_before
+FROM o JOIN b USING (source)
+WHERE o.tok_before < b.budget"""
 
   /** The q158 dataset-card SQL, parameterized by a corpus predicate —
     * ONE generator behind the batch card (q158, empty predicate), the
@@ -2388,25 +2417,7 @@ FROM s JOIN t ON s.host = t.host AND s.href = t.href AND t.rn = 1"""),
         "entry points - the semanticLeg discipline). Scale shape: " +
         "two tiny per-source aggregates + a 1-row min broadcast; the " +
         "window sort tracks the BUDGET, not the corpus.",
-      Some(s"""
-WITH t AS (SELECT doc_id, source,
-                  len(string_split(text, ' '))::BIGINT AS n_tok,
-                  ${graft.functions.TextHashing.hash60Sql("doc_id::VARCHAR")} AS h
-           FROM documents),
-m AS (SELECT source, sum(n_tok)::BIGINT AS mt FROM t GROUP BY 1),
-w AS (SELECT source, mt, ${graft.api.SampleOps.isqrtSql("mt")} AS wt
-      FROM m WHERE mt > 0),
-k AS (SELECT min((mt::HUGEINT * 1000) // wt) AS k1000 FROM w),
-b AS (SELECT source, (k1000::HUGEINT * wt) // 1000 AS budget FROM w, k),
-o AS (SELECT doc_id, source, n_tok,
-             COALESCE(sum(n_tok) OVER (PARTITION BY source
-               ORDER BY h % 32, h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-               AS tok_before
-      FROM t)
-SELECT o.doc_id, o.source, o.n_tok, o.tok_before
-FROM o JOIN b USING (source)
-WHERE o.tok_before < b.budget"""),
+      Some(temperatureResampleOracleSql),
       (s, dir) =>
         graft.api.SampleOps.temperatureResample(
           Tables.documents(s, dir).select(col("doc_id"), col("source"),
@@ -2933,7 +2944,34 @@ SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
 FROM ($shardByTokensOracleSql)
 GROUP BY shard"""),
       (s, dir) =>
-        graft.api.SampleOps.readShardManifest(s, publishedShardsDir(s, dir)))
+        graft.api.SampleOps.readShardManifest(s, publishedShardsDir(s, dir))),
+
+    QueryDef(
+      "q174_curated_release_manifest",
+      "The release pipeline end-to-end: temperature-rebalance the " +
+        "mixture (q157's exact-integer alpha=1/2 resample), PUBLISH " +
+        "the kept docs as token-balanced shards (q173's export with " +
+        "its committed manifest), and read the release's accounting " +
+        "- curate -> export -> attest as ONE composition. The oracle " +
+        "composes the two shared generators structurally: q157's " +
+        "keep-set SQL VERBATIM as the corpus the q156 assignment SQL " +
+        "runs over (nested-CTE composition - neither text is " +
+        "re-derived, so the composition cannot drift from either " +
+        "component's own oracle), aggregated per shard. Shard masses " +
+        "here are the CURATED mixture's - the balance bound applies " +
+        "to what actually ships, not the raw corpus. Scale shape: " +
+        "q157's two tiny per-source aggregates + budget window, one " +
+        "id-keyed semi-join to the payload, then q173's publish plan " +
+        "unchanged.",
+      Some(s"""
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+FROM (${shardByTokensOracleSqlFrom(s"""(
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN ($temperatureResampleOracleSql) kp USING (doc_id))""")})
+GROUP BY shard"""),
+      (s, dir) =>
+        graft.api.SampleOps.readShardManifest(
+          s, publishedCuratedDir(s, dir)))
   )
 
   /** q173's artifact: the corpus published as 8 token-balanced shards
@@ -2950,6 +2988,29 @@ GROUP BY shard"""),
       graft.api.SampleOps.publishShards(
         Tables.documents(s, dir).select(col("doc_id"), col("text"),
           size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+        "doc_id", "text", "n_tok", tmp, shards = 8, seed = "shard1")
+      tmp
+    })
+
+  /** q174's artifact: the temperature-resampled keep set published as
+    * 8 token-balanced shards — the curate → export composition.
+    */
+  private val publishCuratedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def publishedCuratedDir(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    publishCuratedCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-pubcurated-").toString + "/rel"
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("text"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      val kept = graft.api.SampleOps.temperatureResample(
+        docs.select(col("doc_id"), col("source"), col("n_tok")),
+        "doc_id", "source", "n_tok")
+      graft.api.SampleOps.publishShards(
+        docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"),
         "doc_id", "text", "n_tok", tmp, shards = 8, seed = "shard1")
       tmp
     })
