@@ -1141,8 +1141,10 @@ object DedupOps {
       textCol: String, gramTokens: Int,
       extraCols: Seq[String] = Nil): DataFrame =
     gramPositionsTokens(
-      df.select(col(idCol).as("doc_id") +: extraCols.map(col) :+
-        split(col(textCol), " ", -1).as("__tk"): _*),
+      Spread.ifNarrow(df.select(col(idCol).as("doc_id") +:
+          extraCols.map(col) :+ col(textCol).as("__txt"): _*))
+        .select(col("doc_id") +: extraCols.map(col) :+
+          split(col("__txt"), " ", -1).as("__tk"): _*),
       gramTokens, extraCols)
 
   /** [[gramPositions]] off a PRE-SPLIT frame carrying

@@ -112,20 +112,25 @@ object CurationPipeline {
     // composed plan linear in the stage count. Each cut frame is
     // tracked so Stages.close() can release its blocks.
     val cuts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def cut(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
+    // stage labels (spark_optimization_guide §1.5): each keep-set cut
+    // runs as its own job — labeling makes the per-stage cost readable
+    // in the UI/listener without changing what executes
+    def cut(df: DataFrame, label: String): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      sc.setJobDescription(s"curation: $label")
+      val c = try df.localCheckpoint() finally sc.setJobDescription(null)
       cuts += c
       c
     }
 
     // 1. URL dedup: keeper ids of each canonical-URL group
     val urlKeepers = cut(TextOps.urlDuplicates(urls, "doc_id", "url")
-      .select(col("keeper_id").as("doc_id")))
+      .select(col("keeper_id").as("doc_id")), "1_url_keepers")
     val s1 = docs.join(urlKeepers, Seq("doc_id"), "left_semi")
 
     // 2. exact dedup over URL survivors
     val exactKeepers = cut(DedupOps.exactDuplicates(s1, "doc_id", "text")
-      .select(col("keeper_id").as("doc_id")))
+      .select(col("keeper_id").as("doc_id")), "2_exact_keepers")
     val s2 = s1.join(exactKeepers, Seq("doc_id"), "left_semi")
 
     // 3. near-dup: pairs → clusters → keeper per cluster by n_tok
@@ -134,15 +139,19 @@ object CurationPipeline {
     val pairs = DedupOps.minhashPairs(s2, "doc_id", "text",
       jaccardX1000Threshold = 500)
     val clusters = ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
-    val scored = clusters.join(
-      s2.select(col("doc_id"), nTok.as("n_tok")),
-      clusters("id") === col("doc_id"))
+    // ONE (doc_id, n_tok) pass over the s2 corpus, checkpointed:
+    // n_tok decides the near-dup keeper (here), the passage chunk
+    // totals (stage 4) and the packing prefix sum (stage 7) — none of
+    // those consumers needs to touch text again (guide §8: decide
+    // with small rows — 2 longs a row vs three corpus re-tokenizes)
+    val nToks = cut(s2.select(col("doc_id"), nTok.as("n_tok")), "3_ntok")
+    val scored = clusters.join(nToks, clusters("id") === col("doc_id"))
       .select(col("id"), col("cluster_id"), col("n_tok"))
     val keepers = DedupOps.keepersByScore(scored, "id", "cluster_id", "n_tok")
       .select(col("keeper_id"))
     val nonKeepers = cut(clusters.select(col("id"))
       .join(keepers, clusters("id") === col("keeper_id"), "left_anti")
-      .select(col("id").as("doc_id")))
+      .select(col("id").as("doc_id")), "3_neardup_nonkeepers")
     val s3 = s2.join(nonKeepers, Seq("doc_id"), "left_anti")
 
     // 4. passage gate: a doc is dropped when >= half its chunks
@@ -153,44 +162,58 @@ object CurationPipeline {
       jaccardX1000Threshold = 500)
     val dupChunks = pp.groupBy(col("doc_b").as("doc_id"))
       .agg(count_distinct(col("chunk_b")).as("_ndup"))
-    val totalChunks = s3.select(col("doc_id"),
-      expr(s"(size(split(text, ' ', -1)) - 1) div $chunkTokens + 1")
-        .cast("long").as("_nch"))
+    // chunk totals derive from the checkpointed n_tok frame restricted
+    // to s3's ids (id-frame anti join) — no third corpus tokenize;
+    // (n_tok - 1) div k + 1 is the same integer arithmetic as before
+    // because n_tok IS size(split(text, ' ', -1))
+    val totalChunks = nToks.join(nonKeepers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        expr(s"(n_tok - 1) div $chunkTokens + 1").cast("long").as("_nch"))
     val passageKeep = cut(totalChunks
       .join(dupChunks, Seq("doc_id"), "left")
       .filter(coalesce(col("_ndup"), lit(0L)) * 2 < col("_nch"))
-      .select(col("doc_id")))
+      .select(col("doc_id")), "4_passage_keep")
     val s4 = s3.join(passageKeep, Seq("doc_id"), "left_semi")
 
     // 5. quality: repetition AND bigram-LM, both trained/thresholded
     // on the gate's own input corpus
     val repKeep = cut(TextOps.repetitionFilter(s4, "doc_id", "text",
       keepBelowX1000 = repetitionMaxX1000)
-      .filter(col("keep")).select(col("doc_id")))
+      .filter(col("keep")).select(col("doc_id")), "5a_repetition_keep")
     // relative LM gate: keep iff sum_q2/n >= S/N - slack, compared as
     // sum_q2 * N >= (S - slack*N) * n (n, N > 0 so the inequality
     // direction is preserved; keepAvgQx1000 is irrelevant here — only
     // the scorer columns are used). 0-bigram docs keep, as in q88.
-    val lmScored = TextOps.bigramLmScore(s4, "doc_id", "text")
+    // the scorer frame is consumed TWICE (the corpus-stats aggregate
+    // and the keep filter) — without a cut the whole LM DAG (tokenize,
+    // bigram_counts rollup, model joins) executes twice per run; the
+    // frame is doc-count-sized (3 longs a row), so checkpointing it is
+    // the q93 consumed-twice discipline (guide §5 caching)
+    val lmScored = cut(TextOps.bigramLmScore(s4, "doc_id", "text")
+      .select(col("doc_id"), col("sum_q2"), col("n_bigrams")),
+      "5b_lm_scored")
     val lmStats = lmScored.agg(sum(col("sum_q2")).as("_S"),
       sum(col("n_bigrams")).as("_N"))
     val lmKeep = cut(lmScored.crossJoin(broadcast(lmStats))
       .filter(col("n_bigrams") === 0 ||
         col("sum_q2") * col("_N") >=
           (col("_S") - lit(lmSlackBits) * col("_N")) * col("n_bigrams"))
-      .select(col("doc_id")))
+      .select(col("doc_id")), "5b_lm_keep")
     val s5 = s4.join(repKeep, Seq("doc_id"), "left_semi")
       .join(lmKeep, Seq("doc_id"), "left_semi")
 
     // 6. mixture to per-source target weights (q60's weight rule)
     val mixed = cut(SampleOps.mixtureResample(
       s5.select(col("doc_id"), col("source")), "doc_id", "source",
-      expr("cast(replace(source, 'src', '') as bigint) % 3 + 1")))
+      expr("cast(replace(source, 'src', '') as bigint) % 3 + 1")), "6_mixture")
 
     // 7. pack survivors into budget-token bins; re-join source so the
     // output names a training shard AND its provenance
+    // packing decisions need only (doc_id, n_tok): joining the mixed
+    // id frame with the stage-3 checkpoint keeps the terminal job
+    // corpus-scan-free — no fourth tokenize of the survivors
     val packed = SampleOps.packSequences(
-      mixed.join(s5.select(col("doc_id"), nTok.as("n_tok")), Seq("doc_id")),
+      mixed.join(nToks, Seq("doc_id")),
       "doc_id", "n_tok", budget = packBudget)
       .join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("start_tok"), col("bin"))

@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every
+  // ImageIO.read(InputStream) — even over an in-memory byte array —
+  // spools the stream to a temp FILE in java.io.tmpdir and deletes it
+  // after the decode. A fingerprint pass over N docs × k frames is
+  // then N×k file create/write/read/delete syscall round-trips, pure
+  // overhead for payloads already in memory, and a filesystem
+  // contention point once the decode runs many tasks wide. Memory
+  // caching is strictly better for byte-array-backed decodes; set
+  // once per JVM at class-load (executors initialize this object the
+  // first time a decode closure runs).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Opaque media record: payload + source metadata. */
   case class MediaRecord(docId: Long, mediaType: String, payload: Array[Byte])
 
@@ -653,6 +665,21 @@ object Multimodal {
     b.array()
   }
 
+  /** Scale-adaptive decode spread (optimization guide §2.5 "input
+    * skew"/§6): media decode stages are CHEAP-INPUT/EXPENSIVE-MAP —
+    * split packing sizes scan tasks by input BYTES, so a small
+    * payload-seed table yields 1–3 scan tasks and the container walk +
+    * frame decode (the dominant cost, ~10³× the scan) runs on that
+    * many cores. When the scan produced fewer partitions than the
+    * session's cores, spread the pre-decode rows round-robin across
+    * the cores; at production scale the scan has ≫ cores splits and
+    * this is a no-op (no exchange is added).
+    */
+  private def spreadForDecode(ds: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+  }
+
   /** documents → REAL decodable image media: each doc's UTF-8 text
     * bytes seed a [[grayBmp16]] payload (empty/null texts drop — no
     * pixels to derive). The distributed builder is mapPartitions like
@@ -667,6 +694,7 @@ object Multimodal {
       .select(col("doc_id").as("docId"), lit("image/bmp").as("mediaType"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
+      .transform(spreadForDecode)
       .mapPartitions(_.map(r => r.copy(payload = grayBmp16(r.payload))))
   }
 
@@ -816,6 +844,7 @@ object Multimodal {
       .select(col("doc_id").as("docId"), lit("audio/wav").as("mediaType"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
+      .transform(spreadForDecode)
       .mapPartitions(_.map(r => r.copy(payload = pcmWav8(r.payload))))
   }
 
@@ -950,6 +979,7 @@ object Multimodal {
       .select(col("doc_id").as("docId"), lit("video/avi").as("mediaType"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
+      .transform(spreadForDecode)
       .mapPartitions(_.map(r => r.copy(payload = bmpAvi16(r.payload))))
   }
 

@@ -94,10 +94,13 @@ class CurationSpec extends SparkSpec {
       df.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
       }).toSet
-    assert(st.checkpointed.size == 7,
-      s"expected 7 stage-boundary cuts, got ${st.checkpointed.size}")
-    assert(ids.size == 7 && ids.subsetOf(persistedIds()),
-      s"run() should have 7 persisted checkpoint RDDs; got $ids")
+    // 9 cuts since round 16: the 7 stage keep-sets plus the shared
+    // (doc_id, n_tok) frame (reused by stages 3/4/7 instead of three
+    // corpus re-tokenizes) and the consumed-twice LM scorer frame
+    assert(st.checkpointed.size == 9,
+      s"expected 9 stage-boundary cuts, got ${st.checkpointed.size}")
+    assert(ids.size == 9 && ids.subsetOf(persistedIds()),
+      s"run() should have 9 persisted checkpoint RDDs; got $ids")
     st.close()
     assert(ids.intersect(persistedIds()).isEmpty,
       s"close() left checkpoint RDDs persisted: ${ids.intersect(persistedIds())}")

@@ -563,13 +563,24 @@ class PlanSpec extends SparkSpec {
       "chunk-codes scan should carry cell partition filters")
   }
 
-  test("q133/q135/q139: the real-decode hash tables are map-only — zero " +
-      "exchanges at any corpus size") {
+  test("q133/q135/q139: the real-decode hash tables carry no KEYED " +
+      "exchange — at most the round-robin decode spread") {
+    // round 16: Multimodal.spreadForDecode may insert ONE round-robin
+    // repartition below the decode when the payload scan produced
+    // fewer splits than cores (cheap-input/expensive-map — guide §2.5);
+    // it is conditional (absent once the scan has >= cores splits, i.e.
+    // at any real corpus size) and never hash-partitions by a key, so
+    // the pinned property is: zero key-based exchanges, and any
+    // exchange present must be the round-robin spread.
     for (q <- Seq("q133_image_phash", "q135_audio_fingerprint",
         "q139_video_phash")) {
       val nodes = collectAll(plan(q))
-      assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 0,
-        s"$q should be a pure scan -> decode -> hash projection")
+      val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size <= 1,
+        s"$q should be scan -> [spread] -> decode -> hash projection")
+      assert(shuffles.forall(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]),
+        s"$q must never key-partition the decode input")
     }
   }
 
