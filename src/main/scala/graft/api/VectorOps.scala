@@ -498,22 +498,49 @@ object VectorOps {
       iters: Int = 5): PqCodebooks = {
     require(maxTrainRows > 0 && maxTrainRows <= Int.MaxValue,
       s"pqTrain: maxTrainRows $maxTrainRows outside (0, Int.MaxValue]")
+    val cached = trainSample(df, idCol, vecCol, maxTrainRows)
+    try pqTrainOnSample(cached, m, k, seed, iters)
+    finally { cached.unpersist(); () }
+  }
+
+  /** The cached, EXACTLY-bounded training sample shared by every
+    * codebook trained over one corpus: the maxTrainRows smallest-hash
+    * rows — the SampleOps.prioritySample shape (TakeOrderedAndProject:
+    * each task keeps a local top-k, the driver merges). EXACTLY
+    * bounded at any corpus size — a per-mille hash threshold's
+    * floor-at-1 would keep ~n/1000 rows past n = 1000·maxTrainRows and
+    * silently void the fixed-size-sample contract the 100TB claim
+    * rests on. Factored out (round 16) so [[ivfPqTrain]] pays the
+    * corpus normalize + sample pass ONCE for its two codebooks instead
+    * of once per codebook — the sample is seed-independent (ordered by
+    * xxhash64(id) only), so sharing it is output-identical. Caller
+    * owns the unpersist.
+    */
+  private def trainSample(df: DataFrame, idCol: String, vecCol: String,
+      maxTrainRows: Long): DataFrame = {
+    require(maxTrainRows > 0 && maxTrainRows <= Int.MaxValue,
+      s"pqTrain: maxTrainRows $maxTrainRows outside (0, Int.MaxValue]")
     val base = normalized(df, idCol, vecCol)
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
-    val d = base.select(max(size(col("u")))).head.getInt(0)
-    require(m > 0 && d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
-    val subDim = d / m
-    // training sample: the maxTrainRows smallest-hash rows — the
-    // SampleOps.prioritySample shape (TakeOrderedAndProject: each task
-    // keeps a local top-k, the driver merges). EXACTLY bounded at any
-    // corpus size — a per-mille hash threshold's floor-at-1 would keep
-    // ~n/1000 rows past n = 1000·maxTrainRows and silently void the
-    // fixed-size-sample contract the 100TB claim rests on.
-    val sample = base
+    base
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(maxTrainRows.toInt)
-    val cached = sample.select(col(idCol).as("_id"), col("u")).cache()
-    try {
+      .select(col(idCol).as("_id"), col("u")).cache()
+  }
+
+  /** Lloyd training over a pre-built [[trainSample]] frame. Geometry
+    * (d) derives from the SAMPLE's max dimension — for the fixed-d
+    * embeddings every caller feeds this is identical to the corpus
+    * max, and it keeps the whole training loop corpus-free after the
+    * one sample pass (round 16: the corpus-wide max(size) here was a
+    * full extra pass per codebook, two per IVF-PQ build).
+    */
+  private def pqTrainOnSample(cached: DataFrame, m: Int, k: Int,
+      seed: Long, iters: Int): PqCodebooks = {
+    val d = cached.select(max(size(col("u")))).head.getInt(0)
+    require(m > 0 && d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
+    val subDim = d / m
+    locally {
       // init: per subspace, k seed subvectors by seeded hash rank
       val seeds = cached
         .select(col("_id"), explode(expr(s"sequence(0, ${m - 1})")).as("_s"),
@@ -578,7 +605,7 @@ object VectorOps {
         s += 1
       }
       PqCodebooks(m, k, subDim, flat)
-    } finally { cached.unpersist(); () }
+    }
   }
 
   /** PQ-encode the corpus: idCol + `codes` (m ints — at rest these are
@@ -654,10 +681,18 @@ object VectorOps {
     * 1-subspace PQ over the whole vector).
     */
   def ivfPqTrain(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, m: Int, k: Int, seed: Long): IvfPqModel =
-    IvfPqModel(
-      coarse = pqTrain(df, idCol, vecCol, m = 1, k = nCells, seed = seed),
-      pq = pqTrain(df, idCol, vecCol, m = m, k = k, seed = seed + 1000))
+      nCells: Int, m: Int, k: Int, seed: Long): IvfPqModel = {
+    // one corpus normalize + sample pass feeds BOTH codebooks: the
+    // sample is seed-independent, so this is output-identical to two
+    // pqTrain calls while halving the corpus-side training cost
+    val cached = trainSample(df, idCol, vecCol, maxTrainRows = 4096L)
+    try IvfPqModel(
+      coarse = pqTrainOnSample(cached, m = 1, k = nCells, seed = seed,
+        iters = 5),
+      pq = pqTrainOnSample(cached, m = m, k = k, seed = seed + 1000,
+        iters = 5))
+    finally { cached.unpersist(); () }
+  }
 
   /** Persist the IVF-PQ index: `codes` = (id, cell, codes[m]) parquet
     * PARTITIONED BY cell — a probe that routes to `nprobe` cells reads
@@ -682,25 +717,32 @@ object VectorOps {
       model: IvfPqModel, path: String,
       storeVectors: Boolean = false): Unit = {
     VectorExpressions.register(df.sparkSession)
-    val base = normalized(df, idCol, vecCol)
+    val raw = normalized(df, idCol, vecCol)
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
       .withColumn("cell",
         element_at(call_function("pq_encode", col("u"),
           typedLit(model.coarse.flat), lit(1), lit(model.coarse.k)), 1))
-    val enc = base.select(col(idCol), col("cell"),
-      call_function("pq_encode", col("u"), typedLit(model.pq.flat),
-        lit(model.pq.m), lit(model.pq.k)).as("codes"))
-    graft.jobs.Sinks.layout(enc, s"$path/codes",
-      partitionCols = Seq("cell"), sortCols = Seq(idCol),
-      numFiles = model.coarse.k)
-    if (storeVectors) {
-      graft.jobs.Sinks.layout(
-        base.select(col(idCol).as("vid"), col("cell"), col("v").as("vec")),
-        s"$path/vectors", partitionCols = Seq("cell"),
-        sortCols = Seq("vid"), numFiles = model.coarse.k)
-    }
-    writeIvfPqMeta(df.sparkSession, path, model)
-    writeIvfPqRuns(df.sparkSession, path, 1)
+    // both outputs consume the normalize + coarse-encode frame; when
+    // vectors are stored too, persist it so the upstream (possibly a
+    // chunk explode + embed) runs ONCE — the writeFingerprintIndex
+    // single-scan discipline
+    val base = if (storeVectors) raw.persist() else raw
+    try {
+      val enc = base.select(col(idCol), col("cell"),
+        call_function("pq_encode", col("u"), typedLit(model.pq.flat),
+          lit(model.pq.m), lit(model.pq.k)).as("codes"))
+      graft.jobs.Sinks.layout(enc, s"$path/codes",
+        partitionCols = Seq("cell"), sortCols = Seq(idCol),
+        numFiles = model.coarse.k)
+      if (storeVectors) {
+        graft.jobs.Sinks.layout(
+          base.select(col(idCol).as("vid"), col("cell"), col("v").as("vec")),
+          s"$path/vectors", partitionCols = Seq("cell"),
+          sortCols = Seq("vid"), numFiles = model.coarse.k)
+      }
+      writeIvfPqMeta(df.sparkSession, path, model)
+      writeIvfPqRuns(df.sparkSession, path, 1)
+    } finally { if (storeVectors) { base.unpersist(); () } }
   }
 
   private def writeIvfPqMeta(s: org.apache.spark.sql.SparkSession,
