@@ -56,10 +56,17 @@ object PageRank {
       iterations: Int = 5, dampingPct: Int = 85,
       scale: Long = Scale): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // the edge list is cached PRE-PARTITIONED on the per-round join
+    // key (guide §2.4: operations keyed the same way share one
+    // exchange): every round's edges⋈ranks join and the degree
+    // aggregate read the cached s-partitioning instead of re-shuffling
+    // the edge list once per round — at scale the per-round shuffle
+    // drops from edge-count rows to vertex-count rows
     val sym = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .union(edges
         .select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("t")))
+      .repartition(col("s"))
       .persist()
     val deg = sym.groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("degree")).persist()
@@ -112,6 +119,7 @@ object PageRank {
       weightCol: String, iterations: Int = 5, dampingPct: Int = 85,
       scale: Long = Scale): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // cached pre-partitioned on the round key (the [[ranks]] argument)
     val sym = edges
       .select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"),
@@ -120,6 +128,7 @@ object PageRank {
         .select(col(dstCol).cast("long").as("s"),
           col(srcCol).cast("long").as("t"),
           col(weightCol).cast("long").as("w")))
+      .repartition(col("s"))
       .persist()
     val deg = sym.groupBy(col("s").as("id"))
       .agg(sum(col("w")).as("w_degree")).persist()
@@ -184,19 +193,26 @@ object PageRank {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, scale: Long = Scale): DataFrame = {
     require(iterations >= 1)
-    val e = edges
+    // HITS joins edges on s (authority round) AND on t (hub round):
+    // cache the list once per key — two copies, zero per-round edge
+    // shuffles (guide §2.4; the bucket-both-ways trade: 2 extra
+    // materializations beat 2·iterations edge-list exchanges). eT
+    // derives from the cached eS so the distinct runs once.
+    val eS = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .filter(col("s") =!= col("t"))
       .distinct()
+      .repartition(col("s"))
       .persist()
-    val v = e.select(col("s").as("id")).union(e.select(col("t").as("id")))
+    val eT = eS.repartition(col("t")).persist()
+    val v = eS.select(col("s").as("id")).union(eS.select(col("t").as("id")))
       .distinct().persist()
 
     var hub = v.withColumn("h", lit(scale))
     var auth = v.withColumn("a", lit(0L))
     for (i <- 1 to iterations) {
       val (prevHub, prevAuth) = (hub, auth)
-      val aRaw = e.join(hub.withColumnRenamed("id", "s"), Seq("s"))
+      val aRaw = eS.join(hub.withColumnRenamed("id", "s"), Seq("s"))
         .groupBy(col("t").as("id"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("_ar"))
       val aMax = aRaw.agg(max(col("_ar")).as("_am"))
@@ -204,7 +220,7 @@ object PageRank {
         .select(col("id"),
           coalesce(expr(s"(_ar * $scale) div _am"), lit(0L)).as("a"))
         .localCheckpoint()
-      val hRaw = e.join(auth.withColumnRenamed("id", "t"), Seq("t"))
+      val hRaw = eT.join(auth.withColumnRenamed("id", "t"), Seq("t"))
         .groupBy(col("s").as("id"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("_hr"))
       val hMax = hRaw.agg(max(col("_hr")).as("_hm"))
@@ -228,7 +244,8 @@ object PageRank {
     // `out` materialized eagerly: the final round's frames are dead too
     graft.api.Lifecycle.releaseLocalCheckpoint(hub)
     graft.api.Lifecycle.releaseLocalCheckpoint(auth)
-    e.unpersist()
+    eS.unpersist()
+    eT.unpersist()
     v.unpersist()
     out
   }
@@ -1004,7 +1021,11 @@ object PageRank {
       // delete-path filter — a signed removal run nets a removed
       // directed pair to 0 and it drops here
       .filter(col("w") > 0)
+      .repartition(col("s"))
       .persist()
+    // the hub round joins on t — second partitioned copy (the [[hits]]
+    // bucket-both-ways trade), derived off the cached s-copy
+    val eT = e.repartition(col("t")).persist()
     val v = e.select(col("s").as("id")).union(e.select(col("t").as("id")))
       .distinct().persist()
 
@@ -1020,7 +1041,7 @@ object PageRank {
         .select(col("id"),
           coalesce(expr(s"(_ar * $scale) div _am"), lit(0L)).as("a"))
         .localCheckpoint()
-      val hRaw = e.join(auth.withColumnRenamed("id", "t"), Seq("t"))
+      val hRaw = eT.join(auth.withColumnRenamed("id", "t"), Seq("t"))
         .groupBy(col("s").as("id"))
         .agg(sum(col("a").cast("decimal(38,0)") * col("w")).as("_hr"))
       val hMax = hRaw.agg(max(col("_hr")).as("_hm"))
@@ -1040,6 +1061,7 @@ object PageRank {
     graft.api.Lifecycle.releaseLocalCheckpoint(hub)
     graft.api.Lifecycle.releaseLocalCheckpoint(auth)
     e.unpersist()
+    eT.unpersist()
     v.unpersist()
     out
   }
