@@ -686,12 +686,27 @@ object VectorOps {
     // sample is seed-independent, so this is output-identical to two
     // pqTrain calls while halving the corpus-side training cost
     val cached = trainSample(df, idCol, vecCol, maxTrainRows = 4096L)
-    try IvfPqModel(
-      coarse = pqTrainOnSample(cached, m = 1, k = nCells, seed = seed,
-        iters = 5),
-      pq = pqTrainOnSample(cached, m = m, k = k, seed = seed + 1000,
-        iters = 5))
-    finally { cached.unpersist(); () }
+    // the two codebooks are independent given the shared sample: train
+    // them on concurrent driver threads (guide §2.6 — overlap
+    // independent jobs) so the ~10 serial Lloyd collect round-trips
+    // become ~5. Each Lloyd loop is internally deterministic, so the
+    // models are bit-identical to sequential training.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val coarseF = pool.submit(
+        new java.util.concurrent.Callable[PqCodebooks] {
+          def call(): PqCodebooks =
+            pqTrainOnSample(cached, m = 1, k = nCells, seed = seed,
+              iters = 5)
+        })
+      val pqF = pool.submit(
+        new java.util.concurrent.Callable[PqCodebooks] {
+          def call(): PqCodebooks =
+            pqTrainOnSample(cached, m = m, k = k, seed = seed + 1000,
+              iters = 5)
+        })
+      IvfPqModel(coarse = coarseF.get(), pq = pqF.get())
+    } finally { pool.shutdown(); cached.unpersist(); () }
   }
 
   /** Persist the IVF-PQ index: `codes` = (id, cell, codes[m]) parquet

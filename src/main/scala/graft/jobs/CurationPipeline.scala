@@ -115,10 +115,19 @@ object CurationPipeline {
     // stage labels (spark_optimization_guide §1.5): each keep-set cut
     // runs as its own job — labeling makes the per-stage cost readable
     // in the UI/listener without changing what executes
+    // LAZY checkpoints (the ConnectedComponents discipline): the
+    // logical plan is truncated at cut() time — the linear-plan
+    // guarantee is unchanged — but materialization folds into the
+    // first consuming job instead of an eager barrier per stage.
+    // Nine stage barriers collapse into the terminal action's DAG,
+    // where independent subtrees (e.g. the two quality gates) can
+    // also overlap. The label still tags whichever job materializes
+    // the cut.
     def cut(df: DataFrame, label: String): DataFrame = {
       val sc = df.sparkSession.sparkContext
       sc.setJobDescription(s"curation: $label")
-      val c = try df.localCheckpoint() finally sc.setJobDescription(null)
+      val c = try df.localCheckpoint(eager = false)
+      finally sc.setJobDescription(null)
       cuts += c
       c
     }

@@ -673,7 +673,11 @@ object Multimodal {
     * many cores. When the scan produced fewer partitions than the
     * session's cores, spread the pre-decode rows round-robin across
     * the cores; at production scale the scan has ≫ cores splits and
-    * this is a no-op (no exchange is added).
+    * this is a no-op (no exchange is added). Applied to the image and
+    * video builders (ImageIO frame decodes); measured and deliberately
+    * NOT applied to the audio builder — the 8-bit PCM header parse is
+    * cheaper than the exchange it would ride (q135 0.30 → 0.56 s with
+    * the spread, round-16 A/B).
     */
   private def spreadForDecode(ds: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     val target = ds.sparkSession.sparkContext.defaultParallelism
@@ -844,7 +848,6 @@ object Multimodal {
       .select(col("doc_id").as("docId"), lit("audio/wav").as("mediaType"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
-      .transform(spreadForDecode)
       .mapPartitions(_.map(r => r.copy(payload = pcmWav8(r.payload))))
   }
 
