@@ -93,14 +93,22 @@ object ConnectedComponents {
     val one = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .persist()
+    // the symmetric view is cached PRE-PARTITIONED on the per-round
+    // join key (the PageRank round-16 discipline, guide §2.4): once
+    // labels outgrow the broadcast threshold the propagation join
+    // re-shuffled the EDGE list every round; with the cached src
+    // partitioning each round shuffles vertex-count label rows only
     val sym = one.union(
       one.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
     // the long cast turns non-numeric ids (strings, UUIDs) into NULLs,
     // which would propagate to silently wrong clusters — fail loudly
     // instead; this count also materializes the edge cache up front
     val nullIds = one.filter(col("src").isNull || col("dst").isNull).count()
     if (nullIds > 0) {
       one.unpersist() // don't leak the edge cache on the failure path
+      sym.unpersist()
       throw new IllegalArgumentException(
         s"connected components needs numeric ids: $nullIds edge endpoints " +
           s"were NULL after casting ($srcCol, $dstCol) to long — map string " +
@@ -152,12 +160,14 @@ object ConnectedComponents {
     // the null-id failure path above)
     if (changed != 0) {
       one.unpersist()
+      sym.unpersist()
       throw new IllegalArgumentException(
         s"connected components did not converge in $maxIter rounds")
     }
     // the loop's checkpoints materialized the final labels, which no
     // longer reference the edge list — safe to release it here
     one.unpersist()
+    sym.unpersist()
     (labels.select(col("id"), col("lbl").as("cluster_id")), round)
   }
 }
