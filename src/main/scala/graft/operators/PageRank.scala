@@ -216,10 +216,16 @@ object PageRank {
         .groupBy(col("t").as("id"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("_ar"))
       val aMax = aRaw.agg(max(col("_ar")).as("_am"))
+      // LAZY mid-round checkpoint (round 16): the authority frame is
+      // consumed by this round's hub step and by the final join — a
+      // lazy cut still truncates the plan but materializes INSIDE the
+      // hub checkpoint's job, halving the per-round job barriers. By
+      // the time anything could release or re-read it, the hub step
+      // has stored its blocks.
       auth = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aMax))
         .select(col("id"),
           coalesce(expr(s"(_ar * $scale) div _am"), lit(0L)).as("a"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val hRaw = eT.join(auth.withColumnRenamed("id", "t"), Seq("t"))
         .groupBy(col("s").as("id"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("_hr"))
@@ -1037,10 +1043,11 @@ object PageRank {
         .groupBy(col("t").as("id"))
         .agg(sum(col("h").cast("decimal(38,0)") * col("w")).as("_ar"))
       val aMax = aRaw.agg(max(col("_ar")).as("_am"))
+      // lazy mid-round cut — the [[hits]] round-16 argument
       auth = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aMax))
         .select(col("id"),
           coalesce(expr(s"(_ar * $scale) div _am"), lit(0L)).as("a"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val hRaw = eT.join(auth.withColumnRenamed("id", "t"), Seq("t"))
         .groupBy(col("s").as("id"))
         .agg(sum(col("a").cast("decimal(38,0)") * col("w")).as("_hr"))
