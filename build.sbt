@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's stdout JSON line; sbt's default LoggedOutput
+// strategy prefixes every forked stdout line with "[info] ", which breaks
+// any strict per-line JSON parse (BENCH_r01–r16 all carry `[info] {` and
+// `parsed: null`). StdoutOutput inherits the parent's streams so runMain
+// output reaches stdout bare. Scoped to run/runMain only — test output
+// stays on the sbt logger the driver's test parsing reads.
+Compile / run / outputStrategy := Some(StdoutOutput)
+// ... and suppress the trailing "[success] Total time ..." line on stdout
+// so the LAST stdout line of a bench invocation is Bench's own compact
+// JSON line (a last-line parser must not see sbt's epilogue instead).
+// (showSuccess is read by sbt's command loop, not a task — lint can't
+// see that, hence the exclude.)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

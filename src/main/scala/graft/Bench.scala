@@ -44,13 +44,56 @@ object Bench {
     // the warmup alone runs every thunk once → one session's worth of
     // leaked localCheckpoint RDDs before timing even starts
     BenchHarness.drainLocalCheckpoints(spark)
+    // Per-query job/stage/task counters (VERDICT r16 #10): shuffle-
+    // shape claims ("task counts −35%") become driver-verifiable by
+    // shipping the counts in-band. The listener bus is flushed (via
+    // the test-utility waitUntilEmpty, reflective — it is
+    // private[spark] but public bytecode) before each snapshot so
+    // async listener delivery cannot smear one query's jobs into its
+    // neighbor's row. Counts cover each query's FULL timed 3-run set.
+    val pJobs = new java.util.concurrent.atomic.AtomicLong
+    val pStages = new java.util.concurrent.atomic.AtomicLong
+    val pTasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          pJobs.incrementAndGet(); ()
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          pStages.incrementAndGet()
+          pTasks.addAndGet(s.stageInfo.numTasks.toLong); ()
+        }
+      })
+    def listenerFlush(): Unit = try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      val ms = bus.getClass.getMethods
+      ms.find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .orElse(ms.find(m =>
+            m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+          .map(_.invoke(bus, java.lang.Long.valueOf(5000L))))
+      ()
+    } catch { case _: Throwable => () }
+    val probeCounts =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    def probed[A](name: String)(body: => A): A = {
+      listenerFlush()
+      val (j0, s0, t0) = (pJobs.get, pStages.get, pTasks.get)
+      val r = body
+      listenerFlush()
+      probeCounts(name) = (pJobs.get - j0, pStages.get - s0, pTasks.get - t0)
+      r
+    }
     def timedBuild(body: => Unit): Double = {
       val t0 = System.nanoTime()
       try body catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val stageBuild = timedBuild(
-      queries.SharedStages.clusters(spark, sfDir).count())
+    val stageBuild = probed("shared_stage_build")(timedBuild(
+      queries.SharedStages.clusters(spark, sfDir).count()))
     // The lazy per-SF temp IVF-PQ indexes (session-cached by dir) are
     // built HERE as their own named *_index_build entries — the
     // BenchScale discipline. Warmup runs at sf0.001, so without this
@@ -83,7 +126,7 @@ object Bench {
       ("q141_stage_build", "q141_hybrid_deployed_parity",
         () => queries.SharedStages.hybridIvfPq(spark, sfDir).count())
     ).collect { case (buildName, consumer, build) if selected.contains(consumer) =>
-      buildName -> Seq(timedBuild(build()))
+      buildName -> Seq(probed(buildName)(timedBuild(build())))
     }
     BenchHarness.drainLocalCheckpoints(spark)
     // three timed runs per query; "queries" reports the min (the
@@ -97,8 +140,8 @@ object Bench {
     var drained = 0
     val raw = (("shared_stage_build" -> Seq(stageBuild)) +: indexBuilds) ++
       selected.toSeq.sortBy(_._1).map { case (name, _) =>
-        val rs = BenchHarness.timedRuns(3,
-          () => SparkEntry.queries(name)(spark, sfDir))
+        val rs = probed(name)(BenchHarness.timedRuns(3,
+          () => SparkEntry.queries(name)(spark, sfDir)))
         drained += BenchHarness.drainLocalCheckpoints(spark)
         name -> rs
       }
@@ -192,9 +235,29 @@ object Bench {
       "\"" + k + "\":" + rs.map(BenchHarness.num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val driftsJson = drifts.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // job/stage/task counts ride the FULL line + sidecar only (the
+    // compact line stays small); BenchHarness.parseBenchMins strips
+    // this object before its run-array fallback, like leak_retests
+    val probeJson = probeCounts.map { case (k, (j, s, t)) =>
+      "\"" + k + "\":[" + j + "," + s + "," + t + "]"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failedJson,"leak_suspects":$leaksJson,"drift_suspects":$driftsJson,"prior_source":"$priorSource","leak_retests":$retestsJson,"drained_checkpoints":$drained,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failedJson,"leak_suspects":$leaksJson,"drift_suspects":$driftsJson,"prior_source":"$priorSource","leak_retests":$retestsJson,"probe_jst":$probeJson,"drained_checkpoints":$drained,"sf":"$sfDir"}"""
     println(line)
+    // COMPACT final line (VERDICT r16 #1): the full line above is
+    // ~14 KB and the driver captures stdout with a bounded tail, so
+    // its JSON parse has come back null since r12. This second line
+    // carries the contract fields only — total, unit, per-query MINS
+    // (3-decimal), failed, sf — no runs/retests (those stay in the
+    // full line and the bench_out.json sidecar). Field order puts the
+    // big "queries" object first and the scalars last, so even a tail
+    // window too small for the whole line still shows intact
+    // name:min pairs plus total/failed/sf.
+    val qsCompact = finalResults
+      .map { case (k, v) => "\"" + k + "\":" + BenchHarness.num(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","unit":"sec","queries":$qsCompact,"value":$total,"failed":$failedJson,"sf":"$sfDir"}""")
     // restricted SPARK_GRAFT_ONLY dev runs must NOT overwrite the
     // sidecar: bench_out.json doubles as the next run's drift prior,
     // and a 3-query profiling run would clobber the full-catalog mins

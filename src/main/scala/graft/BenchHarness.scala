@@ -160,8 +160,13 @@ object BenchHarness {
         pair.findAllMatchIn(m.group(1))
           .map(p => p.group(1) -> p.group(2).toDouble).toMap
       case None =>
+        // strip every known query-keyed NON-RUNS numeric-array object
+        // before the fallback scan (ADVICE r13): leak_retests (retest
+        // run arrays) and probe_jst (job/stage/task counts — r17)
+        // would otherwise be ingested as that query's run times
         val noRetests =
-          """"leak_retests"\s*:\s*\{[^}]*\}""".r.replaceAllIn(t, "")
+          """"(?:leak_retests|probe_jst)"\s*:\s*\{[^}]*\}""".r
+            .replaceAllIn(t, "")
         val arr = """"([A-Za-z0-9_]+)"\s*:\s*\[([\-0-9.,\sEe]+)\]""".r
         arr.findAllMatchIn(noRetests).flatMap { m =>
           val runs = m.group(2).split(",").toSeq

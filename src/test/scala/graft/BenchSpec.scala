@@ -119,6 +119,14 @@ class BenchSpec extends SparkSpec {
       """\"drained_checkpoints\":77","parsed":null}"""
     val mins2 = BenchHarness.parseBenchMins(tailWithRetests)
     assert(mins2 == Map("q58_keeper_by_quality" -> 0.266), s"got $mins2")
+    // same for the r17 probe_jst job/stage/task object: [64,64,1275]
+    // must not be read as a 64-second run array
+    val tailWithProbe = """{"n":17,"rc":0,"sf": 0.1,"tail":".62],""" +
+      """\"q58_keeper_by_quality\":[0.41,0.266,0.268]},""" +
+      """\"probe_jst\":{\"q58_keeper_by_quality\":[64,64,1275]},""" +
+      """\"drained_checkpoints\":77","parsed":null}"""
+    val mins3 = BenchHarness.parseBenchMins(tailWithProbe)
+    assert(mins3 == Map("q58_keeper_by_quality" -> 0.266), s"got $mins3")
   }
 
   test("loadPriorMins: prefers a same-SF bench_out.json sidecar, falls " +
@@ -193,25 +201,45 @@ class BenchSpec extends SparkSpec {
       BenchHarness.exec(digestAll(warm))
       BenchHarness.exec(digestAll(warm.unionByName(warm)))
       warm.unpersist(blocking = true)
-      val firstPass = BenchHarness.timedRuns(3, () => leakyThunk())
-      assert(BenchHarness.monotoneLeak(firstPass),
-        s"leaky thunk did not trip the signature: $firstPass")
-      // adjudication re-runs the SAME leaking thunk AFTER the cleanup
-      // Bench performs before a retest (drain + GC): for a
-      // state-accretion leak the pinned state resets and the retest
-      // re-accretes from zero — ramping 1x..3x again, the signature a
-      // real leak cannot help reproducing. (Continuing to accrete
-      // 4x..6x instead would shrink the relative growth toward the
-      // heuristic's 1.2x floor, where scheduler jitter can flip a
-      // run — a flaky test, and NOT what Bench does.)
-      val (confirmed, retests) = BenchHarness.adjudicateLeaks(
-        Seq("q_leaky"), { _ =>
-          leaked.foreach(_.unpersist(blocking = true))
-          leaked.clear()
-          BenchHarness.timedRuns(3, () => leakyThunk())
-        })
-      assert(confirmed == Seq("q_leaky"),
-        s"real leak exonerated: first=$firstPass retest=${retests("q_leaky")}")
+      // The structural ramp (~one full 2s block of extra work per run)
+      // dominates normal jitter, but a LOADED host can still slow run 1
+      // enough to break strict monotonicity — the r16 driver flake
+      // (VERDICT r16 #2). The signature itself is what Bench measures,
+      // so keep asserting it on real wall clock, but retry the whole
+      // accretion experiment up to 3 times from a clean slate: host
+      // contention is time-local (the adjudicateLeaks premise), while
+      // a genuinely broken heuristic fails all three deterministically.
+      def resetState(): Unit = {
+        leaked.foreach(_.unpersist(blocking = true))
+        leaked.clear()
+        System.gc()
+      }
+      def attempt(): Either[String, Unit] = {
+        resetState()
+        val firstPass = BenchHarness.timedRuns(3, () => leakyThunk())
+        if (!BenchHarness.monotoneLeak(firstPass))
+          Left(s"leaky thunk did not trip the signature: $firstPass")
+        else {
+          // adjudication re-runs the SAME leaking thunk AFTER the
+          // cleanup Bench performs before a retest (drain + GC): for a
+          // state-accretion leak the pinned state resets and the
+          // retest re-accretes from zero — ramping 1x..3x again, the
+          // signature a real leak cannot help reproducing.
+          val (confirmed, retests) = BenchHarness.adjudicateLeaks(
+            Seq("q_leaky"), { _ =>
+              resetState()
+              BenchHarness.timedRuns(3, () => leakyThunk())
+            })
+          if (confirmed == Seq("q_leaky")) Right(())
+          else Left(s"real leak exonerated: first=$firstPass " +
+            s"retest=${retests("q_leaky")}")
+        }
+      }
+      val outcomes = Iterator.continually(attempt()).take(3)
+        .takeWhile(_.isLeft).toSeq
+      assert(outcomes.size < 3,
+        s"leak signature failed to reproduce in 3 clean attempts: " +
+          outcomes.map(_.left.getOrElse("")).mkString(" | "))
     } finally leaked.foreach(_.unpersist(blocking = false))
   }
 }
