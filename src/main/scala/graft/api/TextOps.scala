@@ -2143,6 +2143,57 @@ object TextOps {
     lmScoreCore(idCol, toks, docBi, c2, c1, vocab, keepAvgQx1000)
   }
 
+  /** Score `df` against TWO pre-trained [[bigramLmModel]]s in ONE
+    * corpus pass — the DSIR log-likelihood-ratio shape (q93), where
+    * the two per-model scores of every doc are immediately differenced.
+    * Value-identical to two [[bigramLmScoreAgainst]] passes joined on
+    * the id (each per-bigram term uses its own model's c2/c1/v with
+    * the same add-V smoothing and left-join misses), but the corpus
+    * side pays ONE tokenize + bigram rollup, ONE (w1, w2) exchange and
+    * ONE per-doc aggregation instead of two of each plus a doc-level
+    * join (guide §2.4 share-one-exchange / §2.3 fewer passes): the two
+    * models' bigram tables are full-outer-joined into one lookup frame
+    * (vocabulary-sized; per-model keys stay unique so no row
+    * multiplies) and both quantized scores ride the same rollup.
+    * Output: idCol, n_bigrams, sum_q2_a, sum_q2_b (0-bigram docs keep
+    * their rows with zeros, as in [[bigramLmScoreAgainst]]).
+    */
+  private[graft] def bigramLmScoreAgainstPair(df: DataFrame, idCol: String,
+      textCol: String, modelA: DataFrame, modelB: DataFrame): DataFrame = {
+    val (toks, docBi) = lmTokenize(df, idCol, textCol)
+    def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val c2 = modelA.select(col("w1").as("_w1"), col("w2").as("_w2"),
+        col("c2").as("_c2a"))
+      .join(modelB.select(col("w1").as("_w1"), col("w2").as("_w2"),
+        col("c2").as("_c2b")), Seq("_w1", "_w2"), "full_outer")
+    val c1a = modelA.select(col("w1").as("_w1"), col("c1").as("_c1a"))
+      .distinct()
+    val c1b = modelB.select(col("w1").as("_w1"), col("c1").as("_c1b"))
+      .distinct()
+    val va = modelA.select(max(col("v")).as("_va"))
+    val vb = modelB.select(max(col("v")).as("_vb"))
+    val perDoc = docBi
+      .join(c2, Seq("_w1", "_w2"), "left")
+      .join(broadcast(c1a), Seq("_w1"), "left")
+      .join(broadcast(c1b), Seq("_w1"), "left")
+      .crossJoin(broadcast(va)).crossJoin(broadcast(vb))
+      .select(col(idCol),
+        (col("_n") * (fl2(coalesce(col("_c2a"), lit(0L)) + 1) -
+          fl2(coalesce(col("_c1a"), lit(0L)) + col("_va")))).as("_qa"),
+        (col("_n") * (fl2(coalesce(col("_c2b"), lit(0L)) + 1) -
+          fl2(coalesce(col("_c1b"), lit(0L)) + col("_vb")))).as("_qb"),
+        col("_n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_qa")).as("sum_q2_a"), sum(col("_qb")).as("sum_q2_b"),
+        sum(col("_n")).as("n_bigrams"))
+    val short = toks.filter(col("_m") < 2)
+      .select(col(idCol), lit(0L).as("n_bigrams"),
+        lit(0L).as("sum_q2_a"), lit(0L).as("sum_q2_b"))
+    perDoc.select(col(idCol), col("n_bigrams"), col("sum_q2_a"),
+        col("sum_q2_b"))
+      .unionByName(short)
+  }
+
   /** Deterministic feature-hashing text embedding (the hashing trick,
     * Weinberger et al. 2009): every token lands in dimension
     * `hash60(token) % d` with sign from an independent hash bit, the

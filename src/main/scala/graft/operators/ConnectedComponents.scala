@@ -93,40 +93,68 @@ object ConnectedComponents {
     val one = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .persist()
-    // the symmetric view is cached PRE-PARTITIONED on the per-round
-    // join key (the PageRank round-16 discipline, guide §2.4): once
-    // labels outgrow the broadcast threshold the propagation join
-    // re-shuffled the EDGE list every round; with the cached src
-    // partitioning each round shuffles vertex-count label rows only
-    val sym = one.union(
-      one.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .persist()
     // the long cast turns non-numeric ids (strings, UUIDs) into NULLs,
     // which would propagate to silently wrong clusters — fail loudly
-    // instead; this count also materializes the edge cache up front
-    val nullIds = one.filter(col("src").isNull || col("dst").isNull).count()
+    // instead; this aggregate also materializes the edge cache up
+    // front AND measures the exact edge count the broadcast decision
+    // below needs (one job for both — no extra pass)
+    val guard = one.agg(count(lit(1)).as("_n"),
+      sum(when(col("src").isNull || col("dst").isNull, 1L)
+        .otherwise(0L)).as("_bad")).head()
+    val edgeCnt = guard.getLong(0)
+    val nullIds = if (guard.isNullAt(1)) 0L else guard.getLong(1)
     if (nullIds > 0) {
       one.unpersist() // don't leak the edge cache on the failure path
-      sym.unpersist()
       throw new IllegalArgumentException(
         s"connected components needs numeric ids: $nullIds edge endpoints " +
           s"were NULL after casting ($srcCol, $dstCol) to long — map string " +
           "ids to a dense/hashed long key first")
     }
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // the symmetric view is cached PRE-PARTITIONED on the per-round
+    // join key (the PageRank round-16 discipline, guide §2.4): once
+    // labels outgrow the broadcast threshold the propagation join
+    // re-shuffled the EDGE list every round; with the cached src
+    // partitioning each round shuffles vertex-count label rows only.
+    // A BROADCAST-SIZED graph (measured count × a conservative 64 B
+    // hashed-relation row estimate under the session broadcast
+    // threshold — VERDICT r16 #8) skips the pre-partition and
+    // broadcasts the cached edges into each round's propagate join
+    // instead: the labels side then streams with no exchange.
+    val thr = edges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val small = thr > 0 && 2L * edgeCnt * 64L <= thr
+    val sym0 = one.union(
+      one.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = (if (small) sym0 else sym0.repartition(col("src"))).persist()
+    val symJ = if (small) broadcast(sym) else sym
+    var labels: DataFrame = null
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nmin"))
-        .withColumnRenamed("dst", "id")
-      // cand = this round's plain propagation result
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("cand"))
+      // ROUND 1 FUSES to one aggregation (round 17): labels start as
+      // the identity, so min over {self} ∪ neighbors is just
+      // least(src, min(dst)) per src — no label seed distinct, no
+      // propagate join. LATER ROUNDS fold the old `labels ⟕ nbrMin`
+      // join INTO the propagation aggregate (§2.4 — share one
+      // exchange): the self label rides the same groupBy as a tagged
+      // union branch (exactly one self row per id, so
+      // max(when(_self)) recovers it), which drops one vertex-sized
+      // join + one labels exchange per round. Identical fixpoint,
+      // identical per-round labels, identical round count: min over
+      // (self ∪ neighbor) labels is least(lbl, nmin) row for row.
+      val stepped =
+        if (round == 0)
+          sym.groupBy(col("src")).agg(min(col("dst")).as("_nmin"))
+            .select(col("src").as("id"), col("src").as("lbl"),
+              least(col("src"), col("_nmin")).as("cand"))
+        else
+          symJ.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+            .select(col("dst").as("id"), col("lbl"), lit(false).as("_self"))
+            .unionByName(labels
+              .select(col("id"), col("lbl"), lit(true).as("_self")))
+            .groupBy(col("id"))
+            .agg(min(col("lbl")).as("cand"),
+              max(when(col("_self"), col("lbl"))).as("lbl"))
+            .select(col("id"), col("lbl"), col("cand"))
       val next =
         if (round < ShortcutAfter) stepped.withColumnRenamed("cand", "nlbl")
         else

@@ -48,6 +48,24 @@ object PageRank {
     */
   val Scale = 1000000000000L
 
+  /** Is this edge frame small enough to BROADCAST into the per-round
+    * joins instead of caching it pre-partitioned (VERDICT r16 #8)?
+    * Decided from the LOGICAL plan's size statistics — file-size-based
+    * for parquet-backed graphs, the planner's own broadcast heuristic
+    * — so the check costs no job and no extra pass. Unknown or
+    * join-inflated stats read as huge and safely keep the partitioned
+    * path. On the broadcast path every round's edge⋈state join builds
+    * the tiny edge hash table and the state side streams with ZERO
+    * exchange (and HITS needs only ONE cached edge copy, halving the
+    * #9 footprint); past the threshold nothing changes — the
+    * pre-partitioned cache remains the 100 TB shape.
+    */
+  private[graft] def broadcastableEdges(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+  }
+
   /** @return one row per vertex of `edges`: (id, degree, rank) with
     *         rank on the integer `scale` (a vertex with no edges does
     *         not appear — it would hold the constant floor forever).
@@ -61,13 +79,18 @@ object PageRank {
     // exchange): every round's edges⋈ranks join and the degree
     // aggregate read the cached s-partitioning instead of re-shuffling
     // the edge list once per round — at scale the per-round shuffle
-    // drops from edge-count rows to vertex-count rows
-    val sym = edges
+    // drops from edge-count rows to vertex-count rows. A
+    // BROADCAST-SIZED graph (logical stats, VERDICT r16 #8) skips the
+    // pre-partition entirely and broadcasts the cached edges into each
+    // round's join instead — the rank side then streams with no
+    // exchange at all.
+    val small = broadcastableEdges(edges)
+    val sym0 = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .union(edges
         .select(col(dstCol).cast("long").as("s"), col(srcCol).cast("long").as("t")))
-      .repartition(col("s"))
-      .persist()
+    val sym = (if (small) sym0 else sym0.repartition(col("s"))).persist()
+    val symJ = if (small) broadcast(sym) else sym
     val deg = sym.groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("degree")).persist()
     val base = (100L - dampingPct) * scale / 100L
@@ -75,7 +98,7 @@ object PageRank {
     var rank = deg.withColumn("rank", lit(scale))
     for (i <- 1 to iterations) {
       val prev = rank
-      val incoming = sym
+      val incoming = symJ
         .join(rank.withColumnRenamed("id", "s"), Seq("s"))
         .select(col("t").as("id"), expr("rank div degree").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
@@ -119,8 +142,10 @@ object PageRank {
       weightCol: String, iterations: Int = 5, dampingPct: Int = 85,
       scale: Long = Scale): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    // cached pre-partitioned on the round key (the [[ranks]] argument)
-    val sym = edges
+    // cached pre-partitioned on the round key (the [[ranks]] argument),
+    // or broadcast per round when the graph is broadcast-sized
+    val small = broadcastableEdges(edges)
+    val sym0 = edges
       .select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"),
         col(weightCol).cast("long").as("w"))
@@ -128,8 +153,8 @@ object PageRank {
         .select(col(dstCol).cast("long").as("s"),
           col(srcCol).cast("long").as("t"),
           col(weightCol).cast("long").as("w")))
-      .repartition(col("s"))
-      .persist()
+    val sym = (if (small) sym0 else sym0.repartition(col("s"))).persist()
+    val symJ = if (small) broadcast(sym) else sym
     val deg = sym.groupBy(col("s").as("id"))
       .agg(sum(col("w")).as("w_degree")).persist()
     val base = (100L - dampingPct) * scale / 100L
@@ -137,7 +162,7 @@ object PageRank {
     var rank = deg.withColumn("rank", lit(scale))
     for (i <- 1 to iterations) {
       val prev = rank
-      val incoming = sym
+      val incoming = symJ
         .join(rank.withColumnRenamed("id", "s"), Seq("s"))
         .select(col("t").as("id"),
           expr("(rank * w) div w_degree").as("c"))
@@ -197,22 +222,49 @@ object PageRank {
     // cache the list once per key — two copies, zero per-round edge
     // shuffles (guide §2.4; the bucket-both-ways trade: 2 extra
     // materializations beat 2·iterations edge-list exchanges). eT
-    // derives from the cached eS so the distinct runs once.
-    val eS = edges
+    // derives from the cached eS so the distinct runs once. A
+    // BROADCAST-SIZED graph (VERDICT r16 #8/#9) keeps ONE unpartitioned
+    // cache and broadcasts it into both join directions instead —
+    // no second copy, no repartition exchanges, no per-round state
+    // exchange.
+    val small = broadcastableEdges(edges)
+    val e0 = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
       .filter(col("s") =!= col("t"))
       .distinct()
-      .repartition(col("s"))
-      .persist()
-    val eT = eS.repartition(col("t")).persist()
-    val v = eS.select(col("s").as("id")).union(eS.select(col("t").as("id")))
-      .distinct().persist()
+    val eS = (if (small) e0 else e0.repartition(col("s"))).persist()
+    val eT = if (small) eS else eS.repartition(col("t")).persist()
+    val (eSJ, eTJ) = if (small) (broadcast(eS), broadcast(eT)) else (eS, eT)
 
-    var hub = v.withColumn("h", lit(scale))
-    var auth = v.withColumn("a", lit(0L))
+    // Round frames cover only the vertices the NEXT consumer can use
+    // (round 17, guide §2.4/§2.3 — shuffle fewer rows AND two fewer
+    // vertex-sized join exchanges per round): auth rows exist only for
+    // vertices with in-edges, hub rows only for vertices with
+    // out-edges. The old per-round `v LEFT JOIN` re-attached zero rows
+    // that the following INNER edge join then multiplied by nothing —
+    // a zero contributes exactly as much as an absent row to the sums,
+    // and the per-round max is over the same positive support — so the
+    // iterated values are unchanged; the zeros are re-attached ONCE in
+    // the final projection instead of once per half-round.
+    // Support invariant: hRaw groups by s over (eT ⋈ auth) and auth
+    // covers every t of eT (every target has an in-edge), so hub
+    // covers EVERY source vertex of eS each round — round 1 seeds it
+    // with exactly the distinct sources. Likewise auth covers every
+    // t. The per-round maxes stay ≥ scale > 0 (the argmax row of the
+    // previous half-round renormalizes to exactly `scale` and owns an
+    // incident edge by construction), so the `div` can never see a
+    // zero divisor; the coalesce stays as a pure guard. A separate
+    // vertex frame is NOT needed: support(hub) ∪ support(auth) =
+    // sources ∪ targets = the whole vertex set, so the final
+    // zero-reattach is a full-outer join of the two final frames —
+    // the old per-query v cache (union + distinct + materialization)
+    // is gone.
+    var hub = eS.select(col("s").as("id")).distinct()
+      .withColumn("h", lit(scale))
+    var auth = hub.select(col("id")).withColumn("a", lit(0L))
     for (i <- 1 to iterations) {
       val (prevHub, prevAuth) = (hub, auth)
-      val aRaw = eS.join(hub.withColumnRenamed("id", "s"), Seq("s"))
+      val aRaw = eSJ.join(hub.withColumnRenamed("id", "s"), Seq("s"))
         .groupBy(col("t").as("id"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("_ar"))
       val aMax = aRaw.agg(max(col("_ar")).as("_am"))
@@ -222,15 +274,15 @@ object PageRank {
       // hub checkpoint's job, halving the per-round job barriers. By
       // the time anything could release or re-read it, the hub step
       // has stored its blocks.
-      auth = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aMax))
+      auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("id"),
           coalesce(expr(s"(_ar * $scale) div _am"), lit(0L)).as("a"))
         .localCheckpoint(eager = false)
-      val hRaw = eT.join(auth.withColumnRenamed("id", "t"), Seq("t"))
+      val hRaw = eTJ.join(auth.withColumnRenamed("id", "t"), Seq("t"))
         .groupBy(col("s").as("id"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("_hr"))
       val hMax = hRaw.agg(max(col("_hr")).as("_hm"))
-      hub = v.join(hRaw, Seq("id"), "left").crossJoin(broadcast(hMax))
+      hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("id"),
           coalesce(expr(s"(_hr * $scale) div _hm"), lit(0L)).as("h"))
         .localCheckpoint()
@@ -244,15 +296,19 @@ object PageRank {
         graft.api.Lifecycle.releaseLocalCheckpoint(prevAuth)
       }
     }
-    val out = hub.join(auth, Seq("id"))
-      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+    // zeros re-attached here, once: a vertex with no out-edges holds
+    // hub 0, no in-edges authority 0 — exactly what the per-round
+    // left joins produced (full outer: hub covers all sources, auth
+    // all targets, their union is every vertex)
+    val out = hub.join(auth, Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
       .localCheckpoint()
     // `out` materialized eagerly: the final round's frames are dead too
     graft.api.Lifecycle.releaseLocalCheckpoint(hub)
     graft.api.Lifecycle.releaseLocalCheckpoint(auth)
     eS.unpersist()
-    eT.unpersist()
-    v.unpersist()
+    if (!small) eT.unpersist()
     out
   }
 
@@ -1017,7 +1073,8 @@ object PageRank {
       weightCol: String, iterations: Int = 3,
       scale: Long = Scale): DataFrame = {
     require(iterations >= 1)
-    val e = edges
+    val small = broadcastableEdges(edges)
+    val e0 = edges
       .select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("t"),
         col(weightCol).cast("long").as("w"))
@@ -1027,32 +1084,37 @@ object PageRank {
       // delete-path filter — a signed removal run nets a removed
       // directed pair to 0 and it drops here
       .filter(col("w") > 0)
-      .repartition(col("s"))
-      .persist()
+    val e = (if (small) e0 else e0.repartition(col("s"))).persist()
     // the hub round joins on t — second partitioned copy (the [[hits]]
-    // bucket-both-ways trade), derived off the cached s-copy
-    val eT = e.repartition(col("t")).persist()
-    val v = e.select(col("s").as("id")).union(e.select(col("t").as("id")))
-      .distinct().persist()
+    // bucket-both-ways trade), derived off the cached s-copy; ONE
+    // broadcast copy serves both directions when the graph is small
+    val eT = if (small) e else e.repartition(col("t")).persist()
+    val (eJ, eTJ) = if (small) (broadcast(e), broadcast(eT)) else (e, eT)
 
-    var hub = v.withColumn("h", lit(scale))
-    var auth = v.withColumn("a", lit(0L))
+    // Rounds carry positive-support frames only, zeros re-attached
+    // once at the end — the [[hits]] round-17 argument verbatim (the
+    // weighted sums multiply h·w, and an absent row contributes to a
+    // sum exactly what a zero row did; no separate vertex frame, the
+    // final full-outer join covers sources ∪ targets = all vertices).
+    var hub = e.select(col("s").as("id")).distinct()
+      .withColumn("h", lit(scale))
+    var auth = hub.select(col("id")).withColumn("a", lit(0L))
     for (i <- 1 to iterations) {
       val (prevHub, prevAuth) = (hub, auth)
-      val aRaw = e.join(hub.withColumnRenamed("id", "s"), Seq("s"))
+      val aRaw = eJ.join(hub.withColumnRenamed("id", "s"), Seq("s"))
         .groupBy(col("t").as("id"))
         .agg(sum(col("h").cast("decimal(38,0)") * col("w")).as("_ar"))
       val aMax = aRaw.agg(max(col("_ar")).as("_am"))
       // lazy mid-round cut — the [[hits]] round-16 argument
-      auth = v.join(aRaw, Seq("id"), "left").crossJoin(broadcast(aMax))
+      auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("id"),
           coalesce(expr(s"(_ar * $scale) div _am"), lit(0L)).as("a"))
         .localCheckpoint(eager = false)
-      val hRaw = eT.join(auth.withColumnRenamed("id", "t"), Seq("t"))
+      val hRaw = eTJ.join(auth.withColumnRenamed("id", "t"), Seq("t"))
         .groupBy(col("s").as("id"))
         .agg(sum(col("a").cast("decimal(38,0)") * col("w")).as("_hr"))
       val hMax = hRaw.agg(max(col("_hr")).as("_hm"))
-      hub = v.join(hRaw, Seq("id"), "left").crossJoin(broadcast(hMax))
+      hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("id"),
           coalesce(expr(s"(_hr * $scale) div _hm"), lit(0L)).as("h"))
         .localCheckpoint()
@@ -1062,14 +1124,14 @@ object PageRank {
         graft.api.Lifecycle.releaseLocalCheckpoint(prevAuth)
       }
     }
-    val out = hub.join(auth, Seq("id"))
-      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+    val out = hub.join(auth, Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
       .localCheckpoint()
     graft.api.Lifecycle.releaseLocalCheckpoint(hub)
     graft.api.Lifecycle.releaseLocalCheckpoint(auth)
     e.unpersist()
-    eT.unpersist()
-    v.unpersist()
+    if (!small) eT.unpersist()
     out
   }
 

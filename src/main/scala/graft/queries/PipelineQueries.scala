@@ -111,7 +111,7 @@ FROM q GROUP BY ROLLUP (source, lang, quality)"""
     * appends a SHARED hub anchor (doc_id mod 5 per host) so in-link
     * counts exceed 1 and the frontier's priority order is exercised.
     */
-  private def linkFixture(docs: org.apache.spark.sql.DataFrame,
+  private[graft] def linkFixture(docs: org.apache.spark.sql.DataFrame,
       withHub: Boolean = false): org.apache.spark.sql.DataFrame = {
     val base = concat(
       lit("<a href=\"https://ex"), (col("doc_id") % 9).cast("string"),
@@ -1629,22 +1629,22 @@ FROM rat CROSS JOIN thr"""),
           .localCheckpoint()
         val mR = graft.api.TextOps.bigramLmModel(docs, "doc_id", "text")
           .localCheckpoint()
-        val sT = graft.api.TextOps.bigramLmScoreAgainst(
-            docs, "doc_id", "text", mT)
-          .select(col("doc_id"), col("n_bigrams"), col("sum_q2").as("_qt"))
-        val sR = graft.api.TextOps.bigramLmScoreAgainst(
-            docs, "doc_id", "text", mR)
-          .select(col("doc_id"), col("sum_q2").as("_qr"))
+        // ONE corpus tokenize + rollup scores against BOTH models
+        // (TextOps.bigramLmScoreAgainstPair — round 17, guide §2.4):
+        // the former two bigramLmScoreAgainst passes each paid their
+        // own bigram rollup, (w1,w2) exchange and per-doc aggregation,
+        // then joined on doc_id; the pair scorer is value-identical
+        // with half the corpus-side work and no doc-level join.
         // rat is consumed TWICE (the percentile broadcast AND the
-        // final projection) — without a checkpoint the whole subtree
-        // (BOTH corpus scoring rollups + their join) executes twice
-        // per run. rat is doc-count-sized (3 longs a row), so
-        // materializing it costs nothing next to recomputing the
-        // scoring passes; the r11 bench watch-item's extra second was
-        // exactly this double execution.
-        val rat = sT.join(sR, Seq("doc_id"))
+        // final projection) — without a checkpoint the whole scoring
+        // subtree executes twice per run. rat is doc-count-sized
+        // (3 longs a row), so materializing it costs nothing next to
+        // recomputing the scoring pass; the r11 bench watch-item's
+        // extra second was exactly this double execution.
+        val rat = graft.api.TextOps.bigramLmScoreAgainstPair(
+            docs, "doc_id", "text", mT, mR)
           .select(col("doc_id"), col("n_bigrams"),
-            (col("_qt") - col("_qr")).as("ratio_x"))
+            (col("sum_q2_a") - col("sum_q2_b")).as("ratio_x"))
           .localCheckpoint()
         val thr = rat.filter(col("n_bigrams") > 0)
           .agg(floor(expr("percentile(ratio_x, 0.75)")).cast("long")
