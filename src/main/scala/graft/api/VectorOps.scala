@@ -537,7 +537,19 @@ object VectorOps {
     */
   private def pqTrainOnSample(cached: DataFrame, m: Int, k: Int,
       seed: Long, iters: Int): PqCodebooks = {
-    val d = cached.select(max(size(col("u")))).head.getInt(0)
+    // geometry guard (VERDICT r16 #7): d comes from the SAMPLE, which
+    // is only sound when the corpus is fixed-dimension — a ragged
+    // corpus whose max-d rows miss the sample would otherwise train
+    // wrong-geometry codebooks and silently truncate longer vectors at
+    // encode time. Require uniform dimension on the sample (min==max,
+    // one aggregate job) and fail loudly instead.
+    val dims = cached.select(min(size(col("u"))).as("_mn"),
+      max(size(col("u"))).as("_mx")).head
+    val (dMin, d) = (dims.getInt(0), dims.getInt(1))
+    require(dMin == d,
+      s"pqTrain: ragged vector dimensions in the training sample " +
+        s"(min $dMin, max $d) — PQ geometry requires fixed-dimension " +
+        "input; pad or split the corpus by dimension first")
     require(m > 0 && d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
     val subDim = d / m
     locally {

@@ -121,13 +121,19 @@ object CurationPipeline {
     // first consuming job instead of an eager barrier per stage.
     // Nine stage barriers collapse into the terminal action's DAG,
     // where independent subtrees (e.g. the two quality gates) can
-    // also overlap. The label still tags whichever job materializes
-    // the cut.
+    // also overlap. Job descriptions are submission-time thread-locals,
+    // so with eager=false only the AQE stage jobs executed AT cut()
+    // time carry the label; the final result-stage materialization
+    // folds into whichever consumer job triggers it and runs under
+    // that job's own description (ADVICE r16). The enclosing
+    // description is saved and restored rather than nulled, so cut()
+    // composes under a caller's own setJobDescription.
     def cut(df: DataFrame, label: String): DataFrame = {
       val sc = df.sparkSession.sparkContext
+      val prev = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(s"curation: $label")
       val c = try df.localCheckpoint(eager = false)
-      finally sc.setJobDescription(null)
+      finally sc.setJobDescription(prev)
       cuts += c
       c
     }

@@ -679,10 +679,12 @@ object Multimodal {
     * cheaper than the exchange it would ride (q135 0.30 → 0.56 s with
     * the spread, round-16 A/B).
     */
-  private def spreadForDecode(ds: Dataset[MediaRecord]): Dataset[MediaRecord] = {
-    val target = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
-  }
+  private def spreadForDecode(ds: Dataset[MediaRecord]): Dataset[MediaRecord] =
+    // shared shuffle-free-gated width probe (ADVICE r16: a bare
+    // .rdd.getNumPartitions under AQE executes-and-discards any shuffle
+    // stages in the probed plan; Spread gates the probe to scan-shaped
+    // plans, which is what every decode builder feeds)
+    graft.api.Spread.ifNarrowDs(ds)
 
   /** documents → REAL decodable image media: each doc's UTF-8 text
     * bytes seed a [[grayBmp16]] payload (empty/null texts drop — no

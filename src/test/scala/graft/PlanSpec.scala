@@ -569,11 +569,12 @@ class PlanSpec extends SparkSpec {
     // repartition below the decode when the payload scan produced
     // fewer splits than cores (cheap-input/expensive-map — guide §2.5);
     // it is conditional (absent once the scan has >= cores splits, i.e.
-    // at any real corpus size) and never hash-partitions by a key, so
-    // the pinned property is: zero key-based exchanges, and any
-    // exchange present must be the round-robin spread.
-    for (q <- Seq("q133_image_phash", "q135_audio_fingerprint",
-        "q139_video_phash")) {
+    // at any real corpus size) and never hash-partitions by a key.
+    // The AUDIO builder (q135) deliberately has NO spread — the 8-bit
+    // PCM header parse is cheaper than the exchange (round-16 A/B,
+    // 0.30 → 0.56 s) — so its pin is exactly ZERO shuffles; an
+    // accidental spread on the audio path must fail here (ADVICE r16).
+    for (q <- Seq("q133_image_phash", "q139_video_phash")) {
       val nodes = collectAll(plan(q))
       val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
       assert(shuffles.size <= 1,
@@ -582,6 +583,9 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]),
         s"$q must never key-partition the decode input")
     }
+    assert(!collectAll(plan("q135_audio_fingerprint"))
+        .exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "q135 must plan ZERO shuffles (no decode spread on the audio path)")
   }
 
   test("q130: strict contiguity is ONE lead() window pass — a single " +
