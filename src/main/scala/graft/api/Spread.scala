@@ -54,8 +54,12 @@ private[graft] object Spread {
     * any such frame is at least shuffle-partitions wide downstream of
     * the exchange, so skipping the spread is a no-op — while probing
     * it under AQE would execute (and then discard) those stages.
+    * Shared with [[graft.jobs.Sinks]]' ranged writer, where the same
+    * test decides whether re-executing the child for the range
+    * sampler is expensive (wide ops above the leaves) or a cheap
+    * narrow re-read of a cache/scan.
     */
-  private def hasWideOp(ds: Dataset[_]): Boolean =
+  private[graft] def hasWideOp(ds: Dataset[_]): Boolean =
     ds.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Distinct => true
       case s: Sort if s.global => true

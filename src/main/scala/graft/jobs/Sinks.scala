@@ -76,27 +76,35 @@ object Sinks {
 
   /** The one ranged writer behind [[layout]] / [[layoutAppend]].
     * `repartitionByRange`'s RangePartitioner SAMPLES its child before
-    * the exchange, which executes the child plan a second time — the
-    * final stage locally, and at 100 TB a second full corpus pass when
-    * the child is scan-shaped (VERDICT r16 #4: this double-compute
-    * bottlenecked all six timed index/stage-build bench entries). The
-    * child is therefore cut ONCE with a lazy localCheckpoint: the
-    * sampling pass materializes the blocks (MEMORY_AND_DISK — spill-
-    * safe), the exchange re-reads them, and the blocks are released as
-    * soon as the write commits. Sampling, range boundaries, hot-
-    * directory splitting and the written bytes are all unchanged —
-    * only the number of times the child computes (2 → 1).
+    * the exchange, which executes the child plan a second time
+    * (VERDICT r16 #4: this double-compute bottlenecked the timed
+    * index/stage-build bench entries). When the child carries real
+    * recompute cost — any wide operator (join/aggregate/window/
+    * distinct/repartition/global sort) above its leaves — it is cut
+    * ONCE with a lazy localCheckpoint: the sampling pass materializes
+    * the blocks (MEMORY_AND_DISK — spill-safe), the exchange re-reads
+    * them, and the blocks release as soon as the write commits. A
+    * NARROW child (a projection over a parquet scan, a checkpoint, or
+    * a cache — e.g. writeBm25Index's second table, a pmod over an
+    * already-checkpointed postings frame) is deliberately NOT cut:
+    * re-reading it for the sampler costs about what reading the cut's
+    * own cache would, so the extra materialization is pure overhead
+    * (measured +0.6 s on q141_index_build before this gate). Sampling,
+    * range boundaries, hot-directory splitting and the written bytes
+    * are unchanged either way — only how many times the child
+    * COMPUTES (2 → 1 where computing is expensive).
     */
   private def rangedWrite(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String], numFiles: Int,
       mode: String): Unit = {
     val keys = (partitionCols ++ sortCols).map(col)
-    val cut = df.localCheckpoint(eager = false)
+    val needsCut = graft.api.Spread.hasWideOp(df)
+    val src = if (needsCut) df.localCheckpoint(eager = false) else df
     try {
-      cut.repartitionByRange(numFiles, keys: _*)
+      src.repartitionByRange(numFiles, keys: _*)
         .sortWithinPartitions(keys: _*)
         .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
-    } finally graft.api.Lifecycle.releaseLocalCheckpoint(cut)
+    } finally if (needsCut) graft.api.Lifecycle.releaseLocalCheckpoint(src)
   }
 
   /** [[layout]] with mode=append: NEW sorted files land next to the

@@ -109,6 +109,22 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("pqTrain: ragged vector dimensions fail loudly (geometry is " +
+      "sample-derived, so a silent mixed-d corpus would truncate)") {
+    import spark.implicits._
+    val ragged = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0, 0.5, 0.5, 0.0, 0.0)) // 8-d stray row
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.VectorOps.pqTrain(ragged, "vec_id", "embedding",
+        m = 2, k = 2, seed = 1L)
+    }
+    assert(e.getMessage.contains("ragged vector dimensions"),
+      e.getMessage)
+  }
+
   test("readIvfPqModel: missing index fails with a named error") {
     val e = intercept[IllegalArgumentException] {
       graft.api.VectorOps.readIvfPqModel(spark, "/tmp/graft-no-such-index")
