@@ -218,19 +218,22 @@ object DedupOps {
     // NearDupIngest.index single-scan discipline)
     val hashed = shingleHashed(corpus, idCol, textCol).persist()
     try {
-      graft.jobs.Sinks.layout(
-        // tombstones INCLUDED (bandBucketsAll): the fold operator
-        // needs to see which buckets are already over cap
-        bandBucketsAll(withBandKeys(hashed)
-          .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
-          .withColumn("__bp",
-            pmod(xxhash64(col("band"), col("bkey")), lit(prefixPartitions.toLong))),
-        s"$path/buckets", partitionCols = Seq("__bp"),
-        sortCols = Seq("band", "bkey"), numFiles = 8)
-      graft.jobs.Sinks.layout(
-        hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
-        s"$path/hashed", partitionCols = Nil,
-        sortCols = Seq("doc_old"), numFiles = 8)
+      // the two tables are independent given the shared shingle cache
+      // — overlap their writes (guide §2.6, graft.api.Par)
+      Par.run(
+        () => graft.jobs.Sinks.layout(
+          // tombstones INCLUDED (bandBucketsAll): the fold operator
+          // needs to see which buckets are already over cap
+          bandBucketsAll(withBandKeys(hashed)
+            .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
+            .withColumn("__bp",
+              pmod(xxhash64(col("band"), col("bkey")), lit(prefixPartitions.toLong))),
+          s"$path/buckets", partitionCols = Seq("__bp"),
+          sortCols = Seq("band", "bkey"), numFiles = 8),
+        () => graft.jobs.Sinks.layout(
+          hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
+          s"$path/hashed", partitionCols = Nil,
+          sortCols = Seq("doc_old"), numFiles = 8))
       writeMinhashMeta(corpus.sparkSession, path, prefixPartitions,
         maxBucket, 1)
     } finally hashed.unpersist()
@@ -369,18 +372,22 @@ object DedupOps {
       readMinhashMeta(s, indexPath, "foldIntoMinhashIndex")
     val hashed = shingleHashed(delta, idCol, textCol).persist()
     try {
-      graft.jobs.Sinks.layoutAppend(
-        bandBucketsAll(withBandKeys(hashed)
-          .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
-          .withColumn("__bp",
-            pmod(xxhash64(col("band"), col("bkey")),
-              lit(prefixPartitions.toLong))),
-        s"$indexPath/buckets", partitionCols = Seq("__bp"),
-        sortCols = Seq("band", "bkey"), numFiles = 8)
-      graft.jobs.Sinks.layoutAppend(
-        hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
-        s"$indexPath/hashed", partitionCols = Nil,
-        sortCols = Seq("doc_old"), numFiles = 8)
+      // independent appends off the shared shingle cache — overlapped
+      // (guide §2.6); the meta bump stays AFTER both (the count-family
+      // crash ordering)
+      Par.run(
+        () => graft.jobs.Sinks.layoutAppend(
+          bandBucketsAll(withBandKeys(hashed)
+            .select(col(idCol), col("band"), col("bkey")), idCol, maxBucket)
+            .withColumn("__bp",
+              pmod(xxhash64(col("band"), col("bkey")),
+                lit(prefixPartitions.toLong))),
+          s"$indexPath/buckets", partitionCols = Seq("__bp"),
+          sortCols = Seq("band", "bkey"), numFiles = 8),
+        () => graft.jobs.Sinks.layoutAppend(
+          hashed.select(col(idCol).as("doc_old"), col("hs").as("hs_old")),
+          s"$indexPath/hashed", partitionCols = Nil,
+          sortCols = Seq("doc_old"), numFiles = 8))
       writeMinhashMeta(s, indexPath, prefixPartitions, maxBucket, layers + 1)
     } finally hashed.unpersist()
   }
@@ -871,18 +878,21 @@ object DedupOps {
     val fps = corpusFps
       .select(col(idCol), col(fpCol)).persist()
     try {
-      graft.jobs.Sinks.layout(
-        bandBucketsAll(
-          fingerprintBands(fps, idCol, fpCol, bits, hammingMax),
-          idCol, maxBucket)
-          .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
-            lit(prefixPartitions.toLong))),
-        s"$path/buckets", partitionCols = Seq("__bp"),
-        sortCols = Seq("band", "bkey"), numFiles = 8)
-      graft.jobs.Sinks.layout(
-        fps.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
-        s"$path/fps", partitionCols = Nil,
-        sortCols = Seq("doc_old"), numFiles = 8)
+      // independent tables off the shared fps cache — overlapped
+      // writes (guide §2.6)
+      graft.api.Par.run(
+        () => graft.jobs.Sinks.layout(
+          bandBucketsAll(
+            fingerprintBands(fps, idCol, fpCol, bits, hammingMax),
+            idCol, maxBucket)
+            .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
+              lit(prefixPartitions.toLong))),
+          s"$path/buckets", partitionCols = Seq("__bp"),
+          sortCols = Seq("band", "bkey"), numFiles = 8),
+        () => graft.jobs.Sinks.layout(
+          fps.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
+          s"$path/fps", partitionCols = Nil,
+          sortCols = Seq("doc_old"), numFiles = 8))
       writeFpMeta(s, path, prefixPartitions, maxBucket, bits, hammingMax, 1)
     } finally { fps.unpersist(); () }
   }
@@ -1004,18 +1014,21 @@ object DedupOps {
     val fps = delta
       .select(col(idCol), col(fpCol)).persist()
     try {
-      graft.jobs.Sinks.layoutAppend(
-        bandBucketsAll(
-          fingerprintBands(fps, idCol, fpCol, bits, hammingMax),
-          idCol, maxBucket)
-          .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
-            lit(prefixPartitions.toLong))),
-        s"$indexPath/buckets", partitionCols = Seq("__bp"),
-        sortCols = Seq("band", "bkey"), numFiles = 8)
-      graft.jobs.Sinks.layoutAppend(
-        fps.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
-        s"$indexPath/fps", partitionCols = Nil,
-        sortCols = Seq("doc_old"), numFiles = 8)
+      // overlapped independent appends (guide §2.6); meta bump stays
+      // after both
+      graft.api.Par.run(
+        () => graft.jobs.Sinks.layoutAppend(
+          bandBucketsAll(
+            fingerprintBands(fps, idCol, fpCol, bits, hammingMax),
+            idCol, maxBucket)
+            .withColumn("__bp", pmod(xxhash64(col("band"), col("bkey")),
+              lit(prefixPartitions.toLong))),
+          s"$indexPath/buckets", partitionCols = Seq("__bp"),
+          sortCols = Seq("band", "bkey"), numFiles = 8),
+        () => graft.jobs.Sinks.layoutAppend(
+          fps.select(col(idCol).as("doc_old"), col(fpCol).as("fp_old")),
+          s"$indexPath/fps", partitionCols = Nil,
+          sortCols = Seq("doc_old"), numFiles = 8))
       writeFpMeta(s, indexPath, prefixPartitions, maxBucket, bits,
         hammingMax, layers + 1)
     } finally { fps.unpersist(); () }

@@ -1837,21 +1837,25 @@ object TextOps {
     val (n, tt, maxDl) = bm25CorpusStats(corpus, idCol, textCol)
     val postings = bm25Postings(corpus, idCol, textCol).localCheckpoint()
     try {
-      graft.jobs.Sinks.layout(
-        bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
-          .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+      // both tables derive from the materialized postings checkpoint
+      // and write different paths — overlapped (guide §2.6)
+      Par.run(
+        () => graft.jobs.Sinks.layout(
+          bm25ContribFromPostings(postings, idCol, n, tt, maxDl)
+            .withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
+              lit(prefixPartitions.toLong))),
+          s"$path/contrib", partitionCols = Seq("__bp"),
+          sortCols = Seq("_t"), numFiles = 8),
+        // the raw (term, doc, tf, dl) postings ride along:
+        // contributions are a function of corpus-GLOBAL stats, so
+        // maintenance ([[foldIntoBm25Index]]) must re-derive them —
+        // possible from raw postings at index size, impossible from
+        // baked _c values
+        () => graft.jobs.Sinks.layout(
+          postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
             lit(prefixPartitions.toLong))),
-        s"$path/contrib", partitionCols = Seq("__bp"),
-        sortCols = Seq("_t"), numFiles = 8)
-      // the raw (term, doc, tf, dl) postings ride along: contributions
-      // are a function of corpus-GLOBAL stats, so maintenance
-      // ([[foldIntoBm25Index]]) must re-derive them — possible from raw
-      // postings at index size, impossible from baked _c values
-      graft.jobs.Sinks.layout(
-        postings.withColumn("__bp", pmod(TextHashing.hash60(col("_t")),
-          lit(prefixPartitions.toLong))),
-        s"$path/postings", partitionCols = Seq("__bp"),
-        sortCols = Seq("_t"), numFiles = 8)
+          s"$path/postings", partitionCols = Seq("__bp"),
+          sortCols = Seq("_t"), numFiles = 8))
       writeBm25Meta(corpus.sparkSession, path, prefixPartitions,
         n, tt, maxDl, 1)
     } finally Lifecycle.releaseLocalCheckpoint(postings)

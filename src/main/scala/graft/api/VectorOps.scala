@@ -758,15 +758,20 @@ object VectorOps {
       val enc = base.select(col(idCol), col("cell"),
         call_function("pq_encode", col("u"), typedLit(model.pq.flat),
           lit(model.pq.m), lit(model.pq.k)).as("codes"))
-      graft.jobs.Sinks.layout(enc, s"$path/codes",
-        partitionCols = Seq("cell"), sortCols = Seq(idCol),
-        numFiles = model.coarse.k)
-      if (storeVectors) {
-        graft.jobs.Sinks.layout(
-          base.select(col(idCol).as("vid"), col("cell"), col("v").as("vec")),
-          s"$path/vectors", partitionCols = Seq("cell"),
-          sortCols = Seq("vid"), numFiles = model.coarse.k)
-      }
+      // codes and stored vectors are independent given the shared
+      // persisted encode frame — overlapped (guide §2.6)
+      val writes = Seq(
+        () => graft.jobs.Sinks.layout(enc, s"$path/codes",
+          partitionCols = Seq("cell"), sortCols = Seq(idCol),
+          numFiles = model.coarse.k)) ++
+        (if (storeVectors) Seq(
+          () => graft.jobs.Sinks.layout(
+            base.select(col(idCol).as("vid"), col("cell"),
+              col("v").as("vec")),
+            s"$path/vectors", partitionCols = Seq("cell"),
+            sortCols = Seq("vid"), numFiles = model.coarse.k))
+         else Seq.empty)
+      Par.run(writes: _*)
       writeIvfPqMeta(df.sparkSession, path, model)
       writeIvfPqRuns(df.sparkSession, path, 1)
     } finally { if (storeVectors) { base.unpersist(); () } }
