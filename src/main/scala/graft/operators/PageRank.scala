@@ -454,14 +454,16 @@ object PageRank {
   def writeEdgeIndex(edges: DataFrame, srcCol: String, dstCol: String,
       path: String, prefixPartitions: Int = 16): Unit = {
     val (e, v) = edgeRows(edges, srcCol, dstCol, prefixPartitions)
-    graft.jobs.Sinks.layout(e, s"$path/edges",
-      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
-    graft.jobs.Sinks.layout(v, s"$path/vertices",
-      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
-    // the (empty) tombstone table — one schema-bearing file, so reads
-    // are unconditional (no absent-dir fallback to get silently wrong)
-    e.select(col("s"), col("t")).limit(0).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/removals")
+    // independent tables — overlapped writes (guide §2.6)
+    graft.api.Par.run(
+      () => graft.jobs.Sinks.layout(e, s"$path/edges",
+        partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4),
+      () => graft.jobs.Sinks.layout(v, s"$path/vertices",
+        partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4),
+      // the (empty) tombstone table — one schema-bearing file, so reads
+      // are unconditional (no absent-dir fallback to get silently wrong)
+      () => e.select(col("s"), col("t")).limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/removals"))
     writeEdgeMeta(edges.sparkSession, path, prefixPartitions, 1)
   }
 
@@ -562,10 +564,11 @@ object PageRank {
       readEdgeMeta(s, indexPath, "foldIntoEdgeIndex")
     writeEdgeMeta(s, indexPath, prefixPartitions, layers + 1)
     val (e, v) = edgeRows(edges, srcCol, dstCol, prefixPartitions)
-    graft.jobs.Sinks.layoutAppend(e, s"$indexPath/edges",
-      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
-    graft.jobs.Sinks.layoutAppend(v, s"$indexPath/vertices",
-      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    graft.api.Par.run(
+      () => graft.jobs.Sinks.layoutAppend(e, s"$indexPath/edges",
+        partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4),
+      () => graft.jobs.Sinks.layoutAppend(v, s"$indexPath/vertices",
+        partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4))
   }
 
   /** Compact a layered edge index back to ONE sorted run per table
@@ -794,12 +797,15 @@ object PageRank {
     val (e, v) = weightedEdgeRows(edges, srcCol, dstCol, weightCol,
       prefixPartitions)
     val run = graft.api.IndexMaintenance.newRunId()
-    graft.jobs.Sinks.layout(e.withColumn("__run", lit(run)),
-      s"$path/edges",
-      partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
-    graft.jobs.Sinks.layout(v.withColumn("__run", lit(run)),
-      s"$path/vertices",
-      partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+    graft.api.Par.run(
+      () => graft.jobs.Sinks.layout(e.withColumn("__run", lit(run)),
+        s"$path/edges",
+        partitionCols = Seq("__ep"), sortCols = Seq("s", "t"),
+        numFiles = 4),
+      () => graft.jobs.Sinks.layout(v.withColumn("__run", lit(run)),
+        s"$path/vertices",
+        partitionCols = Seq("__vp"), sortCols = Seq("id"),
+        numFiles = 4))
     graft.api.IndexMaintenance.writeIndexMetaRunsTags(edges.sparkSession,
       path, prefixPartitions, 1, Seq(run), Seq.empty)
   }
@@ -839,12 +845,15 @@ object PageRank {
       val (e, v) = weightedEdgeRows(edges, srcCol, dstCol, weightCol,
         prefixPartitions)
       val run = graft.api.IndexMaintenance.newRunId()
-      graft.jobs.Sinks.layoutAppend(e.withColumn("__run", lit(run)),
-        s"$indexPath/edges",
-        partitionCols = Seq("__ep"), sortCols = Seq("s", "t"), numFiles = 4)
-      graft.jobs.Sinks.layoutAppend(v.withColumn("__run", lit(run)),
-        s"$indexPath/vertices",
-        partitionCols = Seq("__vp"), sortCols = Seq("id"), numFiles = 4)
+      graft.api.Par.run(
+        () => graft.jobs.Sinks.layoutAppend(e.withColumn("__run", lit(run)),
+          s"$indexPath/edges",
+          partitionCols = Seq("__ep"), sortCols = Seq("s", "t"),
+          numFiles = 4),
+        () => graft.jobs.Sinks.layoutAppend(v.withColumn("__run", lit(run)),
+          s"$indexPath/vertices",
+          partitionCols = Seq("__vp"), sortCols = Seq("id"),
+          numFiles = 4))
       graft.api.IndexMaintenance.writeIndexMetaRunsTags(s, indexPath,
         prefixPartitions, layers + 1, runs :+ run, tags ++ tag)
       true
